@@ -1,0 +1,147 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextAnalysis
+
+/** Deduplication operators for LLM-data pipelines.
+  *
+  * Design rules for 100 TB: never materialize n² pairs — candidates come
+  * from equi-joins on hash buckets (LSH bands, simhash prefixes, shared
+  * shingles); every bucket join caps bucket size to bound worst-case
+  * blow-up; md5 is the only hash (engine-portable, so every stage is
+  * oracle-checkable).
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash, keep the smallest id. Returns
+    * (idCol, md5 hash, group size) for survivors. Map-side partial agg;
+    * one shuffle on the hash.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), md5(col(textCol)).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Word n-gram shingles (space-joined), lowercased, distinct. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    array_distinct(
+      when(
+        size(toks) < n,
+        array(concat_ws(" ", toks))
+      ).otherwise(
+        transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))
+        )
+      )
+    )
+  }
+
+  /** MinHash signature as `numPerm` lexicographic-min md5 hex strings;
+    * permutation j hashes `j|shingle`. String min is portable across
+    * engines (lowercase hex, byte-wise ordering).
+    */
+  def minhash(shingleCol: Column, numPerm: Int): Column =
+    transform(
+      sequence(lit(0), lit(numPerm - 1)),
+      j => array_min(transform(shingleCol, s => md5(concat(j.cast("string"), lit("|"), s))))
+    )
+
+  /** LSH candidate pairs: band the signature (`rowsPerBand` hashes per
+    * band), bucket-join on (band index, band key), keep a<b pairs.
+    * Buckets larger than `maxBucket` are dropped (documented skew guard;
+    * a bucket that large means the band is degenerate). No n² anywhere:
+    * cost is sum over buckets of |bucket|².
+    */
+  def lshCandidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numPerm: Int = 8,
+      rowsPerBand: Int = 2,
+      maxBucket: Int = 100
+  ): DataFrame = {
+    val numBands = numPerm / rowsPerBand
+    val sig = minhash(shingles(col(textCol), shingleSize), numPerm)
+    val banded = df
+      .select(col(idCol).as("doc"), sig.as("sig"))
+      .select(
+        col("doc"),
+        posexplode(
+          transform(
+            sequence(lit(0), lit(numBands - 1)),
+            b => concat_ws("", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
+          )
+        ).as(Seq("band", "key"))
+      )
+    val small = banded
+      .groupBy("band", "key")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxBucket)
+      .drop("n")
+    val b2 = banded.join(small, Seq("band", "key")) // drop degenerate buckets
+    b2.as("a")
+      .join(b2.as("b"), col("a.band") === col("b.band") && col("a.key") === col("b.key") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+  }
+
+  /** 32-bit SimHash from md5 nibbles: each token hashes to 32 bits (8
+    * hex chars of md5); bit b of the signature is 1 when the sum of
+    * (2*bit-1) over tokens is positive. Integer-exact, portable.
+    */
+  def simhash32(text: Column): Column = {
+    val toks = array_distinct(TextAnalysis.tokens(text))
+    // bits unrolled at plan-build time (Scala loop) so shift amounts are
+    // literal ints — stays inside codegen, no dynamic-shift expression
+    val bitContribs = (0 until 32).map { b =>
+      val nibIdx = b / 4 + 1 // hex char holding bit b
+      val sum = aggregate(
+        toks,
+        lit(0L),
+        (acc, t) => {
+          val nib = TextHex.nibble(md5(t).substr(lit(nibIdx), lit(1)))
+          acc + when(shiftright(nib, b % 4).bitwiseAND(1) === 1, 1L).otherwise(-1L)
+        }
+      )
+      when(sum > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bitContribs.reduce(_ + _)
+  }
+
+  /** Jaccard similarity of shingle sets for candidate pairs, computed by
+    * explode → co-group (never n²: only ids sharing ≥1 shingle meet).
+    * Returns (doc_a, doc_b, inter, union_, jaccard_fp4) for pairs with
+    * jaccard ≥ threshold.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int, threshold: Double, maxShingleDf: Int = 1000): DataFrame = {
+    val sh = df.select(col(idCol).as("doc"), explode(shingles(col(textCol), n)).as("sh"))
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("sz"))
+    // frequent-shingle guard: a shingle in >maxShingleDf docs generates
+    // quadratic pairs and carries no dedup signal
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= maxShingleDf).drop("df")
+    val sh2 = sh.join(rare, "sh")
+    val inter = sh2
+      .as("a")
+      .join(sh2.as("b"), col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("union_", col("sz_a") + col("sz_b") - col("inter"))
+      .withColumn("jaccard_fp4", TextAnalysis.fp(col("inter").cast("double") / col("union_").cast("double"), 4))
+      .filter(col("jaccard_fp4") >= (threshold * 10000).toLong)
+      .select("doc_a", "doc_b", "inter", "union_", "jaccard_fp4")
+  }
+}
+
+/** Hex-nibble helper shared by simhash/LSH. */
+object TextHex {
+  /** Map a lowercase hex char column to its 0-15 value. */
+  def nibble(c: Column): Column =
+    when(c >= "0" && c <= "9", ascii(c) - 48).otherwise(ascii(c) - 87).cast("long")
+}

@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import QueryUtil._
+
+/** §2A — the reference's relational query surface (scans, filters,
+  * distinct, joins, counts; changegen/db.py + __main__.py SQL),
+  * expressed as declarative DataFrame plans so Catalyst handles
+  * pushdown, join strategy, and partial aggregation.
+  *
+  * Money math convention: every double money/quantity column is
+  * quantized per-row to bigint cents (`fp(x, 2)` = floor(x*100+0.5))
+  * BEFORE aggregation. Per-row IEEE double ops are bit-identical in
+  * Spark and DuckDB, and integer sums are order-independent — so
+  * results hash-match the oracle exactly, with no decimal-rounding or
+  * float-summation-order hazards. Decimal sums of doubles do NOT have
+  * this property (ulp-edge rounding differs per engine).
+  */
+object Relational {
+
+  val defs: Map[String, Q] = Map(
+    "q1_agg" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val discPrice = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("count_order"),
+          sum(fp(col("l_quantity"), 2)).as("sum_qty_c"),
+          sum(fp(col("l_extendedprice"), 2)).as("sum_base_price_c"),
+          sum(fp(discPrice, 2)).as("sum_disc_price_c")
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q2_filter_project" -> ((s, dir) => {
+      t(s, dir, "part")
+        .filter(col("p_size") >= 10 && col("p_type").like("%M%"))
+        .select(col("p_partkey"), col("p_name"), fp(col("p_retailprice"), 2).as("p_retailprice_c"))
+        .orderBy("p_partkey")
+    }),
+    "q3_join_agg" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val discPrice = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      broadcast(c)
+        .join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(fp(discPrice, 2)).as("revenue_c")
+        )
+        .orderBy("c_custkey")
+    }),
+    "q4_distinct" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select("o_orderstatus", "o_orderpriority")
+        .distinct()
+        .orderBy("o_orderstatus", "o_orderpriority")
+    }),
+    "q5_sort_limit" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), fp(col("o_totalprice"), 2).as("o_totalprice_c"))
+        .orderBy(col("o_totalprice_c").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+    "q6_window" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice_c").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), fp(col("o_totalprice"), 2).as("o_totalprice_c"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .orderBy("o_custkey", "rk")
+    }),
+    "q7_semijoin" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem").filter(col("l_quantity") >= 45)
+      t(s, dir, "supplier")
+        .join(l, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    }),
+    "q8_antijoin" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      t(s, dir, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+    "q9_setop" -> ((s, dir) => {
+      val active = t(s, dir, "orders").filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey"))
+      val building = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("custkey"))
+      active.except(building).orderBy("custkey")
+    }),
+    "q10_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum(fp(col("l_quantity"), 2)).as("sum_qty_c"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+    "q11_like_scan" -> ((s, dir) => {
+      t(s, dir, "part")
+        .filter(col("p_name").like("%e%"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("p_brand")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS count_order,
+        | CAST(sum(CAST(floor(l_quantity*100+0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        | CAST(sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)) AS BIGINT) AS sum_base_price_c,
+        | CAST(sum(CAST(floor(l_extendedprice*(1.0-l_discount)*100+0.5) AS BIGINT)) AS BIGINT) AS sum_disc_price_c
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q2_filter_project" ->
+      """SELECT p_partkey, p_name, CAST(floor(p_retailprice*100+0.5) AS BIGINT) AS p_retailprice_c
+        |FROM part WHERE p_size >= 10 AND p_type LIKE '%M%' ORDER BY p_partkey""".stripMargin,
+    "q3_join_agg" ->
+      """SELECT c_custkey, c_name, count(*) AS n_items,
+        | CAST(sum(CAST(floor(l_extendedprice*(1.0-l_discount)*100+0.5) AS BIGINT)) AS BIGINT) AS revenue_c
+        |FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING' GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "q4_distinct" ->
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders ORDER BY 1, 2",
+    "q5_sort_limit" ->
+      """SELECT o_orderkey, CAST(floor(o_totalprice*100+0.5) AS BIGINT) AS o_totalprice_c
+        |FROM orders ORDER BY 2 DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q6_window" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice_c, rk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         CAST(floor(o_totalprice*100+0.5) AS BIGINT) AS o_totalprice_c,
+        |         CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY CAST(floor(o_totalprice*100+0.5) AS BIGINT) DESC, o_orderkey) AS BIGINT) AS rk
+        |  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+    "q7_semijoin" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity >= 45)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q8_antijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q9_setop" ->
+      """SELECT custkey FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        |  EXCEPT
+        |  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |) ORDER BY custkey""".stripMargin,
+    "q10_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | CAST(sum(CAST(floor(l_quantity*100+0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "q11_like_scan" ->
+      "SELECT p_brand, count(*) AS n FROM part WHERE p_name LIKE '%e%' GROUP BY 1 ORDER BY 1"
+  )
+}

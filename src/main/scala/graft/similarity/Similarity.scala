@@ -1,0 +1,98 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextAnalysis
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Dot products run in double precision with strict left-to-right
+  * accumulation (`aggregate` over `zip_with`) so scores are bit-exact
+  * and reproducible; outputs are fixed-point quantized. Brute force is
+  * the correctness baseline; LSH bucketing is the scale path (candidates
+  * from an equi-join on sign-pattern buckets, not a cross join).
+  */
+object Similarity {
+
+  /** Strict sequential double dot product of two float arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force top-k by cosine against a single query vector
+    * (broadcast as a literal array — no join, one scan, TakeOrdered).
+    * Output: id, cos_fp6, ordered desc with id tiebreak.
+    */
+  def topK(df: DataFrame, idCol: String, vecCol: String, query: Seq[Float], k: Int): DataFrame = {
+    val q = array(query.map(v => lit(v)): _*)
+    df.select(col(idCol), TextAnalysis.fp(cosine(col(vecCol), q), 6).as("cos_fp6"))
+      .orderBy(col("cos_fp6").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim
+    * d): md5-derived value in [-0.5, 0.5). Portable to any engine with
+    * md5 — used so LSH bucketing is reproducible and oracle-checkable.
+    */
+  def planeComponent(p: Column, d: Column): Column = {
+    // first 6 hex chars -> int in [0, 16^6)
+    val h = md5(concat(p.cast("string"), lit("_"), d.cast("string")))
+    val v = conv(substring(h, 1, 6), 16, 10).cast("long")
+    v.cast("double") / lit(16777216.0) - 0.5
+  }
+
+  /** Sign-pattern LSH bucket id over `numPlanes` hyperplanes. Vectors in
+    * the same bucket are ANN candidates; bucket join replaces the n²
+    * scan. Recall is tuned by numPlanes / multi-probe (spec-tested
+    * against brute force).
+    */
+  def lshBucket(vec: Column, numPlanes: Int, dim: Int): Column = {
+    val bits = transform(
+      sequence(lit(0), lit(numPlanes - 1)),
+      p => {
+        val s = aggregate(
+          zip_with(vec, sequence(lit(0), lit(dim - 1)), (x, d) => x.cast("double") * planeComponent(p, d)),
+          lit(0.0),
+          (acc, v) => acc + v
+        )
+        when(s > 0, lit("1")).otherwise(lit("0"))
+      }
+    )
+    concat_ws("", bits)
+  }
+
+  /** ANN via LSH buckets: top-k per query among same-bucket candidates.
+    * queries/data both carry (id, vec). Output: query_id, id, cos_fp6.
+    */
+  def annLsh(data: DataFrame, queries: DataFrame, idCol: String, vecCol: String, numPlanes: Int, dim: Int, k: Int): DataFrame = {
+    val d = data.select(col(idCol).as("id"), col(vecCol).as("vec"), lshBucket(col(vecCol), numPlanes, dim).as("bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"), lshBucket(col(vecCol), numPlanes, dim).as("bucket"))
+    val scored = q
+      .join(d, "bucket")
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("cos_fp6", TextAnalysis.fp(cosine(col("qvec"), col("vec")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cos_fp6").desc, col("id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "id", "cos_fp6")
+  }
+
+  /** Near-duplicate pairs by cosine ≥ threshold, candidates restricted
+    * to an existing partition/bucket column (label, LSH bucket, …) so
+    * the join is equi- not cross-.
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, bucketCol: String, thresholdFp6: Long): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"), col(bucketCol).as("bucket"))
+    v.as("a")
+      .join(v.as("b"), col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("cos_fp6", TextAnalysis.fp(cosine(col("a.vec"), col("b.vec")), 6))
+      .filter(col("cos_fp6") >= thresholdFp6)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos_fp6"))
+  }
+}

