@@ -1,0 +1,405 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{SnapshotDiff, SequentialIds, TagOps, WayOps}
+import graft.spatial.{Geo, DWithinJoin}
+import QueryUtil._
+
+/** §2B — the changegen domain operators, re-expressed Spark-first.
+  *
+  * OSM-ish inputs (ways, node lists, points, lines) are derived
+  * deterministically from the driver's TPC-H-ish tables INSIDE each
+  * query, with the DuckDB oracle deriving them identically — so the
+  * operator itself is what gets verified.
+  *
+  * Derivation conventions (used by both engines):
+  *   - point(key)  = ((key*13 % 1000)/10.0, (key*29 % 1000)/10.0)
+  *   - way(order)  = l_partkey list ordered by l_linenumber
+  *   - line(nation)= supplier points ordered by s_suppkey
+  * All doubles go through identical IEEE op sequences in both engines;
+  * float-derived outputs are fp()-quantized bigints.
+  */
+object Changegen {
+
+  /** Derived planar point from an integer key: identical formula in the
+    * oracle SQL. Range [0, 100). */
+  private def px(k: Column): Column = (k * 13 % 1000) / lit(10.0)
+  private def py(k: Column): Column = (k * 29 % 1000) / lit(10.0)
+
+  /** Ways derived from lineitem: way id = l_orderkey, ordered node list
+    * = l_partkey by l_linenumber (via the wayNodeMap operator). */
+  private def ways(s: SparkSession, dir: String): DataFrame =
+    WayOps.wayNodeMap(
+      t(s, dir, "lineitem").select(col("l_orderkey").as("way"), col("l_linenumber").as("seq"), col("l_partkey").as("node")),
+      "way", "seq", "node")
+
+  /** Per-nation linestrings from supplier points (≥2 vertices). */
+  private def nationLines(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier")
+      .select(col("s_nationkey").as("nk"), col("s_suppkey").as("k"), px(col("s_suppkey")).as("x"), py(col("s_suppkey")).as("y"))
+      .groupBy("nk")
+      .agg(array_sort(collect_list(struct(col("k"), col("x"), col("y")))).as("_kxy"))
+      .withColumn("line", transform(col("_kxy"), e => struct(e.getField("x").as("x"), e.getField("y").as("y"))))
+      .filter(size(col("line")) >= 2)
+      .select("nk", "line")
+
+  private def custPoints(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey").as("nk"), px(col("c_custkey")).as("cpx"), py(col("c_custkey")).as("cpy"))
+
+  val defs: Map[String, Q] = Map(
+    // 12 — new-vs-old snapshot → <create>: left-anti join on key
+    "cg_diff_create" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val oldSnap = o.filter(col("o_orderkey") % 11 =!= 3)
+      val newSnap = o.filter(col("o_orderkey") % 13 =!= 5)
+      SnapshotDiff.creates(oldSnap, newSnap, Seq("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    }),
+    // 13 — deletions: anti join reversed
+    "cg_diff_delete" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val oldSnap = o.filter(col("o_orderkey") % 11 =!= 3)
+      val newSnap = o.filter(col("o_orderkey") % 13 =!= 5)
+      SnapshotDiff.deletes(oldSnap, newSnap, Seq("o_orderkey"))
+        .select("o_orderkey", "o_custkey")
+        .orderBy("o_orderkey")
+    }),
+    // 14 — modify: join + tag-signature inequality
+    "cg_diff_modify" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val newSnap = o.withColumn(
+        "o_orderpriority",
+        when(col("o_orderkey") % 17 === 0, lit("X-URGENT")).otherwise(col("o_orderpriority")))
+      SnapshotDiff.modifies(o, newSnap, Seq("o_orderkey"), Seq("o_orderstatus", "o_orderpriority"))
+        .select("o_orderkey", "o_orderpriority")
+        .orderBy("o_orderkey")
+    }),
+    // 15 — sequential id assignment (negative direction, offset −1000)
+    "cg_seq_ids" -> ((s, dir) => {
+      SequentialIds.assign(
+        t(s, dir, "customer").select("c_custkey"), "c_custkey", "new_id", -1000L, negative = true)
+        .orderBy("c_custkey")
+    }),
+    // 16 — tags from columns with exclude list, exploded
+    "cg_tags" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .withColumn("tags", TagOps.tagsFromColumns(t(s, dir, "part"), Seq("p_brand", "p_type", "p_size"), Seq("p_size")))
+        .select("p_partkey", "tags")
+      TagOps.explodeTags(p, "tags").orderBy("p_partkey", "tag_key")
+    }),
+    // 17 — hstore parse + column-precedence merge
+    "cg_hstore" -> ((s, dir) => {
+      val p = t(s, dir, "part").withColumn(
+        "hs",
+        concat(lit("\"origin\"=>\"X"), col("p_brand"), lit("\", \"p_brand\"=>\"SHOULD_LOSE\"")))
+      val colTags = map(lit("p_brand"), coalesce(col("p_brand").cast("string"), lit("")))
+      val merged = TagOps.mergeTags(colTags, TagOps.hstoreToMap(col("hs")))
+      TagOps.explodeTags(p.withColumn("tags", merged).select("p_partkey", "tags"), "tags")
+        .orderBy("p_partkey", "tag_key")
+    }),
+    // 18 — way splitting into ≤N chunks sharing joiner nodes
+    "cg_way_split" -> ((s, dir) => {
+      WayOps.splitWay(ways(s, dir), "nds", nodeLimit = 4, segmentLen = 3)
+        .select(col("way"), col("chunk_idx"), posexplode(col("chunk_nds")).as(Seq("pos", "node")))
+        .orderBy("way", "chunk_idx", "pos")
+    }),
+    // 19 — polygon ring closing (append first node at end)
+    "cg_closed_way" -> ((s, dir) => {
+      WayOps.splitWay(ways(s, dir), "nds", nodeLimit = 1000000, segmentLen = 1000000, closed = true)
+        .select(col("way"), posexplode(col("chunk_nds")).as(Seq("pos", "node")))
+        .orderBy("way", "pos")
+    }),
+    // 20 — multipolygon relation member assembly (outer/inner roles)
+    "cg_relation_assembly" -> ((s, dir) => {
+      val w = ways(s, dir)
+        .withColumn("outer_ways", expr("slice(nds, 1, 2)"))
+        .withColumn("inner_ways", expr("slice(nds, 3, size(nds))"))
+        .withColumnRenamed("way", "rel_id")
+      WayOps.multipolygonMembers(w, Seq("rel_id"), col("outer_ways"), col("inner_ways"))
+        .orderBy("rel_id", "member_role", "member_ref")
+    }),
+    // 21 — ST_DWithin as a grid-bucketed distance join (no cross join)
+    "cg_dwithin_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"), px(col("c_custkey")).as("cx"), py(col("c_custkey")).as("cy"))
+      val sup = t(s, dir, "supplier").select(col("s_suppkey"), px(col("s_suppkey")).as("sx"), py(col("s_suppkey")).as("sy"))
+      DWithinJoin.pointPoint(c, "c_custkey", "cx", "cy", sup, "s_suppkey", "sx", "sy", 1.5)
+        .select(col("c_custkey"), col("s_suppkey"), fp(col("dist"), 6).as("dist_fp6"))
+        .orderBy("c_custkey", "s_suppkey")
+    }),
+    // 22 — ST_ClosestPoint: segment-wise projection over coord arrays
+    "cg_closest_point" -> ((s, dir) => {
+      custPoints(s, dir)
+        .join(broadcast(nationLines(s, dir)), "nk")
+        .withColumn("cp", Geo.closestOnLine(col("line"), col("cpx"), col("cpy")))
+        .select(
+          col("c_custkey"),
+          col("cp.seg").cast("int").as("seg"),
+          fp(col("cp.t"), 6).as("t_fp6"),
+          fp(col("cp.x"), 6).as("x_fp6"),
+          fp(col("cp.y"), 6).as("y_fp6"))
+        .orderBy("c_custkey")
+    }),
+    // 23 — node dedup by fixed-point-rounded coordinates, keep min id
+    "cg_node_dedup" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          fp(px(col("c_custkey") % 100), 6).as("rx"),
+          fp(py(col("c_custkey") % 100), 6).as("ry"))
+        .groupBy("rx", "ry")
+        .agg(min("c_custkey").as("keep_id"), count(lit(1)).as("n_dups"))
+        .orderBy("rx", "ry")
+    }),
+    // 24 — fractional-projection insertion index along a linestring
+    "cg_point_insertion" -> ((s, dir) => {
+      custPoints(s, dir)
+        .join(broadcast(nationLines(s, dir)), "nk")
+        .select(col("c_custkey"), Geo.insertionIndex(col("line"), col("cpx"), col("cpy")).as("ins_idx"))
+        .orderBy("c_custkey")
+    }),
+    // 25 — order-preserving merge of a junction node into a way
+    "cg_modify_way" -> ((s, dir) => {
+      val w = ways(s, dir)
+      val idx = (col("way") % 3).cast("int")
+      val jid = col("way") + 9000000L
+      val modified = when(
+        col("way") % 2 === 0,
+        concat(slice(col("nds"), lit(1), idx), array(jid), slice(col("nds"), idx + 1, size(col("nds")))))
+        .otherwise(col("nds"))
+      w.withColumn("new_nds", modified)
+        .select(col("way"), posexplode(col("new_nds")).as(Seq("pos", "node")))
+        .orderBy("way", "pos")
+    }),
+    // 26 — deletion expansion: ways → constituent nodes, no double-delete
+    "cg_delete_expand" -> ((s, dir) => {
+      WayOps.expandDeletes(ways(s, dir).filter(col("way") % 5 === 0), "way", "nds")
+        .orderBy("elem_type", "elem_id")
+    }),
+    // 27 — max-id collision check per element type
+    "cg_max_ids" -> ((s, dir) => {
+      val n = t(s, dir, "customer").agg(max("c_custkey").cast("long").as("max_id")).withColumn("elem_type", lit("node"))
+      val w = t(s, dir, "orders").agg(max("o_orderkey").cast("long").as("max_id")).withColumn("elem_type", lit("way"))
+      val r = t(s, dir, "part").agg(max("p_partkey").cast("long").as("max_id")).withColumn("elem_type", lit("relation"))
+      n.unionByName(w).unionByName(r).select("elem_type", "max_id").orderBy("elem_type")
+    }),
+    // 28 — EPSG:3857 → WGS84 reprojection as pure column math
+    "cg_reproject" -> ((s, dir) => {
+      val mx = (col("c_custkey") * 977 % 2000000 - 1000000).cast("double")
+      val my = (col("c_custkey") * 131 % 2000000 - 1000000).cast("double")
+      t(s, dir, "customer")
+        .select(col("c_custkey"), fp(Geo.mercToLon(mx), 6).as("lon_fp6"), fp(Geo.mercToLat(my), 6).as("lat_fp6"))
+        .orderBy("c_custkey")
+    }),
+    // 29 — OsmChange XML node serialization (sorted tags, exact 6-dp coords)
+    "cg_osc_xml" -> ((s, dir) => {
+      val latU = col("c_custkey") * 7919 % 180000000L - 90000000L
+      val lonU = col("c_custkey") * 104729 % 360000000L - 180000000L
+      def microDeg(u: Column): Column = concat(
+        when(u < 0, lit("-")).otherwise(lit("")),
+        (abs(u) / 1000000L).cast("long").cast("string"),
+        lit("."),
+        lpad((abs(u) % 1000000L).cast("string"), 6, "0"))
+      val tags = map(lit("name"), col("c_name"), lit("segment"), col("c_mktsegment"))
+      val tagXml = concat_ws("", transform(
+        array_sort(map_entries(tags)),
+        e => concat(lit("<tag k=\""), e.getField("key"), lit("\" v=\""), e.getField("value"), lit("\"/>"))))
+      t(s, dir, "customer")
+        .select(
+          col("c_custkey").as("elem_id"),
+          concat(
+            lit("<node id=\""), col("c_custkey").cast("string"),
+            lit("\" version=\"1\" lat=\""), microDeg(latU),
+            lit("\" lon=\""), microDeg(lonU), lit("\">"),
+            tagXml, lit("</node>")).as("xml"))
+        .orderBy("elem_id")
+    }),
+    // 30 — way → ordered node list (exploded back for verification)
+    "cg_way_node_map" -> ((s, dir) => {
+      ways(s, dir)
+        .select(col("way"), posexplode(col("nds")).as(Seq("pos", "node")))
+        .orderBy("way", "pos")
+    })
+  )
+
+  // ---- oracle SQL ----------------------------------------------------
+
+  /** Shared CTE fragments (DuckDB): derived ways / lines / points. */
+  private val ndsCte =
+    """nds AS (SELECT l_orderkey AS way,
+      |  row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS s,
+      |  l_partkey AS node FROM lineitem),
+      |sz AS (SELECT way, count(*) AS n FROM nds GROUP BY way)""".stripMargin
+
+  private val lineCte =
+    """sp AS (SELECT s_nationkey AS nk,
+      |  row_number() OVER (PARTITION BY s_nationkey ORDER BY s_suppkey) AS seq,
+      |  (s_suppkey*13 % 1000)/10.0 AS x, (s_suppkey*29 % 1000)/10.0 AS y FROM supplier),
+      |ln AS (SELECT nk, count(*) AS nv FROM sp GROUP BY nk HAVING count(*) >= 2),
+      |seg AS (SELECT a.nk, CAST(a.seq - 1 AS INT) AS seg0, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by2
+      |        FROM sp a JOIN sp b ON a.nk = b.nk AND b.seq = a.seq + 1 JOIN ln ON ln.nk = a.nk),
+      |cust AS (SELECT c_custkey, c_nationkey AS nk,
+      |  (c_custkey*13 % 1000)/10.0 AS px2, (c_custkey*29 % 1000)/10.0 AS py2 FROM customer),
+      |cand AS (SELECT c.c_custkey, g.seg0, g.ax, g.ay, g.bx, g.by2, c.px2, c.py2,
+      |    (g.bx - g.ax) AS dx, (g.by2 - g.ay) AS dy,
+      |    ((g.bx - g.ax)*(g.bx - g.ax) + (g.by2 - g.ay)*(g.by2 - g.ay)) AS len2
+      |  FROM cust c JOIN seg g ON c.nk = g.nk),
+      |proj AS (SELECT *,
+      |    least(greatest(CASE WHEN len2 = 0 THEN 0.0
+      |      ELSE ((px2 - ax)*dx + (py2 - ay)*dy) / len2 END, 0.0), 1.0) AS t
+      |  FROM cand),
+      |cp AS (SELECT c_custkey, seg0, t, (ax + t*dx) AS cx, (ay + t*dy) AS cy,
+      |    ((ax + t*dx) - px2)*((ax + t*dx) - px2) + ((ay + t*dy) - py2)*((ay + t*dy) - py2) AS d2,
+      |    px2, py2
+      |  FROM proj),
+      |best AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY d2, seg0) AS rn FROM cp) WHERE rn = 1)""".stripMargin
+
+  /** floor(x*10^s+0.5)::BIGINT — matches QueryUtil.fp. */
+  private def sqlFp(e: String, scale: Int): String =
+    s"CAST(floor(($e)*1e$scale+0.5) AS BIGINT)"
+
+  val oracles: Map[String, String] = Map(
+    "cg_diff_create" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |WHERE o_orderkey % 13 != 5 AND NOT (o_orderkey % 11 != 3) ORDER BY o_orderkey""".stripMargin,
+    "cg_diff_delete" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_orderkey % 11 != 3 AND NOT (o_orderkey % 13 != 5) ORDER BY o_orderkey""".stripMargin,
+    "cg_diff_modify" ->
+      """SELECT o_orderkey, 'X-URGENT' AS o_orderpriority FROM orders
+        |WHERE o_orderkey % 17 = 0 AND o_orderpriority != 'X-URGENT' ORDER BY o_orderkey""".stripMargin,
+    "cg_seq_ids" ->
+      """SELECT c_custkey, -1000 - (row_number() OVER (ORDER BY c_custkey) - 1) AS new_id
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "cg_tags" ->
+      """SELECT p_partkey, tag_key, tag_value FROM (
+        |  SELECT p_partkey, 'p_brand' AS tag_key, CAST(p_brand AS VARCHAR) AS tag_value FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'p_type', CAST(p_type AS VARCHAR) FROM part
+        |) ORDER BY p_partkey, tag_key""".stripMargin,
+    "cg_hstore" ->
+      """SELECT p_partkey, tag_key, tag_value FROM (
+        |  SELECT p_partkey, 'origin' AS tag_key, 'X' || p_brand AS tag_value FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'p_brand', CAST(p_brand AS VARCHAR) FROM part
+        |) ORDER BY p_partkey, tag_key""".stripMargin,
+    "cg_way_split" ->
+      s"""WITH $ndsCte
+        |SELECT way, chunk_idx, pos, node FROM (
+        |  SELECT nds.way,
+        |    CASE WHEN n <= 4 THEN 0 ELSE CAST(floor((s-1)/3) AS INT) END AS chunk_idx,
+        |    CASE WHEN n <= 4 THEN s-1
+        |         WHEN floor((s-1)/3) = 0 THEN s-1
+        |         ELSE (s-1) % 3 + 1 END AS pos,
+        |    node
+        |  FROM nds JOIN sz USING (way)
+        |  UNION ALL
+        |  SELECT nds.way, CAST(s/3 AS INT), 0, node
+        |  FROM nds JOIN sz USING (way) WHERE n > 4 AND s % 3 = 0 AND s < n
+        |) ORDER BY way, chunk_idx, pos""".stripMargin,
+    "cg_closed_way" ->
+      s"""WITH $ndsCte
+        |SELECT way, pos, node FROM (
+        |  SELECT way, s-1 AS pos, node FROM nds
+        |  UNION ALL
+        |  SELECT nds.way, n, node FROM nds JOIN sz USING (way) WHERE s = 1
+        |) ORDER BY way, pos""".stripMargin,
+    "cg_relation_assembly" ->
+      s"""WITH $ndsCte
+        |SELECT way AS rel_id, node AS member_ref, 'way' AS member_type,
+        |  CASE WHEN s <= 2 THEN 'outer' ELSE 'inner' END AS member_role
+        |FROM nds ORDER BY rel_id, member_role, member_ref""".stripMargin,
+    "cg_dwithin_join" ->
+      s"""SELECT c_custkey, s_suppkey,
+        |  ${sqlFp("sqrt((cx-sx)*(cx-sx)+(cy-sy)*(cy-sy))", 6)} AS dist_fp6
+        |FROM (SELECT c_custkey, (c_custkey*13 % 1000)/10.0 AS cx, (c_custkey*29 % 1000)/10.0 AS cy FROM customer),
+        |     (SELECT s_suppkey, (s_suppkey*13 % 1000)/10.0 AS sx, (s_suppkey*29 % 1000)/10.0 AS sy FROM supplier)
+        |WHERE sqrt((cx-sx)*(cx-sx)+(cy-sy)*(cy-sy)) <= 1.5
+        |ORDER BY c_custkey, s_suppkey""".stripMargin,
+    "cg_closest_point" ->
+      s"""WITH $lineCte
+        |SELECT c_custkey, seg0 AS seg, ${sqlFp("t", 6)} AS t_fp6,
+        |  ${sqlFp("cx", 6)} AS x_fp6, ${sqlFp("cy", 6)} AS y_fp6
+        |FROM best ORDER BY c_custkey""".stripMargin,
+    "cg_node_dedup" ->
+      s"""SELECT rx, ry, min(c_custkey) AS keep_id, count(*) AS n_dups FROM (
+        |  SELECT c_custkey,
+        |    ${sqlFp("((c_custkey % 100)*13 % 1000)/10.0", 6)} AS rx,
+        |    ${sqlFp("((c_custkey % 100)*29 % 1000)/10.0", 6)} AS ry
+        |  FROM customer) GROUP BY rx, ry ORDER BY rx, ry""".stripMargin,
+    "cg_point_insertion" ->
+      s"""WITH $lineCte,
+        |cum AS (SELECT nk, seq, coalesce(sum(slen) OVER (PARTITION BY nk ORDER BY seq
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS cum
+        |        FROM (SELECT nk, seg0 + 2 AS seq,
+        |                sqrt((ax-bx)*(ax-bx)+(ay-by2)*(ay-by2)) AS slen FROM seg
+        |              UNION ALL SELECT nk, 1, 0.0 FROM ln) _sl),
+        |tot AS (SELECT nk, max(cum) AS total FROM cum GROUP BY nk),
+        |frac AS (SELECT cum.nk, seq, CASE WHEN total = 0 THEN 0.0 ELSE cum/total END AS f
+        |         FROM cum JOIN tot ON cum.nk = tot.nk),
+        |loc AS (SELECT b.c_custkey, b.seg0, s.nk,
+        |          f1.f + b.t * (f2.f - f1.f) AS lc
+        |        FROM best b
+        |        JOIN (SELECT DISTINCT c_custkey, nk FROM cust) s ON s.c_custkey = b.c_custkey
+        |        JOIN frac f1 ON f1.nk = s.nk AND f1.seq = b.seg0 + 1
+        |        JOIN frac f2 ON f2.nk = s.nk AND f2.seq = b.seg0 + 2),
+        |hit AS (SELECT l.c_custkey, min(f.seq) AS first_g
+        |        FROM loc l JOIN frac f ON f.nk = l.nk AND l.lc < f.f GROUP BY l.c_custkey)
+        |SELECT l.c_custkey,
+        |  CAST(coalesce(h.first_g - 1, ln.nv - 1) AS INT) AS ins_idx
+        |FROM loc l
+        |LEFT JOIN hit h ON h.c_custkey = l.c_custkey
+        |JOIN ln ON ln.nk = l.nk
+        |ORDER BY l.c_custkey""".stripMargin,
+    "cg_modify_way" ->
+      s"""WITH $ndsCte
+        |SELECT way, pos, node FROM (
+        |  SELECT nds.way,
+        |    CASE WHEN way % 2 = 0 AND s - 1 >= way % 3 THEN s ELSE s - 1 END AS pos,
+        |    node
+        |  FROM nds JOIN sz USING (way)
+        |  UNION ALL
+        |  SELECT way, least(way % 3, n), way + 9000000
+        |  FROM sz WHERE way % 2 = 0
+        |) ORDER BY way, pos""".stripMargin,
+    "cg_delete_expand" ->
+      """SELECT elem_type, elem_id FROM (
+        |  SELECT DISTINCT 'node' AS elem_type, l_partkey AS elem_id FROM lineitem WHERE l_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT DISTINCT 'way', l_orderkey FROM lineitem WHERE l_orderkey % 5 = 0
+        |) ORDER BY elem_type, elem_id""".stripMargin,
+    "cg_max_ids" ->
+      """SELECT elem_type, max_id FROM (
+        |  SELECT 'node' AS elem_type, CAST(max(c_custkey) AS BIGINT) AS max_id FROM customer
+        |  UNION ALL SELECT 'relation', CAST(max(p_partkey) AS BIGINT) FROM part
+        |  UNION ALL SELECT 'way', CAST(max(o_orderkey) AS BIGINT) FROM orders
+        |) ORDER BY elem_type""".stripMargin,
+    "cg_reproject" ->
+      s"""SELECT c_custkey,
+        |  ${sqlFp("CAST(c_custkey*977 % 2000000 - 1000000 AS DOUBLE)/6378137.0*(180.0/pi())", 6)} AS lon_fp6,
+        |  ${sqlFp("(atan(exp(CAST(c_custkey*131 % 2000000 - 1000000 AS DOUBLE)/6378137.0))*2 - pi()/2)*(180.0/pi())", 6)} AS lat_fp6
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "cg_osc_xml" ->
+      """WITH u AS (SELECT c_custkey, c_name, c_mktsegment,
+        |  c_custkey*7919 % 180000000 - 90000000 AS lat_u,
+        |  c_custkey*104729 % 360000000 - 180000000 AS lon_u FROM customer),
+        |f AS (SELECT c_custkey, c_name, c_mktsegment,
+        |  (CASE WHEN lat_u < 0 THEN '-' ELSE '' END) || CAST(abs(lat_u) // 1000000 AS VARCHAR)
+        |    || '.' || lpad(CAST(abs(lat_u) % 1000000 AS VARCHAR), 6, '0') AS lat_s,
+        |  (CASE WHEN lon_u < 0 THEN '-' ELSE '' END) || CAST(abs(lon_u) // 1000000 AS VARCHAR)
+        |    || '.' || lpad(CAST(abs(lon_u) % 1000000 AS VARCHAR), 6, '0') AS lon_s
+        | FROM u)
+        |SELECT c_custkey AS elem_id,
+        |  '<node id="' || CAST(c_custkey AS VARCHAR) || '" version="1" lat="' || lat_s
+        |  || '" lon="' || lon_s || '">'
+        |  || '<tag k="name" v="' || c_name || '"/>'
+        |  || '<tag k="segment" v="' || c_mktsegment || '"/>'
+        |  || '</node>' AS xml
+        |FROM f ORDER BY elem_id""".stripMargin,
+    "cg_way_node_map" ->
+      s"""WITH $ndsCte
+        |SELECT way, s - 1 AS pos, node FROM nds ORDER BY way, pos""".stripMargin
+  )
+}
