@@ -17,10 +17,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.defs ++ graft.queries.Changegen.defs
+    graft.queries.Relational.defs ++ graft.queries.Changegen.defs ++ graft.queries.Pipeline.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracles ++ graft.queries.Changegen.oracles
+    graft.queries.Relational.oracles ++ graft.queries.Changegen.oracles ++ graft.queries.Pipeline.oracles
 }

@@ -1,0 +1,310 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import graft.text.TextAnalysis
+import QueryUtil._
+
+/** §2C — LLM-data-pipeline operators over the `documents`,
+  * `embeddings`, and `events` tables: deduplication (exact, MinHash
+  * LSH, SimHash, n-gram Jaccard, embedding near-dup), similarity
+  * search, text analysis, event sessionization/windowing, and the
+  * multimodal binary-column stub.
+  *
+  * Oracle strategy: DuckDB list lambdas (`list_transform` /
+  * `list_reduce` / `list_min`) replicate Spark's higher-order
+  * functions with the SAME left-fold accumulation order, so even
+  * float dot products are bit-exact across engines before fp()
+  * quantization. md5 is the shared hash everywhere.
+  */
+object Pipeline {
+
+  private val SessionGapMs = 21600000L // 6h
+
+  /** events projected to engine-exact types: epoch ms + fp4 value.
+    * `ts` arrives as long nanos (spark.sql.legacy.parquet.nanosAsLong
+    * — Spark 4 has no native ns timestamp); floor-divide to ms exactly
+    * like DuckDB's epoch_ms(). */
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      col("event_id"), col("user_id"), col("event_type"),
+      expr("ts DIV 1000000").as("ms"), fp(col("value"), 4).as("v4"))
+
+  val defs: Map[String, Q] = Map(
+    // 31 — exact dedup by content hash, keep min id
+    "dd_exact" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text").orderBy("content_hash")
+    }),
+    // 32 — MinHash+LSH near-dup candidate pairs (banded bucket join)
+    "dd_minhash_pairs" -> ((s, dir) => {
+      Dedup.lshCandidatePairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, numPerm = 8, rowsPerBand = 2, maxBucket = 100)
+        .orderBy("doc_a", "doc_b")
+    }),
+    // 33 — 32-bit SimHash signatures
+    "dd_simhash" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash32(col("text")).as("simhash"))
+        .orderBy("doc_id")
+    }),
+    // 34 — n-gram Jaccard similarity pairs via shingle co-group
+    "dd_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.05, maxShingleDf = 1000)
+        .orderBy("doc_a", "doc_b")
+    }),
+    // 35 — embedding cosine near-dup within label buckets
+    "dd_embed_neardup" -> ((s, dir) => {
+      Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", "label", 200000L)
+        .orderBy("id_a", "id_b")
+    }),
+    // 36 — brute-force cosine top-k against the min-id query vector
+    "sim_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.orderBy("vec_id").limit(1)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("vec_id"), fp(Similarity.cosine(col("embedding"), col("qvec")), 6).as("cos_fp6"))
+        .orderBy(col("cos_fp6").desc, col("vec_id"))
+        .limit(10)
+    }),
+    // 37 — LSH-bucketed ANN (rows-only; recall spec-tested vs brute force)
+    "sim_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.annLsh(e, e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+        numPlanes = 8, dim = 64, k = 5)
+        .orderBy("query_id", "cos_fp6")
+    }),
+    // 38 — stopword-scoring language ID
+    "txt_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+    // 39 — quality scoring (length/punct/stopword ratios)
+    "txt_quality" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("q", TextAnalysis.quality(col("text")))
+        .select(col("doc_id"), col("q.n_chars").as("n_chars"), col("q.n_words").as("n_words"),
+          col("q.mean_word_len_fp2").as("mean_word_len_fp2"),
+          col("q.punct_ratio_fp4").as("punct_ratio_fp4"),
+          col("q.stopword_ratio_fp4").as("stopword_ratio_fp4"))
+        .orderBy("doc_id")
+    }),
+    // 40 — token counting (whitespace + BPE-ish regex pre-tokenizer)
+    "txt_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_ws_tokens"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_word_tokens"))
+        .orderBy("doc_id")
+    }),
+    // 41 — polynomial rolling-hash document fingerprint
+    "txt_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text"), 64).as("fp_hash"))
+        .orderBy("doc_id")
+    }),
+    // 42 — gap-based sessionization (batch twin of the streaming op)
+    "ev_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ms", "event_id")
+      ev(s, dir)
+        .withColumn("new_sess",
+          when(lag("ms", 1).over(byUser).isNull || col("ms") - lag("ms", 1).over(byUser) > SessionGapMs, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx", sum("new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"), min("ms").as("start_ms"), max("ms").as("end_ms"), sum("v4").as("sum_v4"))
+        .orderBy("user_id", "session_idx")
+    }),
+    // 43 — tumbling-window aggregation (batch twin of the streaming op)
+    "ev_window_agg" -> ((s, dir) => {
+      ev(s, dir)
+        .withColumn("win_start", col("ms") - pmod(col("ms"), lit(3600000L)))
+        .groupBy("win_start", "event_type")
+        .agg(count(lit(1)).as("n"), sum("v4").as("sum_v4"))
+        .orderBy("win_start", "event_type")
+    }),
+    // 44 — JSON property extraction (codegen'd path access)
+    "ev_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+        .orderBy("event_id")
+    }),
+    // 45 — multimodal binary columns: opaque payload + stubbed decode
+    //      via mapPartitions (real distributed plumbing, fake codec)
+    "mm_binary_meta" -> ((s, dir) => {
+      import s.implicits._
+      val bin = t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+      // STUB decode: a real pipeline would decode image/audio here
+      // (mapInPandas / JNI codec); the deterministic fake reads the
+      // "header" so schema, batching, and partitioning are exercised.
+      bin.mapPartitions { iter =>
+        iter.map { case (id, bytes) =>
+          val headSum = bytes.take(8).foldLeft(0L)((a, b) => a + (b & 0xff))
+          (id, bytes.length.toLong, headSum)
+        }
+      }.toDF("doc_id", "byte_len", "head_sum").orderBy("doc_id")
+    })
+  )
+
+  // ---- oracle SQL ----------------------------------------------------
+
+  private def sqlFp(e: String, scale: Int): String =
+    s"CAST(floor(($e)*1e$scale+0.5) AS BIGINT)"
+
+  /** Whitespace tokens, lowercased — matches TextAnalysis.tokens. */
+  private val toksSql =
+    "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
+
+  /** Word n-gram shingles, distinct — matches Dedup.shingles(n). */
+  private def shinglesSql(n: Int): String =
+    s"""list_distinct(CASE WHEN len($toksSql) < $n
+       | THEN [array_to_string($toksSql, ' ')]
+       | ELSE list_transform(range(1, len($toksSql) - ${n - 1} + 1),
+       |        i -> array_to_string(($toksSql)[i:i+${n - 1}], ' '))
+       | END)""".stripMargin.replace("\n", " ")
+
+  /** Strict left-fold double dot product — matches Similarity.dot. */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       | list_transform(range(1, 65),
+       |   i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+       | (acc, v) -> acc + v)""".stripMargin.replace("\n", " ")
+
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  /** MinHash signature element for permutation j. */
+  private def minhashSql(j: Int): String =
+    s"list_min(list_transform(sh, s -> md5('$j|' || s)))"
+
+  /** langId oracle: per-language stopword-hit counts, first-wins argmax. */
+  private val langIdSql: String = {
+    val scores = TextAnalysis.DefaultStopwords.map { case (lang, words) =>
+      val inList = words.map(w => s"'$w'").mkString(", ")
+      lang -> s"len(list_filter($toksSql, t -> t IN ($inList)))"
+    }
+    val best = s"greatest(${scores.map(_._2).mkString(", ")})"
+    val cases = scores.map { case (lang, e) => s"WHEN $e = $best THEN '$lang'" }.mkString(" ")
+    s"CASE $cases END"
+  }
+
+  /** simhash32 oracle: 32 per-bit signed sums over distinct tokens. */
+  private val simhashSql: String = {
+    val bitSums = (0 until 32).map { b =>
+      val nib = s"(strpos('0123456789abcdef', substr(md5(t), ${b / 4 + 1}, 1)) - 1)"
+      s"sum(CASE WHEN (($nib >> ${b % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS s$b"
+    }.mkString(",\n    ")
+    val combine = (0 until 32).map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_distinct($toksSql)) AS t FROM documents),
+       |bits AS (SELECT doc_id,
+       |    $bitSums
+       |  FROM toks GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(coalesce($combine, 0) AS BIGINT) AS simhash
+       |FROM documents d LEFT JOIN bits USING (doc_id) ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** mm_binary_meta oracle: utf8 byte length + sum of first 8 bytes
+    * (texts are ASCII so bytes == chars). */
+  private val mmSql: String = {
+    val headSum = (1 to 8)
+      .map(i => s"(CASE WHEN length(text) >= $i THEN ascii(substr(text, $i, 1)) ELSE 0 END)")
+      .mkString(" + ")
+    s"""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       | CAST($headSum AS BIGINT) AS head_sum
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  private val minhashPairsSql: String = {
+    val bands = (0 until 4).map { b =>
+      s"SELECT doc, $b AS band, array_to_string(sig[${b * 2 + 1}:${b * 2 + 2}], '') AS key FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH sh0 AS (SELECT doc_id AS doc, ${shinglesSql(3)} AS sh FROM documents),
+       |sigs AS (SELECT doc, [${(0 until 8).map(minhashSql).mkString(", ")}] AS sig FROM sh0),
+       |banded AS (
+       |  $bands),
+       |ok_buckets AS (SELECT band, key FROM banded GROUP BY band, key HAVING count(*) <= 100),
+       |b2 AS (SELECT banded.* FROM banded JOIN ok_buckets USING (band, key))
+       |SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+       |FROM b2 a JOIN b2 b ON a.band = b.band AND a.key = b.key AND a.doc < b.doc
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "dd_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dd_minhash_pairs" -> minhashPairsSql,
+    "dd_simhash" -> simhashSql,
+    "dd_ngram_jaccard" ->
+      s"""WITH sh AS (SELECT doc_id AS doc, unnest(${shinglesSql(3)}) AS s FROM documents),
+        |sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
+        |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000),
+        |sh2 AS (SELECT sh.doc, sh.s FROM sh JOIN rare USING (s)),
+        |inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+        |          FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc < b.doc GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, inter, sa.sz + sb.sz - inter AS union_,
+        |  ${sqlFp("CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE)", 4)} AS jaccard_fp4
+        |FROM inter JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
+        |WHERE ${sqlFp("CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE)", 4)} >= 500
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dd_embed_neardup" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ${sqlFp(cosSql("a.embedding", "b.embedding"), 6)} AS cos_fp6
+        |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE ${sqlFp(cosSql("a.embedding", "b.embedding"), 6)} >= 200000
+        |ORDER BY id_a, id_b""".stripMargin,
+    "sim_topk" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings ORDER BY vec_id LIMIT 1)
+        |SELECT vec_id, ${sqlFp(cosSql("embedding", "qvec"), 6)} AS cos_fp6
+        |FROM embeddings, q WHERE vec_id != qid
+        |ORDER BY 2 DESC, vec_id LIMIT 10""".stripMargin,
+    "txt_langid" ->
+      s"SELECT doc_id, $langIdSql AS lang_pred FROM documents ORDER BY doc_id",
+    "txt_quality" ->
+      s"""SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+        | CAST(len($toksSql) AS BIGINT) AS n_words,
+        | ${sqlFp("CAST(length(text) AS DOUBLE) / CAST(CASE WHEN len(" + toksSql + ") = 0 THEN 1 ELSE len(" + toksSql + ") END AS DOUBLE)", 2)} AS mean_word_len_fp2,
+        | ${sqlFp("CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / CAST(CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END AS DOUBLE)", 4)} AS punct_ratio_fp4,
+        | ${sqlFp("CAST(len(list_filter(" + toksSql + ", t -> t IN ('the','a','of','and','fast','slow'))) AS DOUBLE) / CAST(CASE WHEN len(" + toksSql + ") = 0 THEN 1 ELSE len(" + toksSql + ") END AS DOUBLE)", 4)} AS stopword_ratio_fp4
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt_tokens" ->
+      s"""SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_word_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt_fingerprint" ->
+      """SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |  list_transform(range(1, least(length(text), 64) + 1),
+        |    i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+        |  (a, x) -> (a*31 + x) % 2147483647) AS fp_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "ev_sessionize" ->
+      s"""WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms, ${sqlFp("\"value\"", 4)} AS v4 FROM events),
+        |flagged AS (SELECT *, CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > $SessionGapMs
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |sess AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM flagged)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, count(*) AS n_events,
+        |  min(ms) AS start_ms, max(ms) AS end_ms, CAST(sum(v4) AS BIGINT) AS sum_v4
+        |FROM sess GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+    "ev_window_agg" ->
+      s"""SELECT ms - (ms % 3600000) AS win_start, event_type, count(*) AS n,
+        |  CAST(sum(v4) AS BIGINT) AS sum_v4
+        |FROM (SELECT epoch_ms(ts) AS ms, event_type, ${sqlFp("\"value\"", 4)} AS v4 FROM events)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ev_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+    "mm_binary_meta" -> mmSql
+    // sim_ann_lsh: rows-only (recall vs brute force is spec-tested)
+  )
+}
