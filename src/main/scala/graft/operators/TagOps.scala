@@ -29,10 +29,11 @@ object TagOps {
     * `=>`). Tolerates single- or double-quoted keys/values.
     */
   def hstoreToMap(c: Column): Column = {
-    // normalize: strip quotes, then standard str_to_map on ", " / "=>"
-    val cleaned = regexp_replace(c, """["']""", "")
+    // normalize: strip quotes, then standard str_to_map on "," / "=>"
+    // (whitespace-tolerant around both delimiters and at the ends)
+    val cleaned = regexp_replace(trim(c), """["']""", "")
     when(length(trim(c)) === 0, map())
-      .otherwise(str_to_map(cleaned, lit(",\\s*"), lit("\\s*=>\\s*")))
+      .otherwise(str_to_map(cleaned, lit("\\s*,\\s*"), lit("\\s*=>\\s*")))
   }
 
   /** Column-precedence merge: keys of `primary` win over `secondary`

@@ -1,0 +1,119 @@
+package graft.osm
+
+import java.io.{BufferedOutputStream, FileOutputStream, OutputStream}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import java.util.zip.GZIPOutputStream
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** OsmChange (.osc) document sink — Spark re-expression of the
+  * reference's streaming XML writer (changegen/changewriter.py:92-191:
+  * OSMChangeWriter with <create>/<modify>/<delete> sections and a
+  * gzip option).
+  *
+  * Element→XML conversion is a pure column expression (codegen'd,
+  * distributed); only the final single-file assembly is a sequential
+  * concatenation of the already-rendered part files — O(bytes) driver
+  * IO with constant memory, the same shape as any single-file export
+  * from a cluster (cf. Hadoop copyMerge).
+  */
+object OsmChangeXml {
+
+  /** XML-escape an attribute value (quot/amp/lt/gt — what the
+    * reference's lxml does for attributes). */
+  def xmlEscape(c: Column): Column = {
+    val amp = regexp_replace(c, "&", "&amp;")
+    val lt = regexp_replace(amp, "<", "&lt;")
+    val gt = regexp_replace(lt, ">", "&gt;")
+    regexp_replace(gt, "\"", "&quot;")
+  }
+
+  /** `<tag k="…" v="…"/>` run from a map column, keys sorted. */
+  def tagsXml(tags: Column): Column =
+    concat_ws("", transform(
+      array_sort(map_entries(tags)),
+      e => concat(
+        lit("<tag k=\""), xmlEscape(e.getField("key")),
+        lit("\" v=\""), xmlEscape(e.getField("value")), lit("\"/>"))))
+
+  /** Fixed 6-dp decimal string from micro-degrees (exact — no float
+    * formatting, cf. changewriter.py's %.6f coordinates). */
+  def microDegStr(u: Column): Column = concat(
+    when(u < 0, lit("-")).otherwise(lit("")),
+    (abs(u) / 1000000L).cast("long").cast("string"),
+    lit("."),
+    lpad((abs(u) % 1000000L).cast("string"), 6, "0"))
+
+  /** `<node …>` element row. lat/lon as micro-degree longs. */
+  def nodeXml(id: Column, version: Column, latU: Column, lonU: Column, tags: Column): Column =
+    concat(
+      lit("<node id=\""), id.cast("string"),
+      lit("\" version=\""), version.cast("string"),
+      lit("\" lat=\""), microDegStr(latU),
+      lit("\" lon=\""), microDegStr(lonU), lit("\">"),
+      tagsXml(tags), lit("</node>"))
+
+  /** `<way …>` element row from an `array<long>` node-ref column. */
+  def wayXml(id: Column, version: Column, nds: Column, tags: Column): Column =
+    concat(
+      lit("<way id=\""), id.cast("string"),
+      lit("\" version=\""), version.cast("string"), lit("\">"),
+      concat_ws("", transform(nds, n => concat(lit("<nd ref=\""), n.cast("string"), lit("\"/>")))),
+      tagsXml(tags), lit("</way>"))
+
+  /** `<relation …>` from an array<struct<ref,mtype,role>> member column. */
+  def relationXml(id: Column, version: Column, members: Column, tags: Column): Column =
+    concat(
+      lit("<relation id=\""), id.cast("string"),
+      lit("\" version=\""), version.cast("string"), lit("\">"),
+      concat_ws("", transform(members, m => concat(
+        lit("<member type=\""), m.getField("mtype"),
+        lit("\" ref=\""), m.getField("ref").cast("string"),
+        lit("\" role=\""), xmlEscape(m.getField("role")), lit("\"/>")))),
+      tagsXml(tags), lit("</relation>"))
+
+  /** Write a complete OsmChange document: each section DataFrame must
+    * have a single string column of rendered element XML. Renders
+    * distributed to text parts, then stream-concatenates into one
+    * (optionally gzipped) file.
+    */
+  def write(
+      out: String,
+      creates: DataFrame,
+      modifies: Option[DataFrame] = None,
+      deletes: Option[DataFrame] = None,
+      gzip: Boolean = false): Unit = {
+    val tmp = Files.createTempDirectory("osc")
+    def dump(df: DataFrame, name: String): Path = {
+      val p = tmp.resolve(name)
+      df.coalesce(1).write.mode("overwrite").text(p.toString)
+      p
+    }
+    val sections = Seq(
+      "create" -> Some(creates), "modify" -> modifies, "delete" -> deletes
+    ).collect { case (name, Some(df)) => name -> dump(df, name) }
+
+    val raw = new BufferedOutputStream(new FileOutputStream(out), 1 << 20)
+    val os: OutputStream = if (gzip) new GZIPOutputStream(raw, 1 << 20) else raw
+    try {
+      def emit(s: String): Unit = os.write(s.getBytes(StandardCharsets.UTF_8))
+      emit("<?xml version='1.0' encoding='UTF-8'?>\n")
+      emit("<osmChange version=\"0.6\" generator=\"graft\">\n")
+      sections.foreach { case (name, dir) =>
+        emit(s"<$name>\n")
+        // part files in name order = partition order
+        val parts = Files.list(dir).iterator().asInstanceOf[java.util.Iterator[Path]]
+        val sorted = scala.jdk.CollectionConverters.IteratorHasAsScala(parts).asScala.toSeq
+          .filter(_.getFileName.toString.startsWith("part-")).sortBy(_.getFileName.toString)
+        sorted.foreach { p => Files.copy(p, os) }
+        emit(s"</$name>\n")
+      }
+      emit("</osmChange>\n")
+    } finally os.close()
+    // best-effort temp cleanup
+    import scala.jdk.CollectionConverters._
+    Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(p => Files.deleteIfExists(p))
+  }
+}

@@ -34,10 +34,11 @@ object Changegen {
       t(s, dir, "lineitem").select(col("l_orderkey").as("way"), col("l_linenumber").as("seq"), col("l_partkey").as("node")),
       "way", "seq", "node")
 
-  /** Per-nation linestrings from supplier points (≥2 vertices). */
+  /** Per-group linestrings from supplier points (≥2 vertices). Groups
+    * are nationkey mod 5 so every SF yields a handful of dense lines. */
   private def nationLines(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "supplier")
-      .select(col("s_nationkey").as("nk"), col("s_suppkey").as("k"), px(col("s_suppkey")).as("x"), py(col("s_suppkey")).as("y"))
+      .select((col("s_nationkey") % 5).as("nk"), col("s_suppkey").as("k"), px(col("s_suppkey")).as("x"), py(col("s_suppkey")).as("y"))
       .groupBy("nk")
       .agg(array_sort(collect_list(struct(col("k"), col("x"), col("y")))).as("_kxy"))
       .withColumn("line", transform(col("_kxy"), e => struct(e.getField("x").as("x"), e.getField("y").as("y"))))
@@ -46,7 +47,7 @@ object Changegen {
 
   private def custPoints(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer")
-      .select(col("c_custkey"), col("c_nationkey").as("nk"), px(col("c_custkey")).as("cpx"), py(col("c_custkey")).as("cpy"))
+      .select(col("c_custkey"), (col("c_nationkey") % 5).as("nk"), px(col("c_custkey")).as("cpx"), py(col("c_custkey")).as("cpy"))
 
   val defs: Map[String, Q] = Map(
     // 12 — new-vs-old snapshot → <create>: left-anti join on key
@@ -197,23 +198,11 @@ object Changegen {
     "cg_osc_xml" -> ((s, dir) => {
       val latU = col("c_custkey") * 7919 % 180000000L - 90000000L
       val lonU = col("c_custkey") * 104729 % 360000000L - 180000000L
-      def microDeg(u: Column): Column = concat(
-        when(u < 0, lit("-")).otherwise(lit("")),
-        (abs(u) / 1000000L).cast("long").cast("string"),
-        lit("."),
-        lpad((abs(u) % 1000000L).cast("string"), 6, "0"))
       val tags = map(lit("name"), col("c_name"), lit("segment"), col("c_mktsegment"))
-      val tagXml = concat_ws("", transform(
-        array_sort(map_entries(tags)),
-        e => concat(lit("<tag k=\""), e.getField("key"), lit("\" v=\""), e.getField("value"), lit("\"/>"))))
       t(s, dir, "customer")
         .select(
           col("c_custkey").as("elem_id"),
-          concat(
-            lit("<node id=\""), col("c_custkey").cast("string"),
-            lit("\" version=\"1\" lat=\""), microDeg(latU),
-            lit("\" lon=\""), microDeg(lonU), lit("\">"),
-            tagXml, lit("</node>")).as("xml"))
+          graft.osm.OsmChangeXml.nodeXml(col("c_custkey"), lit(1), latU, lonU, tags).as("xml"))
         .orderBy("elem_id")
     }),
     // 30 — way → ordered node list (exploded back for verification)
@@ -234,13 +223,13 @@ object Changegen {
       |sz AS (SELECT way, count(*) AS n FROM nds GROUP BY way)""".stripMargin
 
   private val lineCte =
-    """sp AS (SELECT s_nationkey AS nk,
-      |  row_number() OVER (PARTITION BY s_nationkey ORDER BY s_suppkey) AS seq,
+    """sp AS (SELECT s_nationkey % 5 AS nk,
+      |  row_number() OVER (PARTITION BY s_nationkey % 5 ORDER BY s_suppkey) AS seq,
       |  (s_suppkey*13 % 1000)/10.0 AS x, (s_suppkey*29 % 1000)/10.0 AS y FROM supplier),
       |ln AS (SELECT nk, count(*) AS nv FROM sp GROUP BY nk HAVING count(*) >= 2),
       |seg AS (SELECT a.nk, CAST(a.seq - 1 AS INT) AS seg0, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by2
       |        FROM sp a JOIN sp b ON a.nk = b.nk AND b.seq = a.seq + 1 JOIN ln ON ln.nk = a.nk),
-      |cust AS (SELECT c_custkey, c_nationkey AS nk,
+      |cust AS (SELECT c_custkey, c_nationkey % 5 AS nk,
       |  (c_custkey*13 % 1000)/10.0 AS px2, (c_custkey*29 % 1000)/10.0 AS py2 FROM customer),
       |cand AS (SELECT c.c_custkey, g.seg0, g.ax, g.ay, g.bx, g.by2, c.px2, c.py2,
       |    (g.bx - g.ax) AS dx, (g.by2 - g.ay) AS dy,

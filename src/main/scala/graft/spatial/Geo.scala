@@ -17,6 +17,17 @@ import org.apache.spark.sql.functions._
 object Geo {
   val EarthRadius = 6378137.0
 
+  /** Evaluate `v` once per row and reference it many times in `body`.
+    * Catalyst does not common-subexpression-eliminate inside
+    * higher-order-function lambdas, so a composite expression used n
+    * times inside a `transform` is re-evaluated n times — for the
+    * O(n²) geometry folds below that compounds to cubic per-row cost.
+    * Binding through a single-element transform makes it a lambda
+    * variable: computed once, then O(1) to reference.
+    */
+  def let(v: Column)(body: Column => Column): Column =
+    element_at(transform(array(v), x => body(x)), 1)
+
   /** EPSG:3857 → EPSG:4326 longitude (degrees). */
   def mercToLon(x: Column): Column = x / EarthRadius * (lit(180.0) / lit(math.Pi))
 
@@ -87,8 +98,11 @@ object Geo {
       array(lit(0.0)),
       (acc, l) => concat(acc, array(element_at(acc, -1) + l))
     )
-    val total = element_at(cums, -1)
-    transform(cums, c => when(total === 0, lit(0.0)).otherwise(c / total))
+    let(cums) { cs =>
+      let(element_at(cs, -1)) { total =>
+        transform(cs, c => when(total === 0, lit(0.0)).otherwise(c / total))
+      }
+    }
   }
 
   /** Index (0-based) at which point p should be inserted into the
@@ -96,14 +110,17 @@ object Geo {
     * exceeds p's projected fractional position, else len-1
     * (generator.py:247-255).
     */
-  def insertionIndex(line: Column, px: Column, py: Column): Column = {
-    val cp = closestOnLine(line, px, py)
-    val fracs = cumulativeFractions(line)
-    // fraction along the whole line of the projected point
-    val segStart = element_at(fracs, cp.getField("seg") + 1)
-    val segEnd = element_at(fracs, cp.getField("seg") + 2)
-    val loc = segStart + cp.getField("t") * (segEnd - segStart)
-    val firstGreater = array_position(transform(fracs, f => loc < f), lit(true))
-    when(firstGreater > 0, firstGreater - 1).otherwise(size(line) - 1).cast("int")
-  }
+  def insertionIndex(line: Column, px: Column, py: Column): Column =
+    let(struct(closestOnLine(line, px, py).as("cp"), cumulativeFractions(line).as("fr"))) { s =>
+      val cp = s.getField("cp")
+      val fr = s.getField("fr")
+      // fraction along the whole line of the projected point
+      val segStart = element_at(fr, cp.getField("seg") + 1)
+      val segEnd = element_at(fr, cp.getField("seg") + 2)
+      let(segStart + cp.getField("t") * (segEnd - segStart)) { loc =>
+        let(array_position(transform(fr, f => loc < f), lit(true))) { firstGreater =>
+          when(firstGreater > 0, firstGreater - 1).otherwise(size(line) - 1).cast("int")
+        }
+      }
+    }
 }

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming twins of the batch event operators
+  * (`ev_window_agg`, `ev_sessionize` in graft.queries.Pipeline).
+  *
+  * The input contract is the `events` schema projected to engine-exact
+  * types: (event_id long, user_id long, event_type string, ms long
+  * epoch-millis, v4 long fixed-point value). Both operators are
+  * watermark-driven so state is bounded: late data beyond the
+  * watermark is dropped, session state times out after the gap.
+  *
+  * Scale: state is partitioned by the grouping key (window/user), so
+  * both scale horizontally with executors; no global state.
+  */
+object EventStreams {
+
+  case class Ev(event_id: Long, user_id: Long, event_type: String, ms: Long, v4: Long)
+  case class Session(user_id: Long, session_idx: Long, n_events: Long, start_ms: Long, end_ms: Long, sum_v4: Long)
+  // public: Spark's product encoder codegen needs accessible accessors
+  case class SessState(sessionIdx: Long, n: Long, startMs: Long, endMs: Long, sumV4: Long)
+
+  val DefaultGapMs: Long = 21600000L // 6h — matches the batch twin
+
+  /** Watermarked tumbling-window aggregation: 1h windows keyed by
+    * event_type, 1h allowed lateness. Emits (win_start ms, event_type,
+    * n, sum_v4) — same output schema as the batch `ev_window_agg`.
+    */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", timestamp_millis(col("ms")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("v4").as("sum_v4"))
+      .select(
+        unix_millis(col("window.start")).as("win_start"),
+        col("event_type"), col("n"), col("sum_v4"))
+
+  /** Gap-based sessionization via flatMapGroupsWithState with
+    * event-time timeout: a session closes (and is emitted) when the
+    * watermark passes its end + gap. Same semantics as the batch
+    * `ev_sessionize` for in-order data.
+    */
+  def sessionize(events: Dataset[Ev], gapMs: Long = DefaultGapMs): Dataset[Session] = {
+    implicit val evEnc = Encoders.product[Ev]
+    implicit val stEnc = Encoders.product[SessState]
+    implicit val outEnc = Encoders.product[Session]
+    implicit val keyEnc = Encoders.scalaLong
+
+    events
+      .withColumn("ts", timestamp_millis(col("ms")))
+      .withWatermark("ts", "1 hour")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Ev], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed session end + gap → close and emit
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.sessionIdx, s.n, s.startMs, s.endMs, s.sumV4))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ms, e.event_id))
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ms - s.endMs <= gapMs =>
+                  cur = Some(s.copy(n = s.n + 1, endMs = math.max(s.endMs, e.ms), sumV4 = s.sumV4 + e.v4))
+                case Some(s) =>
+                  closed ::= Session(userId, s.sessionIdx, s.n, s.startMs, s.endMs, s.sumV4)
+                  cur = Some(SessState(s.sessionIdx + 1, 1, e.ms, e.ms, e.v4))
+                case None =>
+                  cur = Some(SessState(1, 1, e.ms, e.ms, e.v4))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endMs + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

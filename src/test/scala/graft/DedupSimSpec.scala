@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+
+class DedupSimSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("exact dedup groups identical texts") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("id", "text")
+    val out = Dedup.exact(df, "id", "text").select("keep_id", "dup_count").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("shingles produce distinct n-grams, short docs collapse") {
+    val sh = Seq("a b c d", "a b").toDF("text")
+      .select(Dedup.shingles(col("text"), 3).as("sh")).as[Seq[String]].collect()
+    assert(sh(0).toSet == Set("a b c", "b c d"))
+    assert(sh(1) == Seq("a b"))
+  }
+
+  test("LSH candidate pairs include identical documents") {
+    val docs = ((1 to 20).map(i => (i.toLong, s"unique doc number $i with filler words ${i * 7}")) ++
+      Seq((100L, "the quick brown fox jumps over the lazy dog today"),
+          (101L, "the quick brown fox jumps over the lazy dog today"))).toDF("doc_id", "text")
+    val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((100L, 101L)))
+  }
+
+  test("simhash is equal for identical text, long-typed 32-bit") {
+    val hs = Seq((1L, "spark native analytics engine"), (2L, "spark native analytics engine"), (3L, "zzz yyy xxx"))
+      .toDF("id", "text").select(Dedup.simhash32(col("text"))).as[Long].collect()
+    assert(hs(0) == hs(1))
+    assert(hs.forall(h => h >= 0 && h <= 0xffffffffL))
+    assert(hs(0) != hs(2))
+  }
+
+  test("ngram jaccard finds near-duplicates, not disjoint docs") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("cosine of identical vectors is 1") {
+    val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("id", "v")
+    val c = df.select(Similarity.cosine(col("v"), col("v"))).as[Double].head()
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("ANN-LSH equals brute-force top-k restricted to the same bucket") {
+    val emb = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    val k = 5
+    val planes = 4
+    val ann = Similarity.annLsh(emb, queries, "vec_id", "embedding", numPlanes = planes, dim = 64, k = k)
+      .select("query_id", "id").as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // ground truth: per query, exact top-k among SAME-BUCKET candidates —
+    // this is the operator's contract (the recall/bucket tradeoff is a
+    // parameter choice, not correctness)
+    val bucketed = emb
+      .select(col("vec_id"), col("embedding"), Similarity.lshBucket(col("embedding"), planes, 64).as("bucket"))
+    val q = bucketed.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"), col("bucket"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(col("cos_fp6").desc, col("vec_id"))
+    val truth = bucketed.join(q, "bucket").filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos_fp6", graft.text.TextAnalysis.fp(Similarity.cosine(col("embedding"), col("qvec")), 6))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("qid", "vec_id").as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(ann == truth)
+    assert(ann.nonEmpty && ann.values.exists(_.nonEmpty))
+  }
+}

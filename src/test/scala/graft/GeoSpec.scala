@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.spatial.{DWithinJoin, Geo}
+
+class GeoSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def line(pts: (Double, Double)*) =
+    array(pts.map { case (x, y) => struct(lit(x).as("x"), lit(y).as("y")) }: _*)
+
+  test("closestOnSegment clamps to endpoints") {
+    val df = Seq(1).toDF("i").select(
+      Geo.closestOnSegment(lit(0.0), lit(0.0), lit(10.0), lit(0.0), lit(-5.0), lit(3.0)).as("cp"))
+    val r = df.select("cp.t", "cp.x", "cp.y").as[(Double, Double, Double)].head()
+    assert(r == ((0.0, 0.0, 0.0)))
+  }
+
+  test("closestOnLine picks the right segment") {
+    val df = Seq(1).toDF("i").select(
+      Geo.closestOnLine(line((0, 0), (10, 0), (10, 10)), lit(9.0), lit(4.0)).as("cp"))
+    val r = df.select("cp.seg", "cp.x", "cp.y").as[(Int, Double, Double)].head()
+    assert(r._1 == 1 && r._2 == 10.0 && r._3 == 4.0)
+  }
+
+  test("insertionIndex places point between vertices") {
+    val df = Seq(1).toDF("i")
+    // point projects onto the middle of segment 0 → insert at index 1
+    val idx = df.select(Geo.insertionIndex(line((0, 0), (10, 0), (20, 0)), lit(5.0), lit(1.0))).as[Int].head()
+    assert(idx == 1)
+    // beyond the end → len-1
+    val idxEnd = df.select(Geo.insertionIndex(line((0, 0), (10, 0)), lit(99.0), lit(0.0))).as[Int].head()
+    assert(idxEnd == 1)
+  }
+
+  test("mercator reprojection matches known anchors") {
+    val df = Seq(1).toDF("i").select(
+      Geo.mercToLon(lit(0.0)).as("lon0"),
+      Geo.mercToLat(lit(0.0)).as("lat0"),
+      Geo.mercToLon(lit(111319.49079327357)).as("lon1"))
+    val (lon0, lat0, lon1) = df.as[(Double, Double, Double)].head()
+    assert(math.abs(lon0) < 1e-12 && math.abs(lat0) < 1e-12)
+    assert(math.abs(lon1 - 1.0) < 1e-9)
+  }
+
+  test("DWithinJoin.pointPoint equals brute force") {
+    val left = (1 to 60).map(i => (i.toLong, (i * 13 % 50).toDouble, (i * 29 % 50).toDouble)).toDF("lid", "lx", "ly")
+    val right = (1 to 40).map(i => (i.toLong, (i * 7 % 50).toDouble, (i * 17 % 50).toDouble)).toDF("rid", "rx", "ry")
+    val grid = DWithinJoin.pointPoint(left, "lid", "lx", "ly", right, "rid", "rx", "ry", 3.0)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val brute = left.crossJoin(right)
+      .filter(Geo.dist(col("lx"), col("ly"), col("rx"), col("ry")) <= 3.0)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(grid == brute && grid.nonEmpty)
+  }
+
+  test("DWithinJoin plans a shuffle join, not a cartesian product") {
+    val left = (1 to 10).map(i => (i.toLong, i.toDouble, i.toDouble)).toDF("lid", "lx", "ly")
+    val right = (1 to 10).map(i => (i.toLong, i.toDouble, i.toDouble)).toDF("rid", "rx", "ry")
+    val plan = DWithinJoin.pointPoint(left, "lid", "lx", "ly", right, "rid", "rx", "ry", 1.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
+  }
+}

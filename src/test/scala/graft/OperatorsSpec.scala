@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("SnapshotDiff classifies create/delete/modify") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val neu = Seq((2L, "b"), (3L, "C"), (4L, "d")).toDF("id", "v")
+    assert(SnapshotDiff.creates(old, neu, Seq("id")).select("id").as[Long].collect().toSet == Set(4L))
+    assert(SnapshotDiff.deletes(old, neu, Seq("id")).select("id").as[Long].collect().toSet == Set(1L))
+    assert(SnapshotDiff.modifies(old, neu, Seq("id"), Seq("v")).select("id").as[Long].collect().toSet == Set(3L))
+  }
+
+  test("SequentialIds assigns dense ids in both directions") {
+    val df = Seq(30L, 10L, 20L).toDF("k")
+    val up = SequentialIds.assign(df, "k", "id", 100L).select("k", "id").as[(Long, Long)].collect().toMap
+    assert(up == Map(10L -> 100L, 20L -> 101L, 30L -> 102L))
+    val down = SequentialIds.assign(df, "k", "id", -5L, negative = true).select("k", "id").as[(Long, Long)].collect().toMap
+    assert(down == Map(10L -> -5L, 20L -> -6L, 30L -> -7L))
+  }
+
+  test("TagOps hstore parse + column precedence merge") {
+    val df = Seq(("""  "a"=>"1", "b"=>"2"  """, "colA")).toDF("hs", "a")
+    val out = df.select(
+      TagOps.mergeTags(map(lit("a"), col("a")), TagOps.hstoreToMap(col("hs"))).as("tags"))
+      .as[Map[String, String]].head()
+    assert(out == Map("a" -> "colA", "b" -> "2"))
+  }
+
+  test("TagOps empty hstore → empty map") {
+    val out = Seq("   ").toDF("hs").select(TagOps.hstoreToMap(col("hs"))).as[Map[String, String]].head()
+    assert(out.isEmpty)
+  }
+
+  test("WayOps.splitWay chunks share joiner nodes") {
+    val df = Seq((1L, (1L to 7L))).toDF("way", "nds")
+    val chunks = WayOps.splitWay(df, "nds", nodeLimit = 4, segmentLen = 3)
+      .select("chunk_idx", "chunk_nds").as[(Int, Seq[Long])].collect().sortBy(_._1)
+    assert(chunks.map(_._2).toSeq == Seq(Seq(1L, 2L, 3L), Seq(3L, 4L, 5L, 6L), Seq(6L, 7L)))
+  }
+
+  test("WayOps.splitWay closes small rings") {
+    val df = Seq((1L, Seq(10L, 11L, 12L))).toDF("way", "nds")
+    val out = WayOps.splitWay(df, "nds", closed = true).select("chunk_nds").as[Seq[Long]].head()
+    assert(out == Seq(10L, 11L, 12L, 10L))
+  }
+
+  test("WayOps.expandDeletes dedups shared nodes") {
+    val df = Seq((1L, Seq(5L, 6L)), (2L, Seq(6L, 7L))).toDF("way", "nds")
+    val out = WayOps.expandDeletes(df, "way", "nds")
+      .as[(String, Long)].collect().toSet
+    assert(out == Set(("way", 1L), ("way", 2L), ("node", 5L), ("node", 6L), ("node", 7L)))
+  }
+
+  test("WayOps.wayNodeMap restores seq order") {
+    val edges = Seq((1L, 2, 20L), (1L, 1, 10L), (1L, 3, 30L)).toDF("way", "seq", "node")
+    val out = WayOps.wayNodeMap(edges, "way", "seq", "node").select("nds").as[Seq[Long]].head()
+    assert(out == Seq(10L, 20L, 30L))
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Ev, Session}
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val H = 3600000L
+
+  test("tumbling window aggregation over a memory stream") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val q = EventStreams.tumblingAgg(input.toDF())
+      .writeStream.format("memory").queryName("tumbling").outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Ev(1, 1, "click", 0L, 10),
+        Ev(2, 1, "click", H / 2, 20),
+        Ev(3, 2, "view", H / 4, 5))
+      q.processAllAvailable()
+      // advance watermark beyond window 0 + 1h lateness → emit it
+      input.addData(Ev(4, 1, "click", 3 * H, 1))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling")
+        .select("win_start", "event_type", "n", "sum_v4")
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(rows.contains((0L, "click", 2L, 30L)))
+      assert(rows.contains((0L, "view", 1L, 5L)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization emits closed sessions on watermark") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val gap = EventStreams.DefaultGapMs
+    val input = MemoryStream[Ev]
+    val q = EventStreams.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessions").outputMode(OutputMode.Append).start()
+    val base = 10 * H // stay clear of the epoch-0 initial watermark boundary
+    try {
+      // session 1: two events 1h apart; then nothing for > gap
+      input.addData(Ev(1, 7, "click", base, 10), Ev(2, 7, "click", base + H, 20))
+      q.processAllAvailable()
+      // far-future event advances the watermark past session1 end + gap,
+      // closing it; it also opens session 2
+      input.addData(Ev(3, 7, "click", base + 10 * gap, 5))
+      q.processAllAvailable()
+      input.addData(Ev(4, 7, "click", base + 20 * gap, 1))
+      q.processAllAvailable()
+      val rows = spark.table("sessions").as[Session].collect()
+      val s1 = rows.find(_.session_idx == 1L)
+      assert(s1.exists(s => s.n_events == 2 && s.start_ms == base && s.end_ms == base + H && s.sum_v4 == 30L), rows.mkString(", "))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.TextAnalysis
+
+class TextSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("langId picks the language with most stopword hits") {
+    val out = Seq("the fast dog and the slow cat", "el perro y la casa de que orden")
+      .toDF("text").select(TextAnalysis.langId(col("text"))).as[String].collect()
+    assert(out.toSeq == Seq("en", "es"))
+  }
+
+  test("fingerprint matches hand-computed rolling hash") {
+    // ((0*31+97)*31+98)*31+99 = 96354
+    val h = Seq("abc").toDF("text").select(TextAnalysis.fingerprint(col("text"))).as[Long].head()
+    assert(h == 96354L)
+  }
+
+  test("fingerprint only reads maxLen prefix") {
+    val a = Seq("x" * 64).toDF("text").select(TextAnalysis.fingerprint(col("text"), 64)).as[Long].head()
+    val b = Seq("x" * 64 + "DIFFERENT").toDF("text").select(TextAnalysis.fingerprint(col("text"), 64)).as[Long].head()
+    assert(a == b)
+  }
+
+  test("quality counts chars, words and ratios") {
+    val q = Seq("the cat!").toDF("text").select(TextAnalysis.quality(col("text")).as("q"))
+      .select("q.n_chars", "q.n_words", "q.punct_ratio_fp4", "q.stopword_ratio_fp4")
+      .as[(Int, Long, Long, Long)].head()
+    assert(q._1 == 8 && q._2 == 2)
+    assert(q._3 == 1250) // 1 punct / 8 chars = 0.125
+    assert(q._4 == 5000) // "the" of 2 words
+  }
+
+  test("tokenCount splits words, digits and punctuation runs") {
+    val n = Seq("ab, cd 9!").toDF("text").select(TextAnalysis.tokenCount(col("text"))).as[Int].head()
+    assert(n == 5) // ab , cd 9 !
+  }
+}
