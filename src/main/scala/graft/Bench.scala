@@ -6,11 +6,16 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .withExtensions(graft.functions.GraftFunctions.register)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JIT/codegen/scheduler and file-footer reads
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    Seq("lineitem", "orders", "customer", "documents", "embeddings", "events")
+      .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -13,6 +13,7 @@ object GraftSession {
     SparkSession
       .builder()
       .master(master)
+      .withExtensions(graft.functions.GraftFunctions.register)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

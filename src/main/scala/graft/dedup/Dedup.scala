@@ -23,31 +23,50 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** Word n-gram shingles (space-joined), lowercased, distinct. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = TextAnalysis.tokens(text)
-    array_distinct(
-      when(
-        size(toks) < n,
-        array(concat_ws(" ", toks))
-      ).otherwise(
-        transform(
-          sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n)))
+  /** Word n-gram shingles (space-joined), lowercased, distinct.
+    * Tokens are let-bound: the tokenizer runs once per row, not once
+    * per shingle (no CSE inside HOF lambdas). */
+  def shingles(text: Column, n: Int): Column =
+    graft.ColumnOps.let(TextAnalysis.tokens(text)) { toks =>
+      array_distinct(
+        when(
+          size(toks) < n,
+          array(concat_ws(" ", toks))
+        ).otherwise(
+          transform(
+            sequence(lit(1), size(toks) - (n - 1)),
+            i => concat_ws(" ", slice(toks, i, lit(n)))
+          )
         )
       )
-    )
-  }
+    }
 
-  /** MinHash signature as `numPerm` lexicographic-min md5 hex strings;
-    * permutation j hashes `j|shingle`. String min is portable across
-    * engines (lowercase hex, byte-wise ordering).
+  /** MinHash permutation constants: multipliers < 2^30 so h*A stays in
+    * long range (h < 2^32), modulus a prime > 2^32. Engine-portable:
+    * exact 64-bit integer arithmetic in both Spark and DuckDB. */
+  val MinhashP: Long = 4294967311L
+  val MinhashA: Seq[Long] = Seq(
+    1000000007L, 998244353L, 754974721L, 469762049L, 167772161L, 104857601L,
+    1004535809L, 595591169L, 645922817L, 897581057L, 880803841L, 163577857L,
+    377487361L, 209715201L, 735410177L, 935329793L)
+  def minhashB(j: Int): Long = 97L * j + 13L
+
+  /** MinHash signature as `numPerm` longs: each shingle is md5-hashed
+    * ONCE (first 8 hex chars → uint32), then each permutation is a
+    * cheap affine map h → (h*A_j + B_j) mod P, min over shingles.
+    * One md5 per shingle (not per shingle×perm) — the md5 is the cost
+    * center at scale.
     */
-  def minhash(shingleCol: Column, numPerm: Int): Column =
-    transform(
-      sequence(lit(0), lit(numPerm - 1)),
-      j => array_min(transform(shingleCol, s => md5(concat(j.cast("string"), lit("|"), s))))
-    )
+  def minhash(shingleCol: Column, numPerm: Int): Column = {
+    require(numPerm <= MinhashA.length, s"at most ${MinhashA.length} permutations")
+    graft.ColumnOps.let(
+      transform(shingleCol, s => conv(substring(md5(s), 1, 8), 16, 10).cast("long"))
+    ) { hs =>
+      array((0 until numPerm).map { j =>
+        array_min(transform(hs, h => (h * MinhashA(j) + minhashB(j)) % MinhashP))
+      }: _*)
+    }
+  }
 
   /** LSH candidate pairs: band the signature (`rowsPerBand` hashes per
     * band), bucket-join on (band index, band key), keep a<b pairs.
@@ -65,15 +84,17 @@ object Dedup {
       maxBucket: Int = 100
   ): DataFrame = {
     val numBands = numPerm / rowsPerBand
-    val sig = minhash(shingles(col(textCol), shingleSize), numPerm)
+    // staged projections: shingles and signature each materialize once
+    // per row as bound attributes (not re-inlined into downstream HOFs)
     val banded = df
-      .select(col(idCol).as("doc"), sig.as("sig"))
+      .select(col(idCol).as("doc"), shingles(col(textCol), shingleSize).as("sh"))
+      .select(col("doc"), minhash(col("sh"), numPerm).as("sig"))
       .select(
         col("doc"),
         posexplode(
           transform(
             sequence(lit(0), lit(numBands - 1)),
-            b => concat_ws("", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
+            b => concat_ws("_", transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), v => v.cast("string")))
           )
         ).as(Seq("band", "key"))
       )
@@ -93,8 +114,7 @@ object Dedup {
     * hex chars of md5); bit b of the signature is 1 when the sum of
     * (2*bit-1) over tokens is positive. Integer-exact, portable.
     */
-  def simhash32(text: Column): Column = {
-    val toks = array_distinct(TextAnalysis.tokens(text))
+  def simhash32(text: Column): Column = graft.ColumnOps.let(array_distinct(TextAnalysis.tokens(text))) { toks =>
     // bits unrolled at plan-build time (Scala loop) so shift amounts are
     // literal ints — stays inside codegen, no dynamic-shift expression
     val bitContribs = (0 until 32).map { b =>
@@ -110,7 +130,7 @@ object Dedup {
       when(sum > 0, lit(1L << b)).otherwise(lit(0L))
     }
     bitContribs.reduce(_ + _)
-  }
+  }: Column
 
   /** Jaccard similarity of shingle sets for candidate pairs, computed by
     * explode → co-group (never n²: only ids sharing ≥1 shingle meet).

@@ -181,9 +181,23 @@ object Pipeline {
   private def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 
-  /** MinHash signature element for permutation j. */
-  private def minhashSql(j: Int): String =
-    s"list_min(list_transform(sh, s -> md5('$j|' || s)))"
+  /** MinHash signature element for permutation j — matches
+    * Dedup.minhash: shingle → first-8-hex-of-md5 as uint32, then
+    * affine (h*A_j + B_j) mod P, min over shingles. `hs` is the
+    * per-doc list of shingle hashes. */
+  private def minhashSql(j: Int): String = {
+    val a = graft.dedup.Dedup.MinhashA(j)
+    val b = graft.dedup.Dedup.minhashB(j)
+    val p = graft.dedup.Dedup.MinhashP
+    s"list_min(list_transform(hs, h -> (h * CAST($a AS BIGINT) + CAST($b AS BIGINT)) % CAST($p AS BIGINT)))"
+  }
+
+  /** First 8 md5 hex chars of `s` as a BIGINT (uint32 range). */
+  private val hexHashSql =
+    """list_reduce(list_prepend(CAST(0 AS BIGINT),
+      | list_transform(range(1, 9),
+      |   i -> CAST(strpos('0123456789abcdef', substr(md5(s), CAST(i AS INT), 1)) - 1 AS BIGINT))),
+      | (a, v) -> a*16 + v)""".stripMargin.replace("\n", " ")
 
   /** langId oracle: per-language stopword-hit counts, first-wins argmax. */
   private val langIdSql: String = {
@@ -225,10 +239,11 @@ object Pipeline {
 
   private val minhashPairsSql: String = {
     val bands = (0 until 4).map { b =>
-      s"SELECT doc, $b AS band, array_to_string(sig[${b * 2 + 1}:${b * 2 + 2}], '') AS key FROM sigs"
+      s"SELECT doc, $b AS band, array_to_string(sig[${b * 2 + 1}:${b * 2 + 2}], '_') AS key FROM sigs"
     }.mkString("\n  UNION ALL ")
     s"""WITH sh0 AS (SELECT doc_id AS doc, ${shinglesSql(3)} AS sh FROM documents),
-       |sigs AS (SELECT doc, [${(0 until 8).map(minhashSql).mkString(", ")}] AS sig FROM sh0),
+       |hashed AS (SELECT doc, list_transform(sh, s -> $hexHashSql) AS hs FROM sh0),
+       |sigs AS (SELECT doc, [${(0 until 8).map(minhashSql).mkString(", ")}] AS sig FROM hashed),
        |banded AS (
        |  $bands),
        |ok_buckets AS (SELECT band, key FROM banded GROUP BY band, key HAVING count(*) <= 100),

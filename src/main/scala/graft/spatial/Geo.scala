@@ -17,16 +17,8 @@ import org.apache.spark.sql.functions._
 object Geo {
   val EarthRadius = 6378137.0
 
-  /** Evaluate `v` once per row and reference it many times in `body`.
-    * Catalyst does not common-subexpression-eliminate inside
-    * higher-order-function lambdas, so a composite expression used n
-    * times inside a `transform` is re-evaluated n times — for the
-    * O(n²) geometry folds below that compounds to cubic per-row cost.
-    * Binding through a single-element transform makes it a lambda
-    * variable: computed once, then O(1) to reference.
-    */
-  def let(v: Column)(body: Column => Column): Column =
-    element_at(transform(array(v), x => body(x)), 1)
+  /** See graft.ColumnOps.let — re-exported here for the geometry folds. */
+  def let(v: Column)(body: Column => Column): Column = graft.ColumnOps.let(v)(body)
 
   /** EPSG:3857 → EPSG:4326 longitude (degrees). */
   def mercToLon(x: Column): Column = x / EarthRadius * (lit(180.0) / lit(math.Pi))
