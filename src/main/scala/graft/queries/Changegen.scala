@@ -130,6 +130,19 @@ object Changegen {
         .select(col("c_custkey"), col("s_suppkey"), fp(col("dist"), 6).as("dist_fp6"))
         .orderBy("c_custkey", "s_suppkey")
     }),
+    // 21b — self-intersections among new features (generator.py handles
+    // new-vs-new junctions the same as new-vs-existing): self distance
+    // join via the same grid buckets, deduped to a<b pairs
+    "cg_self_intersect" -> ((s, dir) => {
+      val pts = t(s, dir, "customer").select(col("c_custkey"), px(col("c_custkey")).as("x"), py(col("c_custkey")).as("y"))
+      DWithinJoin
+        .pointPoint(pts, "c_custkey", "x", "y",
+          pts.select(col("c_custkey").as("other"), col("x").as("ox"), col("y").as("oy")),
+          "other", "ox", "oy", 1.0)
+        .filter(col("c_custkey") < col("other"))
+        .select(col("c_custkey"), col("other"), fp(col("dist"), 6).as("dist_fp6"))
+        .orderBy("c_custkey", "other")
+    }),
     // 22 — ST_ClosestPoint: segment-wise projection over coord arrays
     "cg_closest_point" -> ((s, dir) => {
       custPoints(s, dir)
@@ -307,6 +320,14 @@ object Changegen {
         |     (SELECT s_suppkey, (s_suppkey*13 % 1000)/10.0 AS sx, (s_suppkey*29 % 1000)/10.0 AS sy FROM supplier)
         |WHERE sqrt((cx-sx)*(cx-sx)+(cy-sy)*(cy-sy)) <= 1.5
         |ORDER BY c_custkey, s_suppkey""".stripMargin,
+    "cg_self_intersect" ->
+      s"""SELECT a.c_custkey, b.c_custkey AS other,
+        |  ${sqlFp("sqrt((a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y))", 6)} AS dist_fp6
+        |FROM (SELECT c_custkey, (c_custkey*13 % 1000)/10.0 AS x, (c_custkey*29 % 1000)/10.0 AS y FROM customer) a,
+        |     (SELECT c_custkey, (c_custkey*13 % 1000)/10.0 AS x, (c_custkey*29 % 1000)/10.0 AS y FROM customer) b
+        |WHERE a.c_custkey < b.c_custkey
+        |  AND sqrt((a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y)) <= 1.0
+        |ORDER BY a.c_custkey, other""".stripMargin,
     "cg_closest_point" ->
       s"""WITH $lineCte
         |SELECT c_custkey, seg0 AS seg, ${sqlFp("t", 6)} AS t_fp6,
