@@ -138,8 +138,11 @@ object Dedup {
     * jaccard ≥ threshold.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int, threshold: Double, maxShingleDf: Int = 1000): DataFrame = {
-    val sh = df.select(col(idCol).as("doc"), explode(shingles(col(textCol), n)).as("sh"))
-    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("sz"))
+    val sh0 = df.select(col(idCol).as("doc"), shingles(col(textCol), n).as("shs"))
+    // set size from the array BEFORE exploding: no groupBy shuffle,
+    // no second scan of the corpus
+    val sizes = sh0.select(col("doc"), size(col("shs")).cast("long").as("sz"))
+    val sh = sh0.select(col("doc"), explode(col("shs")).as("sh"))
     // frequent-shingle guard: a shingle in >maxShingleDf docs generates
     // quadratic pairs and carries no dedup signal
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= maxShingleDf).drop("df")

@@ -27,6 +27,14 @@ object Changegen {
   private def px(k: Column): Column = (k * 13 % 1000) / lit(10.0)
   private def py(k: Column): Column = (k * 29 % 1000) / lit(10.0)
 
+  /** Scattered (md5-derived) coordinate in [0, 100) — the modular
+    * lattice above is translation-invariant, which leaves tiny SFs
+    * with no close pairs; md5 gives a uniform scatter at every SF.
+    * Portable: first 6 md5 hex chars as uint24 / 2^24 * 100. */
+  private def rnd(tag: String, k: Column): Column =
+    conv(substring(md5(concat(lit(tag), k.cast("string"))), 1, 6), 16, 10)
+      .cast("double") / lit(16777216.0) * lit(100.0)
+
   /** Ways derived from lineitem: way id = l_orderkey, ordered node list
     * = l_partkey by l_linenumber (via the wayNodeMap operator). */
   private def ways(s: SparkSession, dir: String): DataFrame =
@@ -134,11 +142,11 @@ object Changegen {
     // new-vs-new junctions the same as new-vs-existing): self distance
     // join via the same grid buckets, deduped to a<b pairs
     "cg_self_intersect" -> ((s, dir) => {
-      val pts = t(s, dir, "customer").select(col("c_custkey"), px(col("c_custkey")).as("x"), py(col("c_custkey")).as("y"))
+      val pts = t(s, dir, "customer").select(col("c_custkey"), rnd("sx", col("c_custkey")).as("x"), rnd("sy", col("c_custkey")).as("y"))
       DWithinJoin
         .pointPoint(pts, "c_custkey", "x", "y",
           pts.select(col("c_custkey").as("other"), col("x").as("ox"), col("y").as("oy")),
-          "other", "ox", "oy", 1.0)
+          "other", "ox", "oy", 4.0)
         .filter(col("c_custkey") < col("other"))
         .select(col("c_custkey"), col("other"), fp(col("dist"), 6).as("dist_fp6"))
         .orderBy("c_custkey", "other")
@@ -320,14 +328,20 @@ object Changegen {
         |     (SELECT s_suppkey, (s_suppkey*13 % 1000)/10.0 AS sx, (s_suppkey*29 % 1000)/10.0 AS sy FROM supplier)
         |WHERE sqrt((cx-sx)*(cx-sx)+(cy-sy)*(cy-sy)) <= 1.5
         |ORDER BY c_custkey, s_suppkey""".stripMargin,
-    "cg_self_intersect" ->
+    "cg_self_intersect" -> {
+      def rndSql(tag: String): String =
+        s"""(list_reduce(list_prepend(CAST(0 AS BIGINT),
+           | list_transform(range(1, 7),
+           |  i -> CAST(strpos('0123456789abcdef', substr(md5('$tag' || CAST(c_custkey AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT))),
+           | (a, v) -> a*16 + v) / 16777216.0 * 100.0)""".stripMargin.replace("\n", " ")
       s"""SELECT a.c_custkey, b.c_custkey AS other,
         |  ${sqlFp("sqrt((a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y))", 6)} AS dist_fp6
-        |FROM (SELECT c_custkey, (c_custkey*13 % 1000)/10.0 AS x, (c_custkey*29 % 1000)/10.0 AS y FROM customer) a,
-        |     (SELECT c_custkey, (c_custkey*13 % 1000)/10.0 AS x, (c_custkey*29 % 1000)/10.0 AS y FROM customer) b
+        |FROM (SELECT c_custkey, ${rndSql("sx")} AS x, ${rndSql("sy")} AS y FROM customer) a,
+        |     (SELECT c_custkey, ${rndSql("sx")} AS x, ${rndSql("sy")} AS y FROM customer) b
         |WHERE a.c_custkey < b.c_custkey
-        |  AND sqrt((a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y)) <= 1.0
-        |ORDER BY a.c_custkey, other""".stripMargin,
+        |  AND sqrt((a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y)) <= 4.0
+        |ORDER BY a.c_custkey, other""".stripMargin
+    },
     "cg_closest_point" ->
       s"""WITH $lineCte
         |SELECT c_custkey, seg0 AS seg, ${sqlFp("t", 6)} AS t_fp6,

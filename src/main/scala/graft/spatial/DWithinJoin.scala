@@ -25,6 +25,12 @@ object DWithinJoin {
   /** Point-point within-radius join.
     * left: (leftId, lx, ly), right: (rightId, rx, ry) column names.
     * Output: leftId, rightId, dist (double).
+    *
+    * `cellsPerRadius` is the skew lever: cell side = radius/k, so a
+    * dense region spreads over k² more shuffle keys at the cost of a
+    * (2k+1)²/9× larger (but constant) left replication. k=1 for
+    * uniform data; raise for clustered data (cities in OSM). AQE's
+    * skew-join split handles residual imbalance within a cell.
     */
   def pointPoint(
       left: DataFrame,
@@ -35,10 +41,13 @@ object DWithinJoin {
       rightId: String,
       rx: String,
       ry: String,
-      radius: Double
+      radius: Double,
+      cellsPerRadius: Int = 1
   ): DataFrame = {
-    val r = lit(radius)
-    val offsets = Seq(-1, 0, 1)
+    require(cellsPerRadius >= 1, "cellsPerRadius must be >= 1")
+    val k = cellsPerRadius
+    val cell = lit(radius / k)
+    val offsets = -k to k
     val lCells = left.select(
       col(leftId),
       col(lx).as("_lx"),
@@ -47,8 +56,8 @@ object DWithinJoin {
         array(
           (for (dx <- offsets; dy <- offsets)
             yield struct(
-              (floor(col(lx) / r) + dx).cast("long").as("cx"),
-              (floor(col(ly) / r) + dy).cast("long").as("cy")
+              (floor(col(lx) / cell) + dx).cast("long").as("cx"),
+              (floor(col(ly) / cell) + dy).cast("long").as("cy")
             )): _*
         )
       ).as("_cell")
@@ -57,7 +66,7 @@ object DWithinJoin {
       col(rightId),
       col(rx).as("_rx"),
       col(ry).as("_ry"),
-      struct(floor(col(rx) / r).cast("long").as("cx"), floor(col(ry) / r).cast("long").as("cy")).as("_cell")
+      struct(floor(col(rx) / cell).cast("long").as("cx"), floor(col(ry) / cell).cast("long").as("cy")).as("_cell")
     )
     lCells
       .join(rCells, "_cell")

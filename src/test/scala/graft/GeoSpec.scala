@@ -54,6 +54,10 @@ class GeoSpec extends AnyFunSuite {
       .filter(Geo.dist(col("lx"), col("ly"), col("rx"), col("ry")) <= 3.0)
       .select("lid", "rid").as[(Long, Long)].collect().toSet
     assert(grid == brute && grid.nonEmpty)
+    // subdivided cells (skew salting) must not change the result set
+    val salted = DWithinJoin.pointPoint(left, "lid", "lx", "ly", right, "rid", "rx", "ry", 3.0, cellsPerRadius = 3)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(salted == brute)
   }
 
   test("DWithinJoin plans a shuffle join, not a cartesian product") {
