@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Snapshot table IO — the Spark analog of the reference's two inputs
+  * (PostGIS tables via OGR, changegen/db.py:28-101, and the .osm.pbf
+  * extract) plus scale-ready write layouts.
+  *
+  * Reads stay declarative so Catalyst pushes filters and prunes
+  * columns into the scan; the helpers only shape HOW data is laid
+  * out, never materialize driver-side.
+  */
+object Snapshots {
+
+  /** Columnar snapshot read with optional projection/predicate —
+    * both reach the parquet scan (PushedFilters / ReadSchema).
+    */
+  def read(
+      spark: SparkSession,
+      path: String,
+      columns: Seq[String] = Nil,
+      predicate: Option[String] = None): DataFrame = {
+    val df = spark.read.parquet(path)
+    val filtered = predicate.map(df.filter).getOrElse(df)
+    if (columns.isEmpty) filtered else filtered.select(columns.map(col): _*)
+  }
+
+  /** JDBC snapshot source (the PostGIS path at deployment): predicate
+    * pushdown via `dbtable` subquery, read parallelized over
+    * `numPartitions` ranges of `partitionColumn` — never a single
+    * connection for a big table. Config-only here (no DB in the test
+    * environment); the verified operators are input-agnostic.
+    */
+  def jdbcReader(
+      spark: SparkSession,
+      url: String,
+      table: String,
+      partitionColumn: String,
+      lowerBound: Long,
+      upperBound: Long,
+      numPartitions: Int): DataFrameReader =
+    spark.read
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("partitionColumn", partitionColumn)
+      .option("lowerBound", lowerBound)
+      .option("upperBound", upperBound)
+      .option("numPartitions", numPartitions)
+
+  /** Write a snapshot partitioned by a low-cardinality column (e.g.
+    * element type or region): partition pruning makes per-type scans
+    * O(selected partitions).
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Write a snapshot bucketed on the join key: co-located,
+    * shuffle-free equi-joins between tables bucketed the same way
+    * (the layout for repeated diff/join workloads at 100 TB).
+    * Bucketed tables require the table catalog (saveAsTable).
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String, buckets: Int, sortCol: Option[String] = None): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet").bucketBy(buckets, bucketCol)
+    sortCol.fold(w)(s => w.sortBy(s)).saveAsTable(table)
+  }
+}
