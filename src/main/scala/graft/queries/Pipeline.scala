@@ -79,6 +79,15 @@ object Pipeline {
         numPlanes = 8, dim = 64, k = 5)
         .orderBy("query_id", "cos_fp6")
     }),
+    // 37b — IVF ANN: inverted-list probe search (rows-only; the
+    // probed-cells-exact contract is spec-tested like sim_ann_lsh)
+    "sim_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", 16)
+      val assigned = Similarity.ivfAssign(e, "vec_id", "embedding", cents)
+      Similarity.ivfSearch(assigned, e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", cents, nprobe = 2, k = 5)
+        .orderBy("query_id", "cos_fp6")
+    }),
     // 38 — stopword-scoring language ID
     "txt_langid" -> ((s, dir) => {
       t(s, dir, "documents")

@@ -96,6 +96,70 @@ object Similarity {
       .select("query_id", "id", "cos_fp6")
   }
 
+  /** Deterministic IVF centroid pick: every ceil(n/k)-th vector in
+    * vec-id order. A k-means refinement can swap in later — the index
+    * contract (assign → inverted lists → probe) is unchanged, and a
+    * deterministic pick keeps the operator oracle/spec-checkable.
+    */
+  def ivfCentroids(data: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val n = data.count()
+    val stride = math.max(1L, (n + k - 1) / k)
+    // id-modulo pick: no global sort/window, scales to any corpus with
+    // roughly dense ids (hash the id first for sparse id spaces)
+    data
+      .filter(pmod(col(idCol), lit(stride)) === 0)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("cvec"), norm(col(vecCol)).as("cnrm"))
+  }
+
+  /** Assign each vector to its nearest centroid by cosine (broadcast
+    * centroid join — k is small; ties break on centroid id). The
+    * resulting (id, vec, cell) table is the inverted-list index:
+    * repartitioned/bucketed by cell it serves probes shuffle-free.
+    */
+  def ivfAssign(data: DataFrame, idCol: String, vecCol: String, centroids: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("_cos").desc, col("centroid_id"))
+    data
+      .select(col(idCol), col(vecCol), norm(col(vecCol)).as("_nrm"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("_cos", dot(col(vecCol), col("cvec")) / (col("_nrm") * col("cnrm")))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"), col("centroid_id").as("cell"))
+  }
+
+  /** IVF ANN: probe the `nprobe` nearest inverted lists per query,
+    * exact top-k by cosine within them. Candidate count ≈
+    * nprobe/k_cells of the corpus — the classic recall/cost dial.
+    */
+  def ivfSearch(
+      assigned: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      nprobe: Int,
+      k: Int): DataFrame = {
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("_cos").desc, col("centroid_id"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"), norm(col(vecCol)).as("qnrm"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("_cos", dot(col("qvec"), col("cvec")) / (col("qnrm") * col("cnrm")))
+      .withColumn("_rk", row_number().over(wq))
+      .filter(col("_rk") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("qnrm"), col("centroid_id").as("cell"))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos_fp6").desc, col("id"))
+    probes
+      .join(assigned, "cell")
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("cos_fp6", TextAnalysis.fp(dot(col("qvec"), col("vec")) / (col("qnrm") * norm(col("vec"))), 6))
+      .withColumn("rk", row_number().over(wk))
+      .filter(col("rk") <= k)
+      .select("query_id", "id", "cos_fp6")
+  }
+
   /** Near-duplicate pairs by cosine ≥ threshold, candidates restricted
     * to an existing partition/bucket column (label, LSH bucket, …) so
     * the join is equi- not cross-.

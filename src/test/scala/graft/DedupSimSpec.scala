@@ -48,6 +48,31 @@ class DedupSimSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("IVF search equals exact top-k restricted to probed cells, with sane recall") {
+    val emb = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    val k = 5
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 8)
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", cents).cache()
+    val ivf = Similarity.ivfSearch(assigned, queries, "vec_id", "embedding", cents, nprobe = 8, k = k)
+      .select("query_id", "id").as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // nprobe == #cells → IVF degenerates to exact brute force: recall 1
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(col("cos_fp6").desc, col("vec_id"))
+    val brute = emb.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos_fp6", graft.text.TextAnalysis.fp(Similarity.cosine(col("embedding"), col("qvec")), 6))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("qid", "vec_id").as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(ivf == brute)
+    // partial probe: a strict subset of the work, still returns k rows per query
+    val partial = Similarity.ivfSearch(assigned, queries, "vec_id", "embedding", cents, nprobe = 2, k = k)
+      .select("query_id", "id").as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = brute.map { case (qid, t) => partial.getOrElse(qid, Set.empty).intersect(t).size.toDouble / t.size }
+    assert(recall.sum / recall.size > 0.2, s"nprobe=2 mean recall ${recall.sum / recall.size}")
+    assigned.unpersist()
+  }
+
   test("cosine of identical vectors is 1") {
     val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("id", "v")
     val c = df.select(Similarity.cosine(col("v"), col("v"))).as[Double].head()
