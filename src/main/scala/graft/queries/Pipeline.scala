@@ -118,6 +118,18 @@ object Pipeline {
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text"), 64).as("fp_hash"))
         .orderBy("doc_id")
     }),
+    // 41b — text normalization (canonical form for dedup)
+    "txt_normalize" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.normalize(col("text")).as("norm_text"))
+        .orderBy("doc_id")
+    }),
+    // 41c — stopword removal
+    "txt_stopword_remove" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.removeStopwords(col("text")).as("clean_text"))
+        .orderBy("doc_id")
+    }),
     // 42 — gap-based sessionization (batch twin of the streaming op)
     "ev_sessionize" -> ((s, dir) => {
       val byUser = Window.partitionBy("user_id").orderBy("ms", "event_id")
@@ -143,6 +155,24 @@ object Pipeline {
       t(s, dir, "events")
         .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k_val"))
         .orderBy("event_id")
+    }),
+    // 45b — multimodal image metadata: synthesize PNG payloads
+    // (mapPartitions), parse dimensions back COLUMNAR from the binary
+    // header — the oracle checks the synth→parse roundtrip
+    "mm_image_meta" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal
+      val payloads = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          (id, Multimodal.synthPngHeader((id % 1000 + 1).toInt, (id % 700 + 1).toInt))
+        })
+        .toDF("doc_id", "payload")
+      payloads.select(
+        col("doc_id"),
+        Multimodal.magic(col("payload")).as("fmt"),
+        Multimodal.pngWidth(col("payload")).as("width"),
+        Multimodal.pngHeight(col("payload")).as("height"))
+        .orderBy("doc_id")
     }),
     // 45 — multimodal binary columns: opaque payload + stubbed decode
     //      via mapPartitions (real distributed plumbing, fake codec)
@@ -304,6 +334,14 @@ object Pipeline {
       s"""SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_ws_tokens,
         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_word_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt_normalize" ->
+      """SELECT doc_id,
+        | trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]+', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt_stopword_remove" ->
+      s"""SELECT doc_id,
+        | array_to_string(list_filter($toksSql, t -> t NOT IN ('the','a','of','and','fast','slow')), ' ') AS clean_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "txt_fingerprint" ->
       """SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
         |  list_transform(range(1, least(length(text), 64) + 1),
@@ -328,7 +366,12 @@ object Pipeline {
     "ev_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
         |FROM events ORDER BY event_id""".stripMargin,
-    "mm_binary_meta" -> mmSql
-    // sim_ann_lsh: rows-only (recall vs brute force is spec-tested)
+    "mm_binary_meta" -> mmSql,
+    "mm_image_meta" ->
+      """SELECT doc_id, 'png' AS fmt,
+        | CAST(doc_id % 1000 + 1 AS BIGINT) AS width,
+        | CAST(doc_id % 700 + 1 AS BIGINT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin
+    // sim_ann_lsh / sim_ann_ivf: rows-only (recall is spec-tested)
   )
 }

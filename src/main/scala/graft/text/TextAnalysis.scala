@@ -78,6 +78,16 @@ object TextAnalysis {
     )
   }
 
+  /** C4-style text normalization: lowercase, strip punctuation runs,
+    * collapse whitespace, trim — the canonical form fed to dedup.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]+", " "), "\\s+", " "))
+
+  /** Remove stopwords (whitespace tokens), rejoin with single spaces. */
+  def removeStopwords(text: Column, stopwords: Seq[String] = DefaultStopwords.head._2): Column =
+    concat_ws(" ", filter(tokens(text), t => !t.isin(stopwords: _*)))
+
   /** Polynomial rolling-hash fingerprint over the first `maxLen` chars:
     * h = (h*31 + ascii(c)) mod (2^31-1). Stays within long range;
     * identical in any engine with 64-bit integer arithmetic.
