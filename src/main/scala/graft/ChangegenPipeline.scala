@@ -2,45 +2,114 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{SnapshotDiff, TagOps}
+import graft.operators.{SequentialIds, SnapshotDiff, WayOps}
 import graft.osm.OsmChangeXml
+import graft.spatial.DWithinJoin
 
 /** End-to-end changefile generation — the reference's whole pipeline
-  * (changegen/generator.py:496-873 + changewriter.py) as one
-  * distributed dataflow: snapshot diff → tag construction → element
-  * XML → single OsmChange file.
+  * (changegen/generator.py:496-873 + changewriter.py:92-191) as one
+  * distributed dataflow over the driver testdata:
   *
-  * Usage: runMain graft.ChangegenPipeline <sfDir> <out.osc.gz>
-  * Demonstrates the library surface over the driver testdata: the
-  * "old" and "new" snapshots are derived from `customer` the same way
-  * the verified cg_diff_* queries derive them.
+  *   1. new linear features (per-group supplier linestrings) → nodes
+  *      with sequential ids (configurable offset/direction, `_id_gen`)
+  *   2. ways over those node ids, split at `maxNodesPerWay` with
+  *      shared joiner nodes (`_make_ways`)
+  *   3. junctions where new nodes fall within `radius` of existing
+  *      way nodes (ST_DWithin) → junction node ids inserted into the
+  *      existing ways, order preserved (`_modify_existing_way`)
+  *   4. deletions expanded way→nodes with no double-delete
+  *   5. `<create>/<modify>/<delete>` OsmChange XML, single gzip file
+  *
+  * Usage: runMain graft.ChangegenPipeline <sfDir> <out.osc[.gz]>
+  *        [maxNodesPerWay=500] [idOffset=1000000] [negIds=false]
   */
 object ChangegenPipeline {
-
-  def nodesXml(df: DataFrame): DataFrame = {
-    val latU = col("c_custkey") * 7919 % 180000000L - 90000000L
-    val lonU = col("c_custkey") * 104729 % 360000000L - 180000000L
-    val tags = map(lit("name"), col("c_name"), lit("segment"), col("c_mktsegment"))
-    df.select(OsmChangeXml.nodeXml(col("c_custkey"), lit(1), latU, lonU, tags).as("xml"))
-  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
     val out = if (args.length > 1) args(1) else "/tmp/graft_demo.osc.gz"
+    val maxNodes = if (args.length > 2) args(2).toInt else 500
+    val idOffset = if (args.length > 3) args(3).toLong else 1000000L
+    val negIds = if (args.length > 4) args(4).toBoolean else false
+
     val spark = GraftSession.get()
-    val customer = Tables.load(spark, sfDir, "customer")
-    val oldSnap = customer.filter(col("c_custkey") % 11 =!= 3)
-    val newSnap = customer.filter(col("c_custkey") % 13 =!= 5)
-      .withColumn("c_mktsegment",
-        when(col("c_custkey") % 17 === 0, lit("RESEGMENTED")).otherwise(col("c_mktsegment")))
+    val supplier = Tables.load(spark, sfDir, "supplier")
 
-    val creates = nodesXml(SnapshotDiff.creates(oldSnap, newSnap, Seq("c_custkey")))
-    val modifies = nodesXml(SnapshotDiff.modifies(oldSnap, newSnap, Seq("c_custkey"), Seq("c_name", "c_mktsegment")))
-    val deletes = SnapshotDiff.deletes(oldSnap, newSnap, Seq("c_custkey"))
-      .select(concat(lit("<node id=\""), col("c_custkey"), lit("\" version=\"1\" lat=\"0.000000\" lon=\"0.000000\"/>")).as("xml"))
+    // 1. new features: per-group linestrings of supplier points
+    val verts = supplier.select(
+      (col("s_nationkey") % 5).as("feat"),
+      col("s_suppkey").as("vkey"),
+      ((col("s_suppkey") * 13 % 1000) / 10.0).as("x"),
+      ((col("s_suppkey") * 29 % 1000) / 10.0).as("y"))
 
-    OsmChangeXml.write(out, creates, Some(modifies), Some(deletes), gzip = out.endsWith(".gz"))
-    println(s"[changegen] wrote $out: creates=${creates.count()} modifies=${modifies.count()} deletes=${deletes.count()}")
+    // nodes: one per vertex, sequential ids from the configured offset
+    val nodes = SequentialIds.assign(verts, "vkey", "node_id", idOffset, negIds)
+    val latU = (col("y") * 1000000L).cast("long")
+    val lonU = (col("x") * 1000000L).cast("long")
+    val nodeXml = nodes.select(
+      OsmChangeXml.nodeXml(col("node_id"), lit(1), latU, lonU,
+        map(lit("source"), lit("graft"))).as("xml"))
+
+    // 2. ways: ordered node-id lists per feature, split at maxNodes
+    val ways = WayOps.wayNodeMap(
+      nodes.select(col("feat").as("way"), col("vkey").as("seq"), col("node_id").as("node")),
+      "way", "seq", "node")
+    val wayIdBase = if (negIds) idOffset - 1000000L else idOffset + 1000000L
+    val splitWays = WayOps.splitWay(ways, "nds", nodeLimit = maxNodes, segmentLen = maxNodes)
+      .withColumn("way_id", col("way") * 100 + col("chunk_idx") + lit(wayIdBase))
+    val wayXml = splitWays.select(
+      OsmChangeXml.wayXml(col("way_id"), lit(1), col("chunk_nds"),
+        map(lit("highway"), lit("path"))).as("xml"))
+
+    // 3. junctions: new nodes near existing way nodes → insert into
+    // the existing ways' node lists (order-preserving)
+    val existingEdges = Tables.load(spark, sfDir, "lineitem").select(
+      col("l_orderkey").as("eway"), col("l_linenumber").as("seq"), col("l_partkey").as("enode"))
+    val existingNodes = existingEdges.select(
+      col("eway"), col("enode"),
+      ((col("enode") * 13 % 1000) / 10.0).as("ex"),
+      ((col("enode") * 29 % 1000) / 10.0).as("ey")).distinct()
+    val junctions = DWithinJoin.pointPoint(
+      nodes.select(col("node_id"), col("x"), col("y")), "node_id", "x", "y",
+      existingNodes, "enode", "ex", "ey", 0.5)
+    // one junction per existing node: deterministic min node_id
+    val junctionAt = junctions.groupBy("enode").agg(min("node_id").as("jnode"))
+    val existingWays = WayOps.wayNodeMap(existingEdges, "eway", "seq", "enode")
+    // splice each junction after its matched node (posexplode → merge)
+    val spliced = existingWays
+      .select(col("eway"), posexplode(col("nds")).as(Seq("pos", "enode")))
+      .join(junctionAt, Seq("enode"), "left")
+      .select(col("eway"), col("pos"), col("enode"), col("jnode"))
+    val modified = spliced
+      .groupBy("eway")
+      .agg(array_sort(collect_list(struct(col("pos"), col("enode"), col("jnode")))).as("pj"))
+      .filter(exists(col("pj"), p => p.getField("jnode").isNotNull))
+      .withColumn("new_nds", flatten(transform(col("pj"), p =>
+        when(p.getField("jnode").isNotNull, array(p.getField("enode"), p.getField("jnode")))
+          .otherwise(array(p.getField("enode"))))))
+    val modifyXml = modified.select(
+      OsmChangeXml.wayXml(col("eway"), lit(2), col("new_nds"), map()).as("xml"))
+
+    // 4. deletions: snapshot diff on orders → ways + constituent nodes
+    val orders = Tables.load(spark, sfDir, "orders")
+    val removedWays = SnapshotDiff.deletes(
+      orders.select(col("o_orderkey")),
+      orders.filter(col("o_orderkey") % 13 =!= 5).select(col("o_orderkey")),
+      Seq("o_orderkey"))
+    val deleteSet = WayOps.expandDeletes(
+      existingWays.join(removedWays, col("eway") === col("o_orderkey")).select(col("eway").as("way"), col("nds")),
+      "way", "nds")
+    val deleteXml = deleteSet.select(
+      when(col("elem_type") === "way",
+        concat(lit("<way id=\""), col("elem_id"), lit("\" version=\"1\"/>")))
+        .otherwise(concat(lit("<node id=\""), col("elem_id"), lit("\" version=\"1\" lat=\"0.000000\" lon=\"0.000000\"/>")))
+        .as("xml"))
+
+    // 5. assemble the OsmChange document (creates = nodes then ways)
+    OsmChangeXml.write(out, nodeXml.unionByName(wayXml), Some(modifyXml), Some(deleteXml),
+      gzip = out.endsWith(".gz"))
+    println(s"[changegen] wrote $out: nodes=${nodes.count()} ways=${splitWays.count()} " +
+      s"junctions=${junctionAt.count()} modified=${modified.count()} deletes=${deleteSet.count()}")
     spark.stop()
   }
 }
