@@ -39,6 +39,17 @@ object EventStreams {
         unix_millis(col("window.start")).as("win_start"),
         col("event_type"), col("n"), col("sum_v4"))
 
+  /** Streaming exact dedup within the watermark horizon: drop repeat
+    * event_ids (at-least-once source → exactly-once downstream).
+    * State is bounded by the watermark — the batch twin is dd_exact.
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", timestamp_millis(col("ms")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .drop("ts")
+
   /** Gap-based sessionization via flatMapGroupsWithState with
     * event-time timeout: a session closes (and is emitted) when the
     * watermark passes its end + gap. Same semantics as the batch

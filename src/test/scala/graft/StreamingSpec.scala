@@ -34,6 +34,22 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeated event ids within the watermark") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val q = EventStreams.dedupEvents(input.toDF())
+      .writeStream.format("memory").queryName("deduped").outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Ev(1, 1, "click", 10 * H, 10), Ev(1, 1, "click", 10 * H, 10), Ev(2, 1, "view", 10 * H + 1, 5))
+      q.processAllAvailable()
+      input.addData(Ev(1, 1, "click", 10 * H + 2, 10)) // duplicate again, same batch horizon
+      q.processAllAvailable()
+      val ids = spark.table("deduped").select("event_id").as[Long].collect().toSeq
+      assert(ids.sorted == Seq(1L, 2L), ids.mkString(","))
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions on watermark") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
