@@ -104,6 +104,33 @@ object Relational {
         .groupBy("p_brand")
         .agg(count(lit(1)).as("n"))
         .orderBy("p_brand")
+    }),
+    "q12_outer_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"))
+      t(s, dir, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    }),
+    "q13_stats" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          min(fp(col("l_quantity"), 2)).as("min_qty_c"),
+          max(fp(col("l_quantity"), 2)).as("max_qty_c"),
+          sum(fp(col("l_quantity"), 2)).as("sum_qty_c"),
+          count(lit(1)).as("n"))
+        .withColumn("avg_qty_fp4", fp(col("sum_qty_c") / col("n"), 4))
+        .orderBy("l_returnflag")
+    }),
+    "q14_lead_lag" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), fp(col("o_totalprice"), 2).as("price_c"))
+        .withColumn("prev_c", coalesce(lag("price_c", 1).over(w), lit(-1L)))
+        .withColumn("next_c", coalesce(lead("price_c", 1).over(w), lit(-1L)))
+        .orderBy("o_custkey", "o_orderkey")
     })
   )
 
@@ -153,6 +180,25 @@ object Relational {
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "q11_like_scan" ->
-      "SELECT p_brand, count(*) AS n FROM part WHERE p_name LIKE '%e%' GROUP BY 1 ORDER BY 1"
+      "SELECT p_brand, count(*) AS n FROM part WHERE p_name LIKE '%e%' GROUP BY 1 ORDER BY 1",
+    "q12_outer_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q13_stats" ->
+      """SELECT l_returnflag,
+        | min(CAST(floor(l_quantity*100+0.5) AS BIGINT)) AS min_qty_c,
+        | max(CAST(floor(l_quantity*100+0.5) AS BIGINT)) AS max_qty_c,
+        | CAST(sum(CAST(floor(l_quantity*100+0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        | count(*) AS n,
+        | CAST(floor(CAST(sum(CAST(floor(l_quantity*100+0.5) AS BIGINT)) AS BIGINT) / count(*) * 1e4 + 0.5) AS BIGINT) AS avg_qty_fp4
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q14_lead_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(floor(o_totalprice*100+0.5) AS BIGINT) AS price_c,
+        | coalesce(lag(CAST(floor(o_totalprice*100+0.5) AS BIGINT)) OVER w, -1) AS prev_c,
+        | coalesce(lead(CAST(floor(o_totalprice*100+0.5) AS BIGINT)) OVER w, -1) AS next_c
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin
   )
 }
