@@ -71,10 +71,16 @@ case class DotProductExpr(left: Expression, right: Expression)
 /** Extension installer for graft's native functions. */
 object GraftFunctions {
   val dotInfo = new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot")
+  val cpInfo = new ExpressionInfo(classOf[ClosestPointExpr].getName, "graft_closest_point")
 
-  def register(ext: SparkSessionExtensions): Unit =
+  def register(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       dotInfo,
       (children: Seq[Expression]) => DotProductExpr(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_closest_point"),
+      cpInfo,
+      (children: Seq[Expression]) => ClosestPointExpr(children(0), children(1), children(2))))
+  }
 }

@@ -49,11 +49,18 @@ object Geo {
 
   /** Closest point on a linestring (array of point structs) to p.
     * Returns struct(d2, seg, t, x, y): squared distance, 0-based segment
-    * index, parameter on that segment, and the point. Implemented as a
-    * min over per-segment candidates; `array_min` on structs compares
-    * lexicographically so d2 leads.
+    * index, parameter on that segment, and the point. Delegates to the
+    * native codegen'd expression (graft.functions.ClosestPointExpr) —
+    * bit-identical to the HOF form below, spec-checked.
     */
-  def closestOnLine(line: Column, px: Column, py: Column): Column = {
+  def closestOnLine(line: Column, px: Column, py: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_closest_point", line, px, py)
+
+  /** Composable-HOF form of closestOnLine — the reference
+    * implementation the native expression is verified against; also
+    * usable in sessions without graft's extensions installed.
+    */
+  def closestOnLineHof(line: Column, px: Column, py: Column): Column = {
     val cands = transform(
       sequence(lit(1), size(line) - 1),
       i => {

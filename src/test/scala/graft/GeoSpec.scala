@@ -25,6 +25,27 @@ class GeoSpec extends AnyFunSuite {
     assert(r._1 == 1 && r._2 == 10.0 && r._3 == 4.0)
   }
 
+  test("native closestOnLine is bit-identical to the HOF form on real data") {
+    val sp = spark.read.parquet(s"${TestSpark.Sf}/supplier.parquet")
+      .select((col("s_nationkey") % 5).as("nk"), col("s_suppkey").as("k"),
+        ((col("s_suppkey") * 13 % 1000) / 10.0).as("x"), ((col("s_suppkey") * 29 % 1000) / 10.0).as("y"))
+    val lines = sp.groupBy("nk")
+      .agg(array_sort(collect_list(struct(col("k"), col("x"), col("y")))).as("kxy"))
+      .withColumn("line", transform(col("kxy"), e => struct(e.getField("x").as("x"), e.getField("y").as("y"))))
+      .filter(size(col("line")) >= 2)
+    val pts = spark.read.parquet(s"${TestSpark.Sf}/customer.parquet")
+      .select(col("c_custkey"), (col("c_nationkey") % 5).as("nk"),
+        ((col("c_custkey") * 13 % 1000) / 10.0).as("px"), ((col("c_custkey") * 29 % 1000) / 10.0).as("py"))
+    val joined = pts.join(broadcast(lines), "nk")
+    val native = joined.select(col("c_custkey"), Geo.closestOnLine(col("line"), col("px"), col("py")).as("cp"))
+      .select(col("c_custkey"), col("cp.d2"), col("cp.seg"), col("cp.t"), col("cp.x"), col("cp.y"))
+      .as[(Long, Double, Int, Double, Double, Double)].collect().sortBy(_._1).toSeq
+    val hof = joined.select(col("c_custkey"), Geo.closestOnLineHof(col("line"), col("px"), col("py")).as("cp"))
+      .select(col("c_custkey"), col("cp.d2"), col("cp.seg"), col("cp.t"), col("cp.x"), col("cp.y"))
+      .as[(Long, Double, Int, Double, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(native == hof && native.nonEmpty)
+  }
+
   test("insertionIndex places point between vertices") {
     val df = Seq(1).toDF("i")
     // point projects onto the middle of segment 0 → insert at index 1
