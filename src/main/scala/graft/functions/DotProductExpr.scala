@@ -82,5 +82,9 @@ object GraftFunctions {
       FunctionIdentifier("graft_closest_point"),
       cpInfo,
       (children: Seq[Expression]) => ClosestPointExpr(children(0), children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_insertion_index"),
+      new ExpressionInfo(classOf[InsertionIndexExpr].getName, "graft_insertion_index"),
+      (children: Seq[Expression]) => InsertionIndexExpr(children(0), children(1), children(2))))
   }
 }

@@ -110,7 +110,12 @@ object Geo {
     * (generator.py:247-255).
     */
   def insertionIndex(line: Column, px: Column, py: Column): Column =
-    let(struct(closestOnLine(line, px, py).as("cp"), cumulativeFractions(line).as("fr"))) { s =>
+    org.apache.spark.sql.functions.call_function("graft_insertion_index", line, px, py)
+
+  /** Composable-HOF form of insertionIndex — the reference
+    * implementation the native expression is verified against. */
+  def insertionIndexHof(line: Column, px: Column, py: Column): Column =
+    let(struct(closestOnLineHof(line, px, py).as("cp"), cumulativeFractions(line).as("fr"))) { s =>
       val cp = s.getField("cp")
       val fr = s.getField("fr")
       // fraction along the whole line of the projected point

@@ -37,6 +37,11 @@ class GeoSpec extends AnyFunSuite {
       .select(col("c_custkey"), (col("c_nationkey") % 5).as("nk"),
         ((col("c_custkey") * 13 % 1000) / 10.0).as("px"), ((col("c_custkey") * 29 % 1000) / 10.0).as("py"))
     val joined = pts.join(broadcast(lines), "nk")
+    val nativeIdx = joined.select(col("c_custkey"), Geo.insertionIndex(col("line"), col("px"), col("py")).as("ix"))
+      .as[(Long, Int)].collect().sortBy(_._1).toSeq
+    val hofIdx = joined.select(col("c_custkey"), Geo.insertionIndexHof(col("line"), col("px"), col("py")).as("ix"))
+      .as[(Long, Int)].collect().sortBy(_._1).toSeq
+    assert(nativeIdx == hofIdx && nativeIdx.nonEmpty)
     val native = joined.select(col("c_custkey"), Geo.closestOnLine(col("line"), col("px"), col("py")).as("cp"))
       .select(col("c_custkey"), col("cp.d2"), col("cp.seg"), col("cp.t"), col("cp.x"), col("cp.y"))
       .as[(Long, Double, Int, Double, Double, Double)].collect().sortBy(_._1).toSeq
