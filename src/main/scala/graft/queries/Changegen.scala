@@ -297,7 +297,7 @@ object Changegen {
         |) ORDER BY p_partkey, tag_key""".stripMargin,
     "cg_way_split" ->
       s"""WITH $ndsCte
-        |SELECT way, chunk_idx, pos, node FROM (
+        |SELECT way, chunk_idx, CAST(pos AS INT) AS pos, node FROM (
         |  SELECT nds.way,
         |    CASE WHEN n <= 4 THEN 0 ELSE CAST(floor((s-1)/3) AS INT) END AS chunk_idx,
         |    CASE WHEN n <= 4 THEN s-1
@@ -311,7 +311,7 @@ object Changegen {
         |) ORDER BY way, chunk_idx, pos""".stripMargin,
     "cg_closed_way" ->
       s"""WITH $ndsCte
-        |SELECT way, pos, node FROM (
+        |SELECT way, CAST(pos AS INT) AS pos, node FROM (
         |  SELECT way, s-1 AS pos, node FROM nds
         |  UNION ALL
         |  SELECT nds.way, n, node FROM nds JOIN sz USING (way) WHERE s = 1
@@ -379,7 +379,7 @@ object Changegen {
         |ORDER BY l.c_custkey""".stripMargin,
     "cg_modify_way" ->
       s"""WITH $ndsCte
-        |SELECT way, pos, node FROM (
+        |SELECT way, CAST(pos AS INT) AS pos, node FROM (
         |  SELECT nds.way,
         |    CASE WHEN way % 2 = 0 AND s - 1 >= way % 3 THEN s ELSE s - 1 END AS pos,
         |    node
@@ -424,6 +424,6 @@ object Changegen {
         |FROM f ORDER BY elem_id""".stripMargin,
     "cg_way_node_map" ->
       s"""WITH $ndsCte
-        |SELECT way, s - 1 AS pos, node FROM nds ORDER BY way, pos""".stripMargin
+        |SELECT way, CAST(s - 1 AS INT) AS pos, node FROM nds ORDER BY way, pos""".stripMargin
   )
 }
