@@ -13,9 +13,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JIT/codegen/scheduler and file-footer reads
+    // (best-effort — a missing table must not kill the bench run)
     spark.range(1000000).selectExpr("sum(id)").collect()
     Seq("lineitem", "orders", "customer", "documents", "embeddings", "events")
-      .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
+      .foreach(t => try spark.read.parquet(s"$sfDir/$t.parquet").count()
+        catch { case _: Throwable => () })
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

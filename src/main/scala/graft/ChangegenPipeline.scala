@@ -34,6 +34,19 @@ object ChangegenPipeline {
 
     val spark = GraftSession.get()
     val supplier = Tables.load(spark, sfDir, "supplier")
+    val lineitem = Tables.load(spark, sfDir, "lineitem")
+
+    // collision safety (reference __main__.py:26-53): never hand out an
+    // id already present in the "existing" data — derive the node-id
+    // offset from the observed max when the caller kept the default
+    val maxExistingNode = lineitem.agg(org.apache.spark.sql.functions.max("l_partkey")).head.getLong(0)
+    val maxExistingWay = lineitem.agg(org.apache.spark.sql.functions.max("l_orderkey")).head.getLong(0)
+    // negative mode descends from -1 (never collides with positive OSM
+    // ids); positive mode starts above both the flag and the observed max
+    val nodeIdBase =
+      if (negIds) -1L
+      else if (args.length > 3) idOffset
+      else math.max(idOffset, maxExistingNode + 1)
 
     // 1. new features: per-group linestrings of supplier points
     val verts = supplier.select(
@@ -43,20 +56,29 @@ object ChangegenPipeline {
       ((col("s_suppkey") * 29 % 1000) / 10.0).as("y"))
 
     // nodes: one per vertex, sequential ids from the configured offset
-    val nodes = SequentialIds.assign(verts, "vkey", "node_id", idOffset, negIds)
+    val nodes = SequentialIds.assign(verts, "vkey", "node_id", nodeIdBase, negIds).persist()
     val latU = (col("y") * 1000000L).cast("long")
     val lonU = (col("x") * 1000000L).cast("long")
     val nodeXml = nodes.select(
       OsmChangeXml.nodeXml(col("node_id"), lit(1), latU, lonU,
         map(lit("source"), lit("graft"))).as("xml"))
 
-    // 2. ways: ordered node-id lists per feature, split at maxNodes
+    // 2. ways: ordered node-id lists per feature, split at maxNodes.
+    // segmentLen = maxNodes-1 so a chunk plus its shared joiner node
+    // never exceeds the maxNodesPerWay cap.
     val ways = WayOps.wayNodeMap(
       nodes.select(col("feat").as("way"), col("vkey").as("seq"), col("node_id").as("node")),
       "way", "seq", "node")
-    val wayIdBase = if (negIds) idOffset - 1000000L else idOffset + 1000000L
-    val splitWays = WayOps.splitWay(ways, "nds", nodeLimit = maxNodes, segmentLen = maxNodes)
-      .withColumn("way_id", col("way") * 100 + col("chunk_idx") + lit(wayIdBase))
+    // way ids: clear of the assigned node-id range AND the existing way
+    // ids; 1000 chunks per feature keeps (feat, chunk) → id injective
+    val nVerts = nodes.count()
+    val wayIdBase =
+      if (negIds) nVerts + 1 // nodes occupy -1 .. -nVerts
+      else math.max(maxExistingWay + 1, nodeIdBase + nVerts + 1)
+    val wayId = (col("way") * 1000 + col("chunk_idx")) + lit(wayIdBase)
+    val splitWays = WayOps.splitWay(ways, "nds", nodeLimit = maxNodes, segmentLen = math.max(1, maxNodes - 1))
+      .withColumn("way_id", if (negIds) -wayId else wayId)
+      .persist()
     val wayXml = splitWays.select(
       OsmChangeXml.wayXml(col("way_id"), lit(1), col("chunk_nds"),
         map(lit("highway"), lit("path"))).as("xml"))
@@ -73,7 +95,7 @@ object ChangegenPipeline {
       nodes.select(col("node_id"), col("x"), col("y")), "node_id", "x", "y",
       existingNodes, "enode", "ex", "ey", 0.5)
     // one junction per existing node: deterministic min node_id
-    val junctionAt = junctions.groupBy("enode").agg(min("node_id").as("jnode"))
+    val junctionAt = junctions.groupBy("enode").agg(min("node_id").as("jnode")).persist()
     val existingWays = WayOps.wayNodeMap(existingEdges, "eway", "seq", "enode")
     // splice each junction after its matched node (posexplode → merge)
     val spliced = existingWays
@@ -87,18 +109,21 @@ object ChangegenPipeline {
       .withColumn("new_nds", flatten(transform(col("pj"), p =>
         when(p.getField("jnode").isNotNull, array(p.getField("enode"), p.getField("jnode")))
           .otherwise(array(p.getField("enode"))))))
+      .persist()
     val modifyXml = modified.select(
       OsmChangeXml.wayXml(col("eway"), lit(2), col("new_nds"), map()).as("xml"))
 
     // 4. deletions: snapshot diff on orders → ways + constituent nodes
     val orders = Tables.load(spark, sfDir, "orders")
+    // persisted above: nodes/splitWays/junctionAt/modified/deleteSet are
+    // each consumed twice (XML write + summary counts) — no recompute
     val removedWays = SnapshotDiff.deletes(
       orders.select(col("o_orderkey")),
       orders.filter(col("o_orderkey") % 13 =!= 5).select(col("o_orderkey")),
       Seq("o_orderkey"))
     val deleteSet = WayOps.expandDeletes(
       existingWays.join(removedWays, col("eway") === col("o_orderkey")).select(col("eway").as("way"), col("nds")),
-      "way", "nds")
+      "way", "nds").persist()
     val deleteXml = deleteSet.select(
       when(col("elem_type") === "way",
         concat(lit("<way id=\""), col("elem_id"), lit("\" version=\"1\"/>")))

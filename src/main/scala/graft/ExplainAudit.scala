@@ -18,8 +18,12 @@ object ExplainAudit {
         val plan = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
         Files.writeString(Paths.get(s"$outDir/$name.txt"), plan)
         def count(p: String) = plan.sliding(p.length).count(_ == p)
-        f"$name%-22s exch=${count("Exchange")}%2d bcast=${count("BroadcastExchange")}%2d " +
-          f"wsc=${count("WholeStageCodegen")}%2d scan=${count("Scan parquet")}%2d " +
+        // shuffle exchanges counted by partitioning kind so the number
+        // is not contaminated by BroadcastExchange substring matches
+        val shuffles = count("Exchange hashpartitioning") + count("Exchange rangepartitioning") +
+          count("Exchange SinglePartition")
+        f"$name%-22s shuf=$shuffles%2d bcast=${count("BroadcastExchange")}%2d " +
+          f"scan=${count("Scan parquet")}%2d " +
           f"cart=${count("CartesianProduct")}%d sortagg=${count("SortAggregate")}%d"
       } catch { case e: Throwable => f"$name%-22s ERROR ${e.getMessage.take(60)}" }
     }

@@ -114,23 +114,28 @@ object Dedup {
     * hex chars of md5); bit b of the signature is 1 when the sum of
     * (2*bit-1) over tokens is positive. Integer-exact, portable.
     */
-  def simhash32(text: Column): Column = graft.ColumnOps.let(array_distinct(TextAnalysis.tokens(text))) { toks =>
-    // bits unrolled at plan-build time (Scala loop) so shift amounts are
-    // literal ints — stays inside codegen, no dynamic-shift expression
-    val bitContribs = (0 until 32).map { b =>
-      val nibIdx = b / 4 + 1 // hex char holding bit b
-      val sum = aggregate(
-        toks,
-        lit(0L),
-        (acc, t) => {
-          val nib = TextHex.nibble(md5(t).substr(lit(nibIdx), lit(1)))
-          acc + when(shiftright(nib, b % 4).bitwiseAND(1) === 1, 1L).otherwise(-1L)
-        }
-      )
-      when(sum > 0, lit(1L << b)).otherwise(lit(0L))
+  def simhash32(text: Column): Column =
+    // hash each distinct token ONCE; the 32 bit-folds then read nibbles
+    // from the bound hash array (one md5 per token, not 32)
+    graft.ColumnOps.let(
+      transform(array_distinct(TextAnalysis.tokens(text)), t => md5(t))
+    ) { hashes =>
+      // bits unrolled at plan-build time (Scala loop) so shift amounts
+      // are literal ints — no dynamic-shift expression
+      val bitContribs = (0 until 32).map { b =>
+        val nibIdx = b / 4 + 1 // hex char holding bit b
+        val sum = aggregate(
+          hashes,
+          lit(0L),
+          (acc, h) => {
+            val nib = TextHex.nibble(h.substr(lit(nibIdx), lit(1)))
+            acc + when(shiftright(nib, b % 4).bitwiseAND(1) === 1, 1L).otherwise(-1L)
+          }
+        )
+        when(sum > 0, lit(1L << b)).otherwise(lit(0L))
+      }
+      bitContribs.reduce(_ + _)
     }
-    bitContribs.reduce(_ + _)
-  }: Column
 
   /** Jaccard similarity of shingle sets for candidate pairs, computed by
     * explode → co-group (never n²: only ids sharing ≥1 shingle meet).

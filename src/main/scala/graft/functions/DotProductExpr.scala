@@ -26,8 +26,10 @@ case class DotProductExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (Seq(left, right).forall(_.dataType == ArrayType(FloatType)) ||
-        Seq(left, right).forall(e => e.dataType == ArrayType(FloatType, containsNull = false)))
+    if (Seq(left, right).forall(_.dataType match {
+        case ArrayType(FloatType, _) => true // any containsNull mix
+        case _ => false
+      }))
       TypeCheckResult.TypeCheckSuccess
     else
       TypeCheckResult.TypeCheckFailure(
@@ -36,10 +38,15 @@ case class DotProductExpr(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // length mismatch → null, matching the HOF form (zip_with pads the
+    // shorter side with null, which nulls the whole fold)
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -55,12 +62,16 @@ case class DotProductExpr(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

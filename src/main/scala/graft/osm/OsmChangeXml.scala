@@ -95,6 +95,7 @@ object OsmChangeXml {
       "create" -> Some(creates), "modify" -> modifies, "delete" -> deletes
     ).collect { case (name, Some(df)) => name -> dump(df, name) }
 
+    import scala.jdk.CollectionConverters._
     val raw = new BufferedOutputStream(new FileOutputStream(out), 1 << 20)
     val os: OutputStream = if (gzip) new GZIPOutputStream(raw, 1 << 20) else raw
     try {
@@ -104,16 +105,20 @@ object OsmChangeXml {
       sections.foreach { case (name, dir) =>
         emit(s"<$name>\n")
         // part files in name order = partition order
-        val parts = Files.list(dir).iterator().asInstanceOf[java.util.Iterator[Path]]
-        val sorted = scala.jdk.CollectionConverters.IteratorHasAsScala(parts).asScala.toSeq
-          .filter(_.getFileName.toString.startsWith("part-")).sortBy(_.getFileName.toString)
+        val listing = Files.list(dir)
+        val sorted =
+          try listing.iterator().asScala.toSeq
+            .filter(_.getFileName.toString.startsWith("part-")).sortBy(_.getFileName.toString)
+          finally listing.close()
         sorted.foreach { p => Files.copy(p, os) }
         emit(s"</$name>\n")
       }
       emit("</osmChange>\n")
-    } finally os.close()
-    // best-effort temp cleanup
-    import scala.jdk.CollectionConverters._
-    Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(p => Files.deleteIfExists(p))
+    } finally {
+      os.close()
+      // temp cleanup must also run on assembly failure
+      try Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(p => Files.deleteIfExists(p))
+      catch { case _: Throwable => () }
+    }
   }
 }

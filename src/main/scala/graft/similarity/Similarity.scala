@@ -125,7 +125,7 @@ object Similarity {
       .withColumn("_cos", dot(col(vecCol), col("cvec")) / (col("_nrm") * col("cnrm")))
       .withColumn("_rk", row_number().over(w))
       .filter(col("_rk") === 1)
-      .select(col(idCol).as("id"), col(vecCol).as("vec"), col("centroid_id").as("cell"))
+      .select(col(idCol).as("id"), col(vecCol).as("vec"), col("centroid_id").as("cell"), col("_nrm").as("nrm"))
   }
 
   /** IVF ANN: probe the `nprobe` nearest inverted lists per query,
@@ -154,7 +154,8 @@ object Similarity {
     probes
       .join(assigned, "cell")
       .filter(col("query_id") =!= col("id"))
-      .withColumn("cos_fp6", TextAnalysis.fp(dot(col("qvec"), col("vec")) / (col("qnrm") * norm(col("vec"))), 6))
+      // assigned carries the per-row norm: one dot per candidate pair
+      .withColumn("cos_fp6", TextAnalysis.fp(dot(col("qvec"), col("vec")) / (col("qnrm") * col("nrm")), 6))
       .withColumn("rk", row_number().over(wk))
       .filter(col("rk") <= k)
       .select("query_id", "id", "cos_fp6")

@@ -69,9 +69,13 @@ object EventStreams {
       .flatMapGroupsWithState[SessState, Session](OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Ev], state: GroupState[SessState]) =>
           if (state.hasTimedOut) {
-            // watermark passed session end + gap → close and emit
+            // watermark passed session end + gap → close and emit; keep
+            // a tombstone (n = 0) carrying the session counter so a
+            // later session for this user continues numbering instead
+            // of colliding with session 1 (batch-twin parity). One
+            // tombstone row per user — state stays bounded by users.
             val s = state.get
-            state.remove()
+            state.update(s.copy(n = 0))
             Iterator.single(Session(userId, s.sessionIdx, s.n, s.startMs, s.endMs, s.sumV4))
           } else {
             val sorted = rows.toSeq.sortBy(e => (e.ms, e.event_id))
@@ -79,18 +83,20 @@ object EventStreams {
             var cur = state.getOption
             sorted.foreach { e =>
               cur match {
-                case Some(s) if e.ms - s.endMs <= gapMs =>
+                case Some(s) if s.n > 0 && e.ms - s.endMs <= gapMs =>
                   cur = Some(s.copy(n = s.n + 1, endMs = math.max(s.endMs, e.ms), sumV4 = s.sumV4 + e.v4))
-                case Some(s) =>
+                case Some(s) if s.n > 0 =>
                   closed ::= Session(userId, s.sessionIdx, s.n, s.startMs, s.endMs, s.sumV4)
                   cur = Some(SessState(s.sessionIdx + 1, 1, e.ms, e.ms, e.v4))
+                case Some(tombstone) => // closed earlier: resume numbering
+                  cur = Some(SessState(tombstone.sessionIdx + 1, 1, e.ms, e.ms, e.v4))
                 case None =>
                   cur = Some(SessState(1, 1, e.ms, e.ms, e.v4))
               }
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.endMs + gapMs)
+              if (s.n > 0) state.setTimeoutTimestamp(s.endMs + gapMs)
             }
             closed.reverseIterator
           }

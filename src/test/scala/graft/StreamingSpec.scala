@@ -68,9 +68,20 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       input.addData(Ev(4, 7, "click", base + 20 * gap, 1))
       q.processAllAvailable()
+      // user 9's far-future event advances the watermark while user 7
+      // has NO data → user 7's open session closes via TIMEOUT
+      input.addData(Ev(5, 9, "click", base + 60 * gap, 2))
+      q.processAllAvailable()
+      // user 7 returns: numbering must RESUME (session 4), not restart at 1
+      input.addData(Ev(6, 7, "click", base + 70 * gap, 3))
+      input.addData(Ev(7, 9, "click", base + 200 * gap, 1)) // close session 4 via timeout
+      q.processAllAvailable()
       val rows = spark.table("sessions").as[Session].collect()
       val s1 = rows.find(_.session_idx == 1L)
       assert(s1.exists(s => s.n_events == 2 && s.start_ms == base && s.end_ms == base + H && s.sum_v4 == 30L), rows.mkString(", "))
+      val u7 = rows.filter(_.user_id == 7L).map(_.session_idx).sorted.toSeq
+      assert(u7 == u7.distinct, s"duplicate session indices after timeout: ${rows.mkString(", ")}")
+      assert(u7.contains(4L), s"post-timeout session did not resume numbering: ${rows.mkString(", ")}")
     } finally q.stop()
   }
 }
