@@ -35,6 +35,12 @@ def main(sfdir, outdir):
         if sorted(spark_df.columns) != sorted(duck_df.columns):
             print(f"SCHEMA   {name}: spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}")
             fail += 1; continue
+        dt = [c for c in spark_df.columns
+              if str(spark_df[c].dtype) != str(duck_df[c].dtype)]
+        if dt:  # dtype-strict: int32 vs int64 etc. would fail a strict driver
+            print(f"DTYPE    {name}: " + ", ".join(
+                f"{c} spark={spark_df[c].dtype} duck={duck_df[c].dtype}" for c in dt))
+            fail += 1; continue
         if len(spark_df) != len(duck_df):
             print(f"ROWS     {name}: spark={len(spark_df)} duck={len(duck_df)}")
             fail += 1; continue
