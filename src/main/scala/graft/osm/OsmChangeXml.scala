@@ -74,6 +74,46 @@ object OsmChangeXml {
         lit("\" role=\""), xmlEscape(m.getField("role")), lit("\"/>")))),
       tagsXml(tags), lit("</relation>"))
 
+  /** Sharded export: one complete OsmChange document per shard,
+    * written IN PARALLEL on the executors (no driver byte-stream
+    * bottleneck — the scale path for 100 TB changefiles; consumers
+    * like Osmosis apply the shards in any order since each is a
+    * self-contained document).
+    *
+    * `df` must have (shard int, section string in create/modify/delete,
+    * xml string). Produces `<outDir>/shard-<i>.osc[.gz]`.
+    */
+  def writeSharded(outDir: String, df: DataFrame, shards: Int, gzip: Boolean = false): Unit = {
+    Files.createDirectories(Paths.get(outDir))
+    val ext = if (gzip) ".osc.gz" else ".osc"
+    df.select(col("shard"), col("section"), col("xml"))
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions("shard", "section", "xml")
+      .foreachPartition { rows: java.util.Iterator[org.apache.spark.sql.Row] =>
+        import scala.jdk.CollectionConverters._
+        // a partition may hold several shards (hash collisions): group
+        val byShard = rows.asScala.toSeq.groupBy(_.getInt(0))
+        byShard.foreach { case (shard, rs) =>
+          val raw = new BufferedOutputStream(new FileOutputStream(s"$outDir/shard-$shard$ext"), 1 << 20)
+          val os: OutputStream = if (gzip) new GZIPOutputStream(raw, 1 << 20) else raw
+          try {
+            def emit(s: String): Unit = os.write(s.getBytes(StandardCharsets.UTF_8))
+            emit("<?xml version='1.0' encoding='UTF-8'?>\n")
+            emit("<osmChange version=\"0.6\" generator=\"graft\">\n")
+            Seq("create", "modify", "delete").foreach { section =>
+              val rowsIn = rs.filter(_.getString(1) == section)
+              if (rowsIn.nonEmpty) {
+                emit(s"<$section>\n")
+                rowsIn.foreach(r => { emit(r.getString(2)); emit("\n") })
+                emit(s"</$section>\n")
+              }
+            }
+            emit("</osmChange>\n")
+          } finally os.close()
+        }
+      }
+  }
+
   /** Write a complete OsmChange document: each section DataFrame must
     * have a single string column of rendered element XML. Renders
     * distributed to text parts, then stream-concatenates into one

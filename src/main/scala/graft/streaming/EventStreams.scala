@@ -39,6 +39,35 @@ object EventStreams {
         unix_millis(col("window.start")).as("win_start"),
         col("event_type"), col("n"), col("sum_v4"))
 
+  /** Stream-stream interval join: enrich each left event with right
+    * events for the same user within [−before, +after] of its event
+    * time. Both sides are watermarked so join state is bounded —
+    * Spark drops buffered rows once the watermark passes the interval.
+    * Output: left event_id/ms + matched right event_id/ms/v4.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      beforeMs: Long = 3600000L,
+      afterMs: Long = 3600000L): DataFrame = {
+    val l = left
+      .withColumn("l_ts", timestamp_millis(col("ms")))
+      .withWatermark("l_ts", "1 hour")
+      .select(col("event_id").as("l_event_id"), col("user_id").as("l_user"), col("ms").as("l_ms"), col("l_ts"))
+    val r = right
+      .withColumn("r_ts", timestamp_millis(col("ms")))
+      .withWatermark("r_ts", "1 hour")
+      .select(col("event_id").as("r_event_id"), col("user_id").as("r_user"), col("ms").as("r_ms"),
+        col("v4").as("r_v4"), col("r_ts"))
+    l.join(
+      r,
+      col("l_user") === col("r_user") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL ${beforeMs / 1000} SECONDS") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL ${afterMs / 1000} SECONDS") &&
+        col("l_event_id") =!= col("r_event_id"))
+      .select("l_event_id", "l_user", "l_ms", "r_event_id", "r_ms", "r_v4")
+  }
+
   /** Streaming exact dedup within the watermark horizon: drop repeat
     * event_ids (at-least-once source → exactly-once downstream).
     * State is bounded by the watermark — the batch twin is dd_exact.

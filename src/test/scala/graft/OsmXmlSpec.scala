@@ -31,6 +31,24 @@ class OsmXmlSpec extends AnyFunSuite {
       """<member type="way" ref="6" role="inner"/></relation>""")
   }
 
+  test("writeSharded emits one complete document per shard in parallel") {
+    import java.nio.file.{Files => JFiles}
+    val dir = JFiles.createTempDirectory("graft_shards").toString
+    val df = (1 to 40).map { i =>
+      (i % 4, if (i % 3 == 0) "delete" else "create", s"""<node id="$i" version="1" lat="0.000000" lon="0.000000"/>""")
+    }.toDF("shard", "section", "xml")
+    OsmChangeXml.writeSharded(dir, df, shards = 4)
+    val files = new java.io.File(dir).listFiles().map(_.getName).sorted
+    assert(files.length == 4 && files.forall(_.matches("shard-\\d\\.osc")))
+    val all = files.flatMap { f =>
+      val content = new String(JFiles.readAllBytes(Paths.get(s"$dir/$f")))
+      assert(content.startsWith("<?xml") && content.endsWith("</osmChange>\n"))
+      assert(content.contains("<create>"))
+      "id=\"(\\d+)\"".r.findAllMatchIn(content).map(_.group(1).toInt).toSeq
+    }
+    assert(all.sorted.toSeq == (1 to 40), s"ids across shards: ${all.sorted.mkString(",")}")
+  }
+
   test("write() assembles a gzipped OsmChange document") {
     val creates = Seq((1L, Map("k" -> "v"))).toDF("id", "tags")
       .select(OsmChangeXml.nodeXml(col("id"), lit(1), lit(1000000L), lit(2000000L), col("tags")).as("xml"))

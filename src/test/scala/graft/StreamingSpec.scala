@@ -50,6 +50,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches per-user events within the window") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val lin = MemoryStream[Ev]
+    val rin = MemoryStream[Ev]
+    val q = EventStreams.intervalJoin(lin.toDF(), rin.toDF())
+      .writeStream.format("memory").queryName("ivjoin").outputMode(OutputMode.Append).start()
+    try {
+      val base = 100 * H
+      lin.addData(Ev(1, 5, "click", base, 0))
+      rin.addData(
+        Ev(10, 5, "view", base + H / 2, 7),   // in window
+        Ev(11, 5, "view", base + 3 * H, 9),   // outside (+1h)
+        Ev(12, 6, "view", base, 8))           // other user
+      q.processAllAvailable()
+      // advance both watermarks so results flush
+      lin.addData(Ev(2, 99, "click", base + 10 * H, 0))
+      rin.addData(Ev(13, 99, "view", base + 10 * H, 0))
+      q.processAllAvailable()
+      val rows = spark.table("ivjoin")
+        .select("l_event_id", "r_event_id").as[(Long, Long)].collect().toSet
+      assert(rows.contains((1L, 10L)), rows.toString)
+      assert(!rows.contains((1L, 11L)) && !rows.contains((1L, 12L)), rows.toString)
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions on watermark") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
