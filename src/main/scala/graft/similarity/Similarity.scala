@@ -111,6 +111,31 @@ object Similarity {
       .select(col(idCol).as("centroid_id"), col(vecCol).as("cvec"), norm(col(vecCol)).as("cnrm"))
   }
 
+  /** Lloyd refinement of the IVF centroids: `iters` rounds of
+    * assign-to-nearest (cosine) then per-cell dimension means —
+    * spherical-k-means-style, entirely as DataFrame ops (two shuffles
+    * per round: the dim explode and the regroup; assignment is a
+    * broadcast join). Cells that lose all members drop out, so the
+    * result has ≤ k centroids. Deterministic given the deterministic
+    * seed pick (ivfCentroids).
+    */
+  def kmeansCentroids(data: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int = 3): DataFrame = {
+    var cents = ivfCentroids(data, idCol, vecCol, k)
+    for (_ <- 1 to iters) {
+      val assigned = ivfAssign(data, idCol, vecCol, cents)
+      cents = assigned
+        .select(col("cell"), posexplode(col("vec")).as(Seq("d", "x")))
+        .groupBy("cell", "d")
+        .agg(avg(col("x").cast("double")).as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
+        .withColumn("cvec", transform(col("dm"), e => e.getField("m").cast("float")))
+        .select(col("cell").as("centroid_id"), col("cvec"))
+        .withColumn("cnrm", norm(col("cvec")))
+    }
+    cents
+  }
+
   /** Assign each vector to its nearest centroid by cosine (broadcast
     * centroid join — k is small; ties break on centroid id). The
     * resulting (id, vec, cell) table is the inverted-list index:

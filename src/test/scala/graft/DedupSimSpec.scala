@@ -73,6 +73,27 @@ class DedupSimSpec extends AnyFunSuite {
     assigned.unpersist()
   }
 
+  test("k-means-refined IVF still degrades to exact search at nprobe=all") {
+    val emb = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 8, iters = 2).cache()
+    val nCells = cents.count().toInt
+    assert(nCells >= 2 && nCells <= 8)
+    assert(cents.select(size(col("cvec"))).as[Int].collect().forall(_ == 64))
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+    val ivf = Similarity.ivfSearch(assigned, queries, "vec_id", "embedding", cents, nprobe = nCells, k = 3)
+      .select("query_id", "id").as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(col("cos_fp6").desc, col("vec_id"))
+    val brute = emb.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos_fp6", graft.text.TextAnalysis.fp(Similarity.cosine(col("embedding"), col("qvec")), 6))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select("qid", "vec_id").as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(ivf == brute)
+    cents.unpersist()
+  }
+
   test("cosine of identical vectors is 1") {
     val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("id", "v")
     val c = df.select(Similarity.cosine(col("v"), col("v"))).as[Double].head()
