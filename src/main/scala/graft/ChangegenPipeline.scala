@@ -22,6 +22,10 @@ import graft.spatial.DWithinJoin
   *
   * Usage: runMain graft.ChangegenPipeline <sfDir> <out.osc[.gz]>
   *        [maxNodesPerWay=500] [idOffset=1000000] [negIds=false]
+  *        [shards=0]
+  * shards > 0 writes `out` as a DIRECTORY of self-contained shard
+  * documents in parallel on the executors (OsmChangeXml.writeSharded)
+  * instead of one driver-assembled file.
   */
 object ChangegenPipeline {
 
@@ -31,6 +35,7 @@ object ChangegenPipeline {
     val maxNodes = if (args.length > 2) args(2).toInt else 500
     val idOffset = if (args.length > 3) args(3).toLong else 1000000L
     val negIds = if (args.length > 4) args(4).toBoolean else false
+    val shards = if (args.length > 5) args(5).toInt else 0
 
     val spark = GraftSession.get()
     val supplier = Tables.load(spark, sfDir, "supplier")
@@ -131,8 +136,16 @@ object ChangegenPipeline {
         .as("xml"))
 
     // 5. assemble the OsmChange document (creates = nodes then ways)
-    OsmChangeXml.write(out, nodeXml.unionByName(wayXml), Some(modifyXml), Some(deleteXml),
-      gzip = out.endsWith(".gz"))
+    if (shards > 0) {
+      def sec(df: DataFrame, s: String) = df.select(
+        pmod(xxhash64(col("xml")), lit(shards)).cast("int").as("shard"), lit(s).as("section"), col("xml"))
+      OsmChangeXml.writeSharded(out,
+        sec(nodeXml, "create").unionByName(sec(wayXml, "create"))
+          .unionByName(sec(modifyXml, "modify")).unionByName(sec(deleteXml, "delete")),
+        shards, gzip = false)
+    } else
+      OsmChangeXml.write(out, nodeXml.unionByName(wayXml), Some(modifyXml), Some(deleteXml),
+        gzip = out.endsWith(".gz"))
     println(s"[changegen] wrote $out: nodes=${nodes.count()} ways=${splitWays.count()} " +
       s"junctions=${junctionAt.count()} modified=${modified.count()} deletes=${deleteSet.count()}")
     spark.stop()

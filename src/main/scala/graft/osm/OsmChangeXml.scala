@@ -76,40 +76,80 @@ object OsmChangeXml {
 
   /** Sharded export: one complete OsmChange document per shard,
     * written IN PARALLEL on the executors (no driver byte-stream
-    * bottleneck — the scale path for 100 TB changefiles; consumers
-    * like Osmosis apply the shards in any order since each is a
-    * self-contained document).
+    * bottleneck; consumers like Osmosis apply the shards in any order
+    * since each is a self-contained document).
     *
     * `df` must have (shard int, section string in create/modify/delete,
     * xml string). Produces `<outDir>/shard-<i>.osc[.gz]`.
+    *
+    * Mechanics: rows are sorted within partitions by (shard, section
+    * rank, element-type rank) and written in ONE streaming pass —
+    * constant executor memory. Files go to a temp name then move
+    * atomically, so task retries / speculative attempts can't leave a
+    * torn document. Stale `shard-*` files from prior runs are removed
+    * first. `outDir` must be a filesystem visible to the executors
+    * (local mode, NFS/FUSE mounts); for object stores render the xml
+    * and use per-shard `df.write.text` with a committer instead.
     */
   def writeSharded(outDir: String, df: DataFrame, shards: Int, gzip: Boolean = false): Unit = {
+    import scala.jdk.CollectionConverters._
     Files.createDirectories(Paths.get(outDir))
     val ext = if (gzip) ".osc.gz" else ".osc"
-    df.select(col("shard"), col("section"), col("xml"))
+    // overwrite semantics: drop stale shards from previous runs
+    val stale = Files.list(Paths.get(outDir))
+    try stale.iterator().asScala.toSeq
+      .filter(_.getFileName.toString.startsWith("shard-")).foreach(Files.deleteIfExists)
+    finally stale.close()
+
+    val sectionRank = when(col("section") === "create", 0)
+      .when(col("section") === "modify", 1).otherwise(2)
+    // OSM referential order within a section: nodes, then ways, then
+    // relations (a relation may reference ways defined above it)
+    val typeRank = when(col("xml").startsWith("<node"), 0)
+      .when(col("xml").startsWith("<way"), 1).otherwise(2)
+    df.select(col("shard"), col("section"), col("xml"), sectionRank.as("_sr"), typeRank.as("_tr"))
       .repartition(shards, col("shard"))
-      .sortWithinPartitions("shard", "section", "xml")
+      .sortWithinPartitions("shard", "_sr", "_tr", "xml")
       .foreachPartition { rows: java.util.Iterator[org.apache.spark.sql.Row] =>
-        import scala.jdk.CollectionConverters._
-        // a partition may hold several shards (hash collisions): group
-        val byShard = rows.asScala.toSeq.groupBy(_.getInt(0))
-        byShard.foreach { case (shard, rs) =>
-          val raw = new BufferedOutputStream(new FileOutputStream(s"$outDir/shard-$shard$ext"), 1 << 20)
-          val os: OutputStream = if (gzip) new GZIPOutputStream(raw, 1 << 20) else raw
-          try {
-            def emit(s: String): Unit = os.write(s.getBytes(StandardCharsets.UTF_8))
-            emit("<?xml version='1.0' encoding='UTF-8'?>\n")
-            emit("<osmChange version=\"0.6\" generator=\"graft\">\n")
-            Seq("create", "modify", "delete").foreach { section =>
-              val rowsIn = rs.filter(_.getString(1) == section)
-              if (rowsIn.nonEmpty) {
-                emit(s"<$section>\n")
-                rowsIn.foreach(r => { emit(r.getString(2)); emit("\n") })
-                emit(s"</$section>\n")
-              }
+        var os: OutputStream = null
+        var tmpPath: Path = null
+        var finalPath: Path = null
+        var curShard = Integer.MIN_VALUE
+        var curSection: String = null
+        def emit(s: String): Unit = os.write(s.getBytes(StandardCharsets.UTF_8))
+        def closeSection(): Unit = if (curSection != null) { emit(s"</$curSection>\n"); curSection = null }
+        def closeShard(): Unit = if (os != null) {
+          closeSection()
+          emit("</osmChange>\n")
+          os.close()
+          Files.move(tmpPath, finalPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          os = null
+        }
+        try {
+          while (rows.hasNext) {
+            val r = rows.next()
+            val shard = r.getInt(0); val section = r.getString(1); val xml = r.getString(2)
+            if (shard != curShard || os == null) {
+              closeShard()
+              curShard = shard
+              finalPath = Paths.get(s"$outDir/shard-$shard$ext")
+              tmpPath = Files.createTempFile(Paths.get(outDir), s".shard-$shard-", ".tmp")
+              val raw = new BufferedOutputStream(new FileOutputStream(tmpPath.toFile), 1 << 20)
+              os = if (gzip) new GZIPOutputStream(raw, 1 << 20) else raw
+              emit("<?xml version='1.0' encoding='UTF-8'?>\n")
+              emit("<osmChange version=\"0.6\" generator=\"graft\">\n")
             }
-            emit("</osmChange>\n")
-          } finally os.close()
+            if (section != curSection) { closeSection(); curSection = section; emit(s"<$section>\n") }
+            emit(xml); emit("\n")
+          }
+          closeShard()
+        } catch {
+          case e: Throwable =>
+            if (os != null) os.close()
+            if (tmpPath != null) Files.deleteIfExists(tmpPath)
+            throw e
         }
       }
   }

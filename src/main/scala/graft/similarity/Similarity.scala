@@ -115,22 +115,41 @@ object Similarity {
     * assign-to-nearest (cosine) then per-cell dimension means —
     * spherical-k-means-style, entirely as DataFrame ops (two shuffles
     * per round: the dim explode and the regroup; assignment is a
-    * broadcast join). Cells that lose all members drop out, so the
-    * result has ≤ k centroids. Deterministic given the deterministic
-    * seed pick (ivfCentroids).
+    * broadcast join). Cells that lose all members (or average to the
+    * zero vector) drop out, so the result has ≤ k centroids. Seeding
+    * is deterministic (ivfCentroids); the per-dimension avg() is
+    * order-of-accumulation dependent, so refined centroids can differ
+    * in the last ulp across runs — fine for an ANN index, which is why
+    * IVF queries stay rows-only rather than oracle-checked.
     */
   def kmeansCentroids(data: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
+    val spark = data.sparkSession
+    val centSchema = StructType(Seq(
+      StructField("centroid_id", LongType, nullable = false),
+      StructField("cvec", ArrayType(FloatType), nullable = false)))
     var cents = ivfCentroids(data, idCol, vecCol, k)
     for (_ <- 1 to iters) {
-      val assigned = ivfAssign(data, idCol, vecCol, cents)
-      cents = assigned
+      val next = ivfAssign(data, idCol, vecCol, cents)
         .select(col("cell"), posexplode(col("vec")).as(Seq("d", "x")))
         .groupBy("cell", "d")
         .agg(avg(col("x").cast("double")).as("m"))
         .groupBy("cell")
         .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
-        .withColumn("cvec", transform(col("dm"), e => e.getField("m").cast("float")))
-        .select(col("cell").as("centroid_id"), col("cvec"))
+        .select(col("cell").cast("long"), transform(col("dm"), e => e.getField("m").cast("float")).as("cvec"))
+      // collect the tiny centroid table per round: constant lineage
+      // (no O(iters^2) recompute) and the broadcast is a literal.
+      // Drop zero-mean cells — a zero centroid would cosine to NaN and
+      // (NaN sorts greatest) swallow every vector next round.
+      // Explicit schema (no reflection encoder) so this also works in
+      // REPL sessions without the forked-JVM add-opens.
+      val rows = next.collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+        .filter { case (_, v) => v.exists(_ != 0.0f) }
+        .map { case (id, v) => Row(id, v) }
+      cents = spark
+        .createDataFrame(java.util.Arrays.asList(rows: _*), centSchema)
         .withColumn("cnrm", norm(col("cvec")))
     }
     cents

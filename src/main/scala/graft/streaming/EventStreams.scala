@@ -49,22 +49,26 @@ object EventStreams {
       left: DataFrame,
       right: DataFrame,
       beforeMs: Long = 3600000L,
-      afterMs: Long = 3600000L): DataFrame = {
+      afterMs: Long = 3600000L,
+      latenessMs: Long = 3600000L,
+      excludeSameId: Boolean = false): DataFrame = {
     val l = left
       .withColumn("l_ts", timestamp_millis(col("ms")))
-      .withWatermark("l_ts", "1 hour")
+      .withWatermark("l_ts", s"$latenessMs milliseconds")
       .select(col("event_id").as("l_event_id"), col("user_id").as("l_user"), col("ms").as("l_ms"), col("l_ts"))
     val r = right
       .withColumn("r_ts", timestamp_millis(col("ms")))
-      .withWatermark("r_ts", "1 hour")
+      .withWatermark("r_ts", s"$latenessMs milliseconds")
       .select(col("event_id").as("r_event_id"), col("user_id").as("r_user"), col("ms").as("r_ms"),
         col("v4").as("r_v4"), col("r_ts"))
-    l.join(
-      r,
+    val window =
       col("l_user") === col("r_user") &&
-        col("r_ts") >= col("l_ts") - expr(s"INTERVAL ${beforeMs / 1000} SECONDS") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL ${afterMs / 1000} SECONDS") &&
-        col("l_event_id") =!= col("r_event_id"))
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $beforeMs MILLISECONDS") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $afterMs MILLISECONDS")
+    // excludeSameId is for self-joining one stream with itself (shared
+    // id space); two independent streams keep same-id pairs
+    val cond = if (excludeSameId) window && col("l_event_id") =!= col("r_event_id") else window
+    l.join(r, cond)
       .select("l_event_id", "l_user", "l_ms", "r_event_id", "r_ms", "r_v4")
   }
 

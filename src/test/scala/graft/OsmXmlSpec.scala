@@ -47,6 +47,19 @@ class OsmXmlSpec extends AnyFunSuite {
       "id=\"(\\d+)\"".r.findAllMatchIn(content).map(_.group(1).toInt).toSeq
     }
     assert(all.sorted.toSeq == (1 to 40), s"ids across shards: ${all.sorted.mkString(",")}")
+
+    // referential order: nodes before ways before relations in a section
+    val mixed = Seq(
+      (0, "create", """<relation id="9" version="1"/>"""),
+      (0, "create", """<way id="6" version="1"/>"""),
+      (0, "create", """<node id="2" version="1" lat="0.000000" lon="0.000000"/>""")
+    ).toDF("shard", "section", "xml")
+    OsmChangeXml.writeSharded(dir, mixed, shards = 1)
+    val doc = new String(JFiles.readAllBytes(Paths.get(s"$dir/shard-0.osc")))
+    assert(doc.indexOf("<node") < doc.indexOf("<way") && doc.indexOf("<way") < doc.indexOf("<relation"), doc)
+    // rerun with fewer shards removed the stale shard-1..3 files
+    val after = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("shard-")).sorted
+    assert(after.toSeq == Seq("shard-0.osc"), after.mkString(","))
   }
 
   test("write() assembles a gzipped OsmChange document") {
