@@ -94,6 +94,12 @@ object Pipeline {
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")
     }),
+    // 38b — char-trigram (Cavnar–Trenkle-style) language ID
+    "txt_langid_ngram" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langIdNgram(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
     // 39 — quality scoring (length/punct/stopword ratios)
     "txt_quality" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -323,6 +329,17 @@ object Pipeline {
         |ORDER BY 2 DESC, vec_id LIMIT 10""".stripMargin,
     "txt_langid" ->
       s"SELECT doc_id, $langIdSql AS lang_pred FROM documents ORDER BY doc_id",
+    "txt_langid_ngram" -> {
+      val scores = TextAnalysis.DefaultTrigramProfiles.map { case (lang, grams) =>
+        val inList = grams.map(g => s"'${g.replace("'", "''")}'").mkString(", ")
+        lang -> (s"len(list_filter(CASE WHEN length(lower(text)) < 3 THEN [] " +
+          s"ELSE list_transform(range(1, length(lower(text)) - 1), i -> substr(lower(text), CAST(i AS INT), 3)) END, " +
+          s"g -> g IN ($inList)))")
+      }
+      val best = s"greatest(${scores.map(_._2).mkString(", ")})"
+      val cases = scores.map { case (lang, e) => s"WHEN $e = $best THEN '$lang'" }.mkString(" ")
+      s"SELECT doc_id, CASE $cases END AS lang_pred FROM documents ORDER BY doc_id"
+    },
     "txt_quality" ->
       s"""SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
         | CAST(len($toksSql) AS BIGINT) AS n_words,

@@ -78,6 +78,34 @@ object TextAnalysis {
     )
   }
 
+  /** Character-trigram language profiles — the classic n-gram
+    * language-ID heuristic (Cavnar–Trenkle style, tiny profiles).
+    */
+  val DefaultTrigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "he ", " th", "ing", "and", "ed ", " a "),
+    "es" -> Seq(" de", "de ", "la ", "os ", "que", " la", "ón "),
+    "de" -> Seq("er ", "en ", "der", "ie ", "ch ", "sch", "ein"),
+    "fr" -> Seq(" le", "es ", "le ", " de", "ent", "ais", "que")
+  )
+
+  /** Count of the text's char trigrams that occur in `profile`.
+    * (sequence(1, n) is DESCENDING for n < 1, so short texts take the
+    * explicit empty branch.) */
+  def trigramScore(text: Column, profile: Seq[String]): Column =
+    graft.ColumnOps.let(lower(text)) { lo =>
+      val grams = when(length(lo) < 3, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), length(lo) - 2), i => lo.substr(i, lit(3))))
+      size(filter(grams, g => g.isin(profile: _*)))
+    }
+
+  /** Predicted language from char-trigram profile hits; ties resolve
+    * to the earlier profile (same argmax rule as langId). */
+  def langIdNgram(text: Column, profiles: Seq[(String, Seq[String])] = DefaultTrigramProfiles): Column = {
+    val scores = profiles.map { case (lang, grams) => lang -> trigramScore(text, grams) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit(profiles.head._1)) { case ((lang, s), acc) => when(s === best, lit(lang)).otherwise(acc) }
+  }
+
   /** C4-style text normalization: lowercase, strip punctuation runs,
     * collapse whitespace, trim — the canonical form fed to dedup.
     */

@@ -14,6 +14,13 @@ class TextSpec extends AnyFunSuite {
     assert(out.toSeq == Seq("en", "es"))
   }
 
+  test("char-trigram langId distinguishes language-shaped text") {
+    val out = Seq("the thing and the ring", "la casa de que los niños", "xy")
+      .toDF("text").select(TextAnalysis.langIdNgram(col("text"))).as[String].collect()
+    assert(out(0) == "en" && out(1) == "es")
+    assert(out(2) == "en") // < 3 chars: all scores 0, first profile wins
+  }
+
   test("fingerprint matches hand-computed rolling hash") {
     // ((0*31+97)*31+98)*31+99 = 96354
     val h = Seq("abc").toDF("text").select(TextAnalysis.fingerprint(col("text"))).as[Long].head()
