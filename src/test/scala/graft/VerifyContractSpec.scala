@@ -1,0 +1,28 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver contract end-to-end: Verify.main must dump one parquet
+  * dir per registered query plus a parseable oracle_sql.json whose
+  * keys equal SparkEntry.oracleSql.
+  */
+class VerifyContractSpec extends AnyFunSuite {
+
+  test("Verify.main dumps every query and a well-formed oracle json") {
+    TestSpark.spark // warm the shared session first (Verify builds its own)
+    val out = Files.createTempDirectory("graft_verify").toString
+    Verify.main(Array(TestSpark.Sf, out))
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == SparkEntry.queries.keySet, {
+      val missing = SparkEntry.queries.keySet -- dirs
+      s"missing query dumps: $missing"
+    })
+    val json = Files.readString(java.nio.file.Paths.get(s"$out/oracle_sql.json"))
+    // minimal JSON sanity: parses as a flat string map with the right keys
+    val keyPattern = "\"((?:q|cg|dd|sim|txt|ev|mm)[^\"]*)\"\\s*:".r
+    val keys = keyPattern.findAllMatchIn(json).map(_.group(1)).toSet
+    assert(keys == SparkEntry.oracleSql.keySet)
+    assert(!json.contains("\n") && !json.contains("\t"), "control chars must be escaped")
+  }
+}
