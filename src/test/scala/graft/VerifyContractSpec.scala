@@ -9,10 +9,9 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class VerifyContractSpec extends AnyFunSuite {
 
-  test("Verify.main dumps every query and a well-formed oracle json") {
-    TestSpark.spark // warm the shared session first (Verify builds its own)
+  test("Verify.run dumps every query and a well-formed oracle json") {
     val out = Files.createTempDirectory("graft_verify").toString
-    Verify.main(Array(TestSpark.Sf, out))
+    Verify.run(TestSpark.spark, TestSpark.Sf, out)
     val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).toSet
     assert(dirs == SparkEntry.queries.keySet, {
       val missing = SparkEntry.queries.keySet -- dirs
