@@ -15,15 +15,19 @@ object ExplainAudit {
     val rows = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
-        val plan = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
-        Files.writeString(Paths.get(s"$outDir/$name.txt"), plan)
+        Files.writeString(Paths.get(s"$outDir/$name.txt"),
+          df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
+        // Count in SimpleMode output: nodes print inline there
+        // ("+- Exchange hashpartitioning(...)"), whereas FormattedMode splits
+        // the node name from its Arguments: line and the pattern never matches.
+        val plan = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
         def count(p: String) = plan.sliding(p.length).count(_ == p)
         // shuffle exchanges counted by partitioning kind so the number
         // is not contaminated by BroadcastExchange substring matches
         val shuffles = count("Exchange hashpartitioning") + count("Exchange rangepartitioning") +
           count("Exchange SinglePartition")
         f"$name%-22s shuf=$shuffles%2d bcast=${count("BroadcastExchange")}%2d " +
-          f"scan=${count("Scan parquet")}%2d " +
+          f"scan=${count("FileScan parquet")}%2d " +
           f"cart=${count("CartesianProduct")}%d sortagg=${count("SortAggregate")}%d"
       } catch { case e: Throwable => f"$name%-22s ERROR ${e.getMessage.take(60)}" }
     }
