@@ -110,9 +110,17 @@ object Dedup {
       .distinct()
   }
 
+  /** 32-bit SimHash via the native codegen'd expression (one pass, one
+    * md5 per distinct token). Bit-identical to [[simhash32]], which is
+    * retained as its interpreted spec twin (32 HOF folds — ~20×
+    * slower; don't use it in anything measured). */
+  def simhash32Native(text: Column): Column =
+    call_function("graft_simhash32", array_distinct(TextAnalysis.tokens(text)))
+
   /** 32-bit SimHash from md5 nibbles: each token hashes to 32 bits (8
     * hex chars of md5); bit b of the signature is 1 when the sum of
     * (2*bit-1) over tokens is positive. Integer-exact, portable.
+    * HOF spec twin of [[simhash32Native]].
     */
   def simhash32(text: Column): Column =
     // hash each distinct token ONCE; the 32 bit-folds then read nibbles

@@ -56,6 +56,7 @@ case class ClosestPointExpr(first: Expression, second: Expression, third: Expres
     var bestY = 0.0
     var i = 0
     while (i < n - 1) {
+      if (line.isNullAt(i) || line.isNullAt(i + 1)) return null
       val a = line.getStruct(i, 2)
       val b = line.getStruct(i + 1, 2)
       val ax = a.getDouble(0); val ay = a.getDouble(1)
@@ -87,6 +88,7 @@ case class ClosestPointExpr(first: Expression, second: Expression, third: Expres
          |  int ${v}BestSeg = -1;
          |  double ${v}BestT = 0.0, ${v}BestX = 0.0, ${v}BestY = 0.0;
          |  for (int $i = 0; $i < $n - 1; $i++) {
+         |    if ($line.isNullAt($i) || $line.isNullAt($i + 1)) { ${ev.isNull} = true; break; }
          |    InternalRow ${v}A = $line.getStruct($i, 2);
          |    InternalRow ${v}B = $line.getStruct($i + 1, 2);
          |    double ${v}Ax = ${v}A.getDouble(0); double ${v}Ay = ${v}A.getDouble(1);

@@ -44,12 +44,14 @@ case class DotProductExpr(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     // length mismatch → null, matching the HOF form (zip_with pads the
-    // shorter side with null, which nulls the whole fold)
+    // shorter side with null, which nulls the whole fold); likewise a
+    // null ELEMENT nulls the fold (null * anything → null → null sum)
     if (x.numElements() != y.numElements()) return null
     val n = x.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -68,9 +70,10 @@ case class DotProductExpr(left: Expression, right: Expression)
          |  int $n = $a.numElements();
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })
@@ -97,5 +100,9 @@ object GraftFunctions {
       FunctionIdentifier("graft_insertion_index"),
       new ExpressionInfo(classOf[InsertionIndexExpr].getName, "graft_insertion_index"),
       (children: Seq[Expression]) => InsertionIndexExpr(children(0), children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash32"),
+      new ExpressionInfo(classOf[SimhashExpr].getName, "graft_simhash32"),
+      (children: Seq[Expression]) => SimhashExpr(children(0))))
   }
 }

@@ -50,6 +50,7 @@ case class InsertionIndexExpr(first: Expression, second: Expression, third: Expr
     val cums = new Array[Double](n)
     var i = 0
     while (i < n - 1) {
+      if (line.isNullAt(i) || line.isNullAt(i + 1)) return null
       val a = line.getStruct(i, 2)
       val b = line.getStruct(i + 1, 2)
       val ax = a.getDouble(0); val ay = a.getDouble(1)
@@ -66,6 +67,9 @@ case class InsertionIndexExpr(first: Expression, second: Expression, third: Expr
       cums(i + 1) = cums(i) + segLen
       i += 1
     }
+    // all segments NaN (NaN coordinates) → no `d2 < bestD2` ever fires;
+    // bestSeg stays -1 and frac(-1) would throw — return null instead
+    if (bestSeg < 0) return null
     val total = cums(n - 1)
     def frac(j: Int): Double = if (total == 0.0) 0.0 else cums(j) / total
     val segStart = frac(bestSeg)
@@ -96,7 +100,8 @@ case class InsertionIndexExpr(first: Expression, second: Expression, third: Expr
          |  int ${v}BestSeg = -1;
          |  double ${v}BestT = 0.0;
          |  double[] ${v}Cums = new double[$n];
-         |  for (int $i = 0; $i < $n - 1; $i++) {
+         |  for (int $i = 0; $i < $n - 1 && !${ev.isNull}; $i++) {
+         |    if ($line.isNullAt($i) || $line.isNullAt($i + 1)) { ${ev.isNull} = true; break; }
          |    InternalRow ${v}A = $line.getStruct($i, 2);
          |    InternalRow ${v}B = $line.getStruct($i + 1, 2);
          |    double ${v}Ax = ${v}A.getDouble(0); double ${v}Ay = ${v}A.getDouble(1);
@@ -113,16 +118,21 @@ case class InsertionIndexExpr(first: Expression, second: Expression, third: Expr
          |      (${v}Ax - ${v}Bx) * (${v}Ax - ${v}Bx) + (${v}Ay - ${v}By) * (${v}Ay - ${v}By));
          |    ${v}Cums[$i + 1] = ${v}Cums[$i] + ${v}SegLen;
          |  }
-         |  double ${v}Total = ${v}Cums[$n - 1];
-         |  double ${v}FS = (${v}Total == 0.0) ? 0.0 : ${v}Cums[${v}BestSeg] / ${v}Total;
-         |  double ${v}FE = (${v}Total == 0.0) ? 0.0 : ${v}Cums[${v}BestSeg + 1] / ${v}Total;
-         |  double ${v}Loc = ${v}FS + ${v}BestT * (${v}FE - ${v}FS);
-         |  boolean $done = false;
-         |  for (int $j = 0; $j < $n && !$done; $j++) {
-         |    double ${v}F = (${v}Total == 0.0) ? 0.0 : ${v}Cums[$j] / ${v}Total;
-         |    if (${v}Loc < ${v}F) { ${ev.value} = $j; $done = true; }
+         |  // all-NaN segments leave BestSeg at -1 (no d2 < bestD2 fires);
+         |  // indexing Cums[-1] would throw, so return null like eval
+         |  if (${v}BestSeg < 0) { ${ev.isNull} = true; }
+         |  if (!${ev.isNull}) {
+         |    double ${v}Total = ${v}Cums[$n - 1];
+         |    double ${v}FS = (${v}Total == 0.0) ? 0.0 : ${v}Cums[${v}BestSeg] / ${v}Total;
+         |    double ${v}FE = (${v}Total == 0.0) ? 0.0 : ${v}Cums[${v}BestSeg + 1] / ${v}Total;
+         |    double ${v}Loc = ${v}FS + ${v}BestT * (${v}FE - ${v}FS);
+         |    boolean $done = false;
+         |    for (int $j = 0; $j < $n && !$done; $j++) {
+         |      double ${v}F = (${v}Total == 0.0) ? 0.0 : ${v}Cums[$j] / ${v}Total;
+         |      if (${v}Loc < ${v}F) { ${ev.value} = $j; $done = true; }
+         |    }
+         |    if (!$done) { ${ev.value} = $n - 1; }
          |  }
-         |  if (!$done) { ${ev.value} = $n - 1; }
          |}
        """.stripMargin
     })

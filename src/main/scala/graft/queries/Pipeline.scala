@@ -44,10 +44,11 @@ object Pipeline {
         shingleSize = 3, numPerm = 8, rowsPerBand = 2, maxBucket = 100)
         .orderBy("doc_a", "doc_b")
     }),
-    // 33 — 32-bit SimHash signatures
+    // 33 — 32-bit SimHash signatures (native one-pass expr; the HOF
+    // twin Dedup.simhash32 is bit-equality spec-tested against it)
     "dd_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
-        .select(col("doc_id"), Dedup.simhash32(col("text")).as("simhash"))
+        .select(col("doc_id"), Dedup.simhash32Native(col("text")).as("simhash"))
         .orderBy("doc_id")
     }),
     // 34 — n-gram Jaccard similarity pairs via shingle co-group
@@ -88,26 +89,20 @@ object Pipeline {
       Similarity.ivfSearch(assigned, e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", cents, nprobe = 2, k = 5)
         .orderBy("query_id", "cos_fp6")
     }),
-    // 38 — stopword-scoring language ID
+    // 38 — stopword-scoring language ID (staged: tokens project once)
     "txt_langid" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+      TextAnalysis.langIdDf(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
     }),
-    // 38b — char-trigram (Cavnar–Trenkle-style) language ID
+    // 38b — char-trigram (Cavnar–Trenkle-style) language ID (staged:
+    // the gram array projects once — the inline form was 8× slower)
     "txt_langid_ngram" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.langIdNgram(col("text")).as("lang_pred"))
+      TextAnalysis.langIdNgramDf(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
     }),
-    // 39 — quality scoring (length/punct/stopword ratios)
+    // 39 — quality scoring (length/punct/stopword ratios; staged tokens)
     "txt_quality" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .withColumn("q", TextAnalysis.quality(col("text")))
-        .select(col("doc_id"), col("q.n_chars").as("n_chars"), col("q.n_words").as("n_words"),
-          col("q.mean_word_len_fp2").as("mean_word_len_fp2"),
-          col("q.punct_ratio_fp4").as("punct_ratio_fp4"),
-          col("q.stopword_ratio_fp4").as("stopword_ratio_fp4"))
+      TextAnalysis.qualityDf(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
     }),
     // 40 — token counting (whitespace + BPE-ish regex pre-tokenizer)

