@@ -73,11 +73,13 @@ object Pipeline {
         .orderBy(col("cos_fp6").desc, col("vec_id"))
         .limit(10)
     }),
-    // 37 — LSH-bucketed ANN (rows-only; recall spec-tested vs brute force)
+    // 37 — LSH-bucketed ANN (rows-only; recall spec-tested vs brute
+    // force). Runs with the scale guards on: degenerate buckets capped,
+    // 2 extra multi-probe buckets per query to recover recall.
     "sim_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.annLsh(e, e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
-        numPlanes = 8, dim = 64, k = 5)
+        numPlanes = 8, dim = 64, k = 5, maxBucket = 1000L, nprobe = 2)
         .orderBy("query_id", "cos_fp6")
     }),
     // 37b — IVF ANN: inverted-list probe search (rows-only; the

@@ -57,6 +57,18 @@ object Similarity {
     java.lang.Long.parseLong(hex.substring(0, 6), 16).toDouble / 16777216.0 - 0.5
   }
 
+  /** Projection of `vec` onto hyperplane `p` — the exact arithmetic
+    * (left-fold of per-dim double products) behind lshBucket's sign
+    * bits, shared so multi-probe margins match the bucket bits. */
+  def planeProjection(vec: Column, p: Int, dim: Int): Column = {
+    val plane = array((0 until dim).map(d => lit(planeComponentValue(p, d))): _*)
+    aggregate(
+      zip_with(vec, plane, (x, c) => x.cast("double") * c),
+      lit(0.0),
+      (acc, v) => acc + v
+    )
+  }
+
   /** Sign-pattern LSH bucket id over `numPlanes` hyperplanes. Vectors in
     * the same bucket are ANN candidates; bucket join replaces the n²
     * scan. Recall is tuned by numPlanes / multi-probe (spec-tested
@@ -64,29 +76,82 @@ object Similarity {
     */
   def lshBucket(vec: Column, numPlanes: Int, dim: Int): Column = {
     val bits = (0 until numPlanes).map { p =>
-      val plane = array((0 until dim).map(d => lit(planeComponentValue(p, d))): _*)
-      val s = aggregate(
-        zip_with(vec, plane, (x, c) => x.cast("double") * c),
-        lit(0.0),
-        (acc, v) => acc + v
-      )
-      when(s > 0, lit("1")).otherwise(lit("0"))
+      when(planeProjection(vec, p, dim) > 0, lit("1")).otherwise(lit("0"))
     }
     concat_ws("", bits: _*)
   }
 
-  /** ANN via LSH buckets: top-k per query among same-bucket candidates.
-    * queries/data both carry (id, vec). Output: query_id, id, cos_fp6.
+  /** ANN via LSH buckets: top-k per query among candidates sharing a
+    * probed bucket. queries/data both carry (id, vec). Output:
+    * query_id, id, cos_fp6.
+    *
+    * Scale guards (both default-off so the exact same-bucket contract
+    * stays spec-checkable):
+    *  - `maxBucket`: data rows in buckets holding more than this many
+    *    vectors are dropped before the join — one degenerate bucket
+    *    (e.g. near-zero vectors sharing a sign pattern) would otherwise
+    *    make the probe quadratic. Same guard as
+    *    [[graft.dedup.Dedup.lshCandidatePairs]].
+    *  - `nprobe`: query-directed multi-probe — additionally probe the
+    *    buckets obtained by flipping the `nprobe` sign bits whose
+    *    hyperplane projections are smallest in magnitude (the planes
+    *    the query sits closest to — the standard multi-probe order).
+    *    Recall recovers what fewer planes / dropped buckets lose,
+    *    at (nprobe+1)× candidate cost.
     */
-  def annLsh(data: DataFrame, queries: DataFrame, idCol: String, vecCol: String, numPlanes: Int, dim: Int, k: Int): DataFrame = {
-    val d = data.select(col(idCol).as("id"), col(vecCol).as("vec"),
+  def annLsh(data: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+             numPlanes: Int, dim: Int, k: Int,
+             maxBucket: Long = Long.MaxValue, nprobe: Int = 0): DataFrame = {
+    val d0 = data.select(col(idCol).as("id"), col(vecCol).as("vec"),
       lshBucket(col(vecCol), numPlanes, dim).as("bucket"), norm(col(vecCol)).as("nrm"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-      lshBucket(col(vecCol), numPlanes, dim).as("bucket"), norm(col(vecCol)).as("qnrm"))
-    val scored = q
+    val d =
+      if (maxBucket == Long.MaxValue) d0
+      else {
+        // tiny map-side-combined agg (one row per occupied bucket)
+        val ok = d0.groupBy("bucket").agg(count(lit(1)).as("_n"))
+          .filter(col("_n") <= maxBucket).drop("_n")
+        d0.join(ok, "bucket")
+      }
+    // stage per-plane projections so each evaluates once (no CSE across
+    // the sign concat and the multi-probe flip-order sort); same
+    // arithmetic as lshBucket, so sign(_pN) == bucket char N
+    val projCols = (0 until numPlanes).map { p =>
+      planeProjection(col("qvec"), p, dim).as(s"_p$p")
+    }
+    val qProj = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"), norm(col(vecCol)).as("qnrm"))
+      .select(Seq(col("query_id"), col("qvec"), col("qnrm")) ++ projCols: _*)
+    val signBits = (0 until numPlanes).map(p => when(col(s"_p$p") > 0, lit("1")).otherwise(lit("0")))
+    val homeBucket = concat_ws("", signBits: _*)
+    val probeBuckets =
+      if (nprobe <= 0) array(homeBucket)
+      else {
+        // flip order: ascending |projection| (deterministic tie on index)
+        val ranked = array_sort(array((0 until numPlanes).map { p =>
+          struct(abs(col(s"_p$p")).as("m"), lit(p).as("p"))
+        }: _*))
+        val flips = slice(ranked, 1, nprobe)
+        graft.ColumnOps.let(homeBucket) { hb =>
+          concat(array(hb), transform(flips, f => {
+            val i = f.getField("p") // 0-based plane index == char position
+            concat(
+              hb.substr(lit(1), i),                    // prefix [0, i)
+              when(hb.substr(i + 1, lit(1)) === "1", lit("0")).otherwise(lit("1")),
+              hb.substr(i + 2, lit(numPlanes)))        // suffix (i, end]
+          }))
+        }
+      }
+    val q = qProj.select(col("query_id"), col("qvec"), col("qnrm"),
+      explode(array_distinct(probeBuckets)).as("bucket"))
+    val scored0 = q
       .join(d, "bucket")
       .filter(col("query_id") =!= col("id"))
       .withColumn("cos_fp6", TextAnalysis.fp(dot(col("qvec"), col("vec")) / (col("qnrm") * col("nrm")), 6))
+    // multi-probe can reach a candidate via several buckets — dedup
+    // before ranking (skipped for single-probe: buckets are disjoint)
+    val scored =
+      if (nprobe <= 0) scored0
+      else scored0.groupBy("query_id", "id").agg(first("cos_fp6").as("cos_fp6"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("cos_fp6").desc, col("id"))
@@ -155,21 +220,33 @@ object Similarity {
     cents
   }
 
-  /** Assign each vector to its nearest centroid by cosine (broadcast
-    * centroid join — k is small; ties break on centroid id). The
-    * resulting (id, vec, cell) table is the inverted-list index:
-    * repartitioned/bucketed by cell it serves probes shuffle-free.
+  /** Assign each vector to its nearest centroid by cosine (ties break
+    * on centroid id). The centroid table is collected (it is k rows —
+    * the same table [[kmeansCentroids]] already collects each round)
+    * and inlined as literal arrays, so assignment is a pure map-side
+    * projection: per-centroid cosines staged once, then a
+    * literal-argmax when-chain over bound attributes. ZERO shuffles —
+    * the previous form windowed over `row_number() PARTITION BY id`,
+    * which exchanged corpus×k rows to compute an argmax. The resulting
+    * (id, vec, cell) table is the inverted-list index: repartitioned/
+    * bucketed by cell it serves probes shuffle-free.
     */
   def ivfAssign(data: DataFrame, idCol: String, vecCol: String, centroids: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("_cos").desc, col("centroid_id"))
-    data
-      .select(col(idCol), col(vecCol), norm(col(vecCol)).as("_nrm"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("_cos", dot(col(vecCol), col("cvec")) / (col("_nrm") * col("cnrm")))
-      .withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") === 1)
-      .select(col(idCol).as("id"), col(vecCol).as("vec"), col("centroid_id").as("cell"), col("_nrm").as("nrm"))
+    val cents = centroids.select(col("centroid_id"), col("cvec"), col("cnrm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+      .sortBy(_._1) // ascending id so the when-chain tie-break = window's (cos desc, id asc)
+    require(cents.nonEmpty, "ivfAssign: empty centroid table")
+    val staged = data.select(col(idCol).as("id"), col(vecCol).as("vec"), norm(col(vecCol)).as("nrm"))
+    val scored = staged.select(
+      col("id") +: col("vec") +: col("nrm") +: cents.toSeq.map { case (cid, cvec, cnrm) =>
+        (dot(col("vec"), array(cvec.map(v => lit(v)): _*)) / (col("nrm") * lit(cnrm))).as(s"_c$cid")
+      }: _*)
+    val best = cents.map { case (cid, _, _) => col(s"_c$cid") }.reduce((a, b) => greatest(a, b))
+    val cell = cents.foldRight(lit(cents.last._1)) { case ((cid, _, _), acc) =>
+      when(col(s"_c$cid") === best, lit(cid)).otherwise(acc)
+    }
+    scored.select(col("id"), col("vec"), cell.as("cell"), col("nrm"))
   }
 
   /** IVF ANN: probe the `nprobe` nearest inverted lists per query,

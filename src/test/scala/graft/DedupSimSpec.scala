@@ -53,6 +53,33 @@ class DedupSimSpec extends AnyFunSuite {
     assert(empty == ((0L, 0L)))
   }
 
+  test("annLsh multi-probe raises recall over single-probe; bucket cap bounds candidates") {
+    val emb = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    val k = 5
+    // brute-force ground truth per query
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(col("cos_fp6").desc, col("vec_id"))
+    val truth = emb.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos_fp6", graft.text.TextAnalysis.fp(Similarity.cosine(col("embedding"), col("qvec")), 6))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("qid", "vec_id").as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recall(res: Map[Long, Set[Long]]): Double =
+      truth.map { case (qid, t) => res.getOrElse(qid, Set.empty).intersect(t).size.toDouble / t.size }.sum / truth.size
+    def run(nprobe: Int): Map[Long, Set[Long]] =
+      Similarity.annLsh(emb, queries, "vec_id", "embedding", numPlanes = 6, dim = 64, k = k, nprobe = nprobe)
+        .select("query_id", "id").as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val single = run(0)
+    val multi = run(3)
+    assert(recall(multi) >= recall(single))
+    assert(multi.map(_._2.size).sum >= single.map(_._2.size).sum)
+    // cap of 0 drops every bucket → empty result (the guard engages)
+    val capped = Similarity.annLsh(emb, queries, "vec_id", "embedding",
+      numPlanes = 6, dim = 64, k = k, maxBucket = 0L).count()
+    assert(capped == 0)
+  }
+
   test("ngram jaccard finds near-duplicates, not disjoint docs") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
