@@ -104,5 +104,9 @@ object GraftFunctions {
       FunctionIdentifier("graft_simhash32"),
       new ExpressionInfo(classOf[SimhashExpr].getName, "graft_simhash32"),
       (children: Seq[Expression]) => SimhashExpr(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_line_dist2"),
+      new ExpressionInfo(classOf[LineDistExpr].getName, "graft_line_dist2"),
+      (children: Seq[Expression]) => LineDistExpr(children(0), children(1))))
   }
 }

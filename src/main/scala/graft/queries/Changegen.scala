@@ -57,6 +57,22 @@ object Changegen {
     t(s, dir, "customer")
       .select(col("c_custkey"), (col("c_nationkey") % 5).as("nk"), px(col("c_custkey")).as("cpx"), py(col("c_custkey")).as("cpy"))
 
+  /** Compact "blob" linestrings for the line-line DWithin: each group
+    * gets an md5-scattered base point and vertices jittered within a
+    * ~4×4 box around it, so line pairs span the full near/far/crossing
+    * distance range (the global lattice lines all cross each other —
+    * useless for a distance-join oracle). */
+  private def blobLines(df: DataFrame, keyCol: String, groups: Int, idName: String,
+                        tagX: String, tagY: String, offA: Int, offB: Int): DataFrame =
+    df.select((col(keyCol) % groups).as(idName), col(keyCol).as("k"),
+        (rnd(tagX, col(keyCol) % groups) * lit(0.3) + (col(keyCol) * offA % 40) / lit(10.0)).as("x"),
+        (rnd(tagY, col(keyCol) % groups) * lit(0.3) + (col(keyCol) * offB % 40) / lit(10.0)).as("y"))
+      .groupBy(idName)
+      .agg(array_sort(collect_list(struct(col("k"), col("x"), col("y")))).as("_kxy"))
+      .withColumn("line", transform(col("_kxy"), e => struct(e.getField("x").as("x"), e.getField("y").as("y"))))
+      .filter(size(col("line")) >= 2)
+      .select(idName, "line")
+
   val defs: Map[String, Q] = Map(
     // 12 — new-vs-old snapshot → <create>: left-anti join on key
     "cg_diff_create" -> ((s, dir) => {
@@ -150,6 +166,32 @@ object Changegen {
         .filter(col("c_custkey") < col("other"))
         .select(col("c_custkey"), col("other"), fp(col("dist"), 6).as("dist_fp6"))
         .orderBy("c_custkey", "other")
+    }),
+    // 21c — the reference's ACTUAL spatial join shape: st_dwithin
+    // between a point set and LINESTRING geometries with the closest
+    // point on the line (db.py:127-135) — grid-bucketed, line side
+    // replicated over its padded bbox cells, point side in one cell
+    "cg_dwithin_line" -> ((s, dir) => {
+      val pts = t(s, dir, "customer")
+        .select(col("c_custkey"), px(col("c_custkey")).as("cpx"), py(col("c_custkey")).as("cpy"))
+      DWithinJoin.pointLine(pts, "c_custkey", "cpx", "cpy",
+          nationLines(s, dir).select(col("nk").cast("long").as("line_id"), col("line")),
+          "line_id", "line", 1.0)
+        .select(col("c_custkey"), col("line_id"),
+          fp(col("dist"), 6).as("dist_fp6"), fp(col("cp_x"), 6).as("cpx_fp6"), fp(col("cp_y"), 6).as("cpy_fp6"))
+        .orderBy("c_custkey", "line_id")
+    }),
+    // 21d — line-line st_dwithin (db.py:127-135 when both geometries
+    // are linestrings): exact segment-pair distance via the native
+    // graft_line_dist2, canonical-cell grid join (no dedup shuffle)
+    "cg_dwithin_lineline" -> ((s, dir) => {
+      val l = blobLines(t(s, dir, "supplier"), "s_suppkey", 10, "lid", "lbx", "lby", 7, 23)
+        .select(col("lid").cast("long").as("lid"), col("line"))
+      val r = blobLines(t(s, dir, "customer"), "c_custkey", 15, "rid", "rbx", "rby", 11, 31)
+        .select(col("rid").cast("long").as("rid"), col("line"))
+      DWithinJoin.lineLine(l, "lid", "line", r, "rid", "line", 3.0)
+        .select(col("lid"), col("rid"), fp(col("dist"), 6).as("dist_fp6"))
+        .orderBy("lid", "rid")
     }),
     // 22 — ST_ClosestPoint: segment-wise projection over coord arrays
     "cg_closest_point" -> ((s, dir) => {
@@ -347,6 +389,79 @@ object Changegen {
         |SELECT c_custkey, seg0 AS seg, ${sqlFp("t", 6)} AS t_fp6,
         |  ${sqlFp("cx", 6)} AS x_fp6, ${sqlFp("cy", 6)} AS y_fp6
         |FROM best ORDER BY c_custkey""".stripMargin,
+    "cg_dwithin_line" ->
+      s"""WITH sp AS (SELECT s_nationkey % 5 AS nk,
+        |  row_number() OVER (PARTITION BY s_nationkey % 5 ORDER BY s_suppkey) AS seq,
+        |  (s_suppkey*13 % 1000)/10.0 AS x, (s_suppkey*29 % 1000)/10.0 AS y FROM supplier),
+        |ln AS (SELECT nk FROM sp GROUP BY nk HAVING count(*) >= 2),
+        |seg AS (SELECT a.nk, CAST(a.seq - 1 AS INT) AS seg0, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by2
+        |        FROM sp a JOIN sp b ON a.nk = b.nk AND b.seq = a.seq + 1 JOIN ln ON ln.nk = a.nk),
+        |cust AS (SELECT c_custkey, (c_custkey*13 % 1000)/10.0 AS px2, (c_custkey*29 % 1000)/10.0 AS py2 FROM customer),
+        |cand AS (SELECT c.c_custkey, g.nk, g.seg0, g.ax, g.ay, c.px2, c.py2,
+        |    (g.bx - g.ax) AS dx, (g.by2 - g.ay) AS dy,
+        |    ((g.bx - g.ax)*(g.bx - g.ax) + (g.by2 - g.ay)*(g.by2 - g.ay)) AS len2
+        |  FROM cust c CROSS JOIN seg g),
+        |proj AS (SELECT *, least(greatest(CASE WHEN len2 = 0 THEN 0.0
+        |    ELSE ((px2 - ax)*dx + (py2 - ay)*dy) / len2 END, 0.0), 1.0) AS t FROM cand),
+        |cp AS (SELECT c_custkey, nk, seg0, (ax + t*dx) AS cx, (ay + t*dy) AS cy,
+        |    ((ax + t*dx) - px2)*((ax + t*dx) - px2) + ((ay + t*dy) - py2)*((ay + t*dy) - py2) AS d2
+        |  FROM proj),
+        |best AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY c_custkey, nk ORDER BY d2, seg0) AS rn
+        |  FROM cp) WHERE rn = 1)
+        |SELECT c_custkey, CAST(nk AS BIGINT) AS line_id, ${sqlFp("sqrt(d2)", 6)} AS dist_fp6,
+        |  ${sqlFp("cx", 6)} AS cpx_fp6, ${sqlFp("cy", 6)} AS cpy_fp6
+        |FROM best WHERE sqrt(d2) <= 1.0 ORDER BY c_custkey, line_id""".stripMargin,
+    "cg_dwithin_lineline" -> {
+      def rndE(tag: String, expr: String): String =
+        s"""(list_reduce(list_prepend(CAST(0 AS BIGINT),
+           | list_transform(range(1, 7),
+           |  i -> CAST(strpos('0123456789abcdef', substr(md5('$tag' || CAST($expr AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT))),
+           | (a, v) -> a*16 + v) / 16777216.0 * 100.0)""".stripMargin.replace("\n", " ")
+      s"""WITH lsp AS (SELECT s_suppkey % 10 AS lid,
+        |    row_number() OVER (PARTITION BY s_suppkey % 10 ORDER BY s_suppkey) AS seq,
+        |    ${rndE("lbx", "s_suppkey % 10")} * 0.3 + (s_suppkey*7 % 40)/10.0 AS x,
+        |    ${rndE("lby", "s_suppkey % 10")} * 0.3 + (s_suppkey*23 % 40)/10.0 AS y FROM supplier),
+        |lln AS (SELECT lid FROM lsp GROUP BY lid HAVING count(*) >= 2),
+        |aseg AS (SELECT a.lid, a.x AS p1x, a.y AS p1y, b.x AS p2x, b.y AS p2y
+        |         FROM lsp a JOIN lsp b ON a.lid = b.lid AND b.seq = a.seq + 1 JOIN lln ON lln.lid = a.lid),
+        |rsp AS (SELECT c_custkey % 15 AS rid,
+        |    row_number() OVER (PARTITION BY c_custkey % 15 ORDER BY c_custkey) AS seq,
+        |    ${rndE("rbx", "c_custkey % 15")} * 0.3 + (c_custkey*11 % 40)/10.0 AS x,
+        |    ${rndE("rby", "c_custkey % 15")} * 0.3 + (c_custkey*31 % 40)/10.0 AS y FROM customer),
+        |rln AS (SELECT rid FROM rsp GROUP BY rid HAVING count(*) >= 2),
+        |bseg AS (SELECT a.rid, a.x AS q1x, a.y AS q1y, b.x AS q2x, b.y AS q2y
+        |         FROM rsp a JOIN rsp b ON a.rid = b.rid AND b.seq = a.seq + 1 JOIN rln ON rln.rid = a.rid),
+        |dv AS (SELECT *,
+        |    (p2x - p1x) AS adx, (p2y - p1y) AS ady,
+        |    (q2x - q1x) AS bdx, (q2y - q1y) AS bdy,
+        |    ((p2x - p1x)*(p2x - p1x) + (p2y - p1y)*(p2y - p1y)) AS alen2,
+        |    ((q2x - q1x)*(q2x - q1x) + (q2y - q1y)*(q2y - q1y)) AS blen2,
+        |    ((q2x - q1x)*(p1y - q1y) - (q2y - q1y)*(p1x - q1x)) AS o1,
+        |    ((q2x - q1x)*(p2y - q1y) - (q2y - q1y)*(p2x - q1x)) AS o2,
+        |    ((p2x - p1x)*(q1y - p1y) - (p2y - p1y)*(q1x - p1x)) AS o3,
+        |    ((p2x - p1x)*(q2y - p1y) - (p2y - p1y)*(q2x - p1x)) AS o4
+        |  FROM aseg CROSS JOIN bseg),
+        |ts AS (SELECT *,
+        |    least(greatest(CASE WHEN blen2 = 0 THEN 0.0 ELSE ((p1x - q1x)*bdx + (p1y - q1y)*bdy) / blen2 END, 0.0), 1.0) AS t1,
+        |    least(greatest(CASE WHEN blen2 = 0 THEN 0.0 ELSE ((p2x - q1x)*bdx + (p2y - q1y)*bdy) / blen2 END, 0.0), 1.0) AS t2,
+        |    least(greatest(CASE WHEN alen2 = 0 THEN 0.0 ELSE ((q1x - p1x)*adx + (q1y - p1y)*ady) / alen2 END, 0.0), 1.0) AS t3,
+        |    least(greatest(CASE WHEN alen2 = 0 THEN 0.0 ELSE ((q2x - p1x)*adx + (q2y - p1y)*ady) / alen2 END, 0.0), 1.0) AS t4
+        |  FROM dv),
+        |ds AS (SELECT lid, rid, o1, o2, o3, o4,
+        |    ((q1x + t1*bdx) - p1x)*((q1x + t1*bdx) - p1x) + ((q1y + t1*bdy) - p1y)*((q1y + t1*bdy) - p1y) AS m1,
+        |    ((q1x + t2*bdx) - p2x)*((q1x + t2*bdx) - p2x) + ((q1y + t2*bdy) - p2y)*((q1y + t2*bdy) - p2y) AS m2,
+        |    ((p1x + t3*adx) - q1x)*((p1x + t3*adx) - q1x) + ((p1y + t3*ady) - q1y)*((p1y + t3*ady) - q1y) AS m3,
+        |    ((p1x + t4*adx) - q2x)*((p1x + t4*adx) - q2x) + ((p1y + t4*ady) - q2y)*((p1y + t4*ady) - q2y) AS m4
+        |  FROM ts),
+        |pd AS (SELECT lid, rid,
+        |    CASE WHEN ((o1 > 0 AND o2 < 0) OR (o1 < 0 AND o2 > 0))
+        |          AND ((o3 > 0 AND o4 < 0) OR (o3 < 0 AND o4 > 0))
+        |      THEN 0.0 ELSE least(m1, m2, m3, m4) END AS d2
+        |  FROM ds),
+        |md AS (SELECT lid, rid, min(d2) AS d2 FROM pd GROUP BY lid, rid)
+        |SELECT CAST(lid AS BIGINT) AS lid, CAST(rid AS BIGINT) AS rid, ${sqlFp("sqrt(d2)", 6)} AS dist_fp6
+        |FROM md WHERE sqrt(d2) <= 3.0 ORDER BY lid, rid""".stripMargin
+    },
     "cg_node_dedup" ->
       s"""SELECT rx, ry, min(c_custkey) AS keep_id, count(*) AS n_dups FROM (
         |  SELECT c_custkey,

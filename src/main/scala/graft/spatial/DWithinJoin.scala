@@ -1,6 +1,6 @@
 package graft.spatial
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distance-based spatial join — the Spark re-expression of the
@@ -123,6 +123,63 @@ object DWithinJoin {
       .withColumn("dist", sqrt(col("_cp.d2")))
       .filter(col("dist") <= radius)
       .select(col(leftId), col(rightId), col("dist"), col("_cp.x").as("cp_x"), col("_cp.y").as("cp_y"))
-      .distinct() // a line may meet the same point from several cells
+    // no dedup needed: the point occupies exactly ONE cell, so a
+    // (point, line) pair meets at most once however many cells the
+    // line is replicated to
+  }
+
+  /** Line-linestring within-radius join — the reference's actual
+    * `st_dwithin(new.geometry, old.geometry, buffer)` between
+    * LINESTRING geometries (changegen/db.py:127-135). Both sides carry
+    * `array<struct<x,y>>` geometry columns.
+    *
+    * Grid strategy: the left line replicates to every cell of its
+    * radius-padded bbox, the right to its unpadded bbox cells; two
+    * lines within `radius` always share at least one cell. Since BOTH
+    * sides are replicated, a pair can meet in many cells — instead of
+    * a distinct-shuffle, each side carries its bbox cell minima and
+    * the pair is kept only in its canonical cell (the lexicographic
+    * smallest common cell: elementwise max of the two minima), which
+    * is exactly-once by construction.
+    *
+    * The exact predicate is the native `graft_line_dist2` (proper
+    * segment crossing → 0, else endpoint-to-segment minima — true
+    * segment distance, not densified). Output: leftId, rightId, dist.
+    */
+  def lineLine(
+      left: DataFrame,
+      leftId: String,
+      leftLine: String,
+      right: DataFrame,
+      rightId: String,
+      rightLine: String,
+      radius: Double
+  ): DataFrame = {
+    val r = lit(radius)
+    def xs(c: Column) = transform(c, p => p.getField("x"))
+    def ys(c: Column) = transform(c, p => p.getField("y"))
+    def cellsOf(df: DataFrame, lineCol: String, pad: Column, cxm: String, cym: String) = {
+      val cxMin = floor((array_min(xs(col(lineCol))) - pad) / r).cast("long")
+      val cxMax = floor((array_max(xs(col(lineCol))) + pad) / r).cast("long")
+      val cyMin = floor((array_min(ys(col(lineCol))) - pad) / r).cast("long")
+      val cyMax = floor((array_max(ys(col(lineCol))) + pad) / r).cast("long")
+      df.withColumn(cxm, cxMin)
+        .withColumn(cym, cyMin)
+        .withColumn("_cell", explode(flatten(transform(
+          sequence(col(cxm), cxMax),
+          cx => transform(sequence(col(cym), cyMax), cy => struct(cx.as("cx"), cy.as("cy")))))))
+    }
+    val lCells = cellsOf(
+      left.select(col(leftId), col(leftLine).as("_lline")), "_lline", r, "_lcx0", "_lcy0")
+    val rCells = cellsOf(
+      right.select(col(rightId), col(rightLine).as("_rline")), "_rline", lit(0.0), "_rcx0", "_rcy0")
+    lCells
+      .join(rCells, "_cell")
+      // canonical cell: exactly-once without a distinct shuffle
+      .filter(col("_cell.cx") === greatest(col("_lcx0"), col("_rcx0")) &&
+        col("_cell.cy") === greatest(col("_lcy0"), col("_rcy0")))
+      .withColumn("dist", sqrt(call_function("graft_line_dist2", col("_lline"), col("_rline"))))
+      .filter(col("dist") <= radius)
+      .select(col(leftId), col(rightId), col("dist"))
   }
 }

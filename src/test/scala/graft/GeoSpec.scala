@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.spatial.{DWithinJoin, Geo}
@@ -82,6 +83,46 @@ class GeoSpec extends AnyFunSuite {
       aggregate(zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
         lit(0.0), (acc, v) => acc + v).isNull).as[Boolean].head()
     assert(native && hof)
+  }
+
+  test("graft_line_dist2: crossing=0, touching=0, parallel gap, endpoint case") {
+    val df = Seq(1).toDF("i")
+    def d2(a: Column, b: Column) = sqrt(call_function("graft_line_dist2", a, b))
+    val out = df.select(
+      d2(line((0, 0), (10, 0)), line((5, -5), (5, 5))).as("crossing"),
+      d2(line((0, 0), (10, 0)), line((5, 0), (5, 5))).as("touching"),
+      d2(line((0, 0), (10, 0)), line((0, 3), (10, 3))).as("parallel"),
+      d2(line((0, 0), (10, 0)), line((13, 4), (20, 4))).as("corner"),
+      d2(line((0, 0), (10, 0), (10, 10)), line((12, 9), (20, 9))).as("multiseg"))
+      .as[(Double, Double, Double, Double, Double)].head()
+    assert(out._1 == 0.0 && out._2 == 0.0 && out._3 == 3.0)
+    assert(out._4 == 5.0) // endpoint (10,0) to endpoint (13,4): 3-4-5
+    assert(out._5 == 2.0) // nearest via the vertical segment
+    // degenerate: single-vertex line → null
+    val nul = df.select(call_function("graft_line_dist2",
+      line((0, 0)), line((1, 1), (2, 2))).isNull).as[Boolean].head()
+    assert(nul)
+  }
+
+  test("DWithinJoin.lineLine equals brute force and reports each pair once") {
+    // small blobby lines scattered over a 40x40 box
+    def mkLines(n: Int, seed: Int) = (1 to n).map { g =>
+      val bx = (g * 131 * seed % 35).toDouble
+      val by = (g * 173 * seed % 35).toDouble
+      (g.toLong, (0 until 4).map(v => (bx + v, by + (v * seed % 3))).map { case (x, y) => (x, y) })
+    }.toDF("id", "pts")
+      .withColumn("line", expr("transform(pts, p -> struct(p._1 AS x, p._2 AS y))"))
+      .select("id", "line")
+    val a = mkLines(8, 3).withColumnRenamed("id", "lid")
+    val b = mkLines(9, 7).withColumnRenamed("id", "rid")
+    val grid = DWithinJoin.lineLine(a, "lid", "line", b, "rid", "line", 2.5)
+      .select("lid", "rid").as[(Long, Long)].collect()
+    val brute = a.crossJoin(b)
+      .withColumn("d", sqrt(call_function("graft_line_dist2", a("line"), b("line"))))
+      .filter(col("d") <= 2.5)
+      .select("lid", "rid").as[(Long, Long)].collect()
+    assert(grid.length == grid.toSet.size, "grid join emitted a duplicate pair")
+    assert(grid.toSet == brute.toSet && brute.nonEmpty)
   }
 
   test("mercator reprojection matches known anchors") {
