@@ -24,16 +24,37 @@ object TagOps {
     map(cols.flatMap(c => Seq(lit(c), coalesce(col(c).cast("string"), lit("")))): _*)
   }
 
+  /** `"((?:[^"\\]|\\.)*)"` twice around `=>`: a quoted-pair regex that
+    * admits backslash-escaped quotes/backslashes inside keys and
+    * values. Group 1 = key, group 2 = value (both still escaped). */
+  private val HstorePairRx = """"((?:[^"\\]|\\.)*)"\s*=>\s*"((?:[^"\\]|\\.)*)""""
+
   /** Parse a Postgres hstore literal (`"k"=>"v", "k2"=>"v2"`) into a
-    * map. Mirrors db.py:7-25 (split on `", `, strip quotes/space around
-    * `=>`). Tolerates single- or double-quoted keys/values.
+    * map — the semantics of db.py:7-25 but robust where the
+    * reference's global quote-strip is not: values containing `,` or
+    * `=>` or backslash-escaped quotes parse correctly (pairs are
+    * pulled by [[HstorePairRx]], not by splitting on bare commas).
+    * Duplicate keys keep the LAST occurrence (Python `dict()` rule).
+    * Unquoted `NULL` values are not represented (the reference drops
+    * them too). Empty/blank input → empty map; null input → null.
     */
   def hstoreToMap(c: Column): Column = {
-    // normalize: strip quotes, then standard str_to_map on "," / "=>"
-    // (whitespace-tolerant around both delimiters and at the ends)
-    val cleaned = regexp_replace(trim(c), """["']""", "")
-    when(length(trim(c)) === 0, map())
-      .otherwise(str_to_map(cleaned, lit("\\s*,\\s*"), lit("\\s*=>\\s*")))
+    import graft.ColumnOps.let
+    def unesc(s: Column): Column = regexp_replace(s, """\\(.)""", "$1")
+    let(regexp_extract_all(c, lit(HstorePairRx), lit(1))) { ks =>
+      let(regexp_extract_all(c, lit(HstorePairRx), lit(2))) { vs =>
+        // last-occurrence-wins: keep index i only if its key never
+        // recurs later (all arrays are small — tag maps)
+        val n = size(ks)
+        val idx = when(n === 0, array().cast("array<int>"))
+          .otherwise(sequence(lit(1), n))
+        let(filter(idx, i => !exists(slice(ks, i + 1, n), k2 => k2 === element_at(ks, i)))) { keep =>
+          map_from_arrays(
+            transform(keep, i => unesc(element_at(ks, i))),
+            transform(keep, i => unesc(element_at(vs, i))))
+        }
+      }
+    }
   }
 
   /** Column-precedence merge: keys of `primary` win over `secondary`

@@ -26,12 +26,14 @@ object Pipeline {
 
   /** events projected to engine-exact types: epoch ms + fp4 value.
     * `ts` arrives as long nanos (spark.sql.legacy.parquet.nanosAsLong
-    * — Spark 4 has no native ns timestamp); floor-divide to ms exactly
-    * like DuckDB's epoch_ms(). */
+    * — Spark 4 has no native ns timestamp). True FLOOR division to ms
+    * (subtract the non-negative pmod remainder first): bare `DIV`
+    * truncates toward zero, which would diverge from DuckDB's
+    * epoch_ms() for pre-1970 (negative) nanos. */
   private def ev(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events").select(
       col("event_id"), col("user_id"), col("event_type"),
-      expr("ts DIV 1000000").as("ms"), fp(col("value"), 4).as("v4"))
+      expr("(ts - pmod(ts, 1000000)) DIV 1000000").as("ms"), fp(col("value"), 4).as("v4"))
 
   val defs: Map[String, Q] = Map(
     // 31 — exact dedup by content hash, keep min id
@@ -373,7 +375,9 @@ object Pipeline {
         |  min(ms) AS start_ms, max(ms) AS end_ms, CAST(sum(v4) AS BIGINT) AS sum_v4
         |FROM sess GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
     "ev_window_agg" ->
-      s"""SELECT ms - (ms % 3600000) AS win_start, event_type, count(*) AS n,
+      // floored modulus ((x % m + m) % m) mirrors Spark's pmod, so the
+      // window start floors for negative ms too (DuckDB % truncates)
+      s"""SELECT ms - ((ms % 3600000 + 3600000) % 3600000) AS win_start, event_type, count(*) AS n,
         |  CAST(sum(v4) AS BIGINT) AS sum_v4
         |FROM (SELECT epoch_ms(ts) AS ms, event_type, ${sqlFp("\"value\"", 4)} AS v4 FROM events)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

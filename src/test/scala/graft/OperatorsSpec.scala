@@ -38,6 +38,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.isEmpty)
   }
 
+  test("TagOps hstore: quoted values with commas, arrows, escapes; duplicate keys last-win") {
+    /* Scala reference parser: quoted pairs with backslash escapes,
+     * dict()-style last-wins — the semantics db.py:7-25 intends. */
+    def ref(s: String): Map[String, String] = {
+      val rx = """"((?:[^"\\]|\\.)*)"\s*=>\s*"((?:[^"\\]|\\.)*)"""".r
+      rx.findAllMatchIn(s).map { m =>
+        def un(x: String) = x.replaceAll("""\\(.)""", "$1")
+        un(m.group(1)) -> un(m.group(2))
+      }.toMap // Scala Map keeps the last binding per key
+    }
+    val cases = Seq(
+      """"note"=>"a, b", "x"=>"y"""",                  // comma inside value
+      """"eq"=>"k=>v", "x"=>"y"""",                    // arrow inside value
+      """"q"=>"say \"hi\"", "p"=>"back\\slash"""",     // escaped quote + backslash
+      """"dup"=>"first", "dup"=>"second"""",           // duplicate key
+      """"spaced"  =>  "v" , "t"=>"u"""",              // whitespace tolerance
+      """"empty"=>"", ""=>"emptykey"""",               // empty key and value
+      """"a"=>"1"""",                                  // single pair
+      ""                                               // empty input
+    )
+    val got = cases.toDF("hs").select(TagOps.hstoreToMap(col("hs")).as("m"))
+      .as[Map[String, String]].collect()
+    cases.zip(got).foreach { case (in, out) =>
+      assert(out == ref(in), s"mismatch for input <$in>")
+    }
+    assert(got(0) == Map("note" -> "a, b", "x" -> "y"))
+    assert(got(2) == Map("q" -> """say "hi"""", "p" -> """back\slash"""))
+    assert(got(3) == Map("dup" -> "second"))
+  }
+
   test("WayOps.splitWay chunks share joiner nodes") {
     val df = Seq((1L, (1L to 7L))).toDF("way", "nds")
     val chunks = WayOps.splitWay(df, "nds", nodeLimit = 4, segmentLen = 3)
