@@ -151,23 +151,29 @@ object Dedup {
     * jaccard ≥ threshold.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int, threshold: Double, maxShingleDf: Int = 1000): DataFrame = {
-    val sh0 = df.select(col(idCol).as("doc"), shingles(col(textCol), n).as("shs"))
-    // set size from the array BEFORE exploding: no groupBy shuffle,
-    // no second scan of the corpus
-    val sizes = sh0.select(col("doc"), size(col("shs")).cast("long").as("sz"))
-    val sh = sh0.select(col("doc"), explode(col("shs")).as("sh"))
-    // frequent-shingle guard: a shingle in >maxShingleDf docs generates
-    // quadratic pairs and carries no dedup signal
-    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= maxShingleDf).drop("df")
-    val sh2 = sh.join(rare, "sh")
-    val inter = sh2
-      .as("a")
+    // carry the per-doc set size on every exploded row (it is constant
+    // per doc) — no separate `sizes` branch, no join-back, so the
+    // corpus is not re-scanned for sizes
+    val sh = df
+      .select(col(idCol).as("doc"), shingles(col(textCol), n).as("shs"))
+      .select(col("doc"), size(col("shs")).cast("long").as("sz"), explode(col("shs")).as("sh"))
+    // frequent-shingle guard (a shingle in >maxShingleDf docs generates
+    // quadratic pairs and carries no dedup signal) via a COUNT window
+    // over the shuffle the self-join needs anyway. The former
+    // aggregate-then-join-back `rare` table would be the distinct
+    // shingle set — far too large to broadcast at 100 TB, and joining
+    // it non-broadcast re-shuffles; the window adds nothing but a sort
+    // the sort-merge self-join reuses.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("sh")
+    val sh2 = sh
+      .withColumn("_df", count(lit(1)).over(w))
+      .filter(col("_df") <= maxShingleDf)
+      .drop("_df")
+    sh2.as("a")
       .join(sh2.as("b"), col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      // sz is constant per doc: min() is just a deterministic pick
+      .agg(count(lit(1)).as("inter"), min(col("a.sz")).as("sz_a"), min(col("b.sz")).as("sz_b"))
       .withColumn("union_", col("sz_a") + col("sz_b") - col("inter"))
       .withColumn("jaccard_fp4", TextAnalysis.fp(col("inter").cast("double") / col("union_").cast("double"), 4))
       .filter(col("jaccard_fp4") >= (threshold * 10000).toLong)

@@ -80,6 +80,21 @@ class DedupSimSpec extends AnyFunSuite {
     assert(capped == 0)
   }
 
+  test("ngram jaccard self-join reuses one shuffled scan when not broadcast (scale plan)") {
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // at 100 TB AQE will not broadcast the shingle table; the SMJ's two
+      // sides must then collapse to one scan + one exchange via reuse
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.05)
+      df.collect() // AQE performs stage reuse at runtime — inspect the FINAL plan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange") || plan.contains("reuses"),
+        s"no exchange/stage reuse in final plan:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("ngram jaccard finds near-duplicates, not disjoint docs") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
