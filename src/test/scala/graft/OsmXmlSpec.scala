@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 import java.util.zip.GZIPInputStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.osm.OsmChangeXml
+import graft.osm.{OsmChangeXml, OsmModel, OsmXmlSource}
 
 class OsmXmlSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -60,6 +60,78 @@ class OsmXmlSpec extends AnyFunSuite {
     // rerun with fewer shards removed the stale shard-1..3 files
     val after = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("shard-")).sorted
     assert(after.toSeq == Seq("shard-0.osc"), after.mkString(","))
+  }
+
+  test("OsmXmlSource round-trips OsmChangeXml output to identical datasets") {
+    val nodesIn = Seq(
+      OsmModel.Node(1L, 2, 1.5, -2.5, Map("name" -> """q"z <&>""", "amenity" -> "pub")),
+      OsmModel.Node(42L, 1, -89.999999, 179.999999, Map.empty))
+    val waysIn = Seq(
+      OsmModel.Way(5L, 3, Seq(1L, 42L, 1L), Map("highway" -> "path")),
+      OsmModel.Way(6L, 1, Seq(42L), Map.empty))
+    val relsIn = Seq(
+      OsmModel.Relation(9L, 1,
+        Seq(OsmModel.Member(5L, "way", "outer"), OsmModel.Member(6L, "way", "inner"),
+          OsmModel.Member(1L, "node", "")),
+        Map("type" -> "multipolygon")))
+    def ud(d: Double): Long = math.round(d * 1e6)
+    val nodeXml = nodesIn.toDS().select(OsmChangeXml.nodeXml(col("id"), col("version"),
+      element_at(typedLit(nodesIn.map(n => n.id -> ud(n.lat)).toMap), col("id")),
+      element_at(typedLit(nodesIn.map(n => n.id -> ud(n.lon)).toMap), col("id")), col("tags")).as("xml"))
+    val wayXml = waysIn.toDS().select(OsmChangeXml.wayXml(col("id"), col("version"), col("nds"), col("tags")).as("xml"))
+    val relXml = relsIn.toDS().select(OsmChangeXml.relationXml(col("id"), col("version"), col("members"), col("tags")).as("xml"))
+    val out = Files.createTempFile("graft_roundtrip", ".osm").toString
+    OsmChangeXml.write(out, nodeXml.union(wayXml).union(relXml))
+
+    val nodesOut = OsmXmlSource.nodes(spark, out).collect().sortBy(_.id).toSeq
+    assert(nodesOut == nodesIn.sortBy(_.id))
+    val waysOut = OsmXmlSource.ways(spark, out).collect().sortBy(_.id).toSeq
+    assert(waysOut == waysIn.sortBy(_.id))
+    val relsOut = OsmXmlSource.relations(spark, out).collect().toSeq
+    assert(relsOut == relsIn)
+    Files.deleteIfExists(Paths.get(out))
+  }
+
+  test("OsmXmlSource parses multi-line and self-closing elements from a real-format .osm") {
+    // hand-written osmium-style file: pretty-printed, self-closing
+    // tagless nodes, multi-line tagged elements
+    val xml =
+      """<?xml version='1.0' encoding='UTF-8'?>
+        |<osm version="0.6" generator="test">
+        |  <node id="100" version="1" lat="51.500000" lon="-0.120000"/>
+        |  <node id="101" version="2" lat="51.500100" lon="-0.120100">
+        |    <tag k="name" v="Caf&amp;eacute; &quot;X&quot;"/>
+        |  </node>
+        |  <node id="102" version="1" lat="51.500200" lon="-0.120200"/>
+        |  <way id="200" version="1">
+        |    <nd ref="100"/>
+        |    <nd ref="101"/>
+        |    <nd ref="102"/>
+        |    <tag k="highway" v="residential"/>
+        |  </way>
+        |  <relation id="300" version="1">
+        |    <member type="way" ref="200" role="outer"/>
+        |    <member type="node" ref="100" role=""/>
+        |    <tag k="type" v="multipolygon"/>
+        |  </relation>
+        |</osm>
+        |""".stripMargin
+    val p = Files.createTempFile("graft_osm", ".osm")
+    Files.writeString(p, xml)
+    val nodes = OsmXmlSource.nodes(spark, p.toString).collect().sortBy(_.id)
+    assert(nodes.map(_.id).toSeq == Seq(100L, 101L, 102L))
+    assert(nodes(1).tags == Map("name" -> """Caf&eacute; "X""""))
+    assert(nodes(0).tags.isEmpty && nodes(0).lat == 51.5 && nodes(0).lon == -0.12)
+    val wnm = OsmXmlSource.wayNodeMap(spark, p.toString)
+      .select("way", "pos", "node").as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(wnm == Seq((200L, 0, 100L), (200L, 1, 101L), (200L, 2, 102L)))
+    val rel = OsmXmlSource.relations(spark, p.toString).collect().head
+    assert(rel.id == 300L && rel.members == Seq(
+      OsmModel.Member(200L, "way", "outer"), OsmModel.Member(100L, "node", "")))
+    val mx = OsmXmlSource.maxIds(spark, p.toString)
+      .select("elem_type", "max_id").as[(String, Long)].collect().toMap
+    assert(mx == Map("node" -> 102L, "way" -> 200L, "relation" -> 300L))
+    Files.deleteIfExists(p)
   }
 
   test("write() assembles a gzipped OsmChange document") {
