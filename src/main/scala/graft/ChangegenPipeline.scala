@@ -29,15 +29,45 @@ import graft.spatial.DWithinJoin
   */
 object ChangegenPipeline {
 
+  /** Every intermediate the pipeline writes or counts — returned so the
+    * registered `cg_pipeline_counts` query oracle-checks the SAME
+    * dataflow the main() serializes (not a re-derivation). */
+  final case class Frames(
+      nodes: DataFrame, splitWays: DataFrame, junctionAt: DataFrame,
+      modified: DataFrame, deleteSet: DataFrame,
+      nodeXml: DataFrame, wayXml: DataFrame, modifyXml: DataFrame, deleteXml: DataFrame)
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
     val out = if (args.length > 1) args(1) else "/tmp/graft_demo.osc.gz"
     val maxNodes = if (args.length > 2) args(2).toInt else 500
-    val idOffset = if (args.length > 3) args(3).toLong else 1000000L
+    val idOffset = if (args.length > 3) Some(args(3).toLong) else None
     val negIds = if (args.length > 4) args(4).toBoolean else false
     val shards = if (args.length > 5) args(5).toInt else 0
 
     val spark = GraftSession.get()
+    val f = build(spark, sfDir, maxNodes, idOffset, negIds)
+
+    // 5. assemble the OsmChange document (creates = nodes then ways)
+    if (shards > 0) {
+      def sec(df: DataFrame, s: String) = df.select(
+        pmod(xxhash64(col("xml")), lit(shards)).cast("int").as("shard"), lit(s).as("section"), col("xml"))
+      OsmChangeXml.writeSharded(out,
+        sec(f.nodeXml, "create").unionByName(sec(f.wayXml, "create"))
+          .unionByName(sec(f.modifyXml, "modify")).unionByName(sec(f.deleteXml, "delete")),
+        shards, gzip = false)
+    } else
+      OsmChangeXml.write(out, f.nodeXml.unionByName(f.wayXml), Some(f.modifyXml), Some(f.deleteXml),
+        gzip = out.endsWith(".gz"))
+    println(s"[changegen] wrote $out: nodes=${f.nodes.count()} ways=${f.splitWays.count()} " +
+      s"junctions=${f.junctionAt.count()} modified=${f.modified.count()} deletes=${f.deleteSet.count()}")
+    spark.stop()
+  }
+
+  /** Build the full dataflow. `idOffset = None` reproduces the CLI
+    * default: offset 1000000 raised above the observed max node id. */
+  def build(spark: SparkSession, sfDir: String, maxNodes: Int = 500,
+            idOffset: Option[Long] = None, negIds: Boolean = false): Frames = {
     val supplier = Tables.load(spark, sfDir, "supplier")
     val lineitem = Tables.load(spark, sfDir, "lineitem")
 
@@ -50,8 +80,7 @@ object ChangegenPipeline {
     // ids); positive mode starts above both the flag and the observed max
     val nodeIdBase =
       if (negIds) -1L
-      else if (args.length > 3) idOffset
-      else math.max(idOffset, maxExistingNode + 1)
+      else idOffset.getOrElse(math.max(1000000L, maxExistingNode + 1))
 
     // 1. new features: per-group linestrings of supplier points
     val verts = supplier.select(
@@ -135,19 +164,7 @@ object ChangegenPipeline {
         .otherwise(concat(lit("<node id=\""), col("elem_id"), lit("\" version=\"1\" lat=\"0.000000\" lon=\"0.000000\"/>")))
         .as("xml"))
 
-    // 5. assemble the OsmChange document (creates = nodes then ways)
-    if (shards > 0) {
-      def sec(df: DataFrame, s: String) = df.select(
-        pmod(xxhash64(col("xml")), lit(shards)).cast("int").as("shard"), lit(s).as("section"), col("xml"))
-      OsmChangeXml.writeSharded(out,
-        sec(nodeXml, "create").unionByName(sec(wayXml, "create"))
-          .unionByName(sec(modifyXml, "modify")).unionByName(sec(deleteXml, "delete")),
-        shards, gzip = false)
-    } else
-      OsmChangeXml.write(out, nodeXml.unionByName(wayXml), Some(modifyXml), Some(deleteXml),
-        gzip = out.endsWith(".gz"))
-    println(s"[changegen] wrote $out: nodes=${nodes.count()} ways=${splitWays.count()} " +
-      s"junctions=${junctionAt.count()} modified=${modified.count()} deletes=${deleteSet.count()}")
-    spark.stop()
+    Frames(nodes, splitWays, junctionAt, modified, deleteSet,
+      nodeXml, wayXml, modifyXml, deleteXml)
   }
 }

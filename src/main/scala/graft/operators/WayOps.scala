@@ -64,6 +64,25 @@ object WayOps {
       .select(keyCols.map(col) :+ col("_m.member_ref") :+ col("_m.member_type") :+ col("_m.member_role"): _*)
   }
 
+  /** Relation tying the chunks of a split way together —
+    * `_generate_relation_for_ways` (changegen/generator.py:380-395):
+    * one relation per original way holding every chunk way as an
+    * ordered `outer`/`way` member. Ways that did not split (single
+    * chunk) get no relation. Chunk way ids are the caller's (e.g.
+    * assigned by SequentialIds); input carries them per chunk row.
+    *
+    * Input: (wayCol, chunkIdxCol, chunkWayIdCol). Output: wayCol,
+    * member_pos, member_ref, member_type, member_role — one row per
+    * member, ordered by chunk index. One shuffle on the way key.
+    */
+  def relationForSplitWays(df: DataFrame, wayCol: String, chunkIdxCol: String, chunkWayIdCol: String): DataFrame =
+    df.groupBy(col(wayCol))
+      .agg(array_sort(collect_list(struct(col(chunkIdxCol).as("i"), col(chunkWayIdCol).as("w")))).as("_iw"))
+      .filter(size(col("_iw")) >= 2)
+      .select(col(wayCol), posexplode(transform(col("_iw"), x => x.getField("w"))).as(Seq("member_pos", "member_ref")))
+      .withColumn("member_type", lit("way"))
+      .withColumn("member_role", lit("outer"))
+
   /** Expand deleted ways into the full delete set: each way id plus its
     * constituent node ids, each node written once even when shared by
     * several deleted ways (generator.py:911-926). Input: (wayIdCol,

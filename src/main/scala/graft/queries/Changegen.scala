@@ -167,6 +167,15 @@ object Changegen {
         .select(col("c_custkey"), col("other"), fp(col("dist"), 6).as("dist_fp6"))
         .orderBy("c_custkey", "other")
     }),
+    // 20b — relation for split ways (_generate_relation_for_ways,
+    // generator.py:380-395): chunks of a split way tied together as
+    // ordered outer members; unsplit ways get no relation
+    "cg_split_relation" -> ((s, dir) => {
+      val chunks = WayOps.splitWay(ways(s, dir), "nds", nodeLimit = 4, segmentLen = 3)
+        .select(col("way"), col("chunk_idx"), (col("way") * 100 + col("chunk_idx")).as("chunk_way_id"))
+      WayOps.relationForSplitWays(chunks, "way", "chunk_idx", "chunk_way_id")
+        .orderBy("way", "member_pos")
+    }),
     // 21c — the reference's ACTUAL spatial join shape: st_dwithin
     // between a point set and LINESTRING geometries with the closest
     // point on the line (db.py:127-135) — grid-bucketed, line side
@@ -185,7 +194,7 @@ object Changegen {
     // are linestrings): exact segment-pair distance via the native
     // graft_line_dist2, canonical-cell grid join (no dedup shuffle)
     "cg_dwithin_lineline" -> ((s, dir) => {
-      val l = blobLines(t(s, dir, "supplier"), "s_suppkey", 10, "lid", "lbx", "lby", 7, 23)
+      val l = blobLines(t(s, dir, "supplier"), "s_suppkey", 4, "lid", "lbx", "lby", 7, 23)
         .select(col("lid").cast("long").as("lid"), col("line"))
       val r = blobLines(t(s, dir, "customer"), "c_custkey", 15, "rid", "rbx", "rby", 11, 31)
         .select(col("rid").cast("long").as("rid"), col("line"))
@@ -273,6 +282,22 @@ object Changegen {
       ways(s, dir)
         .select(col("way"), posexplode(col("nds")).as(Seq("pos", "node")))
         .orderBy("way", "pos")
+    }),
+    // 30b — END-TO-END gate: the full ChangegenPipeline dataflow's
+    // section counts (create nodes/ways, modify, delete), built from
+    // the SAME build() the CLI serializes — so the whole flow, not
+    // just its operators, is oracle-checked. maxNodes=7 forces way
+    // splitting at every SF.
+    "cg_pipeline_counts" -> ((s, dir) => {
+      val f = graft.ChangegenPipeline.build(s, dir, maxNodes = 7, idOffset = Some(1000000L))
+      def cnt(name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n")).withColumn("section", lit(name))
+      cnt("create_nodes", f.nodes)
+        .unionByName(cnt("create_ways", f.splitWays))
+        .unionByName(cnt("modify_ways", f.modified))
+        .unionByName(cnt("delete_elems", f.deleteSet))
+        .select("section", "n")
+        .orderBy("section")
     })
   )
 
@@ -363,6 +388,13 @@ object Changegen {
         |SELECT way AS rel_id, node AS member_ref, 'way' AS member_type,
         |  CASE WHEN s <= 2 THEN 'outer' ELSE 'inner' END AS member_role
         |FROM nds ORDER BY rel_id, member_role, member_ref""".stripMargin,
+    "cg_split_relation" ->
+      s"""WITH $ndsCte
+        |SELECT way, CAST(i AS INT) AS member_pos, way*100 + i AS member_ref,
+        |  'way' AS member_type, 'outer' AS member_role
+        |FROM (SELECT way, unnest(range(0, CAST(ceil(CAST(n AS DOUBLE)/3) AS BIGINT))) AS i
+        |      FROM sz WHERE n > 4)
+        |ORDER BY way, member_pos""".stripMargin,
     "cg_dwithin_join" ->
       s"""SELECT c_custkey, s_suppkey,
         |  ${sqlFp("sqrt((cx-sx)*(cx-sx)+(cy-sy)*(cy-sy))", 6)} AS dist_fp6
@@ -417,10 +449,10 @@ object Changegen {
            | list_transform(range(1, 7),
            |  i -> CAST(strpos('0123456789abcdef', substr(md5('$tag' || CAST($expr AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT))),
            | (a, v) -> a*16 + v) / 16777216.0 * 100.0)""".stripMargin.replace("\n", " ")
-      s"""WITH lsp AS (SELECT s_suppkey % 10 AS lid,
-        |    row_number() OVER (PARTITION BY s_suppkey % 10 ORDER BY s_suppkey) AS seq,
-        |    ${rndE("lbx", "s_suppkey % 10")} * 0.3 + (s_suppkey*7 % 40)/10.0 AS x,
-        |    ${rndE("lby", "s_suppkey % 10")} * 0.3 + (s_suppkey*23 % 40)/10.0 AS y FROM supplier),
+      s"""WITH lsp AS (SELECT s_suppkey % 4 AS lid,
+        |    row_number() OVER (PARTITION BY s_suppkey % 4 ORDER BY s_suppkey) AS seq,
+        |    ${rndE("lbx", "s_suppkey % 4")} * 0.3 + (s_suppkey*7 % 40)/10.0 AS x,
+        |    ${rndE("lby", "s_suppkey % 4")} * 0.3 + (s_suppkey*23 % 40)/10.0 AS y FROM supplier),
         |lln AS (SELECT lid FROM lsp GROUP BY lid HAVING count(*) >= 2),
         |aseg AS (SELECT a.lid, a.x AS p1x, a.y AS p1y, b.x AS p2x, b.y AS p2y
         |         FROM lsp a JOIN lsp b ON a.lid = b.lid AND b.seq = a.seq + 1 JOIN lln ON lln.lid = a.lid),
@@ -539,6 +571,30 @@ object Changegen {
         |FROM f ORDER BY elem_id""".stripMargin,
     "cg_way_node_map" ->
       s"""WITH $ndsCte
-        |SELECT way, CAST(s - 1 AS INT) AS pos, node FROM nds ORDER BY way, pos""".stripMargin
+        |SELECT way, CAST(s - 1 AS INT) AS pos, node FROM nds ORDER BY way, pos""".stripMargin,
+    // mirrors ChangegenPipeline.build(maxNodes=7): segmentLen = 6, so
+    // chunk count per feature = 1 if n<=7 else ceil(n/6); junction
+    // radius 0.5 between supplier lattice points and distinct lineitem
+    // part points; deletes = ways of removed orders + their nodes
+    "cg_pipeline_counts" ->
+      """WITH s AS (SELECT s_nationkey % 5 AS feat, s_suppkey,
+        |    (s_suppkey*13 % 1000)/10.0 AS x, (s_suppkey*29 % 1000)/10.0 AS y FROM supplier),
+        |feat_n AS (SELECT feat, count(*) AS n FROM s GROUP BY feat),
+        |en AS (SELECT DISTINCT l_partkey AS enode,
+        |    (l_partkey*13 % 1000)/10.0 AS ex, (l_partkey*29 % 1000)/10.0 AS ey FROM lineitem),
+        |junc AS (SELECT DISTINCT enode FROM en JOIN s
+        |    ON sqrt((s.x-en.ex)*(s.x-en.ex)+(s.y-en.ey)*(s.y-en.ey)) <= 0.5),
+        |mod_ways AS (SELECT DISTINCT l_orderkey FROM lineitem JOIN junc ON l_partkey = enode),
+        |del_ways AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_orderkey % 13 = 5),
+        |del_nodes AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_orderkey % 13 = 5)
+        |SELECT section, n FROM (
+        |  SELECT 'create_nodes' AS section, (SELECT count(*) FROM supplier) AS n
+        |  UNION ALL SELECT 'create_ways',
+        |    (SELECT CAST(sum(CASE WHEN n <= 7 THEN 1
+        |       ELSE CAST(ceil(CAST(n AS DOUBLE)/6) AS BIGINT) END) AS BIGINT) FROM feat_n)
+        |  UNION ALL SELECT 'modify_ways', (SELECT count(*) FROM mod_ways)
+        |  UNION ALL SELECT 'delete_elems',
+        |    (SELECT count(*) FROM del_ways) + (SELECT count(*) FROM del_nodes)
+        |) ORDER BY section""".stripMargin
   )
 }
