@@ -15,6 +15,32 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("jdbcReader covers the table exactly once across partitioned ranges (embedded Derby)") {
+    // Derby ships on the Spark classpath (Hive metastore backend), so
+    // the partitioned-read contract is provable without a network DB
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE snap (id BIGINT PRIMARY KEY, val VARCHAR(20))")
+      val ins = conn.prepareStatement("INSERT INTO snap VALUES (?, ?)")
+      // ids deliberately OUTSIDE [lowerBound, upperBound) too: Spark's
+      // first/last stride is unbounded, so nothing may be lost or doubled
+      (-5L to 104L).foreach { i => ins.setLong(1, i); ins.setString(2, s"v$i"); ins.addBatch() }
+      ins.executeBatch()
+
+      val df = Snapshots.jdbcReader(spark, url, "snap", "id",
+        lowerBound = 0L, upperBound = 100L, numPartitions = 7).load()
+      assert(df.rdd.getNumPartitions == 7, s"got ${df.rdd.getNumPartitions} partitions")
+      import spark.implicits._
+      val ids = df.select("id").as[Long].collect().sorted.toSeq
+      // exactly once: no range gap, no range overlap, strays included
+      assert(ids == (-5L to 104L).toSeq)
+    } finally {
+      try conn.createStatement().execute("DROP TABLE snap") finally conn.close()
+    }
+  }
+
   test("bucketed tables join without a shuffle") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
