@@ -73,9 +73,13 @@ object ChangegenPipeline {
 
     // collision safety (reference __main__.py:26-53): never hand out an
     // id already present in the "existing" data — derive the node-id
-    // offset from the observed max when the caller kept the default
-    val maxExistingNode = lineitem.agg(org.apache.spark.sql.functions.max("l_partkey")).head.getLong(0)
-    val maxExistingWay = lineitem.agg(org.apache.spark.sql.functions.max("l_orderkey")).head.getLong(0)
+    // offset from the observed max when the caller kept the default.
+    // ONE combined agg job for both maxes (not two serial jobs).
+    val maxRow = lineitem.agg(
+      org.apache.spark.sql.functions.max("l_partkey"),
+      org.apache.spark.sql.functions.max("l_orderkey")).head
+    val maxExistingNode = maxRow.getLong(0)
+    val maxExistingWay = maxRow.getLong(1)
     // negative mode descends from -1 (never collides with positive OSM
     // ids); positive mode starts above both the flag and the observed max
     val nodeIdBase =

@@ -108,5 +108,9 @@ object GraftFunctions {
       FunctionIdentifier("graft_line_dist2"),
       new ExpressionInfo(classOf[LineDistExpr].getName, "graft_line_dist2"),
       (children: Seq[Expression]) => LineDistExpr(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_trigram_score"),
+      new ExpressionInfo(classOf[TrigramScoreExpr].getName, "graft_trigram_score"),
+      (children: Seq[Expression]) => TrigramScoreExpr(children(0), children(1))))
   }
 }

@@ -155,17 +155,19 @@ object TextAnalysis {
   def langIdNgram(text: Column, profiles: Seq[(String, Seq[String])] = DefaultTrigramProfiles): Column =
     argmaxLabel(profiles.map { case (lang, grams) => lang -> trigramScore(text, grams) })
 
-  /** Staged trigram language ID: the gram array projects ONCE per row,
-    * each profile scores it once, argmax reads bound attributes. The
-    * inline form costs 2×|profiles| O(n²) gram builds per row (no CSE
-    * inside HOF lambdas) — 8× slower measured. */
+  /** Staged trigram language ID: lower(text) projects ONCE per row,
+    * each profile scores it with the native one-pass
+    * `graft_trigram_score` (bit-equality spec-tested against the HOF
+    * [[trigramScore]]), argmax reads bound attributes. The inline HOF
+    * form costs 2×|profiles| O(n²) gram builds per row. */
   def langIdNgramDf(df: DataFrame, idCol: String, textCol: String,
                     profiles: Seq[(String, Seq[String])] = DefaultTrigramProfiles,
                     out: String = "lang_pred"): DataFrame = {
     val scored = df
-      .select(col(idCol), charTrigrams(col(textCol)).as("_grams"))
+      .select(col(idCol), lower(col(textCol)).as("_lo"))
       .select(col(idCol) +: profiles.map { case (lang, grams) =>
-        size(filter(col("_grams"), g => g.isin(grams: _*))).as(s"_s_$lang")
+        call_function("graft_trigram_score", col("_lo"), array(grams.map(g => lit(g)): _*))
+          .as(s"_s_$lang")
       }: _*)
     scored.select(col(idCol),
       argmaxLabel(profiles.map { case (lang, _) => lang -> col(s"_s_$lang") }).as(out))

@@ -47,6 +47,23 @@ class TextSpec extends AnyFunSuite {
     assert(n == 5) // ab , cd 9 !
   }
 
+  test("native graft_trigram_score is bit-identical to the HOF trigramScore on real data") {
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+    val profile = TextAnalysis.DefaultTrigramProfiles.head._2
+    val both = docs.select(
+        call_function("graft_trigram_score", lower(col("text")), array(profile.map(lit): _*)).as("nat"),
+        TextAnalysis.trigramScore(col("text"), profile).as("hof"))
+      .as[(Int, Int)].collect()
+    assert(both.nonEmpty && both.forall { case (n, h) => n == h })
+    // short strings and supplementary (non-BMP) codepoints
+    val edge = Seq("", "ab", "the", "a😀the😀b").toDF("text")
+      .select(
+        call_function("graft_trigram_score", lower(col("text")), array(profile.map(lit): _*)),
+        TextAnalysis.trigramScore(col("text"), profile))
+      .as[(Int, Int)].collect()
+    assert(edge.forall { case (n, h) => n == h })
+  }
+
   test("staged langIdDf / langIdNgramDf / qualityDf match the inline forms on real data") {
     val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
     val inlineLang = docs.select(col("doc_id"), TextAnalysis.langId(col("text")).as("p"))
