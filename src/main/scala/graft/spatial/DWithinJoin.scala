@@ -94,9 +94,15 @@ object DWithinJoin {
     val r = lit(radius)
     val xs = transform(col(lineCol), p => p.getField("x"))
     val ys = transform(col(lineCol), p => p.getField("y"))
+    // replicate ONLY (id, cell) over the padded bbox — not the
+    // geometry. A long line covers bbox_area/r² cells; carrying the
+    // vertex array through that explosion multiplies the shuffle by
+    // the line size (measured 320 MB for 5 lines at sf0.1). The
+    // geometry is re-attached per candidate by id below (AQE
+    // broadcasts it when small; plain equi-join otherwise).
     val rCells = right
-      .withColumn(
-        "_cell",
+      .select(
+        col(rightId).as("_rid"),
         explode(
           flatten(
             transform(
@@ -108,7 +114,7 @@ object DWithinJoin {
                 )
             )
           )
-        )
+        ).as("_cell")
       )
     val lCells = left.select(
       col(leftId),
@@ -116,9 +122,11 @@ object DWithinJoin {
       col(ly).as("_ly"),
       struct(floor(col(lx) / r).cast("long").as("cx"), floor(col(ly) / r).cast("long").as("cy")).as("_cell")
     )
-    val cp = Geo.closestOnLine(col(lineCol), col("_lx"), col("_ly"))
+    val geom = right.select(col(rightId), col(lineCol).as("_line"))
+    val cp = Geo.closestOnLine(col("_line"), col("_lx"), col("_ly"))
     lCells
       .join(rCells, "_cell")
+      .join(geom, col("_rid") === col(rightId))
       .withColumn("_cp", cp)
       .withColumn("dist", sqrt(col("_cp.d2")))
       .filter(col("dist") <= radius)
