@@ -145,6 +145,45 @@ object Dedup {
       bitContribs.reduce(_ + _)
     }
 
+  /** SimHash near-duplicate pairs within `maxHamming` bit flips.
+    * Pigeonhole banding: the 32-bit signature splits into
+    * `maxHamming + 1` equal bands — any pair within the distance
+    * agrees EXACTLY on at least one band, so candidates come from an
+    * equi-join on (band, band bits), never an all-pairs scan. Bands
+    * unroll at plan-build time (literal shifts). `maxBucket` drops
+    * degenerate bands (e.g. all-empty docs hashing to 0) exactly like
+    * lshCandidatePairs. NOTE at 100 TB: 32/4 = 8-bit bands give only
+    * 256 buckets per band — use a 64-bit signature with 16-bit bands
+    * for real corpora; the operator shape is identical.
+    * Output: (doc_a, doc_b, hamming), hamming ≤ maxHamming.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, maxBucket: Long = 1000L): DataFrame = {
+    val bands = maxHamming + 1
+    require(32 % bands == 0, s"maxHamming+1 = $bands must divide 32")
+    val bits = 32 / bands
+    val mask = (1L << bits) - 1
+    val sigs = df.select(col(idCol).as("doc"), simhash32Native(col(textCol)).as("sig"))
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"), shiftright(col("sig"), b * bits).bitwiseAND(lit(mask)).as("key"))
+    }
+    val banded = sigs
+      .select(col("doc"), col("sig"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val ok = banded.groupBy("band", "key").agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxBucket).drop("_n")
+    val b2 = banded.join(ok, Seq("band", "key"))
+    b2.as("a")
+      .join(b2.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", expr("cast(bit_count(sig_a ^ sig_b) as int)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   /** Jaccard similarity of shingle sets for candidate pairs, computed by
     * explode → co-group (never n²: only ids sharing ≥1 shingle meet).
     * Returns (doc_a, doc_b, inter, union_, jaccard_fp4) for pairs with

@@ -53,6 +53,12 @@ object Pipeline {
         .select(col("doc_id"), Dedup.simhash32Native(col("text")).as("simhash"))
         .orderBy("doc_id")
     }),
+    // 33b — SimHash Hamming-neighbor pairs (pigeonhole band join)
+    "dd_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3, maxBucket = 100L)
+        .orderBy("doc_a", "doc_b")
+    }),
     // 34 — n-gram Jaccard similarity pairs via shingle co-group
     "dd_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -83,6 +89,15 @@ object Pipeline {
       Similarity.annLsh(e, e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
         numPlanes = 8, dim = 64, k = 5, maxBucket = 1000L, nprobe = 2)
         .orderBy("query_id", "cos_fp6")
+    }),
+    // 37a — the SAME LSH ANN with guards off, fully ORACLE-CHECKED:
+    // the hyperplanes are md5-derived, so DuckDB recomputes buckets,
+    // fold-order dot products and the top-k bit-exactly
+    "sim_ann_lsh_exact" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.annLsh(e, e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+        numPlanes = 8, dim = 64, k = 5)
+        .orderBy("query_id", "cos_fp6", "id")
     }),
     // 37b — IVF ANN: inverted-list probe search (rows-only; the
     // probed-cells-exact contract is spec-tested like sim_ann_lsh)
@@ -179,22 +194,20 @@ object Pipeline {
         Multimodal.pngHeight(col("payload")).as("height"))
         .orderBy("doc_id")
     }),
-    // 45 — multimodal binary columns: opaque payload + stubbed decode
-    //      via mapPartitions (real distributed plumbing, fake codec)
+    // 45 — multimodal binary columns: byte length and head checksum
+    // are pure COLUMNAR expressions over the binary payload (codegen'd
+    // hex/conv on slices — round 1 computed them in mapPartitions,
+    // which they never needed). The mapPartitions STUB-codec plumbing
+    // lives in Multimodal.decodeStub, spec-tested separately.
     "mm_binary_meta" -> ((s, dir) => {
-      import s.implicits._
-      val bin = t(s, dir, "documents")
+      val payload = col("payload")
+      val headSum = (1 to 8).map(i =>
+        when(length(payload) >= i, conv(hex(substring(payload, i, 1)), 16, 10).cast("long"))
+          .otherwise(lit(0L))).reduce(_ + _)
+      t(s, dir, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .as[(Long, Array[Byte])]
-      // STUB decode: a real pipeline would decode image/audio here
-      // (mapInPandas / JNI codec); the deterministic fake reads the
-      // "header" so schema, batching, and partitioning are exercised.
-      bin.mapPartitions { iter =>
-        iter.map { case (id, bytes) =>
-          val headSum = bytes.take(8).foldLeft(0L)((a, b) => a + (b & 0xff))
-          (id, bytes.length.toLong, headSum)
-        }
-      }.toDF("doc_id", "byte_len", "head_sum").orderBy("doc_id")
+        .select(col("doc_id"), length(payload).cast("long").as("byte_len"), headSum.as("head_sum"))
+        .orderBy("doc_id")
     })
   )
 
@@ -254,20 +267,48 @@ object Pipeline {
     s"CASE $cases END"
   }
 
-  /** simhash32 oracle: 32 per-bit signed sums over distinct tokens. */
-  private val simhashSql: String = {
+  /** simhash core CTEs: per-doc 32-bit signature from 32 per-bit
+    * signed sums over distinct tokens. Ends with `sigs(doc_id,
+    * simhash)` for reuse by the pair join oracle. */
+  private val simhashCoreCte: String = {
     val bitSums = (0 until 32).map { b =>
       val nib = s"(strpos('0123456789abcdef', substr(md5(t), ${b / 4 + 1}, 1)) - 1)"
       s"sum(CASE WHEN (($nib >> ${b % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS s$b"
     }.mkString(",\n    ")
     val combine = (0 until 32).map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, unnest(list_distinct($toksSql)) AS t FROM documents),
        |bits AS (SELECT doc_id,
        |    $bitSums
-       |  FROM toks GROUP BY doc_id)
-       |SELECT d.doc_id, CAST(coalesce($combine, 0) AS BIGINT) AS simhash
-       |FROM documents d LEFT JOIN bits USING (doc_id) ORDER BY d.doc_id""".stripMargin
+       |  FROM toks GROUP BY doc_id),
+       |sigs AS (SELECT d.doc_id, CAST(coalesce($combine, 0) AS BIGINT) AS simhash
+       |  FROM documents d LEFT JOIN bits USING (doc_id))""".stripMargin
+  }
+
+  private val simhashSql: String =
+    s"""WITH $simhashCoreCte
+       |SELECT doc_id, simhash FROM sigs ORDER BY doc_id""".stripMargin
+
+  /** dd_simhash_pairs oracle: 4-band pigeonhole join + popcount fold
+    * (mirrors Dedup.simhashPairs maxHamming=3, maxBucket=100). */
+  private val simhashPairsSql: String = {
+    val bandsSel = (0 until 4).map { b =>
+      s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 8}) & 255 AS key FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    val pop = """list_reduce(list_prepend(CAST(0 AS BIGINT),
+      | list_transform(range(0, 32), i -> (xor(sa.simhash, sb.simhash) >> i) & 1)),
+      | (a, v) -> a + v)""".stripMargin.replace("\n", " ")
+    s"""WITH $simhashCoreCte,
+       |banded AS (
+       |  $bandsSel),
+       |ok AS (SELECT band, key FROM banded GROUP BY band, key HAVING count(*) <= 100),
+       |b2 AS (SELECT banded.* FROM banded JOIN ok USING (band, key)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM b2 a JOIN b2 b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST($pop AS INT) AS hamming
+       |FROM cand JOIN sigs sa ON sa.doc_id = doc_a JOIN sigs sb ON sb.doc_id = doc_b
+       |WHERE $pop <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   /** mm_binary_meta oracle: utf8 byte length + sum of first 8 bytes
@@ -279,6 +320,37 @@ object Pipeline {
     s"""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
        | CAST($headSum AS BIGINT) AS head_sum
        |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** sim_ann_lsh_exact oracle: recompute the md5-derived hyperplanes
+    * (Similarity.planeComponentValue: uint24 of first-6 md5 hex of
+    * "p_d" / 2^24 - 0.5), sign-pattern buckets via the SAME left-fold
+    * dot, bucket self-join, fold-order cosine, windowed top-k. */
+  private val annLshExactSql: String = {
+    val hex6 = """list_reduce(list_prepend(CAST(0 AS BIGINT),
+      | list_transform(range(1, 7),
+      |  j -> CAST(strpos('0123456789abcdef',
+      |         substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), CAST(j AS INT), 1)) - 1 AS BIGINT))),
+      | (a, v) -> a*16 + v)""".stripMargin.replace("\n", " ")
+    s"""WITH planes AS (
+      |  SELECT p, d, (CAST($hex6 AS DOUBLE) / 16777216.0 - 0.5) AS pc
+      |  FROM range(0, 8) t1(p) CROSS JOIN range(0, 64) t2(d)),
+      |plane_lists AS (SELECT p, list(pc ORDER BY d) AS plane FROM planes GROUP BY p),
+      |projs AS (SELECT e.vec_id, pl.p,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * pl.plane[i])),
+      |      (a, v) -> a + v) AS s
+      |  FROM embeddings e CROSS JOIN plane_lists pl),
+      |b AS (SELECT vec_id, array_to_string(list(CASE WHEN s > 0 THEN '1' ELSE '0' END ORDER BY p), '') AS bucket
+      |      FROM projs GROUP BY vec_id),
+      |scored AS (SELECT q.vec_id AS query_id, d.vec_id AS id,
+      |    ${sqlFp(cosSql("qe.embedding", "de.embedding"), 6)} AS cos_fp6
+      |  FROM b q JOIN b d ON q.bucket = d.bucket AND q.vec_id != d.vec_id
+      |  JOIN embeddings qe ON qe.vec_id = q.vec_id
+      |  JOIN embeddings de ON de.vec_id = d.vec_id
+      |  WHERE q.vec_id % 50 = 0),
+      |topk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_fp6 DESC, id) AS rk FROM scored)
+      |SELECT query_id, id, cos_fp6 FROM topk WHERE rk <= 5 ORDER BY query_id, cos_fp6, id""".stripMargin
   }
 
   private val minhashPairsSql: String = {
@@ -302,7 +374,9 @@ object Pipeline {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "dd_minhash_pairs" -> minhashPairsSql,
+    "sim_ann_lsh_exact" -> annLshExactSql,
     "dd_simhash" -> simhashSql,
+    "dd_simhash_pairs" -> simhashPairsSql,
     "dd_ngram_jaccard" ->
       s"""WITH sh AS (SELECT doc_id AS doc, unnest(${shinglesSql(3)}) AS s FROM documents),
         |sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
