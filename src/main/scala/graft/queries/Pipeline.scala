@@ -150,6 +150,33 @@ object Pipeline {
         .select(col("doc_id"), TextAnalysis.removeStopwords(col("text")).as("clean_text"))
         .orderBy("doc_id")
     }),
+    // 41d — PII masking (emails + phone numbers; PII is synthesized
+    // into the text so the patterns actually fire at every SF)
+    "txt_pii_mask" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("aug", concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"), lit("@example.com or 555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-4567 now")))
+        .select(col("doc_id"), TextAnalysis.maskPii(col("aug")).as("masked"))
+        .orderBy("doc_id")
+    }),
+    // 41e — consecutive-duplicate-token cleanup (stutter removal;
+    // synthetic stutter appended so the filter provably fires)
+    "txt_dedup_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("aug", concat(col("text"), lit(" go go stop stop stop end")))
+        .select(col("doc_id"), TextAnalysis.dedupConsecutiveTokens(col("aug")).as("clean_text"))
+        .orderBy("doc_id")
+    }),
+    // 35b — int8 embedding quantization (the storage layout ANN
+    // indexes ship at scale), exploded for verification
+    "emb_quantize" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("qz"))
+        .select(col("vec_id"), fp(col("qz.scale"), 6).as("scale_fp6"),
+          posexplode(col("qz.q")).as(Seq("pos", "q")))
+        .orderBy("vec_id", "pos")
+    }),
     // 42 — gap-based sessionization (batch twin of the streaming op)
     "ev_sessionize" -> ((s, dir) => {
       val byUser = Window.partitionBy("user_id").orderBy("ms", "event_id")
@@ -432,6 +459,29 @@ object Pipeline {
       s"""SELECT doc_id,
         | array_to_string(list_filter($toksSql, t -> t NOT IN ('the','a','of','and','fast','slow')), ' ') AS clean_text
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt_pii_mask" ->
+      """SELECT doc_id, regexp_replace(regexp_replace(
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-'
+        |      || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-4567 now',
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS masked
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt_dedup_tokens" -> {
+      val augToks = toksSql.replace("lower(text)", "lower(text || ' go go stop stop stop end')")
+      s"""SELECT doc_id, array_to_string(
+        |  list_filter($augToks, (t, i) -> i = 1 OR t != ($augToks)[i - 1]), ' ') AS clean_text
+        |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "emb_quantize" ->
+      s"""WITH sc AS (
+        |  SELECT vec_id,
+        |    CASE WHEN mx = 0 THEN 1.0 ELSE 127.0 / mx END AS scale
+        |  FROM (SELECT vec_id, list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS mx
+        |        FROM embeddings) m)
+        |SELECT e.vec_id, ${sqlFp("scale", 6)} AS scale_fp6, CAST(i - 1 AS INT) AS pos,
+        |  CAST(floor(CAST(e.embedding[i] AS DOUBLE) * scale + 0.5) AS INT) AS q
+        |FROM embeddings e JOIN sc ON sc.vec_id = e.vec_id CROSS JOIN range(1, 65) t(i)
+        |ORDER BY e.vec_id, pos""".stripMargin,
     "txt_fingerprint" ->
       """SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
         |  list_transform(range(1, least(length(text), 64) + 1),

@@ -282,6 +282,24 @@ object Similarity {
       .select("query_id", "id", "cos_fp6")
   }
 
+  /** Symmetric int8 quantization of a float vector: scale =
+    * 127 / max|v| (1.0 for all-zero vectors), q_i = floor(v_i * scale
+    * + 0.5) — the storage layout ANN indexes ship at scale (4× smaller
+    * than float32, SIMD-friendly dot products). All arithmetic is
+    * engine-portable (max over exact float→double promotions, one
+    * IEEE multiply + floor per element). Returns struct(scale,
+    * q: array<int>); callers fp() the scale for oracle output. */
+  def quantizeInt8(vec: Column): Column =
+    graft.ColumnOps.let(
+      array_max(transform(vec, v => abs(v.cast("double"))))
+    ) { mx =>
+      graft.ColumnOps.let(when(mx === 0.0, 1.0).otherwise(lit(127.0) / mx)) { scale =>
+        struct(
+          scale.as("scale"),
+          transform(vec, v => floor(v.cast("double") * scale + lit(0.5)).cast("int")).as("q"))
+      }
+    }
+
   /** Near-duplicate pairs by cosine ≥ threshold, candidates restricted
     * to an existing partition/bucket column (label, LSH bucket, …) so
     * the join is equi- not cross-.

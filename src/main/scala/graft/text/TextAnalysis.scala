@@ -179,6 +179,22 @@ object TextAnalysis {
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]+", " "), "\\s+", " "))
 
+  /** PII masking: replace email addresses and NNN-NNN-NNNN phone
+    * numbers with placeholder tokens. Patterns are RE2-safe (no
+    * backrefs/lookarounds) so Java regex and DuckDB RE2 agree. */
+  val EmailRx = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRx = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  def maskPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRx, "<EMAIL>"), PhoneRx, "<PHONE>")
+
+  /** Remove consecutive duplicate tokens ("the the" stutter cleanup),
+    * rejoin with single spaces. Tokens are let-bound: referenced twice
+    * in the filter lambda (no CSE inside HOFs). */
+  def dedupConsecutiveTokens(text: Column): Column =
+    graft.ColumnOps.let(tokens(text)) { toks =>
+      concat_ws(" ", filter(toks, (t, i) => i === 0 || t =!= element_at(toks, i)))
+    }
+
   /** Remove stopwords (whitespace tokens), rejoin with single spaces. */
   def removeStopwords(text: Column, stopwords: Seq[String] = DefaultStopwords.head._2): Column =
     concat_ws(" ", filter(tokens(text), t => !t.isin(stopwords: _*)))
