@@ -150,6 +150,17 @@ object Pipeline {
         .select(col("doc_id"), TextAnalysis.removeStopwords(col("text")).as("clean_text"))
         .orderBy("doc_id")
     }),
+    // 39b — repetition ratio: 1 - distinct/total tokens (fp4), the
+    // C4-style repetitiveness quality signal
+    "txt_repetition" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_toks"))
+        .select(col("doc_id"),
+          when(size(col("_toks")) === 0, lit(0L))
+            .otherwise(fp(lit(1.0) - size(array_distinct(col("_toks"))).cast("double") / size(col("_toks")).cast("double"), 4))
+            .as("repetition_fp4"))
+        .orderBy("doc_id")
+    }),
     // 41d — PII masking (emails + phone numbers; PII is synthesized
     // into the text so the patterns actually fire at every SF)
     "txt_pii_mask" -> ((s, dir) => {
@@ -196,6 +207,25 @@ object Pipeline {
         .groupBy("win_start", "event_type")
         .agg(count(lit(1)).as("n"), sum("v4").as("sum_v4"))
         .orderBy("win_start", "event_type")
+    }),
+    // 43b — ordered event funnel (view → click → purchase): stage k
+    // requires an event strictly after the user's stage-(k-1) time.
+    // Three key-shuffles (one per stage), each with map-side partial
+    // min — the classic scalable funnel shape, no per-user sort.
+    "ev_funnel" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val s1 = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ms").as("t1"))
+      val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
+        .filter(col("ms") > col("t1"))
+        .groupBy("user_id").agg(min("ms").as("t2"))
+      val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
+        .filter(col("ms") > col("t2"))
+        .groupBy("user_id").agg(min("ms").as("t3"))
+      def cnt(df: DataFrame, stage: String) =
+        df.agg(count(lit(1)).as("n_users")).withColumn("stage", lit(stage))
+      cnt(s1, "1_view").unionByName(cnt(s2, "2_click")).unionByName(cnt(s3, "3_purchase"))
+        .select("stage", "n_users").orderBy("stage")
     }),
     // 44 — JSON property extraction (codegen'd path access)
     "ev_json_extract" -> ((s, dir) => {
@@ -505,6 +535,23 @@ object Pipeline {
         |  CAST(sum(v4) AS BIGINT) AS sum_v4
         |FROM (SELECT epoch_ms(ts) AS ms, event_type, ${sqlFp("\"value\"", 4)} AS v4 FROM events)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ev_funnel" ->
+      s"""WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |s1 AS (SELECT user_id, min(ms) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(ms) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND ms > t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(ms) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND ms > t2 GROUP BY e.user_id)
+        |SELECT stage, n_users FROM (
+        |  SELECT '1_view' AS stage, count(*) AS n_users FROM s1
+        |  UNION ALL SELECT '2_click', count(*) FROM s2
+        |  UNION ALL SELECT '3_purchase', count(*) FROM s3
+        |) ORDER BY stage""".stripMargin,
+    "txt_repetition" ->
+      s"""SELECT doc_id, CASE WHEN len($toksSql) = 0 THEN 0
+        | ELSE ${sqlFp("1.0 - CAST(len(list_distinct(" + toksSql + ")) AS DOUBLE) / CAST(len(" + toksSql + ") AS DOUBLE)", 4)}
+        | END AS repetition_fp4
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "ev_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
         |FROM events ORDER BY event_id""".stripMargin,
