@@ -83,6 +83,62 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("event_id")
       .drop("ts")
 
+  // funnel state: stage times reached so far (-1 = not reached), plus
+  // a done flag so a completion emits exactly once
+  case class FunnelState(t1: Long, t2: Long, t3: Long, done: Boolean)
+  case class FunnelHit(user_id: Long, view_ms: Long, click_ms: Long, purchase_ms: Long)
+
+  /** Streaming twin of the batch `ev_funnel`: emit one row per user
+    * the moment they complete stage1 → stage2 → stage3 with strictly
+    * increasing event times. Per-user state is three longs + a flag,
+    * expired via event-time timeout after `idleTimeoutMs` beyond the
+    * watermark — bounded by ACTIVE users, not event volume.
+    *
+    * In-order parity with the batch operator; a cross-batch
+    * out-of-order pair (stage2 processed before a late stage1) can
+    * miss, as in any bounded-state streaming funnel — the batch twin
+    * is the exact backfill.
+    */
+  def funnel(
+      events: Dataset[Ev],
+      stages: (String, String, String) = ("view", "click", "purchase"),
+      idleTimeoutMs: Long = 86400000L): Dataset[FunnelHit] = {
+    implicit val evEnc = Encoders.product[Ev]
+    implicit val stEnc = Encoders.product[FunnelState]
+    implicit val outEnc = Encoders.product[FunnelHit]
+    implicit val keyEnc = Encoders.scalaLong
+    val (s1, s2, s3) = stages
+
+    events
+      .withColumn("ts", timestamp_millis(col("ms")))
+      .withWatermark("ts", "1 hour")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelHit](OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Ev], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            state.remove() // idle user: drop the three longs
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L, done = false))
+            var hit: Option[FunnelHit] = None
+            rows.toSeq.sortBy(e => (e.ms, e.event_id)).foreach { e =>
+              if (!st.done) {
+                if (e.event_type == s1 && st.t1 < 0) st = st.copy(t1 = e.ms)
+                else if (e.event_type == s2 && st.t1 >= 0 && st.t2 < 0 && e.ms > st.t1) st = st.copy(t2 = e.ms)
+                else if (e.event_type == s3 && st.t2 >= 0 && st.t3 < 0 && e.ms > st.t2) {
+                  st = st.copy(t3 = e.ms, done = true)
+                  hit = Some(FunnelHit(userId, st.t1, st.t2, st.t3))
+                }
+              }
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + idleTimeoutMs)
+            hit.iterator
+          }
+      }
+  }
+
   /** Gap-based sessionization via flatMapGroupsWithState with
     * event-time timeout: a session closes (and is emitted) when the
     * watermark passes its end + gap. Same semantics as the batch

@@ -76,6 +76,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel emits exactly one hit per completing user, in-order stages only") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val q = EventStreams.funnel(input.toDS())
+      .writeStream.format("memory").queryName("funnel_hits").outputMode(OutputMode.Append).start()
+    val base = 10 * H
+    try {
+      // user 1 completes across batches; user 2 clicks BEFORE viewing
+      input.addData(Ev(1, 1, "view", base, 0), Ev(2, 2, "click", base, 0))
+      q.processAllAvailable()
+      input.addData(Ev(3, 1, "click", base + H, 0), Ev(4, 2, "view", base + H, 0))
+      q.processAllAvailable()
+      input.addData(Ev(5, 1, "purchase", base + 2 * H, 0), Ev(6, 2, "purchase", base + 2 * H, 0))
+      q.processAllAvailable()
+      // user 1 purchases AGAIN: no second emission
+      input.addData(Ev(7, 1, "purchase", base + 3 * H, 0))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_hits").as[EventStreams.FunnelHit].collect()
+      assert(rows.toSeq == Seq(EventStreams.FunnelHit(1L, base, base + H, base + 2 * H)), rows.mkString(", "))
+      // user 2 never had a click strictly after a view followed by purchase:
+      // click(base) preceded view(base+H) → stage 2 unreachable until a new
+      // click arrives; purchase alone must not emit
+      assert(!rows.exists(_.user_id == 2L))
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions on watermark") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
