@@ -44,9 +44,10 @@ object ChangegenPipeline {
     val idOffset = if (args.length > 3) Some(args(3).toLong) else None
     val negIds = if (args.length > 4) args(4).toBoolean else false
     val shards = if (args.length > 5) args(5).toInt else 0
+    val osmSrc = if (args.length > 6) Some(args(6)) else None
 
     val spark = GraftSession.get()
-    val f = build(spark, sfDir, maxNodes, idOffset, negIds)
+    val f = build(spark, sfDir, maxNodes, idOffset, negIds, osmSrc)
 
     // 5. assemble the OsmChange document (creates = nodes then ways)
     if (shards > 0) {
@@ -65,9 +66,15 @@ object ChangegenPipeline {
   }
 
   /** Build the full dataflow. `idOffset = None` reproduces the CLI
-    * default: offset 1000000 raised above the observed max node id. */
+    * default: offset 1000000 raised above the observed max node id.
+    * `osmSrc` points the "existing data" side at a real `.osm.pbf`
+    * extract (the reference CLI's `osmsrc` argument: way node lists
+    * and max-id collision checks come from the extract,
+    * generator.py:35-53 / __main__.py:26-53); without it, existing
+    * ways derive synthetically from lineitem. */
   def build(spark: SparkSession, sfDir: String, maxNodes: Int = 500,
-            idOffset: Option[Long] = None, negIds: Boolean = false): Frames = {
+            idOffset: Option[Long] = None, negIds: Boolean = false,
+            osmSrc: Option[String] = None): Frames = {
     val supplier = Tables.load(spark, sfDir, "supplier")
     val lineitem = Tables.load(spark, sfDir, "lineitem")
 
@@ -75,9 +82,12 @@ object ChangegenPipeline {
     // id already present in the "existing" data — derive the node-id
     // offset from the observed max when the caller kept the default.
     // ONE combined agg job for both maxes (not two serial jobs).
-    val maxRow = lineitem.agg(
-      org.apache.spark.sql.functions.max("l_partkey"),
-      org.apache.spark.sql.functions.max("l_orderkey")).head
+    val maxRow = osmSrc match {
+      case Some(p) =>
+        graft.osm.OsmPbf.nodes(spark, p).toDF().agg(max("id"))
+          .crossJoin(graft.osm.OsmPbf.ways(spark, p).toDF().agg(max("id"))).head
+      case None => lineitem.agg(max("l_partkey"), max("l_orderkey")).head
+    }
     val maxExistingNode = maxRow.getLong(0)
     val maxExistingWay = maxRow.getLong(1)
     // negative mode descends from -1 (never collides with positive OSM
@@ -122,13 +132,26 @@ object ChangegenPipeline {
         map(lit("highway"), lit("path"))).as("xml"))
 
     // 3. junctions: new nodes near existing way nodes → insert into
-    // the existing ways' node lists (order-preserving)
-    val existingEdges = Tables.load(spark, sfDir, "lineitem").select(
-      col("l_orderkey").as("eway"), col("l_linenumber").as("seq"), col("l_partkey").as("enode"))
-    val existingNodes = existingEdges.select(
-      col("eway"), col("enode"),
-      ((col("enode") * 13 % 1000) / 10.0).as("ex"),
-      ((col("enode") * 29 % 1000) / 10.0).as("ey")).distinct()
+    // the existing ways' node lists (order-preserving). With osmSrc,
+    // both the way→node lists and the node coordinates come from the
+    // .pbf extract (lon→x, lat→y planar convention); synthetically,
+    // from the lineitem edge table.
+    val (existingEdges, existingNodes) = osmSrc match {
+      case Some(p) =>
+        val e = graft.osm.OsmPbf.ways(spark, p).toDF()
+          .select(col("id").as("eway"), posexplode(col("nds")).as(Seq("seq", "enode")))
+        val n = graft.osm.OsmPbf.nodes(spark, p).toDF()
+          .select(col("id").as("enode"), col("lon").as("ex"), col("lat").as("ey"))
+        (e, n)
+      case None =>
+        val e = lineitem.select(
+          col("l_orderkey").as("eway"), col("l_linenumber").as("seq"), col("l_partkey").as("enode"))
+        val n = e.select(
+          col("enode"),
+          ((col("enode") * 13 % 1000) / 10.0).as("ex"),
+          ((col("enode") * 29 % 1000) / 10.0).as("ey")).distinct()
+        (e, n)
+    }
     val junctions = DWithinJoin.pointPoint(
       nodes.select(col("node_id"), col("x"), col("y")), "node_id", "x", "y",
       existingNodes, "enode", "ex", "ey", 0.5)

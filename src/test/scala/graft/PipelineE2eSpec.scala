@@ -45,4 +45,37 @@ class PipelineE2eSpec extends AnyFunSuite {
 
     Files.deleteIfExists(Paths.get(out))
   }
+
+  test("pipeline consumes a real .osm.pbf extract for existing ways (reference osmsrc path)") {
+    import graft.osm.{OsmModel, OsmPbf}
+    // existing extract: nodes placed EXACTLY on the new-feature lattice
+    // ((k*13%1000)/10, (k*29%1000)/10) so junctions provably fire, plus
+    // one far-away way that must stay unmodified
+    def px(k: Long) = (k * 13 % 1000) / 10.0
+    def py(k: Long) = (k * 29 % 1000) / 10.0
+    val near = (1L to 5L).map(k => OsmModel.Node(500 + k, 1, py(k), px(k), Map.empty)) // lat=y, lon=x
+    val far = Seq(OsmModel.Node(600L, 1, -80.0, -170.0, Map.empty), OsmModel.Node(601L, 1, -80.1, -170.1, Map.empty))
+    val pbfWays = Seq(
+      OsmModel.Way(9001L, 1, near.map(_.id), Map("highway" -> "primary")),
+      OsmModel.Way(9002L, 1, far.map(_.id), Map.empty))
+    val pbf = Files.createTempFile("graft_src", ".osm.pbf").toString
+    OsmPbf.write(pbf, near ++ far, pbfWays, Nil)
+
+    val f = ChangegenPipeline.build(spark, TestSpark.Sf, maxNodes = 500,
+      idOffset = Some(1000000L), osmSrc = Some(pbf))
+    import org.apache.spark.sql.functions.col
+    // junctions must exist (new supplier vertices share the lattice)
+    assert(f.junctionAt.count() > 0, "no junctions found against the pbf extract")
+    // the near way gets junction nodes spliced in; the far way does not
+    val modifiedWays = f.modified.select("eway").collect().map(_.getLong(0)).toSet
+    assert(modifiedWays == Set(9001L), s"modified: $modifiedWays")
+    // spliced list preserves original node order with junctions inserted after their match
+    val newNds = f.modified.filter(col("eway") === 9001L)
+      .select("new_nds").collect().head.getSeq[Long](0)
+    assert(newNds.filter(_ < 1000000L) == near.map(_.id), s"original order broken: $newNds")
+    assert(newNds.exists(_ >= 1000000L), s"no junction id spliced: $newNds")
+    // max-id collision check read from the pbf: new node ids start above 1e6 anyway
+    assert(f.nodes.select(org.apache.spark.sql.functions.min("node_id")).head.getLong(0) >= 1000000L)
+    Files.deleteIfExists(Paths.get(pbf))
+  }
 }
