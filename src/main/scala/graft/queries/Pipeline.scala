@@ -410,6 +410,34 @@ object Pipeline {
       |SELECT query_id, id, cos_fp6 FROM topk WHERE rk <= 5 ORDER BY query_id, cos_fp6, id""".stripMargin
   }
 
+  /** sim_ann_ivf oracle: the registered query uses the DETERMINISTIC
+    * id-modulo centroid pick (not the float-mean k-means refinement),
+    * so the whole index-build-and-probe path is exactly replicable:
+    * stride centroids → nearest-cell assignment (argmax = windowed
+    * first by cos desc, centroid id) → top-nprobe probes → windowed
+    * top-k within probed cells. */
+  private val annIvfSql: String =
+    s"""WITH cnt AS (SELECT count(*) AS c FROM embeddings),
+      |cents AS (SELECT vec_id AS centroid_id, embedding AS cvec
+      |          FROM embeddings, cnt WHERE vec_id % greatest(1, (c + 15) // 16) = 0),
+      |ac AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+      |         ${cosSql("e.embedding", "c.cvec")} AS cosv
+      |       FROM embeddings e CROSS JOIN cents c),
+      |asg AS (SELECT vec_id, embedding, centroid_id AS cell FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosv DESC, centroid_id) AS rn
+      |         FROM ac) WHERE rn = 1),
+      |pc AS (SELECT q.vec_id AS query_id, q.embedding AS qvec, c.centroid_id AS cell,
+      |         ${cosSql("q.embedding", "c.cvec")} AS cosv
+      |       FROM embeddings q CROSS JOIN cents c WHERE q.vec_id % 50 = 0),
+      |probes AS (SELECT query_id, qvec, cell FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosv DESC, cell) AS rn
+      |         FROM pc) WHERE rn <= 2),
+      |scored AS (SELECT p.query_id, a.vec_id AS id,
+      |         ${sqlFp(cosSql("p.qvec", "a.embedding"), 6)} AS cos_fp6
+      |       FROM probes p JOIN asg a ON a.cell = p.cell WHERE a.vec_id != p.query_id),
+      |topk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_fp6 DESC, id) AS rk FROM scored)
+      |SELECT query_id, id, cos_fp6 FROM topk WHERE rk <= 5 ORDER BY query_id, cos_fp6, id""".stripMargin
+
   private val minhashPairsSql: String = {
     val bands = (0 until 4).map { b =>
       s"SELECT doc, $b AS band, array_to_string(sig[${b * 2 + 1}:${b * 2 + 2}], '_') AS key FROM sigs"
@@ -432,6 +460,7 @@ object Pipeline {
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "dd_minhash_pairs" -> minhashPairsSql,
     "sim_ann_lsh_exact" -> annLshExactSql,
+    "sim_ann_ivf" -> annIvfSql,
     "dd_simhash" -> simhashSql,
     "dd_simhash_pairs" -> simhashPairsSql,
     "dd_ngram_jaccard" ->
