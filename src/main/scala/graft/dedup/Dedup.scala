@@ -110,6 +110,28 @@ object Dedup {
       .distinct()
   }
 
+  /** MinHash Jaccard ESTIMATES for the LSH candidate pairs: the
+    * classic estimator — the fraction of the `numPerm` signature
+    * slots on which the two documents agree. Candidates come from
+    * [[lshCandidatePairs]] (bucketed, capped — no n²); the signature
+    * table joins back per side. At 100 TB persist/bucket-write the
+    * signature table once instead of recomputing it per reference.
+    * Output: (doc_a, doc_b, est_jaccard_fp4).
+    */
+  def minhashEstPairs(df: DataFrame, idCol: String, textCol: String,
+                      shingleSize: Int = 3, numPerm: Int = 8,
+                      rowsPerBand: Int = 2, maxBucket: Int = 100): DataFrame = {
+    val sigs = df.select(col(idCol).as("doc"),
+      minhash(shingles(col(textCol), shingleSize), numPerm).as("sig"))
+    lshCandidatePairs(df, idCol, textCol, shingleSize, numPerm, rowsPerBand, maxBucket)
+      .join(sigs.select(col("doc").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("est_jaccard_fp4", TextAnalysis.fp(
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / lit(numPerm.toDouble), 4))
+      .select("doc_a", "doc_b", "est_jaccard_fp4")
+  }
+
   /** 32-bit SimHash via the native codegen'd expression (one pass, one
     * md5 per distinct token). Bit-identical to [[simhash32]], which is
     * retained as its interpreted spec twin (32 HOF folds — ~20×

@@ -53,6 +53,13 @@ object Pipeline {
         .select(col("doc_id"), Dedup.simhash32Native(col("text")).as("simhash"))
         .orderBy("doc_id")
     }),
+    // 32b — MinHash Jaccard estimates over the LSH candidates (the
+    // classic signature-agreement estimator)
+    "dd_minhash_est" -> ((s, dir) => {
+      Dedup.minhashEstPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, numPerm = 8, rowsPerBand = 2, maxBucket = 100)
+        .orderBy("doc_a", "doc_b")
+    }),
     // 33b — SimHash Hamming-neighbor pairs (pigeonhole band join)
     "dd_simhash_pairs" -> ((s, dir) => {
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -438,27 +445,42 @@ object Pipeline {
       |topk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_fp6 DESC, id) AS rk FROM scored)
       |SELECT query_id, id, cos_fp6 FROM topk WHERE rk <= 5 ORDER BY query_id, cos_fp6, id""".stripMargin
 
-  private val minhashPairsSql: String = {
+  /** Shared minhash CTE chain ending in `cand(doc_a, doc_b)` — the
+    * distinct capped-bucket LSH candidate pairs, plus `sigs`. */
+  private val minhashCtes: String = {
     val bands = (0 until 4).map { b =>
       s"SELECT doc, $b AS band, array_to_string(sig[${b * 2 + 1}:${b * 2 + 2}], '_') AS key FROM sigs"
     }.mkString("\n  UNION ALL ")
-    s"""WITH sh0 AS (SELECT doc_id AS doc, ${shinglesSql(3)} AS sh FROM documents),
+    s"""sh0 AS (SELECT doc_id AS doc, ${shinglesSql(3)} AS sh FROM documents),
        |hashed AS (SELECT doc, list_transform(sh, s -> $hexHashSql) AS hs FROM sh0),
        |sigs AS (SELECT doc, [${(0 until 8).map(minhashSql).mkString(", ")}] AS sig FROM hashed),
        |banded AS (
        |  $bands),
        |ok_buckets AS (SELECT band, key FROM banded GROUP BY band, key HAVING count(*) <= 100),
-       |b2 AS (SELECT banded.* FROM banded JOIN ok_buckets USING (band, key))
-       |SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-       |FROM b2 a JOIN b2 b ON a.band = b.band AND a.key = b.key AND a.doc < b.doc
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |b2 AS (SELECT banded.* FROM banded JOIN ok_buckets USING (band, key)),
+       |cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+       |  FROM b2 a JOIN b2 b ON a.band = b.band AND a.key = b.key AND a.doc < b.doc)""".stripMargin
   }
+
+  private val minhashPairsSql: String =
+    s"""WITH $minhashCtes
+       |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin
+
+  /** dd_minhash_est oracle: per candidate pair, the fraction of the 8
+    * signature slots that agree (fp4). */
+  private val minhashEstSql: String =
+    s"""WITH $minhashCtes
+       |SELECT doc_a, doc_b,
+       |  ${sqlFp("CAST(len(list_filter(range(1, 9), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 8.0", 4)} AS est_jaccard_fp4
+       |FROM cand JOIN sigs sa ON sa.doc = doc_a JOIN sigs sb ON sb.doc = doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dd_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "dd_minhash_pairs" -> minhashPairsSql,
+    "dd_minhash_est" -> minhashEstSql,
     "sim_ann_lsh_exact" -> annLshExactSql,
     "sim_ann_ivf" -> annIvfSql,
     "dd_simhash" -> simhashSql,
