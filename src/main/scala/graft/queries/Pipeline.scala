@@ -417,6 +417,52 @@ object Pipeline {
       |SELECT query_id, id, cos_fp6 FROM topk WHERE rk <= 5 ORDER BY query_id, cos_fp6, id""".stripMargin
   }
 
+  /** sim_ann_lsh oracle (guards ON): the bucket-size cap is a HAVING
+    * filter, and query-directed multi-probe flips the nprobe=2 sign
+    * bits with the smallest projection magnitudes — all recomputable:
+    * plane projections are deterministic md5 folds, the flip order is
+    * (abs(s), plane) ascending, and a probe set is the distinct home
+    * bucket plus its flips. */
+  private val annLshGuardedSql: String = {
+    val hex6 = """list_reduce(list_prepend(CAST(0 AS BIGINT),
+      | list_transform(range(1, 7),
+      |  j -> CAST(strpos('0123456789abcdef',
+      |         substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), CAST(j AS INT), 1)) - 1 AS BIGINT))),
+      | (a, v) -> a*16 + v)""".stripMargin.replace("\n", " ")
+    s"""WITH planes AS (
+      |  SELECT p, d, (CAST($hex6 AS DOUBLE) / 16777216.0 - 0.5) AS pc
+      |  FROM range(0, 8) t1(p) CROSS JOIN range(0, 64) t2(d)),
+      |plane_lists AS (SELECT p, list(pc ORDER BY d) AS plane FROM planes GROUP BY p),
+      |projs AS (SELECT e.vec_id, pl.p,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * pl.plane[i])),
+      |      (a, v) -> a + v) AS s
+      |  FROM embeddings e CROSS JOIN plane_lists pl),
+      |b AS (SELECT vec_id, array_to_string(list(CASE WHEN s > 0 THEN '1' ELSE '0' END ORDER BY p), '') AS bucket
+      |      FROM projs GROUP BY vec_id),
+      |okb AS (SELECT bucket FROM b GROUP BY bucket HAVING count(*) <= 1000),
+      |d2 AS (SELECT b.* FROM b JOIN okb USING (bucket)),
+      |home AS (SELECT vec_id, bucket FROM b WHERE vec_id % 50 = 0),
+      |flips AS (SELECT vec_id, p FROM (
+      |    SELECT vec_id, p, row_number() OVER (PARTITION BY vec_id ORDER BY abs(s), p) AS rn
+      |    FROM projs WHERE vec_id % 50 = 0) WHERE rn <= 2),
+      |probes AS (
+      |  SELECT vec_id, bucket FROM home
+      |  UNION
+      |  SELECT f.vec_id,
+      |    substr(h.bucket, 1, f.p) ||
+      |    (CASE WHEN substr(h.bucket, f.p + 1, 1) = '1' THEN '0' ELSE '1' END) ||
+      |    substr(h.bucket, f.p + 2) AS bucket
+      |  FROM flips f JOIN home h ON h.vec_id = f.vec_id),
+      |scored AS (SELECT DISTINCT p.vec_id AS query_id, d.vec_id AS id,
+      |    ${sqlFp(cosSql("qe.embedding", "de.embedding"), 6)} AS cos_fp6
+      |  FROM probes p JOIN d2 d ON d.bucket = p.bucket AND d.vec_id != p.vec_id
+      |  JOIN embeddings qe ON qe.vec_id = p.vec_id
+      |  JOIN embeddings de ON de.vec_id = d.vec_id),
+      |topk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_fp6 DESC, id) AS rk FROM scored)
+      |SELECT query_id, id, cos_fp6 FROM topk WHERE rk <= 5 ORDER BY query_id, cos_fp6, id""".stripMargin
+  }
+
   /** sim_ann_ivf oracle: the registered query uses the DETERMINISTIC
     * id-modulo centroid pick (not the float-mean k-means refinement),
     * so the whole index-build-and-probe path is exactly replicable:
@@ -482,6 +528,7 @@ object Pipeline {
     "dd_minhash_pairs" -> minhashPairsSql,
     "dd_minhash_est" -> minhashEstSql,
     "sim_ann_lsh_exact" -> annLshExactSql,
+    "sim_ann_lsh" -> annLshGuardedSql,
     "sim_ann_ivf" -> annIvfSql,
     "dd_simhash" -> simhashSql,
     "dd_simhash_pairs" -> simhashPairsSql,
