@@ -35,7 +35,9 @@ object ChangegenPipeline {
   final case class Frames(
       nodes: DataFrame, splitWays: DataFrame, junctionAt: DataFrame,
       modified: DataFrame, deleteSet: DataFrame,
-      nodeXml: DataFrame, wayXml: DataFrame, modifyXml: DataFrame, deleteXml: DataFrame)
+      nodeXml: DataFrame, wayXml: DataFrame, relXml: DataFrame,
+      modifyXml: DataFrame, deleteXml: DataFrame,
+      polyNodes: DataFrame, polyWays: DataFrame, polyRelations: DataFrame)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
@@ -55,23 +57,17 @@ object ChangegenPipeline {
         pmod(xxhash64(col("xml")), lit(shards)).cast("int").as("shard"), lit(s).as("section"), col("xml"))
       OsmChangeXml.writeSharded(out,
         sec(f.nodeXml, "create").unionByName(sec(f.wayXml, "create"))
+          .unionByName(sec(f.relXml, "create"))
           .unionByName(sec(f.modifyXml, "modify")).unionByName(sec(f.deleteXml, "delete")),
         shards, gzip = false)
     } else
-      OsmChangeXml.write(out, f.nodeXml.unionByName(f.wayXml), Some(f.modifyXml), Some(f.deleteXml),
-        gzip = out.endsWith(".gz"))
+      OsmChangeXml.write(out, f.nodeXml.unionByName(f.wayXml).unionByName(f.relXml),
+        Some(f.modifyXml), Some(f.deleteXml), gzip = out.endsWith(".gz"))
     println(s"[changegen] wrote $out: nodes=${f.nodes.count()} ways=${f.splitWays.count()} " +
       s"junctions=${f.junctionAt.count()} modified=${f.modified.count()} deletes=${f.deleteSet.count()}")
     spark.stop()
   }
 
-  /** Build the full dataflow. `idOffset = None` reproduces the CLI
-    * default: offset 1000000 raised above the observed max node id.
-    * `osmSrc` points the "existing data" side at a real `.osm.pbf`
-    * extract (the reference CLI's `osmsrc` argument: way node lists
-    * and max-id collision checks come from the extract,
-    * generator.py:35-53 / __main__.py:26-53); without it, existing
-    * ways derive synthetically from lineitem. */
   /** modify_only (reference generator.py:573,608,634-668): features
     * already exist in OSM and carry their id in an `osm_id` field —
     * emit them as version-2 `<modify>` elements with refreshed tags
@@ -104,9 +100,16 @@ object ChangegenPipeline {
           lit("ref"), concat(lit("W"), col("eway").cast("string")))).as("xml"))
     val none = modified.filter(lit(false))
     Frames(none, none, none, modified, none.select(lit("way").as("elem_type"), col("eway").as("elem_id")),
-      empty, empty, modifyXml, empty)
+      empty, empty, empty, modifyXml, empty, none, none, none)
   }
 
+  /** Build the full dataflow. `idOffset = None` reproduces the CLI
+    * default: offset 1000000 raised above the observed max node id.
+    * `osmSrc` points the "existing data" side at a real `.osm.pbf`
+    * extract (the reference CLI's `osmsrc` argument: way node lists
+    * and max-id collision checks come from the extract,
+    * generator.py:35-53 / __main__.py:26-53); without it, existing
+    * ways derive synthetically from lineitem. */
   def build(spark: SparkSession, sfDir: String, maxNodes: Int = 500,
             idOffset: Option[Long] = None, negIds: Boolean = false,
             osmSrc: Option[String] = None): Frames = {
@@ -226,7 +229,60 @@ object ChangegenPipeline {
         .otherwise(concat(lit("<node id=\""), col("elem_id"), lit("\" version=\"1\" lat=\"0.000000\" lon=\"0.000000\"/>")))
         .as("xml"))
 
+    // 4b. polygon features (reference generator.py:661-756: Polygon →
+    // closed Way, or multipolygon Relation when the feature has a
+    // hole): ring vertices from the part table, ordered by key; outer
+    // ring = first ceil(2n/3) vertices, the rest is a hole IF it has
+    // at least 3 vertices. Rings close by repeating the first node;
+    // holed features get a relation with outer/inner way members.
+    val pverts = Tables.load(spark, sfDir, "part").select(
+      (col("p_partkey") % 20).as("pgroup"),
+      col("p_partkey").as("pkey"),
+      ((col("p_partkey") * 13 % 1000) / 10.0).as("x"),
+      ((col("p_partkey") * 29 % 1000) / 10.0).as("y"))
+    val polyNodeBase = if (negIds) 0L else wayIdBase + 1000000L
+    val polyNodes = SequentialIds.assign(pverts, "pkey", "node_id",
+      if (negIds) -(nVerts + 100000L) else polyNodeBase, negIds).persist()
+    val polyNodeXml = polyNodes.select(
+      OsmChangeXml.nodeXml(col("node_id"), lit(1),
+        (col("y") * 1000000L).cast("long"), (col("x") * 1000000L).cast("long"),
+        map(lit("source"), lit("graft"))).as("xml"))
+    val grouped = polyNodes
+      .groupBy("pgroup")
+      .agg(array_sort(collect_list(struct(col("pkey"), col("node_id")))).as("_kv"))
+      .withColumn("ring_nds", transform(col("_kv"), x => x.getField("node_id")))
+      .withColumn("n", size(col("ring_nds")))
+      .withColumn("n_outer", ceil(col("n").cast("double") * 2 / 3).cast("int"))
+    val polyWayBase = if (negIds) 0L else polyNodeBase + 2000000L
+    val outerRings = grouped.select(col("pgroup"), col("n"), col("n_outer"),
+      expr("slice(ring_nds, 1, n_outer)").as("ring"), lit(0).as("ring_idx"))
+    val innerRings = grouped.filter(col("n") - col("n_outer") >= 3)
+      .select(col("pgroup"), col("n"), col("n_outer"),
+        expr("slice(ring_nds, n_outer + 1, n - n_outer)").as("ring"), lit(1).as("ring_idx"))
+    val polyWays = outerRings.unionByName(innerRings)
+      .withColumn("closed_nds", concat(col("ring"), slice(col("ring"), 1, 1)))
+      .withColumn("way_id",
+        (if (negIds) -(lit(polyWayBase) + col("pgroup") * 10 + col("ring_idx")) - nVerts - 200000L
+         else lit(polyWayBase) + col("pgroup") * 10 + col("ring_idx")).cast("long"))
+      .persist()
+    val polyWayXml = polyWays.select(
+      OsmChangeXml.wayXml(col("way_id"), lit(1), col("closed_nds"),
+        map(lit("area"), lit("yes"))).as("xml"))
+    val polyRelations = grouped.filter(col("n") - col("n_outer") >= 3)
+      .select(col("pgroup"),
+        array(
+          struct((lit(polyWayBase) + col("pgroup") * 10).cast("long").as("ref"), lit("way").as("mtype"), lit("outer").as("role")),
+          struct((lit(polyWayBase) + col("pgroup") * 10 + 1).cast("long").as("ref"), lit("way").as("mtype"), lit("inner").as("role"))
+        ).as("members"))
+      .persist()
+    val polyRelBase = polyWayBase + 1000000L
+    val relXml = polyRelations.select(
+      OsmChangeXml.relationXml((lit(polyRelBase) + col("pgroup")).cast("long"), lit(1),
+        col("members"), map(lit("type"), lit("multipolygon"))).as("xml"))
+
     Frames(nodes, splitWays, junctionAt, modified, deleteSet,
-      nodeXml, wayXml, modifyXml, deleteXml)
+      nodeXml.unionByName(polyNodeXml), wayXml.unionByName(polyWayXml), relXml,
+      modifyXml, deleteXml,
+      polyNodes, polyWays, polyRelations)
   }
 }

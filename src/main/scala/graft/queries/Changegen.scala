@@ -294,6 +294,9 @@ object Changegen {
         df.agg(count(lit(1)).as("n")).withColumn("section", lit(name))
       cnt("create_nodes", f.nodes)
         .unionByName(cnt("create_ways", f.splitWays))
+        .unionByName(cnt("create_poly_nodes", f.polyNodes))
+        .unionByName(cnt("create_poly_ways", f.polyWays))
+        .unionByName(cnt("create_poly_rels", f.polyRelations))
         .unionByName(cnt("modify_ways", f.modified))
         .unionByName(cnt("delete_elems", f.deleteSet))
         .select("section", "n")
@@ -586,12 +589,19 @@ object Changegen {
         |    ON sqrt((s.x-en.ex)*(s.x-en.ex)+(s.y-en.ey)*(s.y-en.ey)) <= 0.5),
         |mod_ways AS (SELECT DISTINCT l_orderkey FROM lineitem JOIN junc ON l_partkey = enode),
         |del_ways AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_orderkey % 13 = 5),
-        |del_nodes AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_orderkey % 13 = 5)
+        |del_nodes AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_orderkey % 13 = 5),
+        |rings AS (SELECT p_partkey % 20 AS pgroup, count(*) AS n,
+        |    CAST(ceil(CAST(count(*) AS DOUBLE) * 2 / 3) AS BIGINT) AS n_outer
+        |  FROM part GROUP BY 1)
         |SELECT section, n FROM (
         |  SELECT 'create_nodes' AS section, (SELECT count(*) FROM supplier) AS n
         |  UNION ALL SELECT 'create_ways',
         |    (SELECT CAST(sum(CASE WHEN n <= 7 THEN 1
         |       ELSE CAST(ceil(CAST(n AS DOUBLE)/6) AS BIGINT) END) AS BIGINT) FROM feat_n)
+        |  UNION ALL SELECT 'create_poly_nodes', (SELECT count(*) FROM part)
+        |  UNION ALL SELECT 'create_poly_ways',
+        |    (SELECT count(*) FROM rings) + (SELECT count(*) FROM rings WHERE n - n_outer >= 3)
+        |  UNION ALL SELECT 'create_poly_rels', (SELECT count(*) FROM rings WHERE n - n_outer >= 3)
         |  UNION ALL SELECT 'modify_ways', (SELECT count(*) FROM mod_ways)
         |  UNION ALL SELECT 'delete_elems',
         |    (SELECT count(*) FROM del_ways) + (SELECT count(*) FROM del_nodes)

@@ -14,22 +14,26 @@ class PipelineE2eSpec extends AnyFunSuite {
   test("pipeline .osc output re-reads to the exact element counts of its frames") {
     val f = ChangegenPipeline.build(spark, TestSpark.Sf, maxNodes = 7, idOffset = Some(1000000L))
     val out = Files.createTempFile("graft_e2e", ".osc").toString
-    OsmChangeXml.write(out, f.nodeXml.unionByName(f.wayXml), Some(f.modifyXml), Some(f.deleteXml))
+    OsmChangeXml.write(out, f.nodeXml.unionByName(f.wayXml).unionByName(f.relXml),
+      Some(f.modifyXml), Some(f.deleteXml))
 
-    val nNodes = f.nodes.count()
-    val nWays = f.splitWays.count()
+    val nNodes = f.nodes.count() + f.polyNodes.count()
+    val nWays = f.splitWays.count() + f.polyWays.count()
+    val nRels = f.polyRelations.count()
     val nModified = f.modified.count()
     val deletesByType = f.deleteSet.groupBy("elem_type").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
     // the reader sees nodes in <create> and <delete>, ways in
-    // <create>, <modify> and <delete>
+    // <create>, <modify> and <delete>, relations in <create>
     val readNodes = OsmXmlSource.nodes(spark, out).count()
     val readWays = OsmXmlSource.ways(spark, out).count()
+    val readRels = OsmXmlSource.relations(spark, out).count()
     assert(readNodes == nNodes + deletesByType.getOrElse("node", 0L),
       s"nodes: read $readNodes, frames $nNodes + ${deletesByType.getOrElse("node", 0L)}")
     assert(readWays == nWays + nModified + deletesByType.getOrElse("way", 0L),
       s"ways: read $readWays, frames $nWays + $nModified + ${deletesByType.getOrElse("way", 0L)}")
+    assert(readRels == nRels && nRels > 0, s"relations: read $readRels, frames $nRels")
 
     // created ways must reference only created node ids (referential
     // integrity of the generated document)
