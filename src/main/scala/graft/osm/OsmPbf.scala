@@ -360,9 +360,11 @@ object OsmPbf {
   private def deflate(raw: Array[Byte]): Array[Byte] = {
     val d = new Deflater()
     d.setInput(raw); d.finish()
-    val buf = new Array[Byte](raw.length + 64)
-    val n = d.deflate(buf)
-    require(d.finished(), "deflate buffer too small")
+    // worst case for incompressible input: ~5 bytes per 16K block + 6
+    // overhead — raw.length + 64 was NOT enough for large blocks
+    val buf = new Array[Byte](raw.length + (raw.length >> 10) * 6 + 128)
+    var n = 0
+    while (!d.finished()) n += d.deflate(buf, n, buf.length - n)
     d.end()
     java.util.Arrays.copyOf(buf, n)
   }

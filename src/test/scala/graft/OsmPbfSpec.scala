@@ -59,6 +59,22 @@ class OsmPbfSpec extends AnyFunSuite {
     Files.deleteIfExists(Paths.get(path))
   }
 
+  test("large incompressible blocks survive the deflate bound") {
+    // md5-derived tag values are effectively incompressible; one block
+    // of 8000 such nodes stresses the worst-case deflate sizing
+    val nodes = (1 to 8000).map { i =>
+      OsmModel.Node(i.toLong, 1, (i % 180) - 90 + 0.1, (i % 360) - 180 + 0.1,
+        Map("h" -> org.apache.commons.codec.digest.DigestUtils.md5Hex(s"payload-$i") * 4))
+    }
+    val path = Files.createTempFile("graft_big", ".osm.pbf").toString
+    OsmPbf.write(path, nodes, Nil, Nil)
+    val back = OsmPbf.nodes(spark, path).count()
+    assert(back == 8000)
+    val one = OsmPbf.nodes(spark, path).filter(_.id == 42L).collect().head
+    assert(one.tags("h") == org.apache.commons.codec.digest.DigestUtils.md5Hex("payload-42") * 4)
+    Files.deleteIfExists(Paths.get(path))
+  }
+
   test("pbf way-node ingestion feeds the wayNodeMap contract (reference generator.py:35-53)") {
     val path = Files.createTempFile("graft", ".osm.pbf").toString
     OsmPbf.write(path,
