@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TagOps
+import graft.osm.{OsmModel, OsmPbf}
+
+/** Property-based hardening of the parsers and native geometry
+  * expressions: scalacheck-generated adversarial inputs checked
+  * against independent Scala reference implementations (not the
+  * production code paths).
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- hstore parser vs a reference regex parser ---------------------
+
+  private val keyGen = Gen.oneOf(Gen.alphaNumStr.map(_.take(8)),
+    Gen.oneOf("a,b", "x=>y", """q\"uote""", "", "sp ace"))
+  private val valGen = Gen.oneOf(Gen.alphaNumStr.map(_.take(12)),
+    Gen.oneOf("v,1", "k=>v", """say \"hi\"""", """back\\slash""", "", " lead"))
+  private val pairGen = for { k <- keyGen; v <- valGen } yield (k, v)
+  private val hstoreGen: Gen[String] = for {
+    pairs <- Gen.listOfN(4, pairGen)
+    sep <- Gen.oneOf(", ", ",", " , ", ",  ")
+  } yield pairs.map { case (k, v) => s""""$k"=>"$v"""" }.mkString(sep)
+
+  private def refHstore(s: String): Map[String, String] = {
+    val rx = """"((?:[^"\\]|\\.)*)"\s*=>\s*"((?:[^"\\]|\\.)*)"""".r
+    rx.findAllMatchIn(s).map { m =>
+      def un(x: String) = x.replaceAll("""\\(.)""", "$1")
+      un(m.group(1)) -> un(m.group(2))
+    }.toMap
+  }
+
+  test("property: hstoreToMap matches the reference parser on generated adversarial input") {
+    val inputs = Gen.listOfN(60, hstoreGen).sample.get
+    val got = inputs.toDF("hs").select(TagOps.hstoreToMap(col("hs")).as("m"))
+      .as[Map[String, String]].collect()
+    inputs.zip(got).foreach { case (in, out) =>
+      assert(out == refHstore(in), s"mismatch for <$in>")
+    }
+  }
+
+  // ---- graft_line_dist2 vs brute-force segment math ------------------
+
+  private def refSegDist2(p1: (Double, Double), p2: (Double, Double),
+                          q1: (Double, Double), q2: (Double, Double)): Double = {
+    def ps(px: Double, py: Double, ax: Double, ay: Double, bx: Double, by: Double): Double = {
+      val dx = bx - ax; val dy = by - ay
+      val len2 = dx * dx + dy * dy
+      val t0 = if (len2 == 0.0) 0.0 else ((px - ax) * dx + (py - ay) * dy) / len2
+      val t = math.min(math.max(t0, 0.0), 1.0)
+      val cx = ax + t * dx; val cy = ay + t * dy
+      (cx - px) * (cx - px) + (cy - py) * (cy - py)
+    }
+    def cross(ox: Double, oy: Double, ax: Double, ay: Double, px: Double, py: Double) =
+      (ax - ox) * (py - oy) - (ay - oy) * (px - ox)
+    val o1 = cross(q1._1, q1._2, q2._1, q2._2, p1._1, p1._2)
+    val o2 = cross(q1._1, q1._2, q2._1, q2._2, p2._1, p2._2)
+    val o3 = cross(p1._1, p1._2, p2._1, p2._2, q1._1, q1._2)
+    val o4 = cross(p1._1, p1._2, p2._1, p2._2, q2._1, q2._2)
+    if (((o1 > 0 && o2 < 0) || (o1 < 0 && o2 > 0)) && ((o3 > 0 && o4 < 0) || (o3 < 0 && o4 > 0))) 0.0
+    else Seq(
+      ps(p1._1, p1._2, q1._1, q1._2, q2._1, q2._2),
+      ps(p2._1, p2._2, q1._1, q1._2, q2._1, q2._2),
+      ps(q1._1, q1._2, p1._1, p1._2, p2._1, p2._2),
+      ps(q2._1, q2._2, p1._1, p1._2, p2._1, p2._2)).min
+  }
+
+  test("property: graft_line_dist2 equals brute min over segment pairs on random polylines") {
+    val coord = Gen.chooseNum(-50.0, 50.0)
+    val lineGen = for {
+      n <- Gen.chooseNum(2, 6)
+      pts <- Gen.listOfN(n, Gen.zip(coord, coord))
+    } yield pts
+    val cases = Gen.listOfN(40, Gen.zip(lineGen, lineGen)).sample.get
+    val df = cases.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+      .toDF("i", "a", "b")
+      .withColumn("la", expr("transform(a, p -> struct(p._1 AS x, p._2 AS y))"))
+      .withColumn("lb", expr("transform(b, p -> struct(p._1 AS x, p._2 AS y))"))
+      .select(col("i"), call_function("graft_line_dist2", col("la"), col("lb")).as("d2"))
+    val got = df.as[(Int, Double)].collect().toMap
+    cases.zipWithIndex.foreach { case ((a, b), i) =>
+      val exp = (for {
+        sa <- a.sliding(2); sb <- b.sliding(2)
+      } yield refSegDist2(sa(0), sa(1), sb(0), sb(1))).min
+      assert(got(i) == exp, s"case $i: got ${got(i)}, expected $exp")
+    }
+  }
+
+  // ---- pbf roundtrip on random elements ------------------------------
+
+  test("property: pbf roundtrip preserves random nodes/ways/relations") {
+    val id = Gen.chooseNum(-1000000L, 1000000L)
+    val tagStr = Gen.alphaNumStr.map(_.take(10))
+    val tags = Gen.mapOfN(2, Gen.zip(tagStr.suchThat(_.nonEmpty), tagStr))
+    val nodeGen = for {
+      i <- id; v <- Gen.chooseNum(1, 9); t <- tags
+      la <- Gen.chooseNum(-89.9, 89.9); lo <- Gen.chooseNum(-179.9, 179.9)
+    } yield OsmModel.Node(i, v, la, lo, t)
+    val wayGen = for {
+      i <- id; v <- Gen.chooseNum(1, 9); t <- tags
+      nds <- Gen.listOfN(4, id)
+    } yield OsmModel.Way(i, v, nds, t)
+    // distinct ids so sort-and-compare is unambiguous
+    val nodes = Gen.listOfN(30, nodeGen).sample.get.distinctBy(_.id)
+    val ways = Gen.listOfN(15, wayGen).sample.get.distinctBy(_.id)
+    val path = java.nio.file.Files.createTempFile("graft_prop", ".osm.pbf").toString
+    OsmPbf.write(path, nodes, ways, Nil, blockSize = 7)
+    val rn = OsmPbf.nodes(spark, path).collect().sortBy(_.id)
+    val en = nodes.sortBy(_.id)
+    assert(rn.map(n => (n.id, n.version, n.tags)).toSeq == en.map(n => (n.id, n.version, n.tags)))
+    rn.zip(en).foreach { case (a, b) =>
+      assert(math.abs(a.lat - b.lat) < 1e-7 && math.abs(a.lon - b.lon) < 1e-7) }
+    assert(OsmPbf.ways(spark, path).collect().sortBy(_.id).toSeq == ways.sortBy(_.id))
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))
+  }
+}
