@@ -234,6 +234,20 @@ object Pipeline {
       cnt(s1, "1_view").unionByName(cnt(s2, "2_click")).unionByName(cnt(s3, "3_purchase"))
         .select("stage", "n_users").orderBy("stage")
     }),
+    // 43c — cohort retention: users grouped by first-activity week,
+    // counted per week-offset they return in. Two key-shuffles (per
+    // user cohort min, then per (cohort, offset) distinct count).
+    "ev_retention" -> ((s, dir) => {
+      val weekMs = 604800000L
+      val e = ev(s, dir).withColumn("week", expr(s"(ms - pmod(ms, $weekMs)) DIV $weekMs"))
+      val cohorts = e.groupBy("user_id").agg(min("week").as("cohort_week"))
+      e.join(cohorts, "user_id")
+        .select(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"), col("user_id"))
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
     // 44 — JSON property extraction (codegen'd path access)
     "ev_json_extract" -> ((s, dir) => {
       t(s, dir, "events")
@@ -650,6 +664,14 @@ object Pipeline {
         | ELSE ${sqlFp("1.0 - CAST(len(list_distinct(" + toksSql + ")) AS DOUBLE) / CAST(len(" + toksSql + ") AS DOUBLE)", 4)}
         | END AS repetition_fp4
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "ev_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id,
+        |    (epoch_ms(ts) - ((epoch_ms(ts) % 604800000 + 604800000) % 604800000)) // 604800000 AS week
+        |  FROM events),
+        |cohorts AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id)
+        |SELECT cohort_week, week - cohort_week AS week_offset, count(*) AS n_users
+        |FROM e JOIN cohorts USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ev_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
         |FROM events ORDER BY event_id""".stripMargin,
