@@ -110,6 +110,42 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over a near-dup pair graph — the step that
+    * turns candidate PAIRS into dedup CLUSTERS (keep one doc per
+    * component). Iterative min-label propagation: every node starts
+    * as its own label; each round takes the min over neighbors;
+    * converges in O(graph diameter) rounds (near-dup graphs are
+    * clique-ish, diameter 1-2; production giants would swap in
+    * large-star/small-star for O(log n) — the contract is the same).
+    * Each round is one shuffle of the edge list; lineage is truncated
+    * per round with localCheckpoint so plans stay bounded.
+    * Output: (idCol, component) — component = min id in the
+    * component; singletons map to themselves.
+    */
+  def connectedComponents(nodes: DataFrame, idCol: String,
+                          edges: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint()
+    var labels = nodes.select(col(idCol).as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = sym.join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node")).agg(min("label").as("_nl"))
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"), least(col("label"), coalesce(col("_nl"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "_old"), "node")
+        .filter(col("label") =!= col("_old")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels.select(col("node").as(idCol), col("label").as("component"))
+  }
+
   /** MinHash Jaccard ESTIMATES for the LSH candidate pairs: the
     * classic estimator — the fraction of the `numPerm` signature
     * slots on which the two documents agree. Candidates come from

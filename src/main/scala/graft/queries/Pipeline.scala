@@ -53,6 +53,16 @@ object Pipeline {
         .select(col("doc_id"), Dedup.simhash32Native(col("text")).as("simhash"))
         .orderBy("doc_id")
     }),
+    // 32c — dedup CLUSTERS: connected components over the MinHash
+    // candidate pair graph (component = min doc id; the survivor set
+    // is one doc per component)
+    "dd_components" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text",
+        shingleSize = 3, numPerm = 8, rowsPerBand = 2, maxBucket = 100)
+      Dedup.connectedComponents(docs, "doc_id", pairs, "doc_a", "doc_b")
+        .orderBy("doc_id")
+    }),
     // 32b — MinHash Jaccard estimates over the LSH candidates (the
     // classic signature-agreement estimator)
     "dd_minhash_est" -> ((s, dir) => {
@@ -541,6 +551,18 @@ object Pipeline {
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "dd_minhash_pairs" -> minhashPairsSql,
     "dd_minhash_est" -> minhashEstSql,
+    // transitive min-label closure via a recursive CTE over the same
+    // candidate edges; UNION dedup terminates the recursion
+    "dd_components" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |sym AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+         |        UNION ALL SELECT doc_b, doc_a FROM cand),
+         |lbl(node, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT s.dst, l.label FROM lbl l JOIN sym s ON s.src = l.node)
+         |SELECT node AS doc_id, min(label) AS component
+         |FROM lbl GROUP BY node ORDER BY doc_id""".stripMargin,
     "sim_ann_lsh_exact" -> annLshExactSql,
     "sim_ann_lsh" -> annLshGuardedSql,
     "sim_ann_ivf" -> annIvfSql,
