@@ -205,6 +205,23 @@ object Pipeline {
           posexplode(col("qz.q")).as(Seq("pos", "q")))
         .orderBy("vec_id", "pos")
     }),
+    // 41f — TF-IDF term weights: explode tokens → (doc, term) counts →
+    // document frequencies via a term-key window over the same data →
+    // weight. Two shuffles ((doc,term) agg + term window); df never
+    // needs a broadcastable side table.
+    "txt_tfidf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count() // corpus size: one tiny agg, engine-mirrorable
+      val toks = docs
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("term")
+      tf.withColumn("df", count(lit(1)).over(w))
+        .withColumn("tfidf_fp4",
+          fp(col("tf").cast("double") * log(lit(n.toDouble) / col("df").cast("double")), 4))
+        .select("doc_id", "term", "tf", "df", "tfidf_fp4")
+        .orderBy("doc_id", "term")
+    }),
     // 42 — gap-based sessionization (batch twin of the streaming op)
     "ev_sessionize" -> ((s, dir) => {
       val byUser = Window.partitionBy("user_id").orderBy("ms", "event_id")
@@ -646,6 +663,13 @@ object Pipeline {
         |  CAST(floor(CAST(e.embedding[i] AS DOUBLE) * scale + 0.5) AS INT) AS q
         |FROM embeddings e JOIN sc ON sc.vec_id = e.vec_id CROSS JOIN range(1, 65) t(i)
         |ORDER BY e.vec_id, pos""".stripMargin,
+    "txt_tfidf" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+        |SELECT doc_id, term, tf, count(*) OVER (PARTITION BY term) AS df,
+        |  ${sqlFp("CAST(tf AS DOUBLE) * ln(n / CAST(count(*) OVER (PARTITION BY term) AS DOUBLE))", 4)} AS tfidf_fp4
+        |FROM tf, n ORDER BY doc_id, term""".stripMargin,
     "txt_fingerprint" ->
       """SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
         |  list_transform(range(1, least(length(text), 64) + 1),
