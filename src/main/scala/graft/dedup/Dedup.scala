@@ -70,9 +70,28 @@ object Dedup {
 
   /** LSH candidate pairs: band the signature (`rowsPerBand` hashes per
     * band), bucket-join on (band index, band key), keep a<b pairs.
-    * Buckets larger than `maxBucket` are dropped (documented skew guard;
-    * a bucket that large means the band is degenerate). No n² anywhere:
-    * cost is sum over buckets of |bucket|².
+    * No n² anywhere: cost is sum over buckets of |bucket|².
+    *
+    * Over-cap buckets (`maxBucket`) are NOT dropped: their members are
+    * RE-SPLIT on an extended key — the band key plus the next
+    * `rowsPerBand` signature slots (mod numPerm) — in a shifted band
+    * namespace, so documents colliding on a degenerate band key still
+    * dedup against the sub-bucket that agrees with them on more of
+    * the signature. Sub-buckets still over the cap after the split
+    * are degenerate beyond rescue (near-identical signature mass) and
+    * drop; `resplit = false` restores the plain drop guard.
+    *
+    * Bucket sizes are counted with a window OVER THE SAME (band, key)
+    * shuffle the bucket join needs anyway (the agg-then-join-back
+    * alternative would shuffle the banded rows twice); combined with
+    * band structs unrolled at plan-build time this keeps the whole
+    * operator at ONE scan of `df` — the md5-per-shingle signature is
+    * never recomputed (ReuseExchange dedups the shared shuffle).
+    *
+    * `withSigs = true` carries the minhash signature of both sides
+    * onto the output pairs (`sig_a`, `sig_b`) so downstream
+    * estimators ([[minhashEstPairs]]) need no join-back against a
+    * recomputed signature table.
     */
   def lshCandidatePairs(
       df: DataFrame,
@@ -81,33 +100,49 @@ object Dedup {
       shingleSize: Int = 3,
       numPerm: Int = 8,
       rowsPerBand: Int = 2,
-      maxBucket: Int = 100
+      maxBucket: Int = 100,
+      withSigs: Boolean = false,
+      resplit: Boolean = true
   ): DataFrame = {
     val numBands = numPerm / rowsPerBand
     // staged projections: shingles and signature each materialize once
     // per row as bound attributes (not re-inlined into downstream HOFs)
-    val banded = df
+    val sigs = df
       .select(col(idCol).as("doc"), shingles(col(textCol), shingleSize).as("sh"))
       .select(col("doc"), minhash(col("sh"), numPerm).as("sig"))
-      .select(
-        col("doc"),
-        posexplode(
-          transform(
-            sequence(lit(0), lit(numBands - 1)),
-            b => concat_ws("_", transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), v => v.cast("string")))
-          )
-        ).as(Seq("band", "key"))
-      )
-    val small = banded
-      .groupBy("band", "key")
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") <= maxBucket)
-      .drop("n")
-    val b2 = banded.join(small, Seq("band", "key")) // drop degenerate buckets
-    b2.as("a")
+    // band structs unrolled at plan-build time: the band index, band
+    // key, and re-split key are literal-indexed projections (no
+    // dynamic element_at)
+    val bandCols = (0 until numBands).map { b =>
+      def slot(i: Int) = element_at(col("sig"), i % numPerm + 1).cast("string")
+      val key = concat_ws("_", (0 until rowsPerBand).map(r => slot(b * rowsPerBand + r)): _*)
+      val ext = (0 until rowsPerBand).map(r => slot((b + 1) * rowsPerBand + r))
+      struct(lit(b).as("band"), key.as("key"), concat_ws("_", key +: ext: _*).as("key_ext"))
+    }
+    // sig rides the band shuffle only when the caller wants it on the
+    // output pairs — the pairs-only path ships (doc, band, key) alone
+    val sigCols = if (withSigs) Seq(col("sig")) else Nil
+    val banded = sigs
+      .select(col("doc") +: sigCols :+ explode(array(bandCols: _*)).as("bk"): _*)
+      .select(col("doc") +: sigCols :+ col("bk.band").as("band") :+ col("bk.key").as("key") :+ col("bk.key_ext").as("key_ext"): _*)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "key")
+    val counted = banded.withColumn("_n", count(lit(1)).over(w))
+    val keep = (col("doc") +: sigCols) :+ col("band") :+ col("key")
+    val bOk = counted.filter(col("_n") <= maxBucket).select(keep: _*)
+    val b2 =
+      if (!resplit) bOk
+      else {
+        val bHot = counted.filter(col("_n") > maxBucket)
+          .select(col("doc") +: sigCols :+ (col("band") + numBands).as("band") :+ col("key_ext").as("key"): _*)
+        val bHotOk = bHot.withColumn("_n", count(lit(1)).over(w))
+          .filter(col("_n") <= maxBucket).select(keep: _*)
+        bOk.unionByName(bHotOk)
+      }
+    val joined = b2.as("a")
       .join(b2.as("b"), col("a.band") === col("b.band") && col("a.key") === col("b.key") && col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
-      .distinct()
+    val outCols = Seq(col("a.doc").as("doc_a"), col("b.doc").as("doc_b")) ++
+      (if (withSigs) Seq(col("a.sig").as("sig_a"), col("b.sig").as("sig_b")) else Nil)
+    joined.select(outCols: _*).distinct()
   }
 
   /** Connected components over a near-dup pair graph — the step that
@@ -149,24 +184,21 @@ object Dedup {
   /** MinHash Jaccard ESTIMATES for the LSH candidate pairs: the
     * classic estimator — the fraction of the `numPerm` signature
     * slots on which the two documents agree. Candidates come from
-    * [[lshCandidatePairs]] (bucketed, capped — no n²); the signature
-    * table joins back per side. At 100 TB persist/bucket-write the
-    * signature table once instead of recomputing it per reference.
-    * Output: (doc_a, doc_b, est_jaccard_fp4).
+    * [[lshCandidatePairs]] with `withSigs = true`, so both sides'
+    * signatures are already ON the pair rows — no join-back, and the
+    * shingle→md5→minhash pipeline runs exactly once (it is the cost
+    * center at 100 TB). The estimate is a zip_with over the carried
+    * arrays. Output: (doc_a, doc_b, est_jaccard_fp4).
     */
   def minhashEstPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleSize: Int = 3, numPerm: Int = 8,
-                      rowsPerBand: Int = 2, maxBucket: Int = 100): DataFrame = {
-    val sigs = df.select(col(idCol).as("doc"),
-      minhash(shingles(col(textCol), shingleSize), numPerm).as("sig"))
-    lshCandidatePairs(df, idCol, textCol, shingleSize, numPerm, rowsPerBand, maxBucket)
-      .join(sigs.select(col("doc").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(sigs.select(col("doc").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+                      rowsPerBand: Int = 2, maxBucket: Int = 100): DataFrame =
+    lshCandidatePairs(df, idCol, textCol, shingleSize, numPerm, rowsPerBand, maxBucket,
+        withSigs = true)
       .withColumn("est_jaccard_fp4", TextAnalysis.fp(
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
           .cast("double") / lit(numPerm.toDouble), 4))
       .select("doc_a", "doc_b", "est_jaccard_fp4")
-  }
 
   /** 32-bit SimHash via the native codegen'd expression (one pass, one
     * md5 per distinct token). Bit-identical to [[simhash32]], which is

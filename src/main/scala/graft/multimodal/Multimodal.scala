@@ -7,16 +7,27 @@ import org.apache.spark.sql.functions._
   * typed metadata — the training-data-pipeline pattern: payloads stay
   * as `binary` columns, light header fields are extracted columnar
   * (codegen'd — no UDF), and heavy decode runs batched per partition
-  * behind a stub (the real codec is environment-specific).
+  * ([[decodeBatched]]).
   *
-  * Header parsing is REAL (PNG IHDR / JPEG & GIF magic): hex() +
-  * conv() on binary slices, so it distributes and survives pushdown.
+  * Header parsing is REAL for all three supported containers: PNG
+  * IHDR big-endian dims, JPEG SOF0/SOF2 dims behind a bounded
+  * variable-length segment walk, and GIF logical-screen little-endian
+  * dims — all hex()/conv() over binary slices, so every parser is
+  * codegen'd, distributes, and survives pushdown.
   */
 object Multimodal {
 
   /** Big-endian uint32 at 1-based byte offset `off` of a binary col. */
   def beU32(payload: Column, off: Int): Column =
     conv(hex(substring(payload, off, 4)), 16, 10).cast("long")
+
+  /** Unsigned byte at a DYNAMIC 1-based offset (Column). */
+  private def u8(payload: Column, off: Column): Column =
+    conv(hex(payload.substr(off, lit(1))), 16, 10).cast("int")
+
+  /** Big-endian uint16 at a dynamic 1-based offset. */
+  private def beU16(payload: Column, off: Column): Column =
+    conv(hex(payload.substr(off, lit(2))), 16, 10).cast("int")
 
   /** Container format from magic bytes: png/jpeg/gif/unknown. */
   def magic(payload: Column): Column =
@@ -33,6 +44,60 @@ object Multimodal {
     when(magic(payload) === "png", beU32(payload, 17)).otherwise(lit(null))
   def pngHeight(payload: Column): Column =
     when(magic(payload) === "png", beU32(payload, 21)).otherwise(lit(null))
+
+  /** 1-based offset of the JPEG SOF0/SOF2 marker (the 0xFF byte),
+    * found by walking up to `maxSegs` variable-length marker segments
+    * from SOI — a REAL segment scan (each segment's length field
+    * advances the cursor), not a fixed-offset peek. The walk is a
+    * bounded `aggregate` fold with a (cursor, found) struct
+    * accumulator, so offsets are lambda-bound and evaluated once per
+    * step (no exponential expression blow-up), and the whole parse
+    * stays codegen-able columnar. Null when no SOF marker is found
+    * within `maxSegs` segments or the scan runs past the payload.
+    */
+  def jpegSofOffset(payload: Column, maxSegs: Int = 8): Column = {
+    val init = struct(lit(3).as("off"), lit(null).cast("int").as("sof"))
+    aggregate(
+      sequence(lit(1), lit(maxSegs)),
+      init,
+      (acc, _) => graft.ColumnOps.let(acc.getField("off")) { off =>
+        val sof = acc.getField("sof")
+        val marker = u8(payload, off + 1)
+        val isSof = marker === 0xC0 || marker === 0xC2
+        val live = sof.isNull && off + 3 <= length(payload) && u8(payload, off) === 0xFF
+        struct(
+          when(live && !isSof, off + 2 + beU16(payload, off + 2)).otherwise(off).as("off"),
+          when(live && isSof, off).otherwise(sof).as("sof"))
+      },
+      acc => acc.getField("sof"))
+  }
+
+  /** JPEG baseline/progressive frame dimensions from the SOF segment:
+    * height is the big-endian uint16 at SOF+5, width at SOF+7. */
+  def jpegWidth(payload: Column, maxSegs: Int = 8): Column =
+    graft.ColumnOps.let(jpegSofOffset(payload, maxSegs))(o => beU16(payload, o + 7))
+  def jpegHeight(payload: Column, maxSegs: Int = 8): Column =
+    graft.ColumnOps.let(jpegSofOffset(payload, maxSegs))(o => beU16(payload, o + 5))
+
+  /** GIF logical-screen dimensions: little-endian uint16s at 1-based
+    * offsets 7 and 9 ("GIF87a"/"GIF89a" + screen descriptor). */
+  def gifWidth(payload: Column): Column =
+    u8(payload, lit(7)) + u8(payload, lit(8)) * 256
+  def gifHeight(payload: Column): Column =
+    u8(payload, lit(9)) + u8(payload, lit(10)) * 256
+
+  /** Container-dispatched image dimensions (png/jpeg/gif; null for
+    * unknown containers or truncated headers). */
+  def imageWidth(payload: Column): Column =
+    when(magic(payload) === "png", beU32(payload, 17).cast("int"))
+      .when(magic(payload) === "jpeg", jpegWidth(payload))
+      .when(magic(payload) === "gif", gifWidth(payload))
+      .otherwise(lit(null).cast("int"))
+  def imageHeight(payload: Column): Column =
+    when(magic(payload) === "png", beU32(payload, 21).cast("int"))
+      .when(magic(payload) === "jpeg", jpegHeight(payload))
+      .when(magic(payload) === "gif", gifHeight(payload))
+      .otherwise(lit(null).cast("int"))
 
   /** Sample every `stride`-th frame of an `array<binary>` column
     * (video keyframe thinning) — pure columnar.
@@ -53,22 +118,72 @@ object Multimodal {
       Array[Byte](8, 6, 0, 0, 0)
   }
 
-  /** STUB decode: a real pipeline would hand batches to a codec
-    * (libjpeg/ffmpeg) here — per-partition batching is the real
-    * plumbing; the "decoded features" are a deterministic fake.
-    * Input: (id, payload); output: (id, fmt_ok, header_checksum).
+  /** Minimal JPEG: SOI + JFIF APP0 (padded by `pad` zero bytes) +
+    * optional COM segment + SOF0 with the real dimensions + EOI. The
+    * SOF0 offset varies with `pad`/`comment`, so parsers must
+    * actually walk the segment list. Total length:
+    * 41 + pad (+ 13 with comment). */
+  def synthJpegHeader(width: Int, height: Int, pad: Int = 0, comment: Boolean = false): Array[Byte] = {
+    def be16(v: Int) = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val app0 = Array(0xFF, 0xE0).map(_.toByte) ++ be16(16 + pad) ++
+      "JFIF".getBytes("US-ASCII") ++ Array[Byte](0, 1, 1, 0) ++
+      be16(1) ++ be16(1) ++ Array[Byte](0, 0) ++ Array.fill(pad)(0.toByte)
+    val com =
+      if (comment) Array(0xFF, 0xFE).map(_.toByte) ++ be16(11) ++ "synthetic".getBytes("US-ASCII")
+      else Array.empty[Byte]
+    val sof0 = Array(0xFF, 0xC0).map(_.toByte) ++ be16(17) ++ Array[Byte](8) ++
+      be16(height) ++ be16(width) ++ Array[Byte](3) ++
+      Array[Byte](1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+    Array(0xFF, 0xD8).map(_.toByte) ++ app0 ++ com ++ sof0 ++ Array(0xFF, 0xD9).map(_.toByte)
+  }
+
+  /** Minimal GIF89a: signature + logical screen descriptor (13 bytes,
+    * little-endian dimensions). */
+  def synthGifHeader(width: Int, height: Int): Array[Byte] = {
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    "GIF89a".getBytes("US-ASCII") ++ le16(width) ++ le16(height) ++ Array[Byte](0, 0, 0)
+  }
+
+  /** Batched per-partition decode — the mapPartitions seam a heavy
+    * codec (libjpeg/ffmpeg) plugs into at scale. The decode here is
+    * REAL: it parses the same three containers as the columnar
+    * expressions (PNG IHDR, JPEG SOF segment walk, GIF logical
+    * screen) in plain JVM code, and MultimodalSpec cross-checks the
+    * two paths row-for-row. Input: (id, payload); output:
+    * (id, fmt, width, height) with nulls for unparseable payloads.
     */
-  def decodeStub(spark: SparkSession, df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+  def decodeBatched(spark: SparkSession, df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
-      .mapPartitions { iter =>
-        iter.map { case (id, bytes) =>
-          val ok = bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P'
-          val checksum = bytes.take(29).foldLeft(0L)((a, b) => (a * 131 + (b & 0xff)) % 2147483647L)
-          (id, ok, checksum)
+      .mapPartitions(_.map { case (id, bytes) =>
+        def u8(i: Int): Int = bytes(i) & 0xff
+        def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+        def be32(i: Int): Long = ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)).toLong
+        val fmt =
+          if (bytes.length >= 8 && u8(0) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') "png"
+          else if (bytes.length >= 2 && u8(0) == 0xFF && u8(1) == 0xD8) "jpeg"
+          else if (bytes.length >= 6 && new String(bytes.take(4), "US-ASCII") == "GIF8") "gif"
+          else "unknown"
+        val dims: Option[(Int, Int)] = fmt match {
+          case "png" if bytes.length >= 24 => Some((be32(16).toInt, be32(20).toInt))
+          case "jpeg" =>
+            // walk marker segments until SOF0/SOF2 (mirrors jpegSofOffset)
+            var off = 2; var found: Option[(Int, Int)] = None; var segs = 0
+            while (found.isEmpty && segs < 8 && off + 3 < bytes.length && u8(off) == 0xFF) {
+              val marker = u8(off + 1)
+              if (marker == 0xC0 || marker == 0xC2) {
+                if (off + 8 < bytes.length) found = Some((be16(off + 7), be16(off + 5)))
+                segs = 8
+              } else { off = off + 2 + be16(off + 2); segs += 1 }
+            }
+            found
+          case "gif" if bytes.length >= 10 =>
+            Some((u8(6) | (u8(7) << 8), u8(8) | (u8(9) << 8)))
+          case _ => None
         }
-      }
-      .toDF(idCol, "fmt_ok", "header_checksum")
+        (id, fmt, dims.map(_._1), dims.map(_._2))
+      })
+      .toDF(idCol, "fmt", "width", "height")
   }
 }

@@ -205,20 +205,29 @@ object Pipeline {
           posexplode(col("qz.q")).as(Seq("pos", "q")))
         .orderBy("vec_id", "pos")
     }),
-    // 41f — TF-IDF term weights: explode tokens → (doc, term) counts →
-    // document frequencies via a term-key window over the same data →
-    // weight. Two shuffles ((doc,term) agg + term window); df never
-    // needs a broadcastable side table.
+    // 41f — TF-IDF term weights: explode tokens → (doc, term) tf
+    // counts → document frequencies via groupBy(term) + broadcast
+    // join-back. The df agg does map-side partial aggregation, so a
+    // stopword term shrinks to ONE row per term before the shuffle —
+    // never a term-partitioned window, which would land every (doc,
+    // term) row of a hot term in a single reducer. The tf subplan
+    // feeds both sides, so ReuseExchange dedups the (doc, term)
+    // shuffle (spec-asserted). Corpus size is a 1-row agg crossJoined
+    // in — no blocking driver-side count(). At 100 TB, swap
+    // broadcast(dfTab) for a shuffle join (salted if skewed) once the
+    // vocabulary outgrows the broadcast limit; the tf side still
+    // never re-shuffles by term.
     "txt_tfidf" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val n = docs.count() // corpus size: one tiny agg, engine-mirrorable
-      val toks = docs
+      val n1 = docs.agg(count(lit(1)).cast("double").as("_n"))
+      val tf = docs
         .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
-      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("term")
-      tf.withColumn("df", count(lit(1)).over(w))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfTab = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfTab), "term")
+        .crossJoin(broadcast(n1))
         .withColumn("tfidf_fp4",
-          fp(col("tf").cast("double") * log(lit(n.toDouble) / col("df").cast("double")), 4))
+          fp(col("tf").cast("double") * log(col("_n") / col("df").cast("double")), 4))
         .select("doc_id", "term", "tf", "df", "tfidf_fp4")
         .orderBy("doc_id", "term")
     }),
@@ -299,19 +308,35 @@ object Pipeline {
         Multimodal.pngHeight(col("payload")).as("height"))
         .orderBy("doc_id")
     }),
-    // 45 — multimodal binary columns: byte length and head checksum
-    // are pure COLUMNAR expressions over the binary payload (codegen'd
-    // hex/conv on slices — round 1 computed them in mapPartitions,
-    // which they never needed). The mapPartitions STUB-codec plumbing
-    // lives in Multimodal.decodeStub, spec-tested separately.
+    // 45 — multimodal binary metadata, REAL codec: payloads are
+    // synthesized per-row in all three containers (PNG / JPEG with a
+    // variable-offset SOF0 segment / GIF), and format + dimensions +
+    // length are parsed back COLUMNAR from the binary headers — PNG
+    // big-endian IHDR, JPEG bounded segment WALK (the SOF offset
+    // varies with the APP0 padding and optional COM segment, so the
+    // walk is exercised on every row), GIF little-endian logical
+    // screen. The oracle checks the synth→parse roundtrip closed-form.
     "mm_binary_meta" -> ((s, dir) => {
-      val payload = col("payload")
-      val headSum = (1 to 8).map(i =>
-        when(length(payload) >= i, conv(hex(substring(payload, i, 1)), 16, 10).cast("long"))
-          .otherwise(lit(0L))).reduce(_ + _)
-      t(s, dir, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .select(col("doc_id"), length(payload).cast("long").as("byte_len"), headSum.as("head_sum"))
+      import s.implicits._
+      import graft.multimodal.Multimodal
+      val payloads = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (id % 500 + 1).toInt
+          val h = (id % 300 + 1).toInt
+          val bytes = (id % 3) match {
+            case 0 => Multimodal.synthPngHeader(w, h)
+            case 1 => Multimodal.synthJpegHeader(w, h, pad = (id % 7).toInt, comment = id % 2 == 0)
+            case _ => Multimodal.synthGifHeader(w, h)
+          }
+          (id, bytes)
+        })
+        .toDF("doc_id", "payload")
+      payloads.select(
+        col("doc_id"),
+        Multimodal.magic(col("payload")).as("fmt"),
+        Multimodal.imageWidth(col("payload")).cast("long").as("width"),
+        Multimodal.imageHeight(col("payload")).cast("long").as("height"),
+        length(col("payload")).cast("long").as("byte_len"))
         .orderBy("doc_id")
     })
   )
@@ -416,16 +441,21 @@ object Pipeline {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  /** mm_binary_meta oracle: utf8 byte length + sum of first 8 bytes
-    * (texts are ASCII so bytes == chars). */
-  private val mmSql: String = {
-    val headSum = (1 to 8)
-      .map(i => s"(CASE WHEN length(text) >= $i THEN ascii(substr(text, $i, 1)) ELSE 0 END)")
-      .mkString(" + ")
-    s"""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-       | CAST($headSum AS BIGINT) AS head_sum
-       |FROM documents ORDER BY doc_id""".stripMargin
-  }
+  /** mm_binary_meta oracle: the synth parameters are closed-form in
+    * doc_id, so the roundtrip check is exact — fmt cycles with
+    * doc_id%3, dims are the synth formulas, and byte_len is the
+    * container's header size (PNG 29; JPEG 41 + pad + 13 if the COM
+    * segment is present; GIF 13). */
+  private val mmSql: String =
+    """SELECT doc_id,
+      | CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS fmt,
+      | CAST(doc_id % 500 + 1 AS BIGINT) AS width,
+      | CAST(doc_id % 300 + 1 AS BIGINT) AS height,
+      | CAST(CASE doc_id % 3
+      |   WHEN 0 THEN 29
+      |   WHEN 1 THEN 41 + (doc_id % 7) + (CASE WHEN doc_id % 2 = 0 THEN 13 ELSE 0 END)
+      |   ELSE 13 END AS BIGINT) AS byte_len
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   /** sim_ann_lsh_exact oracle: recompute the md5-derived hyperplanes
     * (Similarity.planeComponentValue: uint24 of first-6 md5 hex of
@@ -533,18 +563,30 @@ object Pipeline {
       |SELECT query_id, id, cos_fp6 FROM topk WHERE rk <= 5 ORDER BY query_id, cos_fp6, id""".stripMargin
 
   /** Shared minhash CTE chain ending in `cand(doc_a, doc_b)` — the
-    * distinct capped-bucket LSH candidate pairs, plus `sigs`. */
+    * distinct LSH candidate pairs, plus `sigs`. Mirrors
+    * Dedup.lshCandidatePairs bit-exactly INCLUDING the over-cap
+    * re-split: members of buckets with > 100 rows re-key on the band
+    * key extended with the next two signature slots (mod 8) in a
+    * shifted band namespace; sub-buckets still over the cap drop. */
   private val minhashCtes: String = {
     val bands = (0 until 4).map { b =>
-      s"SELECT doc, $b AS band, array_to_string(sig[${b * 2 + 1}:${b * 2 + 2}], '_') AS key FROM sigs"
+      val key = s"array_to_string(sig[${b * 2 + 1}:${b * 2 + 2}], '_')"
+      val e1 = ((b + 1) * 2) % 8 + 1
+      val e2 = ((b + 1) * 2 + 1) % 8 + 1
+      s"SELECT doc, $b AS band, $key AS key, " +
+        s"$key || '_' || CAST(sig[$e1] AS VARCHAR) || '_' || CAST(sig[$e2] AS VARCHAR) AS key_ext FROM sigs"
     }.mkString("\n  UNION ALL ")
     s"""sh0 AS (SELECT doc_id AS doc, ${shinglesSql(3)} AS sh FROM documents),
        |hashed AS (SELECT doc, list_transform(sh, s -> $hexHashSql) AS hs FROM sh0),
        |sigs AS (SELECT doc, [${(0 until 8).map(minhashSql).mkString(", ")}] AS sig FROM hashed),
        |banded AS (
        |  $bands),
-       |ok_buckets AS (SELECT band, key FROM banded GROUP BY band, key HAVING count(*) <= 100),
-       |b2 AS (SELECT banded.* FROM banded JOIN ok_buckets USING (band, key)),
+       |counted AS (SELECT *, count(*) OVER (PARTITION BY band, key) AS n FROM banded),
+       |b_ok AS (SELECT doc, band, key FROM counted WHERE n <= 100),
+       |b_hot AS (SELECT doc, band + 4 AS band, key_ext AS key FROM counted WHERE n > 100),
+       |b_hot_ok AS (SELECT doc, band, key FROM
+       |  (SELECT *, count(*) OVER (PARTITION BY band, key) AS n2 FROM b_hot) WHERE n2 <= 100),
+       |b2 AS (SELECT * FROM b_ok UNION ALL SELECT * FROM b_hot_ok),
        |cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
        |  FROM b2 a JOIN b2 b ON a.band = b.band AND a.key = b.key AND a.doc < b.doc)""".stripMargin
   }

@@ -30,6 +30,87 @@ class DedupSimSpec extends AnyFunSuite {
     assert(pairs.contains((100L, 101L)))
   }
 
+  // Over-cap-bucket re-split scenario: 60 docs sharing 3 of their 4
+  // shingles collide heavily on band keys (a minhash slot usually takes
+  // its min from a shared shingle), so low caps produce hot buckets
+  // whose members still differ on OTHER slots — exactly the degenerate-
+  // band case re-split exists for.
+  private def resplitDocs =
+    (1 to 60).map(i => (i.toLong, s"common alpha beta gamma word$i tail$i")).toDF("doc_id", "text")
+
+  /** Independent Scala re-implementation of the banding + cap +
+    * re-split semantics over collected signatures (numPerm=8,
+    * rowsPerBand=2), used to verify lshCandidatePairs end-to-end. */
+  private def referencePairs(sigs: Map[Long, Seq[Long]], cap: Int, resplit: Boolean): (Set[(Long, Long)], Int) = {
+    val banded = sigs.toSeq.flatMap { case (doc, sig) =>
+      (0 until 4).map { b =>
+        val key = s"${sig(b * 2)}_${sig(b * 2 + 1)}"
+        val ext = s"${key}_${sig((b * 2 + 2) % 8)}_${sig((b * 2 + 3) % 8)}"
+        (doc, b, key, ext)
+      }
+    }
+    val byBucket = banded.groupBy(e => (e._2, e._3))
+    val hotBuckets = byBucket.filter(_._2.size > cap)
+    val ok = byBucket.filter(_._2.size <= cap).values.flatten.map(e => (e._1, e._2, e._3))
+    val resplitOk = hotBuckets.values.flatten.map(e => (e._1, e._2 + 4, e._4))
+      .groupBy(e => (e._2, e._3)).filter(_._2.size <= cap).values.flatten
+    val all = (ok ++ (if (resplit) resplitOk else Nil)).toSeq
+    val pairs = all.groupBy(e => (e._2, e._3)).values.flatMap { es =>
+      val ds = es.map(_._1)
+      for (a <- ds; b <- ds if a < b) yield (a, b)
+    }.toSet
+    (pairs, hotBuckets.size)
+  }
+
+  test("over-cap LSH buckets re-split on extended keys instead of dropping") {
+    val docs = resplitDocs
+    val cap = 4
+    val sigs = docs.select(col("doc_id"),
+        Dedup.minhash(Dedup.shingles(col("text"), 3), 8).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val (refOn, hotCount) = referencePairs(sigs, cap, resplit = true)
+    val (refOff, _) = referencePairs(sigs, cap, resplit = false)
+    assert(hotCount > 0, "scenario must actually produce over-cap buckets")
+    assert(refOn.diff(refOff).nonEmpty, "re-split must rescue pairs the drop guard loses")
+    val got = Dedup.lshCandidatePairs(docs, "doc_id", "text", maxBucket = cap)
+      .as[(Long, Long)].collect().toSet
+    assert(got == refOn, s"resplit=on mismatch: extra=${got.diff(refOn)} missing=${refOn.diff(got)}")
+    val gotOff = Dedup.lshCandidatePairs(docs, "doc_id", "text", maxBucket = cap, resplit = false)
+      .as[(Long, Long)].collect().toSet
+    assert(gotOff == refOff)
+  }
+
+  test("minhashEstPairs carries signatures: same pairs, est=1 for identical docs") {
+    val docs = ((1 to 10).map(i => (i.toLong, s"unique doc number $i with filler words ${i * 7}")) ++
+      Seq((100L, "the quick brown fox jumps over the lazy dog today"),
+          (101L, "the quick brown fox jumps over the lazy dog today"))).toDF("doc_id", "text")
+    val est = Dedup.minhashEstPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect()
+    val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text").as[(Long, Long)].collect().toSet
+    assert(est.map(e => (e._1, e._2)).toSet == pairs)
+    assert(est.find(e => e._1 == 100L && e._2 == 101L).exists(_._3 == 10000L))
+  }
+
+  test("minhash est computes the signature pipeline once (single scan, reused exchange)") {
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // the 100 TB shape: no broadcastable side — every banded consumer
+      // must collapse onto ONE shuffled scan via AQE stage reuse, so the
+      // md5-per-shingle signature pipeline runs exactly once
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = Dedup.minhashEstPairs(docs, "doc_id", "text")
+      df.collect() // AQE stage reuse happens at runtime — inspect the FINAL plan
+      // executedPlan.toString prints the final plan FOLLOWED BY the
+      // pre-adaptive initial plan; count scans only in the final section
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val scans = plan.sliding("Scan parquet".length).count(_ == "Scan parquet")
+      assert(plan.contains("ReusedExchange") || plan.contains("reuses"),
+        s"no exchange reuse in final plan:\n$plan")
+      assert(scans <= 2, s"expected <=2 parquet scans after reuse, got $scans:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("simhash is equal for identical text, long-typed 32-bit") {
     val hs = Seq((1L, "spark native analytics engine"), (2L, "spark native analytics engine"), (3L, "zzz yyy xxx"))
       .toDF("id", "text").select(Dedup.simhash32(col("text"))).as[Long].collect()

@@ -29,13 +29,46 @@ class MultimodalSpec extends AnyFunSuite {
     assert(bad.select(Multimodal.pngWidth(col("payload"))).head().isNullAt(0))
   }
 
-  test("decodeStub batches per partition and checks magic") {
-    val df = Seq(
-      (1L, Multimodal.synthPngHeader(5, 5)),
-      (2L, "junk".getBytes("US-ASCII"))).toDF("id", "payload").repartition(2)
-    val out = Multimodal.decodeStub(spark, df, "id", "payload")
-      .select("id", "fmt_ok").as[(Long, Boolean)].collect().toMap
-    assert(out == Map(1L -> true, 2L -> false))
+  test("jpeg SOF dims parse through variable-length segment walks") {
+    // pad and comment move the SOF0 offset — every row walks a
+    // different segment layout
+    val rows = (0 until 14).map { i =>
+      (i.toLong, Multimodal.synthJpegHeader(100 + i, 900 - i, pad = i % 7, comment = i % 2 == 0))
+    }.toDF("id", "payload")
+    val parsed = rows.select(col("id"),
+        Multimodal.jpegWidth(col("payload")), Multimodal.jpegHeight(col("payload")))
+      .as[(Long, Int, Int)].collect()
+    parsed.foreach { case (i, w, h) => assert(w == 100 + i && h == 900 - i, s"row $i") }
+    // truncated payload (SOI only) → null, not garbage
+    val trunc = Seq((1L, Array(0xFF, 0xD8).map(_.toByte))).toDF("id", "payload")
+    assert(trunc.select(Multimodal.jpegWidth(col("payload"))).head().isNullAt(0))
+  }
+
+  test("gif logical-screen dims are little-endian") {
+    val df = Seq((1L, Multimodal.synthGifHeader(641, 479))).toDF("id", "payload")
+    val (w, h) = df.select(Multimodal.gifWidth(col("payload")), Multimodal.gifHeight(col("payload")))
+      .as[(Int, Int)].head()
+    assert(w == 641 && h == 479)
+  }
+
+  test("batched decode matches the columnar parsers row-for-row") {
+    val rows = ((0 until 30).map { i =>
+      val payload = (i % 3) match {
+        case 0 => Multimodal.synthPngHeader(i + 1, 2 * i + 1)
+        case 1 => Multimodal.synthJpegHeader(i + 1, 2 * i + 1, pad = i % 7, comment = i % 2 == 0)
+        case _ => Multimodal.synthGifHeader(i + 1, 2 * i + 1)
+      }
+      (i.toLong, payload)
+    } :+ (99L, "junk".getBytes("US-ASCII"))).toDF("id", "payload").repartition(3)
+    val batched = Multimodal.decodeBatched(spark, rows, "id", "payload")
+      .select("id", "fmt", "width", "height")
+      .as[(Long, String, Option[Int], Option[Int])].collect().toSet
+    val columnar = rows.select(col("id"), Multimodal.magic(col("payload")),
+        Multimodal.imageWidth(col("payload")), Multimodal.imageHeight(col("payload")))
+      .as[(Long, String, Option[Int], Option[Int])].collect().toSet
+    assert(batched == columnar)
+    assert(batched.exists { case (id, fmt, w, _) => id == 99L && fmt == "unknown" && w.isEmpty })
+    assert(batched.count(_._2 == "jpeg") == 10)
   }
 
   test("frameSample keeps every stride-th frame") {
