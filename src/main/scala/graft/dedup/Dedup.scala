@@ -159,7 +159,7 @@ object Dedup {
     */
   def connectedComponents(nodes: DataFrame, idCol: String,
                           edges: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20, strict: Boolean = true): DataFrame = {
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .localCheckpoint()
@@ -178,7 +178,82 @@ object Dedup {
       labels = next
       i += 1
     }
+    // exiting via maxIter without convergence would silently return
+    // WRONG labels (e.g. a chain with diameter > maxIter) — never
+    // let that pass as an answer
+    if (!converged) {
+      val msg = s"connectedComponents did not converge in $maxIter rounds " +
+        "(graph diameter exceeds maxIter); labels would be wrong — " +
+        "raise maxIter or use connectedComponentsStar (O(log n) rounds)"
+      if (strict) throw new IllegalStateException(msg)
+      else System.err.println(s"[graft] WARNING: $msg")
+    }
     labels.select(col("node").as(idCol), col("label").as("component"))
+  }
+
+  /** Connected components via alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond")
+    * — converges in O(log n) rounds on ANY graph shape, vs the
+    * O(diameter) of [[connectedComponents]]'s min-label propagation:
+    * the production choice when the near-dup graph may contain long
+    * chains (transitive near-dup runs), while min-label stays fine
+    * for clique-ish duplicate clusters.
+    *
+    * large-star hangs every strictly-larger neighbor of a node off
+    * the minimum of its closed neighborhood (halves tall trees);
+    * small-star re-parents the rest. Both are one groupBy shuffle
+    * over the edge list; rounds alternate until the edge set is a
+    * fixpoint (a star forest), checked with an anti-join. Lineage is
+    * truncated per round with localCheckpoint.
+    *
+    * Same contract as [[connectedComponents]]: output (idCol,
+    * component), component = min id in the component, singletons map
+    * to themselves.
+    */
+  def connectedComponentsStar(nodes: DataFrame, idCol: String,
+                              edges: DataFrame, aCol: String, bCol: String,
+                              maxIter: Int = 30): DataFrame = {
+    def dedup(e: DataFrame) = e.filter(col("u") =!= col("v")).distinct()
+    // large-star: for each node n (symmetric neighborhood), attach
+    // every neighbor v > n to m = min(closed neighborhood of n)
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy("u").agg(min("v").as("_mn"))
+        .select(col("u"), least(col("u"), col("_mn")).as("m"))
+      dedup(sym.filter(col("v") > col("u")).join(m, "u")
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+    // small-star: orient edges child>parent, re-parent each child's
+    // smaller neighbors (and itself) onto the minimum parent
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      val m = dir.groupBy("u").agg(min("v").as("m"))
+      dedup(dir.join(m, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(m.select(col("u"), col("m").as("v"))))
+    }
+    var e = dedup(edges.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v")))
+      .localCheckpoint()
+    var converged = e.isEmpty
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      // fixpoint = same edge SET (both frames are distinct'd)
+      converged = next.count() == e.count() && next.exceptAll(e).isEmpty
+      e = next
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIter rounds")
+    // star forest → label every node by its root; isolated nodes keep
+    // their own id
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val roots = sym.groupBy("u").agg(min("v").as("_mn"))
+      .select(col("u").as("node"), least(col("u"), col("_mn")).as("label"))
+    nodes.select(col(idCol).cast("long").as("node")).distinct()
+      .join(roots, Seq("node"), "left")
+      .select(col("node").as(idCol), coalesce(col("label"), col("node")).as("component"))
   }
 
   /** MinHash Jaccard ESTIMATES for the LSH candidate pairs: the
@@ -235,34 +310,60 @@ object Dedup {
       bitContribs.reduce(_ + _)
     }
 
-  /** SimHash near-duplicate pairs within `maxHamming` bit flips.
-    * Pigeonhole banding: the 32-bit signature splits into
-    * `maxHamming + 1` equal bands — any pair within the distance
-    * agrees EXACTLY on at least one band, so candidates come from an
-    * equi-join on (band, band bits), never an all-pairs scan. Bands
-    * unroll at plan-build time (literal shifts). `maxBucket` drops
-    * degenerate bands (e.g. all-empty docs hashing to 0) exactly like
-    * lshCandidatePairs. NOTE at 100 TB: 32/4 = 8-bit bands give only
-    * 256 buckets per band — use a 64-bit signature with 16-bit bands
-    * for real corpora; the operator shape is identical.
-    * Output: (doc_a, doc_b, hamming), hamming ≤ maxHamming.
-    */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, maxBucket: Long = 1000L): DataFrame = {
+  /** 64-bit SimHash via the native one-pass expression — the
+    * corpus-scale signature: under maxHamming=3 pigeonhole banding it
+    * yields 16-bit bands (65,536 buckets/band) where 32 bits yield
+    * only 256. Bit layout extends [[simhash32Native]] to the first 16
+    * md5 hex chars; [[simhash64]] is the interpreted HOF spec twin. */
+  def simhash64Native(text: Column): Column =
+    call_function("graft_simhash64", array_distinct(TextAnalysis.tokens(text)))
+
+  /** 64-bit SimHash from md5 nibbles — HOF spec twin of
+    * [[simhash64Native]] (64 folds; only for bit-equality tests).
+    * Bits combine with bitwise OR (bit 63 is Long.MinValue — addition
+    * would overflow under ANSI). */
+  def simhash64(text: Column): Column =
+    graft.ColumnOps.let(
+      transform(array_distinct(TextAnalysis.tokens(text)), t => md5(t))
+    ) { hashes =>
+      val bitContribs = (0 until 64).map { b =>
+        val nibIdx = b / 4 + 1 // hex char holding bit b
+        val sum = aggregate(
+          hashes,
+          lit(0L),
+          (acc, h) => {
+            val nib = TextHex.nibble(h.substr(lit(nibIdx), lit(1)))
+            acc + when(shiftright(nib, b % 4).bitwiseAND(1) === 1, 1L).otherwise(-1L)
+          }
+        )
+        when(sum > 0, lit(1L << b)).otherwise(lit(0L))
+      }
+      bitContribs.reduce(_ bitwiseOR _)
+    }
+
+  /** Pigeonhole Hamming band join shared by the 32- and 64-bit pair
+    * operators: any pair within `maxHamming` flips agrees exactly on
+    * one of the `maxHamming + 1` bands. Bucket sizes are counted with
+    * a window over the same (band, key) shuffle the self-join needs
+    * (one scan of `sigs`; no agg-plus-join-back double shuffle).
+    * `sigs` must have columns (doc, sig). */
+  private def hammingBandPairs(sigs: DataFrame, sigBits: Int,
+                               maxHamming: Int, maxBucket: Long): DataFrame = {
     val bands = maxHamming + 1
-    require(32 % bands == 0, s"maxHamming+1 = $bands must divide 32")
-    val bits = 32 / bands
-    val mask = (1L << bits) - 1
-    val sigs = df.select(col(idCol).as("doc"), simhash32Native(col(textCol)).as("sig"))
+    require(sigBits % bands == 0, s"maxHamming+1 = $bands must divide $sigBits")
+    val bits = sigBits / bands
+    val mask = (1L << bits) - 1 // bits < 64 always (bands >= 2)
     val bandCols = (0 until bands).map { b =>
+      // mask after the arithmetic shift keeps the key sign-safe for
+      // the 64-bit signature's negative longs
       struct(lit(b).as("band"), shiftright(col("sig"), b * bits).bitwiseAND(lit(mask)).as("key"))
     }
     val banded = sigs
       .select(col("doc"), col("sig"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val ok = banded.groupBy("band", "key").agg(count(lit(1)).as("_n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "key")
+    val b2 = banded.withColumn("_n", count(lit(1)).over(w))
       .filter(col("_n") <= maxBucket).drop("_n")
-    val b2 = banded.join(ok, Seq("band", "key"))
     b2.as("a")
       .join(b2.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") && col("a.doc") < col("b.doc"))
@@ -273,6 +374,28 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
   }
+
+  /** SimHash near-duplicate pairs within `maxHamming` bit flips over
+    * the 32-bit signature. Bands unroll at plan-build time (literal
+    * shifts); `maxBucket` drops degenerate bands (e.g. all-empty docs
+    * hashing to 0). NOTE at 100 TB: 32/4 = 8-bit bands give only 256
+    * buckets per band — use [[simhashPairs64]] for real corpora.
+    * Output: (doc_a, doc_b, hamming), hamming ≤ maxHamming.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, maxBucket: Long = 1000L): DataFrame =
+    hammingBandPairs(
+      df.select(col(idCol).as("doc"), simhash32Native(col(textCol)).as("sig")),
+      32, maxHamming, maxBucket)
+
+  /** [[simhashPairs]] over the 64-bit signature — 16-bit bands under
+    * the default maxHamming=3, the shape that actually carries a real
+    * corpus. Output: (doc_a, doc_b, hamming). */
+  def simhashPairs64(df: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int = 3, maxBucket: Long = 1000L): DataFrame =
+    hammingBandPairs(
+      df.select(col(idCol).as("doc"), simhash64Native(col(textCol)).as("sig")),
+      64, maxHamming, maxBucket)
 
   /** Jaccard similarity of shingle sets for candidate pairs, computed by
     * explode → co-group (never n²: only ids sharing ≥1 shingle meet).

@@ -105,6 +105,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[SimhashExpr].getName, "graft_simhash32"),
       (children: Seq[Expression]) => SimhashExpr(children(0))))
     ext.injectFunction((
+      FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[Simhash64Expr].getName, "graft_simhash64"),
+      (children: Seq[Expression]) => Simhash64Expr(children(0))))
+    ext.injectFunction((
       FunctionIdentifier("graft_line_dist2"),
       new ExpressionInfo(classOf[LineDistExpr].getName, "graft_line_dist2"),
       (children: Seq[Expression]) => LineDistExpr(children(0), children(1))))

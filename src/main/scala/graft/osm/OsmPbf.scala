@@ -124,7 +124,14 @@ object OsmPbf {
         inf.setInput(b, zOff, zLen)
         val out = new Array[Byte](rawSize)
         var n = 0
-        while (n < rawSize && !inf.finished()) n += inf.inflate(out, n, rawSize - n)
+        while (n < rawSize && !inf.finished()) {
+          val k = inf.inflate(out, n, rawSize - n)
+          // inflate() == 0 with needsInput set means truncated/corrupt
+          // zlib data — finished() never turns true, so bail instead
+          // of spinning forever
+          if (k == 0) { inf.end(); throw new java.io.IOException("truncated or corrupt zlib blob") }
+          n += k
+        }
         inf.end()
         out
       }

@@ -156,13 +156,19 @@ object Changegen {
     }),
     // 21b — self-intersections among new features (generator.py handles
     // new-vs-new junctions the same as new-vs-existing): self distance
-    // join via the same grid buckets, deduped to a<b pairs
+    // join via the same grid buckets, deduped to a<b pairs. Duplicate-
+    // geometry clones are PLANTED (every 50th point re-appears under a
+    // new id at the same coords) so the reference's `not st_equals`
+    // exclusion (db.py:134, excludeEqual) is exercised: a clone pair
+    // is within radius 0 but must NOT report.
     "cg_self_intersect" -> ((s, dir) => {
       val pts = t(s, dir, "customer").select(col("c_custkey"), rnd("sx", col("c_custkey")).as("x"), rnd("sy", col("c_custkey")).as("y"))
+      val all = pts.unionByName(pts.filter(col("c_custkey") % 50 === 0)
+        .select((col("c_custkey") + 10000000L).as("c_custkey"), col("x"), col("y")))
       DWithinJoin
-        .pointPoint(pts, "c_custkey", "x", "y",
-          pts.select(col("c_custkey").as("other"), col("x").as("ox"), col("y").as("oy")),
-          "other", "ox", "oy", 4.0)
+        .pointPoint(all, "c_custkey", "x", "y",
+          all.select(col("c_custkey").as("other"), col("x").as("ox"), col("y").as("oy")),
+          "other", "ox", "oy", 4.0, excludeEqual = true)
         .filter(col("c_custkey") < col("other"))
         .select(col("c_custkey"), col("other"), fp(col("dist"), 6).as("dist_fp6"))
         .orderBy("c_custkey", "other")
@@ -192,13 +198,18 @@ object Changegen {
     }),
     // 21d — line-line st_dwithin (db.py:127-135 when both geometries
     // are linestrings): exact segment-pair distance via the native
-    // graft_line_dist2, canonical-cell grid join (no dedup shuffle)
+    // graft_line_dist2, canonical-cell grid join (no dedup shuffle).
+    // The right side PLANTS an exact copy of left line 0 under rid
+    // 100, so the `not st_equals` vertex-array exclusion is exercised
+    // (the (0, 100) pair is at distance 0 and must NOT report; other
+    // lines still pair against the clone).
     "cg_dwithin_lineline" -> ((s, dir) => {
       val l = blobLines(t(s, dir, "supplier"), "s_suppkey", 4, "lid", "lbx", "lby", 7, 23)
         .select(col("lid").cast("long").as("lid"), col("line"))
       val r = blobLines(t(s, dir, "customer"), "c_custkey", 15, "rid", "rbx", "rby", 11, 31)
         .select(col("rid").cast("long").as("rid"), col("line"))
-      DWithinJoin.lineLine(l, "lid", "line", r, "rid", "line", 3.0)
+        .unionByName(l.filter(col("lid") === 0).select(lit(100L).as("rid"), col("line")))
+      DWithinJoin.lineLine(l, "lid", "line", r, "rid", "line", 3.0, excludeEqual = true)
         .select(col("lid"), col("rid"), fp(col("dist"), 6).as("dist_fp6"))
         .orderBy("lid", "rid")
     }),
@@ -411,11 +422,14 @@ object Changegen {
            | list_transform(range(1, 7),
            |  i -> CAST(strpos('0123456789abcdef', substr(md5('$tag' || CAST(c_custkey AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT))),
            | (a, v) -> a*16 + v) / 16777216.0 * 100.0)""".stripMargin.replace("\n", " ")
-      s"""SELECT a.c_custkey, b.c_custkey AS other,
+      s"""WITH pts AS (SELECT c_custkey, ${rndSql("sx")} AS x, ${rndSql("sy")} AS y FROM customer),
+        |pts2 AS (SELECT c_custkey, x, y FROM pts
+        |         UNION ALL SELECT c_custkey + 10000000, x, y FROM pts WHERE c_custkey % 50 = 0)
+        |SELECT a.c_custkey, b.c_custkey AS other,
         |  ${sqlFp("sqrt((a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y))", 6)} AS dist_fp6
-        |FROM (SELECT c_custkey, ${rndSql("sx")} AS x, ${rndSql("sy")} AS y FROM customer) a,
-        |     (SELECT c_custkey, ${rndSql("sx")} AS x, ${rndSql("sy")} AS y FROM customer) b
+        |FROM pts2 a, pts2 b
         |WHERE a.c_custkey < b.c_custkey
+        |  AND NOT (a.x = b.x AND a.y = b.y)
         |  AND sqrt((a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y)) <= 4.0
         |ORDER BY a.c_custkey, other""".stripMargin
     },
@@ -465,7 +479,14 @@ object Changegen {
         |    ${rndE("rby", "c_custkey % 15")} * 0.3 + (c_custkey*31 % 40)/10.0 AS y FROM customer),
         |rln AS (SELECT rid FROM rsp GROUP BY rid HAVING count(*) >= 2),
         |bseg AS (SELECT a.rid, a.x AS q1x, a.y AS q1y, b.x AS q2x, b.y AS q2y
-        |         FROM rsp a JOIN rsp b ON a.rid = b.rid AND b.seq = a.seq + 1 JOIN rln ON rln.rid = a.rid),
+        |         FROM rsp a JOIN rsp b ON a.rid = b.rid AND b.seq = a.seq + 1 JOIN rln ON rln.rid = a.rid
+        |         UNION ALL SELECT 100 AS rid, p1x, p1y, p2x, p2y FROM aseg WHERE lid = 0),
+        |lverts AS (SELECT lid, list(struct_pack(x := x, y := y) ORDER BY seq) AS vs
+        |           FROM lsp JOIN lln USING (lid) GROUP BY lid),
+        |rverts AS (SELECT rid, list(struct_pack(x := x, y := y) ORDER BY seq) AS vs
+        |           FROM rsp JOIN rln USING (rid) GROUP BY rid
+        |           UNION ALL SELECT 100, vs FROM lverts WHERE lid = 0),
+        |eqpairs AS (SELECT l.lid, r.rid FROM lverts l JOIN rverts r ON l.vs = r.vs),
         |dv AS (SELECT *,
         |    (p2x - p1x) AS adx, (p2y - p1y) AS ady,
         |    (q2x - q1x) AS bdx, (q2y - q1y) AS bdy,
@@ -494,8 +515,9 @@ object Changegen {
         |      THEN 0.0 ELSE least(m1, m2, m3, m4) END AS d2
         |  FROM ds),
         |md AS (SELECT lid, rid, min(d2) AS d2 FROM pd GROUP BY lid, rid)
-        |SELECT CAST(lid AS BIGINT) AS lid, CAST(rid AS BIGINT) AS rid, ${sqlFp("sqrt(d2)", 6)} AS dist_fp6
-        |FROM md WHERE sqrt(d2) <= 3.0 ORDER BY lid, rid""".stripMargin
+        |SELECT CAST(md.lid AS BIGINT) AS lid, CAST(md.rid AS BIGINT) AS rid, ${sqlFp("sqrt(d2)", 6)} AS dist_fp6
+        |FROM md LEFT JOIN eqpairs e ON e.lid = md.lid AND e.rid = md.rid
+        |WHERE e.lid IS NULL AND sqrt(d2) <= 3.0 ORDER BY md.lid, md.rid""".stripMargin
     },
     "cg_node_dedup" ->
       s"""SELECT rx, ry, min(c_custkey) AS keep_id, count(*) AS n_dups FROM (

@@ -76,6 +76,21 @@ object Pipeline {
         maxHamming = 3, maxBucket = 100L)
         .orderBy("doc_a", "doc_b")
     }),
+    // 33c — 64-bit SimHash signatures (native one-pass expr; HOF twin
+    // bit-equality spec-tested). 64 bits are the corpus-scale shape:
+    // 16-bit bands under maxHamming=3 banding
+    "dd_simhash64" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash64Native(col("text")).as("simhash"))
+        .orderBy("doc_id")
+    }),
+    // 33d — 64-bit SimHash Hamming pairs (16-bit pigeonhole bands —
+    // 65,536 buckets/band vs the 32-bit signature's 256)
+    "dd_simhash64_pairs" -> ((s, dir) => {
+      Dedup.simhashPairs64(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3, maxBucket = 100L)
+        .orderBy("doc_a", "doc_b")
+    }),
     // 34 — n-gram Jaccard similarity pairs via shingle co-group
     "dd_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -441,6 +456,53 @@ object Pipeline {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** 64-bit simhash core CTEs, ending in `sigs64(doc_id, simhash)`.
+    * Same per-bit signed-sum layout as the 32-bit core extended to 16
+    * md5 hex chars; bits combine with bitwise OR (bit 63 is the
+    * BIGINT sign bit — CAST(-9223372036854775808) since 1<<63
+    * overflows DuckDB's left shift). */
+  private val simhash64CoreCte: String = {
+    val bitSums = (0 until 64).map { b =>
+      val nib = s"(strpos('0123456789abcdef', substr(md5(t), ${b / 4 + 1}, 1)) - 1)"
+      s"sum(CASE WHEN (($nib >> ${b % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS s$b"
+    }.mkString(",\n    ")
+    val combine = (0 until 64).map { b =>
+      val bit = if (b == 63) "CAST(-9223372036854775808 AS BIGINT)" else s"(CAST(1 AS BIGINT) << $b)"
+      s"(CASE WHEN s$b > 0 THEN $bit ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" | ")
+    s"""toks64 AS (
+       |  SELECT doc_id, unnest(list_distinct($toksSql)) AS t FROM documents),
+       |bits64 AS (SELECT doc_id,
+       |    $bitSums
+       |  FROM toks64 GROUP BY doc_id),
+       |sigs64 AS (SELECT d.doc_id, CAST(coalesce($combine, 0) AS BIGINT) AS simhash
+       |  FROM documents d LEFT JOIN bits64 USING (doc_id))""".stripMargin
+  }
+
+  private val simhash64Sql: String =
+    s"""WITH $simhash64CoreCte
+       |SELECT doc_id, simhash FROM sigs64 ORDER BY doc_id""".stripMargin
+
+  /** dd_simhash64_pairs oracle: 4×16-bit pigeonhole bands over the
+    * BIGINT signature (arithmetic shift then mask — sign-safe in both
+    * engines) + native bit_count popcount. */
+  private val simhash64PairsSql: String = {
+    val bandsSel = (0 until 4).map { b =>
+      s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 16}) & 65535 AS key FROM sigs64"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $simhash64CoreCte,
+       |banded64 AS (
+       |  $bandsSel),
+       |ok64 AS (SELECT band, key FROM banded64 GROUP BY band, key HAVING count(*) <= 100),
+       |b264 AS (SELECT banded64.* FROM banded64 JOIN ok64 USING (band, key)),
+       |cand64 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM b264 a JOIN b264 b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+       |FROM cand64 JOIN sigs64 sa ON sa.doc_id = doc_a JOIN sigs64 sb ON sb.doc_id = doc_b
+       |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** mm_binary_meta oracle: the synth parameters are closed-form in
     * doc_id, so the roundtrip check is exact — fmt cycles with
     * doc_id%3, dims are the synth formulas, and byte_len is the
@@ -627,6 +689,8 @@ object Pipeline {
     "sim_ann_ivf" -> annIvfSql,
     "dd_simhash" -> simhashSql,
     "dd_simhash_pairs" -> simhashPairsSql,
+    "dd_simhash64" -> simhash64Sql,
+    "dd_simhash64_pairs" -> simhash64PairsSql,
     "dd_ngram_jaccard" ->
       s"""WITH sh AS (SELECT doc_id AS doc, unnest(${shinglesSql(3)}) AS s FROM documents),
         |sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),

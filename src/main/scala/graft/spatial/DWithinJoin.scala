@@ -42,7 +42,8 @@ object DWithinJoin {
       rx: String,
       ry: String,
       radius: Double,
-      cellsPerRadius: Int = 1
+      cellsPerRadius: Int = 1,
+      excludeEqual: Boolean = false
   ): DataFrame = {
     require(cellsPerRadius >= 1, "cellsPerRadius must be >= 1")
     val k = cellsPerRadius
@@ -68,11 +69,18 @@ object DWithinJoin {
       col(ry).as("_ry"),
       struct(floor(col(rx) / cell).cast("long").as("cx"), floor(col(ry) / cell).cast("long").as("cy")).as("_cell")
     )
-    lCells
+    val joined = lCells
       .join(rCells, "_cell")
       .withColumn("dist", Geo.dist(col("_lx"), col("_ly"), col("_rx"), col("_ry")))
       .filter(col("dist") <= radius)
-      .select(col(leftId), col(rightId), col("dist"))
+    // `excludeEqual` is the reference's `not st_equals(n.geom, o.geom)`
+    // (db.py:134): drop pairs whose GEOMETRIES coincide — two distinct
+    // features at the same location do not intersect-report each
+    // other. Point st_equals = exact coordinate equality.
+    val excluded =
+      if (excludeEqual) joined.filter(!(col("_lx") === col("_rx") && col("_ly") === col("_ry")))
+      else joined
+    excluded.select(col(leftId), col(rightId), col("dist"))
   }
 
   /** Point-linestring within-radius join: right side carries a
@@ -161,7 +169,8 @@ object DWithinJoin {
       right: DataFrame,
       rightId: String,
       rightLine: String,
-      radius: Double
+      radius: Double,
+      excludeEqual: Boolean = false
   ): DataFrame = {
     val r = lit(radius)
     def xs(c: Column) = transform(c, p => p.getField("x"))
@@ -181,13 +190,19 @@ object DWithinJoin {
       left.select(col(leftId), col(leftLine).as("_lline")), "_lline", r, "_lcx0", "_lcy0")
     val rCells = cellsOf(
       right.select(col(rightId), col(rightLine).as("_rline")), "_rline", lit(0.0), "_rcx0", "_rcy0")
-    lCells
+    val joined = lCells
       .join(rCells, "_cell")
       // canonical cell: exactly-once without a distinct shuffle
       .filter(col("_cell.cx") === greatest(col("_lcx0"), col("_rcx0")) &&
         col("_cell.cy") === greatest(col("_lcy0"), col("_rcy0")))
       .withColumn("dist", sqrt(call_function("graft_line_dist2", col("_lline"), col("_rline"))))
       .filter(col("dist") <= radius)
-      .select(col(leftId), col(rightId), col("dist"))
+    // reference's `not st_equals` (db.py:134) for linestrings:
+    // vertex-array equality (same coords in the same order). Cheap —
+    // it only runs on within-radius candidate pairs.
+    val excluded =
+      if (excludeEqual) joined.filter(!(col("_lline") === col("_rline")))
+      else joined
+    excluded.select(col(leftId), col(rightId), col("dist"))
   }
 }

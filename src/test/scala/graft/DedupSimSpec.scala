@@ -134,6 +134,34 @@ class DedupSimSpec extends AnyFunSuite {
     assert(empty == ((0L, 0L)))
   }
 
+  test("native simhash64 is bit-identical to the 64-fold HOF twin on real data") {
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+    val both = docs.select(col("doc_id"),
+        Dedup.simhash64Native(col("text")).as("nat"),
+        Dedup.simhash64(col("text")).as("hof"))
+      .as[(Long, Long, Long)].collect()
+    assert(both.nonEmpty)
+    assert(both.forall { case (_, nat, hof) => nat == hof })
+    // the 64-bit signature actually uses the upper word (some doc sets
+    // the sign or a bit above 31) — otherwise it's just simhash32
+    assert(both.exists { case (_, nat, _) => (nat >>> 32) != 0 })
+    val empty = Seq((1L, "")).toDF("doc_id", "text")
+      .select(Dedup.simhash64Native(col("text")), Dedup.simhash64(col("text")))
+      .as[(Long, Long)].head()
+    assert(empty == ((0L, 0L)))
+  }
+
+  test("simhash64 pairs find identical docs at hamming 0, not disjoint docs") {
+    val docs = ((1 to 15).map(i => (i.toLong, s"totally distinct document payload $i ${i * 31}")) ++
+      Seq((100L, "the quick brown fox jumps over the lazy dog today"),
+          (101L, "the quick brown fox jumps over the lazy dog today"))).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs64(docs, "doc_id", "text")
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.exists(p => p._1 == 100L && p._2 == 101L && p._3 == 0))
+    // 16-bit bands: unrelated docs must not collide into pairs here
+    assert(pairs.forall(p => p._3 <= 3))
+  }
+
   test("annLsh multi-probe raises recall over single-probe; bucket cap bounds candidates") {
     val emb = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
     val queries = emb.filter(col("vec_id") % 25 === 0)
@@ -230,6 +258,35 @@ class DedupSimSpec extends AnyFunSuite {
       .select("qid", "vec_id").as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     assert(ivf == brute)
     cents.unpersist()
+  }
+
+  test("large-star/small-star CC handles a 200-node chain in O(log n) rounds; min-label throws at truncation") {
+    // worst case for min-label propagation: one long chain (diameter
+    // 199); near-dup graphs only look like this when duplicates form
+    // transitive runs, but correctness must not depend on shape
+    val n = 200
+    val nodes = (1 to n).map(_.toLong).toDF("id")
+    val chain = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
+    // star-contraction: 12 rounds >> log2(200), far < diameter
+    val star = Dedup.connectedComponentsStar(nodes, "id", chain, "a", "b", maxIter = 12)
+      .as[(Long, Long)].collect().toMap
+    assert(star.size == n && star.values.forall(_ == 1L), "chain must collapse to component 1")
+    // identical labels to the min-label operator when that one is
+    // allowed enough rounds
+    val plain = Dedup.connectedComponents(nodes, "id", chain, "a", "b", maxIter = 250)
+      .as[(Long, Long)].collect().toMap
+    assert(star == plain)
+    // min-label at 12 rounds CANNOT finish a diameter-199 chain: the
+    // strict default must throw, never return silently-wrong labels
+    val ex = intercept[IllegalStateException] {
+      Dedup.connectedComponents(nodes, "id", chain, "a", "b", maxIter = 12)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // isolated node: own component under star contraction
+    val iso = Dedup.connectedComponentsStar(
+      Seq(1L, 2L, 99L).toDF("id"), "id", Seq((1L, 2L)).toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(iso == Map(1L -> 1L, 2L -> 1L, 99L -> 99L))
   }
 
   test("cosine of identical vectors is 1") {

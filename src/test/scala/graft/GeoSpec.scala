@@ -150,6 +150,28 @@ class GeoSpec extends AnyFunSuite {
     assert(salted == brute)
   }
 
+  test("excludeEqual drops duplicate-geometry pairs but keeps co-located distinct geometries") {
+    // rid 1 duplicates lid 1's coords exactly; rid 2 is 0.5 away
+    val left = Seq((1L, 10.0, 10.0)).toDF("lid", "lx", "ly")
+    val right = Seq((1L, 10.0, 10.0), (2L, 10.5, 10.0)).toDF("rid", "rx", "ry")
+    val withEq = DWithinJoin.pointPoint(left, "lid", "lx", "ly", right, "rid", "rx", "ry", 3.0)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val noEq = DWithinJoin.pointPoint(left, "lid", "lx", "ly", right, "rid", "rx", "ry", 3.0,
+        excludeEqual = true)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(withEq == Set((1L, 1L), (1L, 2L)))
+    assert(noEq == Set((1L, 2L)))
+    // lineLine: an exact vertex-array copy is excluded, a shifted line is not
+    val mk = (id: Long, x0: Double) => (id, Seq((x0, 0.0), (x0 + 1, 0.0), (x0 + 2, 1.0)))
+    val la = Seq(mk(1L, 5.0)).toDF("lid", "pts")
+      .withColumn("line", expr("transform(pts, p -> struct(p._1 AS x, p._2 AS y))")).select("lid", "line")
+    val rb = Seq(mk(7L, 5.0), mk(8L, 5.3)).toDF("rid", "pts")
+      .withColumn("line", expr("transform(pts, p -> struct(p._1 AS x, p._2 AS y))")).select("rid", "line")
+    val lineNoEq = DWithinJoin.lineLine(la, "lid", "line", rb, "rid", "line", 2.0, excludeEqual = true)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(lineNoEq == Set((1L, 8L)))
+  }
+
   test("DWithinJoin plans a shuffle join, not a cartesian product") {
     val left = (1 to 10).map(i => (i.toLong, i.toDouble, i.toDouble)).toDF("lid", "lx", "ly")
     val right = (1 to 10).map(i => (i.toLong, i.toDouble, i.toDouble)).toDF("rid", "rx", "ry")

@@ -16,6 +16,12 @@ class PropertySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  /** Gen.sample returns None when suchThat/mapOfN retries exhaust —
+    * `.sample.get` would then throw NoSuchElementException
+    * intermittently. Retry sampling until a value materializes. */
+  private def sampled[A](g: Gen[A]): A =
+    Iterator.continually(g.sample).flatten.next()
+
   // ---- hstore parser vs a reference regex parser ---------------------
 
   private val keyGen = Gen.oneOf(Gen.alphaNumStr.map(_.take(8)),
@@ -37,7 +43,7 @@ class PropertySpec extends AnyFunSuite {
   }
 
   test("property: hstoreToMap matches the reference parser on generated adversarial input") {
-    val inputs = Gen.listOfN(60, hstoreGen).sample.get
+    val inputs = sampled(Gen.listOfN(60, hstoreGen))
     val got = inputs.toDF("hs").select(TagOps.hstoreToMap(col("hs")).as("m"))
       .as[Map[String, String]].collect()
     inputs.zip(got).foreach { case (in, out) =>
@@ -77,7 +83,7 @@ class PropertySpec extends AnyFunSuite {
       n <- Gen.chooseNum(2, 6)
       pts <- Gen.listOfN(n, Gen.zip(coord, coord))
     } yield pts
-    val cases = Gen.listOfN(40, Gen.zip(lineGen, lineGen)).sample.get
+    val cases = sampled(Gen.listOfN(40, Gen.zip(lineGen, lineGen)))
     val df = cases.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
       .toDF("i", "a", "b")
       .withColumn("la", expr("transform(a, p -> struct(p._1 AS x, p._2 AS y))"))
@@ -107,8 +113,8 @@ class PropertySpec extends AnyFunSuite {
       nds <- Gen.listOfN(4, id)
     } yield OsmModel.Way(i, v, nds, t)
     // distinct ids so sort-and-compare is unambiguous
-    val nodes = Gen.listOfN(30, nodeGen).sample.get.distinctBy(_.id)
-    val ways = Gen.listOfN(15, wayGen).sample.get.distinctBy(_.id)
+    val nodes = sampled(Gen.listOfN(30, nodeGen)).distinctBy(_.id)
+    val ways = sampled(Gen.listOfN(15, wayGen)).distinctBy(_.id)
     val path = java.nio.file.Files.createTempFile("graft_prop", ".osm.pbf").toString
     OsmPbf.write(path, nodes, ways, Nil, blockSize = 7)
     val rn = OsmPbf.nodes(spark, path).collect().sortBy(_.id)
