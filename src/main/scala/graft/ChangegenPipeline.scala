@@ -39,6 +39,18 @@ object ChangegenPipeline {
       modifyXml: DataFrame, deleteXml: DataFrame,
       polyNodes: DataFrame, polyWays: DataFrame, polyRelations: DataFrame)
 
+  /** Deletion-table discovery by name suffix — the CLI analog of the
+    * reference's `_get_db_tables` (`table_name LIKE '%suffix'`,
+    * __main__.py:55-68): every parquet table in `dir` whose name ends
+    * with `suffix` contributes `<delete>` entries (its `osm_id`
+    * column names the removed ways). */
+  def discoverDeletionTables(dir: String, suffix: String): Seq[String] = {
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).toSeq.flatten
+      .filter(f => f.getName.endsWith(s"$suffix.parquet"))
+      .map(_.getAbsolutePath).sorted
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
     val out = if (args.length > 1) args(1) else "/tmp/graft_demo.osc.gz"
@@ -46,10 +58,16 @@ object ChangegenPipeline {
     val idOffset = if (args.length > 3) Some(args(3).toLong) else None
     val negIds = if (args.length > 4) args(4).toBoolean else false
     val shards = if (args.length > 5) args(5).toInt else 0
-    val osmSrc = if (args.length > 6) Some(args(6)) else None
+    val osmSrc = if (args.length > 6 && args(6).nonEmpty) Some(args(6)) else None
+    val deletionSuffix = if (args.length > 7 && args(7).nonEmpty) Some(args(7)) else None
+    val noCollisions = if (args.length > 8) args(8).toBoolean else false
 
     val spark = GraftSession.get()
-    val f = build(spark, sfDir, maxNodes, idOffset, negIds, osmSrc)
+    val deletionTables = deletionSuffix.map(discoverDeletionTables(sfDir, _)).getOrElse(Nil)
+    if (deletionSuffix.isDefined)
+      println(s"[changegen] found deletion tables: ${deletionTables.mkString(", ")}")
+    val f = build(spark, sfDir, maxNodes, idOffset, negIds, osmSrc,
+      deletionTables, noCollisions)
 
     // 5. assemble the OsmChange document (creates = nodes then ways)
     if (shards > 0) {
@@ -112,7 +130,9 @@ object ChangegenPipeline {
     * ways derive synthetically from lineitem. */
   def build(spark: SparkSession, sfDir: String, maxNodes: Int = 500,
             idOffset: Option[Long] = None, negIds: Boolean = false,
-            osmSrc: Option[String] = None): Frames = {
+            osmSrc: Option[String] = None,
+            deletionTables: Seq[String] = Nil,
+            noCollisions: Boolean = false): Frames = {
     val supplier = Tables.load(spark, sfDir, "supplier")
     val lineitem = Tables.load(spark, sfDir, "lineitem")
 
@@ -133,6 +153,16 @@ object ChangegenPipeline {
     val nodeIdBase =
       if (negIds) -1L
       else idOffset.getOrElse(math.max(1000000L, maxExistingNode + 1))
+    // pre-write collision validation (reference __main__.py:198-207):
+    // an EXPLICIT offset at or below the observed max existing id
+    // would hand out ids that already exist — warn, or stop the run
+    // under noCollisions (the reference's --no_collisions fatal path)
+    if (!negIds && idOffset.exists(off => off <= maxExistingNode || off <= maxExistingWay)) {
+      val msg = s"Chosen ID offset ${idOffset.get} may cause collisions with existing " +
+        s"OSM IDs (max node id: $maxExistingNode, max way id: $maxExistingWay)"
+      if (noCollisions) throw new IllegalStateException(msg)
+      else System.err.println(s"[changegen] WARNING: $msg")
+    }
 
     // 1. new features: per-group linestrings of supplier points
     val verts = supplier.select(
@@ -216,10 +246,19 @@ object ChangegenPipeline {
     val orders = Tables.load(spark, sfDir, "orders")
     // persisted above: nodes/splitWays/junctionAt/modified/deleteSet are
     // each consumed twice (XML write + summary counts) — no recompute
-    val removedWays = SnapshotDiff.deletes(
+    val diffRemoved = SnapshotDiff.deletes(
       orders.select(col("o_orderkey")),
       orders.filter(col("o_orderkey") % 13 =!= 5).select(col("o_orderkey")),
       Seq("o_orderkey"))
+    // discovered deletion tables (reference generate_deletions: each
+    // carries an osm_id column naming removed ways) union into the
+    // snapshot-diff-derived removals before node expansion
+    val removedWays =
+      if (deletionTables.isEmpty) diffRemoved // no extra distinct shuffle on the default path
+      else deletionTables
+        .map(p => spark.read.parquet(p).select(col("osm_id").cast("long").as("o_orderkey")))
+        .foldLeft(diffRemoved)((acc, d) => acc.unionByName(d))
+        .distinct()
     val deleteSet = WayOps.expandDeletes(
       existingWays.join(removedWays, col("eway") === col("o_orderkey")).select(col("eway").as("way"), col("nds")),
       "way", "nds").persist()
@@ -254,6 +293,13 @@ object ChangegenPipeline {
       .withColumn("n", size(col("ring_nds")))
       .withColumn("n_outer", ceil(col("n").cast("double") * 2 / 3).cast("int"))
     val polyWayBase = if (negIds) 0L else polyNodeBase + 2000000L
+    // ONE id transform for poly way ids, relation MEMBER refs, and
+    // relation ids — in negIds mode all three negate-and-offset
+    // together, so emitted <relation> members always reference way
+    // ids that actually exist (refs from the positive base while way
+    // ids negated was the round-2 referential-integrity bug)
+    def polyId(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (if (negIds) -c - nVerts - 200000L else c).cast("long")
     val outerRings = grouped.select(col("pgroup"), col("n"), col("n_outer"),
       expr("slice(ring_nds, 1, n_outer)").as("ring"), lit(0).as("ring_idx"))
     val innerRings = grouped.filter(col("n") - col("n_outer") >= 3)
@@ -261,9 +307,7 @@ object ChangegenPipeline {
         expr("slice(ring_nds, n_outer + 1, n - n_outer)").as("ring"), lit(1).as("ring_idx"))
     val polyWays = outerRings.unionByName(innerRings)
       .withColumn("closed_nds", concat(col("ring"), slice(col("ring"), 1, 1)))
-      .withColumn("way_id",
-        (if (negIds) -(lit(polyWayBase) + col("pgroup") * 10 + col("ring_idx")) - nVerts - 200000L
-         else lit(polyWayBase) + col("pgroup") * 10 + col("ring_idx")).cast("long"))
+      .withColumn("way_id", polyId(lit(polyWayBase) + col("pgroup") * 10 + col("ring_idx")))
       .persist()
     val polyWayXml = polyWays.select(
       OsmChangeXml.wayXml(col("way_id"), lit(1), col("closed_nds"),
@@ -271,13 +315,13 @@ object ChangegenPipeline {
     val polyRelations = grouped.filter(col("n") - col("n_outer") >= 3)
       .select(col("pgroup"),
         array(
-          struct((lit(polyWayBase) + col("pgroup") * 10).cast("long").as("ref"), lit("way").as("mtype"), lit("outer").as("role")),
-          struct((lit(polyWayBase) + col("pgroup") * 10 + 1).cast("long").as("ref"), lit("way").as("mtype"), lit("inner").as("role"))
+          struct(polyId(lit(polyWayBase) + col("pgroup") * 10).as("ref"), lit("way").as("mtype"), lit("outer").as("role")),
+          struct(polyId(lit(polyWayBase) + col("pgroup") * 10 + 1).as("ref"), lit("way").as("mtype"), lit("inner").as("role"))
         ).as("members"))
       .persist()
     val polyRelBase = polyWayBase + 1000000L
     val relXml = polyRelations.select(
-      OsmChangeXml.relationXml((lit(polyRelBase) + col("pgroup")).cast("long"), lit(1),
+      OsmChangeXml.relationXml(polyId(lit(polyRelBase) + col("pgroup")), lit(1),
         col("members"), map(lit("type"), lit("multipolygon"))).as("xml"))
 
     Frames(nodes, splitWays, junctionAt, modified, deleteSet,

@@ -50,6 +50,63 @@ class PipelineE2eSpec extends AnyFunSuite {
     Files.deleteIfExists(Paths.get(out))
   }
 
+  test("negIds mode keeps polygon relations referentially intact (refs point at emitted way ids)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val f = ChangegenPipeline.build(spark, TestSpark.Sf, maxNodes = 7, negIds = true)
+    val wayIds = f.polyWays.select("way_id").as[Long].collect().toSet
+    val memberRefs = f.polyRelations
+      .select(explode(col("members")).as("m")).select("m.ref").as[Long].collect().toSet
+    assert(memberRefs.nonEmpty, "holed polygons must produce relations")
+    assert(memberRefs.subsetOf(wayIds),
+      s"dangling member refs: ${(memberRefs -- wayIds).take(5)}")
+    // the whole negIds namespace is negative and collision-free
+    val relIds = f.relXml.as[String].collect()
+      .map(x => """<relation id="(-?\d+)"""".r.findFirstMatchIn(x).get.group(1).toLong).toSet
+    val nodeIds = f.nodes.select("node_id").as[Long].collect().toSet
+    val polyNodeIds = f.polyNodes.select("node_id").as[Long].collect().toSet
+    val lineWayIds = f.splitWays.select("way_id").as[Long].collect().toSet
+    val all = Seq(nodeIds, polyNodeIds, lineWayIds, wayIds, relIds)
+    assert(all.forall(_.forall(_ < 0)), "every generated id must be negative in negIds mode")
+    assert(all.map(_.size).sum == all.flatten.toSet.size, "id namespaces must not collide")
+  }
+
+  test("deletion tables discovered by suffix feed <delete>; forced id collision stops the run") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_sfdel").toString
+    Seq("supplier", "lineitem", "orders", "part").foreach { t =>
+      Files.copy(Paths.get(s"${TestSpark.Sf}/$t.parquet"), Paths.get(s"$tmp/$t.parquet"))
+    }
+    // deletion table names EXISTING ways (synthetic existing ways are
+    // lineitem order keys) that the snapshot diff does NOT already
+    // remove (diff removes %13==5)
+    val doomed = spark.read.parquet(s"$tmp/lineitem.parquet")
+      .select(col("l_orderkey")).distinct()
+      .filter(col("l_orderkey") % 13 === 1)
+      .orderBy("l_orderkey").limit(5).as[Long].collect().toSeq
+    assert(doomed.nonEmpty)
+    doomed.toDF("osm_id").write.parquet(s"$tmp/custom_deletions.parquet")
+
+    val found = ChangegenPipeline.discoverDeletionTables(tmp, "_deletions")
+    assert(found.map(new java.io.File(_).getName) == Seq("custom_deletions.parquet"))
+    assert(ChangegenPipeline.discoverDeletionTables(tmp, "_nope").isEmpty)
+
+    val f = ChangegenPipeline.build(spark, tmp, maxNodes = 7,
+      idOffset = Some(1000000L), deletionTables = found)
+    val deletedWays = f.deleteSet.filter(col("elem_type") === "way")
+      .select(col("elem_id").cast("long")).as[Long].collect().toSet
+    assert(doomed.toSet.subsetOf(deletedWays),
+      s"discovered deletions missing from deleteSet: ${doomed.toSet -- deletedWays}")
+
+    // explicit offset below the existing max id: fatal under noCollisions
+    val ex = intercept[IllegalStateException] {
+      ChangegenPipeline.build(spark, tmp, maxNodes = 7,
+        idOffset = Some(10L), noCollisions = true)
+    }
+    assert(ex.getMessage.contains("collisions"))
+  }
+
   test("modify_only mode emits version-2 way refreshes with unchanged geometry, no creates") {
     val f = ChangegenPipeline.buildModifyOnly(spark, TestSpark.Sf)
     assert(f.nodes.count() == 0 && f.splitWays.count() == 0 && f.deleteSet.count() == 0)
