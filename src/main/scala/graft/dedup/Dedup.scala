@@ -431,6 +431,45 @@ object Dedup {
       .filter(col("jaccard_fp4") >= (threshold * 10000).toLong)
       .select("doc_a", "doc_b", "inter", "union_", "jaccard_fp4")
   }
+
+  /** Cross-document segment-level dedup (the Lee et al. 2022
+    * "Deduplicating Training Data" granularity, cf.
+    * arXiv:2107.06499 — there 50-token windows over a suffix array;
+    * here consecutive k-token segments over an equi-join, the shape
+    * that distributes): split each document into consecutive k-token
+    * segments, count in how many distinct documents each segment text
+    * occurs, strip segments occurring in >= `threshold` documents, and
+    * reassemble the surviving text in original order.
+    *
+    * Plan: one shuffle by segment text shared between the
+    * document-frequency aggregate and the flag join (same key — AQE
+    * reuses the exchange), then one shuffle by doc for reassembly.
+    * The df table is never broadcast: at corpus scale the set of
+    * repeated segments is itself huge (boilerplate is the point), so
+    * the flag join stays a shuffled equi-join on the segment key.
+    * Returns (doc, clean_text, n_kept, n_dropped).
+    */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 8, threshold: Int = 2): DataFrame = {
+    val segs = df
+      .select(col(idCol).as("doc"),
+        posexplode(graft.ColumnOps.let(TextAnalysis.tokens(col(textCol))) { toks =>
+          transform(sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(k)),
+            s => concat_ws(" ", slice(toks, s + 1, lit(k))))
+        }).as(Seq("pos", "seg")))
+    val common = segs.groupBy("seg")
+      .agg(count_distinct(col("doc")).as("_nd"))
+      .filter(col("_nd") >= threshold)
+      .select(col("seg"), lit(true).as("_common"))
+    segs.join(common, Seq("seg"), "left")
+      .groupBy("doc")
+      .agg(
+        concat_ws(" ", flatten(transform(
+          array_sort(collect_list(struct(col("pos"), col("seg"), col("_common")))),
+          r => when(r.getField("_common").isNull, array(r.getField("seg"))).otherwise(array().cast("array<string>"))))).as("clean_text"),
+        sum(when(col("_common").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("_common").isNotNull, 1L).otherwise(0L)).as("n_dropped"))
+  }
 }
 
 /** Hex-nibble helper shared by simhash/LSH. */

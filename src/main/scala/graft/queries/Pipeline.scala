@@ -12,7 +12,7 @@ import QueryUtil._
   * `embeddings`, and `events` tables: deduplication (exact, MinHash
   * LSH, SimHash, n-gram Jaccard, embedding near-dup), similarity
   * search, text analysis, event sessionization/windowing, and the
-  * multimodal binary-column stub.
+  * multimodal binary columns (real header codecs).
   *
   * Oracle strategy: DuckDB list lambdas (`list_transform` /
   * `list_reduce` / `list_min`) replicate Spark's higher-order
@@ -352,6 +352,49 @@ object Pipeline {
         Multimodal.imageWidth(col("payload")).cast("long").as("width"),
         Multimodal.imageHeight(col("payload")).cast("long").as("height"),
         length(col("payload")).cast("long").as("byte_len"))
+        .orderBy("doc_id")
+    }),
+    // 32d — cross-document SEGMENT-level dedup (Lee et al. 2022
+    // granularity): consecutive 8-token segments occurring in >= 2
+    // docs are stripped and the text reassembled. An 8-token
+    // boilerplate header is planted on every third doc so the
+    // common-segment path provably fires at every SF.
+    "dd_segment_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("aug",
+          when(col("doc_id") % 3 === 0,
+            concat(lit("terms of service apply all rights reserved worldwide "), col("text")))
+          .otherwise(col("text")))
+      Dedup.segmentDedup(docs, "doc_id", "aug", k = 8, threshold = 2)
+        .orderBy("doc")
+    }),
+    // 41g — token-window chunking (context-window prep): 16-token
+    // windows advancing by 12 (4-token overlap), one row per chunk
+    "txt_chunk" -> ((s, dir) => {
+      graft.text.Chunker.chunk(t(s, dir, "documents"), "doc_id", "text",
+        window = 16, stride = 12)
+        .orderBy("doc_id", "chunk_id")
+    }),
+    // 46 — domain mixing: stratified hash-deterministic sampling with
+    // per-source rates and unbiased 1/rate weights (no rand() — the
+    // keep decision is a pure function of the id, so task retries and
+    // reruns agree)
+    "smp_sample" -> ((s, dir) => {
+      graft.sample.Sampling.stratifiedSample(
+        t(s, dir, "documents").select("doc_id", "source"), "doc_id", "source",
+        rates = Map("src0" -> 1.0, "src1" -> 1.0, "src2" -> 0.5, "src3" -> 0.5, "src4" -> 0.5),
+        defaultRate = 0.25)
+        .orderBy("doc_id")
+    }),
+    // 46b — sequence packing: next-fit documents into 256-token
+    // training bins across 8 independent packing groups (one shuffle,
+    // spillable sort, streaming fold — per-task state is three longs)
+    "smp_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(graft.text.TextAnalysis.tokens(col("text"))).as("n_toks"))
+      graft.sample.Sampling.packNextFit(s, docs, "doc_id", "n_toks",
+        budget = 256L, numGroups = 8)
         .orderBy("doc_id")
     })
   )
@@ -832,7 +875,68 @@ object Pipeline {
       """SELECT doc_id, 'png' AS fmt,
         | CAST(doc_id % 1000 + 1 AS BIGINT) AS width,
         | CAST(doc_id % 700 + 1 AS BIGINT) AS height
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dd_segment_dedup" -> {
+      // 8-token segments over the boilerplate-planted text; segments
+      // in >= 2 distinct docs are stripped, survivors re-join in order
+      val augToks = toksSql.replace("lower(text)",
+        "lower(CASE WHEN doc_id % 3 = 0 THEN 'terms of service apply all rights reserved worldwide ' || text ELSE text END)")
+      s"""WITH tk AS (SELECT doc_id, $augToks AS toks FROM documents),
+        |segs AS (SELECT doc_id,
+        |    unnest(range(0, greatest(1, CAST(ceil(len(toks) / 8.0) AS BIGINT)))) AS pos, toks
+        |  FROM tk),
+        |segs2 AS (SELECT doc_id, pos,
+        |    array_to_string(list_slice(toks, pos * 8 + 1, pos * 8 + 8), ' ') AS seg
+        |  FROM segs),
+        |common AS (SELECT seg FROM segs2 GROUP BY seg HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT s.doc_id AS doc,
+        |  coalesce(string_agg(s.seg, ' ' ORDER BY s.pos) FILTER (WHERE c.seg IS NULL), '') AS clean_text,
+        |  count(*) FILTER (WHERE c.seg IS NULL) AS n_kept,
+        |  count(*) FILTER (WHERE c.seg IS NOT NULL) AS n_dropped
+        |FROM segs2 s LEFT JOIN common c USING (seg)
+        |GROUP BY 1 ORDER BY doc""".stripMargin
+    },
+    "txt_chunk" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |    unnest(range(0, greatest(1, CAST(ceil(len(toks) / 12.0) AS BIGINT)))) AS cid, toks
+        |  FROM tk)
+        |SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
+        |  CAST(len(list_slice(toks, cid * 12 + 1, cid * 12 + 16)) AS BIGINT) AS n_tokens,
+        |  array_to_string(list_slice(toks, cid * 12 + 1, cid * 12 + 16), ' ') AS chunk_text
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+    "smp_sample" -> {
+      // u = uint32(first 8 md5 hex chars of 'smp:doc_id') / 2^32 —
+      // exact in double on both engines; rates are dyadic so the
+      // comparison and 1/rate are float-exact too
+      val u32 = """list_reduce(list_prepend(CAST(0 AS BIGINT),
+        | list_transform(range(1, 9),
+        |   i -> CAST(strpos('0123456789abcdef',
+        |          substr(md5('smp:' || CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT))),
+        | (a, v) -> a*16 + v)""".stripMargin.replace("\n", " ")
+      s"""SELECT doc_id, source, ${sqlFp("1.0 / rate", 4)} AS weight_fp4
+        |FROM (SELECT doc_id, source,
+        |    CASE WHEN source IN ('src0','src1') THEN 1.0
+        |         WHEN source IN ('src2','src3','src4') THEN 0.5
+        |         ELSE 0.25 END AS rate
+        |  FROM documents)
+        |WHERE CAST($u32 AS DOUBLE) / 4294967296.0 < rate
+        |ORDER BY doc_id""".stripMargin
+    },
+    "smp_pack" ->
+      s"""WITH RECURSIVE w AS (
+        |  SELECT doc_id, doc_id % 8 AS grp, CAST(len($toksSql) AS BIGINT) AS n_tokens,
+        |    row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |pack AS (
+        |  SELECT doc_id, grp, n_tokens, rn, CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+        |  FROM w WHERE rn = 1
+        |  UNION ALL
+        |  SELECT w.doc_id, w.grp, w.n_tokens, w.rn,
+        |    CASE WHEN p.fill + w.n_tokens <= 256 THEN p.bin ELSE p.bin + 1 END,
+        |    CASE WHEN p.fill + w.n_tokens <= 256 THEN p.fill + w.n_tokens ELSE w.n_tokens END
+        |  FROM w JOIN pack p ON w.grp = p.grp AND w.rn = p.rn + 1)
+        |SELECT doc_id, grp, bin, n_tokens FROM pack ORDER BY doc_id""".stripMargin
     // sim_ann_lsh / sim_ann_ivf: rows-only (recall is spec-tested)
   )
 }

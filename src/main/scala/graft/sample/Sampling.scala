@@ -1,0 +1,81 @@
+package graft.sample
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus sampling operators for training-data pipelines: domain
+  * mixing (stratified rates per source) and sequence packing.
+  *
+  * Sampling is HASH-deterministic, not `rand()`-based: the keep
+  * decision is a pure function of the row id, so reruns, retried
+  * tasks, and speculative executions all agree on the sample —
+  * `rand()` in a retried Spark task would resample and tear the
+  * output. Determinism also makes the operator oracle-checkable.
+  */
+object Sampling {
+
+  /** Uniform-in-[0,1) driven by the first 8 md5 hex chars of
+    * `salt:id` — engine-portable (DuckDB recomputes it exactly). */
+  def hashUniform(id: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt + ":"), id.cast("string"))), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+
+  /** Stratified (per-stratum rate) deterministic sample. `rates` maps
+    * stratum value → keep-rate; `defaultRate` covers unmapped strata.
+    * Returns the kept rows plus the sampling weight (1/rate, fp4) for
+    * unbiased downstream estimates.
+    *
+    * Narrow map + filter — no shuffle, scales linearly; the rates map
+    * folds into the plan as a literal CASE (codegen'd, no UDF).
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       rates: Map[String, Double], defaultRate: Double,
+                       salt: String = "smp"): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
+      when(col(strataCol) === k, lit(r)).otherwise(acc)
+    }
+    df.withColumn("_rate", rate)
+      .filter(hashUniform(col(idCol), salt) < col("_rate"))
+      .withColumn("weight_fp4", graft.text.TextAnalysis.fp(lit(1.0) / col("_rate"), 4))
+      .drop("_rate")
+  }
+
+  /** Next-fit sequence packing: assign documents to training-context
+    * bins of at most `budget` tokens (a document longer than `budget`
+    * gets a bin of its own). Documents are routed to `numGroups`
+    * independent packing groups by `id % numGroups` and packed in id
+    * order within each group.
+    *
+    * Scale shape: ONE hash shuffle on the group key, an external
+    * (spillable) sort within partitions, then a streaming
+    * `mapPartitions` fold — per-task state is three longs, never a
+    * buffered group, so group size is bounded by disk, not memory.
+    * Choose `numGroups` ≈ corpus_tokens / (budget × bins_per_task) to
+    * keep tasks even; packing quality is unaffected by the split
+    * (bins never span groups by construction).
+    *
+    * Returns (doc_id, grp, bin, n_tokens) with bin 0-based per group.
+    */
+  def packNextFit(spark: SparkSession, df: DataFrame, idCol: String,
+                  weightCol: String, budget: Long, numGroups: Int): DataFrame = {
+    import spark.implicits._
+    val routed = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        pmod(col(idCol).cast("long"), lit(numGroups.toLong)).as("grp"),
+        col(weightCol).cast("long").as("n_tokens"))
+      .repartition(numGroups, col("grp"))
+      .sortWithinPartitions("grp", "doc_id")
+      .as[(Long, Long, Long)]
+    routed.mapPartitions { it =>
+      var curGrp = Long.MinValue
+      var bin = -1L
+      var fill = 0L
+      it.map { case (doc, grp, w) =>
+        if (grp != curGrp) { curGrp = grp; bin = 0L; fill = w }
+        else if (fill + w <= budget) { fill += w }
+        else { bin += 1L; fill = w }
+        (doc, grp, bin, w)
+      }
+    }.toDF("doc_id", "grp", "bin", "n_tokens")
+  }
+}

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sample.Sampling
+import graft.text.Chunker
+import graft.dedup.Dedup
+
+/** Sampling / packing / chunking / segment-dedup operator specs:
+  * value-level contracts against in-memory reference folds (the
+  * corpus-level DuckDB gate is tools/check.py).
+  */
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("stratifiedSample is deterministic, respects strata rates, carries 1/rate weights") {
+    val df = (0L until 2000L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    val rates = Map("src0" -> 1.0, "src1" -> 0.5)
+    val out = Sampling.stratifiedSample(df, "doc_id", "source", rates, defaultRate = 0.25)
+    val again = Sampling.stratifiedSample(df, "doc_id", "source", rates, defaultRate = 0.25)
+    val rows = out.select("doc_id", "source", "weight_fp4").as[(Long, String, Long)].collect()
+    assert(rows.sortBy(_._1).toSeq == again.select("doc_id", "source", "weight_fp4")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq, "hash sampling must be rerun-stable")
+    val bySrc = rows.groupBy(_._2).map { case (s, r) => s -> r.length }
+    assert(bySrc("src0") == 500, "rate 1.0 keeps everything")
+    // 500 candidates per stratum; md5-uniform keep counts concentrate
+    // tightly around rate*500 (±5 sigma ≈ ±55)
+    assert(math.abs(bySrc("src1") - 250) < 60, s"src1 kept ${bySrc("src1")} of 500 at rate 0.5")
+    assert(math.abs(bySrc("src2") - 125) < 55, s"src2 kept ${bySrc("src2")} of 500 at rate 0.25")
+    assert(rows.collect { case (_, "src0", w) => w }.forall(_ == 10000L))
+    assert(rows.collect { case (_, "src1", w) => w }.forall(_ == 20000L))
+    assert(rows.collect { case (_, "src2", w) => w }.forall(_ == 40000L))
+  }
+
+  test("packNextFit matches a sequential next-fit fold; no bin exceeds budget except singletons") {
+    val budget = 100L
+    // weights include an over-budget doc (id 7 -> 150 tokens)
+    val docs = (0L until 200L).map(i => (i, if (i == 7L) 150L else 10L + i % 40L))
+    val out = Sampling.packNextFit(spark, docs.toDF("doc_id", "n_toks"), "doc_id", "n_toks",
+      budget, numGroups = 4)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // reference: same next-fit fold per group in plain Scala
+    val expected = docs.groupBy(_._1 % 4).flatMap { case (g, ds) =>
+      var bin = -1L; var fill = budget + 1
+      ds.sortBy(_._1).map { case (id, w) =>
+        if (fill + w <= budget) fill += w else { bin += 1; fill = w }
+        (id, g, bin, w)
+      }
+    }.toSeq.sortBy(_._1)
+    assert(out.toSeq == expected)
+    // bins within budget unless a single doc overflows alone
+    out.groupBy(r => (r._2, r._3)).foreach { case ((g, b), rs) =>
+      val tot = rs.map(_._4).sum
+      assert(tot <= budget || rs.length == 1, s"group $g bin $b holds $tot tokens in ${rs.length} docs")
+    }
+    // bin ids contiguous from 0 per group
+    out.groupBy(_._2).foreach { case (g, rs) =>
+      val bins = rs.map(_._3).distinct.sorted.toSeq
+      assert(bins == (0L until bins.length).toSeq, s"group $g bins not contiguous: $bins")
+    }
+  }
+
+  test("chunk covers every token with the declared overlap and keeps the short tail") {
+    val df = Seq((1L, (1 to 30).map(i => s"t$i").mkString(" ")), (2L, "a b")).toDF("doc_id", "text")
+    val rows = Chunker.chunk(df, "doc_id", "text", window = 16, stride = 12)
+      .as[(Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+    val doc1 = rows.filter(_._1 == 1L)
+    assert(doc1.map(_._2).toSeq == Seq(0L, 1L, 2L), "30 tokens, stride 12 -> starts 0,12,24")
+    assert(doc1.map(_._3).toSeq == Seq(16L, 16L, 6L))
+    assert(doc1(1)._4.split(" ").head == "t13", "chunk 1 starts at token 13")
+    assert(doc1(0)._4.split(" ").takeRight(4).toSeq == doc1(1)._4.split(" ").take(4).toSeq,
+      "window 16 / stride 12 -> 4-token overlap between consecutive chunks")
+    // every token appears in some chunk
+    val covered = doc1.flatMap(_._4.split(" ")).toSet
+    assert(covered == (1 to 30).map(i => s"t$i").toSet)
+    assert(rows.filter(_._1 == 2L).map(r => (r._2, r._3, r._4)).toSeq == Seq((0L, 2L, "a b")),
+      "short doc -> one short chunk")
+  }
+
+  test("segmentDedup strips segments shared across docs and reassembles survivors in order") {
+    val boiler = "terms of service apply"  // k=4 -> one full boilerplate segment
+    val docs = Seq(
+      (1L, s"$boiler alpha beta gamma delta"),
+      (2L, s"$boiler epsilon zeta eta theta"),
+      (3L, "iota kappa lambda mu nu xi omicron pi")).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(docs, "doc_id", "text", k = 4, threshold = 2)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, "alpha beta gamma delta", 1L, 1L)))
+    assert(out(1) == ((2L, "epsilon zeta eta theta", 1L, 1L)))
+    assert(out(2) == ((3L, "iota kappa lambda mu nu xi omicron pi", 2L, 0L)))
+  }
+
+  test("segmentDedup keeps order across many segments and counts kept+dropped = total") {
+    val common = "shared boiler"
+    val docs = (1L to 6L).map { d =>
+      // alternating unique / shared 2-token segments
+      val segs = (0 until 8).map(i => if (i % 2 == 1) common else s"u${d}x$i y$i")
+      (d, segs.mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(docs, "doc_id", "text", k = 2, threshold = 2)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    out.foreach { case (d, txt, kept, dropped) =>
+      assert(kept + dropped == 8L)
+      assert(dropped == 4L, s"doc $d should drop its 4 shared segments")
+      assert(txt == (0 until 8).collect { case i if i % 2 == 0 => s"u${d}x$i y$i" }.mkString(" "),
+        "survivors keep original order")
+    }
+  }
+}

@@ -19,7 +19,7 @@ class VerifyContractSpec extends AnyFunSuite {
     })
     val json = Files.readString(java.nio.file.Paths.get(s"$out/oracle_sql.json"))
     // minimal JSON sanity: parses as a flat string map with the right keys
-    val keyPattern = "\"((?:q|cg|dd|sim|txt|ev|mm|emb)[^\"]*)\"\\s*:".r
+    val keyPattern = "\"((?:q|cg|dd|sim|txt|ev|mm|emb|smp)[^\"]*)\"\\s*:".r
     val keys = keyPattern.findAllMatchIn(json).map(_.group(1)).toSet
     assert(keys == SparkEntry.oracleSql.keySet)
     assert(!json.contains("\n") && !json.contains("\t"), "control chars must be escaped")
