@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
@@ -116,5 +116,15 @@ object GraftFunctions {
       FunctionIdentifier("graft_trigram_score"),
       new ExpressionInfo(classOf[TrigramScoreExpr].getName, "graft_trigram_score"),
       (children: Seq[Expression]) => TrigramScoreExpr(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dwithin"),
+      new ExpressionInfo(classOf[graft.plans.GraftDWithin].getName, "graft_dwithin"),
+      (children: Seq[Expression]) => {
+        val d = children.map(c => if (c.dataType == DoubleType) c else Cast(c, DoubleType))
+        graft.plans.GraftDWithin(d(0), d(1), d(2), d(3), d(4))
+      }))
+    // planner extension, not just a function: rewrites graft_dwithin
+    // θ-joins into grid equi-joins (see GridDWithinJoinRule)
+    ext.injectOptimizerRule(_ => graft.plans.GridDWithinJoinRule)
   }
 }

@@ -154,6 +154,20 @@ object Changegen {
         .select(col("c_custkey"), col("s_suppkey"), fp(col("dist"), 6).as("dist_fp6"))
         .orderBy("c_custkey", "s_suppkey")
     }),
+    // 21e — the SAME ST_DWithin join written NAIVELY as a declarative
+    // θ-join on graft_dwithin: without GridDWithinJoinRule this plans
+    // a BroadcastNestedLoopJoin; the injected optimizer rule rewrites
+    // it to the grid equi-join cg_dwithin_join hand-builds (PostGIS
+    // planner behavior for ST_DWithin, re-created in Catalyst). Same
+    // oracle as cg_dwithin_join — the rewrite must be value-invisible.
+    "cg_dwithin_rule" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"), px(col("c_custkey")).as("cx"), py(col("c_custkey")).as("cy"))
+      val sup = t(s, dir, "supplier").select(col("s_suppkey"), px(col("s_suppkey")).as("sx"), py(col("s_suppkey")).as("sy"))
+      c.join(sup, expr("graft_dwithin(cx, cy, sx, sy, 1.5D)"))
+        .select(col("c_custkey"), col("s_suppkey"),
+          fp(graft.spatial.Geo.dist(col("cx"), col("cy"), col("sx"), col("sy")), 6).as("dist_fp6"))
+        .orderBy("c_custkey", "s_suppkey")
+    }),
     // 21b — self-intersections among new features (generator.py handles
     // new-vs-new junctions the same as new-vs-existing): self distance
     // join via the same grid buckets, deduped to a<b pairs. Duplicate-
@@ -410,6 +424,15 @@ object Changegen {
         |      FROM sz WHERE n > 4)
         |ORDER BY way, member_pos""".stripMargin,
     "cg_dwithin_join" ->
+      s"""SELECT c_custkey, s_suppkey,
+        |  ${sqlFp("sqrt((cx-sx)*(cx-sx)+(cy-sy)*(cy-sy))", 6)} AS dist_fp6
+        |FROM (SELECT c_custkey, (c_custkey*13 % 1000)/10.0 AS cx, (c_custkey*29 % 1000)/10.0 AS cy FROM customer),
+        |     (SELECT s_suppkey, (s_suppkey*13 % 1000)/10.0 AS sx, (s_suppkey*29 % 1000)/10.0 AS sy FROM supplier)
+        |WHERE sqrt((cx-sx)*(cx-sx)+(cy-sy)*(cy-sy)) <= 1.5
+        |ORDER BY c_custkey, s_suppkey""".stripMargin,
+    // identical semantics to cg_dwithin_join: the rule rewrite must be
+    // value-invisible, so the oracle is the same SQL
+    "cg_dwithin_rule" ->
       s"""SELECT c_custkey, s_suppkey,
         |  ${sqlFp("sqrt((cx-sx)*(cx-sx)+(cy-sy)*(cy-sy))", 6)} AS dist_fp6
         |FROM (SELECT c_custkey, (c_custkey*13 % 1000)/10.0 AS cx, (c_custkey*29 % 1000)/10.0 AS cy FROM customer),
