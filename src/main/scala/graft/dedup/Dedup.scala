@@ -432,6 +432,44 @@ object Dedup {
       .select("doc_a", "doc_b", "inter", "union_", "jaccard_fp4")
   }
 
+  /** Dedup-cluster resolution — the step after pair generation and
+    * connected components: per near-dup cluster keep the best
+    * document (highest `scoreCol`, ties to the smallest id) and
+    * report cluster size. Singleton docs are their own cluster.
+    *
+    * One groupBy on the component label after the components join —
+    * the argmax is a `max(struct(score, -id))` partial-aggregated
+    * fold, not a sort or window, so clusters of any size reduce
+    * map-side. Returns (cluster, keep_id, keep_score, n_docs).
+    */
+  def keepBest(docs: DataFrame, idCol: String, scoreCol: String,
+               edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val comp = connectedComponents(docs, idCol, edges, aCol, bCol)
+    docs.select(col(idCol).as("node"), col(scoreCol).as("score"))
+      .join(comp, col("node") === col(comp.columns.head)).drop(comp.columns.head)
+      .groupBy(col("component").as("cluster"))
+      .agg(
+        max(struct(col("score").as("s"), (-col("node")).as("negid"))).as("_m"),
+        count(lit(1)).as("n_docs"))
+      .select(col("cluster"), (-col("_m.negid")).as("keep_id"),
+        col("_m.s").as("keep_score"), col("n_docs"))
+  }
+
+  /** Incremental (snapshot-vs-reference) exact dedup: drop incoming
+    * documents whose content hash already exists in the reference
+    * corpus. A shuffled left-anti equi-join on md5 — the reference
+    * side reduces to its distinct hash set first (map-side partial
+    * distinct), so the join carries 16-byte keys, not documents. At
+    * 100 TB a bloom filter built over the reference hashes can
+    * pre-filter the incoming side before this join; the anti-join
+    * stays as the exact gate.
+    */
+  def dedupAgainst(incoming: DataFrame, reference: DataFrame,
+                   idCol: String, textCol: String): DataFrame =
+    incoming.join(
+      reference.select(md5(col(textCol)).as("_ref_hash")).distinct(),
+      md5(col(textCol)) === col("_ref_hash"), "left_anti")
+
   /** Cross-document segment-level dedup (the Lee et al. 2022
     * "Deduplicating Training Data" granularity, cf.
     * arXiv:2107.06499 — there 50-token windows over a suffix array;

@@ -63,6 +63,28 @@ object Pipeline {
       Dedup.connectedComponents(docs, "doc_id", pairs, "doc_a", "doc_b")
         .orderBy("doc_id")
     }),
+    // 32e — dedup-cluster RESOLUTION: per near-dup cluster keep the
+    // best doc (longest, ties to smallest id) — the step that turns
+    // pairs+components into a cleaned corpus. Partial-agg argmax, no
+    // per-cluster sort.
+    "dd_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text",
+        shingleSize = 3, numPerm = 8, rowsPerBand = 2, maxBucket = 100)
+      Dedup.keepBest(docs, "doc_id", "n_chars", pairs, "doc_a", "doc_b")
+        .orderBy("cluster")
+    }),
+    // 31b — incremental snapshot dedup: today's batch anti-joined on
+    // content hash against yesterday's corpus (distinct 16-byte hash
+    // set, not documents, rides the shuffle)
+    "dd_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val reference = docs.filter(col("doc_id") % 5 =!= 0)
+      val incoming = docs.filter(col("doc_id") % 3 === 0)
+      Dedup.dedupAgainst(incoming, reference, "doc_id", "text")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
     // 32b — MinHash Jaccard estimates over the LSH candidates (the
     // classic signature-agreement estimator)
     "dd_minhash_est" -> ((s, dir) => {
@@ -727,6 +749,29 @@ object Pipeline {
          |  SELECT s.dst, l.label FROM lbl l JOIN sym s ON s.src = l.node)
          |SELECT node AS doc_id, min(label) AS component
          |FROM lbl GROUP BY node ORDER BY doc_id""".stripMargin,
+    // same recursive closure as dd_components, then a deterministic
+    // per-cluster argmax (n_chars DESC, doc_id ASC) + cluster size
+    "dd_keep_best" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |sym AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+         |        UNION ALL SELECT doc_b, doc_a FROM cand),
+         |lbl(node, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT s.dst, l.label FROM lbl l JOIN sym s ON s.src = l.node),
+         |comp AS (SELECT node, min(label) AS component FROM lbl GROUP BY node),
+         |ranked AS (
+         |  SELECT c.component AS cluster, d.doc_id, d.n_chars,
+         |    row_number() OVER (PARTITION BY c.component ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn,
+         |    count(*) OVER (PARTITION BY c.component) AS n_docs
+         |  FROM comp c JOIN documents d ON d.doc_id = c.node)
+         |SELECT cluster, doc_id AS keep_id, n_chars AS keep_score, n_docs
+         |FROM ranked WHERE rn = 1 ORDER BY cluster""".stripMargin,
+    "dd_incremental" ->
+      """WITH ref AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 5 <> 0),
+        |inc AS (SELECT doc_id, source, n_chars, md5(text) AS h FROM documents WHERE doc_id % 3 = 0)
+        |SELECT doc_id, source, n_chars FROM inc
+        |WHERE h NOT IN (SELECT h FROM ref) ORDER BY doc_id""".stripMargin,
     "sim_ann_lsh_exact" -> annLshExactSql,
     "sim_ann_lsh" -> annLshGuardedSql,
     "sim_ann_ivf" -> annIvfSql,

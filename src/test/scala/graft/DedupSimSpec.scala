@@ -318,4 +318,24 @@ class DedupSimSpec extends AnyFunSuite {
     assert(ann == truth)
     assert(ann.nonEmpty && ann.values.exists(_.nonEmpty))
   }
+
+  test("keepBest keeps the highest-score doc per cluster, ties to smallest id, singletons survive") {
+    val docs = Seq((1L, 10L), (2L, 30L), (3L, 30L), (4L, 5L), (9L, 7L))
+      .toDF("doc_id", "score")
+    // cluster {1,2,3} (chain), cluster {4}, singleton 9 (no edges)
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val out = Dedup.keepBest(docs, "doc_id", "score", edges, "doc_a", "doc_b")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // ties on score 30 between docs 2 and 3 -> smallest id (2) wins
+    assert(out.toSeq == Seq((1L, 2L, 30L, 3L), (4L, 4L, 5L, 1L), (9L, 9L, 7L, 1L)))
+  }
+
+  test("dedupAgainst drops incoming docs whose content hash exists in the reference") {
+    val reference = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val incoming = Seq((10L, "alpha"), (11L, "gamma"), (12L, "beta"), (13L, "delta"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupAgainst(incoming, reference, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(11L, 13L))
+  }
 }
