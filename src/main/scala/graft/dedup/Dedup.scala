@@ -437,22 +437,26 @@ object Dedup {
     * document (highest `scoreCol`, ties to the smallest id) and
     * report cluster size. Singleton docs are their own cluster.
     *
-    * One groupBy on the component label after the components join —
-    * the argmax is a `max(struct(score, -id))` partial-aggregated
-    * fold, not a sort or window, so clusters of any size reduce
-    * map-side. Returns (cluster, keep_id, keep_score, n_docs).
+    * The argmax is TWO hash aggregations on the cluster key (max
+    * score + count, then min id among max-scored docs after a
+    * join-back) — a `max(struct(...))` one-pass fold would be
+    * tempting but struct aggregation buffers force SortAggregate;
+    * both phases here partial-aggregate map-side and share the
+    * cluster shuffle key. Returns (cluster, keep_id, keep_score,
+    * n_docs).
     */
   def keepBest(docs: DataFrame, idCol: String, scoreCol: String,
                edges: DataFrame, aCol: String, bCol: String): DataFrame = {
     val comp = connectedComponents(docs, idCol, edges, aCol, bCol)
-    docs.select(col(idCol).as("node"), col(scoreCol).as("score"))
+    val scored = docs.select(col(idCol).as("node"), col(scoreCol).as("score"))
       .join(comp, col("node") === col(comp.columns.head)).drop(comp.columns.head)
-      .groupBy(col("component").as("cluster"))
-      .agg(
-        max(struct(col("score").as("s"), (-col("node")).as("negid"))).as("_m"),
-        count(lit(1)).as("n_docs"))
-      .select(col("cluster"), (-col("_m.negid")).as("keep_id"),
-        col("_m.s").as("keep_score"), col("n_docs"))
+    val best = scored.groupBy(col("component").as("cluster"))
+      .agg(max(col("score")).as("keep_score"), count(lit(1)).as("n_docs"))
+    scored
+      .join(best, col("component") === col("cluster") && col("score") === col("keep_score"))
+      .groupBy("cluster", "keep_score", "n_docs")
+      .agg(min(col("node")).as("keep_id"))
+      .select("cluster", "keep_id", "keep_score", "n_docs")
   }
 
   /** Incremental (snapshot-vs-reference) exact dedup: drop incoming
