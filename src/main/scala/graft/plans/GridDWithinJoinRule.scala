@@ -129,15 +129,30 @@ object GridDWithinJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       CreateNamedStruct(Seq(
         Literal("cx"), Add(Floor(Divide(x, rLit)), Literal(dx.toLong)),
         Literal("cy"), Add(Floor(Divide(y, rLit)), Literal(dy.toLong))))
+    // Cost-based side choice: the 9-cell replication lands on the
+    // SMALLER side (logical stats) — 9× a dimension table is noise,
+    // 9× the fact table is not. Either choice is correct (each
+    // qualifying pair meets exactly once: the replicated row covers
+    // the 3×3 neighborhood, the other side sits in its single home
+    // cell); only cost differs.
+    val replicateLeft = j.left.stats.sizeInBytes <= j.right.stats.sizeInBytes
+    val (repPlan, repX, repY, singlePlan, singleX, singleY) =
+      if (replicateLeft) (j.left, ax, ay, j.right, bx, by)
+      else (j.right, bx, by, j.left, ax, ay)
     val cells = CreateArray(
-      (for (dx <- -1 to 1; dy <- -1 to 1) yield cellStruct(ax, ay, dx, dy)).toSeq)
+      (for (dx <- -1 to 1; dy <- -1 to 1) yield cellStruct(repX, repY, dx, dy)).toSeq)
     val cellType = cells.dataType.asInstanceOf[ArrayType].elementType
-    val lCell = AttributeReference("_graft_cell_l", cellType, nullable = true)()
-    val replicated = Generate(Explode(cells), Nil, outer = false, None, Seq(lCell), j.left)
-    val rCell = Alias(cellStruct(bx, by, 0, 0), "_graft_cell_r")()
-    val single = Project(j.right.output :+ rCell, j.right)
-    val newCond = (EqualTo(lCell, rCell.toAttribute) +:
+    val repCell = AttributeReference("_graft_cell_rep", cellType, nullable = true)()
+    val replicated = Generate(Explode(cells), Nil, outer = false, None, Seq(repCell), repPlan)
+    val homeCell = Alias(cellStruct(singleX, singleY, 0, 0), "_graft_cell_home")()
+    val single = Project(singlePlan.output :+ homeCell, singlePlan)
+    val newCond = (EqualTo(repCell, homeCell.toAttribute) +:
       GraftDWithin.exact(ax, ay, bx, by, rLit) +: rest).reduce(And)
-    Project(j.output, Join(replicated, single, Inner, Some(newCond), j.hint))
+    // child order flips with the side choice; join hints name sides,
+    // so only keep the hint when the order is preserved
+    val newJoin =
+      if (replicateLeft) Join(replicated, single, Inner, Some(newCond), j.hint)
+      else Join(single, replicated, Inner, Some(newCond), JoinHint.NONE)
+    Project(j.output, newJoin)
   }
 }

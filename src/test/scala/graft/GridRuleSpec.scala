@@ -53,6 +53,29 @@ class GridRuleSpec extends AnyFunSuite {
     assert(out.nonEmpty && out.forall(_._1 % 2 == 0))
   }
 
+  test("9-cell replication lands on the SMALLER side (cost-based, via logical stats)") {
+    import org.apache.spark.sql.catalyst.plans.logical.Generate
+    val big = pts(5000, 0).toDF("lid", "lx", "ly")
+    val small = pts(40, 1).toDF("rid", "rx", "ry")
+    def generateChildCols(df: org.apache.spark.sql.DataFrame): Set[String] = {
+      val gens = df.queryExecution.optimizedPlan.collect { case g: Generate => g }
+      assert(gens.length == 1, "exactly one cell explode expected")
+      gens.head.child.output.map(_.name).toSet
+    }
+    // small side on the right -> right gets replicated
+    val c1 = generateChildCols(big.join(small, expr("graft_dwithin(lx, ly, rx, ry, 1.5D)")))
+    assert(c1.contains("rid") && !c1.contains("lid"), s"explode should sit on the small side: $c1")
+    // small side on the left -> left gets replicated
+    val c2 = generateChildCols(small.join(big, expr("graft_dwithin(rx, ry, lx, ly, 1.5D)")))
+    assert(c2.contains("rid") && !c2.contains("lid"), s"explode should follow the small side: $c2")
+    // results identical either way
+    val r1 = big.join(small, expr("graft_dwithin(lx, ly, rx, ry, 1.5D)"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val r2 = small.join(big, expr("graft_dwithin(rx, ry, lx, ly, 1.5D)"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(r1 == r2 && r1.nonEmpty)
+  }
+
   test("rule leaves ineligible joins alone; the marker still evaluates correctly") {
     // non-foldable radius: no rewrite, falls back to nested loop but stays CORRECT
     val dynRadius = leftDf.join(rightDf,

@@ -125,4 +125,47 @@ class PropertySpec extends AnyFunSuite {
     assert(OsmPbf.ways(spark, path).collect().sortBy(_.id).toSeq == ways.sortBy(_.id))
     java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))
   }
+
+  // ---- segment dedup / chunker round-trip identities ------------------
+
+  test("property: segmentDedup with all-unique segments is the identity (modulo token normalization)") {
+    // per-doc-unique words -> no segment can repeat across docs
+    val docGen = Gen.chooseNum(3, 40)
+    val docs = (1L to 25L).map { d =>
+      val n = sampled(docGen)
+      (d, (0 until n).map(i => s"D${d}w$i").mkString("  "))  // double spaces: tokenizer must normalize
+    }
+    val df = docs.toDF("doc_id", "text")
+    val out = graft.dedup.Dedup.segmentDedup(df, "doc_id", "text", k = 5, threshold = 2)
+      .select("doc", "clean_text", "n_dropped")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    out.zip(docs).foreach { case ((d, clean, dropped), (ed, text)) =>
+      assert(d == ed && dropped == 0L)
+      assert(clean == text.toLowerCase.split("\\s+").filter(_.nonEmpty).mkString(" "))
+    }
+  }
+
+  test("property: non-overlapping chunks concatenate back to the token stream; overlapping chunks cover it") {
+    val docGen = for { n <- Gen.chooseNum(1, 90) } yield (0 until n).map(i => s"t$i").mkString(" ")
+    val docs = (1L to 20L).map(d => (d, sampled(docGen)))
+    val df = docs.toDF("doc_id", "text")
+    // stride == window: exact partition of the token stream
+    val exact = graft.text.Chunker.chunk(df, "doc_id", "text", window = 7, stride = 7)
+      .select("doc_id", "chunk_id", "chunk_text")
+      .as[(Long, Long, String)].collect().groupBy(_._1)
+    docs.foreach { case (d, text) =>
+      val toks = text.split(" ").toSeq
+      val rebuilt = exact(d).sortBy(_._2).flatMap(_._3.split(" ")).toSeq
+      assert(rebuilt == toks, s"doc $d: non-overlapping chunks must partition the tokens")
+    }
+    // stride < window: every token covered, chunk starts advance by stride
+    val lapped = graft.text.Chunker.chunk(df, "doc_id", "text", window = 7, stride = 4)
+      .select("doc_id", "chunk_id", "chunk_text")
+      .as[(Long, Long, String)].collect().groupBy(_._1)
+    docs.foreach { case (d, text) =>
+      val toks = text.split(" ").toSet
+      val covered = lapped(d).flatMap(_._3.split(" ")).toSet
+      assert(covered == toks, s"doc $d: overlapping chunks must cover every token")
+    }
+  }
 }

@@ -50,6 +50,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("incremental dedup and stratified sampling run UNCHANGED on a document stream") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // stream-static LEFT ANTI join: the batch operator is stream-safe
+    // as-is (static reference side, stateless stream side, no
+    // watermark needed)
+    val reference = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val q = graft.dedup.Dedup.dedupAgainst(input.toDF().toDF("doc_id", "text"),
+        reference, "doc_id", "text")
+      .writeStream.format("memory").queryName("dd_inc_stream").outputMode(OutputMode.Append).start()
+    try {
+      input.addData((10L, "alpha"), (11L, "gamma"))
+      q.processAllAvailable()
+      input.addData((12L, "beta"), (13L, "delta"))
+      q.processAllAvailable()
+      val kept = spark.table("dd_inc_stream").select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(11L, 13L))
+    } finally q.stop()
+
+    // hash-deterministic sampling: stateless narrow filter — the
+    // stream emits exactly the batch sample for the same rows (a
+    // rand() sampler would diverge between replays)
+    val sIn = MemoryStream[(Long, String)]
+    val rates = Map("a" -> 1.0, "b" -> 0.25)
+    val q2 = graft.sample.Sampling.stratifiedSample(
+        sIn.toDF().toDF("doc_id", "source"), "doc_id", "source", rates, defaultRate = 0.5)
+      .writeStream.format("memory").queryName("smp_stream").outputMode(OutputMode.Append).start()
+    val rows = (0L until 400L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+    try {
+      sIn.addData(rows: _*)
+      q2.processAllAvailable()
+      val streamed = spark.table("smp_stream").select("doc_id").as[Long].collect().toSet
+      val batch = graft.sample.Sampling.stratifiedSample(
+          rows.toDF("doc_id", "source"), "doc_id", "source", rates, defaultRate = 0.5)
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamed == batch && streamed.contains(0L))
+    } finally q2.stop()
+  }
+
   test("stream-stream interval join matches per-user events within the window") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
