@@ -131,6 +131,36 @@ object Relational {
         .withColumn("prev_c", coalesce(lag("price_c", 1).over(w), lit(-1L)))
         .withColumn("next_c", coalesce(lead("price_c", 1).over(w), lit(-1L)))
         .orderBy("o_custkey", "o_orderkey")
+    }),
+    // 11e — top-N per group (rank within partition, deterministic
+    // tie-break on keys, rn <= 3). The window sorts per group; the
+    // partition key shuffle is the only exchange.
+    "q15_topn_group" -> ((s, dir) => {
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("price_c").desc, col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          fp(col("l_extendedprice"), 2).as("price_c"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .orderBy("l_returnflag", "rn")
+    }),
+    // 11f — moving aggregate over an ordered frame (ROWS BETWEEN 4
+    // PRECEDING AND CURRENT ROW): per-supplier trailing window over
+    // quantized cents, so the windowed sum is integer-exact on both
+    // engines; the trailing mean divides two exact longs.
+    "q16_moving_avg" -> ((s, dir) => {
+      val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      val w = Window.partitionBy("l_suppkey").orderBy(order: _*).rowsBetween(-4, 0)
+      t(s, dir, "lineitem")
+        .filter(col("l_suppkey") % 10 === 0)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_shipdate"), fp(col("l_quantity"), 2).as("qty_c"))
+        .withColumn("win_sum_c", sum(col("qty_c")).over(w))
+        .withColumn("win_n", count(lit(1)).over(w))
+        .withColumn("mavg_fp2", fp(col("win_sum_c").cast("double") / col("win_n").cast("double") / 100.0, 2))
+        .drop("qty_c", "l_shipdate")
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
     })
   )
 
@@ -199,6 +229,25 @@ object Relational {
         | coalesce(lag(CAST(floor(o_totalprice*100+0.5) AS BIGINT)) OVER w, -1) AS prev_c,
         | coalesce(lead(CAST(floor(o_totalprice*100+0.5) AS BIGINT)) OVER w, -1) AS next_c
         |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
-        |ORDER BY o_custkey, o_orderkey""".stripMargin
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q15_topn_group" ->
+      """SELECT l_returnflag, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        | CAST(floor(l_extendedprice*100+0.5) AS BIGINT) AS price_c,
+        | rn
+        |FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |        row_number() OVER (PARTITION BY l_returnflag
+        |          ORDER BY CAST(floor(l_extendedprice*100+0.5) AS BIGINT) DESC, l_orderkey, l_linenumber) AS rn
+        |      FROM lineitem)
+        |WHERE rn <= 3 ORDER BY l_returnflag, rn""".stripMargin,
+    "q16_moving_avg" ->
+      """SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        | CAST(sum(CAST(floor(l_quantity*100+0.5) AS BIGINT)) OVER w AS BIGINT) AS win_sum_c,
+        | count(*) OVER w AS win_n,
+        | CAST(floor(CAST(sum(CAST(floor(l_quantity*100+0.5) AS BIGINT)) OVER w AS DOUBLE)
+        |   / CAST(count(*) OVER w AS DOUBLE) / 100.0 * 100 + 0.5) AS BIGINT) AS mavg_fp2
+        |FROM lineitem WHERE l_suppkey % 10 = 0
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
   )
 }
