@@ -408,6 +408,14 @@ object Pipeline {
         defaultRate = 0.25)
         .orderBy("doc_id")
     }),
+    // 46c — exact-k-per-stratum deterministic reservoir: fixed sample
+    // sizes (vs smp_sample's fixed rates), ranked on the md5-uniform
+    // so the choice is rerun- and partitioning-stable
+    "smp_reservoir" -> ((s, dir) => {
+      graft.sample.Sampling.reservoirPerStratum(
+        t(s, dir, "documents").select("doc_id", "source"), "doc_id", "source", k = 5)
+        .orderBy("source", "rank_in_stratum")
+    }),
     // 46b — sequence packing: next-fit documents into 256-token
     // training bins across 8 independent packing groups (one shuffle,
     // spillable sort, streaming fold — per-task state is three longs)
@@ -967,6 +975,20 @@ object Pipeline {
         |  FROM documents)
         |WHERE CAST($u32 AS DOUBLE) / 4294967296.0 < rate
         |ORDER BY doc_id""".stripMargin
+    },
+    "smp_reservoir" -> {
+      val u32 = """list_reduce(list_prepend(CAST(0 AS BIGINT),
+        | list_transform(range(1, 9),
+        |   i -> CAST(strpos('0123456789abcdef',
+        |          substr(md5('rsv:' || CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT))),
+        | (a, v) -> a*16 + v)""".stripMargin.replace("\n", " ")
+      s"""SELECT doc_id, source, rank_in_stratum FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY CAST($u32 AS DOUBLE) / 4294967296.0, doc_id) AS rank_in_stratum
+        |  FROM documents)
+        |WHERE rank_in_stratum <= 5
+        |ORDER BY source, rank_in_stratum""".stripMargin
     },
     "smp_pack" ->
       s"""WITH RECURSIVE w AS (

@@ -40,6 +40,24 @@ object Sampling {
       .drop("_rate")
   }
 
+  /** Deterministic "reservoir": EXACTLY k rows per stratum, chosen by
+    * ranking on the md5-uniform — unlike rate sampling the output
+    * size per stratum is fixed, and unlike a true reservoir the
+    * choice is a pure function of ids (reruns/retries agree, and the
+    * sample is stable under re-partitioning). One shuffle on the
+    * stratum key; the rank is a top-k window, so at 100 TB prefer
+    * raising `numStrata` over raising k (the per-stratum sort is
+    * bounded by stratum size).
+    */
+  def reservoirPerStratum(df: DataFrame, idCol: String, strataCol: String,
+                          k: Int, salt: String = "rsv"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol)
+      .orderBy(hashUniform(col(idCol), salt), col(idCol))
+    df.withColumn("rank_in_stratum", row_number().over(w).cast("long"))
+      .filter(col("rank_in_stratum") <= k)
+  }
+
   /** Next-fit sequence packing: assign documents to training-context
     * bins of at most `budget` tokens (a document longer than `budget`
     * gets a bin of its own). Documents are routed to `numGroups`

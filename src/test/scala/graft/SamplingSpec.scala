@@ -33,6 +33,22 @@ class SamplingSpec extends AnyFunSuite {
     assert(rows.collect { case (_, "src2", w) => w }.forall(_ == 40000L))
   }
 
+  test("reservoirPerStratum yields exactly k rows per stratum, stable under repartitioning") {
+    val df = (0L until 900L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "source")
+    val out = Sampling.reservoirPerStratum(df, "doc_id", "source", k = 7)
+      .select("doc_id", "source").as[(Long, String)].collect()
+    assert(out.groupBy(_._2).view.mapValues(_.length).toMap == Map("s0" -> 7, "s1" -> 7, "s2" -> 7))
+    // identical choice regardless of physical layout
+    val re = Sampling.reservoirPerStratum(df.repartition(13), "doc_id", "source", k = 7)
+      .select("doc_id", "source").as[(Long, String)].collect()
+    assert(out.toSet == re.toSet, "the sample is a pure function of ids, not of partitioning")
+    // small stratum: all rows kept, ranks contiguous
+    val tiny = Sampling.reservoirPerStratum(
+        Seq((1L, "only"), (2L, "only")).toDF("doc_id", "source"), "doc_id", "source", k = 7)
+      .select("rank_in_stratum").as[Long].collect().sorted.toSeq
+    assert(tiny == Seq(1L, 2L))
+  }
+
   test("packNextFit matches a sequential next-fit fold; no bin exceeds budget except singletons") {
     val budget = 100L
     // weights include an over-budget doc (id 7 -> 150 tokens)
