@@ -113,18 +113,24 @@ object Dedup {
     // band structs unrolled at plan-build time: the band index, band
     // key, and re-split key are literal-indexed projections (no
     // dynamic element_at)
+    // key_ext (the re-split key) is only built — and only rides the
+    // explode and the (band, key) shuffle — when resplit is on; the
+    // plain drop-guard path pays nothing for it
     val bandCols = (0 until numBands).map { b =>
       def slot(i: Int) = element_at(col("sig"), i % numPerm + 1).cast("string")
       val key = concat_ws("_", (0 until rowsPerBand).map(r => slot(b * rowsPerBand + r)): _*)
       val ext = (0 until rowsPerBand).map(r => slot((b + 1) * rowsPerBand + r))
-      struct(lit(b).as("band"), key.as("key"), concat_ws("_", key +: ext: _*).as("key_ext"))
+      val fields = Seq(lit(b).as("band"), key.as("key")) ++
+        (if (resplit) Seq(concat_ws("_", key +: ext: _*).as("key_ext")) else Nil)
+      struct(fields: _*)
     }
     // sig rides the band shuffle only when the caller wants it on the
     // output pairs — the pairs-only path ships (doc, band, key) alone
     val sigCols = if (withSigs) Seq(col("sig")) else Nil
+    val extCols = if (resplit) Seq(col("bk.key_ext").as("key_ext")) else Nil
     val banded = sigs
       .select(col("doc") +: sigCols :+ explode(array(bandCols: _*)).as("bk"): _*)
-      .select(col("doc") +: sigCols :+ col("bk.band").as("band") :+ col("bk.key").as("key") :+ col("bk.key_ext").as("key_ext"): _*)
+      .select((col("doc") +: sigCols :+ col("bk.band").as("band") :+ col("bk.key").as("key")) ++ extCols: _*)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "key")
     val counted = banded.withColumn("_n", count(lit(1)).over(w))
     val keep = (col("doc") +: sigCols) :+ col("band") :+ col("key")
@@ -352,7 +358,11 @@ object Dedup {
     val bands = maxHamming + 1
     require(sigBits % bands == 0, s"maxHamming+1 = $bands must divide $sigBits")
     val bits = sigBits / bands
-    val mask = (1L << bits) - 1 // bits < 64 always (bands >= 2)
+    // maxHamming = 0 gives bands = 1, bits = 64: `(1L << 64) - 1` is 0
+    // under JVM mod-64 shifts and would collapse every key to one
+    // giant (dropped) bucket — `-1L >>> (64 - bits)` is the full mask
+    // there (exact-signature band equality, the right semantics)
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
     val bandCols = (0 until bands).map { b =>
       // mask after the arithmetic shift keeps the key sign-safe for
       // the 64-bit signature's negative longs

@@ -73,11 +73,18 @@ object Multimodal {
   }
 
   /** JPEG baseline/progressive frame dimensions from the SOF segment:
-    * height is the big-endian uint16 at SOF+5, width at SOF+7. */
+    * height is the big-endian uint16 at SOF+5, width at SOF+7. A
+    * payload truncated INSIDE the SOF segment (marker visible, dims
+    * cut off) yields null — the same `off + 8` guard as
+    * [[decodeBatched]], so the two paths agree row-for-row on
+    * truncated input (a short substr would otherwise conv to a
+    * garbage 1-byte dimension). */
   def jpegWidth(payload: Column, maxSegs: Int = 8): Column =
-    graft.ColumnOps.let(jpegSofOffset(payload, maxSegs))(o => beU16(payload, o + 7))
+    graft.ColumnOps.let(jpegSofOffset(payload, maxSegs))(o =>
+      when(o + 8 <= length(payload), beU16(payload, o + 7)).otherwise(lit(null).cast("int")))
   def jpegHeight(payload: Column, maxSegs: Int = 8): Column =
-    graft.ColumnOps.let(jpegSofOffset(payload, maxSegs))(o => beU16(payload, o + 5))
+    graft.ColumnOps.let(jpegSofOffset(payload, maxSegs))(o =>
+      when(o + 8 <= length(payload), beU16(payload, o + 5)).otherwise(lit(null).cast("int")))
 
   /** GIF logical-screen dimensions: little-endian uint16s at 1-based
     * offsets 7 and 9 ("GIF87a"/"GIF89a" + screen descriptor). */

@@ -160,6 +160,13 @@ class DedupSimSpec extends AnyFunSuite {
     assert(pairs.exists(p => p._1 == 100L && p._2 == 101L && p._3 == 0))
     // 16-bit bands: unrelated docs must not collide into pairs here
     assert(pairs.forall(p => p._3 <= 3))
+    // degenerate maxHamming = 0: ONE band of all 64 bits. `(1L<<64)-1`
+    // is 0 under JVM mod-64 shifts — the unfixed mask collapsed every
+    // key to one over-cap bucket and silently returned zero pairs
+    val exact = Dedup.simhashPairs64(docs, "doc_id", "text", maxHamming = 0)
+      .as[(Long, Long, Int)].collect()
+    assert(exact.contains((100L, 101L, 0)))
+    assert(exact.forall(_._3 == 0))
   }
 
   test("annLsh multi-probe raises recall over single-probe; bucket cap bounds candidates") {

@@ -44,6 +44,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(trunc.select(Multimodal.jpegWidth(col("payload"))).head().isNullAt(0))
   }
 
+  test("jpeg truncated INSIDE the SOF segment yields null and matches decodeBatched") {
+    // cut the payload so the SOF marker is visible but its dimension
+    // bytes are not: every prefix from SOI up to just-past-the-marker
+    val full = Multimodal.synthJpegHeader(1234, 567, pad = 2, comment = true)
+    val sof = full.indexOfSlice(Seq(0xFF.toByte, 0xC0.toByte))
+    val rows = (2 to sof + 8).map(n => (n.toLong, full.take(n))).toDF("id", "payload")
+    val columnar = rows.select(col("id"),
+        Multimodal.jpegWidth(col("payload")), Multimodal.jpegHeight(col("payload")))
+      .as[(Long, Option[Int], Option[Int])].collect().toSet
+    // no truncation point may conv garbage: dims are null until the
+    // full SOF dimension bytes are present
+    columnar.foreach { case (n, w, h) =>
+      assert(w.isEmpty && h.isEmpty, s"prefix $n parsed $w x $h from truncated SOF")
+    }
+    val batched = Multimodal.decodeBatched(spark, rows, "id", "payload")
+      .select(col("id"), col("width"), col("height"))
+      .as[(Long, Option[Int], Option[Int])].collect().toSet
+    assert(batched == columnar)
+  }
+
   test("gif logical-screen dims are little-endian") {
     val df = Seq((1L, Multimodal.synthGifHeader(641, 479))).toDF("id", "payload")
     val (w, h) = df.select(Multimodal.gifWidth(col("payload")), Multimodal.gifHeight(col("payload")))
