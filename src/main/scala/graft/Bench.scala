@@ -42,6 +42,7 @@ object Bench {
       .master(s"local[$cpus]")
       .withExtensions(graft.functions.GraftFunctions.register)
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interval (range) join: points `p` against intervals `[lo, hi]`,
+  * p ∈ [lo, hi] — the 1-D analog of the spatial grid join (reference
+  * shape: PostGIS `&&` bbox operators; SQL shape: a `BETWEEN` θ-join
+  * that Spark would otherwise plan as BroadcastNestedLoopJoin).
+  *
+  * Both sides bucket by `floor(x / bucketWidth)`: a point lands in
+  * exactly ONE bucket; an interval replicates over the buckets its
+  * span covers (⌈len/W⌉+1 rows). The join is then a plain equi-join
+  * on the bucket id — hash-shuffled, AQE/skew-safe, no cross product
+  * — followed by the exact containment filter. Every qualifying
+  * (point, interval) pair meets in exactly one bucket (the point's),
+  * so there is NO dedup shuffle after the join.
+  *
+  * Pick `bucketWidth` ≈ the typical interval length: replication is
+  * `len/W`, while candidate precision is `W/len` — the same lever as
+  * the spatial grid cell. Unbounded intervals must be clamped by the
+  * caller (a 100 TB scan must not replicate one interval to every
+  * bucket in the domain).
+  */
+object RangeJoin {
+  def intervalJoin(
+      points: DataFrame,
+      pointCol: String,
+      intervals: DataFrame,
+      loCol: String,
+      hiCol: String,
+      bucketWidth: Double
+  ): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val w = lit(bucketWidth)
+    val p = points.withColumn("_b", floor(col(pointCol) / w).cast("long"))
+    val iv = intervals.withColumn(
+      "_b",
+      explode(sequence(floor(col(loCol) / w).cast("long"), floor(col(hiCol) / w).cast("long"))))
+    p.join(iv, "_b")
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("_b")
+  }
+}

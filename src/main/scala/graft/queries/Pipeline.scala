@@ -426,6 +426,34 @@ object Pipeline {
       graft.sample.Sampling.packNextFit(s, docs, "doc_id", "n_toks",
         budget = 256L, numGroups = 8)
         .orderBy("doc_id")
+    }),
+    // 46d — deterministic global shuffle into training shards: md5
+    // bucket + rank by full md5 hex — rerun/retry/partitioning-stable
+    // where orderBy(rand()) is none of those
+    "smp_shuffle" -> ((s, dir) => {
+      graft.sample.Sampling.deterministicShuffle(
+        t(s, dir, "documents").select("doc_id"), "doc_id", numShards = 8)
+        .orderBy("shard", "pos")
+    }),
+    // 39c — token-entropy quality signal (Shannon over the per-doc
+    // token histogram). Two partial-agg shuffles: (doc, token) counts,
+    // then per-doc H = log2(n) - (Σ c·log2 c)/n. The inner Σ is over
+    // fp6-QUANTIZED bigints — a double sum's fold order would differ
+    // between engines; the outer formula then divides exact ints in
+    // one fixed double op order (same ln-at-fp4 contract as tfidf).
+    "txt_entropy" -> ((s, dir) => {
+      val tf = t(s, dir, "documents")
+        .select(col("doc_id"), explode(graft.text.TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      val ent = tf.groupBy("doc_id").agg(
+        sum("c").as("n"),
+        sum(fp(col("c").cast("double") * log2(col("c").cast("double")), 6)).as("s6"))
+      t(s, dir, "documents").select("doc_id")
+        .join(ent, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n"),
+          fp(log2(col("n").cast("double")) - col("s6").cast("double") / 1e6 / col("n").cast("double"), 4)
+            .as("entropy_fp4"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1003,7 +1031,33 @@ object Pipeline {
         |    CASE WHEN p.fill + w.n_tokens <= 256 THEN p.bin ELSE p.bin + 1 END,
         |    CASE WHEN p.fill + w.n_tokens <= 256 THEN p.fill + w.n_tokens ELSE w.n_tokens END
         |  FROM w JOIN pack p ON w.grp = p.grp AND w.rn = p.rn + 1)
-        |SELECT doc_id, grp, bin, n_tokens FROM pack ORDER BY doc_id""".stripMargin
-    // sim_ann_lsh / sim_ann_ivf: rows-only (recall is spec-tested)
+        |SELECT doc_id, grp, bin, n_tokens FROM pack ORDER BY doc_id""".stripMargin,
+    "smp_shuffle" -> {
+      // shard = uint32(first 8 md5 hex chars of 'shf:doc_id') % 8;
+      // pos ranks by the FULL md5 hex — hex strings are fixed-length
+      // lowercase in both engines, so string order == numeric order
+      val u32 = """list_reduce(list_prepend(CAST(0 AS BIGINT),
+        | list_transform(range(1, 9),
+        |   i -> CAST(strpos('0123456789abcdef',
+        |          substr(md5('shf:' || CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT))),
+        | (a, v) -> a*16 + v)""".stripMargin.replace("\n", " ")
+      s"""SELECT doc_id, shard, CAST(row_number() OVER (PARTITION BY shard
+        |    ORDER BY md5('shf:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
+        |FROM (SELECT doc_id, $u32 % 8 AS shard FROM documents)
+        |ORDER BY shard, pos""".stripMargin
+    },
+    "txt_entropy" ->
+      s"""WITH tf AS (
+        |  SELECT doc_id, tok, count(*) AS c
+        |  FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+        |  GROUP BY 1, 2),
+        |ent AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(${sqlFp("c * log2(CAST(c AS DOUBLE))", 6)}) AS BIGINT) AS s6
+        |  FROM tf GROUP BY 1)
+        |SELECT d.doc_id, ent.n,
+        |  ${sqlFp("log2(CAST(ent.n AS DOUBLE)) - CAST(ent.s6 AS DOUBLE) / 1e6 / CAST(ent.n AS DOUBLE)", 4)} AS entropy_fp4
+        |FROM documents d LEFT JOIN ent ON ent.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin
   )
 }

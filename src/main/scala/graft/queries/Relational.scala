@@ -161,6 +161,43 @@ object Relational {
         .withColumn("mavg_fp2", fp(col("win_sum_c").cast("double") / col("win_n").cast("double") / 100.0, 2))
         .drop("qty_c", "l_shipdate")
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    }),
+    // 11g — backward as-of join (point-in-time enrichment): each order
+    // picks the latest event at-or-before its date on a shared derived
+    // key. Sort-merge over a tagged union — ONE key shuffle, no range
+    // θ-join, no BroadcastNestedLoopJoin (operators/AsofJoin.scala).
+    // orders.o_orderdate is parquet timestamp[ms] (a real TIMESTAMP
+    // column, UTC session); events.ts is timestamp[ns], surfaced as
+    // long nanos by nanosAsLong — both normalize to epoch ms.
+    "q17_asof_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"), pmod(col("o_custkey"), lit(100L)).as("k"),
+        epochMs(col("o_orderdate")).as("oms"))
+      val e = t(s, dir, "events").select(
+        pmod(col("user_id"), lit(100L)).as("k"),
+        expr("(ts - pmod(ts, 1000000)) DIV 1000000").as("ms"),
+        col("event_id"))
+      graft.operators.AsofJoin.asofBackward(o, "k", "oms", e, "k", "ms", Seq("event_id"))
+        .select(col("o_orderkey"), col("k"), col("oms"),
+          col("asof_time").as("ev_ms"), col("asof_event_id").as("ev_event_id"))
+        .orderBy("o_orderkey")
+    }),
+    // 11h — interval (range) join: customer points against supplier
+    // intervals, p ∈ [lo, hi]. 1-D grid bucketing — the interval
+    // replicates over its covered buckets, the point sits in ONE, so
+    // the equi-join meets each qualifying pair exactly once
+    // (operators/RangeJoin.scala); the BETWEEN θ-join this replaces
+    // would plan a nested-loop broadcast.
+    "q18_range_join" -> ((s, dir) => {
+      val pts = t(s, dir, "customer")
+        .select(col("c_custkey"), (col("c_custkey") * 13 % 1000 / lit(10.0)).as("p"))
+      val iv = t(s, dir, "supplier")
+        .select(col("s_suppkey"), (col("s_suppkey") * 17 % 970 / lit(10.0)).as("lo"))
+        .withColumn("hi", col("lo") + lit(1.0) + col("s_suppkey") % 20 / lit(10.0))
+      graft.operators.RangeJoin.intervalJoin(pts, "p", iv, "lo", "hi", bucketWidth = 3.0)
+        .select(col("c_custkey"), col("s_suppkey"),
+          fp(col("p"), 6).as("p_fp6"), fp(col("lo"), 6).as("lo_fp6"))
+        .orderBy("c_custkey", "s_suppkey")
     })
   )
 
@@ -248,6 +285,30 @@ object Relational {
         |FROM lineitem WHERE l_suppkey % 10 = 0
         |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
         |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
-        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    // as-of tie-break mirror: best time = max(ms <= oms), then max
+    // event_id at that time (graft's struct-max picks the same pair)
+    "q17_asof_join" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey % 100 AS k, epoch_ms(o_orderdate) AS oms FROM orders),
+        |e AS (SELECT user_id % 100 AS k, epoch_ms(ts) AS ms, event_id FROM events),
+        |b AS (SELECT o.o_orderkey, max(e.ms) AS ev_ms
+        |      FROM o LEFT JOIN e ON e.k = o.k AND e.ms <= o.oms GROUP BY 1),
+        |p AS (SELECT o.o_orderkey, o.k, o.oms, b.ev_ms, max(e.event_id) AS ev_event_id
+        |      FROM o JOIN b ON b.o_orderkey = o.o_orderkey
+        |      LEFT JOIN e ON e.k = o.k AND e.ms = b.ev_ms
+        |      GROUP BY 1, 2, 3, 4)
+        |SELECT o_orderkey, k, oms, ev_ms, ev_event_id FROM p ORDER BY o_orderkey""".stripMargin,
+    // both engines derive p/lo/hi with the same double op order, so
+    // the containment set is identical before fp6 quantization
+    "q18_range_join" ->
+      """SELECT c_custkey, s_suppkey,
+        | CAST(floor(p*1e6+0.5) AS BIGINT) AS p_fp6,
+        | CAST(floor(lo*1e6+0.5) AS BIGINT) AS lo_fp6
+        |FROM (SELECT c_custkey, c_custkey*13 % 1000 / 10.0 AS p FROM customer),
+        |     (SELECT s_suppkey, s_suppkey*17 % 970 / 10.0 AS lo,
+        |             s_suppkey*17 % 970 / 10.0 + 1.0 + s_suppkey % 20 / 10.0 AS hi
+        |      FROM supplier)
+        |WHERE p >= lo AND p <= hi
+        |ORDER BY c_custkey, s_suppkey""".stripMargin
   )
 }

@@ -58,6 +58,32 @@ object Sampling {
       .filter(col("rank_in_stratum") <= k)
   }
 
+  /** Deterministic global shuffle into `numShards` training shards —
+    * the corpus-order randomization every epoch-0 training run needs.
+    * Shard = md5-hash bucket of the id; position within the shard =
+    * rank by the full md5 hex. A pure function of (salt, id): reruns,
+    * task retries, and different input partitionings all produce the
+    * SAME shard files, and changing `salt` is a fresh epoch
+    * permutation. (`orderBy(rand())` — the naive spelling — is none
+    * of those, and a retried task would silently tear it.)
+    *
+    * Scale shape: one hash shuffle on the shard id + an external
+    * (spillable) sort per shard. Shards are uniform by construction
+    * (md5 bucketing — no skew), so at 100 TB the lever is simply more
+    * shards: size `numShards` so a shard ≈ one output file.
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String, numShards: Int,
+                           salt: String = "shf"): DataFrame = {
+    require(numShards >= 1, "numShards must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("_h"), col(idCol))
+    df.withColumn("_h", md5(concat(lit(salt + ":"), col(idCol).cast("string"))))
+      .withColumn("shard",
+        pmod(conv(substring(col("_h"), 1, 8), 16, 10).cast("long"), lit(numShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("_h")
+  }
+
   /** Next-fit sequence packing: assign documents to training-context
     * bins of at most `budget` tokens (a document longer than `budget`
     * gets a bin of its own). Documents are routed to `numGroups`

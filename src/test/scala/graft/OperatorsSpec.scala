@@ -93,4 +93,48 @@ class OperatorsSpec extends AnyFunSuite {
     val out = WayOps.wayNodeMap(edges, "way", "seq", "node").select("nds").as[Seq[Long]].head()
     assert(out == Seq(10L, 20L, 30L))
   }
+
+  test("AsofJoin picks the latest at-or-before row; strict excludes equal time") {
+    val l = Seq((1L, 10L, 100L), (2L, 10L, 250L), (3L, 20L, 100L), (4L, 30L, 500L))
+      .toDF("oid", "k", "t")
+    val r = Seq((10L, 100L, 7L), (10L, 100L, 9L), (10L, 200L, 11L), (20L, 150L, 13L))
+      .toDF("k", "rt", "eid")
+    def run(strict: Boolean) =
+      AsofJoin.asofBackward(l, "k", "t", r, "k", "rt", Seq("eid"), strict = strict)
+        .select("oid", "asof_time", "asof_eid")
+        .as[(Long, Option[Long], Option[Long])].collect().map { case (k, v1, v2) => k -> ((v1, v2)) }.toMap
+    val incl = run(strict = false)
+    // equal-time match included; ties at the same time go to max payload
+    assert(incl(1L) == ((Some(100L), Some(9L))))
+    assert(incl(2L) == ((Some(200L), Some(11L))))
+    // no event at-or-before t=100 for key 20; key 30 has no events
+    assert(incl(3L) == ((None, None)))
+    assert(incl(4L) == ((None, None)))
+    val strict = run(strict = true)
+    assert(strict(1L) == ((None, None)), "strict must not see the equal-time row")
+    assert(strict(2L) == ((Some(200L), Some(11L))))
+  }
+
+  test("AsofJoin payload is atomic: all fields come from the same matched row") {
+    // the later row carries a NULL field — per-column last(ignoreNulls)
+    // would resurrect the older row's value; the struct must not
+    val l = Seq((1L, 10L, 300L)).toDF("oid", "k", "t")
+    val r = Seq((10L, 100L, Some(5L), Some("old")), (10L, 200L, Some(6L), None))
+      .toDF("k", "rt", "eid", "tag")
+    val got = AsofJoin.asofBackward(l, "k", "t", r, "k", "rt", Seq("eid", "tag"))
+      .select("asof_time", "asof_eid", "asof_tag")
+      .as[(Option[Long], Option[Long], Option[String])].head()
+    assert(got == ((Some(200L), Some(6L), None)))
+  }
+
+  test("RangeJoin meets each qualifying pair exactly once, inclusive bounds") {
+    val pts = Seq((1L, 0.0), (2L, 5.0), (3L, 9.99), (4L, 10.0), (5L, 25.0)).toDF("pid", "p")
+    // interval spanning many buckets (W=3) plus a one-bucket interval
+    val iv = Seq((100L, 0.0, 10.0), (200L, 24.0, 26.0)).toDF("iid", "lo", "hi")
+    val got = RangeJoin.intervalJoin(pts, "p", iv, "lo", "hi", bucketWidth = 3.0)
+      .select("pid", "iid").as[(Long, Long)].collect().toSeq
+    // no duplicates even though interval 100 replicates over 4 buckets
+    assert(got.size == got.toSet.size)
+    assert(got.toSet == Set((1L, 100L), (2L, 100L), (3L, 100L), (4L, 100L), (5L, 200L)))
+  }
 }

@@ -123,4 +123,25 @@ class SamplingSpec extends AnyFunSuite {
         "survivors keep original order")
     }
   }
+
+  test("deterministicShuffle is partitioning-stable, shards are dense, positions contiguous") {
+    val df = (0L until 500L).map(i => Tuple1(i)).toDF("doc_id")
+    val a = Sampling.deterministicShuffle(df, "doc_id", numShards = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    // same rows under a different physical partitioning → same output
+    val b = Sampling.deterministicShuffle(df.repartition(13), "doc_id", numShards = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a == b)
+    assert(a.size == 500)
+    val byShard = a.groupBy(_._2)
+    assert(byShard.keySet.subsetOf((0L until 8L).toSet))
+    // every shard's positions are exactly 1..size (a rank, not a hash)
+    byShard.foreach { case (s, rows) =>
+      assert(rows.map(_._3).toSeq.sorted == (1L to rows.size).toSeq, s"shard $s")
+    }
+    // different salt → different permutation (it's an epoch lever)
+    val c = Sampling.deterministicShuffle(df, "doc_id", numShards = 8, salt = "epoch1")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(c != a)
+  }
 }
