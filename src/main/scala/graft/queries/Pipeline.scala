@@ -242,6 +242,17 @@ object Pipeline {
           posexplode(col("qz.q")).as(Seq("pos", "q")))
         .orderBy("vec_id", "pos")
     }),
+    // 35c — product quantization: 64-dim vectors → 4 subspaces × 16
+    // codes (deterministic stride codebook, same seeding as IVF so the
+    // whole build-and-encode path replicates in SQL). Encode is a
+    // zero-shuffle literal-argmin projection — the 4-8× ANN storage
+    // compression pass
+    "emb_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cb = Similarity.pqCodebook(e, "vec_id", "embedding", dim = 64, m = 4, k = 16)
+      Similarity.pqEncode(e, "vec_id", "embedding", cb)
+        .orderBy("id", "sub")
+    }),
     // 41f — TF-IDF term weights: explode tokens → (doc, term) tf
     // counts → document frequencies via groupBy(term) + broadcast
     // join-back. The df agg does map-side partial aggregation, so a
@@ -811,6 +822,32 @@ object Pipeline {
     "sim_ann_lsh_exact" -> annLshExactSql,
     "sim_ann_lsh" -> annLshGuardedSql,
     "sim_ann_ivf" -> annIvfSql,
+    // PQ mirror: stride codebook (rank = code), subspace slices,
+    // d2 = x·x − 2·x·c + c·c with the same fold-order dots, argmin =
+    // windowed first by (d2, code)
+    "emb_pq" -> {
+      def dot16(a: String, b: String): String =
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           | list_transform(range(1, 17),
+           |   i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+           | (acc, v) -> acc + v)""".stripMargin.replace("\n", " ")
+      s"""WITH cnt AS (SELECT count(*) AS c FROM embeddings),
+        |cents AS (SELECT vec_id AS sid, embedding AS v,
+        |            CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+        |          FROM embeddings, cnt WHERE vec_id % greatest(1, (c + 15) // 16) = 0),
+        |subs AS (SELECT CAST(unnest(range(0, 4)) AS INT) AS sub),
+        |cb AS (SELECT s.sub, c.code, list_slice(c.v, s.sub*16 + 1, s.sub*16 + 16) AS cvec
+        |       FROM cents c, subs s),
+        |sl AS (SELECT e.vec_id AS id, s.sub, list_slice(e.embedding, s.sub*16 + 1, s.sub*16 + 16) AS x
+        |       FROM embeddings e, subs s),
+        |d AS (SELECT sl.id, sl.sub, cb.code,
+        |        (${dot16("x", "x")} - 2.0*${dot16("x", "cvec")} + ${dot16("cvec", "cvec")}) AS d2
+        |      FROM sl JOIN cb ON cb.sub = sl.sub),
+        |best AS (SELECT id, sub, code, d2,
+        |           row_number() OVER (PARTITION BY id, sub ORDER BY d2, code) AS rn FROM d)
+        |SELECT id, sub, code, ${sqlFp("d2", 6)} AS d2_fp6
+        |FROM best WHERE rn = 1 ORDER BY id, sub""".stripMargin
+    },
     "dd_simhash" -> simhashSql,
     "dd_simhash_pairs" -> simhashPairsSql,
     "dd_simhash64" -> simhash64Sql,

@@ -300,6 +300,80 @@ object Similarity {
       }
     }
 
+  /** Product-quantization codebook: vectors split into `m` contiguous
+    * subspaces of dim/m dims; each subspace gets `k` code entries
+    * taken from the deterministic id-stride sample (the same seeding
+    * as [[ivfCentroids]] — replicable in an oracle, swap in sampled
+    * k-means per subspace for production recall). Codes are the
+    * 0-based rank of the sampled id. Output: (sub, code, cvec) —
+    * m × k rows, a driver-sized table by construction.
+    */
+  def pqCodebook(data: DataFrame, idCol: String, vecCol: String,
+                 dim: Int, m: Int, k: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"m = $m must divide dim = $dim")
+    val sub = dim / m
+    val n = data.count()
+    val stride = math.max(1L, (n + k - 1) / k)
+    // the window input is the ≤ k sampled rows, not the corpus — a
+    // single-partition sort of a codebook-sized set
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("sid"))
+    data.filter(pmod(col(idCol), lit(stride)) === 0)
+      .select(col(idCol).as("sid"), col(vecCol).as("v"))
+      .withColumn("code", (row_number().over(w) - 1).cast("int"))
+      .select(col("code"), explode(array((0 until m).map(s =>
+        struct(lit(s).as("sub"), slice(col("v"), s * sub + 1, sub).as("cvec"))): _*)).as("e"))
+      .select(col("e.sub").as("sub"), col("code"), col("e.cvec").as("cvec"))
+  }
+
+  /** PQ-encode every vector: per subspace, the code of the nearest
+    * codebook entry by L2² (ties to the SMALLEST code). The codebook
+    * is collected (m × k rows — driver-sized like the IVF centroid
+    * table) and inlined as literals, so encoding is a pure map-side
+    * projection — ZERO shuffles, exactly the [[ivfAssign]] shape:
+    * subvector slices staged once, per-code distances as bound
+    * columns, argmin as a literal when-chain. d2 = x·x − 2·x·c + c·c
+    * with the constant c·c folded at plan-build time, so each code
+    * costs ONE dot product against the staged slice.
+    *
+    * Output: (id, sub, code, d2_fp6) — m rows per vector (exploded,
+    * oracle-friendly); callers needing the packed form group to
+    * `array_agg(code ORDER BY sub)`. At 100 TB this is the 4×-8×
+    * storage-compression pass before ANN serving; the encode itself
+    * is embarrassingly parallel.
+    */
+  def pqEncode(data: DataFrame, idCol: String, vecCol: String,
+               codebook: DataFrame): DataFrame = {
+    val cb = codebook.select(col("sub"), col("code"), col("cvec")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    require(cb.nonEmpty, "pqEncode: empty codebook")
+    val m = cb.size
+    val subLen = cb.head._2.head._3.length
+    val staged = data.select(
+      col(idCol).as("id") +: (0 until m).map(s =>
+        slice(col(vecCol), s * subLen + 1, subLen).as(s"_s$s")): _*)
+    // per (sub, code): d2 staged as a bound column, then the argmin
+    // when-chain reads bound attributes (no re-evaluation)
+    val scored = staged.select(
+      col("id") +: (0 until m).flatMap { s =>
+        cb(s).map { case (_, code, cvec) =>
+          val c = array(cvec.map(v => lit(v)): _*)
+          val cc = cvec.map(v => v.toDouble * v.toDouble).sum
+          (dot(col(s"_s$s"), col(s"_s$s")) - lit(2.0) * dot(col(s"_s$s"), c) + lit(cc)).as(s"_d${s}_$code")
+        }
+      }: _*)
+    val subRows = (0 until m).map { s =>
+      val ds = cb(s).map { case (_, code, _) => col(s"_d${s}_$code") }
+      val best = ds.reduce(least(_, _))
+      val code = cb(s).foldRight(lit(cb(s).last._2)) { case ((_, c, _), acc) =>
+        when(col(s"_d${s}_$c") === best, lit(c)).otherwise(acc)
+      }
+      struct(lit(s).as("sub"), code.as("code"), TextAnalysis.fp(best, 6).as("d2_fp6"))
+    }
+    scored.select(col("id"), explode(array(subRows: _*)).as("e"))
+      .select(col("id"), col("e.sub").as("sub"), col("e.code").as("code"), col("e.d2_fp6").as("d2_fp6"))
+  }
+
   /** Near-duplicate pairs by cosine ≥ threshold, candidates restricted
     * to an existing partition/bucket column (label, LSH bucket, …) so
     * the join is equi- not cross-.

@@ -169,6 +169,30 @@ class DedupSimSpec extends AnyFunSuite {
     assert(exact.forall(_._3 == 0))
   }
 
+  test("pqEncode picks the true per-subspace argmin code (brute-force check)") {
+    val emb = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+    val cb = Similarity.pqCodebook(emb, "vec_id", "embedding", dim = 64, m = 4, k = 16)
+    val cbRows = cb.as[(Int, Int, Seq[Float])].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(cbRows.size == 4 && cbRows.values.forall(_.length == 16))
+    val encoded = Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+      .select("id", "sub", "code").as[(Long, Int, Int)].collect()
+      .groupBy(r => (r._1, r._2)).view.mapValues(_.head._3).toMap
+    val vecs = emb.select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    assert(encoded.size == vecs.length * 4)
+    // brute-force argmin per (vector, subspace)
+    vecs.take(60).foreach { case (id, v) =>
+      (0 until 4).foreach { s =>
+        val x = v.slice(s * 16, s * 16 + 16).map(_.toDouble)
+        val best = cbRows(s).map { case (_, code, c) =>
+          val d2 = x.zip(c.map(_.toDouble)).map { case (a, b) => (a - b) * (a - b) }.sum
+          (d2, code)
+        }.min
+        assert(encoded((id, s)) == best._2, s"vec $id sub $s")
+      }
+    }
+  }
+
   test("annLsh multi-probe raises recall over single-probe; bucket cap bounds candidates") {
     val emb = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
     val queries = emb.filter(col("vec_id") % 25 === 0)
