@@ -438,6 +438,26 @@ object Pipeline {
         budget = 256L, numGroups = 8)
         .orderBy("doc_id")
     }),
+    // 41h — URL canonicalization (Common-Crawl-style pre-dedup key):
+    // synthetic URLs derived from doc_id exercise every rule — case,
+    // www, default port, trailing slash, utm params, fragment. All
+    // codegen'd regexp/HOF columns, no backreferences (text/UrlOps)
+    "txt_url_normalize" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), synthUrl(col("doc_id")).as("url"))
+        .withColumn("norm_url", graft.text.UrlOps.normalizeUrl(col("url")))
+        .orderBy("doc_id")
+    }),
+    // 31c — URL-level dedup on the canonical key: spelled-differently
+    // duplicates collapse; keep min doc id + variant count (one
+    // partial-agg shuffle on the normalized key)
+    "dd_url_dedup" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), graft.text.UrlOps.normalizeUrl(synthUrl(col("doc_id"))).as("norm_url"))
+        .groupBy("norm_url")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_variants"))
+        .orderBy("norm_url")
+    }),
     // 46d — deterministic global shuffle into training shards: md5
     // bucket + rank by full md5 hex — rerun/retry/partitioning-stable
     // where orderBy(rand()) is none of those
@@ -468,10 +488,56 @@ object Pipeline {
     })
   )
 
+  /** Deterministic synthetic URL from a doc id — spellings vary by id
+    * residues (case, www, :443, trailing slash, utm param, fragment)
+    * so normalization has real work on every row and distinct ids can
+    * collide on the canonical key (id mod lcm(7,50,5) = 350). */
+  private def synthUrl(id: Column): Column = concat(
+    when(id % 3 === 0, lit("HTTPS://WWW.Example")).otherwise(lit("https://example")),
+    (id % 7).cast("string"), lit(".COM"),
+    when(id % 4 === 0, lit(":443")).otherwise(lit("")),
+    lit("/Path/"), (id % 50).cast("string"),
+    when(id % 2 === 0, lit("/")).otherwise(lit("")),
+    lit("?utm_source=feed&b=2&a="), (id % 5).cast("string"),
+    when(id % 6 === 0, lit("#Frag")).otherwise(lit("")))
+
   // ---- oracle SQL ----------------------------------------------------
 
   private def sqlFp(e: String, scale: Int): String =
     s"CAST(floor(($e)*1e$scale+0.5) AS BIGINT)"
+
+  /** SQL twin of [[synthUrl]]. */
+  private val synthUrlSql: String =
+    """(CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.Example' ELSE 'https://example' END ||
+      | CAST(doc_id % 7 AS VARCHAR) || '.COM' ||
+      | CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END ||
+      | '/Path/' || CAST(doc_id % 50 AS VARCHAR) ||
+      | CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+      | '?utm_source=feed&b=2&a=' || CAST(doc_id % 5 AS VARCHAR) ||
+      | CASE WHEN doc_id % 6 = 0 THEN '#Frag' ELSE '' END)""".stripMargin.replace("\n", " ")
+
+  /** CTE chain replicating UrlOps.normalizeUrl step-for-step over the
+    * synthetic URLs; ends in `norm(doc_id, url, norm_url)`. */
+  private val normUrlCtes: String =
+    s"""raw AS (SELECT doc_id, $synthUrlSql AS url FROM documents),
+      |s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$$', '') AS u1 FROM raw),
+      |s2 AS (SELECT *,
+      |    regexp_extract(u1, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0) AS pre0,
+      |    substr(u1, length(regexp_extract(u1, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0)) + 1) AS rest
+      |  FROM s1),
+      |s3 AS (SELECT *, regexp_replace(regexp_replace(lower(pre0),
+      |    '^https://www\\.', 'https://'), '^http://www\\.', 'http://') AS nowww FROM s2),
+      |s4 AS (SELECT *,
+      |    CASE WHEN starts_with(nowww, 'https://') THEN regexp_replace(nowww, ':443$$', '')
+      |         ELSE regexp_replace(nowww, ':80$$', '') END AS noport,
+      |    regexp_replace(regexp_extract(rest, '^[^?]*', 0), '/+$$', '') AS pathn,
+      |    list_sort(list_filter(string_split(regexp_extract(rest, '^[^?]*\\?(.*)$$', 1), '&'),
+      |      p -> NOT starts_with(p, 'utm_') AND p != '')) AS params
+      |  FROM s3),
+      |norm AS (SELECT doc_id, url,
+      |    noport || pathn ||
+      |    CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END AS norm_url
+      |  FROM s4)""".stripMargin
 
   /** Whitespace tokens, lowercased — matches TextAnalysis.tokens. */
   private val toksSql =
@@ -1069,6 +1135,13 @@ object Pipeline {
         |    CASE WHEN p.fill + w.n_tokens <= 256 THEN p.fill + w.n_tokens ELSE w.n_tokens END
         |  FROM w JOIN pack p ON w.grp = p.grp AND w.rn = p.rn + 1)
         |SELECT doc_id, grp, bin, n_tokens FROM pack ORDER BY doc_id""".stripMargin,
+    "txt_url_normalize" ->
+      s"""WITH $normUrlCtes
+        |SELECT doc_id, url, norm_url FROM norm ORDER BY doc_id""".stripMargin,
+    "dd_url_dedup" ->
+      s"""WITH $normUrlCtes
+        |SELECT norm_url, min(doc_id) AS keep_id, count(*) AS n_variants
+        |FROM norm GROUP BY 1 ORDER BY 1""".stripMargin,
     "smp_shuffle" -> {
       // shard = uint32(first 8 md5 hex chars of 'shf:doc_id') % 8;
       // pos ranks by the FULL md5 hex — hex strings are fixed-length

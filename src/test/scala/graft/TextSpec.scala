@@ -84,4 +84,25 @@ class TextSpec extends AnyFunSuite {
       .as[(Long, Int, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(stagedQ == inlineQ)
   }
+
+  test("normalizeUrl canonicalizes case/www/ports/slash/utm/fragment and edge shapes") {
+    val cases = Seq(
+      "HTTPS://WWW.Example.COM:443/Path/?utm_source=x&b=2&a=1#frag" -> "https://example.com/Path?a=1&b=2",
+      "http://WWW.site.org:80/a/b//" -> "http://site.org/a/b",
+      // non-default port survives; empty query drops the '?'
+      "https://example.com:8443/x?utm_only=1" -> "https://example.com:8443/x",
+      // root path collapses; params sort; plain http no-www untouched
+      "http://example.com/?b=2&a=1" -> "http://example.com?a=1&b=2",
+      // :443 on http is NOT a default port — it must survive
+      "http://example.com:443/x" -> "http://example.com:443/x",
+      // no scheme → prefix extract misses, string passes through lowering-free
+      "just-a-string/Path/" -> "just-a-string/Path",
+      // fragment-only tail; empty path
+      "https://Ex.com#x" -> "https://ex.com",
+      "" -> "")
+    val df = cases.zipWithIndex.map { case ((u, _), i) => (i.toLong, u) }.toDF("id", "url")
+    val got = df.select(col("id"), graft.text.UrlOps.normalizeUrl(col("url")).as("n"))
+      .as[(Long, String)].collect().sortBy(_._1).map(_._2).toSeq
+    assert(got == cases.map(_._2), got.zip(cases).filter { case (g, (_, e)) => g != e }.toString)
+  }
 }
