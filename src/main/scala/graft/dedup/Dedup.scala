@@ -484,6 +484,38 @@ object Dedup {
       reference.select(md5(col(textCol)).as("_ref_hash")).distinct(),
       md5(col(textCol)) === col("_ref_hash"), "left_anti")
 
+  /** [[dedupAgainst]] with the Bloom pre-filter the plain version's
+    * doc names as the 100 TB accelerant — now real. A Bloom filter of
+    * the reference hashes (distributed build: Spark's sketch
+    * aggregates per-partition filters and ORs them on the driver) is
+    * broadcast; incoming rows whose hash is definitely-NOT-in-ref
+    * skip the anti-join entirely and only the `might-contain` sliver
+    * (true dups + fpp false positives) rides the shuffle. Since Bloom
+    * filters have no false negatives the result is EXACTLY
+    * [[dedupAgainst]] — same oracle — while the shuffled volume drops
+    * from |incoming| to |dups| + fpp·|incoming|.
+    *
+    * The membership probe is a scalar UDF (the one non-codegen hop —
+    * it guards a shuffle, which costs orders of magnitude more).
+    * `expectedItems` sizes the filter; at 100 TB pass the known
+    * corpus cardinality instead of letting this helper count().
+    */
+  def dedupAgainstBloom(incoming: DataFrame, reference: DataFrame,
+                        idCol: String, textCol: String,
+                        fpp: Double = 0.03,
+                        expectedItems: Long = -1L): DataFrame = {
+    val refHashes = reference.select(md5(col(textCol)).as("_ref_hash"))
+    val n = if (expectedItems > 0) expectedItems else math.max(1L, reference.count())
+    val bf = refHashes.stat.bloomFilter("_ref_hash", n, fpp)
+    val bfB = incoming.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((h: String) => bfB.value.mightContainString(h))
+    val inc = incoming.withColumn("_h", md5(col(textCol)))
+    val fastKeep = inc.filter(!mightContain(col("_h")))
+    val checked = inc.filter(mightContain(col("_h")))
+      .join(refHashes.distinct(), col("_h") === col("_ref_hash"), "left_anti")
+    fastKeep.unionByName(checked).drop("_h")
+  }
+
   /** Cross-document segment-level dedup (the Lee et al. 2022
     * "Deduplicating Training Data" granularity, cf.
     * arXiv:2107.06499 — there 50-token windows over a suffix array;

@@ -85,6 +85,18 @@ object Pipeline {
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")
     }),
+    // 31d — the same incremental dedup behind the broadcast Bloom
+    // pre-filter (no false negatives ⇒ bit-identical result, same
+    // oracle shape): only might-contain rows ride the anti-join
+    // shuffle — the 100 TB cost shape for snapshot-vs-corpus dedup
+    "dd_incremental_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val reference = docs.filter(col("doc_id") % 5 =!= 0)
+      val incoming = docs.filter(col("doc_id") % 3 === 0)
+      Dedup.dedupAgainstBloom(incoming, reference, "doc_id", "text")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
     // 32b — MinHash Jaccard estimates over the LSH candidates (the
     // classic signature-agreement estimator)
     "dd_minhash_est" -> ((s, dir) => {
@@ -437,6 +449,15 @@ object Pipeline {
       graft.sample.Sampling.packNextFit(s, docs, "doc_id", "n_toks",
         budget = 256L, numGroups = 8)
         .orderBy("doc_id")
+    }),
+    // 32f — content-defined chunking (rsync/LBFS window-hash cuts):
+    // boundaries are a function of local content, so chunk-hash dedup
+    // re-synchronizes on shifted duplicates where fixed-offset
+    // chunking never re-aligns. Narrow map + explode — zero shuffles
+    "dd_cdc_chunks" -> ((s, dir) => {
+      graft.text.Chunker.cdcChunk(t(s, dir, "documents"), "doc_id", "text",
+        window = 8, divisor = 64)
+        .orderBy("doc_id", "chunk_id")
     }),
     // 41h — URL canonicalization (Common-Crawl-style pre-dedup key):
     // synthetic URLs derived from doc_id exercise every rule — case,
@@ -885,6 +906,13 @@ object Pipeline {
         |inc AS (SELECT doc_id, source, n_chars, md5(text) AS h FROM documents WHERE doc_id % 3 = 0)
         |SELECT doc_id, source, n_chars FROM inc
         |WHERE h NOT IN (SELECT h FROM ref) ORDER BY doc_id""".stripMargin,
+    // Bloom pre-filter is value-invisible (no false negatives) — the
+    // oracle is the exact anti-join
+    "dd_incremental_bloom" ->
+      """WITH ref AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 5 <> 0),
+        |inc AS (SELECT doc_id, source, n_chars, md5(text) AS h FROM documents WHERE doc_id % 3 = 0)
+        |SELECT doc_id, source, n_chars FROM inc
+        |WHERE h NOT IN (SELECT h FROM ref) ORDER BY doc_id""".stripMargin,
     "sim_ann_lsh_exact" -> annLshExactSql,
     "sim_ann_lsh" -> annLshGuardedSql,
     "sim_ann_ivf" -> annIvfSql,
@@ -1135,6 +1163,27 @@ object Pipeline {
         |    CASE WHEN p.fill + w.n_tokens <= 256 THEN p.fill + w.n_tokens ELSE w.n_tokens END
         |  FROM w JOIN pack p ON w.grp = p.grp AND w.rn = p.rn + 1)
         |SELECT doc_id, grp, bin, n_tokens FROM pack ORDER BY doc_id""".stripMargin,
+    // CDC mirror: per-position window-hash probes, cut list, bounds,
+    // substring chunks — the u32(md5) is the shared cross-engine hash
+    "dd_cdc_chunks" -> {
+      val u32OfH = """list_reduce(list_prepend(CAST(0 AS BIGINT),
+        | list_transform(range(1, 9),
+        |   i -> CAST(strpos('0123456789abcdef', substr(h, CAST(i AS INT), 1)) - 1 AS BIGINT))),
+        | (a, v) -> a*16 + v)""".stripMargin.replace("\n", " ")
+      s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |probes AS (SELECT doc_id, i, md5(substr(text, CAST(i AS BIGINT) - 7, 8)) AS h
+        |           FROM (SELECT *, unnest(CASE WHEN n >= 9 THEN range(8, n) ELSE [] END) AS i FROM d)),
+        |cutrows AS (SELECT doc_id, i FROM probes WHERE $u32OfH % 64 = 0),
+        |cuts AS (SELECT doc_id, list(i ORDER BY i) AS cl FROM cutrows GROUP BY doc_id),
+        |bounds AS (SELECT d.doc_id, d.text,
+        |             list_concat(list_concat([CAST(0 AS BIGINT)], coalesce(c.cl, [])), [CAST(d.n AS BIGINT)]) AS b
+        |           FROM d LEFT JOIN cuts c USING (doc_id)),
+        |chunks AS (SELECT doc_id, CAST(j AS BIGINT) AS chunk_id,
+        |             substr(text, CAST(b[CAST(j+1 AS INT)] + 1 AS BIGINT), CAST(b[CAST(j+2 AS INT)] - b[CAST(j+1 AS INT)] AS BIGINT)) AS c
+        |           FROM (SELECT *, unnest(range(0, len(b) - 1)) AS j FROM bounds))
+        |SELECT doc_id, chunk_id, CAST(length(c) AS BIGINT) AS n_chars_chunk, md5(c) AS chunk_hash
+        |FROM chunks WHERE length(c) > 0 ORDER BY doc_id, chunk_id""".stripMargin
+    },
     "txt_url_normalize" ->
       s"""WITH $normUrlCtes
         |SELECT doc_id, url, norm_url FROM norm ORDER BY doc_id""".stripMargin,

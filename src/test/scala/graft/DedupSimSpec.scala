@@ -169,6 +169,22 @@ class DedupSimSpec extends AnyFunSuite {
     assert(exact.forall(_._3 == 0))
   }
 
+  test("dedupAgainstBloom is exactly dedupAgainst (no false negatives) on real docs") {
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+    val ref = docs.filter(col("doc_id") % 5 =!= 0)
+    val inc = docs.filter(col("doc_id") % 3 === 0)
+    val exact = Dedup.dedupAgainst(inc, ref, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    val bloom = Dedup.dedupAgainstBloom(inc, ref, "doc_id", "text", fpp = 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(bloom == exact, "bloom pre-filter changed the result")
+    // planted exact duplicate must be dropped even at a sloppy fpp
+    val r2 = Seq((1L, "the same payload")).toDF("doc_id", "text")
+    val i2 = Seq((2L, "the same payload"), (3L, "a different payload")).toDF("doc_id", "text")
+    val kept = Dedup.dedupAgainstBloom(i2, r2, "doc_id", "text").select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L))
+  }
+
   test("pqEncode picks the true per-subspace argmin code (brute-force check)") {
     val emb = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
     val cb = Similarity.pqCodebook(emb, "vec_id", "embedding", dim = 64, m = 4, k = 16)

@@ -124,6 +124,26 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("cdcChunk boundaries re-synchronize after a prefix insert (fixed chunking never re-aligns)") {
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, "PREFIX-INSERTED-CONTENT " + base)).toDF("doc_id", "text")
+    val out = Chunker.cdcChunk(docs, "doc_id", "text", window = 8, divisor = 16)
+      .select("doc_id", "chunk_hash").as[(Long, String)].collect()
+    val h1 = out.filter(_._1 == 1L).map(_._2).toSet
+    val h2 = out.filter(_._1 == 2L).map(_._2).toSet
+    assert(h1.size > 3, s"expected several chunks, got ${h1.size}")
+    // all but the first (perturbed) chunk of doc 1 must reappear in
+    // doc 2 verbatim — the content-defined property
+    val shared = h1.intersect(h2)
+    assert(shared.size >= h1.size - 1, s"only ${shared.size}/${h1.size} chunks re-aligned")
+    // chunks cover the text exactly: lengths sum to doc length
+    val lens = Chunker.cdcChunk(docs, "doc_id", "text", window = 8, divisor = 16)
+      .groupBy("doc_id").agg(sum("n_chars_chunk").as("s")).as[(Long, Long)].collect().toMap
+    assert(lens(1L) == base.length && lens(2L) == base.length + 24)
+    // empty text chunks to nothing
+    assert(Chunker.cdcChunk(Seq((9L, "")).toDF("doc_id", "text"), "doc_id", "text").isEmpty)
+  }
+
   test("deterministicShuffle is partitioning-stable, shards are dense, positions contiguous") {
     val df = (0L until 500L).map(i => Tuple1(i)).toDF("doc_id")
     val a = Sampling.deterministicShuffle(df, "doc_id", numShards = 8)
