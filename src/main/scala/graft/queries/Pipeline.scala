@@ -265,6 +265,19 @@ object Pipeline {
       Similarity.pqEncode(e, "vec_id", "embedding", cb)
         .orderBy("id", "sub")
     }),
+    // 37c — PQ-ADC probe search (Jégou et al.): per-query LUT of
+    // subvector-to-codebook distances, corpus rows cost one LUT probe
+    // per subspace — distance against the whole corpus without
+    // touching a corpus float. fp6-quantized per-subspace so the
+    // m-way sum is integer-exact; fully oracle-checked
+    "sim_ann_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cb = Similarity.pqCodebook(e, "vec_id", "embedding", dim = 64, m = 4, k = 16)
+      val enc = Similarity.pqEncode(e, "vec_id", "embedding", cb)
+      Similarity.pqSearch(enc, cb, e.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "approx_d2_fp6", "id")
+    }),
     // 41f — TF-IDF term weights: explode tokens → (doc, term) tf
     // counts → document frequencies via groupBy(term) + broadcast
     // join-back. The df agg does map-side partial aggregation, so a
@@ -526,6 +539,33 @@ object Pipeline {
 
   private def sqlFp(e: String, scale: Int): String =
     s"CAST(floor(($e)*1e$scale+0.5) AS BIGINT)"
+
+  /** Fold-order 16-dim dot product (PQ subvectors) — the 64-dim twin
+    * of dotSql. */
+  private def dot16(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       | list_transform(range(1, 17),
+       |   i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+       | (acc, v) -> acc + v)""".stripMargin.replace("\n", " ")
+
+  /** Shared PQ CTE chain: stride codebook `cb(sub, code, cvec)`,
+    * subvector slices, and `best` = per-(id, sub) distances ranked so
+    * `rn = 1` is the encoding. Used by emb_pq and sim_ann_pq. */
+  private val pqCtes: String =
+    s"""cnt AS (SELECT count(*) AS c FROM embeddings),
+      |cents AS (SELECT vec_id AS sid, embedding AS v,
+      |            CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+      |          FROM embeddings, cnt WHERE vec_id % greatest(1, (c + 15) // 16) = 0),
+      |subs AS (SELECT CAST(unnest(range(0, 4)) AS INT) AS sub),
+      |cb AS (SELECT s.sub, c.code, list_slice(c.v, s.sub*16 + 1, s.sub*16 + 16) AS cvec
+      |       FROM cents c, subs s),
+      |sl AS (SELECT e.vec_id AS id, s.sub, list_slice(e.embedding, s.sub*16 + 1, s.sub*16 + 16) AS x
+      |       FROM embeddings e, subs s),
+      |d AS (SELECT sl.id, sl.sub, cb.code,
+      |        (${dot16("x", "x")} - 2.0*${dot16("x", "cvec")} + ${dot16("cvec", "cvec")}) AS d2
+      |      FROM sl JOIN cb ON cb.sub = sl.sub),
+      |best AS (SELECT id, sub, code, d2,
+      |           row_number() OVER (PARTITION BY id, sub ORDER BY d2, code) AS rn FROM d)""".stripMargin
 
   /** SQL twin of [[synthUrl]]. */
   private val synthUrlSql: String =
@@ -919,29 +959,28 @@ object Pipeline {
     // PQ mirror: stride codebook (rank = code), subspace slices,
     // d2 = x·x − 2·x·c + c·c with the same fold-order dots, argmin =
     // windowed first by (d2, code)
-    "emb_pq" -> {
-      def dot16(a: String, b: String): String =
-        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           | list_transform(range(1, 17),
-           |   i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
-           | (acc, v) -> acc + v)""".stripMargin.replace("\n", " ")
-      s"""WITH cnt AS (SELECT count(*) AS c FROM embeddings),
-        |cents AS (SELECT vec_id AS sid, embedding AS v,
-        |            CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
-        |          FROM embeddings, cnt WHERE vec_id % greatest(1, (c + 15) // 16) = 0),
-        |subs AS (SELECT CAST(unnest(range(0, 4)) AS INT) AS sub),
-        |cb AS (SELECT s.sub, c.code, list_slice(c.v, s.sub*16 + 1, s.sub*16 + 16) AS cvec
-        |       FROM cents c, subs s),
-        |sl AS (SELECT e.vec_id AS id, s.sub, list_slice(e.embedding, s.sub*16 + 1, s.sub*16 + 16) AS x
-        |       FROM embeddings e, subs s),
-        |d AS (SELECT sl.id, sl.sub, cb.code,
-        |        (${dot16("x", "x")} - 2.0*${dot16("x", "cvec")} + ${dot16("cvec", "cvec")}) AS d2
-        |      FROM sl JOIN cb ON cb.sub = sl.sub),
-        |best AS (SELECT id, sub, code, d2,
-        |           row_number() OVER (PARTITION BY id, sub ORDER BY d2, code) AS rn FROM d)
+    "emb_pq" ->
+      s"""WITH $pqCtes
         |SELECT id, sub, code, ${sqlFp("d2", 6)} AS d2_fp6
-        |FROM best WHERE rn = 1 ORDER BY id, sub""".stripMargin
-    },
+        |FROM best WHERE rn = 1 ORDER BY id, sub""".stripMargin,
+    // ADC mirror: per-query LUT from the same codebook, fp6 per
+    // subspace, integer sum, windowed top-k ascending
+    "sim_ann_pq" ->
+      s"""WITH $pqCtes,
+        |enc AS (SELECT id, sub, code FROM best WHERE rn = 1),
+        |qsl AS (SELECT q.vec_id AS query_id, s.sub,
+        |          list_slice(q.embedding, s.sub*16 + 1, s.sub*16 + 16) AS qx
+        |        FROM embeddings q, subs s WHERE q.vec_id % 50 = 0),
+        |lut AS (SELECT q.query_id, q.sub, cb.code,
+        |          ${sqlFp(s"${dot16("qx", "qx")} - 2.0*${dot16("qx", "cvec")} + ${dot16("cvec", "cvec")}", 6)} AS pd6
+        |        FROM qsl q JOIN cb ON cb.sub = q.sub),
+        |sc AS (SELECT l.query_id, e.id, CAST(sum(l.pd6) AS BIGINT) AS approx_d2_fp6
+        |       FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
+        |       WHERE e.id <> l.query_id GROUP BY 1, 2),
+        |topk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |           ORDER BY approx_d2_fp6, id) AS rk FROM sc)
+        |SELECT query_id, id, approx_d2_fp6 FROM topk WHERE rk <= 5
+        |ORDER BY query_id, approx_d2_fp6, id""".stripMargin,
     "dd_simhash" -> simhashSql,
     "dd_simhash_pairs" -> simhashPairsSql,
     "dd_simhash64" -> simhash64Sql,

@@ -374,6 +374,58 @@ object Similarity {
       .select(col("id"), col("e.sub").as("sub"), col("e.code").as("code"), col("e.d2_fp6").as("d2_fp6"))
   }
 
+  /** PQ-ADC (asymmetric distance) ANN search over [[pqEncode]] codes:
+    * per query, a lookup table of d2(query subvector, codebook entry)
+    * is built by a broadcast join against the m×k codebook; each
+    * encoded corpus row then costs ONE LUT probe per subspace (join
+    * on (sub, code)) and the approximate distance is the sum of its m
+    * table entries — the classic Jégou et al. PQ trick: distances
+    * against a 100 TB corpus without touching a single corpus float.
+    *
+    * Per-subspace distances are fp6-QUANTIZED before the sum so the
+    * m-way addition is integer-exact (a double sum's accumulation
+    * order would wobble between engines/retries); the oracle
+    * replicates quantize-then-sum bit-for-bit.
+    *
+    * Output: (query_id, id, approx_d2_fp6) — top-k per query by
+    * ascending approximate distance, ties to min id. One shuffle for
+    * the (sub, code) join-back and one for the per-query top-k
+    * window; the codebook and LUT stay broadcast-sized.
+    */
+  def pqSearch(encoded: DataFrame, codebook: DataFrame,
+               queries: DataFrame, idCol: String, vecCol: String,
+               k: Int): DataFrame = {
+    val cb = codebook.select(col("sub"), col("code"), col("cvec")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
+    require(cb.nonEmpty, "pqSearch: empty codebook")
+    val subLen = cb.head._3.length
+    // LUT: per (query, sub, code) the exact subvector-to-entry d2.
+    // Built by exploding the query's subvectors against codebook
+    // literals — queries × m×k rows, never corpus-sized.
+    val entries = cb.map { case (s, c, cvec) =>
+      val cArr = array(cvec.map(v => lit(v)): _*)
+      val cc = cvec.map(v => v.toDouble * v.toDouble).sum
+      struct(lit(s).as("sub"), lit(c).as("code"),
+        graft.ColumnOps.let(slice(col("_qv"), s * subLen + 1, subLen)) { x =>
+          TextAnalysis.fp(dot(x, x) - lit(2.0) * dot(x, cArr) + lit(cc), 6)
+        }.as("pd6"))
+    }
+    val lut = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+      .select(col("query_id"), explode(array(entries: _*)).as("e"))
+      .select(col("query_id"), col("e.sub").as("sub"), col("e.code").as("code"), col("e.pd6").as("pd6"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("approx_d2_fp6"), col("id"))
+    encoded.select(col("id"), col("sub"), col("code"))
+      .join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("query_id") =!= col("id"))
+      .groupBy("query_id", "id")
+      .agg(sum("pd6").as("approx_d2_fp6"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "id", "approx_d2_fp6")
+  }
+
   /** Near-duplicate pairs by cosine ≥ threshold, candidates restricted
     * to an existing partition/bucket column (label, LSH bucket, …) so
     * the join is equi- not cross-.

@@ -209,6 +209,35 @@ class DedupSimSpec extends AnyFunSuite {
     }
   }
 
+  test("pqSearch ADC distances equal the brute-force LUT sum (top-k exactness)") {
+    val emb = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+    val cb = Similarity.pqCodebook(emb, "vec_id", "embedding", dim = 64, m = 4, k = 16)
+    val enc = Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val got = Similarity.pqSearch(enc, cb, queries, "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    // scala-side reference: encode + per-query LUT + quantized sums
+    val cbM = cb.as[(Int, Int, Seq[Float])].collect()
+      .map { case (s, c, v) => (s, c) -> v.map(_.toDouble) }.toMap
+    val encM = enc.select("id", "sub", "code").as[(Long, Int, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    val qs = queries.select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    def fp6(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    def d2(x: Seq[Double], c: Seq[Double]): Double = {
+      val xx = x.foldLeft(0.0)((a, v) => a + v * v)
+      val xc = x.zip(c).foldLeft(0.0)((a, p) => a + p._1 * p._2)
+      val cc = c.foldLeft(0.0)((a, v) => a + v * v)
+      xx - 2.0 * xc + cc
+    }
+    qs.foreach { case (qid, qv) =>
+      val expected = encM.collect { case (id, codes) if id != qid =>
+        id -> (0 until 4).map(s => fp6(d2(qv.slice(s * 16, s * 16 + 16).map(_.toDouble), cbM((s, codes(s)))))).sum
+      }.toSeq.sortBy(r => (r._2, r._1)).take(3)
+      val actual = got(qid).sortBy(r => (r._3, r._2)).map(r => r._2 -> r._3).toSeq
+      assert(actual == expected, s"query $qid")
+    }
+  }
+
   test("annLsh multi-probe raises recall over single-probe; bucket cap bounds candidates") {
     val emb = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
     val queries = emb.filter(col("vec_id") % 25 === 0)
