@@ -70,4 +70,49 @@ object AsofJoin {
       payloadCols.map(c => col(s"_m.$c").as(prefix + c))
     matched.select(out: _*)
   }
+
+  /** As-of by LOOKUP: the right side is pre-grouped per key into a
+    * time-sorted payload array, the left side equi-joins on the key
+    * and probes the array with a per-row HOF filter + last-element
+    * pick. Same semantics and tie-breaks as [[asofBackward]]
+    * (equivalence is spec-tested), different cost shape:
+    *
+    *   - sort-merge ([[asofBackward]]): both sides shuffle once —
+    *     right when the right side is corpus-sized.
+    *   - lookup (this): the right side must fit per-key in memory
+    *     (dimension/reference tables — rates, versions, configs);
+    *     the left side is NOT shuffled at all when the grouped right
+    *     side broadcasts.
+    *
+    * Because the probe is stateless per row, this shape is
+    * STREAM-SAFE: a readStream left against a static right is a
+    * plain stream-static equi-join + projection — no watermark, no
+    * state store (spec-driven on a MemoryStream).
+    */
+  def asofLookup(
+      left: DataFrame,
+      leftKey: String,
+      leftTime: String,
+      right: DataFrame,
+      rightKey: String,
+      rightTime: String,
+      payloadCols: Seq[String],
+      prefix: String = "asof_",
+      strict: Boolean = false
+  ): DataFrame = {
+    val rGrouped = right.groupBy(col(rightKey).as("_k"))
+      .agg(array_sort(collect_list(
+        struct(col(rightTime).as("_rt") +: payloadCols.map(col): _*))).as("_arr"))
+    val lt = col(leftTime)
+    // ANSI mode: element_at(-1) on an EMPTY array throws — guard on
+    // size (null _arr from the left join falls through to null too)
+    val probed = left.join(rGrouped, col(leftKey) === col("_k"), "left")
+      .withColumn("_f", filter(col("_arr"), e =>
+        if (strict) e.getField("_rt") < lt else e.getField("_rt") <= lt))
+      .withColumn("_m", when(size(col("_f")) > 0, element_at(col("_f"), -1)))
+    val out = left.columns.map(col) :+
+      col("_m._rt").as(prefix + "time") :++
+      payloadCols.map(c => col(s"_m.$c").as(prefix + c))
+    probed.select(out: _*)
+  }
 }
