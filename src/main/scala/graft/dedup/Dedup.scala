@@ -508,7 +508,11 @@ object Dedup {
     val n = if (expectedItems > 0) expectedItems else math.max(1L, reference.count())
     val bf = refHashes.stat.bloomFilter("_ref_hash", n, fpp)
     val bfB = incoming.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((h: String) => bfB.value.mightContainString(h))
+    // null text ⇒ null hash: probe must not NPE, and the row must be
+    // KEPT (dedupAgainst's null-safe anti-join keeps it — null never
+    // equals a reference hash). `h != null && ...` sends null-hash
+    // rows down the fastKeep branch, which keeps them identically.
+    val mightContain = udf((h: String) => h != null && bfB.value.mightContainString(h))
     val inc = incoming.withColumn("_h", md5(col(textCol)))
     val fastKeep = inc.filter(!mightContain(col("_h")))
     val checked = inc.filter(mightContain(col("_h")))

@@ -33,8 +33,22 @@ import org.apache.spark.sql.functions._
   *
   * Output: every left column plus `prefix + time` and
   * `prefix + <payload col>` (null when no right row precedes).
+  *
+  * RESERVED NAMES: the implementation stages through internal columns
+  * `_k _t _q _r _m _arr _f` and a payload struct field `_rt`. Inputs
+  * whose columns (or payloadCols) collide are rejected with a clear
+  * `require` error instead of silently mis-binding.
   */
 object AsofJoin {
+  private val Reserved = Set("_k", "_t", "_q", "_r", "_m", "_arr", "_f")
+
+  private def checkNames(left: DataFrame, payloadCols: Seq[String]): Unit = {
+    val clash = left.columns.filter(Reserved) ++ payloadCols.filter(c => Reserved(c) || c == "_rt")
+    require(clash.isEmpty,
+      s"AsofJoin reserves internal column names ${Reserved.mkString(", ")} and payload field _rt; " +
+        s"rename colliding input columns: ${clash.mkString(", ")}")
+  }
+
   def asofBackward(
       left: DataFrame,
       leftKey: String,
@@ -46,6 +60,7 @@ object AsofJoin {
       prefix: String = "asof_",
       strict: Boolean = false
   ): DataFrame = {
+    checkNames(left, payloadCols)
     // payload struct leads with the right time so struct ordering is
     // (time, payload...) lexicographic — the tie-break is total
     val rStruct = struct(col(rightTime).as("_rt") +: payloadCols.map(col): _*)
@@ -100,6 +115,7 @@ object AsofJoin {
       prefix: String = "asof_",
       strict: Boolean = false
   ): DataFrame = {
+    checkNames(left, payloadCols)
     val rGrouped = right.groupBy(col(rightKey).as("_k"))
       .agg(array_sort(collect_list(
         struct(col(rightTime).as("_rt") +: payloadCols.map(col): _*))).as("_arr"))

@@ -32,11 +32,26 @@ object RangeJoin {
       bucketWidth: Double
   ): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    // the staging bucket column must not shadow a real input column —
+    // withColumn would silently REPLACE it and corrupt the join
+    val clash = (points.columns ++ intervals.columns).filter(_ == "_b")
+    require(clash.isEmpty,
+      "RangeJoin reserves the internal column name _b; rename it in the input")
     val w = lit(bucketWidth)
     val p = points.withColumn("_b", floor(col(pointCol) / w).cast("long"))
-    val iv = intervals.withColumn(
-      "_b",
-      explode(sequence(floor(col(loCol) / w).cast("long"), floor(col(hiCol) / w).cast("long"))))
+    // inverted intervals (lo > hi) must fail loudly: sequence() would
+    // otherwise emit a DESCENDING bucket walk whose rows the
+    // containment filter then silently discards
+    val iv = intervals
+      .withColumn("_lo_b", floor(col(loCol) / w).cast("long"))
+      .withColumn("_hi_b", floor(col(hiCol) / w).cast("long"))
+      .withColumn("_b",
+        explode(when(col("_lo_b") <= col("_hi_b"),
+          sequence(col("_lo_b"), col("_hi_b")))
+          .otherwise(raise_error(concat(
+            lit(s"RangeJoin: inverted interval ($loCol > $hiCol): "),
+            col(loCol).cast("string"), lit(" > "), col(hiCol).cast("string"))))))
+      .drop("_lo_b", "_hi_b")
     p.join(iv, "_b")
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("_b")

@@ -390,11 +390,19 @@ object Similarity {
     * Output: (query_id, id, approx_d2_fp6) — top-k per query by
     * ascending approximate distance, ties to min id. One shuffle for
     * the (sub, code) join-back and one for the per-query top-k
-    * window; the codebook and LUT stay broadcast-sized.
+    * window.
+    *
+    * The LUT is |queries|·m·k rows — broadcast-sized only while the
+    * query SET is small (the codebook itself always is). The
+    * broadcast hint is therefore applied only when the estimated LUT
+    * size (from the query plan's sizeInBytes stats) fits
+    * `maxLutBroadcastBytes`; above that the join degrades gracefully
+    * to a shuffled equi-join on (sub, code) instead of blowing the
+    * driver/broadcast memory limit.
     */
   def pqSearch(encoded: DataFrame, codebook: DataFrame,
                queries: DataFrame, idCol: String, vecCol: String,
-               k: Int): DataFrame = {
+               k: Int, maxLutBroadcastBytes: Long = 64L << 20): DataFrame = {
     val cb = codebook.select(col("sub"), col("code"), col("cvec")).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
     require(cb.nonEmpty, "pqSearch: empty codebook")
@@ -414,10 +422,17 @@ object Similarity {
       .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
       .select(col("query_id"), explode(array(entries: _*)).as("e"))
       .select(col("query_id"), col("e.sub").as("sub"), col("e.code").as("code"), col("e.pd6").as("pd6"))
+    // estimate LUT bytes from the query plan's stats: rows ≈
+    // sizeInBytes / (4·dim + 24), LUT row ≈ 32 bytes × m·k per query
+    val m = cb.map(_._1).max + 1
+    val qRowBytes = 4L * m * subLen + 24L
+    val qBytes = queries.queryExecution.optimizedPlan.stats.sizeInBytes
+    val lutBytes = (qBytes / qRowBytes).max(1) * (32L * cb.length)
+    val lutSide = if (lutBytes <= maxLutBroadcastBytes) broadcast(lut) else lut
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("approx_d2_fp6"), col("id"))
     encoded.select(col("id"), col("sub"), col("code"))
-      .join(broadcast(lut), Seq("sub", "code"))
+      .join(lutSide, Seq("sub", "code"))
       .filter(col("query_id") =!= col("id"))
       .groupBy("query_id", "id")
       .agg(sum("pd6").as("approx_d2_fp6"))
