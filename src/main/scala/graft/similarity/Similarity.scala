@@ -152,12 +152,10 @@ object Similarity {
     val scored =
       if (nprobe <= 0) scored0
       else scored0.groupBy("query_id", "id").agg(first("cos_fp6").as("cos_fp6"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id")
-      .orderBy(col("cos_fp6").desc, col("id"))
-    scored
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    // salted two-stage ranking ([[topKPerQuery]]): a degenerate bucket
+    // can hold a corpus-scale candidate set per query when the
+    // maxBucket guard is off
+    topKPerQuery(scored, k, Seq(col("cos_fp6").desc, col("id")))
       .select("query_id", "id", "cos_fp6")
   }
 
@@ -249,9 +247,50 @@ object Similarity {
     scored.select(col("id"), col("vec"), cell.as("cell"), col("nrm"))
   }
 
+  /** Exact per-query top-k without a corpus-sized single-task sort.
+    *
+    * A bare `row_number() OVER (PARTITION BY query_id)` sends EVERY
+    * candidate row of a query to ONE reducer — at a 1 B-row corpus
+    * that is a single-task sort of 1 B rows per query, the classic
+    * hot-partition scale-killer. Instead: stage 1 ranks inside
+    * (query_id, salt) groups — salt = hash(id) mod `fanout`, so each
+    * group carries ~1/fanout of a query's candidates — and keeps k;
+    * stage 2 ranks the surviving ≤ fanout·k rows per query. EXACT,
+    * not approximate: every global top-k row also ranks ≤ k inside
+    * its own salt group, so stage 1 never drops a winner. `order`
+    * must be a total order (callers tie-break on id) so both stages
+    * rank identically and the result is bit-stable.
+    *
+    * fanout defaults to the session's shuffle parallelism — on a
+    * 1000-executor cluster the salted stage spreads each query over
+    * the whole cluster, and stage 2's input stays k×parallelism,
+    * reducer-sized by construction.
+    */
+  def topKPerQuery(scored: DataFrame, k: Int, order: Seq[Column],
+                   fanout: Int = 0): DataFrame = {
+    val f =
+      if (fanout > 0) fanout
+      else scored.sparkSession.sessionState.conf.numShufflePartitions
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"), col("_salt")).orderBy(order: _*)
+    val wGlobal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(order: _*)
+    scored
+      .withColumn("_salt", pmod(hash(col("id")), lit(f)))
+      .withColumn("_lrk", row_number().over(wLocal))
+      .filter(col("_lrk") <= k)
+      .drop("_salt", "_lrk")
+      .withColumn("rk", row_number().over(wGlobal))
+      .filter(col("rk") <= k)
+      .drop("rk")
+  }
+
   /** IVF ANN: probe the `nprobe` nearest inverted lists per query,
     * exact top-k by cosine within them. Candidate count ≈
     * nprobe/k_cells of the corpus — the classic recall/cost dial.
+    * Per-query ranking is the salted two-stage [[topKPerQuery]]: at
+    * scale the probed lists still hold nprobe/k_cells of the corpus
+    * per query, too many for a single reducer.
     */
   def ivfSearch(
       assigned: DataFrame,
@@ -270,15 +309,12 @@ object Similarity {
       .withColumn("_rk", row_number().over(wq))
       .filter(col("_rk") <= nprobe)
       .select(col("query_id"), col("qvec"), col("qnrm"), col("centroid_id").as("cell"))
-    val wk = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("cos_fp6").desc, col("id"))
-    probes
+    val scored = probes
       .join(assigned, "cell")
       .filter(col("query_id") =!= col("id"))
       // assigned carries the per-row norm: one dot per candidate pair
       .withColumn("cos_fp6", TextAnalysis.fp(dot(col("qvec"), col("vec")) / (col("qnrm") * col("nrm")), 6))
-      .withColumn("rk", row_number().over(wk))
-      .filter(col("rk") <= k)
+    topKPerQuery(scored, k, Seq(col("cos_fp6").desc, col("id")))
       .select("query_id", "id", "cos_fp6")
   }
 
@@ -403,13 +439,33 @@ object Similarity {
   def pqSearch(encoded: DataFrame, codebook: DataFrame,
                queries: DataFrame, idCol: String, vecCol: String,
                k: Int, maxLutBroadcastBytes: Long = 64L << 20): DataFrame = {
+    val lutSide = pqLut(codebook, queries, idCol, vecCol, maxLutBroadcastBytes)
+    val scored = encoded.select(col("id"), col("sub"), col("code"))
+      .join(lutSide, Seq("sub", "code"))
+      .filter(col("query_id") =!= col("id"))
+      .groupBy("query_id", "id")
+      .agg(sum("pd6").as("approx_d2_fp6"))
+    // salted two-stage ranking: the ADC-scored set is corpus-sized
+    // per query, so a bare per-query window would be a single-task
+    // corpus sort — see [[topKPerQuery]]
+    topKPerQuery(scored, k, Seq(col("approx_d2_fp6"), col("id")))
+      .select("query_id", "id", "approx_d2_fp6")
+  }
+
+  /** The per-query ADC lookup table behind [[pqSearch]] /
+    * [[pqIvfSearch]]: per (query, sub, code) the exact
+    * subvector-to-entry d2, fp6-quantized. Built by exploding the
+    * query's subvectors against codebook literals — queries × m×k
+    * rows, never corpus-sized. Broadcast when the plan-stats estimate
+    * fits `maxLutBroadcastBytes`; otherwise left as a shuffled side.
+    */
+  private def pqLut(codebook: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String,
+                    maxLutBroadcastBytes: Long): DataFrame = {
     val cb = codebook.select(col("sub"), col("code"), col("cvec")).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
-    require(cb.nonEmpty, "pqSearch: empty codebook")
+    require(cb.nonEmpty, "pqLut: empty codebook")
     val subLen = cb.head._3.length
-    // LUT: per (query, sub, code) the exact subvector-to-entry d2.
-    // Built by exploding the query's subvectors against codebook
-    // literals — queries × m×k rows, never corpus-sized.
     val entries = cb.map { case (s, c, cvec) =>
       val cArr = array(cvec.map(v => lit(v)): _*)
       val cc = cvec.map(v => v.toDouble * v.toDouble).sum
@@ -428,16 +484,53 @@ object Similarity {
     val qRowBytes = 4L * m * subLen + 24L
     val qBytes = queries.queryExecution.optimizedPlan.stats.sizeInBytes
     val lutBytes = (qBytes / qRowBytes).max(1) * (32L * cb.length)
-    val lutSide = if (lutBytes <= maxLutBroadcastBytes) broadcast(lut) else lut
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("approx_d2_fp6"), col("id"))
-    encoded.select(col("id"), col("sub"), col("code"))
-      .join(lutSide, Seq("sub", "code"))
+    if (lutBytes <= maxLutBroadcastBytes) broadcast(lut) else lut
+  }
+
+  /** IVF-pruned PQ-ADC probe search — the composition the two indexes
+    * exist for (IVF-PQ, Jégou et al.): the IVF index prunes the
+    * corpus to the `nprobe` cells nearest each query (probe pick is a
+    * broadcast join against the k_cells-row centroid table, windowed
+    * per query over k_cells rows — bounded), and PQ-ADC scores ONLY
+    * those cells' members from the per-query LUT. A query therefore
+    * touches ~nprobe/k_cells of the encoded corpus and never a corpus
+    * float — true ANN at 100 TB, where [[pqSearch]] alone is an
+    * (ADC-cheap but) full-corpus scan per query batch.
+    *
+    * `assigned` is [[ivfAssign]]'s (id, cell) inverted index over the
+    * same ids as `encoded`; distances and tie-breaks are bit-identical
+    * to [[pqSearch]] restricted to the probed cells, so recall
+    * composes exactly like [[ivfSearch]]'s.
+    *
+    * Output: (query_id, id, approx_d2_fp6) — top-k per query by
+    * ascending approximate distance, ties to min id.
+    */
+  def pqIvfSearch(encoded: DataFrame, codebook: DataFrame,
+                  assigned: DataFrame, centroids: DataFrame,
+                  queries: DataFrame, idCol: String, vecCol: String,
+                  nprobe: Int, k: Int,
+                  maxLutBroadcastBytes: Long = 64L << 20): DataFrame = {
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("_cos").desc, col("centroid_id"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"), norm(col(vecCol)).as("qnrm"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("_cos", dot(col("qvec"), col("cvec")) / (col("qnrm") * col("cnrm")))
+      .withColumn("_rk", row_number().over(wq))
+      .filter(col("_rk") <= nprobe)
+      .select(col("query_id"), col("centroid_id").as("cell"))
+    val lutSide = pqLut(codebook, queries, idCol, vecCol, maxLutBroadcastBytes)
+    // prune first (cell equi-join), then ADC-score the survivors: the
+    // LUT probe runs over nprobe cells' members, not the corpus
+    val cand = encoded.select(col("id"), col("sub"), col("code"))
+      .join(assigned.select(col("id"), col("cell")), "id")
+      .join(probes, "cell")
       .filter(col("query_id") =!= col("id"))
+    val scored = cand
+      .join(lutSide, Seq("query_id", "sub", "code"))
       .groupBy("query_id", "id")
       .agg(sum("pd6").as("approx_d2_fp6"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    topKPerQuery(scored, k, Seq(col("approx_d2_fp6"), col("id")))
       .select("query_id", "id", "approx_d2_fp6")
   }
 

@@ -238,6 +238,62 @@ class DedupSimSpec extends AnyFunSuite {
     }
   }
 
+  test("topKPerQuery equals the bare per-query window (salted two-stage exactness)") {
+    val emb = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val scored = emb.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("id"),
+        graft.text.TextAnalysis.fp(Similarity.cosine(col("embedding"), col("qvec")), 6).as("cos_fp6"))
+    val order = Seq(col("cos_fp6").desc, col("id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id").orderBy(order: _*)
+    val bare = scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 7).drop("rk")
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // fanout 1 (degenerate: one salt group == the bare window), a
+    // mid fanout, and 0 (session default) must all be bit-identical
+    Seq(1, 4, 0).foreach { f =>
+      val got = Similarity.topKPerQuery(scored, 7, order, fanout = f)
+        .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(got == bare, s"fanout=$f")
+    }
+    // plan shape: ranking is two windows, stage 1 salted — the
+    // per-query corpus-sized single-task sort is gone
+    val plan = Similarity.topKPerQuery(scored, 7, order).queryExecution.optimizedPlan.toString
+    assert(plan.contains("_salt"), s"no salted stage in plan:\n$plan")
+  }
+
+  test("pqIvfSearch degenerates to pqSearch at nprobe=all; partial probe is a bounded subset") {
+    val emb = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val cb = Similarity.pqCodebook(emb, "vec_id", "embedding", dim = 64, m = 4, k = 16)
+    val enc = Similarity.pqEncode(emb, "vec_id", "embedding", cb).cache()
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 8)
+    val nCells = cents.count().toInt
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", cents).cache()
+    val k = 5
+    val full = Similarity.pqSearch(enc, cb, queries, "vec_id", "embedding", k = k)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._3, r._2)).toSeq
+    // probing every cell covers the whole corpus → exactly the ADC scan
+    val all = Similarity.pqIvfSearch(enc, cb, assigned, cents, queries, "vec_id", "embedding",
+      nprobe = nCells, k = k).as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._3, r._2)).toSeq
+    assert(all == full)
+    // nprobe=2: every returned distance must equal the full ADC
+    // distance for that pair (pruning only shrinks the candidate set)
+    val adc = Similarity.pqSearch(enc, cb, queries, "vec_id", "embedding", k = 1000000)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val partial = Similarity.pqIvfSearch(enc, cb, assigned, cents, queries, "vec_id", "embedding",
+      nprobe = 2, k = k).as[(Long, Long, Long)].collect()
+    assert(partial.nonEmpty)
+    partial.groupBy(_._1).foreach { case (qid, rows) => assert(rows.length <= k, s"query $qid") }
+    partial.foreach { case (qid, id, d) => assert(adc((qid, id)) == d, s"($qid,$id)") }
+    // recall vs the full ADC top-k — same sanity bar as the IVF spec
+    val truth = full.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = partial.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = truth.map { case (qid, t) => got.getOrElse(qid, Set.empty).intersect(t).size.toDouble / t.size }
+    assert(recall.sum / recall.size > 0.2, s"nprobe=2 mean recall ${recall.sum / recall.size}")
+    enc.unpersist(); assigned.unpersist()
+  }
+
   test("annLsh multi-probe raises recall over single-probe; bucket cap bounds candidates") {
     val emb = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
     val queries = emb.filter(col("vec_id") % 25 === 0)
