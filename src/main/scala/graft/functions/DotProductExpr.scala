@@ -117,6 +117,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[TrigramScoreExpr].getName, "graft_trigram_score"),
       (children: Seq[Expression]) => TrigramScoreExpr(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_cdc_cuts"),
+      new ExpressionInfo(classOf[CdcCutsExpr].getName, "graft_cdc_cuts"),
+      (children: Seq[Expression]) => CdcCutsExpr(children(0), children(1), children(2))))
+    ext.injectFunction((
       FunctionIdentifier("graft_dwithin"),
       new ExpressionInfo(classOf[graft.plans.GraftDWithin].getName, "graft_dwithin"),
       (children: Seq[Expression]) => {

@@ -51,6 +51,30 @@ object Chunker {
   def cdcChunk(df: DataFrame, idCol: String, textCol: String,
                window: Int = 8, divisor: Int = 64): DataFrame = {
     require(window >= 1 && divisor >= 1)
+    // bounds = 0 ++ cuts ++ n from the native one-pass cut finder
+    // (graft.functions.CdcCutsExpr — the HOF twin below evaluates a
+    // full md5 + hex + conv chain per char position, ~10× the cost);
+    // slicing the ≤ n/divisor chunks stays composable
+    val chunksArr = graft.ColumnOps.let(col(textCol)) { txt =>
+      graft.ColumnOps.let(
+        call_function("graft_cdc_cuts", txt, lit(window), lit(divisor))) { bounds =>
+        transform(
+          sequence(lit(0), size(bounds) - 2),
+          j => txt.substr(element_at(bounds, j + 1) + 1,
+            element_at(bounds, j + 2) - element_at(bounds, j + 1)))
+      }
+    }
+    explodeChunks(df, idCol, chunksArr)
+  }
+
+  /** The composable higher-order-function twin of [[cdcChunk]] — the
+    * same cut rule as per-position `md5`/`conv` expressions. Kept as
+    * the bit-equality witness for the native cut finder (spec-tested
+    * equal row-for-row) and as the form the DuckDB oracle mirrors.
+    */
+  def cdcChunkHof(df: DataFrame, idCol: String, textCol: String,
+                  window: Int = 8, divisor: Int = 64): DataFrame = {
+    require(window >= 1 && divisor >= 1)
     // the chunks ARRAY builds inside let-bound lambdas (text + length
     // evaluate once); the generator itself must stay top-level in the
     // select, so posexplode wraps the let rather than living in it
@@ -70,10 +94,17 @@ object Chunker {
         }
       }
     }
+    explodeChunks(df, idCol, chunksArr)
+  }
+
+  /** Shared tail: explode the chunk array to (id, chunk_id,
+    * n_chars_chunk, chunk_hash) rows, dropping the single empty chunk
+    * an empty document produces. */
+  private def explodeChunks(df: DataFrame, idCol: String,
+                            chunksArr: Column): DataFrame =
     df.select(col(idCol), posexplode(chunksArr).as(Seq("chunk_id", "_chunk")))
       .filter(length(col("_chunk")) > 0)
       .select(col(idCol), col("chunk_id").cast("long"),
         length(col("_chunk")).cast("long").as("n_chars_chunk"),
         md5(col("_chunk")).as("chunk_hash"))
-  }
 }

@@ -144,6 +144,28 @@ class SamplingSpec extends AnyFunSuite {
     assert(Chunker.cdcChunk(Seq((9L, "")).toDF("doc_id", "text"), "doc_id", "text").isEmpty)
   }
 
+  test("native cdc cut finder is bit-identical to the HOF twin (incl. multi-byte chars)") {
+    val base = (1 to 60).map(i => s"token$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, "PREFIX " + base),
+      (3L, "héllo wörld " * 30 + "日本語テキスト " * 10), // multi-byte: char ≠ byte offsets
+      (4L, "short"),                                      // below the window → one chunk
+      (5L, "")                                            // empty → no rows
+    ).toDF("doc_id", "text")
+    for ((w, d) <- Seq((8, 16), (4, 8), (12, 32))) {
+      val native = Chunker.cdcChunk(docs, "doc_id", "text", window = w, divisor = d)
+        .as[(Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+      val hof = Chunker.cdcChunkHof(docs, "doc_id", "text", window = w, divisor = d)
+        .as[(Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(native == hof, s"window=$w divisor=$d")
+    }
+    // null text behaves like the HOF form: no rows
+    val withNull = Seq((1L, Option("alpha beta gamma delta epsilon")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    assert(Chunker.cdcChunk(withNull, "doc_id", "text").select("doc_id").as[Long].collect().toSet == Set(1L))
+  }
+
   test("deterministicShuffle is partitioning-stable, shards are dense, positions contiguous") {
     val df = (0L until 500L).map(i => Tuple1(i)).toDF("doc_id")
     val a = Sampling.deterministicShuffle(df, "doc_id", numShards = 8)
