@@ -81,6 +81,22 @@ object Dedup {
     * are degenerate beyond rescue (near-identical signature mass) and
     * drop; `resplit = false` restores the plain drop guard.
     *
+    * `maxBucket <= 0` (the default) derives the cap ADAPTIVELY as
+    * max(64, ⌊√N⌋), N = corpus row count, folded in as a broadcast
+    * 1-row aggregate (the txt_tfidf pattern — no blocking driver-side
+    * count). √N bounds the band join's worst case at Σ|bucket|² ≤
+    * N·cap = N^1.5 and grows the cap as real duplicate mass grows, so
+    * ONE config survives a 100× scale-up — where any fixed constant
+    * is either too hot at 100× or drops real duplicates at 1×. The
+    * cap intentionally derives from corpus SIZE, not the bucket-count
+    * distribution: bucket stats only exist after banding, and a
+    * stats-then-filter pass over them would either re-run the
+    * md5-per-shingle signature scan (the operator's one-scan contract
+    * exists because that is the 100 TB cost center) or block the
+    * plan; the re-split path is what reacts to the OBSERVED bucket
+    * distribution. Integer-exact (floor of a correctly-rounded IEEE
+    * sqrt of an exact long), so the DuckDB oracle replicates it.
+    *
     * Bucket sizes are counted with a window OVER THE SAME (band, key)
     * shuffle the bucket join needs anyway (the agg-then-join-back
     * alternative would shuffle the banded rows twice); combined with
@@ -100,11 +116,15 @@ object Dedup {
       shingleSize: Int = 3,
       numPerm: Int = 8,
       rowsPerBand: Int = 2,
-      maxBucket: Int = 100,
+      maxBucket: Int = 0,
       withSigs: Boolean = false,
       resplit: Boolean = true
   ): DataFrame = {
     val numBands = numPerm / rowsPerBand
+    val adaptive = maxBucket <= 0
+    val capCol: Column =
+      if (adaptive) greatest(lit(64L), floor(sqrt(col("_nd"))).cast("long"))
+      else lit(maxBucket.toLong)
     // staged projections: shingles and signature each materialize once
     // per row as bound attributes (not re-inlined into downstream HOFs)
     val sigs = df
@@ -128,20 +148,26 @@ object Dedup {
     // output pairs — the pairs-only path ships (doc, band, key) alone
     val sigCols = if (withSigs) Seq(col("sig")) else Nil
     val extCols = if (resplit) Seq(col("bk.key_ext").as("key_ext")) else Nil
-    val banded = sigs
+    val banded0 = sigs
       .select(col("doc") +: sigCols :+ explode(array(bandCols: _*)).as("bk"): _*)
       .select((col("doc") +: sigCols :+ col("bk.band").as("band") :+ col("bk.key").as("key")) ++ extCols: _*)
+    // adaptive cap input: corpus row count as a broadcast 1-row agg
+    val banded =
+      if (adaptive) banded0.crossJoin(broadcast(df.agg(count(lit(1)).as("_nd"))))
+      else banded0
     val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "key")
     val counted = banded.withColumn("_n", count(lit(1)).over(w))
     val keep = (col("doc") +: sigCols) :+ col("band") :+ col("key")
-    val bOk = counted.filter(col("_n") <= maxBucket).select(keep: _*)
+    val bOk = counted.filter(col("_n") <= capCol).select(keep: _*)
     val b2 =
       if (!resplit) bOk
       else {
-        val bHot = counted.filter(col("_n") > maxBucket)
-          .select(col("doc") +: sigCols :+ (col("band") + numBands).as("band") :+ col("key_ext").as("key"): _*)
+        val ndCols = if (adaptive) Seq(col("_nd")) else Nil
+        val bHot = counted.filter(col("_n") > capCol)
+          .select(col("doc") +: sigCols :+ (col("band") + numBands).as("band") :+
+            col("key_ext").as("key") :++ ndCols: _*)
         val bHotOk = bHot.withColumn("_n", count(lit(1)).over(w))
-          .filter(col("_n") <= maxBucket).select(keep: _*)
+          .filter(col("_n") <= capCol).select(keep: _*)
         bOk.unionByName(bHotOk)
       }
     val joined = b2.as("a")
@@ -244,8 +270,15 @@ object Dedup {
     var i = 0
     while (!converged && i < maxIter) {
       val next = smallStar(largeStar(e)).localCheckpoint()
-      // fixpoint = same edge SET (both frames are distinct'd)
-      converged = next.count() == e.count() && next.exceptAll(e).isEmpty
+      // fixpoint = same edge SET (both frames are distinct'd), checked
+      // in ONE action: signed-count the union — an edge in exactly one
+      // of the two sets keeps a nonzero sum (the count+count+exceptAll
+      // form scheduled three jobs per round)
+      converged = next.select(col("u"), col("v"), lit(1).as("_w"))
+        .unionAll(e.select(col("u"), col("v"), lit(-1).as("_w")))
+        .groupBy("u", "v").agg(sum("_w").as("_w"))
+        .filter(col("_w") =!= 0)
+        .isEmpty
       e = next
       i += 1
     }
@@ -273,7 +306,7 @@ object Dedup {
     */
   def minhashEstPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleSize: Int = 3, numPerm: Int = 8,
-                      rowsPerBand: Int = 2, maxBucket: Int = 100): DataFrame =
+                      rowsPerBand: Int = 2, maxBucket: Int = 0): DataFrame =
     lshCandidatePairs(df, idCol, textCol, shingleSize, numPerm, rowsPerBand, maxBucket,
         withSigs = true)
       .withColumn("est_jaccard_fp4", TextAnalysis.fp(
@@ -352,9 +385,15 @@ object Dedup {
     * one of the `maxHamming + 1` bands. Bucket sizes are counted with
     * a window over the same (band, key) shuffle the self-join needs
     * (one scan of `sigs`; no agg-plus-join-back double shuffle).
-    * `sigs` must have columns (doc, sig). */
+    * `sigs` must have columns (doc, sig). `maxBucket <= 0` derives
+    * the cap as max(64, ⌊√N⌋) like [[lshCandidatePairs]] — the count
+    * branch prunes the signature expression, so it stays cheap. */
   private def hammingBandPairs(sigs: DataFrame, sigBits: Int,
                                maxHamming: Int, maxBucket: Long): DataFrame = {
+    val adaptive = maxBucket <= 0
+    val capCol: Column =
+      if (adaptive) greatest(lit(64L), floor(sqrt(col("_nd"))).cast("long"))
+      else lit(maxBucket)
     val bands = maxHamming + 1
     require(sigBits % bands == 0, s"maxHamming+1 = $bands must divide $sigBits")
     val bits = sigBits / bands
@@ -368,12 +407,15 @@ object Dedup {
       // the 64-bit signature's negative longs
       struct(lit(b).as("band"), shiftright(col("sig"), b * bits).bitwiseAND(lit(mask)).as("key"))
     }
-    val banded = sigs
+    val banded0 = sigs
       .select(col("doc"), col("sig"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val banded =
+      if (adaptive) banded0.crossJoin(broadcast(sigs.select(col("doc")).agg(count(lit(1)).as("_nd"))))
+      else banded0
     val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "key")
     val b2 = banded.withColumn("_n", count(lit(1)).over(w))
-      .filter(col("_n") <= maxBucket).drop("_n")
+      .filter(col("_n") <= capCol).drop("_n", "_nd")
     b2.as("a")
       .join(b2.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") && col("a.doc") < col("b.doc"))
@@ -387,13 +429,14 @@ object Dedup {
 
   /** SimHash near-duplicate pairs within `maxHamming` bit flips over
     * the 32-bit signature. Bands unroll at plan-build time (literal
-    * shifts); `maxBucket` drops degenerate bands (e.g. all-empty docs
+    * shifts); the bucket cap (adaptive by default, like
+    * [[lshCandidatePairs]]) drops degenerate bands (e.g. all-empty docs
     * hashing to 0). NOTE at 100 TB: 32/4 = 8-bit bands give only 256
     * buckets per band — use [[simhashPairs64]] for real corpora.
     * Output: (doc_a, doc_b, hamming), hamming ≤ maxHamming.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, maxBucket: Long = 1000L): DataFrame =
+                   maxHamming: Int = 3, maxBucket: Long = 0L): DataFrame =
     hammingBandPairs(
       df.select(col(idCol).as("doc"), simhash32Native(col(textCol)).as("sig")),
       32, maxHamming, maxBucket)
@@ -402,7 +445,7 @@ object Dedup {
     * the default maxHamming=3, the shape that actually carries a real
     * corpus. Output: (doc_a, doc_b, hamming). */
   def simhashPairs64(df: DataFrame, idCol: String, textCol: String,
-                     maxHamming: Int = 3, maxBucket: Long = 1000L): DataFrame =
+                     maxHamming: Int = 3, maxBucket: Long = 0L): DataFrame =
     hammingBandPairs(
       df.select(col(idCol).as("doc"), simhash64Native(col(textCol)).as("sig")),
       64, maxHamming, maxBucket)

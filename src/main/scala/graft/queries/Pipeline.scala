@@ -43,7 +43,7 @@ object Pipeline {
     // 32 — MinHash+LSH near-dup candidate pairs (banded bucket join)
     "dd_minhash_pairs" -> ((s, dir) => {
       Dedup.lshCandidatePairs(t(s, dir, "documents"), "doc_id", "text",
-        shingleSize = 3, numPerm = 8, rowsPerBand = 2, maxBucket = 100)
+        shingleSize = 3, numPerm = 8, rowsPerBand = 2)
         .orderBy("doc_a", "doc_b")
     }),
     // 33 — 32-bit SimHash signatures (native one-pass expr; the HOF
@@ -59,7 +59,7 @@ object Pipeline {
     "dd_components" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text",
-        shingleSize = 3, numPerm = 8, rowsPerBand = 2, maxBucket = 100)
+        shingleSize = 3, numPerm = 8, rowsPerBand = 2)
       Dedup.connectedComponents(docs, "doc_id", pairs, "doc_a", "doc_b")
         .orderBy("doc_id")
     }),
@@ -70,7 +70,7 @@ object Pipeline {
     "dd_keep_best" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text",
-        shingleSize = 3, numPerm = 8, rowsPerBand = 2, maxBucket = 100)
+        shingleSize = 3, numPerm = 8, rowsPerBand = 2)
       Dedup.keepBest(docs, "doc_id", "n_chars", pairs, "doc_a", "doc_b")
         .orderBy("cluster")
     }),
@@ -101,13 +101,13 @@ object Pipeline {
     // classic signature-agreement estimator)
     "dd_minhash_est" -> ((s, dir) => {
       Dedup.minhashEstPairs(t(s, dir, "documents"), "doc_id", "text",
-        shingleSize = 3, numPerm = 8, rowsPerBand = 2, maxBucket = 100)
+        shingleSize = 3, numPerm = 8, rowsPerBand = 2)
         .orderBy("doc_a", "doc_b")
     }),
     // 33b — SimHash Hamming-neighbor pairs (pigeonhole band join)
     "dd_simhash_pairs" -> ((s, dir) => {
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 3, maxBucket = 100L)
+        maxHamming = 3)
         .orderBy("doc_a", "doc_b")
     }),
     // 33c — 64-bit SimHash signatures (native one-pass expr; HOF twin
@@ -122,7 +122,7 @@ object Pipeline {
     // 65,536 buckets/band vs the 32-bit signature's 256)
     "dd_simhash64_pairs" -> ((s, dir) => {
       Dedup.simhashPairs64(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 3, maxBucket = 100L)
+        maxHamming = 3)
         .orderBy("doc_a", "doc_b")
     }),
     // 34 — n-gram Jaccard similarity pairs via shingle co-group
@@ -556,6 +556,13 @@ object Pipeline {
   private def sqlFp(e: String, scale: Int): String =
     s"CAST(floor(($e)*1e$scale+0.5) AS BIGINT)"
 
+  /** SQL twin of the adaptive band-join bucket cap (max(64, ⌊√N⌋), N =
+    * corpus rows — Dedup.lshCandidatePairs / hammingBandPairs with
+    * maxBucket <= 0). Ends without WITH so callers splice it as the
+    * first CTE; yields `adcap(cap)`. */
+  private val adaptiveCapCte: String =
+    "adcap AS (SELECT greatest(64, CAST(floor(sqrt(count(*))) AS BIGINT)) AS cap FROM documents)"
+
   /** Fold-order 16-dim dot product (PQ subvectors) — the 64-dim twin
     * of dotSql. */
   private def dot16(a: String, b: String): String =
@@ -690,7 +697,7 @@ object Pipeline {
        |SELECT doc_id, simhash FROM sigs ORDER BY doc_id""".stripMargin
 
   /** dd_simhash_pairs oracle: 4-band pigeonhole join + popcount fold
-    * (mirrors Dedup.simhashPairs maxHamming=3, maxBucket=100). */
+    * (mirrors Dedup.simhashPairs maxHamming=3, adaptive bucket cap). */
   private val simhashPairsSql: String = {
     val bandsSel = (0 until 4).map { b =>
       s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 8}) & 255 AS key FROM sigs"
@@ -698,10 +705,11 @@ object Pipeline {
     val pop = """list_reduce(list_prepend(CAST(0 AS BIGINT),
       | list_transform(range(0, 32), i -> (xor(sa.simhash, sb.simhash) >> i) & 1)),
       | (a, v) -> a + v)""".stripMargin.replace("\n", " ")
-    s"""WITH $simhashCoreCte,
+    s"""WITH $adaptiveCapCte,
+       |$simhashCoreCte,
        |banded AS (
        |  $bandsSel),
-       |ok AS (SELECT band, key FROM banded GROUP BY band, key HAVING count(*) <= 100),
+       |ok AS (SELECT band, key FROM banded GROUP BY band, key HAVING count(*) <= (SELECT cap FROM adcap)),
        |b2 AS (SELECT banded.* FROM banded JOIN ok USING (band, key)),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM b2 a JOIN b2 b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
@@ -745,10 +753,11 @@ object Pipeline {
     val bandsSel = (0 until 4).map { b =>
       s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 16}) & 65535 AS key FROM sigs64"
     }.mkString("\n  UNION ALL ")
-    s"""WITH $simhash64CoreCte,
+    s"""WITH $adaptiveCapCte,
+       |$simhash64CoreCte,
        |banded64 AS (
        |  $bandsSel),
-       |ok64 AS (SELECT band, key FROM banded64 GROUP BY band, key HAVING count(*) <= 100),
+       |ok64 AS (SELECT band, key FROM banded64 GROUP BY band, key HAVING count(*) <= (SELECT cap FROM adcap)),
        |b264 AS (SELECT banded64.* FROM banded64 JOIN ok64 USING (band, key)),
        |cand64 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM b264 a JOIN b264 b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
@@ -893,16 +902,17 @@ object Pipeline {
       s"SELECT doc, $b AS band, $key AS key, " +
         s"$key || '_' || CAST(sig[$e1] AS VARCHAR) || '_' || CAST(sig[$e2] AS VARCHAR) AS key_ext FROM sigs"
     }.mkString("\n  UNION ALL ")
-    s"""sh0 AS (SELECT doc_id AS doc, ${shinglesSql(3)} AS sh FROM documents),
+    s"""$adaptiveCapCte,
+       |sh0 AS (SELECT doc_id AS doc, ${shinglesSql(3)} AS sh FROM documents),
        |hashed AS (SELECT doc, list_transform(sh, s -> $hexHashSql) AS hs FROM sh0),
        |sigs AS (SELECT doc, [${(0 until 8).map(minhashSql).mkString(", ")}] AS sig FROM hashed),
        |banded AS (
        |  $bands),
        |counted AS (SELECT *, count(*) OVER (PARTITION BY band, key) AS n FROM banded),
-       |b_ok AS (SELECT doc, band, key FROM counted WHERE n <= 100),
-       |b_hot AS (SELECT doc, band + 4 AS band, key_ext AS key FROM counted WHERE n > 100),
+       |b_ok AS (SELECT doc, band, key FROM counted WHERE n <= (SELECT cap FROM adcap)),
+       |b_hot AS (SELECT doc, band + 4 AS band, key_ext AS key FROM counted WHERE n > (SELECT cap FROM adcap)),
        |b_hot_ok AS (SELECT doc, band, key FROM
-       |  (SELECT *, count(*) OVER (PARTITION BY band, key) AS n2 FROM b_hot) WHERE n2 <= 100),
+       |  (SELECT *, count(*) OVER (PARTITION BY band, key) AS n2 FROM b_hot) WHERE n2 <= (SELECT cap FROM adcap)),
        |b2 AS (SELECT * FROM b_ok UNION ALL SELECT * FROM b_hot_ok),
        |cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
        |  FROM b2 a JOIN b2 b ON a.band = b.band AND a.key = b.key AND a.doc < b.doc)""".stripMargin

@@ -80,6 +80,35 @@ class DedupSimSpec extends AnyFunSuite {
     assert(gotOff == refOff)
   }
 
+  test("adaptive bucket cap: a planted hot corpus re-splits with NO hand-tuned cap") {
+    // 300 docs sharing 3 of their shingles (the resplitDocs shape,
+    // scaled): band buckets keyed off shared-shingle minhash slots
+    // hold far more than the adaptive cap max(64, floor(sqrt(420))) =
+    // 64, while extended keys differ per doc — the re-split must
+    // engage AND rescue from the derived cap alone (no maxBucket
+    // argument anywhere)
+    val docs = ((1 to 300).map(i => (i.toLong, s"common alpha beta gamma word$i tail$i")) ++
+      (1000 to 1119).map(i => (i.toLong, s"unique doc $i filler ${i * 7} tailx$i"))).toDF("doc_id", "text")
+    val n = 420
+    val cap = math.max(64, math.sqrt(n).toInt)
+    val sigs = docs.select(col("doc_id"),
+        Dedup.minhash(Dedup.shingles(col("text"), 3), 8).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val (ref, hotCount) = referencePairs(sigs, cap, resplit = true)
+    assert(hotCount > 0, "scenario must actually produce over-cap buckets at the derived cap")
+    val got = Dedup.lshCandidatePairs(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(got == ref, s"adaptive mismatch: extra=${got.diff(ref).size} missing=${ref.diff(got).size}")
+    // simhash band join derives the same cap: identical docs in the
+    // hot cluster share signatures, so their band buckets exceed 64 —
+    // result must equal the explicit-cap run
+    val adaptivePairs = Dedup.simhashPairs64(docs, "doc_id", "text")
+      .as[(Long, Long, Int)].collect().toSet
+    val explicitPairs = Dedup.simhashPairs64(docs, "doc_id", "text", maxBucket = cap.toLong)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(adaptivePairs == explicitPairs)
+  }
+
   test("minhashEstPairs carries signatures: same pairs, est=1 for identical docs") {
     val docs = ((1 to 10).map(i => (i.toLong, s"unique doc number $i with filler words ${i * 7}")) ++
       Seq((100L, "the quick brown fox jumps over the lazy dog today"),
