@@ -32,11 +32,14 @@ object RangeJoin {
       bucketWidth: Double
   ): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    // the staging bucket column must not shadow a real input column —
-    // withColumn would silently REPLACE it and corrupt the join
-    val clash = (points.columns ++ intervals.columns).filter(_ == "_b")
+    // the staging columns must not shadow real input columns —
+    // withColumn would silently REPLACE them and corrupt the join
+    // (_b on either side; _lo_b/_hi_b are only ever added to intervals)
+    val reserved = Set("_b", "_lo_b", "_hi_b")
+    val clash = (points.columns.filter(_ == "_b") ++
+      intervals.columns.filter(reserved)).distinct
     require(clash.isEmpty,
-      "RangeJoin reserves the internal column name _b; rename it in the input")
+      s"RangeJoin reserves the internal column name(s) ${clash.mkString(", ")}; rename in the input")
     val w = lit(bucketWidth)
     val p = points.withColumn("_b", floor(col(pointCol) / w).cast("long"))
     // inverted intervals (lo > hi) must fail loudly: sequence() would

@@ -72,6 +72,29 @@ object EventStreams {
       .select("l_event_id", "l_user", "l_ms", "r_event_id", "r_ms", "r_v4")
   }
 
+  /** Stream-static as-of enrichment: attach to each streaming event
+    * the LATEST static-side row with the same key whose time is ≤ the
+    * event's time — point-in-time enrichment of a live stream against
+    * a slowly-changing dimension (rates, model versions, configs).
+    *
+    * Twin of the batch [[graft.operators.AsofJoin]], delegating to its
+    * lookup shape, which is stream-safe by construction: the static
+    * side pre-groups into per-key time-sorted payload arrays (batch
+    * work, broadcast when small), and the stream side is a
+    * stream-static equi-join + STATELESS per-row array probe — no
+    * watermark, no state store, nothing buffered across batches.
+    * Semantics (latest-at-or-before, equal-time ties to max payload,
+    * `strict` excluding equal time, unmatched → null) are the batch
+    * operator's, spec-mirrored on a MemoryStream against
+    * OperatorsSpec's asofBackward cases.
+    */
+  def asofEnrich(events: DataFrame, eventKey: String, eventTime: String,
+                 dim: DataFrame, dimKey: String, dimTime: String,
+                 payloadCols: Seq[String], prefix: String = "asof_",
+                 strict: Boolean = false): DataFrame =
+    graft.operators.AsofJoin.asofLookup(
+      events, eventKey, eventTime, dim, dimKey, dimTime, payloadCols, prefix, strict)
+
   /** Streaming exact dedup within the watermark horizon: drop repeat
     * event_ids (at-least-once source → exactly-once downstream).
     * State is bounded by the watermark — the batch twin is dd_exact.

@@ -137,4 +137,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.size == got.toSet.size)
     assert(got.toSet == Set((1L, 100L), (2L, 100L), (3L, 100L), (4L, 100L), (5L, 200L)))
   }
+
+  test("RangeJoin rejects inputs carrying any reserved staging column") {
+    val pts = Seq((1L, 0.0)).toDF("pid", "p")
+    val iv = Seq((100L, 0.0, 10.0)).toDF("iid", "lo", "hi")
+    // _b clashes on either side; _lo_b/_hi_b clash on the interval side
+    // (withColumn would silently replace-then-drop the user's column)
+    for (bad <- Seq("_b", "_lo_b", "_hi_b")) {
+      val e1 = intercept[IllegalArgumentException] {
+        RangeJoin.intervalJoin(pts, "p", iv.withColumn(bad, lit(1L)), "lo", "hi", 3.0)
+      }
+      assert(e1.getMessage.contains(bad))
+    }
+    val e2 = intercept[IllegalArgumentException] {
+      RangeJoin.intervalJoin(pts.withColumn("_b", lit(1L)), "p", iv, "lo", "hi", 3.0)
+    }
+    assert(e2.getMessage.contains("_b"))
+    // a points-side _lo_b is NOT reserved (never staged there)
+    assert(RangeJoin.intervalJoin(pts.withColumn("_lo_b", lit(1L)), "p", iv, "lo", "hi", 3.0)
+      .count() == 1L)
+  }
 }

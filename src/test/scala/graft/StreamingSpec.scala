@@ -50,6 +50,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static as-of enrichment mirrors the batch asofBackward cases") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // the static dimension side — same rows as OperatorsSpec's asof
+    // spec: an equal-time tie (eid 7 vs 9 at t=100) and a key the
+    // stream never matches at-or-before
+    val dim = Seq((10L, 100L, 7L), (10L, 100L, 9L), (10L, 200L, 11L), (20L, 150L, 13L))
+      .toDF("k", "rt", "eid")
+    def run(strict: Boolean): Map[Long, (Option[Long], Option[Long])] = {
+      val input = MemoryStream[(Long, Long, Long)]
+      val name = s"asof_stream_$strict"
+      val q = EventStreams.asofEnrich(input.toDF().toDF("oid", "k", "t"),
+          "k", "t", dim, "k", "rt", Seq("eid"), strict = strict)
+        .writeStream.format("memory").queryName(name).outputMode(OutputMode.Append).start()
+      try {
+        input.addData((1L, 10L, 100L), (2L, 10L, 250L))
+        q.processAllAvailable()
+        // later micro-batch: same stateless probe, no cross-batch state
+        input.addData((3L, 20L, 100L), (4L, 30L, 500L))
+        q.processAllAvailable()
+        spark.table(name).select("oid", "asof_time", "asof_eid")
+          .as[(Long, Option[Long], Option[Long])].collect()
+          .map { case (k, v1, v2) => k -> ((v1, v2)) }.toMap
+      } finally q.stop()
+    }
+    val incl = run(strict = false)
+    // equal-time match included; ties at the same time go to max payload
+    assert(incl(1L) == ((Some(100L), Some(9L))))
+    assert(incl(2L) == ((Some(200L), Some(11L))))
+    // no dim row at-or-before t=100 for key 20; key 30 unknown
+    assert(incl(3L) == ((None, None)))
+    assert(incl(4L) == ((None, None)))
+    val strict = run(strict = true)
+    assert(strict(1L) == ((None, None)), "strict must not see the equal-time row")
+    assert(strict(2L) == ((Some(200L), Some(11L))))
+  }
+
   test("incremental dedup and stratified sampling run UNCHANGED on a document stream") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
