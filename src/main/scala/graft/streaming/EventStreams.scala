@@ -162,6 +162,33 @@ object EventStreams {
       }
   }
 
+  /** DataFrame-in/DataFrame-out twin of [[funnel]]: normalizes the
+    * event columns to the Ev contract internally (explicit casts +
+    * library-compiled product encoder), so REPL/SQL users call it on
+    * any frame with (event_id, user_id, event_type, ms, v4)-shaped
+    * columns — no `import spark.implicits._`, no caller-side `.as[Ev]`
+    * or encoder derivation. */
+  def funnelDf(events: DataFrame,
+               stages: (String, String, String) = ("view", "click", "purchase"),
+               idleTimeoutMs: Long = 86400000L): DataFrame =
+    funnel(toEv(events), stages, idleTimeoutMs).toDF()
+
+  /** DataFrame-in/DataFrame-out twin of [[sessionize]] — see
+    * [[funnelDf]] for the encoder-free contract. */
+  def sessionizeDf(events: DataFrame, gapMs: Long = DefaultGapMs): DataFrame =
+    sessionize(toEv(events), gapMs).toDF()
+
+  /** Project/cast any compatible frame onto the Ev contract with the
+    * library's own encoder (compiled case class — safe without REPL
+    * reflection setup). */
+  private def toEv(events: DataFrame): Dataset[Ev] = {
+    implicit val evEnc = Encoders.product[Ev]
+    events.select(
+      col("event_id").cast("long"), col("user_id").cast("long"),
+      col("event_type").cast("string"), col("ms").cast("long"),
+      col("v4").cast("long")).as[Ev]
+  }
+
   /** Gap-based sessionization via flatMapGroupsWithState with
     * event-time timeout: a session closes (and is emitted) when the
     * watermark passes its end + gap. Same semantics as the batch

@@ -214,4 +214,40 @@ class StreamingSpec extends AnyFunSuite {
       assert(u7.contains(4L), s"post-timeout session did not resume numbering: ${rows.mkString(", ")}")
     } finally q.stop()
   }
+
+  test("encoder-free DataFrame twins run on a plain tuple stream (no caller .as[Ev])") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val gap = EventStreams.DefaultGapMs
+    val base = 10 * H
+    // plain tuple stream with int ids: the wrapper must cast/project
+    // internally — nothing Ev-typed on the caller side
+    val input = MemoryStream[(Int, Int, String, Long, Int)]
+    val q = EventStreams.sessionizeDf(
+        input.toDF().toDF("event_id", "user_id", "event_type", "ms", "v4"))
+      .writeStream.format("memory").queryName("sessions_df").outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1, 7, "click", base, 10), (2, 7, "click", base + H, 20))
+      q.processAllAvailable()
+      input.addData((3, 7, "click", base + 10 * gap, 5)) // closes session 1
+      q.processAllAvailable()
+      val rows = spark.table("sessions_df")
+        .select("user_id", "session_idx", "n_events", "sum_v4")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(rows.contains((7L, 1L, 2L, 30L)), rows.mkString(", "))
+    } finally q.stop()
+
+    val fIn = MemoryStream[(Int, Int, String, Long, Int)]
+    val fq = EventStreams.funnelDf(
+        fIn.toDF().toDF("event_id", "user_id", "event_type", "ms", "v4"))
+      .writeStream.format("memory").queryName("funnel_df").outputMode(OutputMode.Append).start()
+    try {
+      fIn.addData((1, 5, "view", base, 0), (2, 5, "click", base + 1, 0), (3, 5, "purchase", base + 2, 0))
+      fq.processAllAvailable()
+      val hits = spark.table("funnel_df")
+        .select("user_id", "view_ms", "click_ms", "purchase_ms")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(hits == Seq((5L, base, base + 1, base + 2)), hits.mkString(", "))
+    } finally fq.stop()
+  }
 }
