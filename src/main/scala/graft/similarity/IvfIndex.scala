@@ -1,0 +1,81 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF index: build once, probe many — the ANN SERVING shape
+  * at 100 TB, where [[Similarity.ivfSearch]] alone rebuilds centroid
+  * assignment per query batch.
+  *
+  * Layout under `path`:
+  *   - `vectors/`   — [[Similarity.ivfAssign]]'s (id, vec, nrm) rows,
+  *     written `partitionBy("cell")`: one directory per inverted list.
+  *   - `centroids/` — the k_cells-row (centroid_id, cvec, cnrm) table.
+  *
+  * Probing reads ONLY the probed cells' directories: the probe cell
+  * set is collected (≤ k_cells values — bounded by INDEX CONFIG, not
+  * data, the same driver-sized contract as the centroid table itself)
+  * and pushed as a static `cell IN (...)` partition filter, so the
+  * scan prunes at file-listing time — `PartitionFilters` in the plan,
+  * no directory of an unprobed cell is even listed. Results are
+  * bit-identical to [[Similarity.ivfSearch]] over the in-memory
+  * assignment (spec-asserted): same centroids ⇒ same probe ranking ⇒
+  * same candidates, and the cosine/tie arithmetic is shared.
+  */
+object IvfIndex {
+
+  /** Build the index from a corpus and persist it. Returns the cell
+    * count for logging/sizing. */
+  def build(data: DataFrame, idCol: String, vecCol: String,
+            kCells: Int, path: String): Long = {
+    val cents = Similarity.ivfCentroids(data, idCol, vecCol, kCells)
+    val assigned = Similarity.ivfAssign(data, idCol, vecCol, cents)
+    write(assigned, cents, path)
+    cents.count()
+  }
+
+  /** Persist a prebuilt assignment + centroid table (e.g. refined with
+    * [[Similarity.kmeansCentroids]]). */
+  def write(assigned: DataFrame, centroids: DataFrame, path: String): Unit = {
+    assigned.select(col("id"), col("vec"), col("nrm"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+    centroids.select(col("centroid_id"), col("cvec"), col("cnrm"))
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  def readCentroids(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/centroids")
+
+  def readVectors(spark: SparkSession, path: String): DataFrame =
+    // partition-column type inference may narrow cell to int — restore
+    // the assignment's long so downstream joins need no implicit cast
+    spark.read.parquet(s"$path/vectors")
+      .withColumn("cell", col("cell").cast("long"))
+
+  /** Probe search over the persisted index — [[Similarity.ivfSearch]]
+    * semantics with the corpus scan pruned to the probed cells'
+    * partitions. */
+  def search(spark: SparkSession, path: String, queries: DataFrame,
+             idCol: String, vecCol: String, nprobe: Int, k: Int): DataFrame = {
+    val cents = readCentroids(spark, path)
+    // probed cells across the query batch: ≤ k_cells distinct values
+    // regardless of query count — safe to collect by construction
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("_cos").desc, col("centroid_id"))
+    val probedCells = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        Similarity.norm(col(vecCol)).as("qnrm"))
+      .crossJoin(broadcast(cents))
+      .withColumn("_cos", Similarity.dot(col("qvec"), col("cvec")) / (col("qnrm") * col("cnrm")))
+      .withColumn("_rk", row_number().over(wq))
+      .filter(col("_rk") <= nprobe)
+      .select(col("centroid_id")).distinct()
+      .collect().map(_.getLong(0))
+    // filter BEFORE the long-cast so the IN lands directly on the raw
+    // partition column (guaranteed listing-time pruning), cast after
+    val pruned = spark.read.parquet(s"$path/vectors")
+      .filter(col("cell").isin(probedCells.map(Long.box): _*))
+      .withColumn("cell", col("cell").cast("long"))
+    Similarity.ivfSearch(pruned, queries, idCol, vecCol, cents, nprobe, k)
+  }
+}

@@ -106,6 +106,31 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("event_id")
       .drop("ts")
 
+  /** Streaming NEAR-duplicate document dedup within the watermark
+    * horizon: key the dedup on the native 64-bit SimHash signature
+    * instead of the raw text, so reformatted copies (case, whitespace,
+    * token order within the bag — anything [[graft.dedup.Dedup
+    * .simhash64Native]] normalizes away) drop alongside byte-exact
+    * ones. This is the signature-COLLISION tier of near-dup (Hamming
+    * 0); Hamming ≤ k banding needs cross-row joins that streaming
+    * state can't express bounded — run the batch
+    * [[graft.dedup.Dedup.simhashPairs64]] as the exact backfill, the
+    * same split as funnel/sessionize batch twins.
+    *
+    * Input: (idCol, textCol, msCol epoch-millis). Output: first-seen
+    * rows plus their `simhash64` (the dedup key, for downstream
+    * joins). State = one signature per distinct doc within the
+    * watermark — bounded by the horizon, not the corpus.
+    */
+  def dedupNearDocs(docs: DataFrame, idCol: String, textCol: String,
+                    msCol: String, lateness: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("simhash64", graft.dedup.Dedup.simhash64Native(col(textCol)))
+      .withColumn("ts", timestamp_millis(col(msCol)))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("simhash64")
+      .drop("ts")
+
   // funnel state: stage times reached so far (-1 = not reached), plus
   // a done flag so a completion emits exactly once
   case class FunnelState(t1: Long, t2: Long, t3: Long, done: Boolean)

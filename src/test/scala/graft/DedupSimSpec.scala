@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.dedup.Dedup
-import graft.similarity.Similarity
+import graft.similarity.{IvfIndex, Similarity}
 
 class DedupSimSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -321,6 +321,38 @@ class DedupSimSpec extends AnyFunSuite {
     val recall = truth.map { case (qid, t) => got.getOrElse(qid, Set.empty).intersect(t).size.toDouble / t.size }
     assert(recall.sum / recall.size > 0.2, s"nprobe=2 mean recall ${recall.sum / recall.size}")
     enc.unpersist(); assigned.unpersist()
+  }
+
+  test("persisted IVF index: pruned probe search matches in-memory ivfSearch, scan is partition-pruned") {
+    val emb = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val path = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    val nCells = IvfIndex.build(emb, "vec_id", "embedding", kCells = 8, path = path)
+    assert(nCells >= 2)
+    // served results == in-memory search (same centroids, same math)
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 8)
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+    val mem = Similarity.ivfSearch(assigned, queries, "vec_id", "embedding", cents, nprobe = 2, k = 5)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._3, r._2)).toSeq
+    val served = IvfIndex.search(spark, path, queries, "vec_id", "embedding", nprobe = 2, k = 5)
+    val got = served.as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._3, r._2)).toSeq
+    assert(got == mem)
+    // the vectors scan must prune to the probed cells at listing time
+    val scan = served.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [cell"), s"no partition filter on the index scan:\n$scan")
+    // probing only one cell must READ fewer files than the index holds
+    // (post-execution scan metric — inputFiles ignores filters)
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f.metrics("numFiles").value
+      }.get
+    }
+    val allFiles = filesRead(spark.read.parquet(s"$path/vectors"))
+    val oneCell = assigned.select(min("cell")).as[Long].head()
+    val prunedFiles = filesRead(
+      spark.read.parquet(s"$path/vectors").filter(col("cell").isin(Long.box(oneCell))))
+    assert(prunedFiles < allFiles, s"pruned=$prunedFiles all=$allFiles")
   }
 
   test("annLsh multi-probe raises recall over single-probe; bucket cap bounds candidates") {

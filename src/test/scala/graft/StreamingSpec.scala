@@ -87,6 +87,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(strict(2L) == ((Some(200L), Some(11L))))
   }
 
+  test("streaming near-dup dedup drops reformatted copies via the simhash key") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String, Long)]
+    val q = EventStreams.dedupNearDocs(input.toDF().toDF("doc_id", "text", "ms"),
+        "doc_id", "text", "ms")
+      .writeStream.format("memory").queryName("neardup_stream").outputMode(OutputMode.Append).start()
+    val base = 10 * H
+    try {
+      input.addData((1L, "The Quick Brown Fox", base))
+      q.processAllAvailable()
+      // reformatted copy (case + whitespace): same token bag → same
+      // simhash → dropped, even across micro-batches
+      input.addData((2L, "the   quick BROWN fox", base + 1), (3L, "an unrelated document body", base + 2))
+      q.processAllAvailable()
+      val kept = spark.table("neardup_stream").select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 3L), kept.mkString(","))
+      // the signature rides the output for downstream joins
+      assert(spark.table("neardup_stream").columns.contains("simhash64"))
+    } finally q.stop()
+  }
+
   test("incremental dedup and stratified sampling run UNCHANGED on a document stream") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
