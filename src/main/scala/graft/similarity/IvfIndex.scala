@@ -58,11 +58,21 @@ object IvfIndex {
   def search(spark: SparkSession, path: String, queries: DataFrame,
              idCol: String, vecCol: String, nprobe: Int, k: Int): DataFrame = {
     val cents = readCentroids(spark, path)
-    // probed cells across the query batch: ≤ k_cells distinct values
-    // regardless of query count — safe to collect by construction
+    // filter BEFORE the long-cast so the IN lands directly on the raw
+    // partition column (guaranteed listing-time pruning), cast after
+    val pruned = spark.read.parquet(s"$path/vectors")
+      .filter(col("cell").isin(probedCells(cents, queries, idCol, vecCol, nprobe).map(Long.box): _*))
+      .withColumn("cell", col("cell").cast("long"))
+    Similarity.ivfSearch(pruned, queries, idCol, vecCol, cents, nprobe, k)
+  }
+
+  /** Probed cells across the query batch: ≤ k_cells distinct values
+    * regardless of query count — safe to collect by construction. */
+  private def probedCells(cents: DataFrame, queries: DataFrame,
+                          idCol: String, vecCol: String, nprobe: Int): Array[Long] = {
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("_cos").desc, col("centroid_id"))
-    val probedCells = queries
+    queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
         Similarity.norm(col(vecCol)).as("qnrm"))
       .crossJoin(broadcast(cents))
@@ -71,11 +81,38 @@ object IvfIndex {
       .filter(col("_rk") <= nprobe)
       .select(col("centroid_id")).distinct()
       .collect().map(_.getLong(0))
-    // filter BEFORE the long-cast so the IN lands directly on the raw
-    // partition column (guaranteed listing-time pruning), cast after
-    val pruned = spark.read.parquet(s"$path/vectors")
-      .filter(col("cell").isin(probedCells.map(Long.box): _*))
+  }
+
+  /** Extend a built index with PQ: the codebook (m×k rows) plus every
+    * vector's codes partitioned by IVF cell — IVF-PQ at rest.
+    * `codes/` rows are (id, sub, code, cell); a probe then reads
+    * nprobe cell directories of 4-byte-scale codes instead of raw
+    * vectors — the full Jégou-style serving layout. */
+  def buildPq(data: DataFrame, idCol: String, vecCol: String,
+              dim: Int, m: Int, kCodes: Int, path: String): Unit = {
+    val cb = Similarity.pqCodebook(data, idCol, vecCol, dim, m, kCodes)
+    val enc = Similarity.pqEncode(data, idCol, vecCol, cb)
+    val cellOf = readVectors(data.sparkSession, path).select(col("id"), col("cell"))
+    enc.select(col("id"), col("sub"), col("code")).join(cellOf, "id")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    cb.write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  /** IVF-PQ probe search over the persisted codes —
+    * [[Similarity.pqIvfSearch]] semantics, with BOTH the cell
+    * assignment and the ADC candidate codes read partition-pruned to
+    * the probed cells. Asymmetric distances come from the per-query
+    * LUT against `codebook/`; corpus floats are never read. */
+  def searchPq(spark: SparkSession, path: String, queries: DataFrame,
+               idCol: String, vecCol: String, nprobe: Int, k: Int): DataFrame = {
+    val cents = readCentroids(spark, path)
+    val cb = spark.read.parquet(s"$path/codebook")
+    val cells = probedCells(cents, queries, idCol, vecCol, nprobe).map(Long.box)
+    val codes = spark.read.parquet(s"$path/codes")
+      .filter(col("cell").isin(cells: _*))
       .withColumn("cell", col("cell").cast("long"))
-    Similarity.ivfSearch(pruned, queries, idCol, vecCol, cents, nprobe, k)
+    val assigned = codes.select(col("id"), col("cell")).distinct()
+    Similarity.pqIvfSearch(codes.select(col("id"), col("sub"), col("code")), cb,
+      assigned, cents, queries, idCol, vecCol, nprobe, k)
   }
 }

@@ -353,6 +353,19 @@ class DedupSimSpec extends AnyFunSuite {
     val prunedFiles = filesRead(
       spark.read.parquet(s"$path/vectors").filter(col("cell").isin(Long.box(oneCell))))
     assert(prunedFiles < allFiles, s"pruned=$prunedFiles all=$allFiles")
+
+    // IVF-PQ at rest: persisted codes served through the same pruned
+    // probe must equal the in-memory pqIvfSearch composition
+    IvfIndex.buildPq(emb, "vec_id", "embedding", dim = 64, m = 4, kCodes = 16, path = path)
+    val cb = Similarity.pqCodebook(emb, "vec_id", "embedding", dim = 64, m = 4, k = 16)
+    val enc = Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+    val memPq = Similarity.pqIvfSearch(enc, cb, assigned, cents, queries, "vec_id", "embedding",
+        nprobe = 2, k = 5)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._3, r._2)).toSeq
+    val servedPq = IvfIndex.searchPq(spark, path, queries, "vec_id", "embedding", nprobe = 2, k = 5)
+    val gotPq = servedPq.as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._3, r._2)).toSeq
+    assert(gotPq == memPq)
+    assert(servedPq.queryExecution.executedPlan.toString.contains("PartitionFilters: [cell"))
   }
 
   test("annLsh multi-probe raises recall over single-probe; bucket cap bounds candidates") {
