@@ -83,6 +83,22 @@ object IvfIndex {
       .collect().map(_.getLong(0))
   }
 
+  /** Incremental maintenance: assign NEW vectors against the index's
+    * EXISTING centroids and append them to the partitioned layout —
+    * no rebuild, no touch of resident cells' files (parquet append
+    * adds files per affected partition directory). The centroid set
+    * is frozen by design: cells only grow, probes stay correct, and
+    * the classic drift remedy (rebuild when cell-size skew crosses a
+    * threshold) is a scheduled batch job, not an online mutation.
+    * Returns the number of rows appended. */
+  def append(newData: DataFrame, idCol: String, vecCol: String, path: String): Long = {
+    val cents = readCentroids(newData.sparkSession, path)
+    val assigned = Similarity.ivfAssign(newData, idCol, vecCol, cents)
+    assigned.select(col("id"), col("vec"), col("nrm"), col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
+    newData.count()
+  }
+
   /** Extend a built index with PQ: the codebook (m×k rows) plus every
     * vector's codes partitioned by IVF cell — IVF-PQ at rest.
     * `codes/` rows are (id, sub, code, cell); a probe then reads

@@ -368,6 +368,27 @@ class DedupSimSpec extends AnyFunSuite {
     assert(servedPq.queryExecution.executedPlan.toString.contains("PartitionFilters: [cell"))
   }
 
+  test("incremental IVF append: half-built index + appended half serves like one index") {
+    val emb = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet").cache()
+    val first = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 =!= 0)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val path = java.nio.file.Files.createTempDirectory("ivfinc").toString
+    IvfIndex.build(first, "vec_id", "embedding", kCells = 8, path = path)
+    val appended = IvfIndex.append(rest, "vec_id", "embedding", path)
+    assert(appended == rest.count())
+    // served results must equal the in-memory search over the FULL
+    // corpus assigned against the half-built (frozen) centroids
+    val cents = Similarity.ivfCentroids(first, "vec_id", "embedding", 8)
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+    val mem = Similarity.ivfSearch(assigned, queries, "vec_id", "embedding", cents, nprobe = 2, k = 5)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._3, r._2)).toSeq
+    val got = IvfIndex.search(spark, path, queries, "vec_id", "embedding", nprobe = 2, k = 5)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._3, r._2)).toSeq
+    assert(got == mem)
+    emb.unpersist()
+  }
+
   test("annLsh multi-probe raises recall over single-probe; bucket cap bounds candidates") {
     val emb = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
     val queries = emb.filter(col("vec_id") % 25 === 0)

@@ -87,6 +87,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(strict(2L) == ((Some(200L), Some(11L))))
   }
 
+  test("quality scoring and language ID run UNCHANGED on a document stream") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // both are stateless narrow column pipelines — stream-safe as-is,
+    // like dedupAgainst/stratifiedSample below; the stream emits the
+    // batch-identical scores for the same rows
+    val input = MemoryStream[(Long, String)]
+    val docs = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog and runs away."),
+      (2L, "zzz !!! ??? ###")).toDF("doc_id", "text")
+    val q = graft.text.TextAnalysis.qualityDf(input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("quality_stream").outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1L, "The quick brown fox jumps over the lazy dog and runs away."),
+        (2L, "zzz !!! ??? ###"))
+      q.processAllAvailable()
+      val streamed = spark.table("quality_stream").collect().map(_.toSeq).toSet
+      val batch = graft.text.TextAnalysis.qualityDf(docs, "doc_id", "text")
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
   test("streaming near-dup dedup drops reformatted copies via the simhash key") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
