@@ -168,4 +168,61 @@ class PropertySpec extends AnyFunSuite {
       assert(covered == toks, s"doc $d: overlapping chunks must cover every token")
     }
   }
+
+  // ---- graft_cdc_cuts vs a reference md5-window implementation -------
+
+  test("property: native cdc cuts equal a reference md5-window scan on random unicode text") {
+    val charGen = Gen.frequency(
+      (8, Gen.alphaNumChar), (2, Gen.const(' ')),
+      (1, Gen.oneOf('é', 'ß', '日', '本', '語', '\t')))
+    val docGen = for {
+      n <- Gen.chooseNum(0, 400)
+      cs <- Gen.listOfN(n, charGen)
+    } yield cs.mkString
+    val docs = (1L to 40L).map(d => (d, sampled(docGen)))
+    def refBounds(text: String, window: Int, divisor: Int): Seq[Int] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      // reference works in CHARACTERS (codepoints here all BMP): hash
+      // the UTF-8 bytes of the window substring ending at i
+      val cuts = (window until text.length).filter { i =>
+        val d = md.digest(text.substring(i - window, i).getBytes("UTF-8"))
+        val probe = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        probe % divisor == 0
+      }
+      0 +: cuts :+ text.length
+    }
+    for ((w, dv) <- Seq((8, 16), (3, 4))) {
+      val got = docs.toDF("doc_id", "text")
+        .select(col("doc_id"), call_function("graft_cdc_cuts", col("text"), lit(w), lit(dv)).as("b"))
+        .as[(Long, Seq[Int])].collect().toMap
+      docs.foreach { case (d, text) =>
+        assert(got(d) == refBounds(text, w, dv), s"doc $d window=$w divisor=$dv text=<$text>")
+      }
+    }
+  }
+
+  // ---- topKPerQuery vs the bare window on random scored sets ---------
+
+  test("property: salted two-stage top-k equals the bare per-query window on random inputs") {
+    val rowGen = for {
+      q <- Gen.chooseNum(1L, 6L)
+      id <- Gen.chooseNum(1L, 500L)
+      score <- Gen.chooseNum(-1000000L, 1000000L)
+    } yield (q, id, score)
+    // distinct (query, id): the operator contract (scored sets are
+    // aggregated per pair before ranking)
+    val rows = sampled(Gen.listOfN(3000, rowGen)).distinctBy(r => (r._1, r._2))
+    val scored = rows.toDF("query_id", "id", "score")
+    val order = Seq(col("score").desc, col("id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id").orderBy(order: _*)
+    for (k <- Seq(1, 7, 40)) {
+      val bare = scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k).drop("rk")
+        .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+      for (fanout <- Seq(1, 3, 32)) {
+        val got = graft.similarity.Similarity.topKPerQuery(scored, k, order, fanout)
+          .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+        assert(got == bare, s"k=$k fanout=$fanout")
+      }
+    }
+  }
 }
