@@ -120,22 +120,32 @@ object Dedup {
       withSigs: Boolean = false,
       resplit: Boolean = true
   ): DataFrame = {
-    val numBands = numPerm / rowsPerBand
-    val adaptive = maxBucket <= 0
-    val capCol: Column =
-      if (adaptive) greatest(lit(64L), floor(sqrt(col("_nd"))).cast("long"))
-      else lit(maxBucket.toLong)
-    // staged projections: shingles and signature each materialize once
-    // per row as bound attributes (not re-inlined into downstream HOFs)
-    val sigs = df
-      .select(col(idCol).as("doc"), shingles(col(textCol), shingleSize).as("sh"))
+    val b2 = lshSurvivingBanded(df, idCol, textCol, shingleSize, numPerm,
+      rowsPerBand, maxBucket, withSigs, resplit)
+    val joined = b2.as("a")
+      .join(b2.as("b"), col("a.band") === col("b.band") && col("a.key") === col("b.key") && col("a.doc") < col("b.doc"))
+    val outCols = Seq(col("a.doc").as("doc_a"), col("b.doc").as("doc_b")) ++
+      (if (withSigs) Seq(col("a.sig").as("sig_a"), col("b.sig").as("sig_b")) else Nil)
+    joined.select(outCols: _*).distinct()
+  }
+
+  /** (doc, sig) minhash signature table — staged projections: shingles
+    * and signature each materialize once per row as bound attributes
+    * (not re-inlined into downstream HOFs). */
+  private[dedup] def sigTable(df: DataFrame, idCol: String, textCol: String,
+                              shingleSize: Int, numPerm: Int): DataFrame =
+    df.select(col(idCol).as("doc"), shingles(col(textCol), shingleSize).as("sh"))
       .select(col("doc"), minhash(col("sh"), numPerm).as("sig"))
-    // band structs unrolled at plan-build time: the band index, band
-    // key, and re-split key are literal-indexed projections (no
-    // dynamic element_at)
-    // key_ext (the re-split key) is only built — and only rides the
-    // explode and the (band, key) shuffle — when resplit is on; the
-    // plain drop-guard path pays nothing for it
+
+  /** Banded rows (doc, [sig], band, key, [key_ext]) for a signature
+    * table. Band structs unroll at plan-build time: the band index,
+    * band key, and re-split key are literal-indexed projections (no
+    * dynamic element_at). key_ext (the re-split key) is only built —
+    * and only rides the explode and the (band, key) shuffle — when
+    * resplit is on; the plain drop-guard path pays nothing for it. */
+  private[dedup] def bandedRows(sigs: DataFrame, numPerm: Int, rowsPerBand: Int,
+                                withSigs: Boolean, resplit: Boolean): DataFrame = {
+    val numBands = numPerm / rowsPerBand
     val bandCols = (0 until numBands).map { b =>
       def slot(i: Int) = element_at(col("sig"), i % numPerm + 1).cast("string")
       val key = concat_ws("_", (0 until rowsPerBand).map(r => slot(b * rowsPerBand + r)): _*)
@@ -145,36 +155,52 @@ object Dedup {
       struct(fields: _*)
     }
     // sig rides the band shuffle only when the caller wants it on the
-    // output pairs — the pairs-only path ships (doc, band, key) alone
+    // output — the pairs-only path ships (doc, band, key) alone
     val sigCols = if (withSigs) Seq(col("sig")) else Nil
     val extCols = if (resplit) Seq(col("bk.key_ext").as("key_ext")) else Nil
-    val banded0 = sigs
+    sigs
       .select(col("doc") +: sigCols :+ explode(array(bandCols: _*)).as("bk"): _*)
       .select((col("doc") +: sigCols :+ col("bk.band").as("band") :+ col("bk.key").as("key")) ++ extCols: _*)
+  }
+
+  /** The cap-surviving banded rows (doc, [sig], band, key): cold
+    * buckets pass, hot buckets re-key on key_ext in the shifted band
+    * namespace (band + numBands), still-hot sub-buckets drop — the
+    * re-split semantics of [[lshCandidatePairs]], shared with the
+    * persisted [[LshIndex]] so index probes see the exact same
+    * surviving-bucket universe. Bucket sizes are counted with a window
+    * over the same (band, key) shuffle downstream joins need anyway.
+    */
+  private[dedup] def lshSurvivingBanded(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, numPerm: Int, rowsPerBand: Int,
+      maxBucket: Int, withSigs: Boolean, resplit: Boolean): DataFrame = {
+    val numBands = numPerm / rowsPerBand
+    val adaptive = maxBucket <= 0
+    val capCol: Column =
+      if (adaptive) greatest(lit(64L), floor(sqrt(col("_nd"))).cast("long"))
+      else lit(maxBucket.toLong)
+    val sigs = sigTable(df, idCol, textCol, shingleSize, numPerm)
+    val banded0 = bandedRows(sigs, numPerm, rowsPerBand, withSigs, resplit)
     // adaptive cap input: corpus row count as a broadcast 1-row agg
     val banded =
       if (adaptive) banded0.crossJoin(broadcast(df.agg(count(lit(1)).as("_nd"))))
       else banded0
     val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "key")
     val counted = banded.withColumn("_n", count(lit(1)).over(w))
+    val sigCols = if (withSigs) Seq(col("sig")) else Nil
     val keep = (col("doc") +: sigCols) :+ col("band") :+ col("key")
     val bOk = counted.filter(col("_n") <= capCol).select(keep: _*)
-    val b2 =
-      if (!resplit) bOk
-      else {
-        val ndCols = if (adaptive) Seq(col("_nd")) else Nil
-        val bHot = counted.filter(col("_n") > capCol)
-          .select(col("doc") +: sigCols :+ (col("band") + numBands).as("band") :+
-            col("key_ext").as("key") :++ ndCols: _*)
-        val bHotOk = bHot.withColumn("_n", count(lit(1)).over(w))
-          .filter(col("_n") <= capCol).select(keep: _*)
-        bOk.unionByName(bHotOk)
-      }
-    val joined = b2.as("a")
-      .join(b2.as("b"), col("a.band") === col("b.band") && col("a.key") === col("b.key") && col("a.doc") < col("b.doc"))
-    val outCols = Seq(col("a.doc").as("doc_a"), col("b.doc").as("doc_b")) ++
-      (if (withSigs) Seq(col("a.sig").as("sig_a"), col("b.sig").as("sig_b")) else Nil)
-    joined.select(outCols: _*).distinct()
+    if (!resplit) bOk
+    else {
+      val ndCols = if (adaptive) Seq(col("_nd")) else Nil
+      val bHot = counted.filter(col("_n") > capCol)
+        .select(col("doc") +: sigCols :+ (col("band") + numBands).as("band") :+
+          col("key_ext").as("key") :++ ndCols: _*)
+      val bHotOk = bHot.withColumn("_n", count(lit(1)).over(w))
+        .filter(col("_n") <= capCol).select(keep: _*)
+      bOk.unionByName(bHotOk)
+    }
   }
 
   /** Connected components over a near-dup pair graph — the step that

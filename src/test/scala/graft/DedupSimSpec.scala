@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.dedup.Dedup
+import graft.dedup.{Dedup, LshIndex}
 import graft.similarity.{IvfIndex, Similarity}
 
 class DedupSimSpec extends AnyFunSuite {
@@ -107,6 +107,37 @@ class DedupSimSpec extends AnyFunSuite {
     val explicitPairs = Dedup.simhashPairs64(docs, "doc_id", "text", maxBucket = cap.toLong)
       .as[(Long, Long, Int)].collect().toSet
     assert(adaptivePairs == explicitPairs)
+  }
+
+  test("persisted LSH index: self-probe reproduces the self-join pairs; near-dup batch filters") {
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet").cache()
+    val path = java.nio.file.Files.createTempDirectory("lshidx").toString
+    LshIndex.build(docs, "doc_id", "text", path)
+    // probing the reference against its own index = the self-join's
+    // candidate universe (same surviving-bucket semantics, both
+    // directions of each pair)
+    val selfProbe = LshIndex.candidates(spark, path, docs, "doc_id", "text")
+      .select("doc_inc", "doc_ref").as[(Long, Long)].collect()
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val selfJoin = Dedup.lshCandidatePairs(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(selfProbe == selfJoin,
+      s"extra=${selfProbe.diff(selfJoin).size} missing=${selfJoin.diff(selfProbe).size}")
+    // incoming batch: a verbatim copy of an indexed doc must be
+    // filtered at est=1.0; a fresh doc must survive
+    val sample = docs.orderBy("doc_id").limit(1)
+      .select(col("doc_id"), col("text")).as[(Long, String)].head()
+    val incoming = Seq((900001L, sample._2), (900002L, "a genuinely fresh document body xyz"))
+      .toDF("doc_id", "text")
+    val kept = LshIndex.filterNew(spark, path, incoming, "doc_id", "text", minEstFp4 = 10000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(900002L), kept.mkString(","))
+    // the copy's agreement estimate is exactly 1.0 (fp4 = 10000)
+    val est = LshIndex.candidates(spark, path, incoming, "doc_id", "text")
+      .filter(col("doc_inc") === 900001L && col("doc_ref") === sample._1)
+      .select("est_jaccard_fp4").as[Long].head()
+    assert(est == 10000L)
+    docs.unpersist()
   }
 
   test("minhashEstPairs carries signatures: same pairs, est=1 for identical docs") {
