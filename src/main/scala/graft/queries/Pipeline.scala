@@ -460,6 +460,15 @@ object Pipeline {
         defaultRate = 0.25)
         .orderBy("doc_id")
     }),
+    // 46e — deterministic disjoint train/val/test split: md5-uniform
+    // vs cumulative dyadic bounds, every row in exactly one split,
+    // rerun/retry/partitioning-stable; zero shuffle
+    "smp_split" -> ((s, dir) => {
+      graft.sample.Sampling.split(
+        t(s, dir, "documents").select("doc_id", "source"), "doc_id",
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+        .orderBy("doc_id")
+    }),
     // 46c — exact-k-per-stratum deterministic reservoir: fixed sample
     // sizes (vs smp_sample's fixed rates), ranked on the md5-uniform
     // so the choice is rerun- and partitioning-stable
@@ -1234,6 +1243,18 @@ object Pipeline {
         |         ELSE 0.25 END AS rate
         |  FROM documents)
         |WHERE CAST($u32 AS DOUBLE) / 4294967296.0 < rate
+        |ORDER BY doc_id""".stripMargin
+    },
+    "smp_split" -> {
+      val u32 = """list_reduce(list_prepend(CAST(0 AS BIGINT),
+        | list_transform(range(1, 9),
+        |   i -> CAST(strpos('0123456789abcdef',
+        |          substr(md5('spl:' || CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT))),
+        | (a, v) -> a*16 + v)""".stripMargin.replace("\n", " ")
+      s"""SELECT doc_id, source,
+        |  CASE WHEN u < 0.75 THEN 'train' WHEN u < 0.875 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, source,
+        |    CAST($u32 AS DOUBLE) / 4294967296.0 AS u FROM documents)
         |ORDER BY doc_id""".stripMargin
     },
     "smp_reservoir" -> {

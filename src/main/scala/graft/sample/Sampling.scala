@@ -40,6 +40,32 @@ object Sampling {
       .drop("_rate")
   }
 
+  /** Deterministic DISJOINT corpus split (train/val/test, eval
+    * holdouts): `fractions` maps split name → mass (must sum to 1);
+    * a row's split is where its md5-uniform falls against the
+    * cumulative bounds — a pure function of (salt, id), so reruns,
+    * task retries, and any repartitioning assign identically, and
+    * every row lands in EXACTLY one split (the last split is the
+    * otherwise-branch, so float dust cannot drop a row). Narrow map,
+    * zero shuffle. Use dyadic fractions (0.75, 0.125, …) to keep the
+    * boundary comparisons float-exact across engines.
+    */
+  def split(df: DataFrame, idCol: String,
+            fractions: Seq[(String, Double)],
+            salt: String = "spl"): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0) &&
+      math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must be positive and sum to 1")
+    val bounds = fractions.scanLeft(0.0)(_ + _._2).tail
+    df.withColumn("_u", hashUniform(col(idCol), salt))
+      .withColumn("split",
+        fractions.init.zip(bounds.init).reverse
+          .foldLeft(lit(fractions.last._1): Column) {
+            case (acc, ((name, _), ub)) => when(col("_u") < ub, lit(name)).otherwise(acc)
+          })
+      .drop("_u")
+  }
+
   /** Deterministic "reservoir": EXACTLY k rows per stratum, chosen by
     * ranking on the md5-uniform — unlike rate sampling the output
     * size per stratum is fixed, and unlike a true reservoir the

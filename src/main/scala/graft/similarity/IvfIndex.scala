@@ -99,6 +99,35 @@ object IvfIndex {
     newData.count()
   }
 
+  /** Per-cell row counts — the drift signal for scheduled
+    * re-centering: [[append]] freezes centroids, so a shifting input
+    * distribution shows up as cell-size skew. */
+  def cellStats(spark: SparkSession, path: String): DataFrame =
+    readVectors(spark, path).groupBy("cell").agg(count(lit(1)).as("n"))
+
+  /** max/avg cell size of the persisted index (1.0 = perfectly
+    * balanced). Schedule [[recenter]] when this crosses the
+    * deployment's threshold. */
+  def skewRatio(spark: SparkSession, path: String): Double = {
+    val r = cellStats(spark, path).agg(max("n").cast("double").as("mx"), avg("n").as("av")).head()
+    r.getDouble(0) / r.getDouble(1)
+  }
+
+  /** Scheduled re-centering: re-derive Lloyd-refined centroids from
+    * the CURRENT resident vectors and rebuild into `destPath` —
+    * blue/green by design (the source index keeps serving; the caller
+    * flips its pointer when the build lands), which also sidesteps
+    * overwrite-while-reading hazards a same-path rebuild would hit.
+    * Returns the new cell count. */
+  def recenter(spark: SparkSession, srcPath: String, destPath: String,
+               kCells: Int, iters: Int = 3): Long = {
+    val vecs = readVectors(spark, srcPath).select(col("id"), col("vec"))
+    val cents = Similarity.kmeansCentroids(vecs, "id", "vec", kCells, iters)
+    val assigned = Similarity.ivfAssign(vecs, "id", "vec", cents)
+    write(assigned, cents, destPath)
+    cents.count()
+  }
+
   /** Extend a built index with PQ: the codebook (m×k rows) plus every
     * vector's codes partitioned by IVF cell — IVF-PQ at rest.
     * `codes/` rows are (id, sub, code, cell); a probe then reads

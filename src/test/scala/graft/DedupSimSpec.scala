@@ -417,6 +417,20 @@ class DedupSimSpec extends AnyFunSuite {
     val got = IvfIndex.search(spark, path, queries, "vec_id", "embedding", nprobe = 2, k = 5)
       .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._3, r._2)).toSeq
     assert(got == mem)
+    // drift signal + scheduled blue/green re-centering: the rebuilt
+    // index serves results matching an in-memory search that uses the
+    // SAME persisted (refined) centroid table
+    assert(IvfIndex.skewRatio(spark, path) >= 1.0)
+    val dest = java.nio.file.Files.createTempDirectory("ivfrec").toString
+    val newCells = IvfIndex.recenter(spark, path, dest, kCells = 8, iters = 2)
+    assert(newCells >= 2)
+    val cents2 = IvfIndex.readCentroids(spark, dest)
+    val assigned2 = Similarity.ivfAssign(emb, "vec_id", "embedding", cents2)
+    val mem2 = Similarity.ivfSearch(assigned2, queries, "vec_id", "embedding", cents2, nprobe = 2, k = 5)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._3, r._2)).toSeq
+    val got2 = IvfIndex.search(spark, dest, queries, "vec_id", "embedding", nprobe = 2, k = 5)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._3, r._2)).toSeq
+    assert(got2 == mem2)
     emb.unpersist()
   }
 

@@ -166,6 +166,28 @@ class SamplingSpec extends AnyFunSuite {
     assert(Chunker.cdcChunk(withNull, "doc_id", "text").select("doc_id").as[Long].collect().toSet == Set(1L))
   }
 
+  test("split is a disjoint exhaustive partition with sane masses, stable across repartition") {
+    val df = (0L until 4000L).map(Tuple1(_)).toDF("doc_id")
+    val fr = Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)
+    val out = Sampling.split(df, "doc_id", fr)
+      .select("doc_id", "split").as[(Long, String)].collect()
+    // exhaustive + disjoint: every row exactly once, only known names
+    assert(out.length == 4000 && out.map(_._1).distinct.length == 4000)
+    val byName = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byName.keySet == Set("train", "val", "test"))
+    // masses within a loose band (md5-uniform, n=4000)
+    assert(math.abs(byName("train") / 4000.0 - 0.75) < 0.05, byName.toString)
+    assert(math.abs(byName("val") / 4000.0 - 0.125) < 0.05, byName.toString)
+    // pure function of (salt, id): any repartitioning assigns identically
+    val re = Sampling.split(df.repartition(13), "doc_id", fr)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(out.forall { case (id, s) => re(id) == s })
+    // bad fractions rejected
+    intercept[IllegalArgumentException] {
+      Sampling.split(df, "doc_id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
   test("deterministicShuffle is partitioning-stable, shards are dense, positions contiguous") {
     val df = (0L until 500L).map(i => Tuple1(i)).toDF("doc_id")
     val a = Sampling.deterministicShuffle(df, "doc_id", numShards = 8)
