@@ -203,6 +203,32 @@ object Dedup {
     }
   }
 
+  /** Training-corpus DECONTAMINATION against an evaluation set (the
+    * GPT-3/PaLM-style n-gram overlap rule): drop every training doc
+    * that shares at least one word `n`-gram with any eval doc, so
+    * benchmark answers can't leak into training data. Returns the
+    * CLEAN training rows.
+    *
+    * Shape: eval shingles reduce to a DISTINCT n-gram set first (eval
+    * sets are benchmark-sized — thousands of docs — so the distinct
+    * set broadcasts; the train side, the 100 TB side, is touched once:
+    * explode → semi-join → distinct doc ids → anti-join back). If an
+    * eval set ever outgrows the broadcast threshold the semi-join
+    * degrades to a shuffle on the n-gram key — still never all-pairs.
+    * Short docs (< n tokens) shingle to their whole text, so they are
+    * matched on full-text equality — strictly conservative.
+    */
+  def decontaminate(train: DataFrame, trainId: String, trainText: String,
+                    eval: DataFrame, evalText: String, n: Int = 8): DataFrame = {
+    val evalGrams = eval
+      .select(explode(shingles(col(evalText), n)).as("_gram")).distinct()
+    val contaminated = train
+      .select(col(trainId), explode(shingles(col(trainText), n)).as("_gram"))
+      .join(broadcast(evalGrams), "_gram")
+      .select(trainId).distinct()
+    train.join(contaminated, Seq(trainId), "left_anti")
+  }
+
   /** Connected components over a near-dup pair graph — the step that
     * turns candidate PAIRS into dedup CLUSTERS (keep one doc per
     * component). Iterative min-label propagation: every node starts

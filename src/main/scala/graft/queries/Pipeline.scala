@@ -97,6 +97,18 @@ object Pipeline {
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")
     }),
+    // 31e — eval-set decontamination (GPT-3/PaLM n-gram overlap rule):
+    // training docs sharing any 4-gram with the held-out eval slice
+    // (doc_id % 97 = 0) are dropped; eval grams reduce to a broadcast
+    // distinct set, the train side is scanned once
+    "dd_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminate(
+        docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 97 === 0), "text", n = 4)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
     // 32b — MinHash Jaccard estimates over the LSH candidates (the
     // classic signature-agreement estimator)
     "dd_minhash_est" -> ((s, dir) => {
@@ -988,6 +1000,15 @@ object Pipeline {
         |inc AS (SELECT doc_id, source, n_chars, md5(text) AS h FROM documents WHERE doc_id % 3 = 0)
         |SELECT doc_id, source, n_chars FROM inc
         |WHERE h NOT IN (SELECT h FROM ref) ORDER BY doc_id""".stripMargin,
+    "dd_decontaminate" ->
+      s"""WITH ev AS (SELECT DISTINCT unnest(${shinglesSql(4)}) AS g
+        |            FROM documents WHERE doc_id % 97 = 0),
+        |tg AS (SELECT doc_id, unnest(${shinglesSql(4)}) AS g
+        |       FROM documents WHERE doc_id % 97 <> 0),
+        |bad AS (SELECT DISTINCT tg.doc_id FROM tg JOIN ev USING (g))
+        |SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY doc_id""".stripMargin,
     "sim_ann_lsh_exact" -> annLshExactSql,
     "sim_ann_lsh" -> annLshGuardedSql,
     "sim_ann_ivf" -> annIvfSql,

@@ -109,6 +109,27 @@ class DedupSimSpec extends AnyFunSuite {
     assert(adaptivePairs == explicitPairs)
   }
 
+  test("decontaminate drops exactly the train docs sharing an n-gram with the eval set") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon"),      // shares 'beta gamma delta' run
+      (2L, "one two three four five six"),          // clean
+      (3L, "the secret eval answer is forty two"),  // verbatim leak
+      (4L, "short")                                 // < n tokens: full-text key, clean
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "zz beta gamma delta yy"),
+      (101L, "the secret eval answer is forty two indeed")).toDF("eid", "text")
+    val kept = Dedup.decontaminate(train, "doc_id", "text", eval, "text", n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L), kept.mkString(","))
+    // a short train doc equal to a short eval doc is caught via the
+    // whole-text shingle
+    val kept2 = Dedup.decontaminate(
+      Seq((9L, "short")).toDF("doc_id", "text"), "doc_id", "text",
+      Seq((200L, "short")).toDF("eid", "text"), "text", n = 3)
+    assert(kept2.isEmpty)
+  }
+
   test("persisted LSH index: self-probe reproduces the self-join pairs; near-dup batch filters") {
     val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet").cache()
     val path = java.nio.file.Files.createTempDirectory("lshidx").toString
