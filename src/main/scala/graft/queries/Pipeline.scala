@@ -148,6 +148,24 @@ object Pipeline {
       Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", "label", 200000L)
         .orderBy("id_a", "id_b")
     }),
+    // 35d — SemDeDup-style semantic dedup (embedding-cluster based):
+    // IVF cells bound the candidate set (never all-pairs), cosine-
+    // threshold pairs within a cell, connected components, keep the
+    // min-id representative per cluster with the cluster size. The
+    // deterministic stride centroids make the whole chain (assign →
+    // pairs → transitive closure) SQL-replicable
+    "dd_semantic" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", 16)
+      val assigned = Similarity.ivfAssign(e, "vec_id", "embedding", cents)
+      val pairs = Similarity.nearDupPairs(
+        assigned.select(col("id").as("vec_id"), col("vec").as("embedding"), col("cell")),
+        "vec_id", "embedding", "cell", 300000L)
+      Dedup.connectedComponents(e.select("vec_id"), "vec_id", pairs, "id_a", "id_b")
+        .groupBy("component").agg(count(lit(1)).as("n_members"))
+        .select(col("component").as("keep_id"), col("n_members"))
+        .orderBy("keep_id")
+    }),
     // 36 — brute-force cosine top-k against the min-id query vector
     "sim_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -1000,6 +1018,31 @@ object Pipeline {
         |inc AS (SELECT doc_id, source, n_chars, md5(text) AS h FROM documents WHERE doc_id % 3 = 0)
         |SELECT doc_id, source, n_chars FROM inc
         |WHERE h NOT IN (SELECT h FROM ref) ORDER BY doc_id""".stripMargin,
+    // SemDeDup mirror: stride centroids + argmax-cosine assignment
+    // (as sim_ann_ivf), within-cell cosine pairs, recursive closure
+    // (as dd_components), min-id representative + cluster size
+    "dd_semantic" ->
+      s"""WITH RECURSIVE cnt AS (SELECT count(*) AS c FROM embeddings),
+        |icents AS (SELECT vec_id AS centroid_id, embedding AS icvec
+        |           FROM embeddings, cnt WHERE vec_id % greatest(1, (c + 15) // 16) = 0),
+        |ac AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+        |         ${cosSql("e.embedding", "c.icvec")} AS cosv
+        |       FROM embeddings e CROSS JOIN icents c),
+        |asg AS (SELECT vec_id, embedding, centroid_id AS cell FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosv DESC, centroid_id) AS rn
+        |         FROM ac) WHERE rn = 1),
+        |prs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |        FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |        WHERE ${sqlFp(cosSql("a.embedding", "b.embedding"), 6)} >= 300000),
+        |sym AS (SELECT id_a AS src, id_b AS dst FROM prs
+        |        UNION ALL SELECT id_b, id_a FROM prs),
+        |lbl(node, label) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT s.dst, l.label FROM lbl l JOIN sym s ON s.src = l.node),
+        |comp AS (SELECT node, min(label) AS component FROM lbl GROUP BY node)
+        |SELECT component AS keep_id, CAST(count(*) AS BIGINT) AS n_members
+        |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin,
     "dd_decontaminate" ->
       s"""WITH ev AS (SELECT DISTINCT unnest(${shinglesSql(4)}) AS g
         |            FROM documents WHERE doc_id % 97 = 0),
