@@ -535,16 +535,32 @@ object Similarity {
   }
 
   /** Near-duplicate pairs by cosine ≥ threshold, candidates restricted
-    * to an existing partition/bucket column (label, LSH bucket, …) so
-    * the join is equi- not cross-.
+    * to an existing partition/bucket column (label, LSH bucket, IVF
+    * cell, …) so the join is equi- not cross-.
+    *
+    * `maxBucket` (default off, preserving the exact same-bucket
+    * contract) drops buckets larger than the cap before the self-join
+    * — the same degenerate-bucket guard as [[annLsh]]: pair count is
+    * Σ|bucket|², so ONE oversized bucket (a skewed label, an IVF cell
+    * left too coarse for the corpus) would otherwise go quadratic.
+    * At scale, size the bucketing so buckets stay ~10³ rows (e.g.
+    * IVF kCells ≈ N/1000) and keep the cap as the safety net.
     */
-  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, bucketCol: String, thresholdFp6: Long): DataFrame = {
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, bucketCol: String,
+                   thresholdFp6: Long, maxBucket: Long = Long.MaxValue): DataFrame = {
     // norms precomputed per row (identical bits to computing them per
     // pair — sqrt(dot(v,v)) is the same expression), so each candidate
     // pair costs ONE dot product instead of three
-    val v = df.select(
+    val v0 = df.select(
       col(idCol).as("id"), col(vecCol).as("vec"), col(bucketCol).as("bucket"),
       norm(col(vecCol)).as("nrm"))
+    val v =
+      if (maxBucket == Long.MaxValue) v0
+      else {
+        val ok = v0.groupBy("bucket").agg(count(lit(1)).as("_n"))
+          .filter(col("_n") <= maxBucket).drop("_n")
+        v0.join(ok, "bucket")
+      }
     v.as("a")
       .join(v.as("b"), col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .withColumn("cos_fp6", TextAnalysis.fp(dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")), 6))

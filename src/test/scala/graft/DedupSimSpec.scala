@@ -109,6 +109,29 @@ class DedupSimSpec extends AnyFunSuite {
     assert(adaptivePairs == explicitPairs)
   }
 
+  test("nearDupPairs bucket cap drops only oversized buckets") {
+    val emb = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+    val uncapped = Similarity.nearDupPairs(emb, "vec_id", "embedding", "label", 200000L)
+      .as[(Long, Long, Long)].collect().toSet
+    // a cap above every bucket size changes nothing
+    val bigCap = Similarity.nearDupPairs(emb, "vec_id", "embedding", "label", 200000L,
+      maxBucket = 1000000L).as[(Long, Long, Long)].collect().toSet
+    assert(bigCap == uncapped)
+    // cap 0 drops every bucket → empty (the guard engages)
+    assert(Similarity.nearDupPairs(emb, "vec_id", "embedding", "label", 200000L,
+      maxBucket = 0L).isEmpty)
+    // a mid cap keeps exactly the pairs of surviving buckets
+    val sizes = emb.groupBy("label").count().as[(String, Long)].collect().toMap
+    val mid = sizes.values.toSeq.sorted.apply(sizes.size / 2)
+    val capped = Similarity.nearDupPairs(emb, "vec_id", "embedding", "label", 200000L,
+      maxBucket = mid).as[(Long, Long, Long)].collect().toSet
+    val surviving = emb.filter(col("label").isin(
+        sizes.filter(_._2 <= mid).keys.toSeq.map(x => x: Any): _*))
+    val expect = Similarity.nearDupPairs(surviving, "vec_id", "embedding", "label", 200000L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(capped == expect && capped.size < uncapped.size)
+  }
+
   test("decontaminate drops exactly the train docs sharing an n-gram with the eval set") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon"),      // shares 'beta gamma delta' run
