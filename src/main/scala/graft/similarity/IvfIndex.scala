@@ -92,10 +92,23 @@ object IvfIndex {
     * threshold) is a scheduled batch job, not an online mutation.
     * Returns the number of rows appended. */
   def append(newData: DataFrame, idCol: String, vecCol: String, path: String): Long = {
-    val cents = readCentroids(newData.sparkSession, path)
+    val spark = newData.sparkSession
+    val cents = readCentroids(spark, path)
     val assigned = Similarity.ivfAssign(newData, idCol, vecCol, cents)
     assigned.select(col("id"), col("vec"), col("nrm"), col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
+    // a PQ layer must not go stale: encode the new vectors with the
+    // index's FROZEN codebook (same contract as the frozen centroids)
+    // and append their codes to the probed layout
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/codebook"))) {
+      val cb = spark.read.parquet(s"$path/codebook")
+      Similarity.pqEncode(newData, idCol, vecCol, cb)
+        .select(col("id"), col("sub"), col("code"))
+        .join(assigned.select(col("id"), col("cell")), "id")
+        .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+    }
     newData.count()
   }
 

@@ -461,6 +461,22 @@ class DedupSimSpec extends AnyFunSuite {
     val got = IvfIndex.search(spark, path, queries, "vec_id", "embedding", nprobe = 2, k = 5)
       .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._3, r._2)).toSeq
     assert(got == mem)
+    // the PQ layer must not go stale on append: rebuild the index with
+    // a codebook, append the second half, and searchPq must equal the
+    // in-memory IVF-PQ composition over the FULL corpus with the
+    // frozen (half-built) centroids and codebook
+    val path2 = java.nio.file.Files.createTempDirectory("ivfincpq").toString
+    IvfIndex.build(first, "vec_id", "embedding", kCells = 8, path = path2)
+    IvfIndex.buildPq(first, "vec_id", "embedding", dim = 64, m = 4, kCodes = 16, path = path2)
+    IvfIndex.append(rest, "vec_id", "embedding", path2)
+    val cb = Similarity.pqCodebook(first, "vec_id", "embedding", dim = 64, m = 4, k = 16)
+    val encAll = Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+    val memPq = Similarity.pqIvfSearch(encAll, cb, assigned, cents, queries,
+        "vec_id", "embedding", nprobe = 2, k = 5)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._3, r._2)).toSeq
+    val gotPq = IvfIndex.searchPq(spark, path2, queries, "vec_id", "embedding", nprobe = 2, k = 5)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._3, r._2)).toSeq
+    assert(gotPq == memPq)
     // drift signal + scheduled blue/green re-centering: the rebuilt
     // index serves results matching an in-memory search that uses the
     // SAME persisted (refined) centroid table
