@@ -106,6 +106,63 @@ object Multimodal {
       .when(magic(payload) === "gif", gifHeight(payload))
       .otherwise(lit(null).cast("int"))
 
+  /** Little-endian uint16 at 1-based byte offset `off` — hex of the
+    * two bytes concatenated in reverse order. */
+  private def leU16(payload: Column, off: Int): Column =
+    conv(concat(hex(substring(payload, off + 1, 1)), hex(substring(payload, off, 1))), 16, 10)
+      .cast("int")
+
+  /** Little-endian uint32 at 1-based byte offset `off`. */
+  private def leU32(payload: Column, off: Int): Column =
+    conv(concat(
+      hex(substring(payload, off + 3, 1)), hex(substring(payload, off + 2, 1)),
+      hex(substring(payload, off + 1, 1)), hex(substring(payload, off, 1))), 16, 10)
+      .cast("long")
+
+  /** True for a canonical-layout PCM WAV payload: RIFF/WAVE magic with
+    * the fmt chunk at offset 13 and the data chunk at offset 37 (the
+    * 44-byte canonical header). Non-canonical chunk orders return
+    * false — conservative, never a misparse. */
+  def isWav(payload: Column): Column =
+    substring(payload, 1, 4).cast("string") === "RIFF" &&
+      substring(payload, 9, 4).cast("string") === "WAVE" &&
+      substring(payload, 13, 4).cast("string") === "fmt " &&
+      substring(payload, 37, 4).cast("string") === "data"
+
+  def wavChannels(payload: Column): Column =
+    when(isWav(payload), leU16(payload, 23)).otherwise(lit(null).cast("int"))
+  def wavSampleRate(payload: Column): Column =
+    when(isWav(payload), leU32(payload, 25)).otherwise(lit(null).cast("long"))
+  def wavBitsPerSample(payload: Column): Column =
+    when(isWav(payload), leU16(payload, 35)).otherwise(lit(null).cast("int"))
+  def wavDataBytes(payload: Column): Column =
+    when(isWav(payload), leU32(payload, 41)).otherwise(lit(null).cast("long"))
+
+  /** Duration in milliseconds from the parsed header fields — exact
+    * integer arithmetic (data_bytes·8000 / (rate·channels·bits)), so
+    * the value replicates bit-for-bit in any engine with 64-bit
+    * integer division. */
+  def wavDurationMs(payload: Column): Column =
+    when(isWav(payload),
+      (wavDataBytes(payload) * lit(8000L)) /
+        (wavSampleRate(payload) * wavChannels(payload) * wavBitsPerSample(payload)))
+      .otherwise(lit(null)).cast("long")
+
+  /** Canonical 44-byte PCM WAV header for synthetic payloads
+    * (deterministic; tests + the verified query, NOT a real encoder). */
+  def synthWavHeader(channels: Int, sampleRate: Int, bitsPerSample: Int,
+                     dataBytes: Int): Array[Byte] = {
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val byteRate = sampleRate * channels * bitsPerSample / 8
+    val blockAlign = channels * bitsPerSample / 8
+    "RIFF".getBytes("US-ASCII") ++ le32(36 + dataBytes) ++ "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(channels) ++
+      le32(sampleRate) ++ le32(byteRate) ++ le16(blockAlign) ++ le16(bitsPerSample) ++
+      "data".getBytes("US-ASCII") ++ le32(dataBytes)
+  }
+
   /** Sample every `stride`-th frame of an `array<binary>` column
     * (video keyframe thinning) — pure columnar.
     */

@@ -458,6 +458,31 @@ object Pipeline {
         length(col("payload")).cast("long").as("byte_len"))
         .orderBy("doc_id")
     }),
+    // 45c — audio metadata: REAL RIFF/WAVE canonical-header parse
+    // (little-endian fields via reversed hex slices, all columnar/
+    // codegen'd) + integer-exact duration; synth→parse roundtrip
+    // oracle closed-form in doc_id like mm_binary_meta
+    "mm_audio_meta" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal
+      val payloads = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val rate = Seq(8000, 16000, 22050, 44100)((id % 4).toInt)
+          (id, Multimodal.synthWavHeader(
+            channels = (id % 2 + 1).toInt, sampleRate = rate,
+            bitsPerSample = if (id % 3 == 0) 8 else 16,
+            dataBytes = (id % 5000 + 100).toInt))
+        })
+        .toDF("doc_id", "payload")
+      payloads.select(
+        col("doc_id"),
+        Multimodal.wavChannels(col("payload")).cast("long").as("channels"),
+        Multimodal.wavSampleRate(col("payload")).as("sample_rate"),
+        Multimodal.wavBitsPerSample(col("payload")).cast("long").as("bits"),
+        Multimodal.wavDataBytes(col("payload")).as("data_bytes"),
+        Multimodal.wavDurationMs(col("payload")).as("duration_ms"))
+        .orderBy("doc_id")
+    }),
     // 32d — cross-document SEGMENT-level dedup (Lee et al. 2022
     // granularity): consecutive 8-token segments occurring in >= 2
     // docs are stripped and the text reassembled. An 8-token
@@ -1257,6 +1282,20 @@ object Pipeline {
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
         |FROM events ORDER BY event_id""".stripMargin,
     "mm_binary_meta" -> mmSql,
+    // audio roundtrip mirror: all synth params are closed-form in
+    // doc_id; duration replicates via 64-bit integer division
+    "mm_audio_meta" ->
+      """SELECT doc_id,
+        | CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+        | CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |      WHEN 2 THEN 22050 ELSE 44100 END AS BIGINT) AS sample_rate,
+        | CAST(CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS BIGINT) AS bits,
+        | CAST(doc_id % 5000 + 100 AS BIGINT) AS data_bytes,
+        | CAST((doc_id % 5000 + 100) * 8000 //
+        |   ((CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |     WHEN 2 THEN 22050 ELSE 44100 END)
+        |    * (doc_id % 2 + 1) * (CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END)) AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_image_meta" ->
       """SELECT doc_id, 'png' AS fmt,
         | CAST(doc_id % 1000 + 1 AS BIGINT) AS width,

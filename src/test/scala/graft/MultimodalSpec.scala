@@ -91,6 +91,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(batched.count(_._2 == "jpeg") == 10)
   }
 
+  test("WAV header parse roundtrips synth params; junk and truncation null out") {
+    val good = (1 to 12).map { i =>
+      val rate = Seq(8000, 16000, 22050, 44100)(i % 4)
+      (i.toLong, Multimodal.synthWavHeader(i % 2 + 1, rate, if (i % 3 == 0) 8 else 16, i * 100))
+    }
+    val rows = (good :+
+      (90L, "RIFFjunk".getBytes("US-ASCII")) :+                                    // bad magic tail
+      (91L, Multimodal.synthWavHeader(2, 44100, 16, 400).take(30))                 // truncated
+    ).toDF("id", "payload")
+    val got = rows.select(col("id"),
+        Multimodal.wavChannels(col("payload")),
+        Multimodal.wavSampleRate(col("payload")),
+        Multimodal.wavBitsPerSample(col("payload")),
+        Multimodal.wavDataBytes(col("payload")),
+        Multimodal.wavDurationMs(col("payload")))
+      .as[(Long, Option[Int], Option[Long], Option[Int], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    good.foreach { case (id, _) =>
+      val rate = Seq(8000, 16000, 22050, 44100)((id % 4).toInt)
+      val (ch, bits, data) = ((id % 2 + 1).toInt, if (id % 3 == 0) 8 else 16, id * 100)
+      val expectMs = data * 8000 / (rate.toLong * ch * bits)
+      assert(got(id) == ((id, Some(ch), Some(rate.toLong), Some(bits), Some(data), Some(expectMs))), s"id=$id")
+    }
+    assert(got(90L)._2.isEmpty && got(91L)._2.isEmpty)
+  }
+
   test("frameSample keeps every stride-th frame") {
     val frames = Seq(Seq("a", "b", "c", "d", "e").map(_.getBytes("US-ASCII"))).toDF("frames")
     val kept = frames.select(Multimodal.frameSample(col("frames"), 2).as("s"))
