@@ -201,6 +201,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  // ---- asofLookup vs asofBackward on random tables --------------------
+
+  test("property: as-of lookup and sort-merge shapes agree on random keyed time series") {
+    val leftGen = for {
+      oid <- Gen.chooseNum(1L, 2000L); k <- Gen.chooseNum(1L, 8L); t <- Gen.chooseNum(0L, 100L)
+    } yield (oid, k, t)
+    val rightGen = for {
+      k <- Gen.chooseNum(1L, 10L); rt <- Gen.chooseNum(0L, 100L); eid <- Gen.chooseNum(1L, 500L)
+    } yield (k, rt, eid)
+    val l = sampled(Gen.listOfN(120, leftGen)).distinctBy(_._1).toDF("oid", "k", "t")
+    // duplicate (k, rt) rows included on purpose: ties resolve to the
+    // struct-max payload in BOTH shapes
+    val r = sampled(Gen.listOfN(150, rightGen)).toDF("k", "rt", "eid")
+    for (strict <- Seq(false, true)) {
+      val viaMerge = graft.operators.AsofJoin
+        .asofBackward(l, "k", "t", r, "k", "rt", Seq("eid"), strict = strict)
+        .select("oid", "asof_time", "asof_eid")
+        .as[(Long, Option[Long], Option[Long])].collect().sortBy(_._1).toSeq
+      val viaLookup = graft.operators.AsofJoin
+        .asofLookup(l, "k", "t", r, "k", "rt", Seq("eid"), strict = strict)
+        .select("oid", "asof_time", "asof_eid")
+        .as[(Long, Option[Long], Option[Long])].collect().sortBy(_._1).toSeq
+      assert(viaMerge == viaLookup, s"strict=$strict")
+    }
+  }
+
   // ---- topKPerQuery vs the bare window on random scored sets ---------
 
   test("property: salted two-stage top-k equals the bare per-query window on random inputs") {
