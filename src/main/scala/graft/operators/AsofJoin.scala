@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -17,9 +17,10 @@ import org.apache.spark.sql.functions._
   * per-left-row probe, no range-condition BroadcastNestedLoopJoin,
   * which is what a naive `e.ts <= o.ts` θ-join plans. At 100 TB the
   * only hazard is a skewed key (one key's rows sort in one task) —
-  * the standard salting lever applies on the RIGHT side only if the
-  * payload is made mergeable; for key-skewed inputs prefer
-  * sub-bucketing time into coarse epochs first.
+  * [[asofBackwardEpoch]] is the skew-proof variant: identical
+  * semantics, sort partitioned on (key, time-epoch) with carrier
+  * seeding (the struct-max payload is mergeable, which is what makes
+  * the split sound).
   *
   * The matched payload travels as ONE struct column, so all output
   * fields come from the SAME right row even when some payload fields
@@ -78,6 +79,89 @@ object AsofJoin {
       .orderBy(col("_t"), col("_q"), col("_r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = lTagged.unionByName(rTagged, allowMissingColumns = true)
+      .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_q") === 1)
+    val out = left.columns.map(col) :+
+      col("_m._rt").as(prefix + "time") :++
+      payloadCols.map(c => col(s"_m.$c").as(prefix + c))
+    matched.select(out: _*)
+  }
+
+  /** Skew-proof as-of: [[asofBackward]] semantics with the sort
+    * partitioned on (key, time-epoch) instead of key alone — the
+    * hot-key remedy the plain sort-merge cannot offer (one key's
+    * entire history lands in ONE task there). Rows shuffle on
+    * (key, floor(time / epochMs)); each group is seeded with a
+    * CARRIER row holding the cumulative struct-max right payload of
+    * all STRICTLY EARLIER epochs, so the within-group running
+    * `last(payload)` resolves exactly as the global one:
+    *
+    *  - carrier seeds: right best per (key, epoch) (a map-side-
+    *    combined agg), then a per-key running max over epoch-granular
+    *    rows — a window whose groups are #occupied-epochs long,
+    *    bounded by time-range/epochMs, never by row count.
+    *  - carriers sort FIRST in their group (epoch-start time, tag
+    *    below both sides), and being from earlier epochs they are
+    *    valid matches in both strict and inclusive modes.
+    *
+    * Bit-identical to [[asofBackward]] (property-tested on random
+    * series across epoch widths): the payload is struct-max-mergeable
+    * by construction, which is exactly what makes the epoch split
+    * sound. Pick `epochMs` so a hot key's per-epoch row count fits a
+    * task (e.g. a day of ticks), trading two small extra shuffles for
+    * unbounded key-skew tolerance.
+    */
+  def asofBackwardEpoch(
+      left: DataFrame,
+      leftKey: String,
+      leftTime: String,
+      right: DataFrame,
+      rightKey: String,
+      rightTime: String,
+      payloadCols: Seq[String],
+      epochMs: Long,
+      prefix: String = "asof_",
+      strict: Boolean = false
+  ): DataFrame = {
+    require(epochMs > 0, "epochMs must be positive")
+    checkNames(left, payloadCols)
+    require(!left.columns.contains("_e") && !payloadCols.contains("_e"),
+      "AsofJoin reserves the internal column name _e; rename it in the input")
+    // exact floor division for any sign: (t - pmod(t, ep)) is divisible
+    def epochOf(t: Column) = ((t - pmod(t, lit(epochMs))) / lit(epochMs)).cast("long")
+    val rStruct = struct(col(rightTime).as("_rt") +: payloadCols.map(col): _*)
+    val rType = right.select(rStruct.as("_r")).schema.head.dataType
+    val rTagged = right.select(
+      col(rightKey).as("_k"),
+      col(rightTime).as("_t"),
+      lit(if (strict) 2 else 0).as("_q"),
+      rStruct.as("_r"))
+      .withColumn("_e", epochOf(col("_t")))
+    val lTagged = left.select(
+      left.columns.map(col) :+
+        col(leftKey).as("_k") :+ col(leftTime).as("_t") :+
+        lit(1).as("_q") :+ lit(null).cast(rType).as("_r"): _*)
+      .withColumn("_e", epochOf(col("_t")))
+    // cumulative best payload over STRICTLY earlier epochs, evaluated
+    // at every epoch holding a left row: markers (tag 0) sort before
+    // the same epoch's right best (tag 1), so the running max at a
+    // marker sees earlier epochs only
+    val rBest = rTagged.groupBy("_k", "_e").agg(max(col("_r")).as("_b"))
+    val markers = lTagged.select(col("_k"), col("_e")).distinct()
+      .select(col("_k"), col("_e"), lit(0).as("_tag"), lit(null).cast(rType).as("_b"))
+    val wc = Window.partitionBy("_k").orderBy(col("_e"), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seeds = markers.unionByName(rBest.withColumn("_tag", lit(1)))
+      .withColumn("_seed", max(col("_b")).over(wc))
+      .filter(col("_tag") === 0 && col("_seed").isNotNull)
+      .select(col("_k"), col("_e"),
+        (col("_e") * epochMs).as("_t"), lit(-1).as("_q"), col("_seed").as("_r"))
+    val w = Window.partitionBy("_k", "_e")
+      .orderBy(col("_t"), col("_q"), col("_r"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = lTagged
+      .unionByName(rTagged, allowMissingColumns = true)
+      .unionByName(seeds, allowMissingColumns = true)
       .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
       .filter(col("_q") === 1)
     val out = left.columns.map(col) :+

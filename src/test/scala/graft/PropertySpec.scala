@@ -227,6 +227,33 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: epoch-partitioned as-of equals the global sort-merge across epoch widths") {
+    val leftGen = for {
+      oid <- Gen.chooseNum(1L, 4000L); k <- Gen.chooseNum(1L, 6L); t <- Gen.chooseNum(0L, 300L)
+    } yield (oid, k, t)
+    val rightGen = for {
+      k <- Gen.chooseNum(1L, 8L); rt <- Gen.chooseNum(0L, 300L); eid <- Gen.chooseNum(1L, 900L)
+    } yield (k, rt, eid)
+    val l = sampled(Gen.listOfN(150, leftGen)).distinctBy(_._1).toDF("oid", "k", "t")
+    val r = sampled(Gen.listOfN(200, rightGen)).toDF("k", "rt", "eid")
+    for (strict <- Seq(false, true)) {
+      val global = graft.operators.AsofJoin
+        .asofBackward(l, "k", "t", r, "k", "rt", Seq("eid"), strict = strict)
+        .select("oid", "asof_time", "asof_eid")
+        .as[(Long, Option[Long], Option[Long])].collect().sortBy(_._1).toSeq
+      // epoch = 1 (every timestamp its own group — all matches come
+      // from carriers), mid widths, and one spanning the whole range
+      // (degenerates to the global sort-merge)
+      for (epochMs <- Seq(1L, 7L, 50L, 1000L)) {
+        val epoch = graft.operators.AsofJoin
+          .asofBackwardEpoch(l, "k", "t", r, "k", "rt", Seq("eid"), epochMs, strict = strict)
+          .select("oid", "asof_time", "asof_eid")
+          .as[(Long, Option[Long], Option[Long])].collect().sortBy(_._1).toSeq
+        assert(epoch == global, s"strict=$strict epochMs=$epochMs")
+      }
+    }
+  }
+
   // ---- topKPerQuery vs the bare window on random scored sets ---------
 
   test("property: salted two-stage top-k equals the bare per-query window on random inputs") {
