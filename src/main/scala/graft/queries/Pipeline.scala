@@ -524,6 +524,17 @@ object Pipeline {
         Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
         .orderBy("doc_id")
     }),
+    // 46f — budget-bounded corpus selection: best docs (longest,
+    // id tiebreak) kept while the running token total stays within
+    // budget — a global ordered cumsum WITHOUT a single-task window
+    // (range repartition + broadcast prefix offsets)
+    "smp_budget" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      graft.sample.Sampling.budgetSelect(docs, "doc_id", "n_chars", "n_tokens", budget = 20000L)
+        .orderBy("doc_id")
+    }),
     // 46c — exact-k-per-stratum deterministic reservoir: fixed sample
     // sizes (vs smp_sample's fixed rates), ranked on the md5-uniform
     // so the choice is rerun- and partitioning-stable
@@ -1360,6 +1371,16 @@ object Pipeline {
         |    CAST($u32 AS DOUBLE) / 4294967296.0 AS u FROM documents)
         |ORDER BY doc_id""".stripMargin
     },
+    // global ordered cumsum mirror; ROWS frame (the order is total,
+    // but be explicit) and BIGINT cast (DuckDB sums BIGINT to HUGEINT)
+    "smp_budget" ->
+      s"""WITH t AS (SELECT doc_id, n_chars, CAST(len($toksSql) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT *, CAST(sum(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_weight
+        |      FROM t)
+        |SELECT doc_id, n_chars, n_tokens, cum_weight FROM c
+        |WHERE cum_weight <= 20000 ORDER BY doc_id""".stripMargin,
     "smp_reservoir" -> {
       val u32 = """list_reduce(list_prepend(CAST(0 AS BIGINT),
         | list_transform(range(1, 9),

@@ -66,6 +66,50 @@ object Sampling {
       .drop("_u")
   }
 
+  /** Budget-bounded corpus selection: walk the corpus in (scoreCol
+    * DESC, idCol ASC) order and keep rows while the running sum of
+    * `weightCol` stays ≤ `budget` — "take the best documents up to
+    * N tokens", the curation step between scoring and training.
+    *
+    * Scale shape: a GLOBAL ordered cumulative sum without a global
+    * single-task window — range-repartition on the order, per-
+    * partition weight totals collected (one row per partition,
+    * driver-sized by construction), exclusive prefix offsets
+    * broadcast back as a literal CASE, then each partition windows
+    * over its OWN rows only. The range frame is pinned with
+    * localCheckpoint so the offsets and the final pass see the SAME
+    * partition assignment (range boundaries are sampled per
+    * execution; an unpinned recompute could shift rows between
+    * passes). Result is boundary-independent — the total order is
+    * strict (id tiebreak), so the selected set is deterministic.
+    *
+    * Output: the kept rows plus `cum_weight` (the running total
+    * INCLUDING the row). */
+  def budgetSelect(df: DataFrame, idCol: String, scoreCol: String,
+                   weightCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val spark = df.sparkSession
+    val p = spark.sessionState.conf.numShufflePartitions
+    val ranged = df
+      .repartitionByRange(p, col(scoreCol).desc, col(idCol))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val partSums = ranged.groupBy("_pid").agg(sum(col(weightCol)).as("_w"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = partSums.scanLeft(0L)(_ + _._2).init
+    val offsetFor = partSums.map(_._1).zip(offsets).foldLeft(lit(0L)) {
+      case (acc, (pid, off)) => when(col("_pid") === pid, lit(off)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("_pid")
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    ranged
+      .withColumn("cum_weight", sum(col(weightCol)).over(w) + offsetFor)
+      .filter(col("cum_weight") <= budget)
+      .drop("_pid")
+  }
+
   /** Deterministic "reservoir": EXACTLY k rows per stratum, chosen by
     * ranking on the md5-uniform — unlike rate sampling the output
     * size per stratum is fixed, and unlike a true reservoir the

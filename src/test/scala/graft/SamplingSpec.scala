@@ -188,6 +188,23 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("budgetSelect keeps the greedy score-ordered prefix, independent of partitioning") {
+    val rows = (1L to 500L).map(i => (i, (i * 37 % 211) + 1, (i * 13 % 50) + 1)) // (id, score, weight)
+    val df = rows.toDF("doc_id", "score", "wt")
+    val budget = 3000L
+    // scala reference: strict (score desc, id) walk
+    val expect = rows.sortBy { case (id, sc, _) => (-sc, id) }
+      .scanLeft((0L, 0L, 0L, 0L)) { case ((_, _, _, cum), (id, sc, w)) => (id, sc, w, cum + w) }
+      .tail.takeWhile(_._4 <= budget)
+      .map { case (id, _, _, cum) => id -> cum }.toMap
+    for (parts <- Seq(1, 7, 32)) {
+      val got = Sampling.budgetSelect(df.repartition(parts), "doc_id", "score", "wt", budget)
+        .select("doc_id", "cum_weight").as[(Long, Long)].collect().toMap
+      assert(got == expect, s"parts=$parts: got ${got.size}, expect ${expect.size}")
+    }
+    assert(Sampling.budgetSelect(df, "doc_id", "score", "wt", 0L).isEmpty)
+  }
+
   test("deterministicShuffle is partitioning-stable, shards are dense, positions contiguous") {
     val df = (0L until 500L).map(i => Tuple1(i)).toDF("doc_id")
     val a = Sampling.deterministicShuffle(df, "doc_id", numShards = 8)
