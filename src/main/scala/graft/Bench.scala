@@ -11,14 +11,14 @@ import org.apache.spark.sql.SparkSession
   * measured noise band is 3-6× per query on a bad tail, so a single
   * run can misstate the repo's cost by 2× (seen in round 2).
   *
-  * OUTPUT CONTRACT: stdout carries exactly one JSON line, printed
-  * last, and it must fit (together with sbt's trailing "[success]"
-  * line) inside the caller's 2000-char output tail — round 3's line
-  * carried full-precision raw runs, blew past the window, and the
-  * whole round's numbers went unparsed. Values are therefore rounded
-  * adaptively (3→2→1 decimals) until the line fits `lineBudget`;
-  * full-precision raw runs go to `target/bench_detail.json` instead
-  * of stdout.
+  * OUTPUT CONTRACT: the LAST stdout line is a SHORT total-only JSON
+  * object that always fits the caller's output tail — at 97+ queries
+  * even a 1-decimal per-query map outgrew the tail window and round
+  * 7's bench went unparsed (`parsed: null`). The per-query map is
+  * printed on the line BEFORE it (rounded adaptively 3→2→1 decimals
+  * to `lineBudget`), so a tail capture that truncates the detail line
+  * still delivers an intact, parseable last line; full-precision raw
+  * runs go to `target/bench_detail.json`.
   *
   * Failures are never silent: a crashing query records -1 in
   * "queries" and its exception (control-chars stripped — raw Spark
@@ -109,6 +109,11 @@ object Bench {
     }
     val out = (3 to 1 by -1).map(line).find(_.length <= lineBudget).getOrElse(line(1))
     println(out)
+    // the driver-facing line, printed LAST: total-only, no per-query
+    // map — bounded length at ANY query count, so the tail window can
+    // never lose it (errors surface as a count; details in the lines
+    // above and in target/bench_detail.json)
+    println(s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","n_queries":${mins.size},"n_errors":${errors.size},"n_runs":$nRuns,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

@@ -211,20 +211,24 @@ object Dedup {
     *
     * Shape: eval shingles reduce to a DISTINCT n-gram set first (eval
     * sets are benchmark-sized — thousands of docs — so the distinct
-    * set broadcasts; the train side, the 100 TB side, is touched once:
-    * explode → semi-join → distinct doc ids → anti-join back). If an
-    * eval set ever outgrows the broadcast threshold the semi-join
-    * degrades to a shuffle on the n-gram key — still never all-pairs.
-    * Short docs (< n tokens) shingle to their whole text, so they are
-    * matched on full-text equality — strictly conservative.
+    * set broadcasts by default; the train side, the 100 TB side, is
+    * touched once: explode → semi-join → distinct doc ids → anti-join
+    * back). `broadcastEval = true` (default) FORCES the broadcast —
+    * the eval gram set must then fit executor memory; pass `false`
+    * for an outsized eval set and the semi-join runs as a shuffle on
+    * the n-gram key instead — still never all-pairs. Short docs
+    * (< n tokens) shingle to their whole text, so they are matched on
+    * full-text equality — strictly conservative.
     */
   def decontaminate(train: DataFrame, trainId: String, trainText: String,
-                    eval: DataFrame, evalText: String, n: Int = 8): DataFrame = {
-    val evalGrams = eval
+                    eval: DataFrame, evalText: String, n: Int = 8,
+                    broadcastEval: Boolean = true): DataFrame = {
+    val evalGrams0 = eval
       .select(explode(shingles(col(evalText), n)).as("_gram")).distinct()
+    val evalGrams = if (broadcastEval) broadcast(evalGrams0) else evalGrams0
     val contaminated = train
       .select(col(trainId), explode(shingles(col(trainText), n)).as("_gram"))
-      .join(broadcast(evalGrams), "_gram")
+      .join(evalGrams, "_gram")
       .select(trainId).distinct()
     train.join(contaminated, Seq(trainId), "left_anti")
   }

@@ -139,13 +139,22 @@ object Multimodal {
     when(isWav(payload), leU32(payload, 41)).otherwise(lit(null).cast("long"))
 
   /** Duration in milliseconds from the parsed header fields — exact
-    * integer arithmetic (data_bytes·8000 / (rate·channels·bits)), so
-    * the value replicates bit-for-bit in any engine with 64-bit
-    * integer division. */
+    * integer arithmetic (data_bytes·8000 DIV (rate·channels·bits)),
+    * so the value replicates bit-for-bit in any engine with 64-bit
+    * integer division. The quotient is computed as (a − a mod b) / b:
+    * the numerator is then an exact multiple of b and both operands
+    * are ≪ 2⁵³, so the IEEE division is exact for ALL header values —
+    * true integer division, not double-division-then-floor (which is
+    * only floor-exact while the quotient stays clear of a double
+    * ulp). */
   def wavDurationMs(payload: Column): Column =
     when(isWav(payload),
-      (wavDataBytes(payload) * lit(8000L)) /
-        (wavSampleRate(payload) * wavChannels(payload) * wavBitsPerSample(payload)))
+      graft.ColumnOps.let(wavDataBytes(payload) * lit(8000L)) { a =>
+        graft.ColumnOps.let(
+          wavSampleRate(payload) * wavChannels(payload) * wavBitsPerSample(payload)) { b =>
+          (a - pmod(a, b)) / b
+        }
+      })
       .otherwise(lit(null)).cast("long")
 
   /** Canonical 44-byte PCM WAV header for synthetic payloads

@@ -312,14 +312,21 @@ object Pipeline {
     // lists prune the corpus to nprobe cells per query before the ADC
     // LUT probe, so a query touches ~nprobe/k_cells of the encoded
     // corpus and never a corpus float — the true 100 TB ANN serving
-    // shape. Same deterministic stride seeding as sim_ann_ivf/emb_pq,
-    // so the whole composition replicates in SQL; fully oracle-checked
+    // shape. The codes are encoded from the ASSIGNED frame so they
+    // leave the encode already cell-keyed (the IvfIndex.buildPq
+    // at-rest layout): the probe is a direct cell equi-join on the
+    // encoded side — the corpus is pruned BEFORE any shuffle, never
+    // id-joined corpus-wide. Same deterministic stride seeding as
+    // sim_ann_ivf/emb_pq, so the whole composition replicates in SQL;
+    // fully oracle-checked
     "sim_ann_ivfpq" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", 16)
       val assigned = Similarity.ivfAssign(e, "vec_id", "embedding", cents)
       val cb = Similarity.pqCodebook(e, "vec_id", "embedding", dim = 64, m = 4, k = 16)
-      val enc = Similarity.pqEncode(e, "vec_id", "embedding", cb)
+      val enc = Similarity.pqEncode(
+        assigned.select(col("id").as("vec_id"), col("vec").as("embedding"), col("cell")),
+        "vec_id", "embedding", cb, carry = Seq("cell"))
       Similarity.pqIvfSearch(enc, cb, assigned, cents,
         e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", nprobe = 2, k = 5)
         .orderBy("query_id", "approx_d2_fp6", "id")

@@ -88,13 +88,28 @@ object Sampling {
   def budgetSelect(df: DataFrame, idCol: String, scoreCol: String,
                    weightCol: String, budget: Long): DataFrame = {
     require(budget >= 0, "budget must be non-negative")
+    // weights must be integral and the running total exact — a double
+    // weight column would silently truncate per-partition sums
+    val wType = df.schema(weightCol).dataType
+    require(Seq("byte", "short", "integer", "long").contains(wType.typeName),
+      s"budgetSelect: weight column `$weightCol` must be an integral type, got $wType")
     val spark = df.sparkSession
     val p = spark.sessionState.conf.numShufflePartitions
+    // the per-partition offset table is collected: one row per shuffle
+    // partition — driver-sized at any sane parallelism (a 1000-executor
+    // job runs 10³-10⁴ partitions; the 8-byte rows are nothing). Warn
+    // past 10⁵ partitions: the offset when-chain and the collect are
+    // both linear in p, so a pathological partition count belongs in a
+    // coarser repartitionByRange, not here.
+    if (p > 100000)
+      System.err.println(s"WARN budgetSelect: $p shuffle partitions — the per-partition " +
+        "offset table is linear in partition count; consider a coarser range partitioning")
     val ranged = df
       .repartitionByRange(p, col(scoreCol).desc, col(idCol))
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint()
-    val partSums = ranged.groupBy("_pid").agg(sum(col(weightCol)).as("_w"))
+    val partSums = ranged.groupBy("_pid")
+      .agg(coalesce(sum(col(weightCol)).cast("long"), lit(0L)).as("_w"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = partSums.scanLeft(0L)(_ + _._2).init
     val offsetFor = partSums.map(_._1).zip(offsets).foldLeft(lit(0L)) {

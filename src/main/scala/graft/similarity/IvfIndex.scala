@@ -99,14 +99,18 @@ object IvfIndex {
       .write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
     // a PQ layer must not go stale: encode the new vectors with the
     // index's FROZEN codebook (same contract as the frozen centroids)
-    // and append their codes to the probed layout
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/codebook"))) {
+    // and append their codes to the probed layout. Resolve the
+    // filesystem FROM the index path (not the default FS) so an index
+    // on a non-default scheme (s3a:// with an HDFS default, say)
+    // doesn't throw 'Wrong FS' here.
+    val cbPath = new org.apache.hadoop.fs.Path(s"$path/codebook")
+    val fs = cbPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(cbPath)) {
       val cb = spark.read.parquet(s"$path/codebook")
-      Similarity.pqEncode(newData, idCol, vecCol, cb)
-        .select(col("id"), col("sub"), col("code"))
-        .join(assigned.select(col("id"), col("cell")), "id")
+      // encode the ASSIGNED frame: codes leave the encode cell-keyed —
+      // no corpus-wide id join-back
+      Similarity.pqEncode(assigned, "id", "vec", cb, carry = Seq("cell"))
+        .select(col("id"), col("sub"), col("code"), col("cell"))
         .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
     }
     newData.count()
@@ -141,6 +145,50 @@ object IvfIndex {
     cents.count()
   }
 
+  /** Read the blue/green pointer: a tiny text file naming the ACTIVE
+    * index root. Serving jobs resolve it per batch; the maintenance
+    * job flips it after a rebuild lands ([[flipPointer]]). */
+  def readPointer(spark: SparkSession, pointerPath: String): String = {
+    val p = new org.apache.hadoop.fs.Path(pointerPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+  }
+
+  /** Atomically point `pointerPath` at `indexPath`: write a temp file,
+    * then FileContext.rename with OVERWRITE — readers see the old or
+    * the new path, never a torn write. The filesystem is resolved
+    * from the pointer's own path (not the default FS). */
+  def flipPointer(spark: SparkSession, pointerPath: String, indexPath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(pointerPath)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(pointerPath + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(indexPath.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** The scheduled drift job [[append]]'s frozen-centroid contract
+    * calls for: when the served index's [[skewRatio]] crosses
+    * `threshold`, re-center into `destPath` ([[recenter]] — blue/green,
+    * the old index keeps serving throughout) and flip the pointer.
+    * Returns the measured skew and whether a flip happened — a no-op
+    * run (skew under threshold) costs one per-cell count aggregate. */
+  def recenterIfSkewed(spark: SparkSession, pointerPath: String, destPath: String,
+                       kCells: Int, threshold: Double, iters: Int = 3): (Double, Boolean) = {
+    val src = readPointer(spark, pointerPath)
+    val skew = skewRatio(spark, src)
+    if (skew <= threshold) (skew, false)
+    else {
+      recenter(spark, src, destPath, kCells, iters)
+      flipPointer(spark, pointerPath, destPath)
+      (skew, true)
+    }
+  }
+
   /** Extend a built index with PQ: the codebook (m×k rows) plus every
     * vector's codes partitioned by IVF cell — IVF-PQ at rest.
     * `codes/` rows are (id, sub, code, cell); a probe then reads
@@ -170,7 +218,31 @@ object IvfIndex {
       .filter(col("cell").isin(cells: _*))
       .withColumn("cell", col("cell").cast("long"))
     val assigned = codes.select(col("id"), col("cell")).distinct()
-    Similarity.pqIvfSearch(codes.select(col("id"), col("sub"), col("code")), cb,
+    // codes keep their cell: the in-memory probe is the same direct
+    // cell equi-join as the at-rest partition pruning (`assigned` is
+    // passed for the API but unused on this path)
+    Similarity.pqIvfSearch(codes.select(col("id"), col("sub"), col("code"), col("cell")), cb,
       assigned, cents, queries, idCol, vecCol, nprobe, k)
+  }
+}
+
+/** Scheduled-maintenance entry point: run from cron/orchestration as
+  * `IvfMaintain <pointerFile> <destPath> <kCells> <skewThreshold>`.
+  * Measures the served index's cell-size skew and, past the
+  * threshold, rebuilds into `destPath` and flips the pointer
+  * ([[IvfIndex.recenterIfSkewed]]). Prints one JSON status line. */
+object IvfMaintain {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 4,
+      "usage: IvfMaintain <pointerFile> <destPath> <kCells> <skewThreshold> [iters]")
+    val Array(pointer, dest, kCells, threshold) = args.take(4)
+    val iters = if (args.length > 4) args(4).toInt else 3
+    val spark = SparkSession.builder()
+      .withExtensions(graft.functions.GraftFunctions.register)
+      .getOrCreate()
+    val (skew, flipped) =
+      IvfIndex.recenterIfSkewed(spark, pointer, dest, kCells.toInt, threshold.toDouble, iters)
+    println(s"""{"skew":$skew,"flipped":$flipped,"active":"${IvfIndex.readPointer(spark, pointer)}"}""")
+    spark.stop()
   }
 }

@@ -14,6 +14,20 @@ import graft.text.TextAnalysis
   */
 object Similarity {
 
+  /** Max entries a literal argmin/argmax when-chain may inline before
+    * the codegen constant-footprint path takes over. Below the cap the
+    * chain stays fully whole-stage-codegen'd (each centroid/code is a
+    * bound column); above it the same arithmetic runs as a `transform`
+    * over ONE array literal + `array_max`/`array_min` — generated code
+    * size is then constant in k, so production cell counts (10³-10⁴)
+    * can never hit the JVM's 64 KB method limit (which silently drops
+    * the whole stage to interpreted eval). Results are bit-identical
+    * between the two paths for finite cosines/distances; all-NaN rows
+    * (zero vectors) tie-break differently (when-chain: last id; argmax
+    * path: min id) — degenerate inputs both paths document away.
+    */
+  private[graft] val InlineChainCap = 128
+
   /** Strict sequential double dot product of two float arrays —
     * the native codegen'd expression (graft.functions.DotProductExpr),
     * bit-identical to the HOF form
@@ -30,7 +44,7 @@ object Similarity {
     * Output: id, cos_fp6, ordered desc with id tiebreak.
     */
   def topK(df: DataFrame, idCol: String, vecCol: String, query: Seq[Float], k: Int): DataFrame = {
-    val q = array(query.map(v => lit(v)): _*)
+    val q = typedLit(query)
     df.select(col(idCol), TextAnalysis.fp(cosine(col(vecCol), q), 6).as("cos_fp6"))
       .orderBy(col("cos_fp6").desc, col(idCol))
       .limit(k)
@@ -61,7 +75,9 @@ object Similarity {
     * (left-fold of per-dim double products) behind lshBucket's sign
     * bits, shared so multi-probe margins match the bucket bits. */
   def planeProjection(vec: Column, p: Int, dim: Int): Column = {
-    val plane = array((0 until dim).map(d => lit(planeComponentValue(p, d))): _*)
+    // ONE array literal (constant reference in codegen), not a
+    // CreateArray of dim per-element stores — see [[InlineChainCap]]
+    val plane = typedLit((0 until dim).map(d => planeComponentValue(p, d)))
     aggregate(
       zip_with(vec, plane, (x, c) => x.cast("double") * c),
       lit(0.0),
@@ -236,15 +252,36 @@ object Similarity {
       .sortBy(_._1) // ascending id so the when-chain tie-break = window's (cos desc, id asc)
     require(cents.nonEmpty, "ivfAssign: empty centroid table")
     val staged = data.select(col(idCol).as("id"), col(vecCol).as("vec"), norm(col(vecCol)).as("nrm"))
-    val scored = staged.select(
-      col("id") +: col("vec") +: col("nrm") +: cents.toSeq.map { case (cid, cvec, cnrm) =>
-        (dot(col("vec"), array(cvec.map(v => lit(v)): _*)) / (col("nrm") * lit(cnrm))).as(s"_c$cid")
-      }: _*)
-    val best = cents.map { case (cid, _, _) => col(s"_c$cid") }.reduce((a, b) => greatest(a, b))
-    val cell = cents.foldRight(lit(cents.last._1)) { case ((cid, _, _), acc) =>
-      when(col(s"_c$cid") === best, lit(cid)).otherwise(acc)
+    if (cents.length <= InlineChainCap) {
+      // fully codegen'd: per-centroid cosines as bound columns (the
+      // centroid vectors are array LITERALS — constant references in
+      // the generated code, not per-element stores), argmax when-chain
+      val scored = staged.select(
+        col("id") +: col("vec") +: col("nrm") +: cents.toSeq.map { case (cid, cvec, cnrm) =>
+          (dot(col("vec"), typedLit(cvec)) / (col("nrm") * lit(cnrm))).as(s"_c$cid")
+        }: _*)
+      // stage the max as a bound column too: inlining the k-way
+      // greatest tree into every when-branch would re-emit it k times
+      // (codegen CSE doesn't reach every consumer node) — the 64 KB
+      // killer the chain cap exists to prevent
+      val withBest = scored.select(col("*"),
+        cents.map { case (cid, _, _) => col(s"_c$cid") }.reduce((a, b) => greatest(a, b)).as("_b"))
+      val cell = cents.foldRight(lit(cents.last._1)) { case ((cid, _, _), acc) =>
+        when(col(s"_c$cid") === col("_b"), lit(cid)).otherwise(acc)
+      }
+      withBest.select(col("id"), col("vec"), cell.as("cell"), col("nrm"))
+    } else {
+      // constant-footprint path for production cell counts: the whole
+      // centroid table is ONE array-of-struct literal; argmax over
+      // struct(cos, -cid) = (max cos, then min cid) — the same
+      // tie-break as the when-chain. Generated code is O(1) in k.
+      val centArr = typedLit(cents.toSeq.map { case (cid, cvec, cnrm) => (cid, cvec, cnrm) })
+      val cell = graft.ColumnOps.let(array_max(transform(centArr, c =>
+        struct(
+          (dot(col("vec"), c.getField("_2")) / (col("nrm") * c.getField("_3"))).as("cos"),
+          (-c.getField("_1")).as("negid"))))) { best => -best.getField("negid") }
+      staged.select(col("id"), col("vec"), cell.as("cell"), col("nrm"))
     }
-    scored.select(col("id"), col("vec"), cell.as("cell"), col("nrm"))
   }
 
   /** Exact per-query top-k without a corpus-sized single-task sort.
@@ -268,6 +305,14 @@ object Similarity {
     */
   def topKPerQuery(scored: DataFrame, k: Int, order: Seq[Column],
                    fanout: Int = 0): DataFrame = {
+    // the salt keys on `id`; the two ranking stages stage through
+    // _salt/_lrk/rk — reject collisions instead of silently replacing
+    // caller columns (same reserved-name contract as AsofJoin/RangeJoin)
+    require(scored.columns.contains("id"),
+      "topKPerQuery: input must carry an `id` column (the salt key)")
+    Seq("_salt", "_lrk", "rk").foreach(n =>
+      require(!scored.columns.contains(n),
+        s"topKPerQuery: input column `$n` collides with a reserved staging name"))
     val f =
       if (fanout > 0) fanout
       else scored.sparkSession.sessionState.conf.numShufflePartitions
@@ -371,43 +416,87 @@ object Similarity {
     * with the constant c·c folded at plan-build time, so each code
     * costs ONE dot product against the staged slice.
     *
-    * Output: (id, sub, code, d2_fp6) — m rows per vector (exploded,
-    * oracle-friendly); callers needing the packed form group to
-    * `array_agg(code ORDER BY sub)`. At 100 TB this is the 4×-8×
-    * storage-compression pass before ANN serving; the encode itself
-    * is embarrassingly parallel.
+    * Output: (id, [carry...,] sub, code, d2_fp6) — m rows per vector
+    * (exploded, oracle-friendly); callers needing the packed form
+    * group to `array_agg(code ORDER BY sub)`. At 100 TB this is the
+    * 4×-8× storage-compression pass before ANN serving; the encode
+    * itself is embarrassingly parallel.
+    *
+    * `carry` names input columns to carry through unchanged — pass the
+    * IVF `cell` of an [[ivfAssign]]'ed frame so the codes leave the
+    * encode already cell-keyed (the [[IvfIndex.buildPq]] at-rest
+    * layout), letting [[pqIvfSearch]] prune cells with NO corpus-wide
+    * id join.
     */
   def pqEncode(data: DataFrame, idCol: String, vecCol: String,
-               codebook: DataFrame): DataFrame = {
+               codebook: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val cb = codebook.select(col("sub"), col("code"), col("cvec")).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
       .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
     require(cb.nonEmpty, "pqEncode: empty codebook")
     val m = cb.size
     val subLen = cb.head._2.head._3.length
+    val carryCols = carry.map(col)
     val staged = data.select(
-      col(idCol).as("id") +: (0 until m).map(s =>
+      (col(idCol).as("id") +: carryCols) ++ (0 until m).map(s =>
         slice(col(vecCol), s * subLen + 1, subLen).as(s"_s$s")): _*)
-    // per (sub, code): d2 staged as a bound column, then the argmin
-    // when-chain reads bound attributes (no re-evaluation)
-    val scored = staged.select(
-      col("id") +: (0 until m).flatMap { s =>
-        cb(s).map { case (_, code, cvec) =>
-          val c = array(cvec.map(v => lit(v)): _*)
-          val cc = cvec.map(v => v.toDouble * v.toDouble).sum
-          (dot(col(s"_s$s"), col(s"_s$s")) - lit(2.0) * dot(col(s"_s$s"), c) + lit(cc)).as(s"_d${s}_$code")
-        }
+    val kCodes = cb.valuesIterator.map(_.size).max
+    val outCols = Seq(col("e.sub").as("sub"), col("e.code").as("code"), col("e.d2_fp6").as("d2_fp6"))
+    if (kCodes <= InlineChainCap) {
+      // per (sub, code): d2 staged as a bound column (the codebook
+      // entry is an array LITERAL — a constant reference in codegen,
+      // not per-element stores), then the argmin when-chain reads
+      // bound attributes (no re-evaluation)
+      val scored = staged.select(
+        (col("id") +: carryCols) ++ (0 until m).flatMap { s =>
+          cb(s).map { case (_, code, cvec) =>
+            val c = typedLit(cvec)
+            val cc = cvec.map(v => v.toDouble * v.toDouble).sum
+            (dot(col(s"_s$s"), col(s"_s$s")) - lit(2.0) * dot(col(s"_s$s"), c) + lit(cc)).as(s"_d${s}_$code")
+          }
+        }: _*)
+      // stage each subspace's min as a bound column: the explode's
+      // generator gets NO codegen subexpression elimination, so an
+      // inlined k-way least tree would re-emit per when-branch — the
+      // 64 KB killer (seen at m=4, k=16 before this staging)
+      val withBest = scored.select(col("*") +: (0 until m).map { s =>
+        cb(s).map { case (_, code, _) => col(s"_d${s}_$code") }
+          .reduce(least(_, _)).as(s"_b$s")
       }: _*)
-    val subRows = (0 until m).map { s =>
-      val ds = cb(s).map { case (_, code, _) => col(s"_d${s}_$code") }
-      val best = ds.reduce(least(_, _))
-      val code = cb(s).foldRight(lit(cb(s).last._2)) { case ((_, c, _), acc) =>
-        when(col(s"_d${s}_$c") === best, lit(c)).otherwise(acc)
+      val subRows = (0 until m).map { s =>
+        val code = cb(s).foldRight(lit(cb(s).last._2)) { case ((_, c, _), acc) =>
+          when(col(s"_d${s}_$c") === col(s"_b$s"), lit(c)).otherwise(acc)
+        }
+        struct(lit(s).as("sub"), code.as("code"), TextAnalysis.fp(col(s"_b$s"), 6).as("d2_fp6"))
       }
-      struct(lit(s).as("sub"), code.as("code"), TextAnalysis.fp(best, 6).as("d2_fp6"))
+      withBest.select((col("id") +: carryCols) :+ explode(array(subRows: _*)).as("e"): _*)
+        .select((col("id") +: carryCols) ++ outCols: _*)
+    } else {
+      // constant-footprint path for production code counts: each
+      // subspace's codebook is ONE array-of-struct literal; argmin via
+      // array_min(struct(d2, code)) = (min d2, then min code) — the
+      // same tie-break as the when-chain; generated code O(1) in k.
+      // x·x is staged through a let so it folds once, not per entry.
+      val subRows = (0 until m).map { s =>
+        val entries = typedLit(cb(s).toSeq.map { case (_, code, cvec) =>
+          (code, cvec, cvec.map(v => v.toDouble * v.toDouble).sum)
+        })
+        val argmin = graft.ColumnOps.let(dot(col(s"_s$s"), col(s"_s$s"))) { xx =>
+          array_min(transform(entries, e =>
+            struct(
+              (xx - lit(2.0) * dot(col(s"_s$s"), e.getField("_2")) + e.getField("_3")).as("d2"),
+              e.getField("_1").as("code"))))
+        }
+        // bind the argmin once — each getField would otherwise re-run
+        // the whole k-entry scan (no CSE inside HOF lambdas)
+        graft.ColumnOps.let(argmin) { best =>
+          struct(lit(s).as("sub"), best.getField("code").as("code"),
+            TextAnalysis.fp(best.getField("d2"), 6).as("d2_fp6"))
+        }
+      }
+      staged.select((col("id") +: carryCols) :+ explode(array(subRows: _*)).as("e"): _*)
+        .select((col("id") +: carryCols) ++ outCols: _*)
     }
-    scored.select(col("id"), explode(array(subRows: _*)).as("e"))
-      .select(col("id"), col("e.sub").as("sub"), col("e.code").as("code"), col("e.d2_fp6").as("d2_fp6"))
   }
 
   /** PQ-ADC (asymmetric distance) ANN search over [[pqEncode]] codes:
@@ -439,7 +528,7 @@ object Similarity {
   def pqSearch(encoded: DataFrame, codebook: DataFrame,
                queries: DataFrame, idCol: String, vecCol: String,
                k: Int, maxLutBroadcastBytes: Long = 64L << 20): DataFrame = {
-    val lutSide = pqLut(codebook, queries, idCol, vecCol, maxLutBroadcastBytes)
+    val (lutSide, _) = pqLut(codebook, queries, idCol, vecCol, maxLutBroadcastBytes)
     val scored = encoded.select(col("id"), col("sub"), col("code"))
       .join(lutSide, Seq("sub", "code"))
       .filter(col("query_id") =!= col("id"))
@@ -461,22 +550,39 @@ object Similarity {
     */
   private def pqLut(codebook: DataFrame, queries: DataFrame,
                     idCol: String, vecCol: String,
-                    maxLutBroadcastBytes: Long): DataFrame = {
+                    maxLutBroadcastBytes: Long): (DataFrame, Boolean) = {
     val cb = codebook.select(col("sub"), col("code"), col("cvec")).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
     require(cb.nonEmpty, "pqLut: empty codebook")
     val subLen = cb.head._3.length
-    val entries = cb.map { case (s, c, cvec) =>
-      val cArr = array(cvec.map(v => lit(v)): _*)
-      val cc = cvec.map(v => v.toDouble * v.toDouble).sum
-      struct(lit(s).as("sub"), lit(c).as("code"),
-        graft.ColumnOps.let(slice(col("_qv"), s * subLen + 1, subLen)) { x =>
-          TextAnalysis.fp(dot(x, x) - lit(2.0) * dot(x, cArr) + lit(cc), 6)
-        }.as("pd6"))
-    }
-    val lut = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
-      .select(col("query_id"), explode(array(entries: _*)).as("e"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val exploded =
+      if (cb.length <= InlineChainCap) {
+        // per-entry bound structs; codebook vectors are array literals
+        val entries = cb.map { case (s, c, cvec) =>
+          val cArr = typedLit(cvec)
+          val cc = cvec.map(v => v.toDouble * v.toDouble).sum
+          struct(lit(s).as("sub"), lit(c).as("code"),
+            graft.ColumnOps.let(slice(col("_qv"), s * subLen + 1, subLen)) { x =>
+              TextAnalysis.fp(dot(x, x) - lit(2.0) * dot(x, cArr) + lit(cc), 6)
+            }.as("pd6"))
+        }
+        qv.select(col("query_id"), explode(array(entries: _*)).as("e"))
+      } else {
+        // constant-footprint path: the whole m×k codebook is ONE
+        // array-of-struct literal; the entry LUT rows come from a
+        // transform over it — generated code O(1) in m·k
+        val entArr = typedLit(cb.toSeq.map { case (s, c, cvec) =>
+          (s, c, cvec, cvec.map(v => v.toDouble * v.toDouble).sum)
+        })
+        val rows = transform(entArr, e =>
+          struct(e.getField("_1").as("sub"), e.getField("_2").as("code"),
+            graft.ColumnOps.let(slice(col("_qv"), e.getField("_1") * lit(subLen) + lit(1), lit(subLen))) { x =>
+              TextAnalysis.fp(dot(x, x) - lit(2.0) * dot(x, e.getField("_3")) + e.getField("_4"), 6)
+            }.as("pd6")))
+        qv.select(col("query_id"), explode(rows).as("e"))
+      }
+    val lut = exploded
       .select(col("query_id"), col("e.sub").as("sub"), col("e.code").as("code"), col("e.pd6").as("pd6"))
     // estimate LUT bytes from the query plan's stats: rows ≈
     // sizeInBytes / (4·dim + 24), LUT row ≈ 32 bytes × m·k per query
@@ -484,7 +590,8 @@ object Similarity {
     val qRowBytes = 4L * m * subLen + 24L
     val qBytes = queries.queryExecution.optimizedPlan.stats.sizeInBytes
     val lutBytes = (qBytes / qRowBytes).max(1) * (32L * cb.length)
-    if (lutBytes <= maxLutBroadcastBytes) broadcast(lut) else lut
+    val small = lutBytes <= maxLutBroadcastBytes
+    (if (small) broadcast(lut) else lut, small)
   }
 
   /** IVF-pruned PQ-ADC probe search — the composition the two indexes
@@ -497,10 +604,22 @@ object Similarity {
     * float — true ANN at 100 TB, where [[pqSearch]] alone is an
     * (ADC-cheap but) full-corpus scan per query batch.
     *
+    * When `encoded` carries a `cell` column ([[pqEncode]] with
+    * `carry = Seq("cell")` over an [[ivfAssign]]'ed frame — the same
+    * layout [[IvfIndex.buildPq]] persists at rest), the probe is a
+    * DIRECT cell equi-join against the (queries × nprobe)-row probe
+    * table: the corpus-sized code side is pruned to the probed cells
+    * BEFORE any shuffle, and `assigned` is not read at all. Without a
+    * cell column, the (id, cell) index is pruned first
+    * (`assigned ⋈ probes` — the small side) and only then joined to
+    * the codes on id; prefer the cell-carrying layout at scale, where
+    * that id join still shuffles the full encoded corpus.
+    *
     * `assigned` is [[ivfAssign]]'s (id, cell) inverted index over the
-    * same ids as `encoded`; distances and tie-breaks are bit-identical
-    * to [[pqSearch]] restricted to the probed cells, so recall
-    * composes exactly like [[ivfSearch]]'s.
+    * same ids as `encoded` (unused when `encoded` has `cell`);
+    * distances and tie-breaks are bit-identical to [[pqSearch]]
+    * restricted to the probed cells, so recall composes exactly like
+    * [[ivfSearch]]'s.
     *
     * Output: (query_id, id, approx_d2_fp6) — top-k per query by
     * ascending approximate distance, ties to min id.
@@ -512,20 +631,28 @@ object Similarity {
                   maxLutBroadcastBytes: Long = 64L << 20): DataFrame = {
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("_cos").desc, col("centroid_id"))
-    val probes = queries
+    val probes0 = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"), norm(col(vecCol)).as("qnrm"))
       .crossJoin(broadcast(centroids))
       .withColumn("_cos", dot(col("qvec"), col("cvec")) / (col("qnrm") * col("cnrm")))
       .withColumn("_rk", row_number().over(wq))
       .filter(col("_rk") <= nprobe)
       .select(col("query_id"), col("centroid_id").as("cell"))
-    val lutSide = pqLut(codebook, queries, idCol, vecCol, maxLutBroadcastBytes)
+    val (lutSide, lutSmall) = pqLut(codebook, queries, idCol, vecCol, maxLutBroadcastBytes)
+    // the probe table is (queries × nprobe) rows — strictly smaller
+    // than the LUT (queries × m·k), so it broadcasts whenever the LUT
+    // does; above the threshold both degrade to shuffled joins
+    val probes = if (lutSmall) broadcast(probes0) else probes0
     // prune first (cell equi-join), then ADC-score the survivors: the
     // LUT probe runs over nprobe cells' members, not the corpus
-    val cand = encoded.select(col("id"), col("sub"), col("code"))
-      .join(assigned.select(col("id"), col("cell")), "id")
-      .join(probes, "cell")
-      .filter(col("query_id") =!= col("id"))
+    val cand =
+      (if (encoded.columns.contains("cell"))
+         encoded.select(col("id"), col("sub"), col("code"), col("cell"))
+           .join(probes, "cell")
+       else
+         encoded.select(col("id"), col("sub"), col("code"))
+           .join(assigned.select(col("id"), col("cell")).join(probes, "cell"), "id"))
+        .filter(col("query_id") =!= col("id"))
     val scored = cand
       .join(lutSide, Seq("query_id", "sub", "code"))
       .groupBy("query_id", "id")

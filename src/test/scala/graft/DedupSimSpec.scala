@@ -670,4 +670,85 @@ class DedupSimSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(11L, 13L))
   }
+
+  test("pqIvfSearch over cell-carrying codes prunes on cell and never reads the (id,cell) index") {
+    val emb = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 8)
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", cents).cache()
+    val cb = Similarity.pqCodebook(emb, "vec_id", "embedding", dim = 64, m = 4, k = 16)
+    // legacy layout: codes without cell → pruned via the (id, cell) index
+    val encPlain = Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+    val legacy = Similarity.pqIvfSearch(encPlain, cb, assigned, cents, queries,
+        "vec_id", "embedding", nprobe = 2, k = 5)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._3, r._2)).toSeq
+    // cell-carrying layout: encode the ASSIGNED frame (IvfIndex.buildPq
+    // at-rest shape); `assigned` is passed as null — the probe must be
+    // a direct cell equi-join that never touches it (an id join-back
+    // would NPE here)
+    val encCell = Similarity.pqEncode(
+      assigned.select(col("id").as("vec_id"), col("vec").as("embedding"), col("cell")),
+      "vec_id", "embedding", cb, carry = Seq("cell"))
+    assert(encCell.columns.contains("cell"))
+    val direct = Similarity.pqIvfSearch(encCell, cb, null, cents, queries,
+      "vec_id", "embedding", nprobe = 2, k = 5)
+    val got = direct.as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._3, r._2)).toSeq
+    assert(got == legacy, "cell-pruned path diverged from the id-index path")
+    // plan shape: the codes side joins on cell (the prune), and no
+    // join condition equates two id columns before aggregation — the
+    // corpus-wide id shuffle of the legacy path is gone
+    val joins = direct.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j.condition.map(_.sql).getOrElse("")
+    }
+    assert(joins.exists(_.contains("cell")), s"no cell join in:\n$joins")
+    assert(!joins.exists(c => c.contains("id") && !c.contains("query_id") && !c.contains("cell")),
+      s"unexpected id-only join in:\n$joins")
+    assigned.unpersist()
+  }
+
+  test("ivfAssign/pqEncode above the inline cap: constant-footprint path is bit-equal") {
+    val emb = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet").cache()
+    val n = emb.count()
+    // force > InlineChainCap centroids (stride pick with a tiny stride)
+    val kBig = Similarity.InlineChainCap * 2
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", kBig)
+    val nCents = cents.count()
+    assert(nCents > Similarity.InlineChainCap, s"need > cap centroids, got $nCents of $n rows")
+    val hof = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+      .select("id", "cell").as[(Long, Long)].collect().toMap
+    // independent argmax oracle: broadcast-join + window rank (the
+    // pre-round-7 shape — slow but obviously correct)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+      .orderBy(col("_cos").desc, col("centroid_id"))
+    val ref = emb.select(col("vec_id").as("id"), col("embedding").as("vec"),
+        Similarity.norm(col("embedding")).as("nrm"))
+      .crossJoin(broadcast(cents))
+      .withColumn("_cos", Similarity.dot(col("vec"), col("cvec")) / (col("nrm") * col("cnrm")))
+      .withColumn("_rk", row_number().over(w)).filter(col("_rk") === 1)
+      .select(col("id"), col("centroid_id")).as[(Long, Long)].collect().toMap
+    assert(hof == ref, "constant-footprint ivfAssign diverged from the window argmax")
+    // pqEncode above the cap: argmin against the brute-force reference
+    val cbBig = Similarity.pqCodebook(emb, "vec_id", "embedding", dim = 64, m = 4, k = kBig)
+    val kCodes = cbBig.select("code").distinct().count()
+    assert(kCodes > Similarity.InlineChainCap, s"need > cap codes, got $kCodes")
+    val cbRows = cbBig.as[(Int, Int, Seq[Float])].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val encoded = Similarity.pqEncode(emb, "vec_id", "embedding", cbBig)
+      .select("id", "sub", "code").as[(Long, Int, Int)].collect()
+      .groupBy(r => (r._1, r._2)).view.mapValues(_.head._3).toMap
+    val vecs = emb.select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    vecs.take(40).foreach { case (id, v) =>
+      (0 until 4).foreach { s =>
+        val x = v.slice(s * 16, s * 16 + 16).map(_.toDouble)
+        val best = cbRows(s).map { case (_, code, c) =>
+          val xx = x.foldLeft(0.0)((a, t) => a + t * t)
+          val xc = x.zip(c.map(_.toDouble)).foldLeft(0.0)((a, p) => a + p._1 * p._2)
+          val cc = c.map(_.toDouble).foldLeft(0.0)((a, t) => a + t * t)
+          (xx - 2.0 * xc + cc, code)
+        }.min
+        assert(encoded((id, s)) == best._2, s"vec $id sub $s")
+      }
+    }
+    emb.unpersist()
+  }
 }

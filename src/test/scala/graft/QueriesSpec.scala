@@ -58,4 +58,27 @@ class QueriesSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("IVF/PQ literal chains compile inside whole-stage codegen (no 64 KB fallback)") {
+    // round-7 regression: the inlined centroid/codebook chains blew the
+    // JVM's 64 KB method limit and 11 stages silently fell back to
+    // interpreted eval. codegenStringSeq compiles every WSCG subtree;
+    // a failed compile reports ByteCodeStats.UNAVAILABLE (-1).
+    Seq("emb_pq", "sim_ann_ivf", "sim_ann_ivfpq", "sim_ann_pq", "dd_semantic").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, TestSpark.Sf)
+      df.collect() // AQE builds (and codegens) stages lazily — run first
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val subtrees = org.apache.spark.sql.execution.debug.codegenStringSeq(plan)
+      assert(subtrees.nonEmpty, s"$name: no whole-stage codegen subtree at all")
+      subtrees.zipWithIndex.foreach { case ((_, _, stats), i) =>
+        assert(stats.maxMethodCodeSize > 0,
+          s"$name: WSCG subtree $i failed to compile (interpreted fallback)")
+        assert(stats.maxMethodCodeSize < 65536,
+          s"$name: WSCG subtree $i method is ${stats.maxMethodCodeSize} bytes")
+      }
+    }
+  }
 }
