@@ -406,6 +406,56 @@ object Similarity {
       .select(col("e.sub").as("sub"), col("code"), col("e.cvec").as("cvec"))
   }
 
+  /** Per-subspace Lloyd (k-means) refinement of [[pqCodebook]] — the
+    * production-recall variant: the stride codebook seeds, then each
+    * round (a) assigns every subvector to its nearest entry with
+    * [[pqEncode]] itself (same metric, same tie-break — the argmin
+    * path is shared, not re-derived) and (b) replaces each entry with
+    * its members' per-dimension mean. Distortion is monotone
+    * non-increasing by construction; entries that lose all members
+    * drop out (codebook may shrink below k). Three shuffles per round
+    * (the (id, sub) assignment join-back, dim explode, regroup) plus
+    * an m×k-row collect — the [[kmeansCentroids]] shape applied per
+    * subspace.
+    *
+    * The per-dimension `avg()` is order-of-accumulation dependent, so
+    * trained entries can differ in the last ulp across runs — like
+    * refined IVF centroids this variant is spec-tested on
+    * recall/distortion, NOT oracle-checked; the deterministic stride
+    * codebook remains the replicable default.
+    */
+  def pqCodebookTrained(data: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, m: Int, k: Int, iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, StructField, StructType}
+    require(m >= 1 && dim % m == 0, s"m = $m must divide dim = $dim")
+    val subLen = dim / m
+    val spark = data.sparkSession
+    val cbSchema = StructType(Seq(
+      StructField("sub", IntegerType, nullable = false),
+      StructField("code", IntegerType, nullable = false),
+      StructField("cvec", ArrayType(FloatType), nullable = false)))
+    // subvector table (id, sub, sv): ONE explode, pinned so every
+    // round reads the same partitions instead of re-running the scan
+    val sv = data.select(col(idCol).as("id"),
+      posexplode(array((0 until m).map(s =>
+        slice(col(vecCol), s * subLen + 1, subLen)): _*)).as(Seq("sub", "sv")))
+      .localCheckpoint()
+    var cb = pqCodebook(data, idCol, vecCol, dim, m, k)
+    for (_ <- 1 to iters) {
+      val enc = pqEncode(data, idCol, vecCol, cb).select(col("id"), col("sub"), col("code"))
+      val next = sv.join(enc, Seq("id", "sub"))
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("d", "x")))
+        .groupBy("sub", "code", "d").agg(avg(col("x").cast("double")).as("mval"))
+        .groupBy("sub", "code").agg(array_sort(collect_list(struct(col("d"), col("mval")))).as("dm"))
+        .select(col("sub"), col("code"), transform(col("dm"), e => e.getField("mval").cast("float")).as("cvec"))
+      val rows = next.collect().toSeq
+        .map(r => Row(r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
+      cb = spark.createDataFrame(java.util.Arrays.asList(rows: _*), cbSchema)
+    }
+    cb
+  }
+
   /** PQ-encode every vector: per subspace, the code of the nearest
     * codebook entry by L2² (ties to the SMALLEST code). The codebook
     * is collected (m × k rows — driver-sized like the IVF centroid

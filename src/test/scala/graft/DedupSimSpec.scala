@@ -671,6 +671,29 @@ class DedupSimSpec extends AnyFunSuite {
     assert(kept == Set(11L, 13L))
   }
 
+  test("scheduled re-centering: skew threshold triggers a blue/green rebuild and pointer flip") {
+    val emb = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+    val base = java.nio.file.Files.createTempDirectory("ivfmaint").toString
+    val blue = s"$base/blue"; val green = s"$base/green"; val ptr = s"$base/current"
+    IvfIndex.build(emb, "vec_id", "embedding", kCells = 8, path = blue)
+    IvfIndex.flipPointer(spark, ptr, blue)
+    assert(IvfIndex.readPointer(spark, ptr) == blue)
+    val skew = IvfIndex.skewRatio(spark, blue)
+    // under threshold: no-op, pointer untouched
+    val (s1, flipped1) = IvfIndex.recenterIfSkewed(spark, ptr, green, kCells = 8, threshold = skew + 1)
+    assert(!flipped1 && s1 == skew && IvfIndex.readPointer(spark, ptr) == blue)
+    // over threshold: rebuild into green, pointer flips, green serves
+    val (s2, flipped2) = IvfIndex.recenterIfSkewed(spark, ptr, green, kCells = 8, threshold = skew / 2)
+    assert(flipped2 && s2 == skew && IvfIndex.readPointer(spark, ptr) == green)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val served = IvfIndex.search(spark, IvfIndex.readPointer(spark, ptr), queries,
+      "vec_id", "embedding", nprobe = 2, k = 3)
+    assert(served.count() > 0)
+    // flip is idempotent-safe: re-pointing back to blue still serves
+    IvfIndex.flipPointer(spark, ptr, blue)
+    assert(IvfIndex.readPointer(spark, ptr) == blue)
+  }
+
   test("pqIvfSearch over cell-carrying codes prunes on cell and never reads the (id,cell) index") {
     val emb = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
     val queries = emb.filter(col("vec_id") % 50 === 0)
@@ -704,6 +727,48 @@ class DedupSimSpec extends AnyFunSuite {
     assert(!joins.exists(c => c.contains("id") && !c.contains("query_id") && !c.contains("cell")),
       s"unexpected id-only join in:\n$joins")
     assigned.unpersist()
+  }
+
+  test("trained PQ codebook lowers distortion and raises recall on the real corpus") {
+    // measured on the REAL embeddings table, not a planted-cluster toy:
+    // a perfectly-memorizable planting (protos ≤ k) makes Lloyd
+    // converge to the cluster means, every cluster-mate reconstructs
+    // identically, ADC ties within clusters, and recall INVERTS — the
+    // classic over-trained degenerate. On a broad corpus lower
+    // distortion ⇒ better ADC ranking fidelity, the claim that
+    // matters: here distortion drops ~30% and recall@5 nearly doubles
+    // (0.10 → 0.18 at m=4, k=16). Deterministic data ⇒ stable bars.
+    val emb = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet").cache()
+    val stride = Similarity.pqCodebook(emb, "vec_id", "embedding", 64, m = 4, k = 16)
+    val trained = Similarity.pqCodebookTrained(emb, "vec_id", "embedding", 64, m = 4, k = 16, iters = 3)
+    def distortion(cb: org.apache.spark.sql.DataFrame): Long =
+      Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+        .agg(sum("d2_fp6")).as[Long].head()
+    val dS = distortion(stride)
+    val dT = distortion(trained)
+    assert(dT < dS, s"trained distortion $dT !< stride $dS")
+    // recall@k vs exact L2 top-k (the ADC metric), same bar shape as
+    // the LSH recall spec
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val qs = queries.select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    val all = emb.select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    def l2(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0)((s, p) => s + (p._1.toDouble - p._2.toDouble) * (p._1.toDouble - p._2.toDouble))
+    val k = 5
+    val truth = qs.map { case (qid, qv) =>
+      qid -> all.filter(_._1 != qid).map { case (id, v) => (l2(qv, v), id) }.sorted.take(k).map(_._2).toSet
+    }.toMap
+    def recall(cb: org.apache.spark.sql.DataFrame): Double = {
+      val enc = Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+      val got = Similarity.pqSearch(enc, cb, queries, "vec_id", "embedding", k = k)
+        .as[(Long, Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      truth.map { case (qid, t) => got.getOrElse(qid, Set.empty).intersect(t).size.toDouble / t.size }
+        .sum / truth.size
+    }
+    val rS = recall(stride)
+    val rT = recall(trained)
+    assert(rT > rS, s"trained recall $rT !> stride recall $rS")
+    emb.unpersist()
   }
 
   test("ivfAssign/pqEncode above the inline cap: constant-footprint path is bit-equal") {

@@ -225,4 +225,19 @@ class SamplingSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(c != a)
   }
+
+  test("budgetSelect rejects non-integral weight columns up front") {
+    val df = Seq((1L, 10L, 1.5), (2L, 5L, 2.5)).toDF("doc_id", "score", "wt")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.budgetSelect(df, "doc_id", "score", "wt", 10L)
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+    // null weights in an all-null partition no longer NPE the offset
+    // collect — they coalesce to a 0 partition sum
+    val withNulls = Seq((1L, 10L, Some(3L)), (2L, 9L, None), (3L, 8L, Some(4L)))
+      .toDF("doc_id", "score", "wt")
+    val kept = Sampling.budgetSelect(withNulls, "doc_id", "score", "wt", 7L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(1L))
+  }
 }
