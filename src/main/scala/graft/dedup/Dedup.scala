@@ -203,6 +203,50 @@ object Dedup {
     }
   }
 
+  /** [[lshSurvivingBanded]] from a PREBUILT signature table with an
+    * explicit cap value — the persisted-index shape ([[LshIndex]]):
+    * signatures are the expensive stage (shingle→md5→minhash), so
+    * maintenance jobs re-band stored sigs instead of re-hashing text.
+    *
+    * `numGroups > 0` attaches `grp = pmod(hash(band, key), numGroups)`
+    * computed on the PLAIN bucket identity and carried onto re-split
+    * rows too — every output row derived from a plain bucket lands in
+    * that bucket's group, so an incremental append can recompute and
+    * overwrite EXACTLY the groups its new docs touch
+    * (`groupFilter`), leaving every other partition's files alone.
+    * The filter selects whole buckets (grp is a function of (band,
+    * key)), so the in-group survival counts are exact.
+    */
+  private[dedup] def survivingBandedFixedCap(
+      sigs: DataFrame, numPerm: Int, rowsPerBand: Int, capValue: Long,
+      resplit: Boolean, numGroups: Int = 0,
+      groupFilter: Option[Seq[Int]] = None): DataFrame = {
+    val numBands = numPerm / rowsPerBand
+    val banded0 = bandedRows(sigs, numPerm, rowsPerBand, withSigs = false, resplit)
+    val grouped =
+      if (numGroups > 0)
+        banded0.withColumn("grp", pmod(hash(col("band"), col("key")), lit(numGroups)))
+      else banded0
+    val filtered = groupFilter match {
+      case Some(gs) => grouped.filter(col("grp").isin(gs.map(Int.box): _*))
+      case None => grouped
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "key")
+    val counted = filtered.withColumn("_n", count(lit(1)).over(w))
+    val grpCols = if (numGroups > 0) Seq(col("grp")) else Nil
+    val keep = (col("doc") +: grpCols) :+ col("band") :+ col("key")
+    val bOk = counted.filter(col("_n") <= capValue).select(keep: _*)
+    if (!resplit) bOk
+    else {
+      val bHot = counted.filter(col("_n") > capValue)
+        .select(col("doc") +: grpCols :+ (col("band") + numBands).as("band") :+
+          col("key_ext").as("key"): _*)
+      val bHotOk = bHot.withColumn("_n", count(lit(1)).over(w))
+        .filter(col("_n") <= capValue).select(keep: _*)
+      bOk.unionByName(bHotOk)
+    }
+  }
+
   /** Training-corpus DECONTAMINATION against an evaluation set (the
     * GPT-3/PaLM-style n-gram overlap rule): drop every training doc
     * that shares at least one word `n`-gram with any eval doc, so

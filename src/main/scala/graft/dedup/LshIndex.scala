@@ -14,44 +14,134 @@ import graft.text.TextAnalysis
   *
   * Layout under `path`:
   *   - `banded/` — the CAP-SURVIVING banded rows of the reference
-  *     ([[Dedup.lshSurvivingBanded]]: cold buckets plain, hot buckets
-  *     re-keyed on extended signature slots in the shifted band
-  *     namespace — exactly [[Dedup.lshCandidatePairs]]' semantics, so
-  *     probing the reference against its own index reproduces the
-  *     self-join's candidate pairs, spec-asserted).
+  *     ([[Dedup.survivingBandedFixedCap]]: cold buckets plain, hot
+  *     buckets re-keyed on extended signature slots in the shifted
+  *     band namespace — exactly [[Dedup.lshCandidatePairs]]'
+  *     semantics, so probing the reference against its own index
+  *     reproduces the self-join's candidate pairs, spec-asserted).
+  *     Written `partitionBy("grp")` with grp = hash(plain band, key)
+  *     mod `numGroups`, carried onto re-split rows: every row derived
+  *     from a plain bucket lives in that bucket's group partition —
+  *     the unit of incremental maintenance.
   *   - `sigs/`   — (doc, sig) reference signatures, for the
-  *     agreement estimator on probe hits.
-  *   - `config/` — one row (shingleSize, numPerm, rowsPerBand) so
-  *     probes band identically to the build; callers cannot drift.
+  *     agreement estimator on probe hits AND for [[append]]'s
+  *     re-banding (sigs are the expensive stage; re-banding them is
+  *     cheap).
+  *   - `config/` — one row (shingleSize, numPerm, rowsPerBand,
+  *     maxBucket, numGroups, nDocs) so probes band identically to the
+  *     build and appends resolve the same cap rule; callers cannot
+  *     drift.
   *
   * Scale: the probe join is hash-partitioned on (band, key) — never
   * all-pairs; the incoming side is a batch (small relative to the
-  * corpus), so AQE typically broadcasts it. `append` is not offered:
-  * banded rows' cap survival depends on bucket counts, so growing the
-  * reference is a rebuild (cheap relative to a crawl cycle) — unlike
-  * [[graft.similarity.IvfIndex.append]], where the frozen-centroid
-  * contract makes increments sound.
+  * corpus), so AQE typically broadcasts it. [[append]] recomputes and
+  * dynamically overwrites ONLY the group partitions its new docs
+  * touch (cap survival depends on per-bucket counts, and a new row
+  * can flip its bucket hot — the whole bucket re-splits, so the
+  * bucket's group is regenerated from stored + new sigs); when the
+  * ADAPTIVE cap value itself moves (corpus growth crosses a √N
+  * boundary), cap survival changes EVERYWHERE and the append degrades
+  * to a full re-band — still from stored sigs, never re-hashing text.
   */
 object LshIndex {
 
+  private def capOf(maxBucket: Int, nDocs: Long): Long =
+    if (maxBucket <= 0) math.max(64L, math.floor(math.sqrt(nDocs.toDouble)).toLong)
+    else maxBucket.toLong
+
   def build(reference: DataFrame, idCol: String, textCol: String, path: String,
             shingleSize: Int = 3, numPerm: Int = 8, rowsPerBand: Int = 2,
-            maxBucket: Int = 0): Unit = {
+            maxBucket: Int = 0, numGroups: Int = 256): Unit = {
     val spark = reference.sparkSession
-    Dedup.lshSurvivingBanded(reference, idCol, textCol, shingleSize, numPerm,
-        rowsPerBand, maxBucket, withSigs = false, resplit = true)
-      .write.mode("overwrite").parquet(s"$path/banded")
-    Dedup.sigTable(reference, idCol, textCol, shingleSize, numPerm)
-      .write.mode("overwrite").parquet(s"$path/sigs")
+    val sigs = Dedup.sigTable(reference, idCol, textCol, shingleSize, numPerm)
+      .localCheckpoint()
+    val n = sigs.count()
+    Dedup.survivingBandedFixedCap(sigs, numPerm, rowsPerBand, capOf(maxBucket, n),
+        resplit = true, numGroups = numGroups)
+      .write.mode("overwrite").partitionBy("grp").parquet(s"$path/banded")
+    sigs.write.mode("overwrite").parquet(s"$path/sigs")
+    writeConfig(spark, path, shingleSize, numPerm, rowsPerBand, maxBucket, numGroups, n)
+  }
+
+  private def writeConfig(spark: SparkSession, path: String, shingleSize: Int,
+                          numPerm: Int, rowsPerBand: Int, maxBucket: Int,
+                          numGroups: Int, nDocs: Long): Unit = {
     import spark.implicits._
-    Seq((shingleSize, numPerm, rowsPerBand))
-      .toDF("shingleSize", "numPerm", "rowsPerBand")
+    Seq((shingleSize, numPerm, rowsPerBand, maxBucket, numGroups, nDocs))
+      .toDF("shingleSize", "numPerm", "rowsPerBand", "maxBucket", "numGroups", "nDocs")
       .write.mode("overwrite").parquet(s"$path/config")
   }
 
-  private def config(spark: SparkSession, path: String): (Int, Int, Int) = {
-    val r = spark.read.parquet(s"$path/config").head()
-    (r.getInt(0), r.getInt(1), r.getInt(2))
+  private case class Config(shingleSize: Int, numPerm: Int, rowsPerBand: Int,
+                            maxBucket: Int, numGroups: Int, nDocs: Long)
+
+  private def config(spark: SparkSession, path: String): Config = {
+    val r = spark.read.parquet(s"$path/config")
+      .select("shingleSize", "numPerm", "rowsPerBand", "maxBucket", "numGroups", "nDocs")
+      .head()
+    Config(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getLong(5))
+  }
+
+  /** Incremental ingestion: band `incoming` with the stored config and
+    * fold it into the index. The new docs' signatures append to
+    * `sigs/`; `banded/` is maintained by recomputing ONLY the group
+    * partitions the new rows touch — from stored + new sigs, so rows
+    * previously dropped or re-split inside an affected bucket are
+    * re-derived correctly — and dynamically overwriting those
+    * partitions (groups whose buckets all drop are deleted outright).
+    * If corpus growth moves the ADAPTIVE cap value itself, cap
+    * survival changes in every bucket and the whole banded layout is
+    * re-banded from sigs (the documented rebuild-on-cap-change case —
+    * no text is ever re-hashed). Returns the number of docs appended.
+    *
+    * Append semantics are REBUILD-EQUIVALENT by construction:
+    * build(A) + append(B) produces the same banded row set as
+    * build(A ∪ B) (spec-asserted), so probes cannot tell an
+    * incrementally-grown index from a fresh one.
+    */
+  def append(incoming: DataFrame, idCol: String, textCol: String, path: String): Long = {
+    val spark = incoming.sparkSession
+    val c = config(spark, path)
+    val newSigs = Dedup.sigTable(incoming, idCol, textCol, c.shingleSize, c.numPerm)
+      .localCheckpoint()
+    val nNew = newSigs.count()
+    if (nNew == 0) return 0L
+    val nTotal = c.nDocs + nNew
+    val oldCap = capOf(c.maxBucket, c.nDocs)
+    val newCap = capOf(c.maxBucket, nTotal)
+    val allSigs = spark.read.parquet(s"$path/sigs").unionByName(newSigs)
+    if (newCap != oldCap) {
+      // cap-survival changed globally → full re-band from sigs
+      Dedup.survivingBandedFixedCap(allSigs, c.numPerm, c.rowsPerBand, newCap,
+          resplit = true, numGroups = c.numGroups)
+        .write.mode("overwrite").partitionBy("grp").parquet(s"$path/banded")
+    } else {
+      // groups touched by the new docs' plain-namespace rows — ≤
+      // numGroups values by construction, safe to collect
+      val newBanded = Dedup.bandedRows(newSigs, c.numPerm, c.rowsPerBand,
+        withSigs = false, resplit = false)
+      val affected = newBanded
+        .select(pmod(hash(col("band"), col("key")), lit(c.numGroups)).as("grp"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val regenerated = Dedup.survivingBandedFixedCap(allSigs, c.numPerm, c.rowsPerBand,
+          newCap, resplit = true, numGroups = c.numGroups, groupFilter = Some(affected))
+        .localCheckpoint()
+      regenerated
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("grp").parquet(s"$path/banded")
+      // an affected group whose buckets ALL dropped writes no
+      // partition — dynamic overwrite would leave its stale files
+      val nonEmpty = regenerated.select("grp").distinct().collect().map(_.getInt(0)).toSet
+      val bandedRoot = new org.apache.hadoop.fs.Path(s"$path/banded")
+      val fs = bandedRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      (affected.toSet -- nonEmpty).foreach { g =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/banded/grp=$g"), true)
+      }
+    }
+    newSigs.write.mode("append").parquet(s"$path/sigs")
+    writeConfig(spark, path, c.shingleSize, c.numPerm, c.rowsPerBand, c.maxBucket,
+      c.numGroups, nTotal)
+    nNew
   }
 
   /** Candidate pairs (doc_inc, doc_ref, est_jaccard_fp4) between an
@@ -63,10 +153,10 @@ object LshIndex {
     * (same id) are excluded so a corpus can probe its own index. */
   def candidates(spark: SparkSession, path: String, incoming: DataFrame,
                  idCol: String, textCol: String): DataFrame = {
-    val (shingleSize, numPerm, rowsPerBand) = config(spark, path)
-    val numBands = numPerm / rowsPerBand
-    val incSigs = Dedup.sigTable(incoming, idCol, textCol, shingleSize, numPerm)
-    val incBanded0 = Dedup.bandedRows(incSigs, numPerm, rowsPerBand,
+    val c = config(spark, path)
+    val numBands = c.numPerm / c.rowsPerBand
+    val incSigs = Dedup.sigTable(incoming, idCol, textCol, c.shingleSize, c.numPerm)
+    val incBanded0 = Dedup.bandedRows(incSigs, c.numPerm, c.rowsPerBand,
       withSigs = true, resplit = true)
     val probe = incBanded0.select(col("doc"), col("sig"), col("band"), col("key"))
       .unionByName(incBanded0.select(col("doc"), col("sig"),
@@ -76,7 +166,7 @@ object LshIndex {
       .select(col("doc").as("doc_ref"), col("sig").as("sig_ref"))
     val est = TextAnalysis.fp(
       size(filter(zip_with(col("sig"), col("sig_ref"), (x, y) => x === y), b => b))
-        .cast("double") / lit(numPerm.toDouble), 4)
+        .cast("double") / lit(c.numPerm.toDouble), 4)
     probe.as("i")
       .join(stored.as("r"),
         col("i.band") === col("r.band") && col("i.key") === col("r.key") &&

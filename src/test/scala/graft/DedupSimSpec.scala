@@ -671,6 +671,46 @@ class DedupSimSpec extends AnyFunSuite {
     assert(kept == Set(11L, 13L))
   }
 
+  test("LshIndex append: incrementally-grown index is rebuild-equivalent (both cap branches)") {
+    def bandedSet(path: String): Set[(Long, Int, String)] =
+      spark.read.parquet(s"$path/banded").select("doc", "band", "key")
+        .as[(Long, Int, String)].collect().toSet
+    def pairSet(path: String, probe: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      LshIndex.candidates(spark, path, probe, "doc_id", "text")
+        .as[(Long, Long, Long)].collect().toSet
+
+    // branch 1: cap value unchanged → partial group recompute
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select(col("doc_id"), col("text")).cache()
+    val first = docs.filter(col("doc_id") % 5 =!= 0)
+    val rest = docs.filter(col("doc_id") % 5 === 0)
+    val base = java.nio.file.Files.createTempDirectory("lshidx").toString
+    LshIndex.build(docs, "doc_id", "text", s"$base/full", numGroups = 32)
+    LshIndex.build(first, "doc_id", "text", s"$base/inc", numGroups = 32)
+    val nAppended = LshIndex.append(rest, "doc_id", "text", s"$base/inc")
+    assert(nAppended == rest.count())
+    assert(bandedSet(s"$base/inc") == bandedSet(s"$base/full"),
+      "appended banded rows diverge from a fresh build")
+    val probe = docs.filter(col("doc_id") % 7 === 0)
+    assert(pairSet(s"$base/inc", probe) == pairSet(s"$base/full", probe))
+
+    // branch 2: corpus growth crosses a √N boundary → the adaptive cap
+    // value moves and append must re-band everything (from sigs)
+    val big = (1 to 4500).map(i =>
+      (i.toLong, s"synthetic doc $i carries words ${i % 97} ${i % 31} ${i % 13} tail$i"))
+      .toDF("doc_id", "text")
+    val bigFirst = big.filter(col("doc_id") <= 4000)
+    val bigRest = big.filter(col("doc_id") > 4000)
+    LshIndex.build(big, "doc_id", "text", s"$base/bigfull", numGroups = 32)
+    LshIndex.build(bigFirst, "doc_id", "text", s"$base/biginc", numGroups = 32)
+    // precondition of the branch: cap(4000)=64 ≠ cap(4500)=67
+    assert(math.max(64, math.sqrt(4000).toInt) != math.max(64, math.sqrt(4500).toInt))
+    LshIndex.append(bigRest, "doc_id", "text", s"$base/biginc")
+    assert(bandedSet(s"$base/biginc") == bandedSet(s"$base/bigfull"),
+      "cap-change rebuild diverges from a fresh build")
+    docs.unpersist()
+  }
+
   test("scheduled re-centering: skew threshold triggers a blue/green rebuild and pointer flip") {
     val emb = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
     val base = java.nio.file.Files.createTempDirectory("ivfmaint").toString
