@@ -257,6 +257,16 @@ object Pipeline {
             .as("repetition_fp4"))
         .orderBy("doc_id")
     }),
+    // 39d — corpus-trained char-trigram LM quality score (CCNet-style
+    // perplexity filtering, engine-portable: per-position Laplace
+    // probabilities fp6-quantized and integer-summed — no log(),
+    // whose last ulp differs across libm implementations). Model =
+    // the corpus's own trigram stats: two charset²-bounded partial
+    // aggs broadcast back; the corpus side never shuffles by gram
+    "txt_charlm" -> ((s, dir) => {
+      TextAnalysis.charLmScoreDf(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     // 41d — PII masking (emails + phone numbers; PII is synthesized
     // into the text so the patterns actually fire at every SF)
     "txt_pii_mask" -> ((s, dir) => {
@@ -1218,6 +1228,19 @@ object Pipeline {
       s"""SELECT doc_id,
         | array_to_string(list_filter($toksSql, t -> t NOT IN ('the','a','of','and','fast','slow')), ' ') AS clean_text
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt_charlm" ->
+      s"""WITH norm AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]+', ' ', 'g'), '\\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |pos AS (SELECT doc_id, t, unnest(range(1, greatest(length(t) - 1, 1))) AS i FROM norm),
+        |tri AS (SELECT doc_id, substr(t, CAST(i AS INT), 2) AS ctx, substr(t, CAST(i AS INT) + 2, 1) AS c FROM pos),
+        |model AS (SELECT ctx, c, count(*) AS cnt FROM tri GROUP BY 1, 2),
+        |ctxt AS (SELECT ctx, count(*) AS tot FROM tri GROUP BY 1),
+        |vocab AS (SELECT count(DISTINCT c) AS v FROM tri)
+        |SELECT tri.doc_id, count(*) AS n_tri,
+        |  CAST(sum(${sqlFp("CAST(cnt + 1 AS DOUBLE) / CAST(tot + v AS DOUBLE)", 6)}) AS BIGINT) AS sum_p_fp6
+        |FROM tri JOIN model USING (ctx, c) JOIN ctxt USING (ctx) CROSS JOIN vocab
+        |GROUP BY tri.doc_id ORDER BY doc_id""".stripMargin,
     "txt_pii_mask" ->
       """SELECT doc_id, regexp_replace(regexp_replace(
         |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-'

@@ -179,6 +179,53 @@ object TextAnalysis {
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]+", " "), "\\s+", " "))
 
+  /** Corpus-trained character-trigram LM quality score — the
+    * CCNet-style "perplexity filter" re-expressed engine-portably:
+    * the model is the corpus's OWN trigram statistics over
+    * [[normalize]]d text (count(ctx, c), count(ctx), |alphabet|,
+    * Laplace-smoothed), and each doc scores the per-position
+    * probability of its characters under that model. Probabilities —
+    * not log-probs — are fp6-quantized per position and
+    * integer-summed: exact integer ratios and correctly-rounded IEEE
+    * division replicate bit-for-bit across engines, while log()
+    * differs in the last ulp between libm implementations.
+    *
+    * Scale shape: the model tables are bounded by |charset|² rows
+    * AFTER map-side partial aggregation (broadcast-sized for any sane
+    * alphabet — normalize() already restricts to [a-z0-9 ]; restrict
+    * further before scoring CJK-heavy corpora), so scoring is a
+    * broadcast join: the corpus side never shuffles by gram, and the
+    * only corpus-sized exchange is the final per-doc aggregation.
+    * Docs shorter than 3 normalized chars have no trigram and drop
+    * out (they carry no signal for this filter).
+    *
+    * Output: (doc_id, n_tri, sum_p_fp6) — exact integers; mean
+    * per-position probability = sum_p_fp6 / (n_tri · 10⁶), and a
+    * LOWER mean marks the out-of-distribution docs a perplexity
+    * filter would cut.
+    */
+  def charLmScoreDf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = df.select(col(idCol).as("doc_id"), normalize(col(textCol)).as("t"))
+    val tri = norm
+      .select(col("doc_id"), col("t"),
+        explode(when(length(col("t")) >= 3, sequence(lit(1), length(col("t")) - lit(2)))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col("doc_id"),
+        col("t").substr(col("i"), lit(2)).as("ctx"),
+        col("t").substr(col("i") + lit(2), lit(1)).as("c"))
+    val model = tri.groupBy("ctx", "c").agg(count(lit(1)).as("cnt"))
+    val ctxTot = tri.groupBy("ctx").agg(count(lit(1)).as("tot"))
+    val vocab = tri.agg(count_distinct(col("c")).as("v"))
+    tri
+      .join(broadcast(model), Seq("ctx", "c"))
+      .join(broadcast(ctxTot), Seq("ctx"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        fp((col("cnt") + lit(1)).cast("double") / (col("tot") + col("v")).cast("double"), 6).as("p6"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri"), sum("p6").as("sum_p_fp6"))
+  }
+
   /** PII masking: replace email addresses and NNN-NNN-NNNN phone
     * numbers with placeholder tokens. Patterns are RE2-safe (no
     * backrefs/lookarounds) so Java regex and DuckDB RE2 agree. */

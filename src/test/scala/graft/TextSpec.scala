@@ -105,4 +105,27 @@ class TextSpec extends AnyFunSuite {
       .as[(Long, String)].collect().sortBy(_._1).map(_._2).toSeq
     assert(got == cases.map(_._2), got.zip(cases).filter { case (g, (_, e)) => g != e }.toString)
   }
+
+  test("charLmScoreDf: OOD junk scores lower mean probability than in-distribution text") {
+    // 40 docs of common-pattern English + 1 junk doc: the corpus-
+    // trained trigram model assigns the junk doc rare transitions
+    val docs = ((1 to 40).map(i => (i.toLong, s"the quick brown fox number $i runs over the lazy dog")) :+
+      (99L, "zxq vjw qqk xxz jqz wvx kqj zzx")).toDF("doc_id", "text")
+    val out = TextAnalysis.charLmScoreDf(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.size == 41)
+    def mean(id: Long): Double = { val (n, s) = out(id); s.toDouble / n }
+    val commonMean = (1 to 40).map(i => mean(i.toLong)).sum / 40
+    assert(mean(99L) < commonMean / 2,
+      s"junk ${mean(99L)} not well below common $commonMean")
+    // n_tri = normalized length − 2 (docs ≥ 3 chars)
+    val norm = docs.select(col("doc_id"), TextAnalysis.normalize(col("text")).as("t"))
+      .as[(Long, String)].collect().toMap
+    out.foreach { case (id, (n, _)) => assert(n == norm(id).length - 2, s"doc $id") }
+    // short/empty docs drop out (no trigram)
+    val tiny = Seq((1L, "ab"), (2L, ""), (3L, "abcd")).toDF("doc_id", "text")
+    val kept = TextAnalysis.charLmScoreDf(tiny, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L))
+  }
 }
