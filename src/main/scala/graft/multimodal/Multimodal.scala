@@ -259,4 +259,77 @@ object Multimodal {
       })
       .toDF(idCol, "fmt", "width", "height")
   }
+
+  // ---- raw-video frame sampling ------------------------------------
+
+  /** GVID: the deterministic RAW-video stand-in container (real video
+    * codecs aren't in this environment — decode is the documented stub
+    * boundary; the Spark-side plumbing below is real). Layout:
+    * "GVID" magic (4B) + u16le width + u16le height + u16le fps +
+    * u32le frame_count (14-byte header), then frame_count fixed-size
+    * grayscale frames of width×height bytes each — so frame offsets
+    * are pure arithmetic, the shape columnar sampling needs. */
+  def isGvid(payload: Column): Column =
+    substring(payload, 1, 4).cast("string") === "GVID" && length(payload) >= 14
+  def gvWidth(payload: Column): Column =
+    when(isGvid(payload), leU16(payload, 5)).otherwise(lit(null).cast("int"))
+  def gvHeight(payload: Column): Column =
+    when(isGvid(payload), leU16(payload, 7)).otherwise(lit(null).cast("int"))
+  def gvFps(payload: Column): Column =
+    when(isGvid(payload), leU16(payload, 9)).otherwise(lit(null).cast("int"))
+  def gvFrameCount(payload: Column): Column =
+    when(isGvid(payload), leU32(payload, 11)).otherwise(lit(null).cast("long"))
+
+  /** One-frame-per-second sampling over GVID containers — the video
+    * pipeline's frame-extraction plumbing: per row, the sampled frame
+    * indices (0, fps, 2·fps, …) explode columnar, each with its exact
+    * integer timestamp, byte offset into the payload, and a probe of
+    * the frame's first byte READ AT THAT OFFSET — proving the offsets
+    * index real bytes, not just arithmetic. Narrow (zero shuffle):
+    * output scales with frames sampled, not corpus. A real-codec
+    * deployment swaps the probe for a mapPartitions decode of
+    * `substr(payload, frame_off + 1, frame_size)`; schema and
+    * partitioning stay as here.
+    *
+    * Output: (doc_id, frame_idx, ts_ms, frame_off, probe_byte) —
+    * non-GVID rows are dropped (conservative, like the image/audio
+    * parsers' null contract).
+    */
+  def frameSample(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val p = col(payloadCol)
+    df.filter(isGvid(p))
+      .select(col(idCol).as("doc_id"), p.as("_p"),
+        gvWidth(p).as("_w"), gvHeight(p).as("_h"),
+        gvFps(p).as("_fps"), gvFrameCount(p).as("_n"))
+      .select(col("doc_id"), col("_p"), col("_w"), col("_h"), col("_fps"),
+        explode(when(col("_n") > 0,
+            sequence(lit(0), (col("_n") - 1).cast("int"), col("_fps")))
+          .otherwise(array().cast("array<int>"))).as("frame_idx"))
+      .select(col("doc_id"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        // exact integer division (idx·1000 DIV fps) — same contract as
+        // wavDurationMs: subtract the remainder, then divide
+        graft.ColumnOps.let(col("frame_idx").cast("long") * lit(1000L)) { a =>
+          ((a - pmod(a, col("_fps"))) / col("_fps")).cast("long")
+        }.as("ts_ms"),
+        (lit(14L) + col("frame_idx").cast("long") * col("_w") * col("_h")).as("frame_off"),
+        conv(hex(col("_p").substr(
+          lit(15) + col("frame_idx") * col("_w") * col("_h"), lit(1))), 16, 10)
+          .cast("long").as("probe_byte"))
+  }
+
+  /** Deterministic GVID container for tests and the verified query
+    * (a stand-in, NOT a real encoder): frame i is filled with
+    * `fill(i)` (0-255). */
+  def synthVideo(width: Int, height: Int, fps: Int, frames: Int,
+                 fill: Int => Int): Array[Byte] = {
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val header = "GVID".getBytes("US-ASCII") ++ le16(width) ++ le16(height) ++
+      le16(fps) ++ le32(frames)
+    val body = (0 until frames).flatMap(i =>
+      Array.fill(width * height)((fill(i) & 0xff).toByte)).toArray
+    header ++ body
+  }
 }

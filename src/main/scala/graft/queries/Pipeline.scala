@@ -500,6 +500,28 @@ object Pipeline {
         Multimodal.wavDurationMs(col("payload")).as("duration_ms"))
         .orderBy("doc_id")
     }),
+    // 45d — video frame sampling (1 frame/sec) over the GVID raw
+    // container: header parse + sampled-index explode + exact
+    // timestamps + offsets, with a probe byte READ at each computed
+    // offset so the oracle catches any offset-arithmetic drift. Real
+    // codec decode is the documented stub boundary (mapPartitions over
+    // substr(payload, off, size) at deploy time); the plumbing —
+    // schema, explode shape, zero-shuffle narrowness — is real
+    "mm_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal
+      val payloads = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          (id, Multimodal.synthVideo(
+            width = (id % 8 + 1).toInt, height = (id % 4 + 1).toInt,
+            fps = Seq(1, 2, 5, 10)((id % 4).toInt),
+            frames = (id % 24 + 2).toInt,
+            fill = i => ((id * 31 + i * 7) % 251).toInt))
+        })
+        .toDF("doc_id", "payload")
+      Multimodal.frameSample(payloads, "doc_id", "payload")
+        .orderBy("doc_id", "frame_idx")
+    }),
     // 32d — cross-document SEGMENT-level dedup (Lee et al. 2022
     // granularity): consecutive 8-token segments occurring in >= 2
     // docs are stripped and the text reassembled. An 8-token
@@ -1342,6 +1364,22 @@ object Pipeline {
         | CAST(doc_id % 1000 + 1 AS BIGINT) AS width,
         | CAST(doc_id % 700 + 1 AS BIGINT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      // the synthesized container's parameters re-derived from doc_id;
+      // the probe byte re-derives the fill rule — if the Spark side's
+      // offsets drifted by even one byte the probe would read a
+      // different frame's fill (or header bytes) and hash-mismatch
+      """WITH v AS (SELECT doc_id,
+        |    doc_id % 8 + 1 AS w, doc_id % 4 + 1 AS h,
+        |    CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 5 ELSE 10 END AS fps,
+        |    doc_id % 24 + 2 AS n
+        |  FROM documents),
+        |idx AS (SELECT doc_id, w, h, fps, unnest(range(0, n, fps)) AS i FROM v)
+        |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |  CAST(i * 1000 // fps AS BIGINT) AS ts_ms,
+        |  CAST(14 + i * w * h AS BIGINT) AS frame_off,
+        |  CAST((doc_id * 31 + i * 7) % 251 AS BIGINT) AS probe_byte
+        |FROM idx ORDER BY doc_id, frame_idx""".stripMargin,
     "dd_segment_dedup" -> {
       // 8-token segments over the boilerplate-planted text; segments
       // in >= 2 distinct docs are stripped, survivors re-join in order

@@ -123,4 +123,20 @@ class MultimodalSpec extends AnyFunSuite {
       .selectExpr("transform(s, x -> x.i) AS idx").as[Seq[Int]].head()
     assert(kept == Seq(0, 2, 4))
   }
+
+  test("GVID frame sampling: synth→parse roundtrip, exact offsets/timestamps, junk dropped") {
+    val rows = Seq(
+      (1L, Multimodal.synthVideo(width = 3, height = 2, fps = 2, frames = 7, fill = i => 10 + i)),
+      (2L, Multimodal.synthVideo(width = 1, height = 1, fps = 1, frames = 3, fill = i => 200 + i)),
+      (3L, "not a video at all".getBytes("US-ASCII")),
+      (4L, Array[Byte]('G', 'V', 'I', 'D', 1))) // truncated header
+      .toDF("doc_id", "payload")
+    val got = Multimodal.frameSample(rows, "doc_id", "payload")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // doc 1: frames 0,2,4,6 at fps=2 → ts 0,1000,2000,3000; frame size 6
+    val exp1 = Seq(0L, 2L, 4L, 6L).map(i => (1L, i, i * 1000 / 2, 14 + i * 6, 10 + i))
+    // doc 2: frames 0,1,2 at fps=1; frame size 1
+    val exp2 = Seq(0L, 1L, 2L).map(i => (2L, i, i * 1000, 14 + i, 200 + i))
+    assert(got == exp1 ++ exp2, got.toString)
+  }
 }
