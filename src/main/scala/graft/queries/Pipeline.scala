@@ -574,6 +574,20 @@ object Pipeline {
       graft.sample.Sampling.budgetSelect(docs, "doc_id", "n_chars", "n_tokens", budget = 20000L)
         .orderBy("doc_id")
     }),
+    // 46g — domain-MIXTURE selection: per-source budget-bounded pick
+    // (mixture weight × total budget resolved to per-source token
+    // budgets; src4 has no entry and drops — the unknown-stratum
+    // contract). budgetSelect's no-single-task-cumsum shape applied
+    // per stratum in ONE pass: offsets keyed by (partition, stratum),
+    // broadcast-joined back
+    "smp_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      graft.sample.Sampling.mixBudgetSelect(docs, "doc_id", "n_chars", "n_tokens", "source",
+        budgets = Map("src0" -> 8000L, "src1" -> 6000L, "src2" -> 4000L, "src3" -> 2000L))
+        .orderBy("doc_id")
+    }),
     // 46c — exact-k-per-stratum deterministic reservoir: fixed sample
     // sizes (vs smp_sample's fixed rates), ranked on the md5-uniform
     // so the choice is rerun- and partitioning-stable
@@ -1449,6 +1463,17 @@ object Pipeline {
         |      FROM t)
         |SELECT doc_id, n_chars, n_tokens, cum_weight FROM c
         |WHERE cum_weight <= 20000 ORDER BY doc_id""".stripMargin,
+    "smp_mix" ->
+      s"""WITH t AS (SELECT doc_id, source, n_chars, CAST(len($toksSql) AS BIGINT) AS n_tokens
+        |           FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+        |c AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source
+        |        ORDER BY n_chars DESC, doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_weight
+        |      FROM t)
+        |SELECT doc_id, source, n_chars, n_tokens, cum_weight FROM c
+        |WHERE cum_weight <= CASE source WHEN 'src0' THEN 8000 WHEN 'src1' THEN 6000
+        |  WHEN 'src2' THEN 4000 ELSE 2000 END
+        |ORDER BY doc_id""".stripMargin,
     "smp_reservoir" -> {
       val u32 = """list_reduce(list_prepend(CAST(0 AS BIGINT),
         | list_transform(range(1, 9),

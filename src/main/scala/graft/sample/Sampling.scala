@@ -125,6 +125,68 @@ object Sampling {
       .drop("_pid")
   }
 
+  /** Domain-MIXTURE selection: per-stratum budget-bounded pick — the
+    * data-mixing step between scoring and training. Given target
+    * weight budgets per stratum (mixture weight × total token budget,
+    * resolved by the caller), keep each stratum's best rows
+    * (`scoreCol` DESC, `idCol` ASC) until that stratum's budget is
+    * exhausted. Strata without a budget entry are dropped.
+    *
+    * [[budgetSelect]]'s global-cumsum shape applied PER STRATUM in a
+    * single pass: range-repartition on (stratum, order) so each
+    * stratum's rows are contiguous across the partition sequence,
+    * per-(partition, stratum) weight totals collected (≤ partitions ×
+    * strata rows — driver-sized for any sane mixture), exclusive
+    * prefix offsets within each stratum broadcast-joined back, then
+    * windows run over single-partition slices only — never a
+    * per-stratum single-task window, which at 100 TB would funnel a
+    * dominant source through one reducer. The same partitions≲10⁵
+    * note as [[budgetSelect]] applies.
+    *
+    * Output: kept rows + `cum_weight` (running stratum total
+    * INCLUDING the row).
+    */
+  def mixBudgetSelect(df: DataFrame, idCol: String, scoreCol: String,
+                      weightCol: String, strataCol: String,
+                      budgets: Map[String, Long]): DataFrame = {
+    require(budgets.nonEmpty && budgets.values.forall(_ >= 0),
+      "mixBudgetSelect: budgets must be non-empty and non-negative")
+    val wType = df.schema(weightCol).dataType
+    require(Seq("byte", "short", "integer", "long").contains(wType.typeName),
+      s"mixBudgetSelect: weight column `$weightCol` must be an integral type, got $wType")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = spark.sessionState.conf.numShufflePartitions
+    if (p > 100000)
+      System.err.println(s"WARN mixBudgetSelect: $p shuffle partitions — the offset table " +
+        "is linear in partition count; consider a coarser range partitioning")
+    val known = df.filter(col(strataCol).isin(budgets.keys.toSeq: _*))
+    val ranged = known
+      .repartitionByRange(p, col(strataCol), col(scoreCol).desc, col(idCol))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val partSums = ranged.groupBy(col("_pid"), col(strataCol))
+      .agg(coalesce(sum(col(weightCol)).cast("long"), lit(0L)).as("_w"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val offsets = partSums.groupBy(_._2).iterator.flatMap { case (s, rows) =>
+      val sorted = rows.sortBy(_._1)
+      sorted.map(_._1).zip(sorted.map(_._3).scanLeft(0L)(_ + _).init)
+        .map { case (pid, off) => (pid, s, off) }
+    }.toSeq.toDF("_pid", strataCol, "_off")
+    val budgetDf = budgets.toSeq.toDF(strataCol, "_budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_pid"), col(strataCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    ranged
+      .join(broadcast(offsets), Seq("_pid", strataCol))
+      .join(broadcast(budgetDf), Seq(strataCol))
+      .withColumn("cum_weight", sum(col(weightCol)).over(w) + col("_off"))
+      .filter(col("cum_weight") <= col("_budget"))
+      .drop("_pid", "_off", "_budget")
+  }
+
   /** Deterministic "reservoir": EXACTLY k rows per stratum, chosen by
     * ranking on the md5-uniform — unlike rate sampling the output
     * size per stratum is fixed, and unlike a true reservoir the

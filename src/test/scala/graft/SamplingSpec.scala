@@ -205,6 +205,26 @@ class SamplingSpec extends AnyFunSuite {
     assert(Sampling.budgetSelect(df, "doc_id", "score", "wt", 0L).isEmpty)
   }
 
+  test("mixBudgetSelect: per-stratum greedy prefixes, unknown strata dropped, partition-stable") {
+    val rows = (1L to 600L).map(i =>
+      (i, s"s${i % 4}", (i * 37 % 211) + 1, (i * 13 % 50) + 1)) // (id, src, score, weight)
+    val df = rows.toDF("doc_id", "source", "score", "wt")
+    val budgets = Map("s0" -> 2000L, "s1" -> 1000L, "s2" -> 500L) // s3 absent → dropped
+    // scala reference: per-stratum strict (score desc, id) walks
+    val expect = rows.filter(r => budgets.contains(r._2)).groupBy(_._2).flatMap { case (s, rs) =>
+      rs.sortBy { case (id, _, sc, _) => (-sc, id) }
+        .scanLeft((0L, 0L)) { case ((_, cum), (id, _, _, w)) => (id, cum + w) }
+        .tail.takeWhile(_._2 <= budgets(s)).map { case (id, cum) => id -> cum }
+    }
+    for (parts <- Seq(1, 7, 32)) {
+      val got = Sampling.mixBudgetSelect(df.repartition(parts),
+          "doc_id", "score", "wt", "source", budgets)
+        .select("doc_id", "cum_weight").as[(Long, Long)].collect().toMap
+      assert(got == expect, s"parts=$parts: got ${got.size}, expect ${expect.size}")
+      assert(!got.keySet.exists(id => id % 4 == 3), "unknown stratum leaked")
+    }
+  }
+
   test("deterministicShuffle is partitioning-stable, shards are dense, positions contiguous") {
     val df = (0L until 500L).map(i => Tuple1(i)).toDF("doc_id")
     val a = Sampling.deterministicShuffle(df, "doc_id", numShards = 8)
