@@ -198,6 +198,21 @@ object Relational {
         .select(col("c_custkey"), col("s_suppkey"),
           fp(col("p"), 6).as("p_fp6"), fp(col("lo"), 6).as("lo_fp6"))
         .orderBy("c_custkey", "s_suppkey")
+    }),
+    // 11i — PIVOT (long→wide conditional aggregation): events per user
+    // spread into one count column per event type. Spark's pivot with
+    // an EXPLICIT value list — no extra distinct-values job, and the
+    // plan is a single hash aggregate over Expand-free conditional
+    // counts (one shuffle on the group key). Missing cells coalesce
+    // to 0 so the engines agree (pivot-count yields null there).
+    "q19_pivot" -> ((s, dir) => {
+      val types = Seq("view", "click", "purchase", "signup", "error")
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .count()
+        .select(col("user_id") +: types.map(tp => coalesce(col(tp), lit(0L)).as(s"n_$tp")): _*)
+        .orderBy("user_id")
     })
   )
 
@@ -309,6 +324,14 @@ object Relational {
         |             s_suppkey*17 % 970 / 10.0 + 1.0 + s_suppkey % 20 / 10.0 AS hi
         |      FROM supplier)
         |WHERE p >= lo AND p <= hi
-        |ORDER BY c_custkey, s_suppkey""".stripMargin
+        |ORDER BY c_custkey, s_suppkey""".stripMargin,
+    "q19_pivot" ->
+      """SELECT user_id,
+        | CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_view,
+        | CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_click,
+        | CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase,
+        | CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS n_signup,
+        | CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -195,8 +195,14 @@ object IvfIndex {
     * nprobe cell directories of 4-byte-scale codes instead of raw
     * vectors — the full Jégou-style serving layout. */
   def buildPq(data: DataFrame, idCol: String, vecCol: String,
-              dim: Int, m: Int, kCodes: Int, path: String): Unit = {
-    val cb = Similarity.pqCodebook(data, idCol, vecCol, dim, m, kCodes)
+              dim: Int, m: Int, kCodes: Int, path: String,
+              trained: Boolean = false, iters: Int = 3): Unit = {
+    // trained = the per-subspace k-means refinement (better recall,
+    // not oracle-replicable); the codebook persists either way, so
+    // probes decode with whichever variant built the index
+    val cb =
+      if (trained) Similarity.pqCodebookTrained(data, idCol, vecCol, dim, m, kCodes, iters)
+      else Similarity.pqCodebook(data, idCol, vecCol, dim, m, kCodes)
     val enc = Similarity.pqEncode(data, idCol, vecCol, cb)
     val cellOf = readVectors(data.sparkSession, path).select(col("id"), col("cell"))
     enc.select(col("id"), col("sub"), col("code")).join(cellOf, "id")
