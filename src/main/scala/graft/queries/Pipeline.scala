@@ -257,6 +257,15 @@ object Pipeline {
             .as("repetition_fp4"))
         .orderBy("doc_id")
     }),
+    // 39e — Gopher-style quality-rule ensemble (Rae et al. §A1.1):
+    // word-count bounds, mean-word-length bounds, symbol ratio,
+    // alpha-word fraction, stopword presence — signals quantized
+    // BEFORE thresholding so the keep flag itself is engine-exact.
+    // Narrow, zero shuffle
+    "txt_gopher" -> ((s, dir) => {
+      TextAnalysis.gopherRulesDf(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     // 39d — corpus-trained char-trigram LM quality score (CCNet-style
     // perplexity filtering, engine-portable: per-position Laplace
     // probabilities fp6-quantized and integer-summed — no log(),
@@ -1264,6 +1273,27 @@ object Pipeline {
       s"""SELECT doc_id,
         | array_to_string(list_filter($toksSql, t -> t NOT IN ('the','a','of','and','fast','slow')), ' ') AS clean_text
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt_gopher" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CASE WHEN len(toks) = 0 THEN 1 ELSE len(toks) END AS nw,
+        |    coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS sumlen,
+        |    len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS alpha_cnt,
+        |    len(regexp_extract_all(text, '#|\\.\\.\\.')) AS sym_cnt,
+        |    CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','fast','slow'))) AS BIGINT) AS stop_hits
+        |  FROM t),
+        |q AS (SELECT doc_id, n_words,
+        |    ${sqlFp("CAST(sumlen AS DOUBLE) / CAST(nw AS DOUBLE)", 2)} AS mean_wlen_fp2,
+        |    ${sqlFp("CAST(alpha_cnt AS DOUBLE) / CAST(nw AS DOUBLE)", 4)} AS alpha_frac_fp4,
+        |    ${sqlFp("CAST(sym_cnt AS DOUBLE) / CAST(nw AS DOUBLE)", 4)} AS sym_ratio_fp4,
+        |    stop_hits
+        |  FROM s)
+        |SELECT *, CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+        |    AND mean_wlen_fp2 >= 300 AND mean_wlen_fp2 <= 1000
+        |    AND alpha_frac_fp4 >= 8000 AND sym_ratio_fp4 <= 1000
+        |    AND stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep_flag
+        |FROM q ORDER BY doc_id""".stripMargin,
     "txt_charlm" ->
       s"""WITH norm AS (SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]+', ' ', 'g'), '\\s+', ' ', 'g')) AS t

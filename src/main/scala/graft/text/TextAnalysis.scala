@@ -179,6 +179,45 @@ object TextAnalysis {
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]+", " "), "\\s+", " "))
 
+  /** Gopher-style quality rules (Rae et al. 2021, §A1.1): the
+    * document-level heuristic filter ensemble a pretraining corpus
+    * runs before model-based scoring — word-count bounds, mean word
+    * length bounds, symbol-to-word ratio, alphabetic-word fraction,
+    * stopword presence. All signals are columnar (no UDF) and
+    * quantized BEFORE thresholding, so the keep flag is a pure
+    * function of engine-exact integers — the flag itself replicates
+    * cross-engine, not just the signals. Narrow, zero shuffle.
+    *
+    * Output: (doc_id, n_words, mean_wlen_fp2, alpha_frac_fp4,
+    * sym_ratio_fp4, stop_hits, keep_flag). Thresholds are the Gopher
+    * shape scaled to this corpus's scale (≥ `minWords` words, mean
+    * word length 3-10, symbol ratio ≤ 0.1, alpha fraction ≥ 0.8,
+    * ≥ 2 stopword hits).
+    */
+  def gopherRulesDf(df: DataFrame, idCol: String, textCol: String,
+                    minWords: Int = 50,
+                    stopwords: Seq[String] = Seq("the", "a", "of", "and", "fast", "slow")): DataFrame = {
+    val staged = df.select(col(idCol).as("doc_id"), col(textCol).as("_x"),
+      tokens(col(textCol)).as("_t"))
+    val n = size(col("_t"))
+    val nw = when(n === 0, 1).otherwise(n) // divide-by-zero guard
+    val sumLen = aggregate(transform(col("_t"), t => length(t)), lit(0), (a, b) => a + b)
+    val alphaCnt = size(filter(col("_t"), t => t.rlike("[a-z]")))
+    val symCnt = size(regexp_extract_all(col("_x"), lit("#|\\.\\.\\."), lit(0)))
+    val stopCnt = size(filter(col("_t"), t => t.isin(stopwords: _*)))
+    staged.select(col("doc_id"),
+        n.cast("long").as("n_words"),
+        fp(sumLen.cast("double") / nw.cast("double"), 2).as("mean_wlen_fp2"),
+        fp(alphaCnt.cast("double") / nw.cast("double"), 4).as("alpha_frac_fp4"),
+        fp(symCnt.cast("double") / nw.cast("double"), 4).as("sym_ratio_fp4"),
+        stopCnt.cast("long").as("stop_hits"))
+      .withColumn("keep_flag",
+        (col("n_words") >= minWords && col("n_words") <= 100000 &&
+          col("mean_wlen_fp2") >= 300 && col("mean_wlen_fp2") <= 1000 &&
+          col("alpha_frac_fp4") >= 8000 && col("sym_ratio_fp4") <= 1000 &&
+          col("stop_hits") >= 2).cast("long"))
+  }
+
   /** Corpus-trained character-trigram LM quality score — the
     * CCNet-style "perplexity filter" re-expressed engine-portably:
     * the model is the corpus's OWN trigram statistics over

@@ -106,6 +106,22 @@ class TextSpec extends AnyFunSuite {
     assert(got == cases.map(_._2), got.zip(cases).filter { case (g, (_, e)) => g != e }.toString)
   }
 
+  test("gopherRulesDf: junk trips the rules, clean prose passes, signals are exact") {
+    val clean = (1 to 60).map(w => if (w % 7 == 0) "the" else s"word$w").mkString(" ")
+    val docs = Seq(
+      (1L, clean),                                   // long, stopwords, alpha → keep
+      (2L, "short text the and"),                    // too few words
+      (3L, ("# ## ### " * 30) + clean)               // symbol ratio blown
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRulesDf(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._7 == 1, s"clean doc dropped: ${out(1L)}")
+    assert(out(2L)._7 == 0 && out(2L)._2 == 4)
+    assert(out(3L)._7 == 0 && out(3L)._5 > 1000, s"symbol ratio not tripped: ${out(3L)}")
+    // n_words and stop_hits are exact counts
+    assert(out(1L)._2 == 60 && out(1L)._6 == 8)
+  }
+
   test("charLmScoreDf: OOD junk scores lower mean probability than in-distribution text") {
     // 40 docs of common-pattern English + 1 junk doc: the corpus-
     // trained trigram model assigns the junk doc rare transitions
