@@ -252,9 +252,14 @@ object TextAnalysis {
       .select(col("doc_id"),
         col("t").substr(col("i"), lit(2)).as("ctx"),
         col("t").substr(col("i") + lit(2), lit(1)).as("c"))
-    val model = tri.groupBy("ctx", "c").agg(count(lit(1)).as("cnt"))
-    val ctxTot = tri.groupBy("ctx").agg(count(lit(1)).as("tot"))
-    val vocab = tri.agg(count_distinct(col("c")).as("v"))
+    // the model is charset²-bounded — materialize it once
+    // (localCheckpoint) and derive ctx totals + alphabet size from it,
+    // so the corpus is scanned exactly twice (model build + scoring),
+    // not once per statistic; Catalyst does not reuse the un-pinned
+    // aggregation subplan across the three references
+    val model = tri.groupBy("ctx", "c").agg(count(lit(1)).as("cnt")).localCheckpoint()
+    val ctxTot = model.groupBy("ctx").agg(sum("cnt").as("tot"))
+    val vocab = model.agg(count_distinct(col("c")).as("v"))
     tri
       .join(broadcast(model), Seq("ctx", "c"))
       .join(broadcast(ctxTot), Seq("ctx"))
