@@ -376,6 +376,17 @@ object Pipeline {
         .select("doc_id", "term", "tf", "df", "tfidf_fp4")
         .orderBy("doc_id", "term")
     }),
+    // 43d — KMV (bottom-k) distinct-count sketch: deterministic
+    // md5-uniform hashing makes the sketch AND its estimate
+    // bit-reproducible across engines/retries — the verifiable cousin
+    // of approx_count_distinct for 100 TB cardinality profiling.
+    // Groups under k distinct report exact counts
+    "ev_kmv_distinct" -> ((s, dir) => {
+      graft.sketch.Sketches.kmvDistinct(
+        t(s, dir, "events").select("event_type", "user_id"),
+        Seq("event_type"), "user_id", k = 64)
+        .orderBy("event_type")
+    }),
     // 42 — gap-based sessionization (batch twin of the streaming op)
     "ev_sessionize" -> ((s, dir) => {
       val byUser = Window.partitionBy("user_id").orderBy("ms", "event_id")
@@ -1343,6 +1354,18 @@ object Pipeline {
         |    i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
         |  (a, x) -> (a*31 + x) % 2147483647) AS fp_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "ev_kmv_distinct" -> {
+      val u32 = """list_reduce(list_prepend(CAST(0 AS BIGINT),
+        | list_transform(range(1, 9),
+        |   i -> CAST(strpos('0123456789abcdef',
+        |          substr(md5('kmv:' || CAST(user_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT))),
+        | (a, v) -> a*16 + v)""".stripMargin.replace("\n", " ")
+      s"""WITH h AS (SELECT DISTINCT event_type, CAST($u32 AS DOUBLE) / 4294967296.0 AS u FROM events),
+        |r AS (SELECT event_type, u, row_number() OVER (PARTITION BY event_type ORDER BY u) AS rk FROM h)
+        |SELECT event_type, count(*) AS n_kept,
+        |  ${sqlFp("CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE) ELSE 63.0 / max(u) END", 2)} AS est_distinct_fp2
+        |FROM r WHERE rk <= 64 GROUP BY event_type ORDER BY event_type""".stripMargin
+    },
     "ev_sessionize" ->
       s"""WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms, ${sqlFp("\"value\"", 4)} AS v4 FROM events),
         |flagged AS (SELECT *, CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > $SessionGapMs
