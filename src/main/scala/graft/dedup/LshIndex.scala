@@ -188,4 +188,37 @@ object LshIndex {
       .select(col("doc_inc").as(idCol)).distinct()
     incoming.join(dups, Seq(idCol), "left_anti")
   }
+
+  /** Continuous-crawl ingestion: every micro-batch of the STREAMING
+    * `incoming` frame runs the full batch near-dup gate
+    * ([[filterNew]]) against the index, appends survivors to
+    * `outPath`, and — with `appendToIndex` on — folds the survivors
+    * INTO the index ([[append]]), so a near-duplicate arriving in a
+    * LATER batch is dropped against documents accepted in earlier
+    * ones. The standard foreachBatch shape for per-batch logic a
+    * streaming join cannot express (the gate needs banding + a
+    * distinct + an anti-join per batch).
+    *
+    * Semantics notes: duplicates WITHIN one micro-batch are not
+    * gated against each other (the index only learns a batch after
+    * the batch is filtered) — run [[Dedup.lshCandidatePairs]] over
+    * the accepted output if intra-batch dups matter; restarts replay
+    * the current batch (foreachBatch is at-least-once), so `outPath`
+    * can carry a replayed batch twice — the exact-dedup tier
+    * downstream absorbs this, or use a transactional sink.
+    */
+  def ingest(spark: SparkSession, path: String, incoming: DataFrame,
+             idCol: String, textCol: String, minEstFp4: Long,
+             outPath: String, appendToIndex: Boolean = true,
+             checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(incoming.isStreaming, "ingest expects a streaming DataFrame; use filterNew for batch")
+    val writer = incoming.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      // pin the filtered batch: it must be materialized against the
+      // PRE-append index state, and append() below re-reads it
+      val kept = filterNew(spark, path, batch, idCol, textCol, minEstFp4).localCheckpoint()
+      kept.write.mode("append").parquet(outPath)
+      if (appendToIndex && !kept.isEmpty) { append(kept, idCol, textCol, path); () }
+    }
+    checkpoint.fold(writer)(cp => writer.option("checkpointLocation", cp)).start()
+  }
 }

@@ -711,6 +711,33 @@ class DedupSimSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("LshIndex streaming ingest: gate per batch, accepted docs extend the index across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("lshing").toString
+    val ref = Seq((1L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    LshIndex.build(ref, "doc_id", "text", s"$base/idx", numGroups = 8)
+    val input = MemoryStream[(Long, String)]
+    val q = LshIndex.ingest(spark, s"$base/idx",
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      minEstFp4 = 5000L, outPath = s"$base/out",
+      checkpoint = Some(s"$base/cp"))
+    try {
+      // batch 1: a near-dup of the indexed ref (drop) + a novel doc (keep)
+      input.addData((10L, "the quick brown fox jumps over the lazy dog today"),
+        (11L, "completely different payload about spark executors and shuffles"))
+      q.processAllAvailable()
+      // batch 2: a near-dup of batch 1's ACCEPTED doc — only dropped
+      // because ingestion folded doc 11 into the index
+      input.addData((12L, "completely different payload about spark executors and shuffles"),
+        (13L, "yet another novel document mentioning parquet file footers"))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(s"$base/out").select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(11L, 13L), s"kept $kept")
+    } finally q.stop()
+  }
+
   test("scheduled re-centering: skew threshold triggers a blue/green rebuild and pointer flip") {
     val emb = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
     val base = java.nio.file.Files.createTempDirectory("ivfmaint").toString
