@@ -608,6 +608,18 @@ object Pipeline {
         budgets = Map("src0" -> 8000L, "src1" -> 6000L, "src2" -> 4000L, "src3" -> 2000L))
         .orderBy("doc_id")
     }),
+    // 46h — temperature-scaled source sampling (α=0.5, the mBERT/
+    // XLM-R multilingual mixing rule): keep-rates ∝ √n_i/n_i toward a
+    // target total, flattening the source distribution. √n quantized
+    // fp6 BEFORE the integer normalizer sum, so rates and the kept
+    // set are engine-exact; sampling is the narrow hash-deterministic
+    // filter — zero corpus shuffle
+    "smp_temperature" -> ((s, dir) => {
+      graft.sample.Sampling.temperatureSample(
+        t(s, dir, "documents").select("doc_id", "source"), "doc_id", "source",
+        targetTotal = 200L)
+        .orderBy("doc_id")
+    }),
     // 46c — exact-k-per-stratum deterministic reservoir: fixed sample
     // sizes (vs smp_sample's fixed rates), ranked on the md5-uniform
     // so the choice is rerun- and partitioning-stable
@@ -1516,6 +1528,23 @@ object Pipeline {
         |      FROM t)
         |SELECT doc_id, n_chars, n_tokens, cum_weight FROM c
         |WHERE cum_weight <= 20000 ORDER BY doc_id""".stripMargin,
+    "smp_temperature" -> {
+      val u32 = """list_reduce(list_prepend(CAST(0 AS BIGINT),
+        | list_transform(range(1, 9),
+        |   i -> CAST(strpos('0123456789abcdef',
+        |          substr(md5('tmp:' || CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT))),
+        | (a, v) -> a*16 + v)""".stripMargin.replace("\n", " ")
+      s"""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |s AS (SELECT source, n, CAST(floor(sqrt(CAST(n AS DOUBLE))*1e6+0.5) AS BIGINT) AS s6 FROM c),
+        |tot AS (SELECT CAST(sum(s6) AS BIGINT) AS stot FROM s),
+        |r AS (SELECT source,
+        |    CAST(floor(least(1.0, (200 * CAST(s6 AS DOUBLE)) / (CAST(stot AS DOUBLE) * CAST(n AS DOUBLE)))*1e6+0.5) AS BIGINT) AS rate_fp6
+        |  FROM s, tot)
+        |SELECT d.doc_id, d.source, r.rate_fp6
+        |FROM documents d JOIN r USING (source)
+        |WHERE CAST($u32 AS DOUBLE) / 4294967296.0 < CAST(rate_fp6 AS DOUBLE) / 1e6
+        |ORDER BY doc_id""".stripMargin
+    },
     "smp_mix" ->
       s"""WITH t AS (SELECT doc_id, source, n_chars, CAST(len($toksSql) AS BIGINT) AS n_tokens
         |           FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')),

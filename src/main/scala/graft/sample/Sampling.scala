@@ -40,6 +40,49 @@ object Sampling {
       .drop("_rate")
   }
 
+  /** Temperature-scaled source sampling at α = 0.5 (the mBERT/XLM-R
+    * multilingual mixing rule): stratum i is sampled toward mass
+    * p_i ∝ √n_i, flattening the source distribution so small sources
+    * are not drowned — keep-rate r_i = min(1, T·p_i / n_i) targets
+    * ~`targetTotal` rows overall (capped strata yield fewer). One
+    * tiny count aggregate (driver-sized: a row per stratum) resolves
+    * the rates; sampling itself is the [[stratifiedSample]] narrow
+    * hash-deterministic filter — zero corpus shuffle.
+    *
+    * Engine-exactness: √n_i is fp6-QUANTIZED per stratum before the
+    * normalizer sums — the sum is then integer (commutative, no
+    * float accumulation-order dependence) and every remaining double
+    * op (one mul, one mul, one div — IEEE correctly rounded) runs in
+    * the same order in the oracle, so the rates and the kept set
+    * replicate bit-for-bit. α = 0.5 is fixed BECAUSE sqrt is
+    * correctly rounded; a general-α variant would ride libm pow(),
+    * which engines round differently — use it only outside
+    * oracle-gated paths.
+    *
+    * Output: kept rows + `rate_fp6` (the stratum's keep-rate ×10⁶;
+    * 1/rate is the unbiased reweight).
+    */
+  def temperatureSample(df: DataFrame, idCol: String, strataCol: String,
+                        targetTotal: Long, salt: String = "tmp"): DataFrame = {
+    require(targetTotal >= 0, "targetTotal must be non-negative")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    require(counts.nonEmpty, "temperatureSample: empty input")
+    val s6 = counts.map { case (k, n) =>
+      (k, n, math.floor(math.sqrt(n.toDouble) * 1e6 + 0.5).toLong)
+    }
+    val sTot = s6.map(_._3).sum // integer sum — order-free
+    val rate6 = s6.map { case (k, n, s) =>
+      val r = (targetTotal.toDouble * s.toDouble) / (sTot.toDouble * n.toDouble)
+      k -> math.floor(math.min(1.0, r) * 1e6 + 0.5).toLong
+    }
+    val rateCol = rate6.tail.foldLeft(lit(rate6.head._2)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.withColumn("rate_fp6", rateCol)
+      .filter(hashUniform(col(idCol), salt) < col("rate_fp6").cast("double") / lit(1e6))
+  }
+
   /** Deterministic DISJOINT corpus split (train/val/test, eval
     * holdouts): `fractions` maps split name → mass (must sum to 1);
     * a row's split is where its md5-uniform falls against the

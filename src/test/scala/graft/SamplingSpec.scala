@@ -205,6 +205,28 @@ class SamplingSpec extends AnyFunSuite {
     assert(Sampling.budgetSelect(df, "doc_id", "score", "wt", 0L).isEmpty)
   }
 
+  test("temperatureSample flattens the source distribution toward sqrt mass, deterministic") {
+    // skewed corpus: big source 900 rows, small source 100 rows
+    val df = ((1L to 900L).map(i => (i, "big")) ++ (1001L to 1100L).map(i => (i, "small")))
+      .toDF("doc_id", "source")
+    val out = Sampling.temperatureSample(df, "doc_id", "source", targetTotal = 200L)
+      .as[(Long, String, Long)].collect()
+    val rates = out.groupBy(_._2).view.mapValues(_.head._3).toMap
+    // sqrt mass: p_big = 30/40, p_small = 10/40 → keep-rates
+    // r_big = 200·0.75/900 ≈ 0.1667, r_small = 200·0.25/100 = 0.5 —
+    // the small source keeps 3× the rate of the big one
+    assert(rates("small") > rates("big") * 2, rates.toString)
+    assert(rates.values.forall(r => r > 0 && r <= 1000000))
+    // deterministic under repartitioning
+    val out13 = Sampling.temperatureSample(df.repartition(13), "doc_id", "source", 200L)
+      .as[(Long, String, Long)].collect()
+    assert(out13.toSet == out.toSet)
+    // tiny target on a tiny source caps at rate 1e6 (keep everything)
+    val capped = Sampling.temperatureSample(df, "doc_id", "source", targetTotal = 100000L)
+      .as[(Long, String, Long)].collect()
+    assert(capped.length == 1000 && capped.forall(_._3 == 1000000L))
+  }
+
   test("mixBudgetSelect: per-stratum greedy prefixes, unknown strata dropped, partition-stable") {
     val rows = (1L to 600L).map(i =>
       (i, s"s${i % 4}", (i * 37 % 211) + 1, (i * 13 % 50) + 1)) // (id, src, score, weight)
