@@ -701,6 +701,51 @@ object Dedup {
         sum(when(col("_common").isNull, 1L).otherwise(0L)).as("n_kept"),
         sum(when(col("_common").isNotNull, 1L).otherwise(0L)).as("n_dropped"))
   }
+
+  /** Duplicated-span statistics — the positional token-n-gram sweep
+    * behind substring-level dedup (Lee et al. 2022, arXiv:2107.06499,
+    * which walks a suffix array; the equi-join re-expression below is
+    * the shape that distributes). EVERY n-token window is counted
+    * across the corpus — not distinct-per-doc like [[shingles]] —
+    * and a document's duplication level is the fraction of its spans
+    * occurring more than once globally (a span the doc itself repeats
+    * is a duplicated span).
+    *
+    * Shape for 100 TB: positional grams collapse map-side to
+    * (doc, md5(gram), k) before the first exchange, corpus totals are
+    * one more partial agg on the md5 key, and the flag join is on that
+    * same key (AQE reuses the exchange). The 128-bit md5 — not the raw
+    * up-to-n·w-char span — is what shuffles. Docs shorter than n
+    * tokens surface with zero spans via the outer join, not silently
+    * dropped. The totals table is never broadcast: at corpus scale the
+    * set of repeated spans is itself huge (boilerplate is the point).
+    */
+  def dupNgramStats(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 8): DataFrame = {
+    require(n >= 1, s"dupNgramStats: n = $n must be >= 1")
+    val grams = df.select(col(idCol).as("doc"),
+        explode(graft.ColumnOps.let(TextAnalysis.tokens(col(textCol))) { toks =>
+          when(size(toks) < n, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(1), size(toks) - lit(n - 1)),
+              i => concat_ws(" ", slice(toks, i, lit(n)))))
+        }).as("gram"))
+      .select(col("doc"), md5(col("gram")).as("_gh"))
+    val perDoc = grams.groupBy("doc", "_gh").agg(count(lit(1)).as("k"))
+    val totals = perDoc.groupBy("_gh").agg(sum(col("k")).as("_tot"))
+    val agg = perDoc.join(totals, "_gh")
+      .groupBy("doc")
+      .agg(sum(col("k")).as("n_grams"),
+        sum(when(col("_tot") > 1, col("k")).otherwise(0L)).as("n_dup_grams"))
+    df.select(col(idCol).as("doc"))
+      .join(agg, Seq("doc"), "left")
+      .select(col("doc").as(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"))
+      .withColumn("dup_frac_fp4",
+        when(col("n_grams") === 0, lit(0L))
+          .otherwise(TextAnalysis.fp(
+            col("n_dup_grams").cast("double") / col("n_grams").cast("double"), 4)))
+  }
 }
 
 /** Hex-nibble helper shared by simhash/LSH. */

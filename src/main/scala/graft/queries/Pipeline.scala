@@ -143,6 +143,14 @@ object Pipeline {
         n = 3, threshold = 0.05, maxShingleDf = 1000)
         .orderBy("doc_a", "doc_b")
     }),
+    // 32e — substring-level duplication sweep (Lee et al. 2022): every
+    // positional token 8-gram counted corpus-wide; per doc, the
+    // fraction of its spans that occur more than once anywhere. The
+    // per-doc signal that drives span-level strip decisions at scale
+    "dd_dup_ngrams" -> ((s, dir) => {
+      Dedup.dupNgramStats(t(s, dir, "documents"), "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    }),
     // 35 — embedding cosine near-dup within label buckets
     "dd_embed_neardup" -> ((s, dir) => {
       Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", "label", 200000L)
@@ -255,6 +263,30 @@ object Pipeline {
           when(size(col("_toks")) === 0, lit(0L))
             .otherwise(fp(lit(1.0) - size(array_distinct(col("_toks"))).cast("double") / size(col("_toks")).cast("double"), 4))
             .as("repetition_fp4"))
+        .orderBy("doc_id")
+    }),
+    // 39c — vocabulary-growth stats: per-doc type count and hapax
+    // (once-only) fraction, the Zipf-tail quality signal that
+    // repetition/TTR miss. Explode + two-level partial agg — the
+    // (doc, token) combine collapses repeats map-side, so the shuffle
+    // carries per-doc vocabularies, not token streams
+    "txt_hapax" -> ((s, dir) => {
+      val tokCounts = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      t(s, dir, "documents").select(col("doc_id"))
+        .join(tokCounts, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("n_types"), lit(0L)).as("n_types"),
+          coalesce(col("n_hapax"), lit(0L)).as("n_hapax"))
+        .withColumn("hapax_frac_fp4",
+          when(col("n_types") === 0, lit(0L))
+            .otherwise(fp(col("n_hapax").cast("double") / col("n_types").cast("double"), 4)))
         .orderBy("doc_id")
     }),
     // 39e — Gopher-style quality-rule ensemble (Rae et al. §A1.1):
@@ -385,6 +417,80 @@ object Pipeline {
       graft.sketch.Sketches.kmvDistinct(
         t(s, dir, "events").select("event_type", "user_id"),
         Seq("event_type"), "user_id", k = 64)
+        .orderBy("event_type")
+    }),
+    // 43e — count-min sketch frequency profile: deterministic d×w md5
+    // sketch built with map-side combine (the shuffle carries ≤ d·w
+    // cells per task, not events); estimate = min over d counters,
+    // exact count carried alongside to expose the collision gap
+    "ev_cms_freq" -> ((s, dir) => {
+      graft.sketch.Sketches.cmsFreq(
+        t(s, dir, "events").select("event_type"), "event_type", d = 4, w = 64)
+        .orderBy("event_type")
+    }),
+    // 43f — exact per-group percentiles WITHOUT a per-group row sort:
+    // the corpus collapses map-side to a (group, quantized-value)
+    // histogram; the rank scan runs over the compressed histogram
+    // (distinct fp4 values, bounded by the value domain — not by row
+    // count), so the shape survives 100 TB where sorting each group's
+    // rows cannot. p-th percentile = smallest value whose cumulative
+    // count reaches ceil(p·n) — pure integer arithmetic on both engines
+    "ev_percentile" -> ((s, dir) => {
+      val h = ev(s, dir)
+        .groupBy(col("event_type"), col("v4")).agg(count(lit(1)).as("k"))
+      val wc = Window.partitionBy("event_type").orderBy("v4")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy("event_type")
+      h.withColumn("cum", sum("k").over(wc))
+        .withColumn("n", sum("k").over(wt))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).cast("long").as("n_rows"),
+          min(when(col("cum") >= expr("(n + 1) DIV 2"), col("v4"))).as("p50_c4"),
+          min(when(col("cum") >= expr("(9 * n + 9) DIV 10"), col("v4"))).as("p90_c4"),
+          min(when(col("cum") >= expr("(99 * n + 99) DIV 100"), col("v4"))).as("p99_c4"))
+        .orderBy("event_type")
+    }),
+    // 43g — damped PageRank over the event-type transition graph:
+    // edges = user-ordered consecutive event pairs (one partitioned
+    // window, the only corpus-scale stage), then 3 power iterations
+    // over the node table in fp9 integer arithmetic — per-edge
+    // probability quantized to ppm (p6 = ⌊1e6·c/ctot⌋), contribution
+    // ⌊85·⌊r·p6/1e6⌋/100⌋, teleport ⌊1.5e8/|V|⌋ — every floor lands
+    // identically on both engines, and the staged division keeps all
+    // intermediates < 2^60 even at 10^12-edge scale. The iteration
+    // joins are node-table-sized; at web-graph node counts the SAME
+    // plan distributes (keyed joins, no collect)
+    "ev_markov_rank" -> ((s, dir) => {
+      val e0 = ev(s, dir)
+      val wu = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+      val edges = e0
+        .withColumn("_nxt", lead("event_type", 1).over(wu))
+        .filter(col("_nxt").isNotNull)
+        .groupBy(col("event_type").as("src"), col("_nxt").as("dst"))
+        .agg(count(lit(1)).as("c"))
+      // pin the vocabulary-sized edge/node tables (txt_charlm idiom):
+      // without the checkpoint each power iteration re-derives them
+      // from the corpus — 14 parquet scans instead of 2
+      val p6 = edges
+        .join(edges.groupBy("src").agg(sum("c").as("ctot")), "src")
+        .withColumn("p6", expr("(1000000 * c) DIV ctot"))
+        .select("src", "dst", "p6")
+        .localCheckpoint()
+      val nodes = e0.select(col("event_type").as("node")).distinct().localCheckpoint()
+      val nvDf = broadcast(nodes.agg(count(lit(1)).as("_nv")))
+      var r = nodes.crossJoin(nvDf)
+        .select(col("node"), expr("1000000000 DIV _nv").cast("long").as("r"))
+      for (_ <- 1 to 3) {
+        val contrib = p6.join(r, p6("src") === r("node"))
+          .select(col("dst").as("node"),
+            expr("(85 * ((r * p6) DIV 1000000)) DIV 100").as("cr"))
+          .groupBy("node").agg(sum("cr").as("_in"))
+        r = nodes.crossJoin(nvDf)
+          .join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (expr("150000000 DIV _nv") + coalesce(col("_in"), lit(0L))).cast("long").as("r"))
+      }
+      r.select(col("node").as("event_type"), col("r").as("rank_fp9"))
         .orderBy("event_type")
     }),
     // 42 — gap-based sessionization (batch twin of the streaming op)
@@ -1253,6 +1359,26 @@ object Pipeline {
         |FROM inter JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
         |WHERE ${sqlFp("CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE)", 4)} >= 500
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // positional 8-grams (NOT distinct — every span counts); docs
+    // shorter than 8 tokens surface with zeros via the left join
+    "dd_dup_ngrams" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+        |pos AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i
+        |  FROM toks WHERE len(tk) >= 8),
+        |grams AS (SELECT doc_id,
+        |    array_to_string(tk[CAST(i AS INT):CAST(i AS INT) + 7], ' ') AS gram FROM pos),
+        |pg AS (SELECT doc_id, gram, count(*) AS k FROM grams GROUP BY 1, 2),
+        |tot AS (SELECT gram, sum(k) AS tot FROM pg GROUP BY 1),
+        |agg AS (SELECT doc_id, sum(k) AS n_grams,
+        |    sum(CASE WHEN tot > 1 THEN k ELSE 0 END) AS n_dup
+        |  FROM pg JOIN tot USING (gram) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_grams,
+        |  CASE WHEN coalesce(n_grams, 0) = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE ${sqlFp("CAST(n_dup AS DOUBLE) / CAST(n_grams AS DOUBLE)", 4)}
+        |  END AS dup_frac_fp4
+        |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
     "dd_embed_neardup" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  ${sqlFp(cosSql("a.embedding", "b.embedding"), 6)} AS cos_fp6
@@ -1378,6 +1504,63 @@ object Pipeline {
         |  ${sqlFp("CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE) ELSE 63.0 / max(u) END", 2)} AS est_distinct_fp2
         |FROM r WHERE rk <= 64 GROUP BY event_type ORDER BY event_type""".stripMargin
     },
+    "ev_cms_freq" -> {
+      def bucket(j: Int): String =
+        s"""(list_reduce(list_prepend(CAST(0 AS BIGINT),
+          | list_transform(range(1, 9),
+          |   i -> CAST(strpos('0123456789abcdef',
+          |          substr(md5('cms$j:' || event_type), CAST(i AS INT), 1)) - 1 AS BIGINT))),
+          | (a, v) -> a*16 + v) % 64)""".stripMargin.replace("\n", " ")
+      val cells = (0 until 4).map(j =>
+        s"c$j AS (SELECT ${bucket(j)} AS b, count(*) AS cnt FROM events GROUP BY 1)").mkString(",\n")
+      s"""WITH $cells,
+        |keys AS (SELECT event_type, count(*) AS exact_n FROM events GROUP BY 1)
+        |SELECT k.event_type, k.exact_n,
+        |  least(c0.cnt, c1.cnt, c2.cnt, c3.cnt) AS cms_est
+        |FROM keys k
+        |JOIN c0 ON c0.b = ${bucket(0).replace("event_type", "k.event_type")}
+        |JOIN c1 ON c1.b = ${bucket(1).replace("event_type", "k.event_type")}
+        |JOIN c2 ON c2.b = ${bucket(2).replace("event_type", "k.event_type")}
+        |JOIN c3 ON c3.b = ${bucket(3).replace("event_type", "k.event_type")}
+        |ORDER BY k.event_type""".stripMargin
+    },
+    "ev_percentile" ->
+      s"""WITH e AS (SELECT event_type, ${sqlFp("\"value\"", 4)} AS v4 FROM events),
+        |h AS (SELECT event_type, v4, count(*) AS k FROM e GROUP BY 1, 2),
+        |c AS (SELECT event_type, v4, k,
+        |    sum(k) OVER (PARTITION BY event_type ORDER BY v4
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(k) OVER (PARTITION BY event_type) AS n
+        |  FROM h)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n_rows,
+        |  min(CASE WHEN cum >= (n + 1) // 2 THEN v4 END) AS p50_c4,
+        |  min(CASE WHEN cum >= (9 * n + 9) // 10 THEN v4 END) AS p90_c4,
+        |  min(CASE WHEN cum >= (99 * n + 99) // 100 THEN v4 END) AS p99_c4
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "ev_markov_rank" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |pairs AS (SELECT event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS dst
+        |  FROM e),
+        |edges AS (SELECT src, dst, count(*) AS c FROM pairs WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |p AS (SELECT src, dst, (1000000 * c) // sum(c) OVER (PARTITION BY src) AS p6 FROM edges),
+        |nodes AS (SELECT DISTINCT event_type AS node FROM e),
+        |nv AS (SELECT count(*) AS nv FROM nodes),
+        |r0 AS (SELECT node, 1000000000 // nv AS r FROM nodes CROSS JOIN nv),
+        |r1 AS (SELECT n.node, 150000000 // nv + coalesce(
+        |    (SELECT sum((85 * ((r0.r * p.p6) // 1000000)) // 100)
+        |     FROM p JOIN r0 ON r0.node = p.src WHERE p.dst = n.node), 0) AS r
+        |  FROM nodes n CROSS JOIN nv),
+        |r2 AS (SELECT n.node, 150000000 // nv + coalesce(
+        |    (SELECT sum((85 * ((r1.r * p.p6) // 1000000)) // 100)
+        |     FROM p JOIN r1 ON r1.node = p.src WHERE p.dst = n.node), 0) AS r
+        |  FROM nodes n CROSS JOIN nv),
+        |r3 AS (SELECT n.node, 150000000 // nv + coalesce(
+        |    (SELECT sum((85 * ((r2.r * p.p6) // 1000000)) // 100)
+        |     FROM p JOIN r2 ON r2.node = p.src WHERE p.dst = n.node), 0) AS r
+        |  FROM nodes n CROSS JOIN nv)
+        |SELECT node AS event_type, CAST(r AS BIGINT) AS rank_fp9
+        |FROM r3 ORDER BY event_type""".stripMargin,
     "ev_sessionize" ->
       s"""WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms, ${sqlFp("\"value\"", 4)} AS v4 FROM events),
         |flagged AS (SELECT *, CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > $SessionGapMs
@@ -1412,6 +1595,20 @@ object Pipeline {
         | ELSE ${sqlFp("1.0 - CAST(len(list_distinct(" + toksSql + ")) AS DOUBLE) / CAST(len(" + toksSql + ") AS DOUBLE)", 4)}
         | END AS repetition_fp4
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt_hapax" ->
+      s"""WITH tc AS (SELECT doc_id, tok, count(*) AS c
+        |  FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents) GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_types,
+        |    sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax
+        |  FROM tc GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(n_types, 0) AS BIGINT) AS n_types,
+        |  CAST(coalesce(n_hapax, 0) AS BIGINT) AS n_hapax,
+        |  CASE WHEN coalesce(n_types, 0) = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE ${sqlFp("CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE)", 4)}
+        |  END AS hapax_frac_fp4
+        |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
     "ev_retention" ->
       """WITH e AS (SELECT DISTINCT user_id,
         |    (epoch_ms(ts) - ((epoch_ms(ts) % 604800000 + 604800000) % 604800000)) // 604800000 AS week

@@ -213,6 +213,33 @@ object Relational {
         .count()
         .select(col("user_id") +: types.map(tp => coalesce(col(tp), lit(0L)).as(s"n_$tp")): _*)
         .orderBy("user_id")
+    }),
+    // 11h — per-group Pearson correlation from exact integer moment
+    // sums: both inputs quantize to cents first, the five moments
+    // accumulate in DECIMAL(38,0) (never float sums — partial-agg
+    // order would change the result), and only the final
+    // num/sqrt(d1·d2) drops to double, once, in the same expression
+    // shape the oracle uses. One shuffle (the groupBy), map-side
+    // partial moments — the textbook distributed-corr shape
+    "q20_corr" -> ((s, dir) => {
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val x = fp(col("l_quantity"), 2)
+      val y = fp(col("l_extendedprice"), 2)
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), x.as("x"), y.as("y"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).cast(d38).as("n"),
+          sum(col("x").cast(d38)).as("sx"),
+          sum(col("y").cast(d38)).as("sy"),
+          sum((col("x") * col("y")).cast(d38)).as("sxy"),
+          sum((col("x") * col("x")).cast(d38)).as("sxx"),
+          sum((col("y") * col("y")).cast(d38)).as("syy"))
+        .select(col("l_returnflag"), col("n").cast("long").as("n"),
+          fp((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 4)
+            .as("corr_fp4"))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -332,6 +359,23 @@ object Relational {
         | CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase,
         | CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS n_signup,
         | CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_error
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // moment sums stay exact integers (DuckDB sum(BIGINT) → HUGEINT,
+    // Spark DECIMAL(38,0)); only the final ratio drops to double, in
+    // the same expression shape, so fp4 lands identically
+    "q20_corr" ->
+      """WITH q AS (SELECT l_returnflag,
+        |    CAST(floor(l_quantity*100+0.5) AS BIGINT) AS x,
+        |    CAST(floor(l_extendedprice*100+0.5) AS BIGINT) AS y
+        |  FROM lineitem),
+        |m AS (SELECT l_returnflag, count(*) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+        |    sum(x*x) AS sxx, sum(y*y) AS syy
+        |  FROM q GROUP BY 1)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  CAST(floor(CAST(n*sxy - sx*sy AS DOUBLE)
+        |    / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
+        |    * 1e4 + 0.5) AS BIGINT) AS corr_fp4
+        |FROM m ORDER BY l_returnflag""".stripMargin
   )
 }

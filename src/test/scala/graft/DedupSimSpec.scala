@@ -883,4 +883,36 @@ class DedupSimSpec extends AnyFunSuite {
     }
     emb.unpersist()
   }
+
+  test("dupNgramStats: positional spans, self-repeats, short docs, cross-doc dups") {
+    import spark.implicits._
+    val eight = "a b c d e f g h"                  // exactly one 8-gram
+    val docs = Seq(
+      (1L, eight),                                 // dup with doc 2
+      (2L, eight),                                 // dup with doc 1
+      (3L, "q w e r t y u i"),                     // unique single span
+      (4L, s"$eight $eight"),                      // 9 spans; pos 1 and 9 repeat the
+                                                   // (a..h) gram (ALSO in docs 1/2),
+                                                   // the 7 straddling spans are unique
+      (5L, "too short"),                           // < 8 tokens → zero spans
+      (6L, "")                                     // empty → zero spans
+    ).toDF("doc_id", "text")
+    val out = graft.dedup.Dedup.dupNgramStats(docs, "doc_id", "text", n = 8)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == ((1L, 1L, 10000L)))          // its one span occurs 4× globally
+    assert(out(2L) == ((1L, 1L, 10000L)))
+    assert(out(3L) == ((1L, 0L, 0L)))
+    assert(out(4L) == ((9L, 2L, 2222L)))           // 2 of 9 spans duplicated; fp4(2/9)
+    assert(out(5L) == ((0L, 0L, 0L)))              // surfaced, not dropped
+    assert(out(6L) == ((0L, 0L, 0L)))
+    // n = 1 degenerates to per-token duplication — every token of doc 4
+    // also appears in docs 1/2, so every span is a dup
+    val tok = graft.dedup.Dedup.dupNgramStats(docs, "doc_id", "text", n = 1)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(tok(4L) == ((16L, 16L, 10000L)))
+    // pure function of the data: partitioning cannot move the counts
+    val out7 = graft.dedup.Dedup.dupNgramStats(docs.repartition(7), "doc_id", "text", n = 8)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out7 == out)
+  }
 }

@@ -81,4 +81,54 @@ class QueriesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("ev_percentile matches a per-group brute-force rank pick") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("ev_percentile")(spark, TestSpark.Sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.nonEmpty)
+    val brute = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
+      .select(col("event_type"), graft.text.TextAnalysis.fp(col("value"), 4).as("v4"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    out.foreach { case (et, (n, p50, p90, p99)) =>
+      val vs = brute(et)
+      assert(n == vs.length)
+      assert(p50 == vs(((n + 1) / 2 - 1).toInt), s"$et p50")
+      assert(p90 == vs(((9 * n + 9) / 10 - 1).toInt), s"$et p90")
+      assert(p99 == vs(((99 * n + 99) / 100 - 1).toInt), s"$et p99")
+      assert(p50 <= p90 && p90 <= p99, s"$et percentile order")
+    }
+  }
+
+  test("ev_markov_rank: teleport floor and total-mass bound hold") {
+    val rows = SparkEntry.queries("ev_markov_rank")(spark, TestSpark.Sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val nv = rows.length
+    assert(nv > 1)
+    val teleport = 150000000L / nv
+    rows.foreach { case (et, r) =>
+      assert(r >= teleport, s"$et rank $r below the teleport floor $teleport")
+    }
+    val total = rows.map(_._2).sum
+    // floors only destroy mass: 0.15e9 teleport + damped sum stays
+    // within (teleport-only, full-mass]
+    assert(total <= 1000000000L && total > 150000000L, s"total mass $total")
+  }
+
+  test("q20_corr agrees with Spark's built-in float-sum corr to 2e-3") {
+    import org.apache.spark.sql.functions._
+    val exact = SparkEntry.queries("q20_corr")(spark, TestSpark.Sf)
+      .collect().map(r => r.getString(0) -> r.getLong(2) / 1e4).toMap
+    val approx = spark.read.parquet(s"${TestSpark.Sf}/lineitem.parquet")
+      .select(col("l_returnflag"),
+        graft.text.TextAnalysis.fp(col("l_quantity"), 2).cast("double").as("x"),
+        graft.text.TextAnalysis.fp(col("l_extendedprice"), 2).cast("double").as("y"))
+      .groupBy("l_returnflag").agg(corr(col("x"), col("y")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (k, v) =>
+      assert(math.abs(v - approx(k)) < 2e-3, s"$k: $v vs ${approx(k)}")
+    }
+  }
 }

@@ -31,4 +31,34 @@ class SketchSpec extends AnyFunSuite {
       .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     assert(out13 == out)
   }
+
+  test("cmsFreq: estimate is an upper bound, tight without collisions, partitioning-stable") {
+    // 5 keys with very different frequencies over a 4x64 sketch —
+    // collisions among 5 keys are unlikely per row, and min-over-4
+    // rows kills any single-row collision
+    val rows = Seq.tabulate(5)(k => s"key$k").zipWithIndex
+      .flatMap { case (k, i) => Seq.fill((i + 1) * 100)(k) }
+    val df = rows.toDF("k")
+    val out = Sketches.cmsFreq(df, "k", d = 4, w = 64)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.keySet == Set("key0", "key1", "key2", "key3", "key4"))
+    out.foreach { case (k, (exact, est)) =>
+      assert(est >= exact, s"$k: CMS must never under-count")
+      assert(exact == (k.last - '0' + 1) * 100L)
+    }
+    // 5 keys / 64 buckets / 4 independent rows: exact here
+    assert(out.forall { case (_, (exact, est)) => est == exact })
+    // sketch is a pure function of the data
+    val out7 = Sketches.cmsFreq(df.repartition(7), "k", d = 4, w = 64)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out7 == out)
+    // forced collisions: w = 2 crams 5 keys into 2 buckets per row —
+    // estimates must overshoot yet stay bounded by the total count
+    val squeezed = Sketches.cmsFreq(df, "k", d = 2, w = 2)
+      .as[(String, Long, Long)].collect()
+    val total = rows.size
+    squeezed.foreach { case (k, exact, est) =>
+      assert(est >= exact && est <= total, s"$k: $est outside [$exact, $total]")
+    }
+  }
 }
