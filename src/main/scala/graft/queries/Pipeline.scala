@@ -493,6 +493,25 @@ object Pipeline {
       r.select(col("node").as("event_type"), col("r").as("rank_fp9"))
         .orderBy("event_type")
     }),
+    // 43h — last-touch attribution: each purchase joined to the user's
+    // latest STRICTLY-preceding view/click. Pure reuse of the as-of
+    // operator (one key shuffle, running struct-max window, no range
+    // θ-join) — the point is that marketing attribution IS an as-of
+    // join, not a new operator; tie at the same ms resolves to the
+    // larger event_id via the payload struct order
+    "ev_attribution" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ms").as("pms"), col("event_id").as("purchase_id"))
+      val touches = e.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("ms"), col("event_id"), col("event_type").as("touch_type"))
+      graft.operators.AsofJoin.asofBackward(purchases, "user_id", "pms",
+          touches, "user_id", "ms", Seq("event_id", "touch_type"), strict = true)
+        .select(col("purchase_id"), col("user_id"), col("pms"),
+          col("asof_time").as("touch_ms"), col("asof_event_id").as("touch_event_id"),
+          col("asof_touch_type").as("touch_type"))
+        .orderBy("purchase_id")
+    }),
     // 42 — gap-based sessionization (batch twin of the streaming op)
     "ev_sessionize" -> ((s, dir) => {
       val byUser = Window.partitionBy("user_id").orderBy("ms", "event_id")
@@ -1561,6 +1580,23 @@ object Pipeline {
         |  FROM nodes n CROSS JOIN nv)
         |SELECT node AS event_type, CAST(r AS BIGINT) AS rank_fp9
         |FROM r3 ORDER BY event_type""".stripMargin,
+    // as-of tie-break mirror (q17 shape): best time = max(ms < pms),
+    // then max event_id at that time; touch_type recovered by the
+    // unique event_id
+    "ev_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |p AS (SELECT event_id AS purchase_id, user_id, ms AS pms FROM e WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, ms, event_id, event_type AS touch_type FROM e
+        |      WHERE event_type IN ('view', 'click')),
+        |b AS (SELECT p.purchase_id, max(t.ms) AS touch_ms
+        |      FROM p LEFT JOIN t ON t.user_id = p.user_id AND t.ms < p.pms GROUP BY 1),
+        |x AS (SELECT p.purchase_id, p.user_id, p.pms, b.touch_ms, max(t.event_id) AS touch_event_id
+        |      FROM p JOIN b USING (purchase_id)
+        |      LEFT JOIN t ON t.user_id = p.user_id AND t.ms = b.touch_ms
+        |      GROUP BY 1, 2, 3, 4)
+        |SELECT x.purchase_id, x.user_id, x.pms, x.touch_ms, x.touch_event_id, t2.touch_type
+        |FROM x LEFT JOIN t t2 ON t2.event_id = x.touch_event_id
+        |ORDER BY purchase_id""".stripMargin,
     "ev_sessionize" ->
       s"""WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms, ${sqlFp("\"value\"", 4)} AS v4 FROM events),
         |flagged AS (SELECT *, CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > $SessionGapMs

@@ -131,6 +131,67 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("simhash64")
       .drop("ts")
 
+  case class KmvRow(win_start: Long, grp: String, u: Double)
+  // the state IS the sketch: bottom-k distinct md5-uniforms — k
+  // doubles per active (window, group), mergeable by union+re-bottom
+  case class KmvState(hashes: List[Double])
+  case class KmvEstimate(win_start: Long, event_type: String, n_kept: Long, est_distinct_fp2: Long)
+
+  /** Streaming twin of [[graft.sketch.Sketches.kmvDistinct]]: per
+    * tumbling window × event_type, a running bottom-k (KMV)
+    * distinct-user estimate. The group state is the sketch itself —
+    * k doubles, NOT the distinct set — so memory is bounded by
+    * active (window, group) pairs regardless of cardinality, and
+    * merging a micro-batch is union + re-bottom (the sketch's own
+    * merge law). The md5-uniform hash is computed with the SAME
+    * column expression as the batch sketch before the typed
+    * boundary, so for in-order data the streamed estimate equals the
+    * batch estimate bit-for-bit (spec-asserted). Update-mode output:
+    * each trigger re-emits updated groups; state expires (with one
+    * final emission) once the watermark passes window end + lateness.
+    */
+  def kmvDistinctWindows(events: DataFrame, valueCol: String = "user_id",
+                         k: Int = 64, windowMs: Long = 3600000L,
+                         latenessMs: Long = 3600000L): Dataset[KmvEstimate] = {
+    require(k >= 2, s"kmvDistinctWindows: k must be ≥ 2, got $k")
+    implicit val rowEnc = Encoders.product[KmvRow]
+    implicit val stEnc = Encoders.product[KmvState]
+    implicit val outEnc = Encoders.product[KmvEstimate]
+    implicit val keyEnc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+
+    def estimate(key: (Long, String), st: KmvState): KmvEstimate = {
+      val n = st.hashes.size
+      val est = if (n < k) n.toDouble else (k - 1).toDouble / st.hashes.max
+      KmvEstimate(key._1, key._2, n.toLong, math.floor(est * 100.0 + 0.5).toLong)
+    }
+
+    events
+      .withColumn("ts", timestamp_millis(col("ms")))
+      .withWatermark("ts", s"$latenessMs milliseconds")
+      .select(
+        (col("ms") - pmod(col("ms"), lit(windowMs))).as("win_start"),
+        col("event_type").as("grp"),
+        graft.sample.Sampling.hashUniform(col(valueCol), "kmv").as("u"),
+        col("ts"))
+      .as[KmvRow]
+      .groupByKey(r => (r.win_start, r.grp))
+      .mapGroupsWithState[KmvState, KmvEstimate](GroupStateTimeout.EventTimeTimeout) {
+        (key: (Long, String), rows: Iterator[KmvRow], state: GroupState[KmvState]) =>
+          val st = state.getOption.getOrElse(KmvState(Nil))
+          if (state.hasTimedOut) {
+            state.remove()
+            estimate(key, st) // final emission, then the k doubles are gone
+          } else {
+            val merged = KmvState(
+              (st.hashes ++ rows.map(_.u)).distinct.sorted.take(k))
+            state.update(merged)
+            state.setTimeoutTimestamp(math.max(
+              key._1 + windowMs + latenessMs, state.getCurrentWatermarkMs() + 1))
+            estimate(key, merged)
+          }
+      }
+  }
+
   // funnel state: stage times reached so far (-1 = not reached), plus
   // a done flag so a completion emits exactly once
   case class FunnelState(t1: Long, t2: Long, t3: Long, done: Boolean)

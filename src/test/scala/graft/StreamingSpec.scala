@@ -295,4 +295,39 @@ class StreamingSpec extends AnyFunSuite {
       assert(hits == Seq((5L, base, base + 1, base + 2)), hits.mkString(", "))
     } finally fq.stop()
   }
+
+  test("streaming KMV sketch equals the batch kmvDistinct on the same window") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    // k = 8 over 30 distinct users → the estimator path (not exact);
+    // a second sparse window stays on the exact path (n < k)
+    val evs = (1 to 60).map(i => Ev(i.toLong, (i % 30).toLong, "view", (i % 7) * 60000L, 0)) ++
+      Seq(Ev(100, 1, "click", H + 1, 0), Ev(101, 2, "click", H + 2, 0))
+    val q = EventStreams.kmvDistinctWindows(input.toDF(), k = 8)
+      .writeStream.format("memory").queryName("kmv_stream").outputMode(OutputMode.Update).start()
+    try {
+      // split across micro-batches: the sketch must MERGE, not restart
+      input.addData(evs.take(20): _*)
+      q.processAllAvailable()
+      input.addData(evs.drop(20): _*)
+      q.processAllAvailable()
+      // last emission per (window, group) is the final sketch
+      val streamed = spark.table("kmv_stream")
+        .groupBy("win_start", "event_type")
+        .agg(org.apache.spark.sql.functions.last("n_kept").as("n_kept"),
+          org.apache.spark.sql.functions.last("est_distinct_fp2").as("est"))
+        .as[(Long, String, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+      val batch = graft.sketch.Sketches.kmvDistinct(
+        evs.toDF().withColumn("win_start",
+          org.apache.spark.sql.functions.expr(s"ms - pmod(ms, $H)")),
+        Seq("win_start", "event_type"), "user_id", k = 8)
+        .as[(Long, String, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+      assert(streamed == batch, s"streamed $streamed vs batch $batch")
+      assert(batch((0L, "view"))._1 == 8L)       // estimator path exercised
+      assert(batch((H, "click"))._1 == 2L)       // exact path exercised
+    } finally q.stop()
+  }
 }
