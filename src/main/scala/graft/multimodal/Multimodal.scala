@@ -172,6 +172,39 @@ object Multimodal {
       "data".getBytes("US-ASCII") ++ le32(dataBytes)
   }
 
+  /** Deterministic 8×8 grayscale raster for perceptual-hash tests and
+    * the verified query (NOT a real decoder — the raster stands in
+    * for a decoded thumbnail): pixel(i) = ((id%16)·31 + 7i) % 240 +
+    * id%3. The id%3 term is a uniform brightness shift ≤ 2 — bounded
+    * away from byte wrap-around (≤ 241) so aHash's strict mean
+    * comparison is exactly invariant under it. */
+  def synthGray8x8(id: Long): Array[Byte] = {
+    val base = (id % 16) * 31
+    val shift = id % 3
+    Array.tabulate(64)(i => (((base + i * 7) % 240) + shift).toByte)
+  }
+
+  /** One half of the 64-bit average hash (aHash) of an 8×8 grayscale
+    * raster carried as a 64-byte binary column: bit i (pixel
+    * `start+i`, i = 0..31) is set iff pixel·64 > Σ pixels — strict
+    * integer comparison, no division, so both engines land the same
+    * bit for any raster. MSB-first fold packs the 32 bits into a
+    * non-negative long (two uint32 halves avoid BIGINT sign games a
+    * full 64-bit pack would hit). A uniform brightness shift c adds
+    * 64c to the sum and 64c to pixel·64 — bits are exactly invariant,
+    * which is the "perceptual" in the hash. Pure narrow columnar —
+    * zero shuffle, scales with rows.
+    */
+  def aHashHalf(payload: Column, start: Int): Column = {
+    require(start == 0 || start == 32, s"start must be 0 or 32, got $start")
+    graft.ColumnOps.let(transform(sequence(lit(0), lit(63)), i => u8(payload, i + 1).cast("long"))) { ps =>
+      graft.ColumnOps.let(aggregate(ps, lit(0L), (a, v) => a + v)) { s =>
+        aggregate(reverse(slice(ps, start + 1, 32)), lit(0L),
+          (a, p) => a * 2 + when(p * 64 > s, 1L).otherwise(0L))
+      }
+    }
+  }
+
   /** Sample every `stride`-th frame of an `array<binary>` column
     * (video keyframe thinning) — pure columnar.
     */

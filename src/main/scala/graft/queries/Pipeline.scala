@@ -667,6 +667,28 @@ object Pipeline {
       Multimodal.frameSample(payloads, "doc_id", "payload")
         .orderBy("doc_id", "frame_idx")
     }),
+    // 45e — image near-dup via perceptual hash: synthetic 8×8
+    // grayscale rasters (deterministic stand-in for decoded
+    // thumbnails; the id%3 term is a brightness shift), average-hash
+    // computed COLUMNAR from the binary payload (strict integer mean
+    // comparison, two uint32 halves), then dedup-group on the hash.
+    // Brightness-shifted copies land in one group — that's the
+    // "perceptual": byte-level dedup would keep all three variants
+    "mm_image_phash" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal
+      val payloads = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.synthGray8x8(id))))
+        .toDF("doc_id", "payload")
+      val hashed = payloads.select(col("doc_id"),
+        Multimodal.aHashHalf(col("payload"), 32).as("phash_hi"),
+        Multimodal.aHashHalf(col("payload"), 0).as("phash_lo"))
+      val groups = hashed.groupBy("phash_hi", "phash_lo")
+        .agg(min("doc_id").as("rep_id"), count(lit(1)).as("group_size"))
+      hashed.join(groups, Seq("phash_hi", "phash_lo"))
+        .select("doc_id", "phash_hi", "phash_lo", "rep_id", "group_size")
+        .orderBy("doc_id")
+    }),
     // 32d — cross-document SEGMENT-level dedup (Lee et al. 2022
     // granularity): consecutive 8-token segments occurring in >= 2
     // docs are stripped and the text reassembled. An 8-token
@@ -1692,6 +1714,27 @@ object Pipeline {
         |  CAST(14 + i * w * h AS BIGINT) AS frame_off,
         |  CAST((doc_id * 31 + i * 7) % 251 AS BIGINT) AS probe_byte
         |FROM idx ORDER BY doc_id, frame_idx""".stripMargin,
+    // raster re-derived from the synth rule; Spark parses the actual
+    // payload bytes — a 1-byte drift in the binary path flips a bit.
+    // Bits compare pixel·64 vs the pixel sum (strict, integer), MSB
+    // first fold per uint32 half
+    "mm_image_phash" ->
+      """WITH px AS (SELECT doc_id,
+        |    list_transform(range(0, 64),
+        |      i -> ((doc_id % 16) * 31 + i * 7) % 240 + doc_id % 3) AS ps
+        |  FROM documents),
+        |px2 AS (SELECT doc_id, ps, list_sum(ps) AS s FROM px),
+        |h AS (SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_reverse(ps[33:64])),
+        |      (a, p) -> a * 2 + CASE WHEN p * 64 > s THEN 1 ELSE 0 END) AS phash_hi,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_reverse(ps[1:32])),
+        |      (a, p) -> a * 2 + CASE WHEN p * 64 > s THEN 1 ELSE 0 END) AS phash_lo
+        |  FROM px2),
+        |g AS (SELECT phash_hi, phash_lo, min(doc_id) AS rep_id, count(*) AS group_size
+        |  FROM h GROUP BY 1, 2)
+        |SELECT h.doc_id, CAST(h.phash_hi AS BIGINT) AS phash_hi,
+        |  CAST(h.phash_lo AS BIGINT) AS phash_lo, g.rep_id, g.group_size
+        |FROM h JOIN g USING (phash_hi, phash_lo) ORDER BY doc_id""".stripMargin,
     "dd_segment_dedup" -> {
       // 8-token segments over the boilerplate-planted text; segments
       // in >= 2 distinct docs are stripped, survivors re-join in order

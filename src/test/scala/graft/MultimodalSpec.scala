@@ -139,4 +139,31 @@ class MultimodalSpec extends AnyFunSuite {
     val exp2 = Seq(0L, 1L, 2L).map(i => (2L, i, i * 1000, 14 + i, 200 + i))
     assert(got == exp1 ++ exp2, got.toString)
   }
+
+  test("aHash: brightness-shift invariant, pattern-sensitive, JVM synth ↔ columnar parse agree") {
+    import org.apache.spark.sql.functions.col
+    // ids 1, 17, 33 share id%16=1 but differ in id%3 (1, 2, 0): same
+    // pattern, three brightness levels. id 2 is a different pattern.
+    val rows = Seq(1L, 17L, 33L, 2L)
+      .map(id => (id, Multimodal.synthGray8x8(id))).toDF("doc_id", "payload")
+    val got = rows.select(col("doc_id"),
+        Multimodal.aHashHalf(col("payload"), 32).as("hi"),
+        Multimodal.aHashHalf(col("payload"), 0).as("lo"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == got(17L) && got(17L) == got(33L),
+      "uniform brightness shift must not move the average hash")
+    assert(got(1L) != got(2L), "different rasters must hash apart")
+    // independent JVM re-derivation of the bit rule from the raw bytes
+    Seq(1L, 2L).foreach { id =>
+      val ps = Multimodal.synthGray8x8(id).map(b => (b & 0xff).toLong)
+      val s = ps.sum
+      val hiRef = (0 until 32).foldLeft(0L)((a, j) => a * 2 + (if (ps(63 - j) * 64 > s) 1L else 0L))
+      val loRef = (0 until 32).foldLeft(0L)((a, j) => a * 2 + (if (ps(31 - j) * 64 > s) 1L else 0L))
+      assert(got(id) == ((hiRef, loRef)), s"id $id columnar vs JVM fold")
+    }
+    // halves are uint32 (MSB-first over 32 bits → never negative)
+    got.values.foreach { case (hi, lo) =>
+      assert(hi >= 0 && hi < (1L << 32) && lo >= 0 && lo < (1L << 32))
+    }
+  }
 }
