@@ -702,6 +702,43 @@ object Dedup {
         sum(when(col("_common").isNotNull, 1L).otherwise(0L)).as("n_dropped"))
   }
 
+  /** Containment near-dup pairs: C(A→B) = |A∩B| / |A| over distinct
+    * n-gram shingles — the ASYMMETRIC cousin of [[ngramJaccardPairs]].
+    * A short document embedded verbatim in a much longer one has
+    * containment ≈ 1 while Jaccard dilutes toward |A|/|B| (below any
+    * usable bar) — the quote/aggregator/boilerplate-wrapper case
+    * Jaccard structurally misses. Pairs survive when EITHER direction
+    * reaches `threshold`; both directions are emitted so the caller
+    * keeps the longer doc (or the shorter, for quote mining).
+    *
+    * Same scale machinery as the Jaccard op: per-doc set size carried
+    * on the exploded rows (no sizes join-back), frequent-shingle
+    * guard via a COUNT window over the shuffle the self-join needs
+    * anyway. The guard prunes shingles from both docs symmetrically,
+    * so measured containment can only UNDER-count — a pair at 1.0
+    * stays a pair unless its evidence was itself boilerplate.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, threshold: Double,
+                       maxShingleDf: Int = 1000): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("doc"), shingles(col(textCol), n).as("shs"))
+      .select(col("doc"), size(col("shs")).cast("long").as("sz"), explode(col("shs")).as("sh"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("sh")
+    val sh2 = sh
+      .withColumn("_df", count(lit(1)).over(w))
+      .filter(col("_df") <= maxShingleDf)
+      .drop("_df")
+    sh2.as("a")
+      .join(sh2.as("b"), col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("inter"), min(col("a.sz")).as("sz_a"), min(col("b.sz")).as("sz_b"))
+      .withColumn("cont_ab_fp4", TextAnalysis.fp(col("inter").cast("double") / col("sz_a").cast("double"), 4))
+      .withColumn("cont_ba_fp4", TextAnalysis.fp(col("inter").cast("double") / col("sz_b").cast("double"), 4))
+      .filter(greatest(col("cont_ab_fp4"), col("cont_ba_fp4")) >= (threshold * 10000).toLong)
+      .select("doc_a", "doc_b", "inter", "sz_a", "sz_b", "cont_ab_fp4", "cont_ba_fp4")
+  }
+
   /** Duplicated-span statistics — the positional token-n-gram sweep
     * behind substring-level dedup (Lee et al. 2022, arXiv:2107.06499,
     * which walks a suffix array; the equi-join re-expression below is

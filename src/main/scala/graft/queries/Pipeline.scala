@@ -143,6 +143,22 @@ object Pipeline {
         n = 3, threshold = 0.05, maxShingleDf = 1000)
         .orderBy("doc_a", "doc_b")
     }),
+    // 34b — asymmetric containment near-dup: C(A→B) = |A∩B|/|A| over
+    // shingles catches a doc embedded in a longer one where Jaccard
+    // dilutes below any bar. Every doc_id ≡ 1 (mod 4) gets its
+    // predecessor's full text appended, so (id−1, id) pairs provably
+    // sit at containment 1.0 at every SF while Jaccard stays low
+    "dd_containment" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val base = d.select((col("doc_id") + 1).as("doc_id"), col("text").as("_base_text"))
+      val aug = d.join(base, Seq("doc_id"), "left")
+        .withColumn("aug",
+          when(col("doc_id") % 4 === 1 && col("_base_text").isNotNull,
+            concat(col("text"), lit(" "), col("_base_text")))
+            .otherwise(col("text")))
+      Dedup.containmentPairs(aug, "doc_id", "aug", n = 3, threshold = 0.5, maxShingleDf = 1000)
+        .orderBy("doc_a", "doc_b")
+    }),
     // 32e — substring-level duplication sweep (Lee et al. 2022): every
     // positional token 8-gram counted corpus-wide; per doc, the
     // fraction of its spans that occur more than once anywhere. The
@@ -1399,6 +1415,27 @@ object Pipeline {
         |  ${sqlFp("CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE)", 4)} AS jaccard_fp4
         |FROM inter JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
         |WHERE ${sqlFp("CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE)", 4)} >= 500
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // aug corpus + rare-shingle guard mirror the Spark side; the
+    // containment formulas divide by each side's own set size
+    "dd_containment" ->
+      s"""WITH aug0 AS (SELECT d.doc_id,
+        |    CASE WHEN d.doc_id % 4 = 1 AND b.text IS NOT NULL
+        |      THEN d.text || ' ' || b.text ELSE d.text END AS text
+        |  FROM documents d LEFT JOIN documents b ON b.doc_id = d.doc_id - 1),
+        |shx AS (SELECT doc, len(shs) AS sz, unnest(shs) AS sh
+        |  FROM (SELECT doc_id AS doc, ${shinglesSql(3)} AS shs FROM aug0)),
+        |rare AS (SELECT sh FROM shx GROUP BY sh HAVING count(*) <= 1000),
+        |filt AS (SELECT shx.doc, shx.sz, shx.sh FROM shx JOIN rare USING (sh)),
+        |pairs AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter,
+        |    min(a.sz) AS sz_a, min(b.sz) AS sz_b
+        |  FROM filt a JOIN filt b ON a.sh = b.sh AND a.doc < b.doc GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, inter, sz_a, sz_b,
+        |  ${sqlFp("CAST(inter AS DOUBLE) / CAST(sz_a AS DOUBLE)", 4)} AS cont_ab_fp4,
+        |  ${sqlFp("CAST(inter AS DOUBLE) / CAST(sz_b AS DOUBLE)", 4)} AS cont_ba_fp4
+        |FROM pairs
+        |WHERE greatest(${sqlFp("CAST(inter AS DOUBLE) / CAST(sz_a AS DOUBLE)", 4)},
+        |  ${sqlFp("CAST(inter AS DOUBLE) / CAST(sz_b AS DOUBLE)", 4)}) >= 5000
         |ORDER BY doc_a, doc_b""".stripMargin,
     // positional 8-grams (NOT distinct — every span counts); docs
     // shorter than 8 tokens surface with zeros via the left join

@@ -884,6 +884,31 @@ class DedupSimSpec extends AnyFunSuite {
     emb.unpersist()
   }
 
+  test("containmentPairs: embedded doc at 1.0 where Jaccard dilutes below threshold") {
+    import spark.implicits._
+    val short = "alpha beta gamma delta epsilon zeta"   // 4 3-gram shingles
+    val filler = (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, short),                                      // embedded verbatim in 2
+      (2L, s"$filler $short"),                          // the wrapper doc
+      (3L, "completely different tokens here only")     // unrelated
+    ).toDF("doc_id", "text")
+    val cont = graft.dedup.Dedup.containmentPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.9).as[(Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(cont.keySet == Set((1L, 2L)))
+    val (_, _, inter, szA, _, contAb, _) = cont((1L, 2L))
+    assert(inter == szA && contAb == 10000L, "verbatim embedding must measure 1.0")
+    // the same pair is INVISIBLE to Jaccard at any usable bar:
+    // |A∩B|/|A∪B| = 4/62 ≈ 0.065
+    val jac = graft.dedup.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.5).count()
+    assert(jac == 0, "Jaccard at 0.5 must miss the embedded pair")
+    // symmetric direction: cont_ba is small (the wrapper is not
+    // contained in the short doc)
+    assert(cont((1L, 2L))._7 < 2000)
+  }
+
   test("dupNgramStats: positional spans, self-repeats, short docs, cross-doc dups") {
     import spark.implicits._
     val eight = "a b c d e f g h"                  // exactly one 8-gram
