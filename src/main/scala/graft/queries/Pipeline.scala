@@ -305,6 +305,16 @@ object Pipeline {
             .otherwise(fp(col("n_hapax").cast("double") / col("n_types").cast("double"), 4)))
         .orderBy("doc_id")
     }),
+    // 39g — per-source χ² divergence from the corpus unigram
+    // distribution (domain-shift profiling). χ², not KL: KL needs
+    // log(), whose last ulp differs across libm builds (the charlm
+    // lesson); χ² is pure rational arithmetic — exact decimal ratios
+    // per term, fp9-quantized, integer-summed, absent-token mass
+    // folded in from one exact integer sum
+    "txt_domain_div" -> ((s, dir) => {
+      TextAnalysis.domainDivergenceDf(t(s, dir, "documents"), "source", "text")
+        .orderBy("source")
+    }),
     // 39e — Gopher-style quality-rule ensemble (Rae et al. §A1.1):
     // word-count bounds, mean-word-length bounds, symbol ratio,
     // alpha-word fraction, stopword presence — signals quantized
@@ -1690,6 +1700,27 @@ object Pipeline {
         | ELSE ${sqlFp("1.0 - CAST(len(list_distinct(" + toksSql + ")) AS DOUBLE) / CAST(len(" + toksSql + ") AS DOUBLE)", 4)}
         | END AS repetition_fp4
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // exact HUGEINT term ratios mirror Spark's DECIMAL(38,0); one
+    // double drop per term in the same expression shape, fp9, integer
+    // sums — accumulation order cannot move the result
+    "txt_domain_div" ->
+      s"""WITH toks AS (SELECT source, unnest($toksSql) AS tok FROM documents),
+        |st AS (SELECT source, tok, count(*) AS c_st FROM toks GROUP BY 1, 2),
+        |tt AS (SELECT tok, sum(c_st) AS c_t FROM st GROUP BY 1),
+        |ns AS (SELECT source, sum(c_st) AS n_s FROM st GROUP BY 1),
+        |n1 AS (SELECT sum(c_t) AS n FROM tt),
+        |terms AS (SELECT st.source, tt.c_t, n1.n,
+        |    CAST(floor(
+        |      CAST(CAST(st.c_st * n1.n - tt.c_t * ns.n_s AS HUGEINT)
+        |         * CAST(st.c_st * n1.n - tt.c_t * ns.n_s AS HUGEINT) AS DOUBLE)
+        |      / CAST(CAST(ns.n_s AS HUGEINT) * ns.n_s * tt.c_t * n1.n AS DOUBLE)
+        |      * 1e9 + 0.5) AS BIGINT) AS term
+        |  FROM st JOIN tt USING (tok) JOIN ns USING (source) CROSS JOIN n1)
+        |SELECT source, count(*) AS n_terms,
+        |  CAST(sum(term)
+        |    + floor((1.0 - CAST(sum(c_t) AS DOUBLE) / CAST(max(n) AS DOUBLE)) * 1e9 + 0.5)
+        |    AS BIGINT) AS chi2_fp9
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin,
     "txt_hapax" ->
       s"""WITH tc AS (SELECT doc_id, tok, count(*) AS c
         |  FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents) GROUP BY 1, 2),

@@ -307,4 +307,53 @@ object TextAnalysis {
       lit(0L),
       (acc, i) => (acc * 31 + ascii(text.substr(i, lit(1)))) % 2147483647L
     )
+
+  /** Per-source χ² divergence from the corpus unigram distribution —
+    * the domain-shift / source-drift profiling signal. χ² instead of
+    * KL deliberately: KL needs log(), whose last ulp differs across
+    * libm implementations (the [[charLmScoreDf]] lesson); χ² is pure
+    * rational arithmetic. Each present-term contribution
+    * (p_t − q_t)²/q_t is computed EXACTLY as a DECIMAL(38,0) ratio
+    * ((c_st·n − c_t·n_s)² over n_s²·c_t·n), dropped to double once in
+    * a fixed expression shape, fp9-quantized, and integer-summed — no
+    * float accumulation order anywhere. The absent-token mass
+    * Σ_{t∉s} q_t = 1 − (Σ_{t∈s} c_t)/n folds in from one exact
+    * integer sum, so the statistic is the FULL χ², not a truncation.
+    *
+    * Scale: one (source, token) partial-agg shuffle; the global term
+    * table derives from it (same key prefix); per-source totals and
+    * the 1-row corpus count are driver-sized broadcasts. Vocabulary
+    * bounds every post-explode table — the token stream itself is
+    * touched once.
+    *
+    * Output: source, n_terms, chi2_fp9.
+    */
+  def domainDivergenceDf(df: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val toks = df.select(col(sourceCol).as("source"), explode(tokens(col(textCol))).as("tok"))
+    // pin the (source, token) counts (charlm idiom): tt/ns/n1 and the
+    // term join all derive from st — without the pin each branch
+    // re-scans the token stream (4 corpus scans instead of 1); the
+    // pinned table is sources × vocabulary, corpus-size-independent
+    val st = toks.groupBy("source", "tok").agg(count(lit(1)).as("c_st")).localCheckpoint()
+    val tt = st.groupBy("tok").agg(sum(col("c_st")).as("c_t"))
+    val ns = st.groupBy("source").agg(sum(col("c_st")).as("n_s"))
+    val n1 = tt.agg(sum(col("c_t")).as("n"))
+    st.join(tt, "tok")
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(n1))
+      .withColumn("_diff", (col("c_st") * col("n") - col("c_t") * col("n_s")).cast(d38))
+      .withColumn("_den",
+        col("n_s").cast(d38) * col("n_s").cast(d38) * col("c_t").cast(d38) * col("n").cast(d38))
+      .withColumn("_term",
+        fp((col("_diff") * col("_diff")).cast("double") / col("_den").cast("double"), 9))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("_term")).as("_present"),
+        // Σ_{t∈s} c_t and n are exact longs; ONE double op for the
+        // absent-token mass, then the same fp9 quantization
+        fp(lit(1.0) - sum(col("c_t")).cast("double") / max(col("n")).cast("double"), 9).as("_absent"))
+      .select(col("source"), col("n_terms"),
+        (col("_present") + col("_absent")).as("chi2_fp9"))
+  }
 }

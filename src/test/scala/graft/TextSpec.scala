@@ -144,4 +144,33 @@ class TextSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(3L))
   }
+
+  test("domainDivergenceDf: zero for a corpus-shaped source, large for a drifted one") {
+    // sources a and b share the corpus distribution exactly (identical
+    // text); source z is pure out-of-vocabulary drift
+    val docs = Seq(
+      ("a", "red green blue red green blue"),
+      ("b", "red green blue red green blue"),
+      ("z", "qqq www qqq www qqq www")
+    ).toDF("source", "text")
+    val out = TextAnalysis.domainDivergenceDf(docs, "source", "text")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.keySet == Set("a", "b", "z"))
+    // identical sources measure identically (pure function of counts)
+    assert(out("a") == out("b"))
+    // the drifted source dominates: its tokens are 1/3 of the corpus
+    // mass but 100% of its own, and it misses 2/3 of corpus mass
+    assert(out("z")._2 > out("a")._2 * 3,
+      s"drifted ${out("z")._2} vs corpus-shaped ${out("a")._2}")
+    // single-source corpus: p = q for every term and no absent mass →
+    // χ² exactly 0
+    val single = Seq(("only", "x y z x y")).toDF("source", "text")
+    val zero = TextAnalysis.domainDivergenceDf(single, "source", "text")
+      .as[(String, Long, Long)].collect().head
+    assert(zero._3 == 0L, s"single-source χ² must be 0, got ${zero._3}")
+    // partitioning cannot move exact integer sums
+    val out7 = TextAnalysis.domainDivergenceDf(docs.repartition(7), "source", "text")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out7 == out)
+  }
 }
