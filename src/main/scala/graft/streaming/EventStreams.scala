@@ -131,6 +131,31 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("simhash64")
       .drop("ts")
 
+  /** Streaming count-min sketch build: watermarked per-window cell
+    * counts over the same d×w md5 bucketing as the batch
+    * [[graft.sketch.Sketches.cmsFreq]]. The d-row explode collapses in
+    * the streaming agg's own state — ≤ d·w rows of state per window,
+    * independent of event volume — and because CMS merges by
+    * CELL-WISE ADD, the incremental per-window sketches union across
+    * windows (or across a stream/batch boundary) by summing cnt. The
+    * estimate probe stays a batch concern ([[graft.sketch.Sketches
+    * .cmsFreq]]'s min-over-rows join on the emitted cells).
+    * Output (Append, on watermark close): win_start, j, b, cnt.
+    */
+  def cmsCellsStream(events: DataFrame, keyCol: String = "event_type",
+                     d: Int = 4, w: Int = 64,
+                     windowMs: Long = 3600000L, lateness: String = "1 hour"): DataFrame =
+    events
+      .withColumn("ts", timestamp_millis(col("ms")))
+      .withWatermark("ts", lateness)
+      .select(col("ts"), (col("ms") - pmod(col("ms"), lit(windowMs))).as("win_start"),
+        explode(array((0 until d).map(j =>
+          struct(lit(j).as("j"), graft.sketch.Sketches.cmsBucket(col(keyCol), j, w).as("b"))): _*)).as("e"))
+      .groupBy(window(col("ts"), s"$windowMs milliseconds"), col("win_start"),
+        col("e.j").as("j"), col("e.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("win_start"), col("j"), col("b"), col("cnt"))
+
   case class KmvRow(win_start: Long, grp: String, u: Double)
   // the state IS the sketch: bottom-k distinct md5-uniforms — k
   // doubles per active (window, group), mergeable by union+re-bottom

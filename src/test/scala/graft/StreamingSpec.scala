@@ -330,4 +330,39 @@ class StreamingSpec extends AnyFunSuite {
       assert(batch((H, "click"))._1 == 2L)       // exact path exercised
     } finally q.stop()
   }
+
+  test("streaming CMS cells equal the batch sketch build per window") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val evs = (1 to 50).map(i =>
+      Ev(i.toLong, i.toLong, Seq("view", "click", "purchase")(i % 3), (i % 5) * 60000L, 0))
+    val q = EventStreams.cmsCellsStream(input.toDF(), d = 4, w = 64)
+      .writeStream.format("memory").queryName("cms_cells").outputMode(OutputMode.Append).start()
+    try {
+      input.addData(evs.take(25): _*)
+      q.processAllAvailable()
+      input.addData(evs.drop(25): _*)
+      q.processAllAvailable()
+      // close window 0: advance the watermark past end + lateness
+      input.addData(Ev(999, 999, "view", 5 * H, 0))
+      q.processAllAvailable()
+      val streamed = spark.table("cms_cells").filter($"win_start" === 0L)
+        .select("j", "b", "cnt").as[(Int, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      // batch rebuild of the same window's cells via the shared bucket fn
+      val batch = evs.toDF()
+        .select(org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.array((0 until 4).map(j =>
+            org.apache.spark.sql.functions.struct(
+              org.apache.spark.sql.functions.lit(j).as("j"),
+              graft.sketch.Sketches.cmsBucket($"event_type", j, 64).as("b"))): _*)).as("e"))
+        .groupBy($"e.j", $"e.b").agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("cnt"))
+        .as[(Int, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      assert(streamed == batch, s"streamed ${streamed.size} cells vs batch ${batch.size}")
+      // state bound: never more than d·w cells per window
+      assert(streamed.size <= 4 * 64)
+    } finally q.stop()
+  }
 }
