@@ -408,6 +408,24 @@ object Pipeline {
         e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", nprobe = 2, k = 5)
         .orderBy("query_id", "approx_d2_fp6", "id")
     }),
+    // 37e — retrieve→rerank (the production serving composition):
+    // IVF-PQ retrieves 20 approximate candidates per query without
+    // touching corpus floats, exact cosine re-scores ONLY those 20 —
+    // the true-distance work is queries·kCand regardless of corpus
+    // size, and the returned order is exact
+    "sim_ann_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", 16)
+      val assigned = Similarity.ivfAssign(e, "vec_id", "embedding", cents)
+      val cb = Similarity.pqCodebook(e, "vec_id", "embedding", dim = 64, m = 4, k = 16)
+      val enc = Similarity.pqEncode(
+        assigned.select(col("id").as("vec_id"), col("vec").as("embedding"), col("cell")),
+        "vec_id", "embedding", cb, carry = Seq("cell"))
+      Similarity.pqIvfRerank(enc, cb, assigned, cents,
+        e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", e,
+        nprobe = 2, kCand = 20, k = 5)
+        .orderBy("query_id", "rk")
+    }),
     // 41f — TF-IDF term weights: explode tokens → (doc, term) tf
     // counts → document frequencies via groupBy(term) + broadcast
     // join-back. The df agg does map-side partial aggregation, so a
@@ -1410,6 +1428,47 @@ object Pipeline {
         |           ORDER BY approx_d2_fp6, id) AS rk FROM sc)
         |SELECT query_id, id, approx_d2_fp6 FROM topk WHERE rk <= 5
         |ORDER BY query_id, approx_d2_fp6, id""".stripMargin,
+    // the ivfpq oracle with kCand=20 retrieval, then exact cosine
+    // over ONLY the retrieved ids, re-ranked to k=5
+    "sim_ann_rerank" ->
+      s"""WITH $pqCtes,
+        |enc AS (SELECT id, sub, code FROM best WHERE rn = 1),
+        |icents AS (SELECT vec_id AS centroid_id, embedding AS icvec
+        |           FROM embeddings, cnt WHERE vec_id % greatest(1, (c + 15) // 16) = 0),
+        |ac AS (SELECT e.vec_id, c.centroid_id, ${cosSql("e.embedding", "c.icvec")} AS cosv
+        |       FROM embeddings e CROSS JOIN icents c),
+        |asg AS (SELECT vec_id AS id, centroid_id AS cell FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosv DESC, centroid_id) AS rn2
+        |         FROM ac) WHERE rn2 = 1),
+        |pc AS (SELECT q.vec_id AS query_id, c.centroid_id AS cell,
+        |         ${cosSql("q.embedding", "c.icvec")} AS cosv
+        |       FROM embeddings q CROSS JOIN icents c WHERE q.vec_id % 50 = 0),
+        |probes AS (SELECT query_id, cell FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosv DESC, cell) AS rn3
+        |         FROM pc) WHERE rn3 <= 2),
+        |qsl AS (SELECT q.vec_id AS query_id, s.sub,
+        |          list_slice(q.embedding, s.sub*16 + 1, s.sub*16 + 16) AS qx
+        |        FROM embeddings q, subs s WHERE q.vec_id % 50 = 0),
+        |lut AS (SELECT q.query_id, q.sub, cb.code,
+        |          ${sqlFp(s"${dot16("qx", "qx")} - 2.0*${dot16("qx", "cvec")} + ${dot16("cvec", "cvec")}", 6)} AS pd6
+        |        FROM qsl q JOIN cb ON cb.sub = q.sub),
+        |cand AS (SELECT p.query_id, a.id FROM probes p JOIN asg a ON a.cell = p.cell
+        |         WHERE a.id <> p.query_id),
+        |sc AS (SELECT c.query_id, c.id, CAST(sum(l.pd6) AS BIGINT) AS approx_d2_fp6
+        |       FROM cand c JOIN enc e ON e.id = c.id
+        |       JOIN lut l ON l.query_id = c.query_id AND l.sub = e.sub AND l.code = e.code
+        |       GROUP BY 1, 2),
+        |topk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |           ORDER BY approx_d2_fp6, id) AS rk FROM sc),
+        |rr AS (SELECT t.query_id, t.id,
+        |         ${sqlFp(cosSql("qv.embedding", "dv.embedding"), 6)} AS cos_fp6
+        |       FROM topk t JOIN embeddings dv ON dv.vec_id = t.id
+        |       JOIN embeddings qv ON qv.vec_id = t.query_id
+        |       WHERE t.rk <= 20)
+        |SELECT query_id, id, cos_fp6, CAST(rk AS BIGINT) AS rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_fp6 DESC, id) AS rk FROM rr) WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin,
     "dd_simhash" -> simhashSql,
     "dd_simhash_pairs" -> simhashPairsSql,
     "dd_simhash64" -> simhash64Sql,

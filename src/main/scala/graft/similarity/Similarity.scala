@@ -711,6 +711,40 @@ object Similarity {
       .select("query_id", "id", "approx_d2_fp6")
   }
 
+  /** Two-stage retrieve→rerank ANN — the production serving pattern
+    * over the IVF-PQ index: [[pqIvfSearch]] retrieves `kCand`
+    * approximate candidates per query (cell-pruned ADC — the corpus
+    * floats are never touched), then the exact cosine runs ONLY on
+    * those candidates: ≤ queries·kCand true-distance evaluations
+    * regardless of corpus size, joined by id against `data` (at rest:
+    * the partition-pruned [[IvfIndex]] vector files). The final
+    * ranking window is per-query over ≤ kCand rows — bounded by
+    * construction, no salting needed. Recall is the index's recall at
+    * kCand; the ORDER of what is returned is exact.
+    *
+    * Output: (query_id, id, cos_fp6, rk), rk 1..k by descending true
+    * cosine, ties to the smaller id.
+    */
+  def pqIvfRerank(encoded: DataFrame, codebook: DataFrame,
+                  assigned: DataFrame, centroids: DataFrame,
+                  queries: DataFrame, idCol: String, vecCol: String,
+                  data: DataFrame, nprobe: Int, kCand: Int, k: Int): DataFrame = {
+    require(kCand >= k, s"pqIvfRerank: kCand = $kCand must be >= k = $k")
+    val approx = pqIvfSearch(encoded, codebook, assigned, centroids,
+      queries, idCol, vecCol, nprobe, kCand)
+    val dv = data.select(col(idCol).as("id"), col(vecCol).as("_dv"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos_fp6").desc, col("id"))
+    approx.select("query_id", "id")
+      .join(dv, "id")
+      .join(qv, "query_id")
+      .withColumn("cos_fp6", graft.text.TextAnalysis.fp(cosine(col("_qv"), col("_dv")), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("query_id", "id", "cos_fp6", "rk")
+  }
+
   /** Near-duplicate pairs by cosine ≥ threshold, candidates restricted
     * to an existing partition/bucket column (label, LSH bucket, IVF
     * cell, …) so the join is equi- not cross-.

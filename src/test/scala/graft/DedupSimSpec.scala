@@ -884,6 +884,49 @@ class DedupSimSpec extends AnyFunSuite {
     emb.unpersist()
   }
 
+  test("pqIvfRerank: exact order over the retrieved pool, recall not below raw ADC") {
+    import spark.implicits._
+    val sf = TestSpark.Sf
+    val rerank = SparkEntry.queries("sim_ann_rerank")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    val adc = SparkEntry.queries("sim_ann_ivfpq")(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(rerank.nonEmpty && adc.nonEmpty)
+    // per query: ranks are 1..k and cos_fp6 non-increasing in rank
+    rerank.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1L to sorted.length).toSeq, s"query $q ranks")
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._3 > b._3 || (a._3 == b._3 && a._2 < b._2)
+        case _ => true
+      }, s"query $q not exactly ordered by cosine")
+    }
+    // recall@5 vs brute force: re-ranking the top-20 ADC pool by TRUE
+    // cosine must not be worse than trusting the top-5 ADC order
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).foldLeft(0.0)((s, p) => s + p._1.toDouble * p._2.toDouble)
+      val na = math.sqrt(a.foldLeft(0.0)((s, x) => s + x.toDouble * x))
+      val nb = math.sqrt(b.foldLeft(0.0)((s, x) => s + x.toDouble * x))
+      d / (na * nb)
+    }
+    val byId = emb.toMap
+    def recall(returned: Map[Long, Set[Long]]): Double = {
+      val qs = returned.keys.toSeq
+      qs.map { q =>
+        val truth = emb.filter(_._1 != q)
+          .map { case (id, v) => (cos(byId(q), v), id) }
+          .sortBy { case (c, id) => (-c, id) }.take(5).map(_._2).toSet
+        (returned(q) & truth).size / 5.0
+      }.sum / qs.size
+    }
+    val rr = recall(rerank.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap)
+    val ad = recall(adc.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap)
+    assert(rr >= ad, s"rerank recall $rr below raw ADC $ad")
+    assert(rr > 0.2, s"rerank recall $rr implausibly low")
+  }
+
   test("containmentPairs: embedded doc at 1.0 where Jaccard dilutes below threshold") {
     import spark.implicits._
     val short = "alpha beta gamma delta epsilon zeta"   // 4 3-gram shingles
