@@ -556,6 +556,41 @@ object Pipeline {
           col("asof_touch_type").as("touch_type"))
         .orderBy("purchase_id")
     }),
+    // 47 — the whole corpus-prep dataflow end-to-end in ONE query
+    // (the LLM-pipeline twin of cg_pipeline_counts): eval holdout →
+    // Gopher quality gate → exact dedup on normalized text →
+    // eval-set decontamination → budget-bounded selection. Seven
+    // section counts oracle-gated, so a drift in ANY stage's
+    // semantics (or in how the stages compose) hash-mismatches
+    "pipe_prep_counts" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val eval = docs.filter(col("doc_id") % 97 === 0)
+      val train = docs.filter(col("doc_id") % 97 =!= 0)
+      val quality = train.join(
+        TextAnalysis.gopherRulesDf(train, "doc_id", "text")
+          .filter(col("keep_flag") === 1).select("doc_id"), "doc_id")
+      val winners = quality
+        .select(col("doc_id"), md5(TextAnalysis.normalize(col("text"))).as("_h"))
+        .groupBy("_h").agg(min("doc_id").as("doc_id"))
+      val deduped = quality.join(winners.select("doc_id"), "doc_id")
+      val decon = Dedup.decontaminate(deduped, "doc_id", "text", eval, "text", n = 4)
+      val scored = decon.select(col("doc_id"), col("n_chars"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      val selected = graft.sample.Sampling.budgetSelect(
+        scored, "doc_id", "n_chars", "n_tokens", budget = 20000L)
+      def cnt(name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n")).withColumn("section", lit(name))
+      cnt("s1_input", docs)
+        .unionByName(cnt("s2_train", train))
+        .unionByName(cnt("s3_quality", quality))
+        .unionByName(cnt("s4_dedup", deduped))
+        .unionByName(cnt("s5_decontam", decon))
+        .unionByName(cnt("s6_selected", selected))
+        .unionByName(selected.agg(coalesce(sum("n_tokens"), lit(0L)).as("n"))
+          .withColumn("section", lit("s7_selected_tokens")))
+        .select("section", "n")
+        .orderBy("section")
+    }),
     // 42 — gap-based sessionization (batch twin of the streaming op)
     "ev_sessionize" -> ((s, dir) => {
       val byUser = Window.partitionBy("user_id").orderBy("ms", "event_id")
@@ -1708,6 +1743,54 @@ object Pipeline {
         |  FROM nodes n CROSS JOIN nv)
         |SELECT node AS event_type, CAST(r AS BIGINT) AS rank_fp9
         |FROM r3 ORDER BY event_type""".stripMargin,
+    // every stage reuses its standalone oracle's rule verbatim:
+    // gopher keep thresholds (txt_gopher), normalize+md5 (txt_normalize
+    // / dd_exact), 4-gram decontamination (dd_decontaminate), ordered
+    // cumsum selection (smp_budget)
+    "pipe_prep_counts" ->
+      s"""WITH train AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+        |gt AS (SELECT doc_id, text, $toksSql AS toks FROM train),
+        |gsig AS (SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CASE WHEN len(toks) = 0 THEN 1 ELSE len(toks) END AS nw,
+        |    coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS sumlen,
+        |    len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS alpha_cnt,
+        |    len(regexp_extract_all(text, '#|\\.\\.\\.')) AS sym_cnt,
+        |    CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','fast','slow'))) AS BIGINT) AS stop_hits
+        |  FROM gt),
+        |gkeep AS (SELECT doc_id FROM (SELECT doc_id, n_words, stop_hits,
+        |    ${sqlFp("CAST(sumlen AS DOUBLE) / CAST(nw AS DOUBLE)", 2)} AS mean_wlen_fp2,
+        |    ${sqlFp("CAST(alpha_cnt AS DOUBLE) / CAST(nw AS DOUBLE)", 4)} AS alpha_frac_fp4,
+        |    ${sqlFp("CAST(sym_cnt AS DOUBLE) / CAST(nw AS DOUBLE)", 4)} AS sym_ratio_fp4
+        |  FROM gsig)
+        |  WHERE n_words >= 50 AND n_words <= 100000
+        |    AND mean_wlen_fp2 >= 300 AND mean_wlen_fp2 <= 1000
+        |    AND alpha_frac_fp4 >= 8000 AND sym_ratio_fp4 <= 1000
+        |    AND stop_hits >= 2),
+        |q AS (SELECT t.* FROM train t JOIN gkeep USING (doc_id)),
+        |win AS (SELECT min(doc_id) AS doc_id FROM (
+        |    SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9\\s]+', ' ', 'g'), '\\s+', ' ', 'g'))) AS h FROM q)
+        |  GROUP BY h),
+        |dd AS (SELECT q.* FROM q JOIN win USING (doc_id)),
+        |ev AS (SELECT DISTINCT unnest(${shinglesSql(4)}) AS g
+        |       FROM documents WHERE doc_id % 97 = 0),
+        |tg AS (SELECT doc_id, unnest(${shinglesSql(4)}) AS g FROM dd),
+        |bad AS (SELECT DISTINCT tg.doc_id FROM tg JOIN ev USING (g)),
+        |dc AS (SELECT dd.* FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+        |sc AS (SELECT doc_id, n_chars, CAST(len($toksSql) AS BIGINT) AS n_tokens FROM dc),
+        |sel AS (SELECT * FROM (SELECT *, CAST(sum(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM sc)
+        |  WHERE cum <= 20000)
+        |SELECT section, n FROM (
+        |  SELECT 's1_input' AS section, (SELECT count(*) FROM documents) AS n
+        |  UNION ALL SELECT 's2_train', (SELECT count(*) FROM train)
+        |  UNION ALL SELECT 's3_quality', (SELECT count(*) FROM q)
+        |  UNION ALL SELECT 's4_dedup', (SELECT count(*) FROM dd)
+        |  UNION ALL SELECT 's5_decontam', (SELECT count(*) FROM dc)
+        |  UNION ALL SELECT 's6_selected', (SELECT count(*) FROM sel)
+        |  UNION ALL SELECT 's7_selected_tokens', (SELECT coalesce(CAST(sum(n_tokens) AS BIGINT), 0) FROM sel)
+        |) ORDER BY section""".stripMargin,
     // as-of tie-break mirror (q17 shape): best time = max(ms < pms),
     // then max event_id at that time; touch_type recovered by the
     // unique event_id
