@@ -24,10 +24,14 @@ object Verify {
   }
 
   /** Dump every query + the oracle json using the given session (does
-    * NOT stop it — main owns the session lifecycle). */
+    * NOT stop it — main owns the session lifecycle). Returns the
+    * per-query failures (empty on a clean run) so callers — the
+    * contract spec above all — can report the actual exception
+    * instead of just a missing directory. */
   def run(spark: SparkSession, sfDir: String, outDir: String,
-          only: Option[Set[String]] = None): Unit = {
+          only: Option[Set[String]] = None): Map[String, Throwable] = {
     new java.io.File(outDir).mkdirs()
+    val failures = scala.collection.mutable.LinkedHashMap[String, Throwable]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -35,6 +39,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) = e
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -52,5 +57,6 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    failures.toMap
   }
 }
