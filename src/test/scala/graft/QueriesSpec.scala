@@ -43,14 +43,21 @@ class QueriesSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
-  test("no registered query plans a cartesian product") {
-    val offenders = SparkEntry.queries.keys.filter { name =>
+  test("no registered query plans a cartesian product or a sort aggregate") {
+    val cartesian = Seq.newBuilder[String]
+    val sortAgg = Seq.newBuilder[String]
+    SparkEntry.queries.keys.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, TestSpark.Sf).queryExecution.executedPlan.toString
-      plan.contains("CartesianProduct")
+      if (plan.contains("CartesianProduct")) cartesian += name
+      if (plan.contains("SortAggregate")) sortAgg += name
     }
     // sim_topk broadcasts a 1-row literal — BroadcastNestedLoopJoin is fine,
     // CartesianProduct is not.
-    assert(offenders.isEmpty, s"cartesian in: $offenders")
+    assert(cartesian.result().isEmpty, s"cartesian in: ${cartesian.result()}")
+    // every aggregation must be hash-based with map-side partials —
+    // SortAggregate means a non-hashable agg buffer sneaked in
+    // (struct-max, collect over unsortable types, …)
+    assert(sortAgg.result().isEmpty, s"SortAggregate in: ${sortAgg.result()}")
   }
 
   test("q5 top-N avoids a global sort") {
