@@ -143,6 +143,27 @@ object Pipeline {
         n = 3, threshold = 0.05, maxShingleDf = 1000)
         .orderBy("doc_a", "doc_b")
     }),
+    // 31f — cross-source duplicate matrix: for every source pair, the
+    // number of exact-duplicate document pairs spanning them — the
+    // corpus-composition contamination profile dataset papers report
+    // (which crawls re-host which). Every doc_id ≡ 1 (mod 10) gets its
+    // predecessor's text, so cross-source dup pairs exist at every SF.
+    // Group sizes are dup-cluster sizes, so the hash self-join is
+    // linear in duplicates, never corpus-quadratic
+    "dd_cross_matrix" -> ((s, dir) => {
+      val d0 = t(s, dir, "documents")
+      val base = d0.select((col("doc_id") + 1).as("doc_id"), col("text").as("_bt"))
+      val d = d0.join(base, Seq("doc_id"), "left")
+        .withColumn("aug",
+          when(col("doc_id") % 10 === 1 && col("_bt").isNotNull, col("_bt"))
+            .otherwise(col("text")))
+        .select(col("doc_id"), col("source"), md5(col("aug")).as("h"))
+      d.as("a").join(d.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_dup_pairs"))
+        .orderBy("source_a", "source_b")
+    }),
     // 34b — asymmetric containment near-dup: C(A→B) = |A∩B|/|A| over
     // shingles catches a doc embedded in a longer one where Jaccard
     // dilutes below any bar. Every doc_id ≡ 1 (mod 4) gets its
@@ -1520,6 +1541,14 @@ object Pipeline {
         |FROM inter JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
         |WHERE ${sqlFp("CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE)", 4)} >= 500
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dd_cross_matrix" ->
+      """WITH aug AS (SELECT d.doc_id, d.source,
+        |    md5(CASE WHEN d.doc_id % 10 = 1 AND b.text IS NOT NULL
+        |      THEN b.text ELSE d.text END) AS h
+        |  FROM documents d LEFT JOIN documents b ON b.doc_id = d.doc_id - 1)
+        |SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_dup_pairs
+        |FROM aug a JOIN aug b ON a.h = b.h AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // aug corpus + rare-shingle guard mirror the Spark side; the
     // containment formulas divide by each side's own set size
     "dd_containment" ->
