@@ -750,8 +750,10 @@ object Dedup {
     *
     * Shape for 100 TB: positional grams collapse map-side to
     * (doc, md5(gram), k) before the first exchange, corpus totals are
-    * one more partial agg on the md5 key, and the flag join is on that
-    * same key (AQE reuses the exchange). The 128-bit md5 — not the raw
+    * one more partial agg on the md5 key, and the flag join hashes on
+    * that same 16-byte key (three exchanges total — the (doc, gram)
+    * agg keys differently than the gram-only join, so the exchange
+    * itself is not reusable). The 128-bit md5 — not the raw
     * up-to-n·w-char span — is what shuffles. Docs shorter than n
     * tokens surface with zero spans via the outer join, not silently
     * dropped. The totals table is never broadcast: at corpus scale the
