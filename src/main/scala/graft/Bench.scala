@@ -9,7 +9,21 @@ import org.apache.spark.sql.SparkSession
   * Each query runs `SPARK_GRAFT_BENCH_RUNS` times (default 2) inside
   * one JVM and the emitted per-query number is the MIN — this VM's
   * measured noise band is 3-6× per query on a bad tail, so a single
-  * run can misstate the repo's cost by 2× (seen in round 2).
+  * run can misstate the repo's cost by 2× (seen in round 2). Two
+  * anti-noise measures beyond the min:
+  *
+  *   - query ORDER is shuffled per run (deterministic seed = run
+  *     index), so a query's repeats never execute back-to-back and
+  *     order-dependent interference (one query's GC debt or page-cache
+  *     eviction billed to the next) decorrelates across runs instead
+  *     of hitting the same victim twice;
+  *   - a RE-ADJUDICATION pass: after the base runs, any query whose
+  *     min still exceeds 2× its pinned `BASELINE_LOCAL.md` row gets
+  *     `SPARK_GRAFT_BENCH_EXTRA` (default 2) additional runs — so a
+  *     ">2× the baseline" row in the emitted numbers survived
+  *     min-of-(runs+extra) and is a real regression, not a noise tail
+  *     to re-litigate. Queries without a pinned row (new this round)
+  *     are skipped; the extra runs are recorded in the detail file.
   *
   * OUTPUT CONTRACT: the LAST stdout line is a SHORT total-only JSON
   * object that always fits the caller's output tail — at 97+ queries
@@ -33,11 +47,25 @@ object Bench {
   private def fmt(v: Double, decimals: Int): String =
     if (v < 0) "-1" else BigDecimal(v).setScale(decimals, BigDecimal.RoundingMode.HALF_UP).underlying.stripTrailingZeros.toPlainString
 
+  /** Pinned per-query rows from BASELINE_LOCAL.md's `| query | sec |`
+    * table — the re-adjudication threshold source. Missing file or
+    * unparseable rows → empty map (the pass degrades to a no-op). */
+  private def pinnedRows(path: String): Map[String, Double] = {
+    val row = """^\|\s*([A-Za-z0-9_]+)\s*\|\s*([0-9.]+)\s*\|\s*$""".r
+    try {
+      val src = scala.io.Source.fromFile(path)
+      try src.getLines().collect { case row(q, s) => q -> s.toDouble }.toMap
+      finally src.close()
+    } catch { case _: Throwable => Map.empty }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    val nExtra = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA", "2").toInt.max(0)
     val lineBudget = sys.env.getOrElse("SPARK_GRAFT_BENCH_LINE_BUDGET", "1800").toInt
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE_LOCAL.md")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(graft.functions.GraftFunctions.register)
@@ -60,30 +88,49 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
-    val results = selected.map { case (name, fn) =>
-      val runs = (1 to nRuns).map { _ =>
-        // release blocks a previous query left behind (persisted
-        // pipeline frames, localCheckpoint RDDs from the iterative
-        // operators) — leftovers otherwise bloat the block manager and
-        // bleed one query's memory pressure into the next one's time
-        // (round 3: cg_dwithin_line timed 11 s mid-suite, 2 s alone)
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        } catch {
-          case e: Throwable =>
-            errors.getOrElseUpdate(name, s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
-            -1.0
-        }
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // release blocks a previous query left behind (persisted
+      // pipeline frames, localCheckpoint RDDs from the iterative
+      // operators) — leftovers otherwise bloat the block manager and
+      // bleed one query's memory pressure into the next one's time
+      // (round 3: cg_dwithin_line timed 11 s mid-suite, 2 s alone)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors.getOrElseUpdate(name, s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
+          -1.0
       }
-      name -> runs
     }
-    val mins = results.map { case (k, runs) =>
-      k -> (if (runs.contains(-1.0)) -1.0 else runs.min)
+    // run-major, order shuffled per run: repeats of one query are
+    // spaced across the whole sweep rather than back-to-back
+    val names = selected.keys.toVector
+    val runsByQuery = scala.collection.mutable.LinkedHashMap(
+      names.map(n => n -> Vector.newBuilder[Double]): _*)
+    (1 to nRuns).foreach { run =>
+      new scala.util.Random(run).shuffle(names).foreach { n =>
+        runsByQuery(n) += timeOne(n, selected(n))
+      }
     }
+    val results = scala.collection.mutable.LinkedHashMap(
+      names.map(n => n -> runsByQuery(n).result()): _*)
+    def minOf(runs: Vector[Double]): Double =
+      if (runs.contains(-1.0)) -1.0 else runs.min
+    // re-adjudication: >2× a pinned row after the base runs → spend
+    // extra runs before letting the number stand
+    val pinned = pinnedRows(baselinePath)
+    val flagged = names.filter { n =>
+      val m = minOf(results(n))
+      m >= 0 && pinned.get(n).exists(p => m > 2 * p)
+    }
+    flagged.foreach { n =>
+      results(n) = results(n) ++ (1 to nExtra).map(_ => timeOne(n, selected(n)))
+    }
+    val mins = results.map { case (k, runs) => k -> minOf(runs) }
     val total = mins.values.filter(_ >= 0).sum
     // full-precision detail (raw runs) to a file, NOT stdout
     val detail = {
@@ -91,7 +138,8 @@ object Bench {
         s"${jstr(k)}:[${runs.mkString(",")}]"
       }.mkString("{", ",", "}")
       val errJson = errors.map { case (k, m) => s"${jstr(k)}:${jstr(m)}" }.mkString("{", ",", "}")
-      s"""{"total":$total,"runs":$runsJson,"errors":$errJson,"n_runs":$nRuns,"sf":${jstr(sfDir)}}"""
+      val flaggedJson = flagged.map(jstr).mkString("[", ",", "]")
+      s"""{"total":$total,"runs":$runsJson,"errors":$errJson,"readjudicated":$flaggedJson,"n_runs":$nRuns,"sf":${jstr(sfDir)}}"""
     }
     try {
       val p = java.nio.file.Paths.get("target/bench_detail.json")

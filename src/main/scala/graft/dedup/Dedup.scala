@@ -612,6 +612,34 @@ object Dedup {
       .select("cluster", "keep_id", "keep_score", "n_docs")
   }
 
+  /** Cross-source duplicate matrix WITHOUT materializing duplicate
+    * pairs. Input rows carry a content hash and a source label; output
+    * is one row per canonically ordered source pair (source_a <=
+    * source_b) with the number of exact-duplicate document pairs
+    * spanning it. The naive `a.join(b, h && id<id)` form is C(n,2)
+    * per dup cluster — a 10^7-doc boilerplate cluster (empty pages,
+    * 404 bodies) explodes to 10^13 join rows on one key. Here the
+    * corpus reduces to per-(hash, source) COUNTS first, the self-join
+    * runs over that tiny table, and each cell is count arithmetic:
+    * C(n,2) within a source, n_a*n_b across. Long `div` keeps the
+    * arithmetic exact past 2^53. Shuffle volume is bounded by
+    * distinct (hash, source) — linear in the corpus, never
+    * cluster-quadratic.
+    */
+  def crossSourceMatrix(df: DataFrame, hashCol: String, sourceCol: String): DataFrame = {
+    val cnt = df.select(col(hashCol).as("h"), col(sourceCol).as("source"))
+      .groupBy("h", "source").agg(count(lit(1)).as("n"))
+    cnt.as("a").join(cnt.as("b"),
+        col("a.h") === col("b.h") && col("a.source") <= col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        when(col("a.source") === col("b.source"),
+          expr("a.n * (a.n - 1) div 2"))
+          .otherwise(col("a.n") * col("b.n")).as("p"))
+      .groupBy("source_a", "source_b")
+      .agg(sum("p").cast("long").as("n_dup_pairs"))
+      .filter(col("n_dup_pairs") > 0)
+  }
+
   /** Incremental (snapshot-vs-reference) exact dedup: drop incoming
     * documents whose content hash already exists in the reference
     * corpus. A shuffled left-anti equi-join on md5 — the reference

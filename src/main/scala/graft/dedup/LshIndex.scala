@@ -61,6 +61,9 @@ object LshIndex {
       .write.mode("overwrite").partitionBy("grp").parquet(s"$path/banded")
     sigs.write.mode("overwrite").parquet(s"$path/sigs")
     writeConfig(spark, path, shingleSize, numPerm, rowsPerBand, maxBucket, numGroups, n)
+    // a full rebuild supersedes any crashed append's pending state
+    val m = marker(path)
+    m.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(m, false)
   }
 
   private def writeConfig(spark: SparkSession, path: String, shingleSize: Int,
@@ -75,11 +78,48 @@ object LshIndex {
   private case class Config(shingleSize: Int, numPerm: Int, rowsPerBand: Int,
                             maxBucket: Int, numGroups: Int, nDocs: Long)
 
-  private def config(spark: SparkSession, path: String): Config = {
+  private def rawConfig(spark: SparkSession, path: String): Config = {
     val r = spark.read.parquet(s"$path/config")
       .select("shingleSize", "numPerm", "rowsPerBand", "maxBucket", "numGroups", "nDocs")
       .head()
     Config(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getLong(5))
+  }
+
+  /** Every public entry point resolves config through the recovery
+    * gate, so a crashed index heals on next use. */
+  private def config(spark: SparkSession, path: String): Config = {
+    recoverIfPending(spark, path)
+    rawConfig(spark, path)
+  }
+
+  private def marker(path: String) = new org.apache.hadoop.fs.Path(s"$path/_append_pending")
+
+  /** Crash recovery for [[append]]'s multi-step update. An append
+    * brackets its writes with the `_append_pending` marker; if a crash
+    * strands the marker, `banded/` and `config/` may be behind the
+    * appended `sigs/` (or partially rewritten). `sigs/` is the
+    * append's FIRST committed write and banded/config are pure
+    * functions of it, so recovery re-bands the whole layout from the
+    * stored sigs (no text is ever re-hashed), rewrites config with the
+    * recount, and drops the marker — restoring the rebuild-equivalence
+    * invariant exactly. Idempotent: a crash DURING recovery leaves the
+    * marker in place and the next entry retries.
+    */
+  private def recoverIfPending(spark: SparkSession, path: String): Unit = {
+    val m = marker(path)
+    val fs = m.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(m)) return
+    // immutable banding params are safe to read from a stale config —
+    // only nDocs moves across appends, and that is recounted here
+    val c = rawConfig(spark, path)
+    val sigs = spark.read.parquet(s"$path/sigs")
+    val n = sigs.count()
+    Dedup.survivingBandedFixedCap(sigs, c.numPerm, c.rowsPerBand, capOf(c.maxBucket, n),
+        resplit = true, numGroups = c.numGroups)
+      .write.mode("overwrite").partitionBy("grp").parquet(s"$path/banded")
+    writeConfig(spark, path, c.shingleSize, c.numPerm, c.rowsPerBand, c.maxBucket,
+      c.numGroups, n)
+    fs.delete(m, false)
   }
 
   /** Incremental ingestion: band `incoming` with the stored config and
@@ -98,18 +138,32 @@ object LshIndex {
     * build(A) + append(B) produces the same banded row set as
     * build(A ∪ B) (spec-asserted), so probes cannot tell an
     * incrementally-grown index from a fresh one.
+    *
+    * Crash safety: the update is multi-step (sigs, banded partitions,
+    * config), so it brackets itself with the `_append_pending` marker
+    * and commits `sigs/` FIRST — a crash anywhere in the sequence is
+    * healed by [[recoverIfPending]] on the next probe or append
+    * (re-band from sigs), and docs already present in `sigs/` are
+    * anti-joined away, so retrying a crashed or overlapping batch is
+    * idempotent rather than double-counted.
     */
   def append(incoming: DataFrame, idCol: String, textCol: String, path: String): Long = {
     val spark = incoming.sparkSession
-    val c = config(spark, path)
+    val c = config(spark, path) // heals any pending state first
+    val storedDocs = spark.read.parquet(s"$path/sigs").select("doc")
     val newSigs = Dedup.sigTable(incoming, idCol, textCol, c.shingleSize, c.numPerm)
+      .join(storedDocs, Seq("doc"), "left_anti")
       .localCheckpoint()
     val nNew = newSigs.count()
     if (nNew == 0) return 0L
     val nTotal = c.nDocs + nNew
     val oldCap = capOf(c.maxBucket, c.nDocs)
     val newCap = capOf(c.maxBucket, nTotal)
-    val allSigs = spark.read.parquet(s"$path/sigs").unionByName(newSigs)
+    val m = marker(path)
+    val fs = m.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(m, true).close()
+    newSigs.write.mode("append").parquet(s"$path/sigs")
+    val allSigs = spark.read.parquet(s"$path/sigs")
     if (newCap != oldCap) {
       // cap-survival changed globally → full re-band from sigs
       Dedup.survivingBandedFixedCap(allSigs, c.numPerm, c.rowsPerBand, newCap,
@@ -132,15 +186,13 @@ object LshIndex {
       // an affected group whose buckets ALL dropped writes no
       // partition — dynamic overwrite would leave its stale files
       val nonEmpty = regenerated.select("grp").distinct().collect().map(_.getInt(0)).toSet
-      val bandedRoot = new org.apache.hadoop.fs.Path(s"$path/banded")
-      val fs = bandedRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
       (affected.toSet -- nonEmpty).foreach { g =>
         fs.delete(new org.apache.hadoop.fs.Path(s"$path/banded/grp=$g"), true)
       }
     }
-    newSigs.write.mode("append").parquet(s"$path/sigs")
     writeConfig(spark, path, c.shingleSize, c.numPerm, c.rowsPerBand, c.maxBucket,
       c.numGroups, nTotal)
+    fs.delete(m, false) // commit point: the append is now fully visible
     nNew
   }
 

@@ -117,6 +117,14 @@ object GraftFunctions {
       new ExpressionInfo(classOf[TrigramScoreExpr].getName, "graft_trigram_score"),
       (children: Seq[Expression]) => TrigramScoreExpr(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_geom_from_wkb"),
+      new ExpressionInfo(classOf[WkbGeomExpr].getName, "graft_geom_from_wkb"),
+      (children: Seq[Expression]) => WkbGeomExpr(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bpe_encode"),
+      new ExpressionInfo(classOf[BpeEncodeExpr].getName, "graft_bpe_encode"),
+      (children: Seq[Expression]) => BpeEncodeExpr(children(0), children(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_cdc_cuts"),
       new ExpressionInfo(classOf[CdcCutsExpr].getName, "graft_cdc_cuts"),
       (children: Seq[Expression]) => CdcCutsExpr(children(0), children(1), children(2))))

@@ -1,0 +1,198 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Columnar WKB / EWKB geometry decode — the reference's ACTUAL input
+  * format: its snapshot tables are PostGIS geometries read through OGR
+  * (changegen/db.py:28-101), and a real PostGIS deployment delivers
+  * them over JDBC as WKB bytes or hex-EWKB text. This expression
+  * closes that seam: `graft_geom_from_wkb(col)` turns either form into
+  * the `array<struct<x:double,y:double>>` vertex layout every
+  * downstream graft operator (grid joins, closest-point, reproject,
+  * insertion-index) already speaks.
+  *
+  * Accepted input: BINARY (raw WKB/EWKB) or STRING (hex-encoded
+  * EWKB, PostGIS's text wire form). Supported shapes:
+  *   - both byte orders (XDR big-endian / NDR little-endian);
+  *   - EWKB flag bits: SRID present (0x20000000 — the 4-byte SRID is
+  *     skipped; reprojection is [[graft.spatial.Geo]]'s job), Z
+  *     (0x80000000) and M (0x40000000) — extra ordinates are read and
+  *     discarded, x/y kept;
+  *   - ISO WKB dimension codes (type + 1000·{1=Z, 2=M, 3=ZM});
+  *   - geometry types: Point (1 vertex), LineString (n vertices),
+  *     Polygon (EXTERIOR ring only — the dwithin/intersection rules
+  *     the reference runs test boundary proximity; interior holes are
+  *     out of scope and documented so).
+  *
+  * Anything else — unknown type, truncated buffer, bad byte-order
+  * mark, odd-length hex — decodes to NULL, the same drop-malformed
+  * contract as the multimodal header parsers: one corrupt row must
+  * not fail a 100 TB scan. The byte walk is a single allocation-free
+  * pass per row (no Geometry object graph), so the decode rides
+  * whole-stage codegen like any other projection.
+  */
+case class WkbGeomExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType | StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_geom_from_wkb expects binary (WKB) or string (hex EWKB), got $t")
+  }
+
+  override def dataType: DataType =
+    ArrayType(StructType(Seq(
+      StructField("x", DoubleType, nullable = false),
+      StructField("y", DoubleType, nullable = false))), containsNull = false)
+
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_geom_from_wkb"
+
+  private def isHex = child.dataType == StringType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes =
+      if (isHex) WkbGeomExpr.hexDecode(input.asInstanceOf[UTF8String].toString)
+      else input.asInstanceOf[Array[Byte]]
+    if (bytes == null) null else WkbGeomExpr.decode(bytes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("wkb")
+      val out = ctx.freshName("geom")
+      val toBytes =
+        if (isHex) s"graft.functions.WkbGeomExpr.hexDecode($c.toString())"
+        else c
+      s"""
+         |byte[] $bytes = $toBytes;
+         |org.apache.spark.sql.catalyst.util.ArrayData $out =
+         |  $bytes == null ? null : graft.functions.WkbGeomExpr.decode($bytes);
+         |if ($out == null) { ${ev.isNull} = true; } else { ${ev.value} = $out; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WkbGeomExpr {
+
+  /** Hex string → bytes; null on odd length or a non-hex char (the
+    * malformed-input contract, not an exception). */
+  def hexDecode(s: String): Array[Byte] = {
+    val n = s.length
+    if (n % 2 != 0) return null
+    val out = new Array[Byte](n / 2)
+    var i = 0
+    while (i < n) {
+      val hi = Character.digit(s.charAt(i), 16)
+      val lo = Character.digit(s.charAt(i + 1), 16)
+      if (hi < 0 || lo < 0) return null
+      out(i / 2) = ((hi << 4) | lo).toByte
+      i += 2
+    }
+    out
+  }
+
+  private def readU32(b: Array[Byte], off: Int, le: Boolean): Long = {
+    def u(i: Int) = b(off + i) & 0xffL
+    if (le) u(0) | (u(1) << 8) | (u(2) << 16) | (u(3) << 24)
+    else u(3) | (u(2) << 8) | (u(1) << 16) | (u(0) << 24)
+  }
+
+  private def readDouble(b: Array[Byte], off: Int, le: Boolean): Double = {
+    var bits = 0L
+    var i = 0
+    while (i < 8) {
+      val by = b(off + (if (le) 7 - i else i)) & 0xffL
+      bits = (bits << 8) | by
+      i += 1
+    }
+    java.lang.Double.longBitsToDouble(bits)
+  }
+
+  /** One-pass WKB/EWKB walk → vertex ArrayData, or null on any
+    * malformation. See the class doc for the supported envelope. */
+  def decode(b: Array[Byte]): ArrayData = {
+    if (b.length < 5) return null
+    val le = b(0) match {
+      case 1 => true
+      case 0 => false
+      case _ => return null
+    }
+    val rawType = readU32(b, 1, le)
+    var off = 5
+    // EWKB flag bits (PostGIS)
+    val hasSrid = (rawType & 0x20000000L) != 0
+    val ewkbZ = (rawType & 0x80000000L) != 0
+    val ewkbM = (rawType & 0x40000000L) != 0
+    val masked = rawType & 0x0fffffffL
+    // ISO dimension coding: base + 1000·{1=Z, 2=M, 3=ZM}
+    val isoDim = (masked / 1000L).toInt
+    if (isoDim > 3) return null
+    val baseType = (masked % 1000L).toInt
+    val dims = 2 +
+      (if (ewkbZ || isoDim == 1 || isoDim == 3) 1 else 0) +
+      (if (ewkbM || isoDim == 2 || isoDim == 3) 1 else 0)
+    if (hasSrid) {
+      if (b.length < off + 4) return null
+      off += 4 // SRID skipped: reprojection is Geo's job
+    }
+    val stride = dims * 8
+
+    def points(n: Int, start: Int): ArrayData = {
+      if (n < 0 || b.length < start + n.toLong * stride) return null
+      val rows = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        val p = start + i * stride
+        rows(i) = InternalRow(readDouble(b, p, le), readDouble(b, p + 8, le))
+        i += 1
+      }
+      new GenericArrayData(rows)
+    }
+
+    baseType match {
+      case 1 => // Point: exactly one coordinate tuple
+        if (b.length < off + stride) null else points(1, off)
+      case 2 => // LineString: u32 count + vertices
+        if (b.length < off + 4) return null
+        val n = readU32(b, off, le)
+        if (n > Int.MaxValue) null else points(n.toInt, off + 4)
+      case 3 => // Polygon: u32 ring count, first (exterior) ring only
+        if (b.length < off + 8) return null
+        val nRings = readU32(b, off, le)
+        if (nRings < 1) return null
+        val n = readU32(b, off + 4, le)
+        if (n > Int.MaxValue) null else points(n.toInt, off + 8)
+      case _ => null
+    }
+  }
+
+  /** JVM-side WKB ENCODER — tests and in-query synthesis only (the
+    * production input arrives already encoded from PostGIS). Emits
+    * little-endian; `srid` ≥ 0 adds the EWKB SRID header. `geomType`
+    * 1 = Point (pts must have 1 element), 2 = LineString, 3 = Polygon
+    * (single exterior ring). */
+  def encode(geomType: Int, pts: Array[(Double, Double)], srid: Int = -1,
+             bigEndian: Boolean = false): Array[Byte] = {
+    val le = !bigEndian
+    val buf = java.nio.ByteBuffer.allocate(
+      9 + (if (srid >= 0) 4 else 0) + (if (geomType >= 2) 4 else 0) +
+        (if (geomType == 3) 4 else 0) + pts.length * 16)
+    buf.order(if (le) java.nio.ByteOrder.LITTLE_ENDIAN else java.nio.ByteOrder.BIG_ENDIAN)
+    buf.put(if (le) 1.toByte else 0.toByte)
+    buf.putInt(if (srid >= 0) (geomType | 0x20000000) else geomType)
+    if (srid >= 0) buf.putInt(srid)
+    if (geomType == 3) buf.putInt(1) // one ring
+    if (geomType >= 2) buf.putInt(pts.length)
+    pts.foreach { case (x, y) => buf.putDouble(x); buf.putDouble(y) }
+    buf.array()
+  }
+}

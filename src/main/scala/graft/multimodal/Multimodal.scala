@@ -326,11 +326,14 @@ object Multimodal {
     *
     * Output: (doc_id, frame_idx, ts_ms, frame_off, probe_byte) —
     * non-GVID rows are dropped (conservative, like the image/audio
-    * parsers' null contract).
+    * parsers' null contract), and so are malformed headers (fps < 1
+    * would step the sequence by 0 / divide by 0 and fail the whole
+    * query instead of dropping the row; w·h < 1 would alias every
+    * frame offset to the header).
     */
   def frameSample(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
     val p = col(payloadCol)
-    df.filter(isGvid(p))
+    df.filter(isGvid(p) && gvFps(p) >= 1 && gvWidth(p) >= 1 && gvHeight(p) >= 1)
       .select(col(idCol).as("doc_id"), p.as("_p"),
         gvWidth(p).as("_w"), gvHeight(p).as("_h"),
         gvFps(p).as("_fps"), gvFrameCount(p).as("_n"))

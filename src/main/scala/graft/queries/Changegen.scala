@@ -129,13 +129,15 @@ object Changegen {
     "cg_way_split" -> ((s, dir) => {
       WayOps.splitWay(ways(s, dir), "nds", nodeLimit = 4, segmentLen = 3)
         .select(col("way"), col("chunk_idx"), posexplode(col("chunk_nds")).as(Seq("pos", "node")))
-        .orderBy("way", "chunk_idx", "pos")
+    // row-per-node output: no presentation orderBy — the checker
+    // row-sorts both sides before hashing, so a global range sort here
+    // would only add a corpus-sized shuffle (same for the exploded
+    // way/relation queries below)
     }),
     // 19 — polygon ring closing (append first node at end)
     "cg_closed_way" -> ((s, dir) => {
       WayOps.splitWay(ways(s, dir), "nds", nodeLimit = 1000000, segmentLen = 1000000, closed = true)
         .select(col("way"), posexplode(col("chunk_nds")).as(Seq("pos", "node")))
-        .orderBy("way", "pos")
     }),
     // 20 — multipolygon relation member assembly (outer/inner roles)
     "cg_relation_assembly" -> ((s, dir) => {
@@ -144,7 +146,6 @@ object Changegen {
         .withColumn("inner_ways", expr("slice(nds, 3, size(nds))"))
         .withColumnRenamed("way", "rel_id")
       WayOps.multipolygonMembers(w, Seq("rel_id"), col("outer_ways"), col("inner_ways"))
-        .orderBy("rel_id", "member_role", "member_ref")
     }),
     // 21 — ST_DWithin as a grid-bucketed distance join (no cross join)
     "cg_dwithin_join" -> ((s, dir) => {
@@ -269,7 +270,6 @@ object Changegen {
         .otherwise(col("nds"))
       w.withColumn("new_nds", modified)
         .select(col("way"), posexplode(col("new_nds")).as(Seq("pos", "node")))
-        .orderBy("way", "pos")
     }),
     // 26 — deletion expansion: ways → constituent nodes, no double-delete
     "cg_delete_expand" -> ((s, dir) => {
@@ -300,17 +300,44 @@ object Changegen {
         .select(
           col("c_custkey").as("elem_id"),
           graft.osm.OsmChangeXml.nodeXml(col("c_custkey"), lit(1), latU, lonU, tags).as("xml"))
-        .orderBy("elem_id")
     }),
     // 30 — way → ordered node list (exploded back for verification)
     "cg_way_node_map" -> ((s, dir) => {
       ways(s, dir)
         .select(col("way"), posexplode(col("nds")).as(Seq("pos", "node")))
-        .orderBy("way", "pos")
     }),
     // 30b — END-TO-END gate: the full ChangegenPipeline dataflow's
     // section counts (create nodes/ways, modify, delete), built from
     // the SAME build() the CLI serializes — so the whole flow, not
+    // 31 — WKB/EWKB geometry decode: the reference's ACTUAL input
+    // format — its snapshot tables are PostGIS geometries (db.py:
+    // 28-101), delivered over JDBC as WKB bytes or hex-EWKB text.
+    // Per customer, mapPartitions synthesizes a little-endian EWKB
+    // LineString (SRID header exercised) AND a big-endian hex WKB
+    // Point, both with closed-form integer coordinates;
+    // graft_geom_from_wkb decodes both COLUMNAR and the oracle
+    // recomputes the coordinates directly from c_custkey — proving
+    // the encode→decode roundtrip exact across byte orders and both
+    // input kinds (binary, hex string).
+    "cg_wkb_decode" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = t(s, dir, "customer").select(col("c_custkey")).as[Long]
+        .mapPartitions(_.map { k =>
+          val line = Array.tabulate(3)(i =>
+            ((k * 7919 % 100000 + i).toDouble, (k * 104729 % 100000 - i).toDouble))
+          val pt = Array(((k * 13 % 7777).toDouble, (k * 17 % 8888).toDouble))
+          val wkb = graft.functions.WkbGeomExpr.encode(2, line, srid = 4326)
+          val hex = graft.functions.WkbGeomExpr.encode(1, pt, bigEndian = true)
+            .map("%02X".format(_)).mkString
+          (k, wkb, hex)
+        }).toDF("c_custkey", "wkb", "hex")
+      payloads.select(col("c_custkey"),
+          posexplode(call_function("graft_geom_from_wkb", col("wkb"))).as(Seq("pos", "v")),
+          call_function("graft_geom_from_wkb", col("hex"))(0).as("p"))
+        .select(col("c_custkey"), col("pos").cast("long").as("pos"),
+          col("v.x").cast("long").as("x"), col("v.y").cast("long").as("y"),
+          col("p.x").cast("long").as("px"), col("p.y").cast("long").as("py"))
+    }),
     // just its operators, is oracle-checked. maxNodes=7 forces way
     // splitting at every SF.
     "cg_pipeline_counts" -> ((s, dir) => {
@@ -620,6 +647,16 @@ object Changegen {
     "cg_way_node_map" ->
       s"""WITH $ndsCte
         |SELECT way, CAST(s - 1 AS INT) AS pos, node FROM nds ORDER BY way, pos""".stripMargin,
+    // the closed-form coordinate derivation the Spark side encoded
+    // into WKB — decoding must land exactly back on it
+    "cg_wkb_decode" ->
+      """SELECT c_custkey, CAST(pos AS BIGINT) AS pos,
+        |  (c_custkey*7919) % 100000 + pos AS x,
+        |  (c_custkey*104729) % 100000 - pos AS y,
+        |  (c_custkey*13) % 7777 AS px,
+        |  (c_custkey*17) % 8888 AS py
+        |FROM (SELECT c_custkey, unnest([0, 1, 2]) AS pos FROM customer)
+        |ORDER BY c_custkey, pos""".stripMargin,
     // mirrors ChangegenPipeline.build(maxNodes=7): segmentLen = 6, so
     // chunk count per feature = 1 if n<=7 else ceil(n/6); junction
     // radius 0.5 between supplier lattice points and distinct lineitem

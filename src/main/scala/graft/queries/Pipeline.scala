@@ -143,13 +143,16 @@ object Pipeline {
         n = 3, threshold = 0.05, maxShingleDf = 1000)
         .orderBy("doc_a", "doc_b")
     }),
-    // 31f — cross-source duplicate matrix: for every source pair, the
-    // number of exact-duplicate document pairs spanning them — the
-    // corpus-composition contamination profile dataset papers report
-    // (which crawls re-host which). Every doc_id ≡ 1 (mod 10) gets its
-    // predecessor's text, so cross-source dup pairs exist at every SF.
-    // Group sizes are dup-cluster sizes, so the hash self-join is
-    // linear in duplicates, never corpus-quadratic
+    // 31f — cross-source duplicate matrix: for every (canonically
+    // ordered) source pair, the number of exact-duplicate document
+    // pairs spanning them — the corpus-composition contamination
+    // profile dataset papers report (which crawls re-host which).
+    // Every doc_id ≡ 1 (mod 10) gets its predecessor's text, so
+    // cross-source dup pairs exist at every SF. The matrix never
+    // materializes pairs: per-(hash, source) COUNTS join per hash, and
+    // each cell is count arithmetic (C(n,2) same-source, n_a*n_b
+    // cross). A 10^7-doc boilerplate cluster (empty pages, 404 bodies)
+    // contributes ONE row per source to the join — never 10^14 pairs
     "dd_cross_matrix" -> ((s, dir) => {
       val d0 = t(s, dir, "documents")
       val base = d0.select((col("doc_id") + 1).as("doc_id"), col("text").as("_bt"))
@@ -157,11 +160,8 @@ object Pipeline {
         .withColumn("aug",
           when(col("doc_id") % 10 === 1 && col("_bt").isNotNull, col("_bt"))
             .otherwise(col("text")))
-        .select(col("doc_id"), col("source"), md5(col("aug")).as("h"))
-      d.as("a").join(d.as("b"),
-          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
-        .agg(count(lit(1)).as("n_dup_pairs"))
+        .select(col("source"), md5(col("aug")).as("h"))
+      Dedup.crossSourceMatrix(d, "h", "source")
         .orderBy("source_a", "source_b")
     }),
     // 34b — asymmetric containment near-dup: C(A→B) = |A∩B|/|A| over
@@ -273,6 +273,25 @@ object Pipeline {
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_word_tokens"))
         .orderBy("doc_id")
     }),
+    // 40b — vocab-table-driven BPE tokenization: the REAL tokenizer
+    // walk (canonical greedy merge loop over a ranked merges table —
+    // Sennrich et al. 2016 / the GPT-2 reference encoder), not the
+    // regex proxy. Native codegen'd expression does one pass per word
+    // with a literal-built pair→rank map; the oracle replicates the
+    // identical walk as a recursive CTE over a bracketed string form
+    // where one `replace` = one left-to-right non-overlapping merge
+    // pass. The full token STRING is checked, not just counts — any
+    // divergence in pair choice, tie-break, or merge order
+    // hash-mismatches. `size(bpe)` is the drop-in real-token counter
+    // for smp_pack / smp_budget / smp_mix (they take any count col).
+    "txt_bpe_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.bpeTokens(col("text")).as("bpe"))
+        .select(col("doc_id"),
+          size(col("bpe")).cast("long").as("n_bpe_tokens"),
+          array_join(col("bpe"), " ").as("bpe_text"))
+        .orderBy("doc_id")
+    }),
     // 41 — polynomial rolling-hash document fingerprint
     "txt_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -380,8 +399,7 @@ object Pipeline {
         .select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("qz"))
         .select(col("vec_id"), fp(col("qz.scale"), 6).as("scale_fp6"),
           posexplode(col("qz.q")).as(Seq("pos", "q")))
-        .orderBy("vec_id", "pos")
-    }),
+    }), // row-per-dim output — no presentation sort (checker row-sorts)
     // 35c — product quantization: 64-dim vectors → 4 subspaces × 16
     // codes (deterministic stride codebook, same seeding as IVF so the
     // whole build-and-encode path replicates in SQL). Encode is a
@@ -665,11 +683,15 @@ object Pipeline {
         .agg(count(lit(1)).as("n_users"))
         .orderBy("cohort_week", "week_offset")
     }),
-    // 44 — JSON property extraction (codegen'd path access)
+    // 44 — JSON property extraction (codegen'd path access). NO output
+    // orderBy: this is the one query whose output is corpus-sized (a
+    // row per event), so a global sort would range-shuffle + totally
+    // sort the whole table purely for presentation — at 100× scale the
+    // sort IS the query. The checker row-sorts both sides before
+    // hashing (tools/check.py), so unordered output verifies the same.
     "ev_json_extract" -> ((s, dir) => {
       t(s, dir, "events")
         .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k_val"))
-        .orderBy("event_id")
     }),
     // 45b — multimodal image metadata: synthesize PNG payloads
     // (mapPartitions), parse dimensions back COLUMNAR from the binary
@@ -1033,6 +1055,15 @@ object Pipeline {
   /** Whitespace tokens, lowercased — matches TextAnalysis.tokens. */
   private val toksSql =
     "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
+
+  /** The BPE merges table as a SQL VALUES list — generated from
+    * [[TextAnalysis.BpeMerges]] so the Spark literal and the oracle's
+    * rank table can never drift. */
+  private val bpeMergesValues: String =
+    TextAnalysis.BpeMerges.zipWithIndex.map { case (m, i) =>
+      val sp = m.indexOf(' ')
+      s"($i,'${m.substring(0, sp)}','${m.substring(sp + 1)}')"
+    }.mkString(",")
 
   /** Word n-gram shingles, distinct — matches Dedup.shingles(n). */
   private def shinglesSql(n: Int): String =
@@ -1541,14 +1572,22 @@ object Pipeline {
         |FROM inter JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
         |WHERE ${sqlFp("CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE)", 4)} >= 500
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // count-arithmetic cells (C(n,2) same-source, n_a*n_b cross) over
+    // per-(hash, source) counts — mirrors the pair-free Spark plan
     "dd_cross_matrix" ->
       """WITH aug AS (SELECT d.doc_id, d.source,
         |    md5(CASE WHEN d.doc_id % 10 = 1 AND b.text IS NOT NULL
         |      THEN b.text ELSE d.text END) AS h
-        |  FROM documents d LEFT JOIN documents b ON b.doc_id = d.doc_id - 1)
-        |SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_dup_pairs
-        |FROM aug a JOIN aug b ON a.h = b.h AND a.doc_id < b.doc_id
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |  FROM documents d LEFT JOIN documents b ON b.doc_id = d.doc_id - 1),
+        |cnt AS (SELECT h, source, count(*) AS n FROM aug GROUP BY 1, 2)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(sum(CASE WHEN a.source = b.source THEN a.n * (a.n - 1) // 2
+        |    ELSE a.n * b.n END) AS BIGINT) AS n_dup_pairs
+        |FROM cnt a JOIN cnt b ON a.h = b.h AND a.source <= b.source
+        |GROUP BY 1, 2
+        |HAVING sum(CASE WHEN a.source = b.source THEN a.n * (a.n - 1) // 2
+        |    ELSE a.n * b.n END) > 0
+        |ORDER BY 1, 2""".stripMargin,
     // aug corpus + rare-shingle guard mirror the Spark side; the
     // containment formulas divide by each side's own set size
     "dd_containment" ->
@@ -1621,6 +1660,52 @@ object Pipeline {
         | ${sqlFp("CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / CAST(CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END AS DOUBLE)", 4)} AS punct_ratio_fp4,
         | ${sqlFp("CAST(len(list_filter(" + toksSql + ", t -> t IN ('the','a','of','and','fast','slow'))) AS DOUBLE) / CAST(CASE WHEN len(" + toksSql + ") = 0 THEN 1 ELSE len(" + toksSql + ") END AS DOUBLE)", 4)} AS stopword_ratio_fp4
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the identical BPE walk as a recursive CTE over a bracketed
+    // string form (token t ↦ \x01 t \x02, concatenated): a pair
+    // merge is then exactly `replace(s, \x01a\x02\x01b\x02,
+    // \x01ab\x02)` — string replace IS left-to-right non-overlapping,
+    // and the brackets make containment ⇔ whole-token adjacency.
+    // Each recursion step picks the lowest-rank pattern PRESENT
+    // (correlated scalar subquery over the rank table) and applies
+    // one merge pass; rows exit when no pattern applies. The state
+    // string strictly shrinks per step, so termination is structural.
+    "txt_bpe_tokens" ->
+      s"""WITH RECURSIVE
+        |merges AS (
+        |  SELECT rank, chr(1) || a || chr(2) || chr(1) || b || chr(2) AS pat,
+        |    chr(1) || a || b || chr(2) AS rep
+        |  FROM (VALUES $bpeMergesValues) m(rank, a, b)),
+        |words AS (
+        |  SELECT doc_id, unnest(range(len(ws))) AS wi, ws
+        |  FROM (SELECT doc_id,
+        |      regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]') AS ws
+        |    FROM documents)),
+        |init AS (
+        |  SELECT doc_id, wi,
+        |    regexp_replace(ws[wi + 1], '(.)', chr(1) || '\\1' || chr(2), 'g') AS s
+        |  FROM words),
+        |steps AS (
+        |  SELECT doc_id, wi, s FROM init
+        |  UNION ALL
+        |  SELECT doc_id, wi,
+        |    replace(s,
+        |      (SELECT pat FROM merges WHERE contains(s, pat) ORDER BY rank LIMIT 1),
+        |      (SELECT rep FROM merges WHERE contains(s, pat) ORDER BY rank LIMIT 1)) AS s
+        |  FROM steps
+        |  WHERE EXISTS (SELECT 1 FROM merges WHERE contains(s, pat))),
+        |fin AS (
+        |  SELECT doc_id, wi, s FROM steps
+        |  WHERE NOT EXISTS (SELECT 1 FROM merges WHERE contains(s, pat))),
+        |per_doc AS (
+        |  SELECT doc_id,
+        |    CAST(sum(len(s) - len(replace(s, chr(2), ''))) AS BIGINT) AS n_bpe_tokens,
+        |    string_agg(trim(replace(s, chr(2) || chr(1), ' '), chr(1) || chr(2)),
+        |      ' ' ORDER BY wi) AS bpe_text
+        |  FROM fin GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(p.n_bpe_tokens, 0) AS n_bpe_tokens,
+        |  coalesce(p.bpe_text, '') AS bpe_text
+        |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "txt_tokens" ->
       s"""SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_ws_tokens,
         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_word_tokens
@@ -1871,9 +1956,12 @@ object Pipeline {
         | ELSE ${sqlFp("1.0 - CAST(len(list_distinct(" + toksSql + ")) AS DOUBLE) / CAST(len(" + toksSql + ") AS DOUBLE)", 4)}
         | END AS repetition_fp4
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // exact HUGEINT term ratios mirror Spark's DECIMAL(38,0); one
-    // double drop per term in the same expression shape, fp9, integer
-    // sums — accumulation order cannot move the result
+    // exact HUGEINT term ratios mirror Spark's DECIMAL(38,0): each
+    // factor casts to HUGEINT BEFORE its multiply, diff drops to
+    // double, and n_s² folds into the double divide — the same
+    // overflow-free staging as the Spark side; one double drop per
+    // term in the same expression shape, fp9, integer sums —
+    // accumulation order cannot move the result
     "txt_domain_div" ->
       s"""WITH toks AS (SELECT source, unnest($toksSql) AS tok FROM documents),
         |st AS (SELECT source, tok, count(*) AS c_st FROM toks GROUP BY 1, 2),
@@ -1882,9 +1970,13 @@ object Pipeline {
         |n1 AS (SELECT sum(c_t) AS n FROM tt),
         |terms AS (SELECT st.source, tt.c_t, n1.n,
         |    CAST(floor(
-        |      CAST(CAST(st.c_st * n1.n - tt.c_t * ns.n_s AS HUGEINT)
-        |         * CAST(st.c_st * n1.n - tt.c_t * ns.n_s AS HUGEINT) AS DOUBLE)
-        |      / CAST(CAST(ns.n_s AS HUGEINT) * ns.n_s * tt.c_t * n1.n AS DOUBLE)
+        |      (CAST(CAST(st.c_st AS HUGEINT) * CAST(n1.n AS HUGEINT)
+        |          - CAST(tt.c_t AS HUGEINT) * CAST(ns.n_s AS HUGEINT) AS DOUBLE)
+        |        / CAST(ns.n_s AS DOUBLE))
+        |      * (CAST(CAST(st.c_st AS HUGEINT) * CAST(n1.n AS HUGEINT)
+        |          - CAST(tt.c_t AS HUGEINT) * CAST(ns.n_s AS HUGEINT) AS DOUBLE)
+        |        / CAST(ns.n_s AS DOUBLE))
+        |      / CAST(CAST(tt.c_t AS HUGEINT) * CAST(n1.n AS HUGEINT) AS DOUBLE)
         |      * 1e9 + 0.5) AS BIGINT) AS term
         |  FROM st JOIN tt USING (tok) JOIN ns USING (source) CROSS JOIN n1)
         |SELECT source, count(*) AS n_terms,
@@ -1916,7 +2008,7 @@ object Pipeline {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ev_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
-        |FROM events ORDER BY event_id""".stripMargin,
+        |FROM events""".stripMargin,
     "mm_binary_meta" -> mmSql,
     // audio roundtrip mirror: all synth params are closed-form in
     // doc_id; duration replicates via 64-bit integer division

@@ -61,13 +61,23 @@ object Sampling {
     *
     * Output: kept rows + `rate_fp6` (the stratum's keep-rate ×10⁶;
     * 1/rate is the unbiased reweight).
+    *
+    * Strata contract: the strata column is CAST to string before the
+    * count collect (a non-string column would ClassCastException on
+    * the driver read) and NULL strata rows are dropped from both the
+    * rate table and the output — the same explicit-key contract
+    * [[mixBudgetSelect]] gets via its budgets-key isin filter; a null
+    * stratum has no sampling mass, so silently routing it to some
+    * other stratum's rate would mis-weight both.
     */
   def temperatureSample(df: DataFrame, idCol: String, strataCol: String,
                         targetTotal: Long, salt: String = "tmp"): DataFrame = {
     require(targetTotal >= 0, "targetTotal must be non-negative")
-    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+    val strata = col(strataCol).cast("string")
+    val counts = df.filter(strata.isNotNull)
+      .groupBy(strata.as("_k")).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
-    require(counts.nonEmpty, "temperatureSample: empty input")
+    require(counts.nonEmpty, "temperatureSample: empty input (or all-null strata)")
     val s6 = counts.map { case (k, n) =>
       (k, n, math.floor(math.sqrt(n.toDouble) * 1e6 + 0.5).toLong)
     }
@@ -77,9 +87,10 @@ object Sampling {
       k -> math.floor(math.min(1.0, r) * 1e6 + 0.5).toLong
     }
     val rateCol = rate6.tail.foldLeft(lit(rate6.head._2)) { case (acc, (k, v)) =>
-      when(col(strataCol) === k, lit(v)).otherwise(acc)
+      when(strata === k, lit(v)).otherwise(acc)
     }
-    df.withColumn("rate_fp6", rateCol)
+    df.filter(strata.isNotNull)
+      .withColumn("rate_fp6", rateCol)
       .filter(hashUniform(col(idCol), salt) < col("rate_fp6").cast("double") / lit(1e6))
   }
 

@@ -31,6 +31,32 @@ object TextAnalysis {
   val WordPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
   def tokenCount(text: Column): Column = size(regexp_extract_all(text, lit(WordPattern), lit(0)))
 
+  /** The default BPE merges table: entry i = `"left right"`, rank =
+    * i (lower merges first). A vocab you'd actually train lands in
+    * the same shape — these ranks cover the highest-frequency English
+    * pairs plus their continuations (`th`→`the`, `in`→`ing`), enough
+    * to exercise multi-level merges (rank-2 `th e` only fires after
+    * rank-0 `t h` creates the `th` token). The table is a query-side
+    * LITERAL so the DuckDB oracle replicates the identical walk; a
+    * production 32k vocab swaps in transparently —
+    * [[graft.functions.BpeEncodeExpr]] builds its pair→rank hash map
+    * once from the literal, so vocab size scales the map, not the
+    * plan.
+    */
+  val BpeMerges: Seq[String] = Seq(
+    "t h", "th e", "i n", "a n", "e r", "o n", "r e", "in g",
+    "e n", "a t", "o r", "e s", "s t", "a r", "o u", "l e",
+    "an d", "t o", "i s", "i t", "a l", "en t", "o f", "c h")
+
+  /** Word pre-tokenize + vocab-driven BPE encode: the real
+    * tokenizer's token sequence (see [[graft.functions.BpeEncodeExpr]]
+    * for the walk). `size(bpeTokens(text))` is the drop-in real-token
+    * counter for the pack/budget/mix selectors. */
+  def bpeTokens(text: Column, merges: Seq[String] = BpeMerges): Column =
+    call_function("graft_bpe_encode",
+      regexp_extract_all(text, lit(WordPattern), lit(0)),
+      typedLit(merges))
+
   /** n-gram heuristic language ID: count stopword hits per language,
     * argmax with a fixed priority order on ties. Stopword lists are a
     * parameter; `Default` covers the synthetic corpus languages.
@@ -313,10 +339,13 @@ object TextAnalysis {
     * KL deliberately: KL needs log(), whose last ulp differs across
     * libm implementations (the [[charLmScoreDf]] lesson); χ² is pure
     * rational arithmetic. Each present-term contribution
-    * (p_t − q_t)²/q_t is computed EXACTLY as a DECIMAL(38,0) ratio
-    * ((c_st·n − c_t·n_s)² over n_s²·c_t·n), dropped to double once in
-    * a fixed expression shape, fp9-quantized, and integer-summed — no
-    * float accumulation order anywhere. The absent-token mass
+    * (p_t − q_t)²/q_t stages as: diff = c_st·n − c_t·n_s computed
+    * EXACTLY in DECIMAL(38,0) (each factor cast BEFORE the multiply —
+    * a long multiply overflows past n ≈ 3e9 corpus tokens), then a
+    * fixed double shape (diff/n_s)²/(c_t·n) — n_s² folded into the
+    * divide so no decimal intermediate exceeds 38 digits (diff² or
+    * n_s²·c_t·n would at n ≥ 1e10) — fp9-quantized and integer-summed;
+    * no float accumulation order anywhere. The absent-token mass
     * Σ_{t∉s} q_t = 1 − (Σ_{t∈s} c_t)/n folds in from one exact
     * integer sum, so the statistic is the FULL χ², not a truncation.
     *
@@ -342,11 +371,12 @@ object TextAnalysis {
     st.join(tt, "tok")
       .join(broadcast(ns), "source")
       .crossJoin(broadcast(n1))
-      .withColumn("_diff", (col("c_st") * col("n") - col("c_t") * col("n_s")).cast(d38))
-      .withColumn("_den",
-        col("n_s").cast(d38) * col("n_s").cast(d38) * col("c_t").cast(d38) * col("n").cast(d38))
+      .withColumn("_diff",
+        col("c_st").cast(d38) * col("n").cast(d38) - col("c_t").cast(d38) * col("n_s").cast(d38))
+      .withColumn("_r", col("_diff").cast("double") / col("n_s").cast("double"))
       .withColumn("_term",
-        fp((col("_diff") * col("_diff")).cast("double") / col("_den").cast("double"), 9))
+        fp(col("_r") * col("_r")
+          / (col("c_t").cast(d38) * col("n").cast(d38)).cast("double"), 9))
       .groupBy("source")
       .agg(count(lit(1)).as("n_terms"),
         sum(col("_term")).as("_present"),

@@ -708,6 +708,27 @@ class DedupSimSpec extends AnyFunSuite {
     LshIndex.append(bigRest, "doc_id", "text", s"$base/biginc")
     assert(bandedSet(s"$base/biginc") == bandedSet(s"$base/bigfull"),
       "cap-change rebuild diverges from a fresh build")
+
+    // branch 3: CRASH RECOVERY — simulate an append that died after
+    // its sigs commit but before banded/config (the worst stranded
+    // state: banded behind sigs). The `_append_pending` marker must
+    // make the next probe re-band from sigs and converge on the fresh
+    // build; retrying the crashed batch must then be a no-op.
+    LshIndex.build(first, "doc_id", "text", s"$base/inc2", numGroups = 32)
+    spark.read.parquet(s"$base/full/sigs").as("s")
+      .join(rest.select(col("doc_id").as("doc")), Seq("doc"), "left_semi")
+      .write.mode("append").parquet(s"$base/inc2/sigs")
+    val m = new org.apache.hadoop.fs.Path(s"$base/inc2/_append_pending")
+    val fs = m.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(m, true).close()
+    val healedPairs = pairSet(s"$base/inc2", probe) // public entry → heals
+    assert(!fs.exists(m), "recovery must clear the pending marker")
+    assert(bandedSet(s"$base/inc2") == bandedSet(s"$base/full"),
+      "recovered banded layout diverges from a fresh build")
+    assert(healedPairs == pairSet(s"$base/full", probe))
+    assert(LshIndex.append(rest, "doc_id", "text", s"$base/inc2") == 0L,
+      "retrying the crashed batch must anti-join away as already indexed")
+    assert(bandedSet(s"$base/inc2") == bandedSet(s"$base/full"))
     docs.unpersist()
   }
 
@@ -982,5 +1003,45 @@ class DedupSimSpec extends AnyFunSuite {
     val out7 = graft.dedup.Dedup.dupNgramStats(docs.repartition(7), "doc_id", "text", n = 8)
       .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
     assert(out7 == out)
+  }
+
+  test("crossSourceMatrix: exact cells, and a 10^4-doc cluster never materializes pairs") {
+    // one boilerplate cluster of 10,000 identical docs spread over 4
+    // sources — the naive hash self-join would emit C(10^4,2) ≈ 5×10^7
+    // join rows on ONE key. The count-arithmetic plan must keep every
+    // operator's output linear in the input.
+    val n = 10000L
+    val docs = spark.range(n).select(
+      lit("boilerplate-hash").as("h"),
+      concat(lit("src"), col("id") % 4).as("source"))
+    val df = Dedup.crossSourceMatrix(docs, "h", "source")
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // 2500 docs per source: C(2500,2) within, 2500*2500 across
+    val within = 2500L * 2499L / 2
+    val across = 2500L * 2500L
+    (0 to 3).foreach { i =>
+      assert(rows((s"src$i", s"src$i")) == within)
+      ((i + 1) to 3).foreach(j => assert(rows((s"src$i", s"src$j")) == across))
+    }
+    assert(rows.size == 10) // 4 diagonal + 6 upper cells
+    // plan-metric bound: the pair explosion (if any) shows up as a join
+    // operator whose numOutputRows is ~5×10^7 — it is consumed map-side
+    // by the next partial agg, so a shuffle-records bound would miss it.
+    // Bound EVERY operator's output instead.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allOps(p: SparkPlan): Seq[SparkPlan] = p match {
+      case q: QueryStageExec => q +: allOps(q.plan)
+      case other => other +: other.children.flatMap(allOps)
+    }
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val maxOut = allOps(finalPlan)
+      .flatMap(op => op.metrics.get("numOutputRows").map(m => (op.nodeName, m.value)))
+      .maxBy(_._2)
+    assert(maxOut._2 <= 2 * n,
+      s"operator ${maxOut._1} materialized ${maxOut._2} rows — pair explosion")
   }
 }

@@ -179,4 +179,58 @@ class GeoSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
   }
+
+  test("WKB decode: roundtrip both byte orders, SRID/Z/M envelopes, polygon exterior, malformed → null") {
+    import graft.functions.WkbGeomExpr
+    def dec(rows: Seq[Array[Byte]]): Seq[Option[Seq[(Double, Double)]]] =
+      rows.zipWithIndex.map { case (b, i) => (i, b) }.toDF("i", "wkb")
+        .orderBy("i")
+        .select(call_function("graft_geom_from_wkb", col("wkb")).as("g"))
+        .as[Option[Seq[(Double, Double)]]].collect().toSeq
+    val pts = Array((1.5, -2.25), (100.0, 200.0), (-0.5, 7.0))
+    // roundtrip vs the existing array-geometry layout: decode(encode)
+    // must equal the source vertex list exactly
+    val got = dec(Seq(
+      WkbGeomExpr.encode(2, pts),                        // LE LineString
+      WkbGeomExpr.encode(2, pts, bigEndian = true),      // BE LineString
+      WkbGeomExpr.encode(2, pts, srid = 3857),           // EWKB SRID header
+      WkbGeomExpr.encode(1, pts.take(1)),                // Point
+      WkbGeomExpr.encode(3, pts, srid = 4326)))          // Polygon (one ring)
+    assert(got.forall(_.isDefined))
+    assert(got(0).get == pts.toSeq && got(1).get == pts.toSeq && got(2).get == pts.toSeq)
+    assert(got(3).get == pts.take(1).toSeq && got(4).get == pts.toSeq)
+    // hand-built EWKB Point with Z+M flags (little-endian): the extra
+    // ordinates are discarded, x/y decode; ISO code 3001 (Point ZM) too
+    def le(d: Double) = {
+      val b = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putDouble(d); b.array()
+    }
+    def leI(v: Long) = {
+      val b = java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(v.toInt); b.array()
+    }
+    val ewkbZm = Array[Byte](1) ++ leI(0x80000000L | 0x40000000L | 1L) ++
+      le(3.0) ++ le(4.0) ++ le(9.0) ++ le(11.0)
+    val isoZm = Array[Byte](1) ++ leI(3001L) ++ le(5.0) ++ le(6.0) ++ le(0.0) ++ le(0.0)
+    val gotDims = dec(Seq(ewkbZm, isoZm))
+    assert(gotDims(0).get == Seq((3.0, 4.0)) && gotDims(1).get == Seq((5.0, 6.0)))
+    // malformed inputs decode to NULL, never throw: empty, bad byte
+    // order mark, unknown type, truncated coordinate buffer
+    val bad = dec(Seq(
+      Array[Byte](),
+      Array[Byte](9, 1, 0, 0, 0),
+      Array[Byte](1) ++ leI(99L) ++ le(1.0) ++ le(2.0),
+      WkbGeomExpr.encode(2, pts).dropRight(5)))
+    assert(bad.forall(_.isEmpty), bad.toString)
+    // hex path (PostGIS text wire form): roundtrip + malformed contract
+    val hexRows = Seq(
+      WkbGeomExpr.encode(1, Array((42.5, -7.0)), srid = 4326).map("%02x".format(_)).mkString,
+      "ZZ01", "0101")
+    val gotHex = hexRows.zipWithIndex.map { case (h, i) => (i, h) }.toDF("i", "hex")
+      .orderBy("i")
+      .select(call_function("graft_geom_from_wkb", col("hex")).as("g"))
+      .as[Option[Seq[(Double, Double)]]].collect().toSeq
+    assert(gotHex(0).get == Seq((42.5, -7.0)))
+    assert(gotHex(1).isEmpty && gotHex(2).isEmpty)
+  }
 }

@@ -140,6 +140,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == exp1 ++ exp2, got.toString)
   }
 
+  test("frameSample drops malformed headers (fps=0, zero-area) instead of failing the query") {
+    val rows = Seq(
+      (1L, Multimodal.synthVideo(width = 2, height = 2, fps = 0, frames = 3, fill = i => i)),
+      (2L, Multimodal.synthVideo(width = 0, height = 2, fps = 1, frames = 3, fill = i => i)),
+      (3L, Multimodal.synthVideo(width = 1, height = 1, fps = 1, frames = 2, fill = i => 7 + i)))
+      .toDF("doc_id", "payload")
+    // fps=0 would step sequence() by 0 / divide by 0; w=0 aliases all
+    // offsets — both must drop like non-GVID payloads, not throw
+    val got = Multimodal.frameSample(rows, "doc_id", "payload")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq((3L, 0L, 0L, 14L, 7L), (3L, 1L, 1000L, 15L, 8L)), got.toString)
+  }
+
   test("aHash: brightness-shift invariant, pattern-sensitive, JVM synth ↔ columnar parse agree") {
     import org.apache.spark.sql.functions.col
     // ids 1, 17, 33 share id%16=1 but differ in id%3 (1, 2, 0): same

@@ -14,7 +14,10 @@ class QueriesSpec extends AnyFunSuite {
     val empties = Seq.newBuilder[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, TestSpark.Sf).count()
-      if (n == 0 && name != "q8_antijoin") empties += name // anti-join may legitimately be empty
+      // NO exemptions: a query whose oracle row compares 0 == 0 passes
+      // vacuously (a WHERE false plan would be green) — every
+      // registered query must return rows on every SF it runs at.
+      if (n == 0) empties += name
     }
     assert(empties.result().isEmpty, s"queries with zero rows: ${empties.result()}")
   }

@@ -227,6 +227,21 @@ class SamplingSpec extends AnyFunSuite {
     assert(capped.length == 1000 && capped.forall(_._3 == 1000000L))
   }
 
+  test("temperatureSample: null strata drop, non-string strata cast — no driver crash") {
+    // null stratum rows must be excluded from rates AND output (not
+    // silently routed to the fold's default rate), and an INT strata
+    // column must work via the string cast instead of a driver CCE
+    val withNulls = ((1L to 90L).map(i => (i, Option("a"))) ++
+      (101L to 110L).map(i => (i, Option.empty[String]))).toDF("doc_id", "source")
+    val out = Sampling.temperatureSample(withNulls, "doc_id", "source", targetTotal = 50L)
+      .as[(Long, Option[String], Long)].collect()
+    assert(out.nonEmpty && out.forall(_._2.contains("a")), out.mkString(","))
+    val intStrata = (1L to 100L).map(i => (i, (i % 2).toInt)).toDF("doc_id", "source")
+    val outInt = Sampling.temperatureSample(intStrata, "doc_id", "source", targetTotal = 40L)
+      .as[(Long, Int, Long)].collect()
+    assert(outInt.nonEmpty && outInt.map(_._2).distinct.sorted.sameElements(Array(0, 1)))
+  }
+
   test("mixBudgetSelect: per-stratum greedy prefixes, unknown strata dropped, partition-stable") {
     val rows = (1L to 600L).map(i =>
       (i, s"s${i % 4}", (i * 37 % 211) + 1, (i * 13 % 50) + 1)) // (id, src, score, weight)

@@ -173,4 +173,47 @@ class TextSpec extends AnyFunSuite {
       .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     assert(out7 == out)
   }
+
+  test("BPE encode: canonical greedy walk — rank order, multi-level merges, left-to-right") {
+    def enc(text: String, merges: Seq[String]): Seq[String] =
+      Seq(text).toDF("text")
+        .select(TextAnalysis.bpeTokens(col("text"), merges).as("bpe"))
+        .as[Seq[String]].head()
+    // multi-level: rank-1 "th e" can only fire after rank-0 "t h"
+    // creates the th token; in "then" the (th,e) rank-1 merge beats
+    // (e,n) at rank 8, stranding the n
+    assert(enc("the then", TextAnalysis.BpeMerges) == Seq("the", "the", "n"))
+    // rank order decides when two pairs are present: in "ing", (i,n)
+    // at rank 2 beats (n,g) — absent from the table — then (in,g)
+    assert(enc("ing", TextAnalysis.BpeMerges) == Seq("ing"))
+    // left-to-right non-overlapping: "aaa" under merge (a,a) gives
+    // [aa, a] — the merged token does NOT re-pair in the same pass,
+    // and (aa,a) is not in the table
+    assert(enc("aaa", Seq("a a")) == Seq("aa", "a"))
+    assert(enc("aaaa", Seq("a a")) == Seq("aa", "aa"))
+    assert(enc("aaaa", Seq("a a", "aa aa")) == Seq("aaaa"))
+    // a pair exhausted in one pass becomes applicable again when a
+    // LATER merge creates its right element: (x, bc) before (b, c)
+    // never fires on "xbc" until bc exists
+    assert(enc("xbc", Seq("b c", "x bc")) == Seq("xbc"))
+    // lower rank wins when both pairs are present simultaneously
+    assert(enc("xbc", Seq("x b", "b c")) == Seq("xb", "c"))
+    // pre-tokenizer boundaries: merges never cross words, digits and
+    // punctuation stay single tokens
+    assert(enc("to t o 1 23 a.t", TextAnalysis.BpeMerges) ==
+      Seq("to", "t", "o", "1", "2", "3", "a", ".", "t"))
+    // empty text → empty token sequence (not null)
+    assert(enc("", TextAnalysis.BpeMerges) == Seq.empty)
+    // the default-merges path used by the registered query: count and
+    // join survive a multi-word document
+    val got = Seq((1L, "the rat ate the cheese"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.bpeTokens(col("text")).as("bpe"))
+      .select(col("doc_id"), size(col("bpe")).as("n"), array_join(col("bpe"), " ").as("s"))
+      .as[(Long, Int, String)].head()
+    // the: t h→th, th e→the | rat: r a? no — (a,t) rank 9: r at |
+    // ate: (a,t) → at e; (at,e) absent → at e | cheese:
+    // c h→ch, e e? absent, e s→es, (ch,e) absent → ch e es e
+    assert(got == ((1L, 10, "the r at at e the ch e es e")), got.toString)
+  }
 }
