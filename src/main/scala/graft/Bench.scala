@@ -47,16 +47,51 @@ object Bench {
   private def fmt(v: Double, decimals: Int): String =
     if (v < 0) "-1" else BigDecimal(v).setScale(decimals, BigDecimal.RoundingMode.HALF_UP).underlying.stripTrailingZeros.toPlainString
 
+  /** Resolve the pinned-baseline file. A relative path is tried
+    * against the cwd AND every ancestor containing `build.sbt` —
+    * the round-9 run proved the driver's sbt cwd is not always the
+    * repo root, which silently starved re-adjudication of every
+    * threshold (bench_detail.json showed readjudicated:[] while
+    * dd_containment sat at 2.1× its pin). */
+  private def resolveBaseline(path: String): Option[java.io.File] = {
+    val f = new java.io.File(path)
+    if (f.isAbsolute) return Some(f).filter(_.isFile)
+    if (f.isFile) return Some(f)
+    var dir = new java.io.File(System.getProperty("user.dir")).getAbsoluteFile
+    while (dir != null) {
+      if (new java.io.File(dir, "build.sbt").isFile) {
+        val cand = new java.io.File(dir, path)
+        return Some(cand).filter(_.isFile)
+      }
+      dir = dir.getParentFile
+    }
+    None
+  }
+
   /** Pinned per-query rows from BASELINE_LOCAL.md's `| query | sec |`
-    * table — the re-adjudication threshold source. Missing file or
-    * unparseable rows → empty map (the pass degrades to a no-op). */
+    * table — the re-adjudication threshold source. Read as EXPLICIT
+    * UTF-8: the round-9 no-op's second cause (besides the relative
+    * path) was `Source.fromFile`'s default codec — under a POSIX
+    * locale Java 17 defaults to US-ASCII, the file's prose contains
+    * `±`/`×`/`—`, and the resulting MalformedInputException was
+    * swallowed into Map.empty. An unresolvable file, a read error, or
+    * zero parsed rows DISABLES the pass; main() prints a loud warning
+    * for those cases instead of degrading silently. */
   private def pinnedRows(path: String): Map[String, Double] = {
     val row = """^\|\s*([A-Za-z0-9_]+)\s*\|\s*([0-9.]+)\s*\|\s*$""".r
-    try {
-      val src = scala.io.Source.fromFile(path)
-      try src.getLines().collect { case row(q, s) => q -> s.toDouble }.toMap
-      finally src.close()
-    } catch { case _: Throwable => Map.empty }
+    resolveBaseline(path) match {
+      case None => Map.empty
+      case Some(f) =>
+        try {
+          val src = scala.io.Source.fromFile(f)(scala.io.Codec.UTF8)
+          try src.getLines().collect { case row(q, s) => q -> s.toDouble }.toMap
+          finally src.close()
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"WARNING: pinned-baseline read failed ($f): $e")
+            Map.empty
+        }
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -123,6 +158,8 @@ object Bench {
     // re-adjudication: >2× a pinned row after the base runs → spend
     // extra runs before letting the number stand
     val pinned = pinnedRows(baselinePath)
+    if (pinned.isEmpty)
+      System.err.println(s"WARNING: pinned-rows: 0 ($baselinePath unresolved from ${System.getProperty("user.dir")}) — re-adjudication disabled")
     val flagged = names.filter { n =>
       val m = minOf(results(n))
       m >= 0 && pinned.get(n).exists(p => m > 2 * p)
@@ -139,10 +176,21 @@ object Bench {
       }.mkString("{", ",", "}")
       val errJson = errors.map { case (k, m) => s"${jstr(k)}:${jstr(m)}" }.mkString("{", ",", "}")
       val flaggedJson = flagged.map(jstr).mkString("[", ",", "]")
-      s"""{"total":$total,"runs":$runsJson,"errors":$errJson,"readjudicated":$flaggedJson,"n_runs":$nRuns,"sf":${jstr(sfDir)}}"""
+      s"""{"total":$total,"runs":$runsJson,"errors":$errJson,"readjudicated":$flaggedJson,"n_pinned":${pinned.size},"n_runs":$nRuns,"sf":${jstr(sfDir)}}"""
     }
     try {
-      val p = java.nio.file.Paths.get("target/bench_detail.json")
+      // anchor next to build.sbt when possible so the artifact lands in
+      // the repo's target/ regardless of the caller's cwd
+      val root = {
+        var dir = new java.io.File(System.getProperty("user.dir")).getAbsoluteFile
+        var found: java.io.File = null
+        while (dir != null && found == null) {
+          if (new java.io.File(dir, "build.sbt").isFile) found = dir
+          dir = dir.getParentFile
+        }
+        if (found == null) new java.io.File(".") else found
+      }
+      val p = new java.io.File(root, "target/bench_detail.json").toPath
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p, detail.getBytes("UTF-8"))
     } catch { case _: Throwable => () }

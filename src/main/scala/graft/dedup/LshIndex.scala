@@ -66,19 +66,38 @@ object LshIndex {
     m.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(m, false)
   }
 
+  /** Config updates must be crash-atomic: [[recoverIfPending]] reads
+    * config while the `_append_pending` marker is still up, so a plain
+    * `mode("overwrite")` (delete-then-rewrite) crashed mid-write would
+    * leave `config/` unreadable and recovery would throw instead of
+    * heal. Write the new rows to `config_tmp/`, then swap via DELETE +
+    * atomic directory RENAME — `config/` is therefore always either
+    * the complete old directory or the complete new one, never partial
+    * (a crash in the delete→rename window leaves `config/` absent and
+    * `config_tmp/` complete, which [[rawConfig]] promotes on read). */
   private def writeConfig(spark: SparkSession, path: String, shingleSize: Int,
                           numPerm: Int, rowsPerBand: Int, maxBucket: Int,
                           numGroups: Int, nDocs: Long): Unit = {
     import spark.implicits._
     Seq((shingleSize, numPerm, rowsPerBand, maxBucket, numGroups, nDocs))
       .toDF("shingleSize", "numPerm", "rowsPerBand", "maxBucket", "numGroups", "nDocs")
-      .write.mode("overwrite").parquet(s"$path/config")
+      .write.mode("overwrite").parquet(s"$path/config_tmp")
+    val fs = marker(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cfg = new org.apache.hadoop.fs.Path(s"$path/config")
+    fs.delete(cfg, true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$path/config_tmp"), cfg)
   }
 
   private case class Config(shingleSize: Int, numPerm: Int, rowsPerBand: Int,
                             maxBucket: Int, numGroups: Int, nDocs: Long)
 
   private def rawConfig(spark: SparkSession, path: String): Config = {
+    // heal a crash in writeConfig's delete→rename window: config/
+    // absent, complete config_tmp/ present → promote it
+    val fs = marker(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cfg = new org.apache.hadoop.fs.Path(s"$path/config")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/config_tmp")
+    if (!fs.exists(cfg) && fs.exists(tmp)) fs.rename(tmp, cfg)
     val r = spark.read.parquet(s"$path/config")
       .select("shingleSize", "numPerm", "rowsPerBand", "maxBucket", "numGroups", "nDocs")
       .head()

@@ -306,9 +306,6 @@ object Changegen {
       ways(s, dir)
         .select(col("way"), posexplode(col("nds")).as(Seq("pos", "node")))
     }),
-    // 30b — END-TO-END gate: the full ChangegenPipeline dataflow's
-    // section counts (create nodes/ways, modify, delete), built from
-    // the SAME build() the CLI serializes — so the whole flow, not
     // 31 — WKB/EWKB geometry decode: the reference's ACTUAL input
     // format — its snapshot tables are PostGIS geometries (db.py:
     // 28-101), delivered over JDBC as WKB bytes or hex-EWKB text.
@@ -338,6 +335,9 @@ object Changegen {
           col("v.x").cast("long").as("x"), col("v.y").cast("long").as("y"),
           col("p.x").cast("long").as("px"), col("p.y").cast("long").as("py"))
     }),
+    // 30b — END-TO-END gate: the full ChangegenPipeline dataflow's
+    // section counts (create nodes/ways, modify, delete), built from
+    // the SAME build() the CLI serializes — so the whole flow, not
     // just its operators, is oracle-checked. maxNodes=7 forces way
     // splitting at every SF.
     "cg_pipeline_counts" -> ((s, dir) => {

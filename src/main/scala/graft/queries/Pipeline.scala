@@ -1669,6 +1669,15 @@ object Pipeline {
     // (correlated scalar subquery over the rank table) and applies
     // one merge pass; rows exit when no pattern applies. The state
     // string strictly shrinks per step, so termination is structural.
+    // PRECONDITION (shared by both engines): document text contains
+    // none of U+0000/U+0001/U+0002 — the Spark expression keys merge
+    // pairs with a \u0000 separator and this oracle brackets tokens
+    // with chr(1)/chr(2), so a control char reaching the tokenizer
+    // (each would become a single-char token under WordPattern)
+    // corrupts the bracketed form / rank keys and the two engines
+    // diverge as an opaque hash mismatch. Real corpora satisfy this
+    // after txt_normalize-style ingest cleanup; synthetic testdata
+    // is ASCII printable by construction.
     "txt_bpe_tokens" ->
       s"""WITH RECURSIVE
         |merges AS (
