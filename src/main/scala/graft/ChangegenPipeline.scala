@@ -128,11 +128,23 @@ object ChangegenPipeline {
     * and max-id collision checks come from the extract,
     * generator.py:35-53 / __main__.py:26-53); without it, existing
     * ways derive synthetically from lineitem. */
+  /** `polyWkb`: optional REAL-geometry polygon source — a DataFrame
+    * with columns `(pgroup: long, wkb: binary | hex string)`, the
+    * shape a partitioned JDBC read of a PostGIS snapshot delivers
+    * (db.py:28-101 reads `wkb_geometry` columns; over JDBC they
+    * arrive as WKB bytes or hex EWKB). When present, the polygon
+    * section decodes EVERY ring via `graft_geom_rings` — exterior →
+    * outer way, each interior hole → its own closed way + an
+    * inner-role member in the feature's multipolygon relation
+    * (reference generator.py:683,719-753) — instead of synthesizing
+    * rings from the part table. When absent, the synthetic
+    * part-table derivation is unchanged. */
   def build(spark: SparkSession, sfDir: String, maxNodes: Int = 500,
             idOffset: Option[Long] = None, negIds: Boolean = false,
             osmSrc: Option[String] = None,
             deletionTables: Seq[String] = Nil,
-            noCollisions: Boolean = false): Frames = {
+            noCollisions: Boolean = false,
+            polyWkb: Option[DataFrame] = None): Frames = {
     val supplier = Tables.load(spark, sfDir, "supplier")
     val lineitem = Tables.load(spark, sfDir, "lineitem")
 
@@ -274,25 +286,9 @@ object ChangegenPipeline {
     // ring = first ceil(2n/3) vertices, the rest is a hole IF it has
     // at least 3 vertices. Rings close by repeating the first node;
     // holed features get a relation with outer/inner way members.
-    val pverts = Tables.load(spark, sfDir, "part").select(
-      (col("p_partkey") % 20).as("pgroup"),
-      col("p_partkey").as("pkey"),
-      ((col("p_partkey") * 13 % 1000) / 10.0).as("x"),
-      ((col("p_partkey") * 29 % 1000) / 10.0).as("y"))
     val polyNodeBase = if (negIds) 0L else wayIdBase + 1000000L
-    val polyNodes = SequentialIds.assign(pverts, "pkey", "node_id",
-      if (negIds) -(nVerts + 100000L) else polyNodeBase, negIds).persist()
-    val polyNodeXml = polyNodes.select(
-      OsmChangeXml.nodeXml(col("node_id"), lit(1),
-        (col("y") * 1000000L).cast("long"), (col("x") * 1000000L).cast("long"),
-        map(lit("source"), lit("graft"))).as("xml"))
-    val grouped = polyNodes
-      .groupBy("pgroup")
-      .agg(array_sort(collect_list(struct(col("pkey"), col("node_id")))).as("_kv"))
-      .withColumn("ring_nds", transform(col("_kv"), x => x.getField("node_id")))
-      .withColumn("n", size(col("ring_nds")))
-      .withColumn("n_outer", ceil(col("n").cast("double") * 2 / 3).cast("int"))
     val polyWayBase = if (negIds) 0L else polyNodeBase + 2000000L
+    val polyNodeOffset = if (negIds) -(nVerts + 100000L) else polyNodeBase
     // ONE id transform for poly way ids, relation MEMBER refs, and
     // relation ids — in negIds mode all three negate-and-offset
     // together, so emitted <relation> members always reference way
@@ -300,25 +296,94 @@ object ChangegenPipeline {
     // ids negated was the round-2 referential-integrity bug)
     def polyId(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       (if (negIds) -c - nVerts - 200000L else c).cast("long")
-    val outerRings = grouped.select(col("pgroup"), col("n"), col("n_outer"),
-      expr("slice(ring_nds, 1, n_outer)").as("ring"), lit(0).as("ring_idx"))
-    val innerRings = grouped.filter(col("n") - col("n_outer") >= 3)
-      .select(col("pgroup"), col("n"), col("n_outer"),
-        expr("slice(ring_nds, n_outer + 1, n - n_outer)").as("ring"), lit(1).as("ring_idx"))
-    val polyWays = outerRings.unionByName(innerRings)
-      .withColumn("closed_nds", concat(col("ring"), slice(col("ring"), 1, 1)))
-      .withColumn("way_id", polyId(lit(polyWayBase) + col("pgroup") * 10 + col("ring_idx")))
-      .persist()
+    val (polyNodes, polyWays, polyRelations) = polyWkb match {
+      case None =>
+        val pverts = Tables.load(spark, sfDir, "part").select(
+          (col("p_partkey") % 20).as("pgroup"),
+          col("p_partkey").as("pkey"),
+          ((col("p_partkey") * 13 % 1000) / 10.0).as("x"),
+          ((col("p_partkey") * 29 % 1000) / 10.0).as("y"))
+        val pn = SequentialIds.assign(pverts, "pkey", "node_id", polyNodeOffset, negIds).persist()
+        val grouped = pn
+          .groupBy("pgroup")
+          .agg(array_sort(collect_list(struct(col("pkey"), col("node_id")))).as("_kv"))
+          .withColumn("ring_nds", transform(col("_kv"), x => x.getField("node_id")))
+          .withColumn("n", size(col("ring_nds")))
+          .withColumn("n_outer", ceil(col("n").cast("double") * 2 / 3).cast("int"))
+        val outerRings = grouped.select(col("pgroup"), col("n"), col("n_outer"),
+          expr("slice(ring_nds, 1, n_outer)").as("ring"), lit(0).as("ring_idx"))
+        val innerRings = grouped.filter(col("n") - col("n_outer") >= 3)
+          .select(col("pgroup"), col("n"), col("n_outer"),
+            expr("slice(ring_nds, n_outer + 1, n - n_outer)").as("ring"), lit(1).as("ring_idx"))
+        val pw = outerRings.unionByName(innerRings)
+          .withColumn("closed_nds", concat(col("ring"), slice(col("ring"), 1, 1)))
+          .withColumn("way_id", polyId(lit(polyWayBase) + col("pgroup") * 10 + col("ring_idx")))
+          .persist()
+        val pr = grouped.filter(col("n") - col("n_outer") >= 3)
+          .select(col("pgroup"),
+            array(
+              struct(polyId(lit(polyWayBase) + col("pgroup") * 10).as("ref"), lit("way").as("mtype"), lit("outer").as("role")),
+              struct(polyId(lit(polyWayBase) + col("pgroup") * 10 + 1).as("ref"), lit("way").as("mtype"), lit("inner").as("role"))
+            ).as("members"))
+          .persist()
+        (pn, pw, pr)
+      case Some(src) =>
+        // REAL geometry: decode every ring columnar. PostGIS rings
+        // arrive closed (first vertex repeated last); OSM closes a
+        // ring by re-REFERENCING the first node id, so the closing
+        // duplicate vertex is dropped before node-id assignment and
+        // the way re-closes below from the assigned ids. All windows
+        // are ring-sized partitions — nothing corpus-wide.
+        val decoded = src.select(col("pgroup").cast("long").as("pgroup"),
+            posexplode(call_function("graft_geom_rings", col("wkb"))).as(Seq("pos", "v")))
+          .select(col("pgroup"), col("pos").cast("long").as("pos"),
+            col("v.ring").as("ring_idx"), col("v.x").as("x"), col("v.y").as("y"))
+        val ringW = org.apache.spark.sql.expressions.Window.partitionBy("pgroup", "ring_idx")
+        val open = decoded
+          .withColumn("_f", min(struct(col("pos"), col("x"), col("y"))).over(ringW))
+          .withColumn("_maxp", max("pos").over(ringW))
+          .filter(!(col("pos") === col("_maxp") && col("pos") =!= col("_f").getField("pos") &&
+            col("x") === col("_f").getField("x") && col("y") === col("_f").getField("y")))
+          .drop("_f", "_maxp")
+        // vertex → node id in (pgroup, pos) order — a STRUCT sort key,
+        // so no arithmetic bound on vertices-per-feature
+        val pn = SequentialIds.assign(
+            open.withColumn("okey", struct(col("pgroup"), col("pos"))),
+            "okey", "node_id", polyNodeOffset, negIds)
+          .drop("okey").persist()
+        val ringsDf = pn.groupBy("pgroup", "ring_idx")
+          .agg(array_sort(collect_list(struct(col("pos"), col("node_id")))).as("_kv"))
+          .withColumn("ring", transform(col("_kv"), x => x.getField("node_id")))
+        // sequential way ids in (pgroup, ring) order — holes beyond
+        // the first are first-class (a polygon may carry any number
+        // of interior rings), so no per-feature id arithmetic either
+        val pw = SequentialIds.assign(
+            ringsDf.withColumn("rkey", struct(col("pgroup"), col("ring_idx"))),
+            "rkey", "way_seq", 0L)
+          .withColumn("way_id", polyId(lit(polyWayBase) + col("way_seq")))
+          .drop("rkey", "way_seq")
+          .withColumn("closed_nds", concat(col("ring"), slice(col("ring"), 1, 1)))
+          .persist()
+        // reference generator.py:683: no interiors → plain closed
+        // way; interiors → multipolygon relation, outer + one
+        // inner-role member PER hole (generator.py:719-753)
+        val pr = pw.groupBy("pgroup")
+          .agg(array_sort(collect_list(struct(col("ring_idx"), col("way_id")))).as("_rw"))
+          .filter(size(col("_rw")) > 1)
+          .withColumn("members", transform(col("_rw"), r =>
+            struct(r.getField("way_id").as("ref"), lit("way").as("mtype"),
+              when(r.getField("ring_idx") === 0, lit("outer")).otherwise(lit("inner")).as("role"))))
+          .select(col("pgroup"), col("members"))
+          .persist()
+        (pn, pw, pr)
+    }
+    val polyNodeXml = polyNodes.select(
+      OsmChangeXml.nodeXml(col("node_id"), lit(1),
+        (col("y") * 1000000L).cast("long"), (col("x") * 1000000L).cast("long"),
+        map(lit("source"), lit("graft"))).as("xml"))
     val polyWayXml = polyWays.select(
       OsmChangeXml.wayXml(col("way_id"), lit(1), col("closed_nds"),
         map(lit("area"), lit("yes"))).as("xml"))
-    val polyRelations = grouped.filter(col("n") - col("n_outer") >= 3)
-      .select(col("pgroup"),
-        array(
-          struct(polyId(lit(polyWayBase) + col("pgroup") * 10).as("ref"), lit("way").as("mtype"), lit("outer").as("role")),
-          struct(polyId(lit(polyWayBase) + col("pgroup") * 10 + 1).as("ref"), lit("way").as("mtype"), lit("inner").as("role"))
-        ).as("members"))
-      .persist()
     val polyRelBase = polyWayBase + 1000000L
     val relXml = polyRelations.select(
       OsmChangeXml.relationXml(polyId(lit(polyRelBase) + col("pgroup")), lit(1),

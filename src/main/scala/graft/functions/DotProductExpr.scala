@@ -121,6 +121,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[WkbGeomExpr].getName, "graft_geom_from_wkb"),
       (children: Seq[Expression]) => WkbGeomExpr(children(0))))
     ext.injectFunction((
+      FunctionIdentifier("graft_geom_rings"),
+      new ExpressionInfo(classOf[WkbRingsExpr].getName, "graft_geom_rings"),
+      (children: Seq[Expression]) => WkbRingsExpr(children(0))))
+    ext.injectFunction((
       FunctionIdentifier("graft_bpe_encode"),
       new ExpressionInfo(classOf[BpeEncodeExpr].getName, "graft_bpe_encode"),
       (children: Seq[Expression]) => BpeEncodeExpr(children(0), children(1))))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, IntegerType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Columnar WKB / EWKB geometry decode — the reference's ACTUAL input
@@ -81,6 +81,73 @@ case class WkbGeomExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Ring-INDEXED WKB / EWKB decode — `graft_geom_rings(col)` →
+  * `array<struct<ring:int,x:double,y:double>>`. Where
+  * [[WkbGeomExpr]] keeps a polygon's exterior ring only (enough for
+  * the dwithin/intersection rules), this variant preserves EVERY
+  * ring: ring 0 is the exterior, 1..n-1 are the interior holes, in
+  * storage order — the information the reference's multipolygon
+  * branch consumes (`len(wgs84_geom.interiors) == 0`,
+  * changegen/generator.py:683; holes → inner-role relation members,
+  * generator.py:719-753). A holed PostGIS polygon fed through the
+  * exterior-only decode silently loses its holes before relation
+  * assembly; this expression closes that gap.
+  *
+  * Point and LineString decode as a single ring 0 (their vertex run),
+  * so the output is a strict superset of [[WkbGeomExpr]]'s: dropping
+  * the ring field on ring-0 rows reproduces it exactly for those
+  * types. Ring vertices are returned EXACTLY as stored — PostGIS
+  * rings are closed (first vertex repeated last) and this decoder
+  * does not unclose them; consumers that re-key vertices to node ids
+  * (ChangegenPipeline's polygon assembly) drop the closing duplicate
+  * themselves. Accepted input, flag handling, and the
+  * malformed→NULL contract are identical to [[WkbGeomExpr]].
+  */
+case class WkbRingsExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType | StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_geom_rings expects binary (WKB) or string (hex EWKB), got $t")
+  }
+
+  override def dataType: DataType =
+    ArrayType(StructType(Seq(
+      StructField("ring", IntegerType, nullable = false),
+      StructField("x", DoubleType, nullable = false),
+      StructField("y", DoubleType, nullable = false))), containsNull = false)
+
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_geom_rings"
+
+  private def isHex = child.dataType == StringType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes =
+      if (isHex) WkbGeomExpr.hexDecode(input.asInstanceOf[UTF8String].toString)
+      else input.asInstanceOf[Array[Byte]]
+    if (bytes == null) null else WkbGeomExpr.decodeRings(bytes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("wkb")
+      val out = ctx.freshName("rings")
+      val toBytes =
+        if (isHex) s"graft.functions.WkbGeomExpr.hexDecode($c.toString())"
+        else c
+      s"""
+         |byte[] $bytes = $toBytes;
+         |org.apache.spark.sql.catalyst.util.ArrayData $out =
+         |  $bytes == null ? null : graft.functions.WkbGeomExpr.decodeRings($bytes);
+         |if ($out == null) { ${ev.isNull} = true; } else { ${ev.value} = $out; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object WkbGeomExpr {
 
   /** Hex string → bytes; null on odd length or a non-hex char (the
@@ -117,9 +184,14 @@ object WkbGeomExpr {
     java.lang.Double.longBitsToDouble(bits)
   }
 
-  /** One-pass WKB/EWKB walk → vertex ArrayData, or null on any
-    * malformation. See the class doc for the supported envelope. */
-  def decode(b: Array[Byte]): ArrayData = {
+  /** Parsed WKB/EWKB envelope: byte order, base geometry type, first
+    * payload offset (past any EWKB SRID), and per-vertex byte stride.
+    * Null on a malformed header. Shared by [[decode]] (exterior-only)
+    * and [[decodeRings]] (all rings). */
+  private final class Header(val le: Boolean, val baseType: Int,
+                             val off: Int, val stride: Int)
+
+  private def readHeader(b: Array[Byte]): Header = {
     if (b.length < 5) return null
     val le = b(0) match {
       case 1 => true
@@ -144,7 +216,18 @@ object WkbGeomExpr {
       if (b.length < off + 4) return null
       off += 4 // SRID skipped: reprojection is Geo's job
     }
-    val stride = dims * 8
+    new Header(le, baseType, off, dims * 8)
+  }
+
+  /** One-pass WKB/EWKB walk → vertex ArrayData, or null on any
+    * malformation. See the class doc for the supported envelope. */
+  def decode(b: Array[Byte]): ArrayData = {
+    val h = readHeader(b)
+    if (h == null) return null
+    val le = h.le
+    val baseType = h.baseType
+    val off = h.off
+    val stride = h.stride
 
     def points(n: Int, start: Int): ArrayData = {
       if (n < 0 || b.length < start + n.toLong * stride) return null
@@ -173,6 +256,96 @@ object WkbGeomExpr {
         if (n > Int.MaxValue) null else points(n.toInt, off + 8)
       case _ => null
     }
+  }
+
+  /** One-pass ring-preserving walk → `(ring, x, y)` ArrayData, or
+    * null on any malformation. Polygon: every ring in storage order
+    * (0 = exterior, then holes), vertices exactly as stored (closed).
+    * Point/LineString: all vertices as ring 0. See [[WkbRingsExpr]]. */
+  def decodeRings(b: Array[Byte]): ArrayData = {
+    val h = readHeader(b)
+    if (h == null) return null
+    val le = h.le
+    val stride = h.stride
+
+    // flat (ring, x, y) rows for `n` vertices starting at `start`;
+    // appends into `acc` from `at`, or returns -1 on truncation
+    def emit(acc: Array[Any], at: Int, ring: Int, n: Int, start: Int): Int = {
+      if (n < 0 || b.length < start + n.toLong * stride) return -1
+      var i = 0
+      while (i < n) {
+        val p = start + i * stride
+        acc(at + i) = InternalRow(ring, readDouble(b, p, le), readDouble(b, p + 8, le))
+        i += 1
+      }
+      at + n
+    }
+
+    h.baseType match {
+      case 1 => // Point → one ring-0 vertex
+        if (b.length < h.off + stride) return null
+        val acc = new Array[Any](1)
+        if (emit(acc, 0, 0, 1, h.off) < 0) null else new GenericArrayData(acc)
+      case 2 => // LineString → its vertex run as ring 0
+        if (b.length < h.off + 4) return null
+        val n = readU32(b, h.off, le)
+        if (n > Int.MaxValue) return null
+        val acc = new Array[Any](n.toInt)
+        if (emit(acc, 0, 0, n.toInt, h.off + 4) < 0) null else new GenericArrayData(acc)
+      case 3 => // Polygon → every ring, two passes (size, then fill)
+        if (b.length < h.off + 4) return null
+        val nRings = readU32(b, h.off, le)
+        if (nRings < 1 || nRings > 0xffff) return null
+        // pass 1: walk ring headers to total the vertex count
+        var total = 0L
+        var off = h.off + 4
+        var r = 0
+        while (r < nRings) {
+          if (b.length < off + 4) return null
+          val n = readU32(b, off, le)
+          if (b.length < off + 4 + n * stride) return null
+          total += n
+          off += 4 + (n * stride).toInt
+          r += 1
+        }
+        if (total > Int.MaxValue) return null
+        // pass 2: fill
+        val acc = new Array[Any](total.toInt)
+        var at = 0
+        off = h.off + 4
+        r = 0
+        while (r < nRings) {
+          val n = readU32(b, off, le).toInt
+          at = emit(acc, at, r, n, off + 4)
+          if (at < 0) return null
+          off += 4 + n * stride
+          r += 1
+        }
+        new GenericArrayData(acc)
+      case _ => null
+    }
+  }
+
+  /** JVM-side multi-ring Polygon encoder — tests and in-query
+    * synthesis only, the multi-ring sibling of [[encode]]: rings(0)
+    * is the exterior, the rest are holes, each stored exactly as
+    * given (pass closed rings for PostGIS fidelity). */
+  def encodePolygon(rings: Array[Array[(Double, Double)]], srid: Int = -1,
+                    bigEndian: Boolean = false): Array[Byte] = {
+    val le = !bigEndian
+    val nPts = rings.map(_.length).sum
+    val buf = java.nio.ByteBuffer.allocate(
+      9 + (if (srid >= 0) 4 else 0) + 4 * rings.length + nPts * 16)
+    buf.order(if (le) java.nio.ByteOrder.LITTLE_ENDIAN else java.nio.ByteOrder.BIG_ENDIAN)
+    buf.put(if (le) 1.toByte else 0.toByte)
+    buf.putInt(if (srid >= 0) (3 | 0x20000000) else 3)
+    if (srid >= 0) buf.putInt(srid)
+    buf.putInt(rings.length)
+    rings.foreach { ring =>
+      buf.putInt(ring.length)
+      ring.foreach { case (x, y) => buf.putDouble(x); buf.putDouble(y) }
+    }
+    buf.array()
   }
 
   /** JVM-side WKB ENCODER — tests and in-query synthesis only (the

@@ -335,6 +335,40 @@ object Changegen {
           col("v.x").cast("long").as("x"), col("v.y").cast("long").as("y"),
           col("p.x").cast("long").as("px"), col("p.y").cast("long").as("py"))
     }),
+    // 31b — ring-PRESERVING WKB decode: the reference's multipolygon
+    // branch needs a polygon's interior rings (generator.py:683
+    // branches on `len(interiors) == 0`; generator.py:719-753 turns
+    // holes into inner-role relation members) — information the
+    // exterior-only cg_wkb_decode drops by contract. Per customer,
+    // mapPartitions synthesizes ONE holed polygon (closed 5-vertex
+    // square exterior + closed 4-vertex triangular hole, closed-form
+    // integer coordinates) as little-endian EWKB binary (SRID header
+    // exercised) AND as big-endian ISO-WKB hex; graft_geom_rings
+    // decodes both columnar — the exploded binary decode yields every
+    // (ring, vertex) pair in storage order, the hex decode is probed
+    // at the first interior vertex — and the oracle recomputes all of
+    // it closed-form from c_custkey.
+    "cg_wkb_rings" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = t(s, dir, "customer").select(col("c_custkey")).as[Long]
+        .mapPartitions(_.map { k =>
+          val a = (k * 7919 % 100000).toDouble
+          val b = (k * 104729 % 100000).toDouble
+          val outer = Array((a, b), (a + 10, b), (a + 10, b + 10), (a, b + 10), (a, b))
+          val inner = Array((a + 2, b + 2), (a + 4, b + 2), (a + 2, b + 4), (a + 2, b + 2))
+          val wkb = graft.functions.WkbGeomExpr.encodePolygon(Array(outer, inner), srid = 4326)
+          val hex = graft.functions.WkbGeomExpr.encodePolygon(Array(outer, inner), bigEndian = true)
+            .map("%02X".format(_)).mkString
+          (k, wkb, hex)
+        }).toDF("c_custkey", "wkb", "hex")
+      payloads.select(col("c_custkey"),
+          posexplode(call_function("graft_geom_rings", col("wkb"))).as(Seq("pos", "v")),
+          call_function("graft_geom_rings", col("hex"))(5).as("h"))
+        .select(col("c_custkey"), col("pos").cast("long").as("pos"),
+          col("v.ring").cast("long").as("ring"),
+          col("v.x").cast("long").as("x"), col("v.y").cast("long").as("y"),
+          col("h.x").cast("long").as("hx"), col("h.y").cast("long").as("hy"))
+    }),
     // 30b — END-TO-END gate: the full ChangegenPipeline dataflow's
     // section counts (create nodes/ways, modify, delete), built from
     // the SAME build() the CLI serializes — so the whole flow, not
@@ -656,6 +690,24 @@ object Changegen {
         |  (c_custkey*13) % 7777 AS px,
         |  (c_custkey*17) % 8888 AS py
         |FROM (SELECT c_custkey, unnest([0, 1, 2]) AS pos FROM customer)
+        |ORDER BY c_custkey, pos""".stripMargin,
+    // the closed-form holed polygon the Spark side encoded (closed
+    // square exterior = ring 0, closed triangular hole = ring 1);
+    // (hx, hy) probes the hex/big-endian decode at the first interior
+    // vertex — both byte orders and both input kinds must land
+    // exactly back on the derivation
+    "cg_wkb_rings" ->
+      """WITH base AS (SELECT c_custkey,
+        |    (c_custkey*7919) % 100000 AS a, (c_custkey*104729) % 100000 AS b FROM customer),
+        |offs AS (SELECT unnest([
+        |  {r: 0, p: 0, dx: 0, dy: 0}, {r: 0, p: 1, dx: 10, dy: 0},
+        |  {r: 0, p: 2, dx: 10, dy: 10}, {r: 0, p: 3, dx: 0, dy: 10},
+        |  {r: 0, p: 4, dx: 0, dy: 0},
+        |  {r: 1, p: 5, dx: 2, dy: 2}, {r: 1, p: 6, dx: 4, dy: 2},
+        |  {r: 1, p: 7, dx: 2, dy: 4}, {r: 1, p: 8, dx: 2, dy: 2}], recursive := true))
+        |SELECT c_custkey, CAST(p AS BIGINT) AS pos, CAST(r AS BIGINT) AS ring,
+        |  a + dx AS x, b + dy AS y, a + 2 AS hx, b + 2 AS hy
+        |FROM base CROSS JOIN offs
         |ORDER BY c_custkey, pos""".stripMargin,
     // mirrors ChangegenPipeline.build(maxNodes=7): segmentLen = 6, so
     // chunk count per feature = 1 if n<=7 else ceil(n/6); junction

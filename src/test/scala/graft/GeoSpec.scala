@@ -233,4 +233,53 @@ class GeoSpec extends AnyFunSuite {
     assert(gotHex(0).get == Seq((42.5, -7.0)))
     assert(gotHex(1).isEmpty && gotHex(2).isEmpty)
   }
+
+  test("WKB ring decode: every polygon ring preserved in order, superset of exterior decode, malformed → null") {
+    import graft.functions.WkbGeomExpr
+    def dec(rows: Seq[Array[Byte]]): Seq[Option[Seq[(Int, Double, Double)]]] =
+      rows.zipWithIndex.map { case (b, i) => (i, b) }.toDF("i", "wkb")
+        .orderBy("i")
+        .select(call_function("graft_geom_rings", col("wkb")).as("g"))
+        .as[Option[Seq[(Int, Double, Double)]]].collect().toSeq
+    val outer = Array((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0))
+    val hole1 = Array((2.0, 2.0), (4.0, 2.0), (2.0, 4.0), (2.0, 2.0))
+    val hole2 = Array((6.0, 6.0), (8.0, 6.0), (6.0, 8.0), (6.0, 6.0))
+    def flat(rings: Array[Array[(Double, Double)]]): Seq[(Int, Double, Double)] =
+      rings.zipWithIndex.flatMap { case (r, i) => r.map { case (x, y) => (i, x, y) } }.toSeq
+    val holed = Array(outer, hole1, hole2)
+    val pts = Array((1.5, -2.25), (100.0, 200.0), (-0.5, 7.0))
+    val got = dec(Seq(
+      WkbGeomExpr.encodePolygon(holed, srid = 4326),       // LE EWKB, 2 holes
+      WkbGeomExpr.encodePolygon(holed, bigEndian = true),  // BE ISO
+      WkbGeomExpr.encodePolygon(Array(outer)),             // no holes
+      WkbGeomExpr.encode(2, pts),                          // LineString → ring 0
+      WkbGeomExpr.encode(1, pts.take(1))))                 // Point → ring 0
+    assert(got(0).get == flat(holed) && got(1).get == flat(holed))
+    assert(got(2).get == flat(Array(outer)))
+    assert(got(3).get == pts.map { case (x, y) => (0, x, y) }.toSeq)
+    assert(got(4).get == Seq((0, 1.5, -2.25)))
+    // hex path (PostGIS text wire form) carries the holes too
+    val hex = WkbGeomExpr.encodePolygon(holed, srid = 3857).map("%02x".format(_)).mkString
+    val gotHex = Seq((0, hex)).toDF("i", "hex")
+      .select(call_function("graft_geom_rings", col("hex")).as("g"))
+      .as[Option[Seq[(Int, Double, Double)]]].head()
+    assert(gotHex.get == flat(holed))
+    // superset contract: ring-0 rows of a one-ring polygon reproduce
+    // the exterior-only decode exactly
+    val ext = Seq((0, WkbGeomExpr.encodePolygon(holed)))
+      .toDF("i", "wkb")
+      .select(call_function("graft_geom_from_wkb", col("wkb")).as("g"))
+      .as[Seq[(Double, Double)]].head()
+    assert(got(0).get.filter(_._1 == 0).map(v => (v._2, v._3)) == ext)
+    // malformed → null, never throw: zero rings, truncation inside
+    // the second ring's vertex run, truncated ring header
+    val full = WkbGeomExpr.encodePolygon(holed)
+    val zeroRings = {
+      val b = WkbGeomExpr.encodePolygon(Array(outer)).clone()
+      b(5) = 0; b(6) = 0; b(7) = 0; b(8) = 0 // ring count → 0
+      b
+    }
+    val bad = dec(Seq(zeroRings, full.dropRight(9), full.take(9 + 4 + outer.length * 16 + 2)))
+    assert(bad.forall(_.isEmpty), bad.toString)
+  }
 }

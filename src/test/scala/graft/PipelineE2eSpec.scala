@@ -154,4 +154,70 @@ class PipelineE2eSpec extends AnyFunSuite {
     assert(f.nodes.select(org.apache.spark.sql.functions.min("node_id")).head.getLong(0) >= 1000000L)
     Files.deleteIfExists(Paths.get(pbf))
   }
+
+  test("WKB polygon source: a holed PostGIS geometry produces inner-role relation members end-to-end") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.WkbGeomExpr
+    // feature 1: square exterior with TWO triangular holes (closed
+    // rings, EWKB + SRID — the PostGIS wire shape); feature 2: plain
+    // square, no holes → closed way only, no relation
+    // (reference generator.py:683 branch)
+    val outer1 = Array((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0))
+    val hole1 = Array((2.0, 2.0), (4.0, 2.0), (2.0, 4.0), (2.0, 2.0))
+    val hole2 = Array((6.0, 6.0), (8.0, 6.0), (6.0, 8.0), (6.0, 6.0))
+    val outer2 = Array((20.0, 20.0), (30.0, 20.0), (30.0, 30.0), (20.0, 30.0), (20.0, 20.0))
+    val src = Seq(
+      (1L, WkbGeomExpr.encodePolygon(Array(outer1, hole1, hole2), srid = 4326)),
+      (2L, WkbGeomExpr.encodePolygon(Array(outer2))))
+      .toDF("pgroup", "wkb")
+    val f = ChangegenPipeline.build(spark, TestSpark.Sf, maxNodes = 7,
+      idOffset = Some(1000000L), polyWkb = Some(src))
+
+    // nodes: one per DISTINCT ring vertex — the closing duplicate of
+    // each of the 4 rings is dropped (4 + 3 + 3 + 4)
+    assert(f.polyNodes.count() == 14, s"polyNodes: ${f.polyNodes.count()}")
+    // each hole vertex survives decode exactly (the information the
+    // exterior-only decode lost)
+    val holeXy = f.polyNodes.filter(col("pgroup") === 1L && col("ring_idx") === 1)
+      .select("x", "y").collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    assert(holeXy == hole1.dropRight(1).toSet, s"hole1 vertices: $holeXy")
+
+    // ways: one per ring, each re-closed by repeating the FIRST NODE ID
+    val ways = f.polyWays.select("pgroup", "ring_idx", "way_id", "closed_nds").collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), (r.getLong(2), r.getSeq[Long](3)))).toMap
+    assert(ways.keySet == Set((1L, 0), (1L, 1), (1L, 2), (2L, 0)), ways.keySet.toString)
+    ways.values.foreach { case (_, nds) =>
+      assert(nds.head == nds.last && nds.distinct.length == nds.length - 1, nds.toString)
+    }
+    assert(ways((1L, 0))._2.length == 5 && ways((1L, 1))._2.length == 4)
+
+    // relations: ONLY the holed feature, outer member first then one
+    // inner member PER hole, refs pointing at the actual ring way ids
+    val rels = f.polyRelations.collect()
+    assert(rels.map(_.getLong(0)).toSeq == Seq(1L), rels.mkString(","))
+    val members = f.polyRelations.select(org.apache.spark.sql.functions.explode(col("members")).as("m"))
+      .select("m.ref", "m.mtype", "m.role").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(members.toSeq == Seq(
+      (ways((1L, 0))._1, "way", "outer"),
+      (ways((1L, 1))._1, "way", "inner"),
+      (ways((1L, 2))._1, "way", "inner")), members.mkString(","))
+
+    // way node refs resolve against emitted poly nodes (referential
+    // integrity of the generated document)
+    val nodeIds = f.polyNodes.select("node_id").collect().map(_.getLong(0)).toSet
+    ways.values.foreach { case (_, nds) => assert(nds.forall(nodeIds.contains), nds.toString) }
+
+    // e2e: the document writes and re-reads with the relation intact
+    val out = Files.createTempFile("graft_wkb_poly", ".osc").toString
+    OsmChangeXml.write(out, f.nodeXml.unionByName(f.wayXml).unionByName(f.relXml),
+      Some(f.modifyXml), Some(f.deleteXml))
+    val rd = OsmXmlSource.relations(spark, out).toDF()
+    val gotMembers = rd.filter(org.apache.spark.sql.functions.size(col("members")) === 3)
+      .select(org.apache.spark.sql.functions.explode(col("members")).as("m"))
+      .select("m.role").collect().map(_.getString(0)).toSeq
+    assert(gotMembers == Seq("outer", "inner", "inner"), gotMembers.toString)
+    Files.deleteIfExists(Paths.get(out))
+  }
 }
