@@ -49,6 +49,25 @@ object Snapshots {
       .option("upperBound", upperBound)
       .option("numPartitions", numPartitions)
 
+  /** PostGIS geometry columns OFF the JDBC wire: a real deployment's
+    * snapshot tables carry `wkb_geometry` (db.py:28-101 reads them
+    * through OGR) and the JDBC driver delivers them as raw WKB bytes
+    * or hex-EWKB text. This rewrites those columns IN PLACE to the
+    * `array<struct<x,y>>` vertex layout every graft spatial operator
+    * speaks (`rings = true` → the ring-indexed
+    * `array<struct<ring,x,y>>` layout for holed-polygon flows, e.g.
+    * `ChangegenPipeline.build(polyWkb=...)`) — the last inch between
+    * a live PostGIS connection and the operators. Purely columnar
+    * (codegen'd expressions, no UDF), so it composes with the
+    * partitioned read: each JDBC range partition decodes its own rows,
+    * nothing funnels through the driver. Malformed cells decode to
+    * NULL (drop-row contract), one corrupt geometry never fails the
+    * scan. */
+  def decodeGeometry(df: DataFrame, geomCols: Seq[String], rings: Boolean = false): DataFrame = {
+    val fn = if (rings) "graft_geom_rings" else "graft_geom_from_wkb"
+    geomCols.foldLeft(df)((d, c) => d.withColumn(c, call_function(fn, col(c))))
+  }
+
   /** Write a snapshot partitioned by a low-cardinality column (e.g.
     * element type or region): partition pruning makes per-type scans
     * O(selected partitions).

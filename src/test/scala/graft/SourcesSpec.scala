@@ -41,6 +41,66 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("hex-EWKB geometry round-trips the partitioned JDBC read into a grid join, equal to the array path") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.WkbGeomExpr
+    import graft.spatial.DWithinJoin
+    // PostGIS wire shape: a snapshot table whose wkb_geometry column
+    // is hex EWKB text — here a point lattice with a few malformed
+    // cells, read back through the PARTITIONED jdbc contract and
+    // decoded columnar inside each range partition
+    def px(k: Long) = (k * 13 % 1000) / 10.0
+    def py(k: Long) = (k * 29 % 1000) / 10.0
+    val url = "jdbc:derby:memory:graftgeom;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE geosnap (id BIGINT PRIMARY KEY, wkb_geometry VARCHAR(200))")
+      val ins = conn.prepareStatement("INSERT INTO geosnap VALUES (?, ?)")
+      (0L to 99L).foreach { i =>
+        ins.setLong(1, i)
+        val hex =
+          if (i % 37 == 3) "deadbeef" // malformed: must drop, not fail the scan
+          else WkbGeomExpr.encode(1, Array((px(i), py(i))), srid = 4326)
+            .map("%02x".format(_)).mkString
+        ins.setString(2, hex); ins.addBatch()
+      }
+      ins.executeBatch()
+
+      val decoded = Snapshots.decodeGeometry(
+        Snapshots.jdbcReader(spark, url, "geosnap", "id", 0L, 100L, 4).load(),
+        Seq("wkb_geometry"))
+      assert(decoded.rdd.getNumPartitions == 4)
+      val jdbcPts = decoded.filter(col("wkb_geometry").isNotNull)
+        .select(col("id").as("lid"),
+          col("wkb_geometry")(0).getField("x").as("lx"),
+          col("wkb_geometry")(0).getField("y").as("ly"))
+      assert(jdbcPts.count() == 97) // 3 malformed cells dropped (ids 3, 40, 77)
+
+      // the array-geometry path computes the SAME lattice natively;
+      // the probe side is shared, so any decode drift surfaces as a
+      // grid-join diff
+      val arrPts = spark.range(0, 100).filter(col("id") % 37 =!= 3)
+        .select(col("id").as("lid"),
+          ((col("id") * 13 % 1000) / 10.0).as("lx"),
+          ((col("id") * 29 % 1000) / 10.0).as("ly"))
+      val probe = spark.range(0, 40)
+        .select((col("id") + 1000).as("rid"),
+          ((col("id") * 13 % 1000) / 10.0 + 0.3).as("rx"),
+          ((col("id") * 29 % 1000) / 10.0 - 0.2).as("ry"))
+      def pairs(left: org.apache.spark.sql.DataFrame) =
+        DWithinJoin.pointPoint(left, "lid", "lx", "ly", probe, "rid", "rx", "ry", 0.5)
+          .select("lid", "rid").as[(Long, Long)].collect().toSeq.sorted
+      val viaJdbc = pairs(jdbcPts)
+      val viaArray = pairs(arrPts)
+      assert(viaJdbc.nonEmpty, "grid join found no pairs — lattice/radius mismatch")
+      assert(viaJdbc == viaArray, s"jdbc ${viaJdbc.size} pairs vs array ${viaArray.size}")
+    } finally {
+      try conn.createStatement().execute("DROP TABLE geosnap") finally conn.close()
+    }
+  }
+
   test("bucketed tables join without a shuffle") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
