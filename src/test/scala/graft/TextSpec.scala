@@ -174,6 +174,51 @@ class TextSpec extends AnyFunSuite {
     assert(out7 == out)
   }
 
+  test("BPE: a production-scale 32k merges table scales the hash map, not the plan") {
+    // SCALE.md's claim, spec-enforced: BpeEncodeExpr builds the
+    // pair→rank map ONCE from the merges literal via addReferenceObj,
+    // so the GENERATED CODE is O(1) in vocab size — a 32k-entry table
+    // (production GPT-2-scale) must compile to the same whole-stage
+    // codegen size as the 24-entry default, not 1000× it. If the
+    // literal itself ever starts inlining per-entry code, this is the
+    // spec that catches it.
+    import org.apache.spark.sql.functions.col
+    def maxCode(merges: Seq[String]): Int = {
+      // parquet-backed, NOT a local relation — ConvertToLocalRelation
+      // would constant-fold a literal one-row frame in the optimizer
+      // and there'd be no codegen stage to measure
+      val df = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+        .limit(50)
+        .select(TextAnalysis.bpeTokens(col("text"), merges).as("bpe"))
+      df.collect() // AQE codegens lazily — run first
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val subtrees = org.apache.spark.sql.execution.debug.codegenStringSeq(plan)
+      assert(subtrees.nonEmpty, "no WSCG subtree — BPE fell out of codegen")
+      subtrees.foreach { case (_, _, stats) =>
+        assert(stats.maxMethodCodeSize > 0, "WSCG failed to compile (interpreted fallback)")
+        assert(stats.maxMethodCodeSize < 65536, s"method is ${stats.maxMethodCodeSize} bytes")
+      }
+      subtrees.map(_._3.maxMethodCodeSize).max
+    }
+    // 32,768 distinct well-formed "left right" entries; (i/200, i%200)
+    // is bijective below 40,000 so no duplicate pairs
+    val big = (0 until 32768).map(i => s"w${i / 200} v${i % 200}")
+    val small = maxCode(TextAnalysis.BpeMerges)
+    val huge = maxCode(TextAnalysis.BpeMerges ++ big)
+    assert(huge <= small + 512,
+      s"generated code grew with vocab size: $small bytes @ 24 merges vs $huge @ 32k")
+    // and the extra never-firing merges change nothing semantically
+    val text = "the then ing of and order entity"
+    def enc2(merges: Seq[String]): Seq[String] =
+      Seq(text).toDF("text")
+        .select(TextAnalysis.bpeTokens(col("text"), merges).as("bpe"))
+        .as[Seq[String]].head()
+    assert(enc2(TextAnalysis.BpeMerges ++ big) == enc2(TextAnalysis.BpeMerges))
+  }
+
   test("BPE encode: canonical greedy walk — rank order, multi-level merges, left-to-right") {
     def enc(text: String, merges: Seq[String]): Seq[String] =
       Seq(text).toDF("text")
