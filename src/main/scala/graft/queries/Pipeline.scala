@@ -789,6 +789,39 @@ object Pipeline {
       Multimodal.frameSample(payloads, "doc_id", "payload")
         .orderBy("doc_id", "frame_idx")
     }),
+    // 45f — video frame DECODE (closing 45d's declared stub): frames
+    // arrive RLE-COMPRESSED in the GVRL container (per-frame offset
+    // index in the header, MP4-style), sampling + index lookup +
+    // compressed extraction run columnar, and the REAL decompression
+    // executes at the codec seam (one mapPartitions over extracted
+    // bytes). Each decoded 8×8 raster then rides the SAME columnar
+    // raster operators as mm_image_phash — pixel sum + both aHash
+    // halves — and the oracle recomputes all of it closed-form from
+    // (doc_id, frame_idx): a two-value raster (first q pixels a, rest
+    // b) whose runs the codec must reproduce EXACTLY for the sum and
+    // the 64 threshold bits to land.
+    "mm_frame_decode" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal
+      val payloads = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          (id, Multimodal.synthVideoRle(
+            width = 8, height = 8,
+            fps = Seq(1, 2, 5, 10)((id % 4).toInt),
+            frames = (id % 24 + 2).toInt,
+            fill = (f, pix) => {
+              val q = (id % 63 + 1).toInt
+              if (pix < q) ((id * 31 + f * 7) % 251).toInt
+              else ((id * 17 + f * 11) % 251).toInt
+            }))
+        })
+        .toDF("doc_id", "payload")
+      Multimodal.frameDecodeRle(payloads, "doc_id", "payload")
+        .select(col("doc_id"), col("frame_idx"), col("ts_ms"),
+          Multimodal.rasterSum(col("raster"), 64).as("sum_pix"),
+          Multimodal.aHashHalf(col("raster"), 32).as("phash_hi"),
+          Multimodal.aHashHalf(col("raster"), 0).as("phash_lo"))
+    }),
     // 45e — image near-dup via perceptual hash: synthetic 8×8
     // grayscale rasters (deterministic stand-in for decoded
     // thumbnails; the id%3 term is a brightness shift), average-hash
@@ -2054,6 +2087,30 @@ object Pipeline {
         |  CAST(14 + i * w * h AS BIGINT) AS frame_off,
         |  CAST((doc_id * 31 + i * 7) % 251 AS BIGINT) AS probe_byte
         |FROM idx ORDER BY doc_id, frame_idx""".stripMargin,
+    // the decoded raster re-derived closed-form (first q pixels a,
+    // rest b); Spark DECOMPRESSES the actual run pairs out of the
+    // container — a codec bug (run order, count off-by-one, frame
+    // offset drift) changes the pixel sum or flips threshold bits
+    "mm_frame_decode" ->
+      """WITH v AS (SELECT doc_id,
+        |    CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 5 ELSE 10 END AS fps,
+        |    doc_id % 24 + 2 AS n
+        |  FROM documents),
+        |idx AS (SELECT doc_id, fps, unnest(range(0, n, fps)) AS i FROM v),
+        |px AS (SELECT doc_id, fps, i,
+        |    list_transform(range(0, 64),
+        |      p -> CASE WHEN p < doc_id % 63 + 1 THEN (doc_id * 31 + i * 7) % 251
+        |                ELSE (doc_id * 17 + i * 11) % 251 END) AS ps
+        |  FROM idx),
+        |px2 AS (SELECT doc_id, fps, i, ps, list_sum(ps) AS s FROM px)
+        |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |  CAST(i * 1000 // fps AS BIGINT) AS ts_ms,
+        |  CAST(s AS BIGINT) AS sum_pix,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_reverse(ps[33:64])),
+        |    (a, p) -> a * 2 + CASE WHEN p * 64 > s THEN 1 ELSE 0 END) AS BIGINT) AS phash_hi,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_reverse(ps[1:32])),
+        |    (a, p) -> a * 2 + CASE WHEN p * 64 > s THEN 1 ELSE 0 END) AS BIGINT) AS phash_lo
+        |FROM px2 ORDER BY doc_id, frame_idx""".stripMargin,
     // raster re-derived from the synth rule; Spark parses the actual
     // payload bytes — a 1-byte drift in the binary path flips a bit.
     // Bits compare pixel·64 vs the pixel sum (strict, integer), MSB

@@ -153,6 +153,47 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == Seq((3L, 0L, 0L, 14L, 7L), (3L, 1L, 1000L, 15L, 8L)), got.toString)
   }
 
+  test("GVRL RLE decode: compressed frames decode to exact rasters; malformed runs/index drop, not fail") {
+    import org.apache.spark.sql.functions.col
+    // codec roundtrip at the JVM level first: decode(encode) identity,
+    // including a 255-capped run boundary and a non-uniform tail
+    val flat = Array.fill(300)(42.toByte) ++ Array[Byte](1, 2, 2, 3)
+    assert(Multimodal.rleDecode(Multimodal.rleEncode(flat), flat.length).toSeq == flat.toSeq)
+    // malformed contracts: shortfall, overflow, odd pair, zero count
+    assert(Multimodal.rleDecode(Array[Byte](3, 5), 4) == null)
+    assert(Multimodal.rleDecode(Array[Byte](5, 5), 4) == null)
+    assert(Multimodal.rleDecode(Array[Byte](4, 5, 9), 4) == null)
+    assert(Multimodal.rleDecode(Array[Byte](0, 5), 0) == null)
+
+    // distributed seam: 2×2 frames, fps 1 — doc 3 carries a CORRUPT
+    // run stream for frame 1 (index points at truncated pairs) and
+    // doc 4 isn't GVRL at all; both must drop their rows silently
+    def fill(id: Long)(f: Int, p: Int) = ((id * 31 + f * 7 + p * 5) % 251).toInt
+    val good = Multimodal.synthVideoRle(2, 2, 1, 3, fill(1L))
+    val corrupt = {
+      val b = Multimodal.synthVideoRle(2, 2, 1, 3, fill(3L)).clone()
+      // frame 1's index entry: shrink its size field to an odd byte
+      // count so the run stream truncates mid-pair
+      val sizeOff = 14 + 8 * 1 + 4
+      b(sizeOff) = 1; b(sizeOff + 1) = 0; b(sizeOff + 2) = 0; b(sizeOff + 3) = 0
+      b
+    }
+    val rows = Seq((1L, good), (3L, corrupt), (4L, "not a video".getBytes("US-ASCII")))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.frameDecodeRle(rows, "doc_id", "payload")
+      .select(col("doc_id"), col("frame_idx"), col("ts_ms"), col("raster"))
+      .as[(Long, Long, Long, Array[Byte])].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4.toSeq)).toMap
+    // doc 1: all 3 frames decode to the exact fill rasters
+    (0 until 3).foreach { f =>
+      val want = Array.tabulate(4)(p => fill(1L)(f, p).toByte).toSeq
+      assert(got((1L, f.toLong)) == ((f * 1000L, want)), s"frame $f: ${got.get((1L, f.toLong))}")
+    }
+    // doc 3: frames 0 and 2 survive, the corrupted frame 1 dropped;
+    // doc 4 contributes nothing
+    assert(got.keySet == Set((1L, 0L), (1L, 1L), (1L, 2L), (3L, 0L), (3L, 2L)), got.keySet.toString)
+  }
+
   test("aHash: brightness-shift invariant, pattern-sensitive, JVM synth ↔ columnar parse agree") {
     import org.apache.spark.sql.functions.col
     // ids 1, 17, 33 share id%16=1 but differ in id%3 (1, 2, 0): same
