@@ -155,6 +155,44 @@ class PipelineE2eSpec extends AnyFunSuite {
     Files.deleteIfExists(Paths.get(pbf))
   }
 
+  test("live JDBC snapshot → WKB rings → changefile relations (the full PostGIS loop)") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.WkbGeomExpr
+    import graft.sources.Snapshots
+    // a Derby "PostGIS" snapshot: id + hex-EWKB geometry column, read
+    // through the partitioned JDBC contract and fed STRAIGHT into the
+    // pipeline's polyWkb seam (graft_geom_rings takes the hex text
+    // form directly — no intermediate decode pass needed)
+    val outer = Array((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0))
+    val hole = Array((2.0, 2.0), (4.0, 2.0), (2.0, 4.0), (2.0, 2.0))
+    val solid = Array((20.0, 20.0), (30.0, 20.0), (30.0, 30.0), (20.0, 30.0), (20.0, 20.0))
+    val url = "jdbc:derby:memory:graftpg;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE polysnap (id BIGINT PRIMARY KEY, wkb_geometry VARCHAR(800))")
+      val ins = conn.prepareStatement("INSERT INTO polysnap VALUES (?, ?)")
+      def hex(rings: Array[Array[(Double, Double)]]) =
+        WkbGeomExpr.encodePolygon(rings, srid = 4326).map("%02x".format(_)).mkString
+      ins.setLong(1, 1L); ins.setString(2, hex(Array(outer, hole))); ins.addBatch()
+      ins.setLong(1, 2L); ins.setString(2, hex(Array(solid))); ins.addBatch()
+      ins.executeBatch()
+
+      val snap = Snapshots.jdbcReader(spark, url, "polysnap", "id", 0L, 3L, 2).load()
+        .select(col("id").as("pgroup"), col("wkb_geometry").as("wkb"))
+      val f = ChangegenPipeline.build(spark, TestSpark.Sf, maxNodes = 7,
+        idOffset = Some(1000000L), polyWkb = Some(snap))
+      val roles = f.polyRelations
+        .select(col("pgroup"), org.apache.spark.sql.functions.explode(col("members")).as("m"))
+        .select("pgroup", "m.role").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(roles.sorted == Seq((1L, "inner"), (1L, "outer")),
+        s"expected one outer+inner relation for the holed feature only: $roles")
+      assert(f.polyWays.count() == 3 && f.polyNodes.count() == 11) // 4+3 + 4 open vertices
+    } finally {
+      try conn.createStatement().execute("DROP TABLE polysnap") finally conn.close()
+    }
+  }
+
   test("WKB polygon source: a holed PostGIS geometry produces inner-role relation members end-to-end") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
