@@ -729,6 +729,20 @@ class DedupSimSpec extends AnyFunSuite {
     assert(LshIndex.append(rest, "doc_id", "text", s"$base/inc2") == 0L,
       "retrying the crashed batch must anti-join away as already indexed")
     assert(bandedSet(s"$base/inc2") == bandedSet(s"$base/full"))
+
+    // branch 4: crash INSIDE writeConfig's delete→rename window —
+    // config/ deleted, complete config_tmp/ stranded, marker still
+    // up. The config read must promote the tmp dir (never depend on
+    // a file the crashed step half-overwrote) and recovery then run
+    // to completion as usual.
+    val cfgP = new org.apache.hadoop.fs.Path(s"$base/inc2/config")
+    val tmpP = new org.apache.hadoop.fs.Path(s"$base/inc2/config_tmp")
+    assert(fs.rename(cfgP, tmpP), "could not stage the crash state")
+    fs.create(m, true).close()
+    val healed2 = pairSet(s"$base/inc2", probe) // public entry → heals
+    assert(!fs.exists(m) && fs.exists(cfgP) && !fs.exists(tmpP),
+      "config-swap crash not healed to a clean layout")
+    assert(healed2 == pairSet(s"$base/full", probe))
     docs.unpersist()
   }
 

@@ -155,6 +155,30 @@ class PipelineE2eSpec extends AnyFunSuite {
     Files.deleteIfExists(Paths.get(pbf))
   }
 
+  test("WKB polygon source in negIds mode: relation refs point at emitted (negative) way ids") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode}
+    import graft.functions.WkbGeomExpr
+    val outer = Array((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0))
+    val hole = Array((2.0, 2.0), (4.0, 2.0), (2.0, 4.0), (2.0, 2.0))
+    val src = Seq((7L, WkbGeomExpr.encodePolygon(Array(outer, hole), srid = 4326)))
+      .toDF("pgroup", "wkb")
+    val f = ChangegenPipeline.build(spark, TestSpark.Sf, maxNodes = 7,
+      negIds = true, polyWkb = Some(src))
+    val wayIds = f.polyWays.select("way_id").collect().map(_.getLong(0)).toSet
+    val nodeIds = f.polyNodes.select("node_id").collect().map(_.getLong(0)).toSet
+    val refs = f.polyRelations.select(explode(col("members")).as("m"))
+      .select("m.ref").collect().map(_.getLong(0)).toSet
+    // the round-2 bug class: refs from a positive base while way ids
+    // negate leaves <relation> members dangling — all three id spaces
+    // must negate TOGETHER through the same transform
+    assert(wayIds.forall(_ < 0) && nodeIds.forall(_ < 0), s"ids not negative: $wayIds $nodeIds")
+    assert(refs.nonEmpty && refs.subsetOf(wayIds), s"dangling refs: ${refs -- wayIds}")
+    // way node refs resolve too
+    f.polyWays.select("closed_nds").collect().map(_.getSeq[Long](0))
+      .foreach(nds => assert(nds.forall(nodeIds.contains), nds.toString))
+  }
+
   test("live JDBC snapshot → WKB rings → changefile relations (the full PostGIS loop)") {
     import org.apache.spark.sql.functions.col
     import graft.functions.WkbGeomExpr
