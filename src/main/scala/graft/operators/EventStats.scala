@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-stream volume statistics — the telemetry/data-quality side
+  * of a training-data pipeline (ingest monitoring: which source×day
+  * volumes are anomalous before they poison a mixture).
+  */
+object EventStats {
+
+  /** Per-key daily-volume outlier flags: day d of key g is an outlier
+    * iff |n_d − μ_g| > k·σ_g over g's observed days. The rule is
+    * evaluated EXACTLY — no float mean/stddev, whose accumulation
+    * order diverges across engines and partitionings:
+    *
+    *   |n − S/N| > k·σ  ⟺  (n·N − S)² > k²·(N·Q − S²)
+    *
+    * with S = Σn, Q = Σn², N = #days — all integers. The squared
+    * staging rides DECIMAL(38,0) (the χ² lesson from txt_domain_div:
+    * day counts near 1e12 would overflow BIGINT squares at 100 TB
+    * while d38 holds to ~1e19 per factor), so the flag is
+    * bit-reproducible for any engine that does exact decimal
+    * arithmetic — the DuckDB oracle replicates it in HUGEINT.
+    *
+    * Plan shape: one hash agg to per-key stats (rows = #keys, always
+    * broadcastable) + a broadcast join back onto the per-day frame —
+    * no window, no second pass over raw events. Input `perDay` is the
+    * (key, day, n) pre-aggregation, so the raw stream is touched by
+    * exactly the one groupBy that builds it.
+    */
+  def dailyVolumeOutliers(perDay: DataFrame, keyCol: String, dayCol: String,
+                          nCol: String, k: Int = 2): DataFrame = {
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val stats = perDay.groupBy(keyCol).agg(
+      count(lit(1)).as("_nd"),
+      sum(nCol).as("_tot"),
+      sum(d38(col(nCol)) * d38(col(nCol))).as("_sumsq"))
+    perDay.join(broadcast(stats), keyCol)
+      // bind the shared (n·N − S) factor once; squaring it inline
+      // would re-evaluate the subtraction per reference
+      .withColumn("_dev", d38(col(nCol)) * d38(col("_nd")) - d38(col("_tot")))
+      .withColumn("outlier",
+        when(col("_dev") * col("_dev") >
+            lit(k.toLong * k) * (d38(col("_nd")) * col("_sumsq") - d38(col("_tot")) * d38(col("_tot"))),
+          1L).otherwise(0L))
+      .select(col(keyCol), col(dayCol), col(nCol), col("outlier"))
+  }
+}

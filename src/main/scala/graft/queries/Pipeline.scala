@@ -650,6 +650,21 @@ object Pipeline {
         .agg(count(lit(1)).as("n"), sum("v4").as("sum_v4"))
         .orderBy("win_start", "event_type")
     }),
+    // 43g — daily-volume anomaly profile (ingest monitoring: which
+    // source×day volumes spike/crater before they poison a mixture):
+    // per (event_type, day) counts, flagged |n−μ|>2σ against the
+    // type's own day distribution — the rule evaluated EXACTLY in
+    // integer/decimal form ((n·N−S)² > 4(N·Q−S²)), never float
+    // mean/stddev, so the flag is engine-exact. One raw-stream
+    // groupBy + a broadcast stats join (EventStats.dailyVolumeOutliers).
+    "ev_anomaly" -> ((s, dir) => {
+      val dayMs = 86400000L
+      val daily = ev(s, dir)
+        .withColumn("day", expr(s"(ms - pmod(ms, $dayMs)) DIV $dayMs"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      graft.operators.EventStats.dailyVolumeOutliers(daily, "event_type", "day", "n")
+        .orderBy("event_type", "day")
+    }),
     // 43b — ordered event funnel (view → click → purchase): stage k
     // requires an event strictly after the user's stage-(k-1) time.
     // Three key-shuffles (one per stage), each with map-side partial
@@ -2051,6 +2066,21 @@ object Pipeline {
     "ev_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
         |FROM events""".stripMargin,
+    // the exact integer outlier rule replicated in HUGEINT — any
+    // float-mean drift in either engine breaks the flag bit-for-bit
+    "ev_anomaly" ->
+      """WITH daily AS (SELECT event_type,
+        |    (epoch_ms(ts) - ((epoch_ms(ts) % 86400000 + 86400000) % 86400000)) // 86400000 AS day,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (SELECT event_type, count(*) AS nd, sum(n) AS tot,
+        |    sum(CAST(n AS HUGEINT) * n) AS sumsq FROM daily GROUP BY 1)
+        |SELECT d.event_type, CAST(d.day AS BIGINT) AS day, CAST(d.n AS BIGINT) AS n,
+        |  CAST(CASE WHEN (CAST(d.n AS HUGEINT) * nd - tot) * (CAST(d.n AS HUGEINT) * nd - tot)
+        |      > 4 * (CAST(nd AS HUGEINT) * sumsq - CAST(tot AS HUGEINT) * tot)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS outlier
+        |FROM daily d JOIN stats USING (event_type)
+        |ORDER BY event_type, day""".stripMargin,
     "mm_binary_meta" -> mmSql,
     // audio roundtrip mirror: all synth params are closed-form in
     // doc_id; duration replicates via 64-bit integer division

@@ -157,4 +157,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(RangeJoin.intervalJoin(pts.withColumn("_lo_b", lit(1L)), "p", iv, "lo", "hi", 3.0)
       .count() == 1L)
   }
+
+  test("dailyVolumeOutliers: planted spike flags, steady and constant series don't") {
+    // key a: 9 days of 10 + one day of 100. N=10, S=190, Q=10900;
+    // spike dev = 100·10−190 = 810, 810² = 656100 > 4·(10·10900−190²)
+    // = 291600 → flags; steady dev = −90, 8100 ≯ 291600 → clean.
+    // key b: constant volume → σ = 0 and the rule is STRICT > → no
+    // flags (an all-equal series is never anomalous).
+    val perDay = ((0 until 9).map(d => ("a", d.toLong, 10L)) :+ ("a", 9L, 100L)) ++
+      (0 until 6).map(d => ("b", d.toLong, 7L))
+    val got = EventStats.dailyVolumeOutliers(
+        perDay.toDF("k", "day", "n"), "k", "day", "n")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    assert(got.size == 16 && got.values.forall(v => v == 0L || v == 1L))
+    assert(got(("a", 9L)) == 1L, "planted spike must flag")
+    assert(got.filter(_._2 == 1L).keySet == Set(("a", 9L)), got.filter(_._2 == 1L).toString)
+  }
 }
