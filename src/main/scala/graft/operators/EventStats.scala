@@ -29,21 +29,33 @@ object EventStats {
     * (key, day, n) pre-aggregation, so the raw stream is touched by
     * exactly the one groupBy that builds it.
     */
-  def dailyVolumeOutliers(perDay: DataFrame, keyCol: String, dayCol: String,
-                          nCol: String, k: Int = 2): DataFrame = {
-    def d38(c: Column) = c.cast("decimal(38,0)")
-    val stats = perDay.groupBy(keyCol).agg(
+  private def d38(c: Column) = c.cast("decimal(38,0)")
+
+  /** The per-key volume profile the rule scores against:
+    * N = #observed days, S = Σn, Q = Σn² (d38-staged). Broadcastable
+    * by construction (rows = #keys); also the "trained model" the
+    * STREAMING twin ([[graft.streaming.EventStreams.anomalyScore]])
+    * joins as a static frame. */
+  def volumeStats(perDay: DataFrame, keyCol: String, nCol: String): DataFrame =
+    perDay.groupBy(keyCol).agg(
       count(lit(1)).as("_nd"),
       sum(nCol).as("_tot"),
       sum(d38(col(nCol)) * d38(col(nCol))).as("_sumsq"))
-    perDay.join(broadcast(stats), keyCol)
-      // bind the shared (n·N − S) factor once; squaring it inline
-      // would re-evaluate the subtraction per reference
-      .withColumn("_dev", d38(col(nCol)) * d38(col("_nd")) - d38(col("_tot")))
-      .withColumn("outlier",
-        when(col("_dev") * col("_dev") >
-            lit(k.toLong * k) * (d38(col("_nd")) * col("_sumsq") - d38(col("_tot")) * d38(col("_tot"))),
-          1L).otherwise(0L))
-      .select(col(keyCol), col(dayCol), col(nCol), col("outlier"))
+
+  /** The exact outlier predicate — ONE shared expression for the
+    * batch query and the streaming twin, so the two can never drift.
+    * (The shared dev factor is referenced twice; ProjectExec codegen
+    * CSEs it.) */
+  def outlierFlag(n: Column, nd: Column, tot: Column, sumsq: Column, k: Int): Column = {
+    val dev = d38(n) * d38(nd) - d38(tot)
+    when(dev * dev > lit(k.toLong * k) * (d38(nd) * sumsq - d38(tot) * d38(tot)), 1L)
+      .otherwise(0L)
   }
+
+  def dailyVolumeOutliers(perDay: DataFrame, dayColKey: String, dayCol: String,
+                          nCol: String, k: Int = 2): DataFrame =
+    perDay.join(broadcast(volumeStats(perDay, dayColKey, nCol)), dayColKey)
+      .withColumn("outlier",
+        outlierFlag(col(nCol), col("_nd"), col("_tot"), col("_sumsq"), k))
+      .select(col(dayColKey), col(dayCol), col(nCol), col("outlier"))
 }

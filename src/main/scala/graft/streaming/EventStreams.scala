@@ -39,6 +39,35 @@ object EventStreams {
         unix_millis(col("window.start")).as("win_start"),
         col("event_type"), col("n"), col("sum_v4"))
 
+  /** Streaming volume-anomaly scoring — the deploy shape of
+    * `ev_anomaly`: the per-key volume profile (N, S, Q) is TRAINED in
+    * batch ([[graft.operators.EventStats.volumeStats]] over history)
+    * and each closed tumbling window of the live stream is flagged
+    * against it with EXACTLY the batch predicate
+    * ([[graft.operators.EventStats.outlierFlag]] — one shared
+    * expression, so batch and stream can never drift). Watermark
+    * bounds the window state; the profile joins as a broadcast
+    * static frame, so scoring adds no stream-side shuffle beyond the
+    * windowed count itself.
+    *
+    * Output per closed window: (win_start, key, n, outlier).
+    */
+  def anomalyScore(events: DataFrame, statsStatic: DataFrame,
+                   keyCol: String = "event_type", windowLen: String = "1 day",
+                   k: Int = 2): DataFrame = {
+    import graft.operators.EventStats
+    events
+      .withColumn("ts", timestamp_millis(col("ms")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(statsStatic), keyCol)
+      .select(
+        unix_millis(col("window.start")).as("win_start"),
+        col(keyCol), col("n"),
+        EventStats.outlierFlag(col("n"), col("_nd"), col("_tot"), col("_sumsq"), k).as("outlier"))
+  }
+
   /** Stream-stream interval join: enrich each left event with right
     * events for the same user within [−before, +after] of its event
     * time. Both sides are watermarked so join state is bounded —

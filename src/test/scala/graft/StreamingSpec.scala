@@ -34,6 +34,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming anomaly scoring flags a spike window against the batch-trained profile") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // batch-trained profile: 10 history days of 10 events + one of
+    // 100 for type "click" (the ev_anomaly numbers: spike day flags,
+    // steady days don't); "view" history is constant → sigma 0
+    val history = ((0 until 9).map(d => ("click", d.toLong, 10L)) :+ ("click", 9L, 100L)) ++
+      (0 until 6).map(d => ("view", d.toLong, 7L))
+    val stats = graft.operators.EventStats.volumeStats(
+      history.toDF("event_type", "day", "n"), "event_type", "n")
+
+    val D = 86400000L
+    val input = MemoryStream[Ev]
+    val q = EventStreams.anomalyScore(input.toDF(), stats)
+      .writeStream.format("memory").queryName("anom").outputMode(OutputMode.Append).start()
+    try {
+      // live day 0: 100 "click" events (a spike vs mean 19) and 7
+      // "view" events (exactly its constant history → sigma 0, clean)
+      input.addData((1 to 100).map(i => Ev(i.toLong, 1, "click", i.toLong, 1)) ++
+        (1 to 7).map(i => Ev(200L + i, 1, "view", i.toLong, 1)): _*)
+      q.processAllAvailable()
+      input.addData(Ev(999, 1, "click", 2 * D, 1)) // advance watermark past day 0
+      q.processAllAvailable()
+      val rows = spark.table("anom")
+        .select("win_start", "event_type", "n", "outlier")
+        .as[(Long, String, Long, Long)].collect().toSet
+      // click: n=100, N=10, S=190, Q=10900 → dev=810, 656100 > 291600 → flag
+      assert(rows.contains((0L, "click", 100L, 1L)), rows.toString)
+      // view: n=7 equals its constant history → strict rule stays clean
+      assert(rows.contains((0L, "view", 7L, 0L)), rows.toString)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated event ids within the watermark") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
