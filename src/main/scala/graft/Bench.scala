@@ -53,19 +53,23 @@ object Bench {
     * repo root, which silently starved re-adjudication of every
     * threshold (bench_detail.json showed readjudicated:[] while
     * dd_containment sat at 2.1× its pin). */
+  /** Nearest ancestor of user.dir containing build.sbt — the project
+    * root both the baseline read and the detail-JSON write anchor to
+    * (ONE walk shared by both, so a future fix can't re-split them). */
+  private def repoRoot: Option[java.io.File] = {
+    var dir = new java.io.File(System.getProperty("user.dir")).getAbsoluteFile
+    while (dir != null) {
+      if (new java.io.File(dir, "build.sbt").isFile) return Some(dir)
+      dir = dir.getParentFile
+    }
+    None
+  }
+
   private def resolveBaseline(path: String): Option[java.io.File] = {
     val f = new java.io.File(path)
     if (f.isAbsolute) return Some(f).filter(_.isFile)
     if (f.isFile) return Some(f)
-    var dir = new java.io.File(System.getProperty("user.dir")).getAbsoluteFile
-    while (dir != null) {
-      if (new java.io.File(dir, "build.sbt").isFile) {
-        val cand = new java.io.File(dir, path)
-        return Some(cand).filter(_.isFile)
-      }
-      dir = dir.getParentFile
-    }
-    None
+    repoRoot.map(new java.io.File(_, path)).filter(_.isFile)
   }
 
   /** Pinned per-query rows from BASELINE_LOCAL.md's `| query | sec |`
@@ -79,13 +83,22 @@ object Bench {
     * for those cases instead of degrading silently. */
   private def pinnedRows(path: String): Map[String, Double] = {
     val row = """^\|\s*([A-Za-z0-9_]+)\s*\|\s*([0-9.]+)\s*\|\s*$""".r
+    // the three failure cases the doc enumerates get DISTINCT messages
+    // — the round-9 no-op was misdiagnosed as a path problem for a
+    // while precisely because the failure mode wasn't named
     resolveBaseline(path) match {
-      case None => Map.empty
+      case None =>
+        System.err.println(s"WARNING: pinned-baseline $path unresolved from ${System.getProperty("user.dir")}")
+        Map.empty
       case Some(f) =>
         try {
           val src = scala.io.Source.fromFile(f)(scala.io.Codec.UTF8)
-          try src.getLines().collect { case row(q, s) => q -> s.toDouble }.toMap
-          finally src.close()
+          try {
+            val m = src.getLines().collect { case row(q, s) => q -> s.toDouble }.toMap
+            if (m.isEmpty)
+              System.err.println(s"WARNING: pinned-baseline $f resolved but parsed 0 `| query | sec |` rows (table format changed?)")
+            m
+          } finally src.close()
         } catch {
           case e: Throwable =>
             System.err.println(s"WARNING: pinned-baseline read failed ($f): $e")
@@ -159,7 +172,7 @@ object Bench {
     // extra runs before letting the number stand
     val pinned = pinnedRows(baselinePath)
     if (pinned.isEmpty)
-      System.err.println(s"WARNING: pinned-rows: 0 ($baselinePath unresolved from ${System.getProperty("user.dir")}) — re-adjudication disabled")
+      System.err.println("WARNING: pinned-rows: 0 — re-adjudication disabled (cause above)")
     val flagged = names.filter { n =>
       val m = minOf(results(n))
       m >= 0 && pinned.get(n).exists(p => m > 2 * p)
@@ -181,15 +194,7 @@ object Bench {
     try {
       // anchor next to build.sbt when possible so the artifact lands in
       // the repo's target/ regardless of the caller's cwd
-      val root = {
-        var dir = new java.io.File(System.getProperty("user.dir")).getAbsoluteFile
-        var found: java.io.File = null
-        while (dir != null && found == null) {
-          if (new java.io.File(dir, "build.sbt").isFile) found = dir
-          dir = dir.getParentFile
-        }
-        if (found == null) new java.io.File(".") else found
-      }
+      val root = repoRoot.getOrElse(new java.io.File("."))
       val p = new java.io.File(root, "target/bench_detail.json").toPath
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p, detail.getBytes("UTF-8"))

@@ -339,12 +339,17 @@ object ChangegenPipeline {
           .select(col("pgroup"), col("pos").cast("long").as("pos"),
             col("v.ring").as("ring_idx"), col("v.x").as("x"), col("v.y").as("y"))
         val ringW = org.apache.spark.sql.expressions.Window.partitionBy("pgroup", "ring_idx")
+        // persisted: SequentialIds.assign runs multiple jobs over its
+        // input (range sampling, partition-size count, final compute) —
+        // against a LIVE JDBC source each job would re-read the table,
+        // and a row changing between jobs would shift the assigned ids
         val open = decoded
           .withColumn("_f", min(struct(col("pos"), col("x"), col("y"))).over(ringW))
           .withColumn("_maxp", max("pos").over(ringW))
           .filter(!(col("pos") === col("_maxp") && col("pos") =!= col("_f").getField("pos") &&
             col("x") === col("_f").getField("x") && col("y") === col("_f").getField("y")))
           .drop("_f", "_maxp")
+          .persist()
         // vertex → node id in (pgroup, pos) order — a STRUCT sort key,
         // so no arithmetic bound on vertices-per-feature
         val pn = SequentialIds.assign(

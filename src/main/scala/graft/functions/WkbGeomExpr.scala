@@ -289,13 +289,18 @@ object WkbGeomExpr {
       case 2 => // LineString → its vertex run as ring 0
         if (b.length < h.off + 4) return null
         val n = readU32(b, h.off, le)
-        if (n > Int.MaxValue) return null
+        // bounds-check BEFORE allocating: a corrupt 4-byte count must
+        // decode to NULL, not attempt a multi-GB array
+        if (n > Int.MaxValue || b.length < h.off + 4 + n * stride) return null
         val acc = new Array[Any](n.toInt)
         if (emit(acc, 0, 0, n.toInt, h.off + 4) < 0) null else new GenericArrayData(acc)
       case 3 => // Polygon → every ring, two passes (size, then fill)
+        // no artificial ring cap: each ring header needs 4 bytes, so
+        // the per-ring length checks in pass 1 bound the walk by the
+        // actual buffer — acceptance stays identical to [[decode]]
         if (b.length < h.off + 4) return null
         val nRings = readU32(b, h.off, le)
-        if (nRings < 1 || nRings > 0xffff) return null
+        if (nRings < 1) return null
         // pass 1: walk ring headers to total the vertex count
         var total = 0L
         var off = h.off + 4

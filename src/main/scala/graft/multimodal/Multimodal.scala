@@ -419,6 +419,10 @@ object Multimodal {
     * drop-row contract as every header parser here. */
   def rleDecode(bytes: Array[Byte], expect: Int): Array[Byte] = {
     if (bytes == null || expect < 0) return null
+    // reject impossible claims BEFORE allocating: each 2-byte pair
+    // yields at most 255 bytes, so a tiny corrupt header claiming a
+    // multi-GB raster must return null, not attempt the allocation
+    if (expect.toLong > (bytes.length / 2).toLong * 255) return null
     val out = new Array[Byte](expect)
     var i = 0
     var at = 0
@@ -451,7 +455,12 @@ object Multimodal {
     import spark.implicits._
     val p = col(payloadCol)
     val sampled = df
-      .filter(isGvrl(p) && gvrlFps(p) >= 1 && gvrlWidth(p) >= 1 && gvrlHeight(p) >= 1)
+      // the index-table-fits check (`len ≥ 14 + 8n`) both validates
+      // the container and BOUNDS frame_count by the actual payload
+      // size — a corrupt u32 count (e.g. 2^31-1 in a 30-byte cell)
+      // must drop the row, not drive sequence()/cast into a throw
+      .filter(isGvrl(p) && gvrlFps(p) >= 1 && gvrlWidth(p) >= 1 && gvrlHeight(p) >= 1 &&
+        length(p).cast("long") >= lit(14L) + gvrlFrameCount(p) * 8L)
       .select(col(idCol).as("doc_id"), p.as("_p"),
         gvrlWidth(p).as("_w"), gvrlHeight(p).as("_h"), gvrlFps(p).as("_fps"),
         explode(when(gvrlFrameCount(p) > 0,

@@ -23,11 +23,14 @@ object EventStats {
     * bit-reproducible for any engine that does exact decimal
     * arithmetic — the DuckDB oracle replicates it in HUGEINT.
     *
-    * Plan shape: one hash agg to per-key stats (rows = #keys, always
-    * broadcastable) + a broadcast join back onto the per-day frame —
-    * no window, no second pass over raw events. Input `perDay` is the
-    * (key, day, n) pre-aggregation, so the raw stream is touched by
-    * exactly the one groupBy that builds it.
+    * Plan shape: the (key, day, n) pre-aggregation is consumed twice
+    * (stats input + join left side), so it is localCheckpoint-PINNED
+    * (it is key×day-sized) — without the pin both references would
+    * recompute it, i.e. scan the raw event stream twice (the
+    * dd_dup_ngrams doc lesson: never claim exchange reuse Spark does
+    * not do). After the pin: one raw-stream pass into the pinned
+    * table, one tiny stats agg over it (rows = #keys, always
+    * broadcastable), one broadcast join back — no window.
     */
   private def d38(c: Column) = c.cast("decimal(38,0)")
 
@@ -52,10 +55,12 @@ object EventStats {
       .otherwise(0L)
   }
 
-  def dailyVolumeOutliers(perDay: DataFrame, dayColKey: String, dayCol: String,
-                          nCol: String, k: Int = 2): DataFrame =
-    perDay.join(broadcast(volumeStats(perDay, dayColKey, nCol)), dayColKey)
+  def dailyVolumeOutliers(perDay: DataFrame, keyCol: String, dayCol: String,
+                          nCol: String, k: Int = 2): DataFrame = {
+    val pinned = perDay.localCheckpoint()
+    pinned.join(broadcast(volumeStats(pinned, keyCol, nCol)), keyCol)
       .withColumn("outlier",
         outlierFlag(col(nCol), col("_nd"), col("_tot"), col("_sumsq"), k))
-      .select(col(dayColKey), col(dayCol), col(nCol), col("outlier"))
+      .select(col(keyCol), col(dayCol), col(nCol), col("outlier"))
+  }
 }

@@ -45,9 +45,12 @@ object EventStreams {
     * and each closed tumbling window of the live stream is flagged
     * against it with EXACTLY the batch predicate
     * ([[graft.operators.EventStats.outlierFlag]] — one shared
-    * expression, so batch and stream can never drift). Watermark
-    * bounds the window state; the profile joins as a broadcast
-    * static frame, so scoring adds no stream-side shuffle beyond the
+    * expression, so batch and stream can never drift for keys the
+    * profile covers). Watermark bounds the window state; the profile
+    * joins as a broadcast static frame (LEFT join: a key the history
+    * has never seen is the MOST anomalous case, so its windows flag
+    * outlier = 1 instead of silently vanishing through an inner
+    * join), so scoring adds no stream-side shuffle beyond the
     * windowed count itself.
     *
     * Output per closed window: (win_start, key, n, outlier).
@@ -61,11 +64,13 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), windowLen), col(keyCol))
       .agg(count(lit(1)).as("n"))
-      .join(broadcast(statsStatic), keyCol)
+      .join(broadcast(statsStatic), Seq(keyCol), "left")
       .select(
         unix_millis(col("window.start")).as("win_start"),
         col(keyCol), col("n"),
-        EventStats.outlierFlag(col("n"), col("_nd"), col("_tot"), col("_sumsq"), k).as("outlier"))
+        when(col("_nd").isNull, 1L)
+          .otherwise(EventStats.outlierFlag(col("n"), col("_nd"), col("_tot"), col("_sumsq"), k))
+          .as("outlier"))
   }
 
   /** Stream-stream interval join: enrich each left event with right

@@ -272,14 +272,18 @@ class GeoSpec extends AnyFunSuite {
       .as[Seq[(Double, Double)]].head()
     assert(got(0).get.filter(_._1 == 0).map(v => (v._2, v._3)) == ext)
     // malformed → null, never throw: zero rings, truncation inside
-    // the second ring's vertex run, truncated ring header
+    // the second ring's vertex run, truncated ring header, and a
+    // hostile LineString whose 4-byte count (0x7FFFFFFF) vastly
+    // exceeds the buffer — must reject BEFORE allocating, not OOM
     val full = WkbGeomExpr.encodePolygon(holed)
     val zeroRings = {
       val b = WkbGeomExpr.encodePolygon(Array(outer)).clone()
       b(5) = 0; b(6) = 0; b(7) = 0; b(8) = 0 // ring count → 0
       b
     }
-    val bad = dec(Seq(zeroRings, full.dropRight(9), full.take(9 + 4 + outer.length * 16 + 2)))
+    val hugeCount = Array[Byte](1, 2, 0, 0, 0, -1, -1, -1, 0x7f) // LE LineString, n=2^31-1
+    val bad = dec(Seq(zeroRings, full.dropRight(9),
+      full.take(9 + 4 + outer.length * 16 + 2), hugeCount))
     assert(bad.forall(_.isEmpty), bad.toString)
   }
 }

@@ -159,11 +159,15 @@ class MultimodalSpec extends AnyFunSuite {
     // including a 255-capped run boundary and a non-uniform tail
     val flat = Array.fill(300)(42.toByte) ++ Array[Byte](1, 2, 2, 3)
     assert(Multimodal.rleDecode(Multimodal.rleEncode(flat), flat.length).toSeq == flat.toSeq)
-    // malformed contracts: shortfall, overflow, odd pair, zero count
+    // malformed contracts: shortfall, overflow, odd pair, zero count,
+    // and an impossible expect (a 2-byte stream can yield ≤255 bytes)
+    // that must reject BEFORE allocating — a corrupt header claiming a
+    // 2 GB raster may not OOM the executor
     assert(Multimodal.rleDecode(Array[Byte](3, 5), 4) == null)
     assert(Multimodal.rleDecode(Array[Byte](5, 5), 4) == null)
     assert(Multimodal.rleDecode(Array[Byte](4, 5, 9), 4) == null)
     assert(Multimodal.rleDecode(Array[Byte](0, 5), 0) == null)
+    assert(Multimodal.rleDecode(Array[Byte](2, 7), Int.MaxValue) == null)
 
     // distributed seam: 2×2 frames, fps 1 — doc 3 carries a CORRUPT
     // run stream for frame 1 (index points at truncated pairs) and
@@ -178,7 +182,16 @@ class MultimodalSpec extends AnyFunSuite {
       b(sizeOff) = 1; b(sizeOff + 1) = 0; b(sizeOff + 2) = 0; b(sizeOff + 3) = 0
       b
     }
-    val rows = Seq((1L, good), (3L, corrupt), (4L, "not a video".getBytes("US-ASCII")))
+    // doc 5: frame_count bytes corrupted to 0xFFFFFFFF — the index
+    // table can't fit the payload, so the whole row must drop at the
+    // header gate (not drive sequence()/cast into a throw)
+    val badCount = {
+      val b = Multimodal.synthVideoRle(2, 2, 1, 3, fill(5L)).clone()
+      b(10) = -1; b(11) = -1; b(12) = -1; b(13) = -1
+      b
+    }
+    val rows = Seq((1L, good), (3L, corrupt), (4L, "not a video".getBytes("US-ASCII")),
+      (5L, badCount))
       .toDF("doc_id", "payload")
     val got = Multimodal.frameDecodeRle(rows, "doc_id", "payload")
       .select(col("doc_id"), col("frame_idx"), col("ts_ms"), col("raster"))

@@ -51,10 +51,13 @@ class StreamingSpec extends AnyFunSuite {
     val q = EventStreams.anomalyScore(input.toDF(), stats)
       .writeStream.format("memory").queryName("anom").outputMode(OutputMode.Append).start()
     try {
-      // live day 0: 100 "click" events (a spike vs mean 19) and 7
-      // "view" events (exactly its constant history → sigma 0, clean)
+      // live day 0: 100 "click" events (a spike vs mean 19), 7 "view"
+      // events (exactly its constant history → sigma 0, clean), and 3
+      // of a type the profile has NEVER seen (the most anomalous case
+      // — must flag, not vanish through an inner join)
       input.addData((1 to 100).map(i => Ev(i.toLong, 1, "click", i.toLong, 1)) ++
-        (1 to 7).map(i => Ev(200L + i, 1, "view", i.toLong, 1)): _*)
+        (1 to 7).map(i => Ev(200L + i, 1, "view", i.toLong, 1)) ++
+        (1 to 3).map(i => Ev(300L + i, 1, "signup", i.toLong, 1)): _*)
       q.processAllAvailable()
       input.addData(Ev(999, 1, "click", 2 * D, 1)) // advance watermark past day 0
       q.processAllAvailable()
@@ -65,6 +68,8 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows.contains((0L, "click", 100L, 1L)), rows.toString)
       // view: n=7 equals its constant history → strict rule stays clean
       assert(rows.contains((0L, "view", 7L, 0L)), rows.toString)
+      // unseen key: flags via the left-join null branch
+      assert(rows.contains((0L, "signup", 3L, 1L)), rows.toString)
     } finally q.stop()
   }
 
