@@ -157,6 +157,30 @@ object Multimodal {
       })
       .otherwise(lit(null)).cast("long")
 
+  /** Signed little-endian int16 at 1-based byte offset `off` (a
+    * Column, so it rides inside HOF lambdas): uint16 then
+    * two's-complement sign correction — exact integer ops only. */
+  def s16le(payload: Column, off: Column): Column =
+    graft.ColumnOps.let(u8(payload, off) + u8(payload, off + 1) * 256) { v =>
+      when(v >= 32768, v - 65536).otherwise(v)
+    }
+
+  /** PCM sample decode of a canonical 16-bit WAV payload:
+    * `array<int>` of all samples in storage order, NULL for non-WAV /
+    * non-16-bit payloads (the drop-row malformed-input contract).
+    * Pure narrow columnar — the whole byte walk stays inside
+    * whole-stage codegen, zero shuffle, scales with rows; a real
+    * audio codec would slot in at a mapPartitions seam exactly like
+    * the GVRL frame decoder, but PCM needs no library. */
+  def wavPcm16(payload: Column): Column = {
+    val n = shiftright(wavDataBytes(payload), 1).cast("int")
+    when(isWav(payload) && wavBitsPerSample(payload) === 16 && n > 0,
+      transform(sequence(lit(0), n - 1), i => s16le(payload, lit(45) + i * 2)))
+      .when(isWav(payload) && wavBitsPerSample(payload) === 16,
+        array().cast("array<int>"))
+      .otherwise(lit(null).cast("array<int>"))
+  }
+
   /** Canonical 44-byte PCM WAV header for synthetic payloads
     * (deterministic; tests + the verified query, NOT a real encoder). */
   def synthWavHeader(channels: Int, sampleRate: Int, bitsPerSample: Int,

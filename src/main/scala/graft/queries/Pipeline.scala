@@ -74,6 +74,24 @@ object Pipeline {
       Dedup.keepBest(docs, "doc_id", "n_chars", pairs, "doc_a", "doc_b")
         .orderBy("cluster")
     }),
+    // 32f — SOFT dedup (duplication-aware loss weighting): instead of
+    // dropping near-dups, every doc carries weight 1/|near-dup
+    // cluster| (singletons keep 1.0) — the corpus stays intact and
+    // duplicated content stops dominating the loss (the keep-vs-drop
+    // alternative the mixture papers reach for). Cluster = MinHash
+    // connected component; one count agg + a component-keyed join
+    // back, no per-cluster sort — weights ship at corpus scale
+    "smp_soft_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text",
+        shingleSize = 3, numPerm = 8, rowsPerBand = 2)
+      val comp = Dedup.connectedComponents(docs, "doc_id", pairs, "doc_a", "doc_b")
+      val sz = comp.groupBy("component").agg(count(lit(1)).as("cluster_n"))
+      comp.join(sz, "component")
+        .select(col("doc_id"), col("component"), col("cluster_n"),
+          fp(lit(1.0) / col("cluster_n").cast("double"), 6).as("weight_fp6"))
+        .orderBy("doc_id")
+    }),
     // 31b — incremental snapshot dedup: today's batch anti-joined on
     // content hash against yesterday's corpus (distinct 16-byte hash
     // set, not documents, rides the shuffle)
@@ -502,6 +520,24 @@ object Pipeline {
         Seq("event_type"), "user_id", k = 64)
         .orderBy("event_type")
     }),
+    // 43h — HyperLogLog distinct-count profile (Flajolet et al.): the
+    // FIXED-WIDTH mergeable cousin of 43d — m=256 registers per group
+    // (register = max leading-zero rank of an md5 uniform, merge =
+    // elementwise max), estimate with the standard linear-counting
+    // small-range correction. reg_sum carries the exact-integer
+    // register state (Σ 2^(ρmax−M_b)), so the sketch ITSELF — not just
+    // its fp2 estimate — is verified cross-engine; exact_nd alongside
+    // exposes the ~1.04/√m error
+    "ev_hll_distinct" -> ((s, dir) => {
+      val ex = t(s, dir, "events").groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_nd"))
+      graft.sketch.Sketches.hllDistinct(
+        t(s, dir, "events").select("event_type", "user_id"),
+        Seq("event_type"), "user_id", p = 8)
+        .join(ex, "event_type")
+        .select("event_type", "exact_nd", "v_zero", "reg_sum", "hll_est_fp2")
+        .orderBy("event_type")
+    }),
     // 43e — count-min sketch frequency profile: deterministic d×w md5
     // sketch built with map-side combine (the shuffle carries ≤ d·w
     // cells per task, not events); estimate = min over d counters,
@@ -780,6 +816,41 @@ object Pipeline {
         Multimodal.wavBitsPerSample(col("payload")).cast("long").as("bits"),
         Multimodal.wavDataBytes(col("payload")).as("data_bytes"),
         Multimodal.wavDurationMs(col("payload")).as("duration_ms"))
+        .orderBy("doc_id")
+    }),
+    // 45g — PCM sample DECODE + loudness profile: the audio twin of
+    // the raster ops — every int16 sample is decoded from the WAV
+    // payload bytes columnar (one codegen'd byte walk, no UDF, no
+    // shuffle), then peak / exact-integer energy / RMS per clip. The
+    // payload synthesis is in-query test-data generation (cg_wkb_decode
+    // pattern); the DECODE is the operator, and the oracle recomputes
+    // the expected samples closed-form from doc_id — any byte-offset
+    // or sign-extension drift in the decoder breaks the hash
+    "mm_audio_rms" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal
+      val payloads = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val n = (id % 200 + 50).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((id * 31 + i.toLong * i * 7) % 65536) - 32768).toInt)
+          val data = samples.flatMap { v =>
+            val u = v & 0xffff
+            Array((u & 0xff).toByte, ((u >> 8) & 0xff).toByte)
+          }
+          (id, Multimodal.synthWavHeader(1, 16000, 16, n * 2) ++ data)
+        })
+        .toDF("doc_id", "payload")
+      payloads
+        .select(col("doc_id"), Multimodal.wavPcm16(col("payload")).as("pcm"))
+        .select(col("doc_id"),
+          size(col("pcm")).cast("long").as("n_samples"),
+          aggregate(col("pcm"), lit(0L),
+            (a, v) => greatest(a, abs(v).cast("long"))).as("peak"),
+          aggregate(col("pcm"), lit(0L),
+            (a, v) => a + v.cast("long") * v.cast("long")).as("sum_sq"))
+        .withColumn("rms_fp2",
+          fp(sqrt(col("sum_sq").cast("double") / col("n_samples").cast("double")), 2))
         .orderBy("doc_id")
     }),
     // 45d — video frame sampling (1 frame/sec) over the GVID raw
@@ -1435,6 +1506,21 @@ object Pipeline {
          |  SELECT s.dst, l.label FROM lbl l JOIN sym s ON s.src = l.node)
          |SELECT node AS doc_id, min(label) AS component
          |FROM lbl GROUP BY node ORDER BY doc_id""".stripMargin,
+    // same recursive closure as dd_components, then cluster sizes →
+    // per-doc 1/n loss weight
+    "smp_soft_dedup" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |sym AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+         |        UNION ALL SELECT doc_b, doc_a FROM cand),
+         |lbl(node, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT s.dst, l.label FROM lbl l JOIN sym s ON s.src = l.node),
+         |comp AS (SELECT node AS doc_id, min(label) AS component FROM lbl GROUP BY node),
+         |sz AS (SELECT component, count(*) AS cluster_n FROM comp GROUP BY 1)
+         |SELECT comp.doc_id, comp.component, sz.cluster_n,
+         |  ${sqlFp("1.0 / CAST(sz.cluster_n AS DOUBLE)", 6)} AS weight_fp6
+         |FROM comp JOIN sz USING (component) ORDER BY comp.doc_id""".stripMargin,
     // same recursive closure as dd_components, then a deterministic
     // per-cluster argmax (n_chars DESC, doc_id ASC) + cluster size
     "dd_keep_best" ->
@@ -1857,6 +1943,40 @@ object Pipeline {
         |  ${sqlFp("CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE) ELSE 63.0 / max(u) END", 2)} AS est_distinct_fp2
         |FROM r WHERE rk <= 64 GROUP BY event_type ORDER BY event_type""".stripMargin
     },
+    "ev_hll_distinct" -> {
+      val u32 = """list_reduce(list_prepend(CAST(0 AS BIGINT),
+        | list_transform(range(1, 9),
+        |   i -> CAST(strpos('0123456789abcdef',
+        |          substr(md5('hll:' || CAST(user_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT))),
+        | (a, v) -> a*16 + v)""".stripMargin.replace("\n", " ")
+      // the SAME α_m·m²·2^ρmax double literal the Spark plan folds in
+      // (m=256, ρmax=25): 17 sig digits round-trips the IEEE double
+      val numerator = (0.7213 / (1.0 + 1.079 / 256)) * 256.0 * 256.0 * math.pow(2.0, 25)
+      val numLit = "%.17e".formatLocal(java.util.Locale.ROOT, numerator)
+      s"""WITH h AS (SELECT event_type, $u32 AS u FROM events),
+        |b AS (SELECT event_type, u // 16777216 AS bkt, u % 16777216 AS w FROM h),
+        |r AS (SELECT event_type, bkt,
+        |    max(CASE WHEN w = 0 THEN 25 ELSE 25 - length(bin(w)) END) AS mb
+        |  FROM b GROUP BY 1, 2),
+        |grid AS (SELECT g.event_type, gs.bkt
+        |  FROM (SELECT DISTINCT event_type FROM events) g
+        |  CROSS JOIN (SELECT unnest(range(0, 256)) AS bkt) gs),
+        |f AS (SELECT grid.event_type, coalesce(r.mb, 0) AS mb
+        |  FROM grid LEFT JOIN r ON r.event_type = grid.event_type AND r.bkt = grid.bkt),
+        |agg AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN mb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero,
+        |    CAST(sum(CAST(1 AS BIGINT) << (25 - mb)) AS BIGINT) AS reg_sum
+        |  FROM f GROUP BY event_type),
+        |x AS (SELECT event_type, v_zero, reg_sum,
+        |    CASE WHEN $numLit / CAST(reg_sum AS DOUBLE) <= 640.0 AND v_zero > 0
+        |      THEN ln(256.0 / CAST(v_zero AS DOUBLE)) * 256
+        |      ELSE $numLit / CAST(reg_sum AS DOUBLE) END AS est
+        |  FROM agg),
+        |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_nd FROM events GROUP BY 1)
+        |SELECT x.event_type, ex.exact_nd, x.v_zero, x.reg_sum,
+        |  ${sqlFp("est", 2)} AS hll_est_fp2
+        |FROM x JOIN ex ON ex.event_type = x.event_type ORDER BY x.event_type""".stripMargin
+    },
     "ev_cms_freq" -> {
       def bucket(j: Int): String =
         s"""(list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -2082,6 +2202,19 @@ object Pipeline {
         |FROM daily d JOIN stats USING (event_type)
         |ORDER BY event_type, day""".stripMargin,
     "mm_binary_meta" -> mmSql,
+    // closed-form from doc_id: the generator's sample formula
+    // ((id·31 + 7i²) mod 65536) − 32768 re-derived per index; the
+    // Spark side must DECODE the same values back out of the bytes
+    "mm_audio_rms" ->
+      s"""WITH s AS (SELECT doc_id, doc_id % 200 + 50 AS n FROM documents),
+        |v AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM s),
+        |x AS (SELECT doc_id, ((doc_id * 31 + i * i * 7) % 65536) - 32768 AS val FROM v),
+        |a AS (SELECT doc_id, count(*) AS n_samples, max(abs(val)) AS peak,
+        |    sum(val * val) AS sum_sq FROM x GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_samples AS BIGINT) AS n_samples,
+        |  CAST(peak AS BIGINT) AS peak, CAST(sum_sq AS BIGINT) AS sum_sq,
+        |  ${sqlFp("sqrt(CAST(sum_sq AS DOUBLE) / CAST(n_samples AS DOUBLE))", 2)} AS rms_fp2
+        |FROM a ORDER BY doc_id""".stripMargin,
     // audio roundtrip mirror: all synth params are closed-form in
     // doc_id; duration replicates via 64-bit integer division
     "mm_audio_meta" ->

@@ -51,6 +51,75 @@ object Sketches {
             .otherwise(lit((k - 1).toDouble) / col("_hk")), 2).as("est_distinct_fp2")): _*)
   }
 
+  /** HyperLogLog distinct-count sketch per group (Flajolet et al.
+    * 2007), built DETERMINISTIC like [[kmvDistinct]]: value → 32-bit
+    * md5 uniform, top `p` bits pick one of m = 2^p registers, the
+    * register keeps the max of ρ = position of the leftmost 1-bit in
+    * the remaining (32−p)-bit suffix. Estimate = α_m·m²/Σ 2^−M_b with
+    * the standard linear-counting correction below 2.5m when empty
+    * registers remain. Error ~ 1.04/√m; unlike KMV the state is m
+    * FIXED-WIDTH registers (merge = elementwise max), which is why
+    * HLL is the sketch that ships between executors / days / engines.
+    *
+    * Engine-exact construction: ρ is pure integer arithmetic
+    * (`(32−p+1) − length(bin(w))` — both Spark and DuckDB render
+    * binary without leading zeros), the register sum is carried as
+    * Σ 2^(ρmax−M_b) in BIGINT (max m·2^ρmax ≪ 2^63), and the single
+    * α_m·m²·2^ρmax numerator is folded to ONE double literal so the
+    * final division is the only fp op — the estimate quantizes
+    * identically on both engines.
+    *
+    * Shape for 100 TB: one partial-agg shuffle on (group, bucket) —
+    * map-side combine collapses each task to ≤ m cells per group, so
+    * the shuffle carries O(m·groups·tasks) regardless of row count;
+    * the zero-register completion joins against a broadcast m-row
+    * range. Output: group cols + (v_zero, reg_sum, hll_est_fp2).
+    */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  p: Int = 8, salt: String = "hll"): DataFrame = {
+    require(p >= 4 && p <= 16, s"hllDistinct: need 4 ≤ p ≤ 16, got $p")
+    val m = 1 << p
+    val width = 32 - p          // suffix bits feeding ρ
+    val rhoMax = width + 1      // ρ when the suffix is all zeros
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    // one double literal: α·m²·2^ρmax (the oracle embeds the same digits)
+    val numerator = alpha * m * m * math.pow(2.0, rhoMax)
+    val gs = groupCols.map(col)
+    val u32 = conv(substring(md5(concat(lit(salt + ":"), col(valueCol).cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+    val suffixMod = 1L << width
+    val regs = df
+      .select(gs :+ u32.as("_u"): _*)
+      .withColumn("_bkt", expr(s"_u DIV ${suffixMod}L"))
+      .withColumn("_w", pmod(col("_u"), lit(suffixMod)))
+      .withColumn("_rho",
+        when(col("_w") === 0, lit(rhoMax)).otherwise(lit(rhoMax) - length(bin(col("_w")))))
+      .groupBy(gs :+ col("_bkt"): _*)
+      .agg(max(col("_rho")).as("_mb"))
+    // complete to all m registers so empty ones count as M_b = 0
+    val grid = df.select(gs: _*).distinct()
+      .crossJoin(broadcast(df.sparkSession.range(m).select(col("id").as("_bkt"))))
+    val full = grid.join(regs, groupCols :+ "_bkt", "left")
+      .withColumn("_mb", coalesce(col("_mb"), lit(0)))
+    val est = full
+      .groupBy(gs: _*)
+      .agg(
+        sum(when(col("_mb") === 0, 1L).otherwise(0L)).as("v_zero"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $rhoMax - _mb)")).as("reg_sum"))
+      .withColumn("_raw", lit(numerator) / col("reg_sum").cast("double"))
+      .withColumn("_est",
+        when(col("_raw") <= lit(2.5 * m) && col("v_zero") > 0,
+          log(lit(m.toDouble) / col("v_zero").cast("double")) * m)
+          .otherwise(col("_raw")))
+    est.select(gs ++ Seq(col("v_zero"), col("reg_sum"),
+      graft.text.TextAnalysis.fp(col("_est"), 2).as("hll_est_fp2")): _*)
+  }
+
   /** Count-min-sketch bucket for hash row `j`: first-8-md5-hex of
     * "cms<j>:<key>" as a uint32, mod `w` — the same md5-uniform
     * family as [[kmvDistinct]], one independent row per salt. */

@@ -207,6 +207,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.keySet == Set((1L, 0L), (1L, 1L), (1L, 2L), (3L, 0L), (3L, 2L)), got.keySet.toString)
   }
 
+  test("wavPcm16: byte-exact sample decode incl. sign edges; malformed payloads null, empty data empty") {
+    import org.apache.spark.sql.functions.col
+    // sign-edge samples: both extremes, ±1 around the sign bit, zero
+    val samples = Array(-32768, 32767, -1, 0, 1, 255, 256, -256)
+    val data = samples.flatMap { v =>
+      val u = v & 0xffff
+      Array((u & 0xff).toByte, ((u >> 8) & 0xff).toByte)
+    }
+    val good = Multimodal.synthWavHeader(1, 16000, 16, data.length) ++ data
+    val empty = Multimodal.synthWavHeader(1, 16000, 16, 0)
+    val eightBit = Multimodal.synthWavHeader(1, 8000, 8, 4) ++ Array[Byte](1, 2, 3, 4)
+    val junk = "not audio at all".getBytes("US-ASCII")
+    val got = Seq((1L, good), (2L, empty), (3L, eightBit), (4L, junk))
+      .toDF("doc_id", "payload")
+      .select(col("doc_id"), Multimodal.wavPcm16(col("payload")).as("pcm"))
+      .as[(Long, Option[Seq[Int]])].collect().toMap
+    assert(got(1L).contains(samples.toSeq), s"decoded ${got(1L)}")
+    assert(got(2L).contains(Seq.empty), "zero-length data chunk decodes to an empty array")
+    assert(got(3L).isEmpty, "8-bit payloads are out of decode scope → NULL, not garbage")
+    assert(got(4L).isEmpty, "non-WAV bytes → NULL (drop-row contract)")
+  }
+
   test("aHash: brightness-shift invariant, pattern-sensitive, JVM synth ↔ columnar parse agree") {
     import org.apache.spark.sql.functions.col
     // ids 1, 17, 33 share id%16=1 but differ in id%3 (1, 2, 0): same

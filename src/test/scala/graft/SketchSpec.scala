@@ -32,6 +32,39 @@ class SketchSpec extends AnyFunSuite {
     assert(out13 == out)
   }
 
+  test("hllDistinct: error band, linear-counting small range, dup-insensitive, partitioning-stable") {
+    // one 8k-distinct group, one 300-distinct group, one tiny group
+    val rows = (1L to 24000L).map(i => ("big", i % 8000)) ++
+      (1L to 900L).map(i => ("mid", i % 300)) ++
+      (1L to 12L).map(i => ("tiny", i % 6))
+    val df = rows.toDF("grp", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sketches.hllDistinct(d, Seq("grp"), "v", p = 8)
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val out = run(df)
+    // m=256 → σ ≈ 1.04/16 = 6.5%; allow 3σ on deterministic data
+    val estBig = out("big")._3 / 100.0
+    assert(math.abs(estBig - 8000) / 8000.0 < 0.195, s"big: $estBig")
+    // 300 distinct over 256 registers leaves empties → linear counting,
+    // which is tight at this load factor
+    val estMid = out("mid")._3 / 100.0
+    assert(out("mid")._1 > 0, "mid must keep empty registers")
+    assert(math.abs(estMid - 300) / 300.0 < 0.15, s"mid: $estMid")
+    // near-empty sketch: estimate ~exact
+    val estTiny = out("tiny")._3 / 100.0
+    assert(math.abs(estTiny - 6) < 1.0, s"tiny: $estTiny")
+    // registers are max-merged: duplicating every row changes NOTHING
+    assert(run(df.union(df)) == out)
+    // pure function of the data
+    assert(run(df.repartition(13)) == out)
+    // register-sum sanity: Σ 2^(25−M_b) ≤ m·2^25, ≥ m (all-saturated)
+    out.values.foreach { case (vz, regSum, _) =>
+      assert(regSum >= 256L && regSum <= 256L * (1L << 25))
+      assert(vz >= 0 && vz <= 256)
+    }
+  }
+
   test("cmsFreq: estimate is an upper bound, tight without collisions, partitioning-stable") {
     // 5 keys with very different frequencies over a 4x64 sketch —
     // collisions among 5 keys are unlikely per row, and min-over-4
