@@ -76,11 +76,61 @@ object Sketches {
     * range. Output: group cols + (v_zero, reg_sum, hll_est_fp2).
     */
   def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
-                  p: Int = 8, salt: String = "hll"): DataFrame = {
-    require(p >= 4 && p <= 16, s"hllDistinct: need 4 ≤ p ≤ 16, got $p")
-    val m = 1 << p
+                  p: Int = 8, salt: String = "hll"): DataFrame =
+    hllEstimate(hllRegisters(df, groupCols, valueCol, p, salt), groupCols, p)
+
+  /** The 32-bit md5 uniform feeding the HLL register split — the
+    * same hash family as [[kmvDistinct]]/[[cmsBucket]]. */
+  def hllUniform(value: Column, salt: String = "hll"): Column =
+    conv(substring(md5(concat(lit(salt + ":"), value.cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+
+  /** Register bucket + ρ derived from a MATERIALIZED uniform column
+    * `u` ([[hllUniform]]) — the column pair every HLL build (batch or
+    * streaming) splits its registers with. Sharing the exact
+    * expressions is what makes streamed registers max-merge
+    * bit-for-bit into the batch sketch. */
+  def hllBucketRho(u: Column, p: Int): (Column, Column) = {
+    require(p >= 4 && p <= 16, s"hllBucketRho: need 4 ≤ p ≤ 16, got $p")
     val width = 32 - p          // suffix bits feeding ρ
     val rhoMax = width + 1      // ρ when the suffix is all zeros
+    val w = u.bitwiseAND(lit((1L << width) - 1))
+    (shiftright(u, width),
+      when(w === 0, lit(rhoMax)).otherwise(lit(rhoMax) - length(bin(w))))
+  }
+
+  /** SPARSE per-group registers (group cols + `bkt`, `mb`): only
+    * buckets some value hit appear; absent buckets are M_b = 0 by
+    * convention ([[hllEstimate]] completes them). This is the
+    * mergeable/persistable form — union register sets from any
+    * partition of the data (days, engines, a streaming window sweep)
+    * and max-merge per (group, bkt) to get exactly the registers the
+    * one-shot build produces. One partial-agg shuffle on (group,
+    * bucket): ≤ m cells per group per task regardless of rows. */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                   p: Int = 8, salt: String = "hll"): DataFrame = {
+    val gs = groupCols.map(col)
+    val (bkt, rho) = hllBucketRho(col("_u"), p)
+    df.select(gs :+ hllUniform(col(valueCol), salt).as("_u"): _*)
+      .select(gs ++ Seq(bkt.as("bkt"), rho.as("_rho")): _*)
+      .groupBy(gs :+ col("bkt"): _*)
+      .agg(max(col("_rho")).as("mb"))
+  }
+
+  /** Estimate from SPARSE registers (the [[hllRegisters]] layout, or
+    * any max-merged union of such sets — re-aggregating by max is
+    * idempotent so pre-merged input needs no flag; explicit `mb = 0`
+    * rows from a dense export are dropped as identical-to-absent).
+    * Empty buckets never materialize: a present bucket always has
+    * M_b ≥ 1, so v_zero = m − n_present and the register sum
+    * completes arithmetically with v_zero·2^ρmax — no m-row grid, no
+    * join, just the one (group, bkt) agg and a per-group fold. Then
+    * the standard α_m·m²/Σ2^−M_b estimate with linear counting below
+    * 2.5m. Output: group cols + (v_zero, reg_sum, hll_est_fp2). */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String], p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"hllEstimate: need 4 ≤ p ≤ 16, got $p")
+    val m = 1 << p
+    val rhoMax = 32 - p + 1
     val alpha = m match {
       case 16 => 0.673
       case 32 => 0.697
@@ -90,27 +140,16 @@ object Sketches {
     // one double literal: α·m²·2^ρmax (the oracle embeds the same digits)
     val numerator = alpha * m * m * math.pow(2.0, rhoMax)
     val gs = groupCols.map(col)
-    val u32 = conv(substring(md5(concat(lit(salt + ":"), col(valueCol).cast("string"))), 1, 8), 16, 10)
-      .cast("long")
-    val suffixMod = 1L << width
-    val regs = df
-      .select(gs :+ u32.as("_u"): _*)
-      .withColumn("_bkt", expr(s"_u DIV ${suffixMod}L"))
-      .withColumn("_w", pmod(col("_u"), lit(suffixMod)))
-      .withColumn("_rho",
-        when(col("_w") === 0, lit(rhoMax)).otherwise(lit(rhoMax) - length(bin(col("_w")))))
-      .groupBy(gs :+ col("_bkt"): _*)
-      .agg(max(col("_rho")).as("_mb"))
-    // complete to all m registers so empty ones count as M_b = 0
-    val grid = df.select(gs: _*).distinct()
-      .crossJoin(broadcast(df.sparkSession.range(m).select(col("id").as("_bkt"))))
-    val full = grid.join(regs, groupCols :+ "_bkt", "left")
-      .withColumn("_mb", coalesce(col("_mb"), lit(0)))
-    val est = full
+    // re-max collapses any pre-merged duplicates per (group, bkt)
+    val est = registers
+      .filter(col("mb") > 0)
+      .groupBy(gs :+ col("bkt"): _*)
+      .agg(max(col("mb")).as("mb"))
       .groupBy(gs: _*)
       .agg(
-        sum(when(col("_mb") === 0, 1L).otherwise(0L)).as("v_zero"),
-        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $rhoMax - _mb)")).as("reg_sum"))
+        (lit(m.toLong) - count(lit(1))).as("v_zero"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $rhoMax - mb)")).as("_ps"))
+      .withColumn("reg_sum", col("_ps") + col("v_zero") * lit(1L << rhoMax))
       .withColumn("_raw", lit(numerator) / col("reg_sum").cast("double"))
       .withColumn("_est",
         when(col("_raw") <= lit(2.5 * m) && col("v_zero") > 0,

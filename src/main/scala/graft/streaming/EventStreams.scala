@@ -190,6 +190,35 @@ object EventStreams {
       .agg(count(lit(1)).as("cnt"))
       .select(col("win_start"), col("j"), col("b"), col("cnt"))
 
+  /** Streaming HyperLogLog register build: watermarked per-window
+    * (group, bucket) max-ρ over the SAME uniform/bucket/ρ columns as
+    * the batch [[graft.sketch.Sketches.hllRegisters]]. The streaming
+    * agg's state IS the sketch — ≤ m register rows per (window,
+    * group), independent of event volume — and because HLL merges by
+    * elementwise register MAX, the per-window sketches max-merge
+    * across windows, days, or the stream/batch boundary into exactly
+    * the registers a one-shot batch build produces
+    * ([[graft.sketch.Sketches.hllEstimate]] re-maxes its input, so
+    * the emitted rows feed it directly; bit-equality is
+    * spec-asserted). Output (Append, on watermark close):
+    * win_start, <keyCol>, bkt, mb.
+    */
+  def hllRegistersStream(events: DataFrame, keyCol: String = "event_type",
+                         valueCol: String = "user_id", p: Int = 8,
+                         windowMs: Long = 3600000L, lateness: String = "1 hour"): DataFrame = {
+    val (bkt, rho) = graft.sketch.Sketches.hllBucketRho(col("_u"), p)
+    events
+      .withColumn("ts", timestamp_millis(col("ms")))
+      .withWatermark("ts", lateness)
+      .select(col("ts"), (col("ms") - pmod(col("ms"), lit(windowMs))).as("win_start"),
+        col(keyCol), graft.sketch.Sketches.hllUniform(col(valueCol)).as("_u"))
+      .select(col("ts"), col("win_start"), col(keyCol), bkt.as("bkt"), rho.as("_rho"))
+      .groupBy(window(col("ts"), s"$windowMs milliseconds"), col("win_start"),
+        col(keyCol), col("bkt"))
+      .agg(max(col("_rho")).as("mb"))
+      .select(col("win_start"), col(keyCol), col("bkt"), col("mb"))
+  }
+
   case class KmvRow(win_start: Long, grp: String, u: Double)
   // the state IS the sketch: bottom-k distinct md5-uniforms — k
   // doubles per active (window, group), mergeable by union+re-bottom

@@ -404,4 +404,48 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.size <= 4 * 64)
     } finally q.stop()
   }
+
+  test("streaming HLL registers max-merge across windows into the exact batch sketch") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, max}
+    val input = MemoryStream[Ev]
+    // two windows, two event types, overlapping user sets — the merge
+    // across windows must collapse to the batch registers over ALL events
+    val evs = (1 to 400).map(i => Ev(i.toLong, (i % 150).toLong,
+      if (i % 3 == 0) "click" else "view", (i % 2) * H + (i % 50) * 60000L, 0))
+    val q = EventStreams.hllRegistersStream(input.toDF(), p = 8)
+      .writeStream.format("memory").queryName("hll_regs").outputMode(OutputMode.Append).start()
+    try {
+      // split across micro-batches: register state must MERGE, not restart
+      input.addData(evs.take(150): _*)
+      q.processAllAvailable()
+      input.addData(evs.drop(150): _*)
+      q.processAllAvailable()
+      // close both windows: advance the watermark past end + lateness
+      input.addData(Ev(9999, 9999, "view", 6 * H, 0))
+      q.processAllAvailable()
+      val emitted = spark.table("hll_regs").filter($"win_start" < 6 * H)
+      // per-window state bound: ≤ m register rows per (window, group)
+      val perWin = emitted.groupBy("win_start", "event_type")
+        .count().as[(Long, String, Long)].collect()
+      assert(perWin.nonEmpty && perWin.forall(_._3 <= 256), perWin.mkString(","))
+      // max-merge the two windows' registers, estimate, compare to the
+      // one-shot batch sketch over all events — bit-for-bit
+      val merged = graft.sketch.Sketches.hllEstimate(
+        emitted.groupBy("event_type", "bkt").agg(max(col("mb")).as("mb")),
+        Seq("event_type"), p = 8)
+        .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      val batch = graft.sketch.Sketches.hllDistinct(
+        evs.toDF(), Seq("event_type"), "user_id", p = 8)
+        .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(merged == batch, s"merged $merged vs batch $batch")
+      // and hllEstimate re-maxes, so the RAW emitted rows (duplicate
+      // (group,bkt) across windows) feed it directly too
+      val direct = graft.sketch.Sketches.hllEstimate(
+        emitted.select("event_type", "bkt", "mb"), Seq("event_type"), p = 8)
+        .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(direct == batch)
+    } finally q.stop()
+  }
 }
