@@ -181,6 +181,28 @@ object Multimodal {
       .otherwise(lit(null).cast("array<int>"))
   }
 
+  /** Exact per-frame energies over a decoded PCM array
+    * ([[wavPcm16]] output): non-overlapping `frameLen`-sample frames,
+    * energy = Σ v² in BIGINT (65536²·frameLen ≪ 2⁶³ for any sane
+    * frame), trailing partial frame dropped. NULL pcm propagates
+    * (drop-row contract); fewer than `frameLen` samples → empty.
+    * Narrow columnar — nested HOF fold, no shuffle. */
+  def pcmFrameEnergies(pcm: Column, frameLen: Int): Column = {
+    require(frameLen >= 1, s"pcmFrameEnergies: frameLen must be ≥ 1, got $frameLen")
+    // let-bind the decoded array FIRST: callers pass composite
+    // expressions (wavPcm16), and HOF lambdas get no CSE — an unbound
+    // pcm would re-decode the whole payload once per frame (O(n²))
+    graft.ColumnOps.let(pcm) { p =>
+      graft.ColumnOps.let(size(p)) { n =>
+        when(p.isNull, lit(null).cast("array<long>"))
+          .when(n < frameLen, array().cast("array<long>"))
+          .otherwise(transform(sequence(lit(0), (n / frameLen).cast("int") - 1),
+            f => aggregate(slice(p, f * frameLen + 1, lit(frameLen)), lit(0L),
+              (a, v) => a + v.cast("long") * v.cast("long"))))
+      }
+    }
+  }
+
   /** Canonical 44-byte PCM WAV header for synthetic payloads
     * (deterministic; tests + the verified query, NOT a real encoder). */
   def synthWavHeader(channels: Int, sampleRate: Int, bitsPerSample: Int,

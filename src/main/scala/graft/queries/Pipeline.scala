@@ -853,6 +853,49 @@ object Pipeline {
           fp(sqrt(col("sum_sq").cast("double") / col("n_samples").cast("double")), 2))
         .orderBy("doc_id")
     }),
+    // 45h — frame-energy SEGMENTATION over decoded PCM (the
+    // silence-trim / voice-activity shape of an audio training
+    // pipeline): 256-sample frames, exact BIGINT energy per frame,
+    // a frame is active iff energy > 2^20 (mean square > 4096 ⇔
+    // frame RMS > 64). The synthetic clips alternate genuinely loud
+    // and quiet ((frame+id) % 3 == 0 → samples masked to 0..63)
+    // regions, so first/last-active are real trim boundaries; the
+    // oracle recomputes every sample closed-form from doc_id, so the
+    // decoder AND the framing/energy arithmetic are both on the hook
+    "mm_audio_seg" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal
+      val payloads = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val n = ((id % 10 + 4) * 256 + id % 100).toInt
+          val samples = Array.tabulate(n) { i =>
+            val v = (((id * 31 + i.toLong * i * 7) % 65536) - 32768).toInt
+            if (((i >> 8) + id) % 3 == 0) v & 63 else v
+          }
+          val data = samples.flatMap { v =>
+            val u = v & 0xffff
+            Array((u & 0xff).toByte, ((u >> 8) & 0xff).toByte)
+          }
+          (id, Multimodal.synthWavHeader(1, 16000, 16, n * 2) ++ data)
+        })
+        .toDF("doc_id", "payload")
+      payloads
+        .select(col("doc_id"),
+          Multimodal.pcmFrameEnergies(
+            Multimodal.wavPcm16(col("payload")), frameLen = 256).as("en"))
+        .filter(col("en").isNotNull)
+        .select(col("doc_id"),
+          size(col("en")).cast("long").as("n_frames"),
+          filter(transform(col("en"), (e, i) =>
+            when(e > lit(1048576L), i).otherwise(lit(-1))), x => x >= 0).as("ai"))
+        .select(col("doc_id"), col("n_frames"),
+          size(col("ai")).cast("long").as("n_active"),
+          coalesce(array_min(col("ai")), lit(-1)).cast("long").as("first_active"),
+          coalesce(array_max(col("ai")), lit(-1)).cast("long").as("last_active"),
+          fp(size(col("ai")).cast("double") / col("n_frames").cast("double"), 4)
+            .as("active_fp4"))
+        .orderBy("doc_id")
+    }),
     // 45d — video frame sampling (1 frame/sec) over the GVID raw
     // container: header parse + sampled-index explode + exact
     // timestamps + offsets, with a probe byte READ at each computed
@@ -960,6 +1003,21 @@ object Pipeline {
         t(s, dir, "documents").select("doc_id", "source"), "doc_id", "source",
         rates = Map("src0" -> 1.0, "src1" -> 1.0, "src2" -> 0.5, "src3" -> 0.5, "src4" -> 0.5),
         defaultRate = 0.25)
+        .orderBy("doc_id")
+    }),
+    // 46k — WEIGHT-proportional sampling without replacement
+    // (sequential Poisson / priority sampling, Ohlsson 1998;
+    // Duffield–Lund–Thorup 2007): priority q = w/u, top-k by q —
+    // length-biased doc selection with a FIXED sample size (rate
+    // sampling can't pin the count). Narrow priority computation +
+    // TakeOrderedAndProject; the single division is IEEE-identical on
+    // both engines so the selected set replicates bit-for-bit
+    "smp_weighted" -> ((s, dir) => {
+      graft.sample.Sampling.prioritySample(
+        t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        "doc_id", "n_chars", k = 100)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          fp(col("_prio"), 4).as("prio_fp4"))
         .orderBy("doc_id")
     }),
     // 46e — deterministic disjoint train/val/test split: md5-uniform
@@ -2215,6 +2273,29 @@ object Pipeline {
         |  CAST(peak AS BIGINT) AS peak, CAST(sum_sq AS BIGINT) AS sum_sq,
         |  ${sqlFp("sqrt(CAST(sum_sq AS DOUBLE) / CAST(n_samples AS DOUBLE))", 2)} AS rms_fp2
         |FROM a ORDER BY doc_id""".stripMargin,
+    // the generator's quiet-frame mask re-derived closed-form:
+    // (v & 63) is the nonneg mod-64 of the two's-complement sample,
+    // i.e. ((v % 64) + 64) % 64; complete frames only (i < frames·256)
+    "mm_audio_seg" ->
+      s"""WITH s AS (SELECT doc_id, doc_id % 10 + 4 AS frames FROM documents),
+        |v AS (SELECT doc_id, frames, unnest(range(0, frames * 256)) AS i FROM s),
+        |x AS (SELECT doc_id, frames, i // 256 AS f,
+        |    CASE WHEN ((i // 256) + doc_id) % 3 = 0
+        |      THEN (((((doc_id * 31 + i * i * 7) % 65536) - 32768) % 64) + 64) % 64
+        |      ELSE ((doc_id * 31 + i * i * 7) % 65536) - 32768 END AS val
+        |  FROM v),
+        |e AS (SELECT doc_id, frames, f, sum(val * val) AS energy FROM x GROUP BY 1, 2, 3),
+        |a AS (SELECT doc_id, frames,
+        |    sum(CASE WHEN energy > 1048576 THEN 1 ELSE 0 END) AS n_active,
+        |    min(CASE WHEN energy > 1048576 THEN f END) AS first_a,
+        |    max(CASE WHEN energy > 1048576 THEN f END) AS last_a
+        |  FROM e GROUP BY 1, 2)
+        |SELECT doc_id, CAST(frames AS BIGINT) AS n_frames,
+        |  CAST(n_active AS BIGINT) AS n_active,
+        |  CAST(coalesce(first_a, -1) AS BIGINT) AS first_active,
+        |  CAST(coalesce(last_a, -1) AS BIGINT) AS last_active,
+        |  ${sqlFp("CAST(n_active AS DOUBLE) / CAST(frames AS DOUBLE)", 4)} AS active_fp4
+        |FROM a ORDER BY doc_id""".stripMargin,
     // audio roundtrip mirror: all synth params are closed-form in
     // doc_id; duration replicates via 64-bit integer division
     "mm_audio_meta" ->
@@ -2340,6 +2421,24 @@ object Pipeline {
         |         ELSE 0.25 END AS rate
         |  FROM documents)
         |WHERE CAST($u32 AS DOUBLE) / 4294967296.0 < rate
+        |ORDER BY doc_id""".stripMargin
+    },
+    "smp_weighted" -> {
+      // priority q = n_chars / ((u32 + 0.5) / 2^32) — one exact
+      // dyadic add, one exact dyadic division, one IEEE division:
+      // both engines produce the identical double, so the top-100
+      // SET matches bit-for-bit (doc_id tiebreak)
+      val u32 = """list_reduce(list_prepend(CAST(0 AS BIGINT),
+        | list_transform(range(1, 9),
+        |   i -> CAST(strpos('0123456789abcdef',
+        |          substr(md5('wsmp:' || CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT))),
+        | (a, v) -> a*16 + v)""".stripMargin.replace("\n", " ")
+      s"""SELECT doc_id, source, n_chars, prio_fp4 FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    ${sqlFp("CAST(n_chars AS DOUBLE) / ((CAST(" + u32 + " AS DOUBLE) + 0.5) / 4294967296.0)", 4)} AS prio_fp4,
+        |    CAST(n_chars AS DOUBLE) / ((CAST($u32 AS DOUBLE) + 0.5) / 4294967296.0) AS prio
+        |  FROM documents
+        |  ORDER BY prio DESC, doc_id LIMIT 100)
         |ORDER BY doc_id""".stripMargin
     },
     "smp_split" -> {

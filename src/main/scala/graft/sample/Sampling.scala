@@ -20,6 +20,40 @@ object Sampling {
     conv(substring(md5(concat(lit(salt + ":"), id.cast("string"))), 1, 8), 16, 10)
       .cast("double") / lit(4294967296.0)
 
+  /** WEIGHT-proportional sample without replacement: sequential
+    * Poisson / priority sampling (Ohlsson 1998; Duffield–Lund–Thorup
+    * 2007). Each row gets priority q = w / u with u a per-id uniform;
+    * the k largest priorities are the sample — inclusion probability
+    * ≈ proportional to weight, without the per-row coin flips of
+    * rate-based sampling ever dropping below k rows. The returned
+    * frame carries `_prio` for the caller to surface or drop.
+    *
+    * Engine-exactness: u = (uint32 + 0.5) / 2³² — the +0.5 (exact in
+    * double) keeps u strictly positive so q never divides by zero,
+    * and the single division q = w/u is IEEE-correctly-rounded
+    * identically on both engines, so the selected SET replicates
+    * bit-for-bit (ties broken by id). Scale-invariant: multiplying
+    * every weight by a constant rescales every priority, so the
+    * selection is a function of relative weights only (spec).
+    *
+    * Shape: narrow priority computation + global top-k =
+    * `TakeOrderedAndProject` — each task keeps its local k, the
+    * driver merges k·tasks rows; no corpus sort, no shuffle. At
+    * k large enough to strain the driver, swap the limit for the
+    * salted two-stage window ([[graft.similarity.Similarity]]
+    * topKPerQuery pattern).
+    */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String, k: Int,
+                     salt: String = "wsmp"): DataFrame = {
+    require(k >= 1, s"prioritySample: k must be ≥ 1, got $k")
+    val u32 = conv(substring(md5(concat(lit(salt + ":"), col(idCol).cast("string"))), 1, 8), 16, 10)
+      .cast("double")
+    df.withColumn("_prio",
+        col(weightCol).cast("double") / ((u32 + lit(0.5)) / lit(4294967296.0)))
+      .orderBy(col("_prio").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Stratified (per-stratum rate) deterministic sample. `rates` maps
     * stratum value → keep-rate; `defaultRate` covers unmapped strata.
     * Returns the kept rows plus the sampling weight (1/rate, fp4) for

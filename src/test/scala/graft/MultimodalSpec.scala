@@ -229,6 +229,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(4L).isEmpty, "non-WAV bytes → NULL (drop-row contract)")
   }
 
+  test("pcmFrameEnergies: exact planted energies, partial tail dropped, null/short edge cases") {
+    import org.apache.spark.sql.functions.col
+    // 2 full 4-sample frames + a 3-sample tail that must be dropped
+    val samples = Array(100, -100, 0, 3, /*frame 1*/ 1, 1, 1, 1, /*tail*/ 7, 7, 7)
+    val data = samples.flatMap { v =>
+      val u = v & 0xffff
+      Array((u & 0xff).toByte, ((u >> 8) & 0xff).toByte)
+    }
+    val wav = Multimodal.synthWavHeader(1, 16000, 16, data.length) ++ data
+    val short = Multimodal.synthWavHeader(1, 16000, 16, 4) ++ Array[Byte](1, 0, 2, 0)
+    val junk = "junk".getBytes("US-ASCII")
+    val got = Seq((1L, wav), (2L, short), (3L, junk)).toDF("doc_id", "payload")
+      .select(col("doc_id"), Multimodal.pcmFrameEnergies(
+        Multimodal.wavPcm16(col("payload")), frameLen = 4).as("en"))
+      .as[(Long, Option[Seq[Long]])].collect().toMap
+    assert(got(1L).contains(Seq(100L * 100 + 100 * 100 + 0 + 9, 4L)),
+      s"exact fold incl. negative samples: ${got(1L)}")
+    assert(got(2L).contains(Seq.empty), "fewer samples than one frame → empty, not error")
+    assert(got(3L).isEmpty, "non-WAV → NULL rides through (drop-row contract)")
+  }
+
   test("aHash: brightness-shift invariant, pattern-sensitive, JVM synth ↔ columnar parse agree") {
     import org.apache.spark.sql.functions.col
     // ids 1, 17, 33 share id%16=1 but differ in id%3 (1, 2, 0): same

@@ -33,6 +33,27 @@ class SamplingSpec extends AnyFunSuite {
     assert(rows.collect { case (_, "src2", w) => w }.forall(_ == 40000L))
   }
 
+  test("prioritySample: exact k, weight-biased, scale-invariant, partitioning-stable") {
+    // 60 heavy docs (w=5000) among 940 light ones (w=5): priority
+    // sampling at k=100 must keep essentially every heavy doc
+    val df = (0L until 1000L).map(i => (i, if (i < 60) 5000L else 5L))
+      .toDF("doc_id", "w")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      Sampling.prioritySample(d, "doc_id", "w", k = 100)
+        .select("doc_id").as[Long].collect().toSet
+    val out = ids(df)
+    assert(out.size == 100, "sample size is pinned at exactly k")
+    val heavy = out.count(_ < 60)
+    assert(heavy >= 55, s"weight bias: only $heavy of 60 heavy docs kept")
+    // scale invariance: priorities rescale together, selection is a
+    // function of relative weights only
+    assert(ids(df.withColumn("w", col("w") * 1000L)) == out)
+    // pure function of the data, not the partitioning
+    assert(ids(df.repartition(13)) == out)
+    // k ≥ n degenerates to the full frame
+    assert(ids(df.limit(40)) == (0L until 40L).toSet)
+  }
+
   test("reservoirPerStratum yields exactly k rows per stratum, stable under repartitioning") {
     val df = (0L until 900L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "source")
     val out = Sampling.reservoirPerStratum(df, "doc_id", "source", k = 7)
