@@ -25,15 +25,17 @@ object Pipeline {
   private val SessionGapMs = 21600000L // 6h
 
   /** events projected to engine-exact types: epoch ms + fp4 value.
-    * `ts` arrives as long nanos (spark.sql.legacy.parquet.nanosAsLong
-    * — Spark 4 has no native ns timestamp). True FLOOR division to ms
-    * (subtract the non-negative pmod remainder first): bare `DIV`
-    * truncates toward zero, which would diverge from DuckDB's
-    * epoch_ms() for pre-1970 (negative) nanos. */
-  private def ev(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").select(
+    * `ts` is currently parquet timestamp[us] (TIMESTAMP_NTZ), but the
+    * driver has regenerated the physical type between rounds before —
+    * tsMs() branches on the loaded dataType (timestamp → unix_millis
+    * under the UTC session; long nanos → floor-div), matching DuckDB's
+    * epoch_ms() either way, including pre-1970 timestamps. */
+  private def ev(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    e.select(
       col("event_id"), col("user_id"), col("event_type"),
-      expr("(ts - pmod(ts, 1000000)) DIV 1000000").as("ms"), fp(col("value"), 4).as("v4"))
+      tsMs(e).as("ms"), fp(col("value"), 4).as("v4"))
+  }
 
   val defs: Map[String, Q] = Map(
     // 31 — exact dedup by content hash, keep min id

@@ -26,4 +26,20 @@ object QueryUtil {
 
   /** Epoch milliseconds from a (ntz) timestamp, UTC session. */
   def epochMs(ts: Column): Column = unix_millis(ts.cast("timestamp"))
+
+  /** Epoch milliseconds from the events `ts` column under WHATEVER
+    * physical type the driver materialized it as (the testdata
+    * regenerates between rounds): TIMESTAMP / TIMESTAMP_NTZ (parquet
+    * timestamp[ms|us]) → unix_millis under the UTC session; LONG
+    * (nanos surfaced by spark.sql.legacy.parquet.nanosAsLong for
+    * timestamp[ns] parquet) → true FLOOR division to ms — subtract
+    * the non-negative pmod remainder first, because bare `DIV`
+    * truncates toward zero and would diverge from DuckDB's
+    * epoch_ms() for pre-1970 (negative) timestamps. */
+  def tsMs(df: DataFrame, tsCol: String = "ts"): Column =
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr(s"($tsCol - pmod($tsCol, 1000000)) DIV 1000000")
+      case _ => epochMs(col(tsCol))
+    }
 }

@@ -174,16 +174,18 @@ object Relational {
     // picks the latest event at-or-before its date on a shared derived
     // key. Sort-merge over a tagged union — ONE key shuffle, no range
     // θ-join, no BroadcastNestedLoopJoin (operators/AsofJoin.scala).
-    // orders.o_orderdate is parquet timestamp[ms] (a real TIMESTAMP
-    // column, UTC session); events.ts is timestamp[ns], surfaced as
-    // long nanos by nanosAsLong — both normalize to epoch ms.
+    // orders.o_orderdate is parquet timestamp[ms] and events.ts is
+    // timestamp[us] (both real TIMESTAMP columns, UTC session) — both
+    // normalize to epoch ms (tsMs branches on the loaded dataType in
+    // case the driver regenerates events.ts as long nanos again).
     "q17_asof_join" -> ((s, dir) => {
       val o = t(s, dir, "orders").select(
         col("o_orderkey"), pmod(col("o_custkey"), lit(100L)).as("k"),
         epochMs(col("o_orderdate")).as("oms"))
-      val e = t(s, dir, "events").select(
+      val e0 = t(s, dir, "events")
+      val e = e0.select(
         pmod(col("user_id"), lit(100L)).as("k"),
-        expr("(ts - pmod(ts, 1000000)) DIV 1000000").as("ms"),
+        tsMs(e0).as("ms"),
         col("event_id"))
       graft.operators.AsofJoin.asofBackward(o, "k", "oms", e, "k", "ms", Seq("event_id"))
         .select(col("o_orderkey"), col("k"), col("oms"),
