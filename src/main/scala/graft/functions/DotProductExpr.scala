@@ -133,6 +133,14 @@ object GraftFunctions {
       new ExpressionInfo(classOf[CdcCutsExpr].getName, "graft_cdc_cuts"),
       (children: Seq[Expression]) => CdcCutsExpr(children(0), children(1), children(2))))
     ext.injectFunction((
+      FunctionIdentifier("graft_wav_pcm16"),
+      new ExpressionInfo(classOf[WavPcm16Expr].getName, "graft_wav_pcm16"),
+      (children: Seq[Expression]) => WavPcm16Expr(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_frame_energies"),
+      new ExpressionInfo(classOf[PcmFrameEnergiesExpr].getName, "graft_frame_energies"),
+      (children: Seq[Expression]) => PcmFrameEnergiesExpr(children(0), children(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_dwithin"),
       new ExpressionInfo(classOf[graft.plans.GraftDWithin].getName, "graft_dwithin"),
       (children: Seq[Expression]) => {

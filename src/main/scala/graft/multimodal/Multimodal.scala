@@ -168,11 +168,17 @@ object Multimodal {
   /** PCM sample decode of a canonical 16-bit WAV payload:
     * `array<int>` of all samples in storage order, NULL for non-WAV /
     * non-16-bit payloads (the drop-row malformed-input contract).
-    * Pure narrow columnar — the whole byte walk stays inside
-    * whole-stage codegen, zero shuffle, scales with rows; a real
-    * audio codec would slot in at a mapPartitions seam exactly like
-    * the GVRL frame decoder, but PCM needs no library. */
-  def wavPcm16(payload: Column): Column = {
+    * Native codegen'd one-pass byte walk
+    * ([[graft.functions.WavPcm16Expr]]) — zero shuffle, scales with
+    * rows; a real audio codec would slot in at a mapPartitions seam
+    * exactly like the GVRL frame decoder, but PCM needs no library. */
+  def wavPcm16(payload: Column): Column =
+    call_function("graft_wav_pcm16", payload)
+
+  /** HOF spec twin of [[wavPcm16]] (per-sample substr/hex/conv reads
+    * inside an interpreted transform — bit-equality tested, ~100×
+    * slower; don't use it in anything measured). */
+  def wavPcm16Hof(payload: Column): Column = {
     val n = shiftright(wavDataBytes(payload), 1).cast("int")
     when(isWav(payload) && wavBitsPerSample(payload) === 16 && n > 0,
       transform(sequence(lit(0), n - 1), i => s16le(payload, lit(45) + i * 2)))
@@ -186,12 +192,20 @@ object Multimodal {
     * energy = Σ v² in BIGINT (65536²·frameLen ≪ 2⁶³ for any sane
     * frame), trailing partial frame dropped. NULL pcm propagates
     * (drop-row contract); fewer than `frameLen` samples → empty.
-    * Narrow columnar — nested HOF fold, no shuffle. */
+    * Native codegen'd one-pass loop
+    * ([[graft.functions.PcmFrameEnergiesExpr]]) — no shuffle. */
   def pcmFrameEnergies(pcm: Column, frameLen: Int): Column = {
     require(frameLen >= 1, s"pcmFrameEnergies: frameLen must be ≥ 1, got $frameLen")
+    call_function("graft_frame_energies", pcm, lit(frameLen))
+  }
+
+  /** HOF spec twin of [[pcmFrameEnergies]] (interpreted nested fold —
+    * bit-equality tested; don't use it in anything measured). */
+  def pcmFrameEnergiesHof(pcm: Column, frameLen: Int): Column = {
+    require(frameLen >= 1, s"pcmFrameEnergiesHof: frameLen must be ≥ 1, got $frameLen")
     // let-bind the decoded array FIRST: callers pass composite
-    // expressions (wavPcm16), and HOF lambdas get no CSE — an unbound
-    // pcm would re-decode the whole payload once per frame (O(n²))
+    // expressions (wavPcm16Hof), and HOF lambdas get no CSE — an
+    // unbound pcm would re-decode the whole payload once per frame
     graft.ColumnOps.let(pcm) { p =>
       graft.ColumnOps.let(size(p)) { n =>
         when(p.isNull, lit(null).cast("array<long>"))

@@ -229,6 +229,46 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(4L).isEmpty, "non-WAV bytes → NULL (drop-row contract)")
   }
 
+  test("native wavPcm16/pcmFrameEnergies are bit-identical to their HOF twins on every payload shape") {
+    // every contract edge in one battery: well-formed, zero-length
+    // data chunk, 8-bit, non-WAV junk, header cut at each length
+    // through the u32 size field (40..44 bytes — partial-byte size
+    // parse), truncated mid-sample (declared > actual: odd and even
+    // cut points → null-padded tail), empty payload
+    val samples = Array(-32768, 32767, -1, 0, 1, 255, 256, -256, 1000, -1000, 63, -64)
+    val data = samples.flatMap { v =>
+      val u = v & 0xffff
+      Array((u & 0xff).toByte, ((u >> 8) & 0xff).toByte)
+    }
+    val good = Multimodal.synthWavHeader(1, 16000, 16, data.length) ++ data
+    val payloads: Seq[Array[Byte]] =
+      Seq(
+        good,
+        Multimodal.synthWavHeader(1, 16000, 16, 0),
+        Multimodal.synthWavHeader(1, 8000, 8, 4) ++ Array[Byte](1, 2, 3, 4),
+        "not audio at all".getBytes("US-ASCII"),
+        Array.empty[Byte]) ++
+        (40 to 44).map(good.take) ++     // cuts inside/at the size field
+        Seq(good.dropRight(1), good.dropRight(3), good.dropRight(4))
+    val df = payloads.zipWithIndex.map { case (p, i) => (i.toLong, p) }.toDF("id", "payload")
+    val rows = df.select(col("id"),
+        Multimodal.wavPcm16(col("payload")).as("nat"),
+        Multimodal.wavPcm16Hof(col("payload")).as("hof"),
+        Multimodal.pcmFrameEnergies(Multimodal.wavPcm16(col("payload")), 4).as("en_nat"),
+        Multimodal.pcmFrameEnergiesHof(Multimodal.wavPcm16Hof(col("payload")), 4).as("en_hof"))
+      .as[(Long, Option[Seq[Option[Int]]], Option[Seq[Option[Int]]],
+           Option[Seq[Option[Long]]], Option[Seq[Option[Long]]])].collect()
+    rows.foreach { case (id, nat, hof, enNat, enHof) =>
+      assert(nat == hof, s"payload $id: pcm native=$nat hof=$hof")
+      assert(enNat == enHof, s"payload $id: energies native=$enNat hof=$enHof")
+    }
+    // the battery must actually exercise all three shapes
+    val pcms = rows.map(_._2)
+    assert(pcms.exists(_.exists(a => a.nonEmpty && a.forall(_.isDefined))), "no full decode")
+    assert(pcms.exists(_.exists(a => a.exists(_.isEmpty))), "no null-padded tail case")
+    assert(pcms.exists(_.isEmpty), "no dropped-row case")
+  }
+
   test("pcmFrameEnergies: exact planted energies, partial tail dropped, null/short edge cases") {
     import org.apache.spark.sql.functions.col
     // 2 full 4-sample frames + a 3-sample tail that must be dropped
