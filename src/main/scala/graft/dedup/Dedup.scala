@@ -23,10 +23,27 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** Word n-gram shingles (space-joined), lowercased, distinct.
-    * Tokens are let-bound: the tokenizer runs once per row, not once
-    * per shingle (no CSE inside HOF lambdas). */
+  /** Word n-gram shingles (space-joined), lowercased, distinct —
+    * native window builder ([[graft.functions.WordNgramsExpr]]) for
+    * the full-window branch; fewer tokens than `n` → the whole text
+    * as one shingle. */
   def shingles(text: Column, n: Int): Column =
+    graft.ColumnOps.let(TextAnalysis.tokens(text)) { toks =>
+      array_distinct(
+        when(
+          size(toks) < n,
+          array(concat_ws(" ", toks))
+        ).otherwise(
+          call_function("graft_word_ngrams", toks, lit(n), lit(1), lit(0))
+        )
+      )
+    }
+
+  /** HOF spec twin of [[shingles]] (interpreted per-window
+    * slice+concat — bit-equality tested; don't use it in anything
+    * measured). Tokens are let-bound: the tokenizer runs once per
+    * row, not once per shingle (no CSE inside HOF lambdas). */
+  def shinglesHof(text: Column, n: Int): Column =
     graft.ColumnOps.let(TextAnalysis.tokens(text)) { toks =>
       array_distinct(
         when(
@@ -54,10 +71,19 @@ object Dedup {
   /** MinHash signature as `numPerm` longs: each shingle is md5-hashed
     * ONCE (first 8 hex chars → uint32), then each permutation is a
     * cheap affine map h → (h*A_j + B_j) mod P, min over shingles.
-    * One md5 per shingle (not per shingle×perm) — the md5 is the cost
-    * center at scale.
+    * Native one-pass fold ([[graft.functions.MinhashExpr]]) — one md5
+    * per shingle (not per shingle×perm); the md5 is the cost center
+    * at scale.
     */
   def minhash(shingleCol: Column, numPerm: Int): Column = {
+    require(numPerm <= MinhashA.length, s"at most ${MinhashA.length} permutations")
+    call_function("graft_minhash", shingleCol, lit(numPerm))
+  }
+
+  /** HOF spec twin of [[minhash]] (one interpreted md5-hex transform
+    * + numPerm array_min passes — bit-equality tested; don't use it
+    * in anything measured). */
+  def minhashHof(shingleCol: Column, numPerm: Int): Column = {
     require(numPerm <= MinhashA.length, s"at most ${MinhashA.length} permutations")
     graft.ColumnOps.let(
       transform(shingleCol, s => conv(substring(md5(s), 1, 8), 16, 10).cast("long"))
@@ -712,10 +738,8 @@ object Dedup {
                    k: Int = 8, threshold: Int = 2): DataFrame = {
     val segs = df
       .select(col(idCol).as("doc"),
-        posexplode(graft.ColumnOps.let(TextAnalysis.tokens(col(textCol))) { toks =>
-          transform(sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(k)),
-            s => concat_ws(" ", slice(toks, s + 1, lit(k))))
-        }).as(Seq("pos", "seg")))
+        posexplode(call_function("graft_word_ngrams",
+          TextAnalysis.tokens(col(textCol)), lit(k), lit(k), lit(1))).as(Seq("pos", "seg")))
     val common = segs.groupBy("seg")
       .agg(count_distinct(col("doc")).as("_nd"))
       .filter(col("_nd") >= threshold)
@@ -791,11 +815,8 @@ object Dedup {
                     n: Int = 8): DataFrame = {
     require(n >= 1, s"dupNgramStats: n = $n must be >= 1")
     val grams = df.select(col(idCol).as("doc"),
-        explode(graft.ColumnOps.let(TextAnalysis.tokens(col(textCol))) { toks =>
-          when(size(toks) < n, array().cast("array<string>"))
-            .otherwise(transform(sequence(lit(1), size(toks) - lit(n - 1)),
-              i => concat_ws(" ", slice(toks, i, lit(n)))))
-        }).as("gram"))
+        explode(call_function("graft_word_ngrams",
+          TextAnalysis.tokens(col(textCol)), lit(n), lit(1), lit(0))).as("gram"))
       .select(col("doc"), md5(col("gram")).as("_gh"))
     val perDoc = grams.groupBy("doc", "_gh").agg(count(lit(1)).as("k"))
     val totals = perDoc.groupBy("_gh").agg(sum(col("k")).as("_tot"))

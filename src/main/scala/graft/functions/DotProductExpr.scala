@@ -133,6 +133,18 @@ object GraftFunctions {
       new ExpressionInfo(classOf[CdcCutsExpr].getName, "graft_cdc_cuts"),
       (children: Seq[Expression]) => CdcCutsExpr(children(0), children(1), children(2))))
     ext.injectFunction((
+      FunctionIdentifier("graft_char_ngrams"),
+      new ExpressionInfo(classOf[CharNgramsExpr].getName, "graft_char_ngrams"),
+      (children: Seq[Expression]) => CharNgramsExpr(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_word_ngrams"),
+      new ExpressionInfo(classOf[WordNgramsExpr].getName, "graft_word_ngrams"),
+      (children: Seq[Expression]) => WordNgramsExpr(children(0), children(1), children(2), children(3))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinhashExpr].getName, "graft_minhash"),
+      (children: Seq[Expression]) => MinhashExpr(children(0), children(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_wav_pcm16"),
       new ExpressionInfo(classOf[WavPcm16Expr].getName, "graft_wav_pcm16"),
       (children: Seq[Expression]) => WavPcm16Expr(children(0))))

@@ -161,10 +161,17 @@ object TextAnalysis {
     "fr" -> Seq(" le", "es ", "le ", " de", "ent", "ais", "que")
   )
 
-  /** All char trigrams of lower(text), in order. (sequence(1, n) is
-    * DESCENDING for n < 1, so short texts take the explicit empty
-    * branch.) */
+  /** All char trigrams of lower(text), in order — native one-pass
+    * builder ([[graft.functions.CharNgramsExpr]]); short texts →
+    * empty array. */
   def charTrigrams(text: Column): Column =
+    call_function("graft_char_ngrams", lower(text), lit(3))
+
+  /** HOF spec twin of [[charTrigrams]] (interpreted per-gram substr —
+    * bit-equality tested; don't use it in anything measured).
+    * (sequence(1, n) is DESCENDING for n < 1, so short texts take the
+    * explicit empty branch.) */
+  def charTrigramsHof(text: Column): Column =
     graft.ColumnOps.let(lower(text)) { lo =>
       when(length(lo) < 3, array().cast("array<string>"))
         .otherwise(transform(sequence(lit(1), length(lo) - 2), i => lo.substr(i, lit(3))))
@@ -278,10 +285,7 @@ object TextAnalysis {
     // slower on this corpus)
     val tri = norm
       .select(col("doc_id"),
-        explode(when(length(col("t")) >= 3,
-            transform(sequence(lit(1), length(col("t")) - lit(2)),
-              i => col("t").substr(i, lit(3))))
-          .otherwise(array().cast("array<string>"))).as("g"))
+        explode(call_function("graft_char_ngrams", col("t"), lit(3))).as("g"))
       .select(col("doc_id"),
         substring(col("g"), 1, 2).as("ctx"),
         substring(col("g"), 3, 1).as("c"))

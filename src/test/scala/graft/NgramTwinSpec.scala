@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+
+/** Bit-equality of the native n-gram / minhash expressions against
+  * their interpreted HOF twins, over every input shape the operators
+  * see: empty, shorter-than-n, exact-n, long, multibyte, whitespace
+  * runs, and null.
+  */
+class NgramTwinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val texts = Seq(
+    "",
+    "a",
+    "ab",
+    "abc",
+    "the quick brown fox jumps over the lazy dog",
+    "  leading   runs\tand\ttabs  ",
+    "héllo wörld ünïcode grams über äll",
+    "one",
+    "one two",
+    "one two three",
+    "ONE TWO THREE four FIVE six seven eight nine ten eleven twelve",
+    "repeat repeat repeat repeat repeat")
+
+  private def df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    .toDF("id", "text")
+
+  test("charTrigrams native == HOF twin (incl. multibyte + short texts)") {
+    val rows = df.select(col("id"),
+        TextAnalysis.charTrigrams(col("text")).as("nat"),
+        TextAnalysis.charTrigramsHof(col("text")).as("hof"))
+      .as[(Long, Option[Seq[String]], Option[Seq[String]])].collect()
+    rows.foreach { case (id, nat, hof) => assert(nat == hof, s"text $id") }
+    assert(rows.exists(_._2.exists(_.isEmpty)), "battery must include a short text")
+    assert(rows.exists(_._2.exists(_.size > 10)), "battery must include a long text")
+  }
+
+  test("shingles native == HOF twin for n = 2, 3, 5") {
+    Seq(2, 3, 5).foreach { n =>
+      val rows = df.select(col("id"),
+          Dedup.shingles(col("text"), n).as("nat"),
+          Dedup.shinglesHof(col("text"), n).as("hof"))
+        .as[(Long, Option[Seq[String]], Option[Seq[String]])].collect()
+      rows.foreach { case (id, nat, hof) => assert(nat == hof, s"n=$n text $id") }
+    }
+  }
+
+  test("word n-grams partial mode == the segmentDedup HOF shape") {
+    // the exact HOF expression segmentDedup used before nativizing
+    def hofSegs(toksCol: org.apache.spark.sql.Column, k: Int) =
+      graft.ColumnOps.let(toksCol) { toks =>
+        transform(sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(k)),
+          s => concat_ws(" ", slice(toks, s + 1, lit(k))))
+      }
+    Seq(3, 8).foreach { k =>
+      val rows = df.select(col("id"),
+          call_function("graft_word_ngrams",
+            TextAnalysis.tokens(col("text")), lit(k), lit(k), lit(1)).as("nat"),
+          hofSegs(TextAnalysis.tokens(col("text")), k).as("hof"))
+        .as[(Long, Option[Seq[String]], Option[Seq[String]])].collect()
+      rows.foreach { case (id, nat, hof) => assert(nat == hof, s"k=$k text $id") }
+      // the empty-token-array edge must yield one "" window, not none
+      assert(rows.find(_._1 == 0L).get._2.contains(Seq("")), "empty text edge")
+    }
+  }
+
+  test("minhash native == HOF twin on real shingle arrays; empty array -> all-null signature") {
+    val rows = df.select(col("id"),
+        Dedup.minhash(Dedup.shingles(col("text"), 3), 8).as("nat"),
+        Dedup.minhashHof(Dedup.shinglesHof(col("text"), 3), 8).as("hof"))
+      .as[(Long, Option[Seq[Option[Long]]], Option[Seq[Option[Long]]])].collect()
+    rows.foreach { case (id, nat, hof) => assert(nat == hof, s"text $id") }
+    // empty shingle array: both emit an all-null signature of length 8
+    val empt = Seq(Tuple1(Seq.empty[String])).toDF("sh")
+      .select(Dedup.minhash(col("sh"), 8).as("nat"), Dedup.minhashHof(col("sh"), 8).as("hof"))
+      .as[(Option[Seq[Option[Long]]], Option[Seq[Option[Long]]])].head()
+    assert(empt._1 == empt._2 && empt._1.contains(Seq.fill(8)(None)), empt.toString)
+  }
+
+  test("null text: natives are null; minhash twin divergence is the documented one") {
+    val nd = Seq((1L, null.asInstanceOf[String])).toDF("id", "text")
+    val r = nd.select(
+        TextAnalysis.charTrigrams(col("text")).as("ct"),
+        TextAnalysis.charTrigramsHof(col("text")).as("ct_hof"),
+        Dedup.shingles(col("text"), 3).as("sh"),
+        Dedup.shinglesHof(col("text"), 3).as("sh_hof"),
+        Dedup.minhash(Dedup.shingles(col("text"), 3), 8).as("mh"),
+        Dedup.minhashHof(Dedup.shinglesHof(col("text"), 3), 8).as("mh_hof"))
+      .as[(Option[Seq[String]], Option[Seq[String]], Option[Seq[String]], Option[Seq[String]],
+           Option[Seq[Option[Long]]], Option[Seq[Option[Long]]])].head()
+    assert(r._1.isEmpty && r._1 == r._2, "charTrigrams null parity")
+    assert(r._3.isEmpty && r._3 == r._4, "shingles null parity")
+    // DOCUMENTED divergence: the HOF let-binding evaluates its body on
+    // a null-bound lambda var, so minhashHof(null) is a signature of
+    // nulls while the native is null. Neither produces a band key that
+    // can equi-join (null keys never match), so candidate-pair output
+    // is identical; this assertion pins the divergence so a change to
+    // either side is caught.
+    assert(r._5.isEmpty, "native minhash(null) is null")
+    assert(r._6.contains(Seq.fill(8)(None)), "HOF minhash(null) is an all-null signature")
+  }
+}
