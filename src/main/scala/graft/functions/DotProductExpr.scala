@@ -133,6 +133,14 @@ object GraftFunctions {
       new ExpressionInfo(classOf[CdcCutsExpr].getName, "graft_cdc_cuts"),
       (children: Seq[Expression]) => CdcCutsExpr(children(0), children(1), children(2))))
     ext.injectFunction((
+      FunctionIdentifier("graft_ahash_half"),
+      new ExpressionInfo(classOf[AHashHalfExpr].getName, "graft_ahash_half"),
+      (children: Seq[Expression]) => AHashHalfExpr(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_raster_sum"),
+      new ExpressionInfo(classOf[RasterSumExpr].getName, "graft_raster_sum"),
+      (children: Seq[Expression]) => RasterSumExpr(children(0), children(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_char_ngrams"),
       new ExpressionInfo(classOf[CharNgramsExpr].getName, "graft_char_ngrams"),
       (children: Seq[Expression]) => CharNgramsExpr(children(0), children(1))))

@@ -257,6 +257,14 @@ object Multimodal {
     */
   def aHashHalf(payload: Column, start: Int): Column = {
     require(start == 0 || start == 32, s"start must be 0 or 32, got $start")
+    call_function("graft_ahash_half", payload, lit(start))
+  }
+
+  /** HOF spec twin of [[aHashHalf]] (3× interpreted byte re-parses per
+    * raster — bit-equality tested; don't use it in anything
+    * measured). */
+  def aHashHalfHof(payload: Column, start: Int): Column = {
+    require(start == 0 || start == 32, s"start must be 0 or 32, got $start")
     graft.ColumnOps.let(transform(sequence(lit(0), lit(63)), i => u8(payload, i + 1).cast("long"))) { ps =>
       graft.ColumnOps.let(aggregate(ps, lit(0L), (a, v) => a + v)) { s =>
         aggregate(reverse(slice(ps, start + 1, 32)), lit(0L),
@@ -546,6 +554,11 @@ object Multimodal {
   /** Integer pixel sum of an `n`-byte raster column — columnar, the
     * aggregate [[aHashHalf]] thresholds against. */
   def rasterSum(payload: Column, n: Int): Column =
+    call_function("graft_raster_sum", payload, lit(n))
+
+  /** HOF spec twin of [[rasterSum]] (interpreted per-byte parse —
+    * bit-equality tested; don't use it in anything measured). */
+  def rasterSumHof(payload: Column, n: Int): Column =
     aggregate(transform(sequence(lit(0), lit(n - 1)), i => u8(payload, i + lit(1)).cast("long")),
       lit(0L), (a, v) => a + v)
 

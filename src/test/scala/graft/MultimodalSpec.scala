@@ -290,6 +290,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(3L).isEmpty, "non-WAV → NULL rides through (drop-row contract)")
   }
 
+  test("native aHashHalf/rasterSum are bit-identical to their HOF twins incl. truncated rasters") {
+    // full rasters, a flat raster (all bits 0 — strict > never fires),
+    // an extreme-contrast raster, truncations at 0/32/63 bytes, and a
+    // longer-than-64 payload (extra bytes ignored)
+    val full = Seq(1L, 2L, 17L).map(Multimodal.synthGray8x8)
+    val flat = Array.fill[Byte](64)(100.toByte)
+    val contrast = (Array.fill[Byte](32)(0.toByte) ++ Array.fill[Byte](32)(255.toByte))
+    val long65 = Multimodal.synthGray8x8(3L) ++ Array[Byte](9)
+    val payloads = full ++ Seq(flat, contrast, long65,
+      Array.empty[Byte], Multimodal.synthGray8x8(4L).take(32), Multimodal.synthGray8x8(5L).take(63))
+    val rows = payloads.zipWithIndex.map { case (p, i) => (i.toLong, p) }.toDF("id", "payload")
+      .select(col("id"),
+        Multimodal.aHashHalf(col("payload"), 0).as("lo"),
+        Multimodal.aHashHalfHof(col("payload"), 0).as("lo_hof"),
+        Multimodal.aHashHalf(col("payload"), 32).as("hi"),
+        Multimodal.aHashHalfHof(col("payload"), 32).as("hi_hof"),
+        Multimodal.rasterSum(col("payload"), 64).as("s"),
+        Multimodal.rasterSumHof(col("payload"), 64).as("s_hof"))
+      .as[(Long, Long, Long, Long, Long, Option[Long], Option[Long])].collect()
+    rows.foreach { case (id, lo, loH, hi, hiH, s, sH) =>
+      assert(lo == loH && hi == hiH, s"raster $id: ($lo,$hi) vs ($loH,$hiH)")
+      assert(s == sH, s"raster $id: sum $s vs $sH")
+    }
+    assert(rows.count(_._6.isEmpty) == 3, "three truncated rasters must sum to null")
+    assert(rows.exists(r => r._2 != 0L || r._4 != 0L), "battery must include a nonzero hash")
+  }
+
   test("aHash: brightness-shift invariant, pattern-sensitive, JVM synth ↔ columnar parse agree") {
     import org.apache.spark.sql.functions.col
     // ids 1, 17, 33 share id%16=1 but differ in id%3 (1, 2, 0): same
