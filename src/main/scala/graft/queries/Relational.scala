@@ -174,14 +174,16 @@ object Relational {
     // picks the latest event at-or-before its date on a shared derived
     // key. Sort-merge over a tagged union — ONE key shuffle, no range
     // θ-join, no BroadcastNestedLoopJoin (operators/AsofJoin.scala).
-    // orders.o_orderdate is parquet timestamp[ms] and events.ts is
-    // timestamp[us] (both real TIMESTAMP columns, UTC session) — both
-    // normalize to epoch ms (tsMs branches on the loaded dataType in
-    // case the driver regenerates events.ts as long nanos again).
+    // orders.o_orderdate and events.ts are parquet timestamp[us]
+    // (real TIMESTAMP columns, UTC session) — both normalize to epoch
+    // ms through tsMs, which branches on the LOADED dataType so a
+    // driver-side regeneration to timestamp[ns]-as-long (or back)
+    // cannot strand the query again.
     "q17_asof_join" -> ((s, dir) => {
-      val o = t(s, dir, "orders").select(
+      val o0 = t(s, dir, "orders")
+      val o = o0.select(
         col("o_orderkey"), pmod(col("o_custkey"), lit(100L)).as("k"),
-        epochMs(col("o_orderdate")).as("oms"))
+        tsMs(o0, "o_orderdate").as("oms"))
       val e0 = t(s, dir, "events")
       val e = e0.select(
         pmod(col("user_id"), lit(100L)).as("k"),
