@@ -157,6 +157,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[WavPcm16Expr].getName, "graft_wav_pcm16"),
       (children: Seq[Expression]) => WavPcm16Expr(children(0))))
     ext.injectFunction((
+      FunctionIdentifier("graft_pcm_stats"),
+      new ExpressionInfo(classOf[PcmStatsExpr].getName, "graft_pcm_stats"),
+      (children: Seq[Expression]) => PcmStatsExpr(children(0))))
+    ext.injectFunction((
       FunctionIdentifier("graft_frame_energies"),
       new ExpressionInfo(classOf[PcmFrameEnergiesExpr].getName, "graft_frame_energies"),
       (children: Seq[Expression]) => PcmFrameEnergiesExpr(children(0), children(1))))

@@ -101,6 +101,70 @@ object WavPcm16Expr {
   }
 }
 
+/** Native one-pass loudness stats over a decoded PCM array:
+  * struct(n_samples, peak, sum_sq) with the exact fold semantics of
+  * the three separate HOF aggregates mm_audio_rms used — peak =
+  * fold(greatest(acc, abs(v))) which SKIPS null samples (greatest
+  * ignores null), sum_sq = fold(acc + v²) which NULLS on the first
+  * null sample, n_samples = size. One pass instead of three
+  * interpreted folds.
+  *
+  * Registered as SQL function `graft_pcm_stats` via
+  * [[GraftFunctions.register]].
+  */
+case class PcmStatsExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_pcm_stats expects array<int>, got $t")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_samples", LongType, nullable = false),
+    StructField("peak", LongType, nullable = false),
+    StructField("sum_sq", LongType, nullable = true)))
+  override def prettyName: String = "graft_pcm_stats"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(pcm: Any): Any =
+    PcmStatsExpr.compute(pcm.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.PcmStatsExpr.compute($c);
+       |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PcmStatsExpr {
+  /** Called from generated code. */
+  def compute(pcm: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = pcm.numElements()
+    var peak = 0L
+    var sumSq = 0L
+    var sumNull = false
+    var i = 0
+    while (i < n) {
+      if (pcm.isNullAt(i)) sumNull = true
+      else {
+        val v = pcm.getInt(i).toLong
+        val a = math.abs(v)
+        if (a > peak) peak = a
+        sumSq += v * v
+      }
+      i += 1
+    }
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(3)
+    row.update(0, n.toLong)
+    row.update(1, peak)
+    if (sumNull) row.setNullAt(2) else row.update(2, sumSq)
+    row
+  }
+}
+
 /** Native exact per-frame energies over a decoded PCM array:
   * non-overlapping `frameLen`-sample frames, energy = Σ v² in BIGINT,
   * trailing partial frame dropped; fewer than `frameLen` samples →

@@ -844,13 +844,12 @@ object Pipeline {
         })
         .toDF("doc_id", "payload")
       payloads
-        .select(col("doc_id"), Multimodal.wavPcm16(col("payload")).as("pcm"))
+        .select(col("doc_id"), call_function("graft_pcm_stats",
+          Multimodal.wavPcm16(col("payload"))).as("st"))
         .select(col("doc_id"),
-          size(col("pcm")).cast("long").as("n_samples"),
-          aggregate(col("pcm"), lit(0L),
-            (a, v) => greatest(a, abs(v).cast("long"))).as("peak"),
-          aggregate(col("pcm"), lit(0L),
-            (a, v) => a + v.cast("long") * v.cast("long")).as("sum_sq"))
+          col("st.n_samples").as("n_samples"),
+          col("st.peak").as("peak"),
+          col("st.sum_sq").as("sum_sq"))
         .withColumn("rms_fp2",
           fp(sqrt(col("sum_sq").cast("double") / col("n_samples").cast("double")), 2))
         .orderBy("doc_id")

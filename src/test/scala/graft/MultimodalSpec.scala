@@ -290,6 +290,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(3L).isEmpty, "non-WAV → NULL rides through (drop-row contract)")
   }
 
+  test("graft_pcm_stats matches the three separate HOF folds incl. null-sample semantics") {
+    import org.apache.spark.sql.functions.{aggregate, greatest, abs, lit, call_function}
+    // decoded arrays: normal, empty, with a null sample (truncated
+    // payload tail), all-null
+    val arrs: Seq[Option[Seq[Option[Int]]]] = Seq(
+      Some(Seq(Some(3), Some(-7), Some(0), Some(32767), Some(-32768))),
+      Some(Seq.empty),
+      Some(Seq(Some(5), None, Some(-2))),
+      Some(Seq(None, None)),
+      None)
+    val df = arrs.zipWithIndex.map { case (a, i) => (i.toLong, a) }.toDF("id", "pcm")
+    val rows = df.select(col("id"),
+        call_function("graft_pcm_stats", col("pcm")).as("st"),
+        size(col("pcm")).cast("long").as("n_hof"),
+        aggregate(col("pcm"), lit(0L), (a, v) => greatest(a, abs(v).cast("long"))).as("peak_hof"),
+        aggregate(col("pcm"), lit(0L), (a, v) => a + v.cast("long") * v.cast("long")).as("ss_hof"))
+      .select(col("id"), col("st.n_samples"), col("st.peak"), col("st.sum_sq"),
+        col("n_hof"), col("peak_hof"), col("ss_hof"))
+      .as[(Long, Option[Long], Option[Long], Option[Long], Option[Long], Option[Long], Option[Long])]
+      .collect()
+    rows.foreach { case (id, n, p, ss, nH, pH, ssH) =>
+      assert(n == nH && p == pH && ss == ssH, s"pcm $id: ($n,$p,$ss) vs ($nH,$pH,$ssH)")
+    }
+    assert(rows.exists(_._4.isEmpty), "null-sample sum_sq case present")
+  }
+
   test("native aHashHalf/rasterSum are bit-identical to their HOF twins incl. truncated rasters") {
     // full rasters, a flat raster (all bits 0 — strict > never fires),
     // an extreme-contrast raster, truncations at 0/32/63 bytes, and a
