@@ -278,4 +278,58 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  // ---- native expressions vs their HOF twins on random input ---------
+
+  test("property: native wavPcm16 equals the HOF twin on random byte soup and random-cut WAVs") {
+    import graft.multimodal.Multimodal
+    val byteGen = Gen.chooseNum(0, 255).map(_.toByte)
+    val soupGen = Gen.chooseNum(0, 120).flatMap(n => Gen.listOfN(n, byteGen)).map(_.toArray)
+    val wavGen = for {
+      n <- Gen.chooseNum(0, 40)
+      samples <- Gen.listOfN(n, Gen.chooseNum(-32768, 32767))
+      declared <- Gen.oneOf(n * 2, n * 2, n * 2, n * 2 + 2, math.max(0, n * 2 - 2)) // mostly honest
+      cut <- Gen.chooseNum(0, 44 + n * 2)
+      honest <- Gen.oneOf(true, true, true, false)
+    } yield {
+      val data = samples.flatMap { v =>
+        val u = v & 0xffff
+        Seq((u & 0xff).toByte, ((u >> 8) & 0xff).toByte)
+      }.toArray
+      val full = Multimodal.synthWavHeader(1, 16000, 16, declared) ++ data
+      if (honest) full else full.take(cut)
+    }
+    val payloads = (1 to 120).map(_ => sampled(soupGen)) ++ (1 to 120).map(_ => sampled(wavGen))
+    val rows = payloads.zipWithIndex.map { case (p, i) => (i.toLong, p) }.toDF("id", "payload")
+      .select(col("id"),
+        Multimodal.wavPcm16(col("payload")).as("nat"),
+        Multimodal.wavPcm16Hof(col("payload")).as("hof"))
+      .as[(Long, Option[Seq[Option[Int]]], Option[Seq[Option[Int]]])].collect()
+    rows.foreach { case (id, nat, hof) => assert(nat == hof, s"payload $id") }
+  }
+
+  test("property: native char/word n-grams and minhash equal their HOF twins on random unicode") {
+    import graft.dedup.Dedup
+    import graft.text.TextAnalysis
+    val charGen = Gen.frequency(
+      8 -> Gen.alphaNumChar, 3 -> Gen.const(' '), 1 -> Gen.const('\t'),
+      1 -> Gen.oneOf('é', 'ü', '中', '→', 'ß'), 1 -> Gen.const('\n'))
+    val textGen = Gen.chooseNum(0, 60).flatMap(n => Gen.listOfN(n, charGen)).map(_.mkString)
+    val texts = (1 to 200).map(_ => sampled(textGen))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val rows = df.select(col("id"),
+        TextAnalysis.charTrigrams(col("text")).as("ct"),
+        TextAnalysis.charTrigramsHof(col("text")).as("ctH"),
+        Dedup.shingles(col("text"), 3).as("sh"),
+        Dedup.shinglesHof(col("text"), 3).as("shH"),
+        Dedup.minhash(Dedup.shingles(col("text"), 3), 8).as("mh"),
+        Dedup.minhashHof(Dedup.shinglesHof(col("text"), 3), 8).as("mhH"))
+      .as[(Long, Seq[String], Seq[String], Seq[String], Seq[String],
+           Seq[Option[Long]], Seq[Option[Long]])].collect()
+    rows.foreach { case (id, ct, ctH, sh, shH, mh, mhH) =>
+      assert(ct == ctH, s"trigrams $id")
+      assert(sh == shH, s"shingles $id")
+      assert(mh == mhH, s"minhash $id")
+    }
+  }
 }
