@@ -133,6 +133,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[CdcCutsExpr].getName, "graft_cdc_cuts"),
       (children: Seq[Expression]) => CdcCutsExpr(children(0), children(1), children(2))))
     ext.injectFunction((
+      FunctionIdentifier("graft_tokens"),
+      new ExpressionInfo(classOf[TokensExpr].getName, "graft_tokens"),
+      (children: Seq[Expression]) => TokensExpr(children(0))))
+    ext.injectFunction((
       FunctionIdentifier("graft_ahash_half"),
       new ExpressionInfo(classOf[AHashHalfExpr].getName, "graft_ahash_half"),
       (children: Seq[Expression]) => AHashHalfExpr(children(0), children(1))))

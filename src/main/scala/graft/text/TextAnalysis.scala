@@ -23,6 +23,12 @@ object TextAnalysis {
 
   /** Whitespace tokens, lowercased. */
   def tokens(text: Column): Column =
+    call_function("graft_tokens", text)
+
+  /** HOF spec twin of [[tokens]] (interpreted filter — CodegenFallback
+    * excludes it from WSCG subexpression elimination, so multi-statistic
+    * projections re-tokenized per reference; bit-equality tested). */
+  def tokensHof(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => length(t) > 0)
 
   /** Word-regex token count (the "token counting" baseline: words,

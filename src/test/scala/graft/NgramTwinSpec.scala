@@ -31,6 +31,16 @@ class NgramTwinSpec extends AnyFunSuite {
   private def df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
     .toDF("id", "text")
 
+  test("tokens native == HOF twin (incl. multibyte, whitespace runs, null)") {
+    val withNull = df.union(Seq((99L, null.asInstanceOf[String])).toDF("id", "text"))
+    val rows = withNull.select(col("id"),
+        TextAnalysis.tokens(col("text")).as("nat"),
+        TextAnalysis.tokensHof(col("text")).as("hof"))
+      .as[(Long, Option[Seq[String]], Option[Seq[String]])].collect()
+    rows.foreach { case (id, nat, hof) => assert(nat == hof, s"text $id: $nat vs $hof") }
+    assert(rows.find(_._1 == 99L).get._2.isEmpty, "null text -> null tokens")
+  }
+
   test("charTrigrams native == HOF twin (incl. multibyte + short texts)") {
     val rows = df.select(col("id"),
         TextAnalysis.charTrigrams(col("text")).as("nat"),
