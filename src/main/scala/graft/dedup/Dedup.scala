@@ -77,7 +77,15 @@ object Dedup {
     */
   def minhash(shingleCol: Column, numPerm: Int): Column = {
     require(numPerm <= MinhashA.length, s"at most ${MinhashA.length} permutations")
-    call_function("graft_minhash", shingleCol, lit(numPerm))
+    // null-input parity with the HOF twin: its let-binding evaluates
+    // the body on a null-bound lambda var, yielding an ALL-NULL
+    // signature (not null) — and that IS observable downstream (band
+    // keys concat_ws null slots to "", so null-text docs still bucket
+    // together; the estimator's zip_with sees the signature array).
+    graft.ColumnOps.let(shingleCol) { sh =>
+      when(sh.isNull, array((0 until numPerm).map(_ => lit(null).cast("long")): _*))
+        .otherwise(call_function("graft_minhash", sh, lit(numPerm)))
+    }
   }
 
   /** HOF spec twin of [[minhash]] (one interpreted md5-hex transform
@@ -736,10 +744,16 @@ object Dedup {
     */
   def segmentDedup(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 8, threshold: Int = 2): DataFrame = {
+    // coalesce(tokens, []) preserves the pre-native HOF edge: a null
+    // text produced ONE "" segment at pos 0 (greatest(size(null)-1,0)
+    // = 0 under greatest's null-skipping), which partial mode emits
+    // for an empty token array — null-text docs must not silently
+    // vanish from the segment stream.
     val segs = df
       .select(col(idCol).as("doc"),
         posexplode(call_function("graft_word_ngrams",
-          TextAnalysis.tokens(col(textCol)), lit(k), lit(k), lit(1))).as(Seq("pos", "seg")))
+          coalesce(TextAnalysis.tokens(col(textCol)), array().cast("array<string>")),
+          lit(k), lit(k), lit(1))).as(Seq("pos", "seg")))
     val common = segs.groupBy("seg")
       .agg(count_distinct(col("doc")).as("_nd"))
       .filter(col("_nd") >= threshold)

@@ -47,6 +47,10 @@ case class AHashHalfExpr(left: Expression, right: Expression)
 object AHashHalfExpr {
   /** Called from generated code. */
   def compute(p: Array[Byte], start: Int): Long = {
+    // the Column wrapper requires start ∈ {0, 32}, but the registered
+    // SQL function is callable with anything — degrade like a
+    // truncated raster instead of AIOOBE-ing the stage
+    if (start < 0 || start + 32 > 64) return 0L
     if (p.length < 64) return 0L // twin: null sum → every bit's otherwise(0)
     var s = 0L
     var i = 0

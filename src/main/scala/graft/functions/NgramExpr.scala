@@ -48,16 +48,30 @@ case class CharNgramsExpr(left: Expression, right: Expression)
 }
 
 object CharNgramsExpr {
-  /** Called from generated code. */
+  /** Called from generated code. One pass over the bytes: char-start
+    * byte offsets are computed once (numBytesForFirstByte — the same
+    * walk UTF8String's own substring uses), then every gram is a
+    * direct byte-range copy. substringSQL per gram would re-walk from
+    * byte 0 each call — O(len²) on long documents. */
   def compute(text: UTF8String, n: Int): ArrayData = {
     if (n < 1) return null
-    val len = text.numChars()
+    val bytes = text.getBytes
+    // byte offset of each char start, plus the end sentinel
+    val offs = new Array[Int](text.numChars() + 1)
+    var c = 0
+    var b = 0
+    while (b < bytes.length) {
+      offs(c) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      c += 1
+    }
+    offs(c) = bytes.length
+    val len = c
     if (len < n) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](len - n + 1)
     var i = 0
     while (i < len - n + 1) {
-      // 1-based substringSQL — the exact Substring-expression semantics
-      out(i) = text.substringSQL(i + 1, n)
+      out(i) = UTF8String.fromBytes(bytes, offs(i), offs(i + n) - offs(i))
       i += 1
     }
     new GenericArrayData(out)
@@ -197,10 +211,15 @@ case class MinhashExpr(left: Expression, right: Expression)
 }
 
 object MinhashExpr {
+  // the permutation constants as flat arrays — Dedup.MinhashA is a
+  // Seq (O(j) apply) and minhashB a per-call recomputation; this loop
+  // is the per-shingle×per-perm hot path
+  private val A: Array[Long] = graft.dedup.Dedup.MinhashA.toArray
+  private val B: Array[Long] = Array.tabulate(A.length)(graft.dedup.Dedup.minhashB)
+
   /** Called from generated code. */
   def compute(shingles: ArrayData, numPerm: Int): ArrayData = {
-    val as = graft.dedup.Dedup.MinhashA
-    if (numPerm < 0 || numPerm > as.length) return null
+    if (numPerm < 0 || numPerm > A.length) return null
     val p = graft.dedup.Dedup.MinhashP
     val n = shingles.numElements()
     val mins = Array.fill(numPerm)(Long.MaxValue)
@@ -213,7 +232,7 @@ object MinhashExpr {
         val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
         var j = 0
         while (j < numPerm) {
-          val v = (h * as(j) + graft.dedup.Dedup.minhashB(j)) % p
+          val v = (h * A(j) + B(j)) % p
           if (v < mins(j)) mins(j) = v
           j += 1
         }

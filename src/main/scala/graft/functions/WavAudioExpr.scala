@@ -77,6 +77,12 @@ object WavPcm16Expr {
     }
     val n = (dataBytes >> 1).toInt
     if (have == 0 || n <= 0) return new GenericArrayData(Array.empty[Any])
+    // mirror sequence()'s array-length ceiling: the HOF twin throws
+    // past it, and allocating a near-2³¹ null-padded tail from a
+    // corrupt 44-byte header would OOM the executor instead
+    if (n > Int.MaxValue - 15)
+      throw new IllegalArgumentException(
+        s"graft_wav_pcm16: declared sample count $n exceeds the max array length")
     val out = new Array[Int](n)
     var nulls: Array[Boolean] = null
     var i = 0
@@ -151,7 +157,11 @@ object PcmStatsExpr {
       if (pcm.isNullAt(i)) sumNull = true
       else {
         val v = pcm.getInt(i).toLong
-        val a = math.abs(v)
+        // abs on the INT first, like the HOF's abs(IntegerType): for
+        // Int.MinValue (outside any real PCM range but reachable via
+        // the SQL surface) it wraps negative and greatest skips it —
+        // widening first would diverge from the documented twin
+        val a = math.abs(pcm.getInt(i)).toLong
         if (a > peak) peak = a
         sumSq += v * v
       }

@@ -93,7 +93,14 @@ class NgramTwinSpec extends AnyFunSuite {
     assert(empt._1 == empt._2 && empt._1.contains(Seq.fill(8)(None)), empt.toString)
   }
 
-  test("null text: natives are null; minhash twin divergence is the documented one") {
+  test("segmentDedup keeps null-text docs (one empty segment, the pre-native HOF edge)") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(docs, "doc_id", "text", k = 2, threshold = 2)
+      .select("doc").as[Long].collect().toSet
+    assert(out == Set(1L, 2L), s"null-text doc must not vanish from the segment stream: $out")
+  }
+
+  test("null text: every native matches its HOF twin, incl. the all-null minhash signature") {
     val nd = Seq((1L, null.asInstanceOf[String])).toDF("id", "text")
     val r = nd.select(
         TextAnalysis.charTrigrams(col("text")).as("ct"),
@@ -106,13 +113,13 @@ class NgramTwinSpec extends AnyFunSuite {
            Option[Seq[Option[Long]]], Option[Seq[Option[Long]]])].head()
     assert(r._1.isEmpty && r._1 == r._2, "charTrigrams null parity")
     assert(r._3.isEmpty && r._3 == r._4, "shingles null parity")
-    // DOCUMENTED divergence: the HOF let-binding evaluates its body on
-    // a null-bound lambda var, so minhashHof(null) is a signature of
-    // nulls while the native is null. Neither produces a band key that
-    // can equi-join (null keys never match), so candidate-pair output
-    // is identical; this assertion pins the divergence so a change to
-    // either side is caught.
-    assert(r._5.isEmpty, "native minhash(null) is null")
-    assert(r._6.contains(Seq.fill(8)(None)), "HOF minhash(null) is an all-null signature")
+    // the HOF let-binding evaluates its body on a null-bound lambda
+    // var, so minhashHof(null) is an ALL-NULL signature, not null —
+    // and that IS observable downstream: band keys concat_ws null
+    // slots to "", so null-text docs still bucket together, and the
+    // estimator's zip_with sees the array. The native wrapper
+    // replicates it exactly.
+    assert(r._5.contains(Seq.fill(8)(None)), "native minhash(null) is an all-null signature")
+    assert(r._5 == r._6, "minhash null parity")
   }
 }
