@@ -82,10 +82,12 @@ object Dedup {
     // signature (not null) — and that IS observable downstream (band
     // keys concat_ws null slots to "", so null-text docs still bucket
     // together; the estimator's zip_with sees the signature array).
-    graft.ColumnOps.let(shingleCol) { sh =>
-      when(sh.isNull, array((0 until numPerm).map(_ => lit(null).cast("long")): _*))
-        .otherwise(call_function("graft_minhash", sh, lit(numPerm)))
-    }
+    // A plain when (NOT ColumnOps.let): let's single-element transform
+    // is CodegenFallback and measured a ~1.5× tax on every minhash
+    // query; here both branches stay codegen'd and WSCG subexpression
+    // elimination dedupes the repeated shingle subtree.
+    when(shingleCol.isNull, array((0 until numPerm).map(_ => lit(null).cast("long")): _*))
+      .otherwise(call_function("graft_minhash", shingleCol, lit(numPerm)))
   }
 
   /** HOF spec twin of [[minhash]] (one interpreted md5-hex transform
