@@ -303,11 +303,17 @@ object Dedup {
   def decontaminate(train: DataFrame, trainId: String, trainText: String,
                     eval: DataFrame, evalText: String, n: Int = 8,
                     broadcastEval: Boolean = true): DataFrame = {
+    // grams meet on the 60-bit [[shingleKey]], never the raw n-word
+    // string: the broadcast set is 8 bytes/gram (~6× smaller than
+    // 8-gram text — the lever on how big an eval suite still
+    // broadcasts), and the probe compares longs. Oracle-mirrored.
     val evalGrams0 = eval
-      .select(explode(shingles(col(evalText), n)).as("_gram")).distinct()
+      .select(explode(shingles(col(evalText), n)).as("_g0"))
+      .select(shingleKey(col("_g0")).as("_gram")).distinct()
     val evalGrams = if (broadcastEval) broadcast(evalGrams0) else evalGrams0
     val contaminated = train
-      .select(col(trainId), explode(shingles(col(trainText), n)).as("_gram"))
+      .select(col(trainId), explode(shingles(col(trainText), n)).as("_g0"))
+      .select(col(trainId), shingleKey(col("_g0")).as("_gram"))
       .join(evalGrams, "_gram")
       .select(trainId).distinct()
     train.join(contaminated, Seq(trainId), "left_anti")
@@ -586,6 +592,24 @@ object Dedup {
       df.select(col(idCol).as("doc"), simhash64Native(col(textCol)).as("sig")),
       64, maxHamming, maxBucket)
 
+  /** 60-bit shingle join key: first 15 md5 hex chars as BIGINT. The
+    * raw shingle string (n words, dozens of bytes) never rides an
+    * exchange — the key is computed narrow pre-shuffle, so the
+    * count-window sort and the sort-merge self-join compare 8-byte
+    * longs instead of variable-length strings (~4× fewer shuffle
+    * bytes at word-3-gram sizes). 60 bits keeps the value inside a
+    * signed long; collisions (~n²/2^61) are deterministic and
+    * oracle-mirrored, so cross-engine hashing is unaffected. Native
+    * ([[graft.functions.Md5Long60Expr]]) — the composable
+    * `conv(substring(md5, 1, 15), 16, 10)` twin pays a hex
+    * materialization + radix parse per shingle. */
+  private[graft] def shingleKey(sh: Column): Column =
+    call_function("graft_md5_long60", sh)
+
+  /** Composable twin of [[shingleKey]] (spec bit-equality only). */
+  private[graft] def shingleKeyHof(sh: Column): Column =
+    conv(substring(md5(sh), 1, 15), 16, 10).cast("long")
+
   /** Jaccard similarity of shingle sets for candidate pairs, computed by
     * explode → co-group (never n²: only ids sharing ≥1 shingle meet).
     * Returns (doc_a, doc_b, inter, union_, jaccard_fp4) for pairs with
@@ -597,7 +621,8 @@ object Dedup {
     // corpus is not re-scanned for sizes
     val sh = df
       .select(col(idCol).as("doc"), shingles(col(textCol), n).as("shs"))
-      .select(col("doc"), size(col("shs")).cast("long").as("sz"), explode(col("shs")).as("sh"))
+      .select(col("doc"), size(col("shs")).cast("long").as("sz"), explode(col("shs")).as("sh0"))
+      .select(col("doc"), col("sz"), shingleKey(col("sh0")).as("sh"))
     // frequent-shingle guard (a shingle in >maxShingleDf docs generates
     // quadratic pairs and carries no dedup signal) via a COUNT window
     // over the shuffle the self-join needs anyway. The former
@@ -789,9 +814,12 @@ object Dedup {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        n: Int, threshold: Double,
                        maxShingleDf: Int = 1000): DataFrame = {
+    // [[shingleKey]]'d exactly like ngramJaccardPairs — longs, not
+    // shingle strings, ride the window + self-join exchange
     val sh = df
       .select(col(idCol).as("doc"), shingles(col(textCol), n).as("shs"))
-      .select(col("doc"), size(col("shs")).cast("long").as("sz"), explode(col("shs")).as("sh"))
+      .select(col("doc"), size(col("shs")).cast("long").as("sz"), explode(col("shs")).as("sh0"))
+      .select(col("doc"), col("sz"), shingleKey(col("sh0")).as("sh"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("sh")
     val sh2 = sh
       .withColumn("_df", count(lit(1)).over(w))
@@ -817,15 +845,17 @@ object Dedup {
     * is a duplicated span).
     *
     * Shape for 100 TB: positional grams collapse map-side to
-    * (doc, md5(gram), k) before the first exchange, corpus totals are
-    * one more partial agg on the md5 key, and the flag join hashes on
-    * that same 16-byte key (three exchanges total — the (doc, gram)
-    * agg keys differently than the gram-only join, so the exchange
-    * itself is not reusable). The 128-bit md5 — not the raw
-    * up-to-n·w-char span — is what shuffles. Docs shorter than n
-    * tokens surface with zero spans via the outer join, not silently
-    * dropped. The totals table is never broadcast: at corpus scale the
-    * set of repeated spans is itself huge (boilerplate is the point).
+    * (doc, [[shingleKey]](gram), k) before the first exchange, corpus
+    * totals are one more partial agg on that key, and the flag join
+    * hashes the same 8-BYTE long (three exchanges total — the
+    * (doc, gram) agg keys differently than the gram-only join, so the
+    * exchange itself is not reusable). The 60-bit md5 prefix — not
+    * the raw up-to-n·w-char span, nor the 32-char md5 hex string an
+    * earlier cut shuffled — is what rides every exchange. Docs
+    * shorter than n tokens surface with zero spans via the outer
+    * join, not silently dropped. The totals table is never broadcast:
+    * at corpus scale the set of repeated spans is itself huge
+    * (boilerplate is the point).
     */
   def dupNgramStats(df: DataFrame, idCol: String, textCol: String,
                     n: Int = 8): DataFrame = {
@@ -833,7 +863,7 @@ object Dedup {
     val grams = df.select(col(idCol).as("doc"),
         explode(call_function("graft_word_ngrams",
           TextAnalysis.tokens(col(textCol)), lit(n), lit(1), lit(0))).as("gram"))
-      .select(col("doc"), md5(col("gram")).as("_gh"))
+      .select(col("doc"), shingleKey(col("gram")).as("_gh"))
     val perDoc = grams.groupBy("doc", "_gh").agg(count(lit(1)).as("k"))
     val totals = perDoc.groupBy("_gh").agg(sum(col("k")).as("_tot"))
     val agg = perDoc.join(totals, "_gh")

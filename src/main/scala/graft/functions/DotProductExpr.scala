@@ -157,6 +157,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[MinhashExpr].getName, "graft_minhash"),
       (children: Seq[Expression]) => MinhashExpr(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_md5_long60"),
+      new ExpressionInfo(classOf[Md5Long60Expr].getName, "graft_md5_long60"),
+      (children: Seq[Expression]) => Md5Long60Expr(children(0))))
+    ext.injectFunction((
       FunctionIdentifier("graft_wav_pcm16"),
       new ExpressionInfo(classOf[WavPcm16Expr].getName, "graft_wav_pcm16"),
       (children: Seq[Expression]) => WavPcm16Expr(children(0))))

@@ -1272,6 +1272,18 @@ object Pipeline {
     s"list_min(list_transform(hs, h -> (h * CAST($a AS BIGINT) + CAST($b AS BIGINT)) % CAST($p AS BIGINT)))"
   }
 
+  /** First 15 md5 hex chars of `e` as a BIGINT (60-bit, signed-safe) —
+    * matches Dedup.shingleKey's conv(substring(md5, 1, 15), 16, 10).
+    * Lambda vars are deliberately obscure: `e` is interpolated INSIDE
+    * the transform lambda, so a plain `i` here would capture-shadow
+    * an outer column named i referenced by the caller's expression
+    * (it did — dd_dup_ngrams' gram position). */
+  private def shingleKeySql(e: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+      | list_transform(range(1, 16),
+      |   _ki -> CAST(strpos('0123456789abcdef', substr(md5($e), CAST(_ki AS INT), 1)) - 1 AS BIGINT))),
+      | (_ka, _kv) -> _ka*16 + _kv)""".stripMargin.replace("\n", " ")
+
   /** First 8 md5 hex chars of `s` as a BIGINT (uint32 range). */
   private val hexHashSql =
     """list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -1636,10 +1648,12 @@ object Pipeline {
         |SELECT component AS keep_id, CAST(count(*) AS BIGINT) AS n_members
         |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin,
     "dd_decontaminate" ->
-      s"""WITH ev AS (SELECT DISTINCT unnest(${shinglesSql(4)}) AS g
+      s"""WITH ev0 AS (SELECT DISTINCT unnest(${shinglesSql(4)}) AS g0
         |            FROM documents WHERE doc_id % 97 = 0),
-        |tg AS (SELECT doc_id, unnest(${shinglesSql(4)}) AS g
+        |ev AS (SELECT DISTINCT ${shingleKeySql("g0")} AS g FROM ev0),
+        |tg0 AS (SELECT doc_id, unnest(${shinglesSql(4)}) AS g0
         |       FROM documents WHERE doc_id % 97 <> 0),
+        |tg AS (SELECT doc_id, ${shingleKeySql("g0")} AS g FROM tg0),
         |bad AS (SELECT DISTINCT tg.doc_id FROM tg JOIN ev USING (g))
         |SELECT doc_id, source, n_chars FROM documents
         |WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
@@ -1754,7 +1768,8 @@ object Pipeline {
     "dd_simhash64" -> simhash64Sql,
     "dd_simhash64_pairs" -> simhash64PairsSql,
     "dd_ngram_jaccard" ->
-      s"""WITH sh AS (SELECT doc_id AS doc, unnest(${shinglesSql(3)}) AS s FROM documents),
+      s"""WITH sh0 AS (SELECT doc_id AS doc, unnest(${shinglesSql(3)}) AS s0 FROM documents),
+        |sh AS (SELECT doc, ${shingleKeySql("s0")} AS s FROM sh0),
         |sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
         |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000),
         |sh2 AS (SELECT sh.doc, sh.s FROM sh JOIN rare USING (s)),
@@ -1788,8 +1803,9 @@ object Pipeline {
         |    CASE WHEN d.doc_id % 4 = 1 AND b.text IS NOT NULL
         |      THEN d.text || ' ' || b.text ELSE d.text END AS text
         |  FROM documents d LEFT JOIN documents b ON b.doc_id = d.doc_id - 1),
-        |shx AS (SELECT doc, len(shs) AS sz, unnest(shs) AS sh
+        |shx0 AS (SELECT doc, len(shs) AS sz, unnest(shs) AS sh0
         |  FROM (SELECT doc_id AS doc, ${shinglesSql(3)} AS shs FROM aug0)),
+        |shx AS (SELECT doc, sz, ${shingleKeySql("sh0")} AS sh FROM shx0),
         |rare AS (SELECT sh FROM shx GROUP BY sh HAVING count(*) <= 1000),
         |filt AS (SELECT shx.doc, shx.sz, shx.sh FROM shx JOIN rare USING (sh)),
         |pairs AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter,
@@ -1809,7 +1825,7 @@ object Pipeline {
         |pos AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i
         |  FROM toks WHERE len(tk) >= 8),
         |grams AS (SELECT doc_id,
-        |    array_to_string(tk[CAST(i AS INT):CAST(i AS INT) + 7], ' ') AS gram FROM pos),
+        |    ${shingleKeySql("array_to_string(tk[CAST(i AS INT):CAST(i AS INT) + 7], ' ')")} AS gram FROM pos),
         |pg AS (SELECT doc_id, gram, count(*) AS k FROM grams GROUP BY 1, 2),
         |tot AS (SELECT gram, sum(k) AS tot FROM pg GROUP BY 1),
         |agg AS (SELECT doc_id, sum(k) AS n_grams,
@@ -2123,9 +2139,11 @@ object Pipeline {
         |      '[^a-z0-9\\s]+', ' ', 'g'), '\\s+', ' ', 'g'))) AS h FROM q)
         |  GROUP BY h),
         |dd AS (SELECT q.* FROM q JOIN win USING (doc_id)),
-        |ev AS (SELECT DISTINCT unnest(${shinglesSql(4)}) AS g
+        |ev0 AS (SELECT DISTINCT unnest(${shinglesSql(4)}) AS g0
         |       FROM documents WHERE doc_id % 97 = 0),
-        |tg AS (SELECT doc_id, unnest(${shinglesSql(4)}) AS g FROM dd),
+        |ev AS (SELECT DISTINCT ${shingleKeySql("g0")} AS g FROM ev0),
+        |tg0 AS (SELECT doc_id, unnest(${shinglesSql(4)}) AS g0 FROM dd),
+        |tg AS (SELECT doc_id, ${shingleKeySql("g0")} AS g FROM tg0),
         |bad AS (SELECT DISTINCT tg.doc_id FROM tg JOIN ev USING (g)),
         |dc AS (SELECT dd.* FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
         |sc AS (SELECT doc_id, n_chars, CAST(len($toksSql) AS BIGINT) AS n_tokens FROM dc),

@@ -122,4 +122,18 @@ class NgramTwinSpec extends AnyFunSuite {
     assert(r._5.contains(Seq.fill(8)(None)), "native minhash(null) is an all-null signature")
     assert(r._5 == r._6, "minhash null parity")
   }
+
+  test("shingleKey native == conv(substring(md5)) twin (incl. multibyte, empty, null)") {
+    val withNull = df.union(Seq((99L, null.asInstanceOf[String])).toDF("id", "text"))
+    val rows = withNull.select(col("id"),
+        Dedup.shingleKey(col("text")).as("nat"),
+        Dedup.shingleKeyHof(col("text")).as("hof"))
+      .as[(Long, Option[Long], Option[Long])].collect()
+    rows.foreach { case (id, nat, hof) => assert(nat == hof, s"text $id: $nat vs $hof") }
+    assert(rows.find(_._1 == 99L).get._2.isEmpty, "null text -> null key")
+    // 60-bit: non-negative, and at least one battery value needs the
+    // full width (top nibble of the first digest byte non-zero)
+    assert(rows.forall(_._2.forall(_ >= 0L)), "keys fit signed long")
+    assert(rows.exists(_._2.exists(_ > (1L << 56))), "battery exercises high nibbles")
+  }
 }
