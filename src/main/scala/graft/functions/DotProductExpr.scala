@@ -161,6 +161,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[Md5Long60Expr].getName, "graft_md5_long60"),
       (children: Seq[Expression]) => Md5Long60Expr(children(0))))
     ext.injectFunction((
+      FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[WinnowExpr].getName, "graft_winnow"),
+      (children: Seq[Expression]) => WinnowExpr(children(0), children(1), children(2))))
+    ext.injectFunction((
       FunctionIdentifier("graft_wav_pcm16"),
       new ExpressionInfo(classOf[WavPcm16Expr].getName, "graft_wav_pcm16"),
       (children: Seq[Expression]) => WavPcm16Expr(children(0))))

@@ -318,6 +318,20 @@ object Pipeline {
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text"), 64).as("fp_hash"))
         .orderBy("doc_id")
     }),
+    // 41i — winnowing fingerprints (Schleimer et al. 2003 / MOSS):
+    // word-3-gram hash stream, sliding 4-window minimum with
+    // rightmost tie-break — a fingerprint lands in EVERY window, so
+    // any ≥6-token shared substring between two docs shares one,
+    // while only ~2/(w+1) of grams are kept. Native one-pass deque
+    // (graft_winnow); narrow, zero shuffle; short docs (<3 tokens)
+    // emit nothing, mirrored by the oracle's hs-nonempty guard
+    "txt_winnow" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextAnalysis.winnow(TextAnalysis.tokens(col("text")), 3, 4)).as("e"))
+        .select(col("doc_id"), col("e.pos").as("pos"), col("e.fp").as("fp"))
+        .orderBy("doc_id", "pos")
+    }),
     // 41b — text normalization (canonical form for dedup)
     "txt_normalize" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -2006,6 +2020,25 @@ object Pipeline {
         |    i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
         |  (a, x) -> (a*31 + x) % 2147483647) AS fp_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // winnowing: per-window min via list_min over the hash slice,
+    // rightmost position = list_max over index-or-null, DISTINCT
+    // collapses a selection persisting across consecutive windows —
+    // the same three rules the native deque implements
+    "txt_winnow" ->
+      s"""WITH tk0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
+        |g AS (SELECT doc_id, list_transform(range(1, greatest(len(tk) - 2, 0) + 1),
+        |    gi -> array_to_string(tk[CAST(gi AS INT):CAST(gi AS INT) + 2], ' ')) AS grams FROM tk0),
+        |h AS (SELECT doc_id, list_transform(grams, s -> ${shingleKeySql("s")}) AS hs FROM g),
+        |w AS (SELECT doc_id, hs, unnest(range(1, greatest(len(hs) - 4 + 1, 1) + 1)) AS wi
+        |  FROM h WHERE len(hs) >= 1),
+        |pick AS (SELECT doc_id, hs, wi,
+        |    list_min(hs[CAST(wi AS INT):CAST(wi AS INT) + 3]) AS fp FROM w),
+        |sel AS (SELECT doc_id, fp,
+        |    list_max(list_transform(range(CAST(wi AS INT), least(CAST(wi AS INT) + 4, len(hs) + 1)),
+        |      pj -> CASE WHEN hs[CAST(pj AS INT)] = fp THEN pj ELSE NULL END)) AS pos
+        |  FROM pick)
+        |SELECT DISTINCT doc_id, CAST(pos AS INT) AS pos, fp FROM sel
+        |ORDER BY doc_id, pos""".stripMargin,
     "ev_kmv_distinct" -> {
       val u32 = """list_reduce(list_prepend(CAST(0 AS BIGINT),
         | list_transform(range(1, 9),

@@ -212,6 +212,45 @@ object TextAnalysis {
       argmaxLabel(profiles.map { case (lang, _) => lang -> col(s"_s_$lang") }).as(out))
   }
 
+  /** Winnowing fingerprints (Schleimer et al. 2003 / MOSS) over the
+    * token array: word-n-gram 60-bit hashes, sliding w-window minimum
+    * with rightmost tie-break, distinct selections — see
+    * [[graft.functions.WinnowExpr]] (native one-pass monotonic
+    * deque). Returns array<struct<pos int, fp bigint>> ordered by
+    * 1-based gram position; docs shorter than n tokens → empty. */
+  def winnow(toks: Column, n: Int, w: Int): Column =
+    call_function("graft_winnow", toks, lit(n), lit(w))
+
+  /** HOF spec twin of [[winnow]] (interpreted per-window slices,
+    * O(#grams·w) — bit-equality tested; don't use it in anything
+    * measured). Selection mirrors the DuckDB oracle: window min via
+    * array_min over the hash slice, position = MAX index holding that
+    * min (rightmost), then array_distinct over the in-order picks.
+    * Null input is guarded EXPLICITLY: the let-binding evaluates its
+    * body on a null-bound lambda var (the minhash edge), which here
+    * would surface as one garbage [null, null] struct instead of
+    * null. */
+  def winnowHof(toks: Column, n: Int, w: Int): Column =
+    when(toks.isNull, lit(null).cast("array<struct<pos:int,fp:bigint>>")).otherwise(winnowHofBody(toks, n, w))
+
+  private def winnowHofBody(toks: Column, n: Int, w: Int): Column =
+    graft.ColumnOps.let(
+      transform(call_function("graft_word_ngrams", toks, lit(n), lit(1), lit(0)),
+        g => call_function("graft_md5_long60", g))
+    ) { hs =>
+      graft.ColumnOps.let(size(hs)) { ng =>
+        when(ng < 1, array().cast("array<struct<pos:int,fp:bigint>>"))
+          .otherwise(array_distinct(transform(
+            sequence(lit(1), greatest(ng - (w - 1), lit(1))),
+            i => graft.ColumnOps.let(array_min(slice(hs, i, lit(w)))) { mn =>
+              struct(
+                array_max(transform(sequence(i, least(i + (w - 1), ng)),
+                  j => when(element_at(hs, j) === mn, j))).as("pos"),
+                mn.as("fp"))
+            })))
+      }
+    }
+
   /** C4-style text normalization: lowercase, strip punctuation runs,
     * collapse whitespace, trim — the canonical form fed to dedup.
     */

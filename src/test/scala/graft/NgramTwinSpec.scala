@@ -123,6 +123,49 @@ class NgramTwinSpec extends AnyFunSuite {
     assert(r._5 == r._6, "minhash null parity")
   }
 
+  test("winnow native == HOF twin (incl. short, repeated, multibyte, null tokens)") {
+    import graft.text.TextAnalysis
+    val withNull = df.union(Seq((99L, null.asInstanceOf[String])).toDF("id", "text"))
+    val rows = withNull.select(col("id"),
+        TextAnalysis.winnow(TextAnalysis.tokens(col("text")), 3, 4).as("nat"),
+        TextAnalysis.winnowHof(TextAnalysis.tokens(col("text")), 3, 4).as("hof"))
+      .as[(Long, Option[Seq[(Int, Long)]], Option[Seq[(Int, Long)]])].collect()
+    rows.foreach { case (id, nat, hof) => assert(nat == hof, s"text $id: $nat vs $hof") }
+    // battery must include short docs (empty fingerprints) and long
+    // docs (at least 2 fingerprints — the window actually slides)
+    assert(rows.exists(_._2.exists(_.isEmpty)), "short doc -> no fingerprints")
+    assert(rows.exists(_._2.exists(_.size >= 2)), "long doc -> multiple fingerprints")
+    assert(rows.find(_._1 == 99L).get._2.isEmpty, "null text -> null")
+    // a null token element must hash like concat_ws (skipped, no
+    // separator), native == HOF
+    val nt = Seq((1L, Seq("a", null, "b", "c", "d"))).toDF("id", "toks")
+      .select(graft.text.TextAnalysis.winnow(col("toks"), 3, 2).as("nat"),
+        graft.text.TextAnalysis.winnowHof(col("toks"), 3, 2).as("hof"))
+      .as[(Seq[(Int, Long)], Seq[(Int, Long)])].head()
+    assert(nt._1 == nt._2, s"null-token gram parity: ${nt._1} vs ${nt._2}")
+  }
+
+  test("winnow guarantees: density <= w and shared-substring detection") {
+    import graft.text.TextAnalysis
+    val shared = "alpha beta gamma delta epsilon zeta" // 6 tokens = n+w-1
+    val d = Seq(
+      (1L, s"one two three four five $shared six seven eight nine ten"),
+      (2L, s"$shared completely different tail content here okay")).toDF("id", "text")
+    val fps = d.select(col("id"),
+        explode(TextAnalysis.winnow(TextAnalysis.tokens(col("text")), 3, 4)).as("e"))
+      .select(col("id"), col("e.pos").as("pos"), col("e.fp").as("fp"))
+      .as[(Long, Int, Long)].collect()
+    val byDoc = fps.groupBy(_._1)
+    // winnowing guarantee: any shared run of >= n+w-1 tokens shares a fingerprint
+    val inter = byDoc(1L).map(_._3).toSet intersect byDoc(2L).map(_._3).toSet
+    assert(inter.nonEmpty, "6-token shared substring must share a fingerprint")
+    // density: consecutive selected positions are at most w apart
+    byDoc.values.foreach { sel =>
+      val ps = sel.map(_._2).sorted
+      ps.zip(ps.tail).foreach { case (a, b) => assert(b - a <= 4, s"gap $a -> $b") }
+    }
+  }
+
   test("shingleKey native == conv(substring(md5)) twin (incl. multibyte, empty, null)") {
     val withNull = df.union(Seq((99L, null.asInstanceOf[String])).toDF("id", "text"))
     val rows = withNull.select(col("id"),
