@@ -811,6 +811,39 @@ object Dedup {
     * so measured containment can only UNDER-count — a pair at 1.0
     * stays a pair unless its evidence was itself boilerplate.
     */
+  /** Near-dup candidate pairs from shared winnowing fingerprints —
+    * the MOSS match step over [[graft.text.TextAnalysis.winnow]]:
+    * documents sharing ≥ `minShared` distinct fingerprint hashes
+    * pair up. The self-join input is the WINNOWED stream — ~2/(w+1)
+    * of the gram universe — so at corpus scale this is the shingle
+    * self-join's shape at a fraction of its exchange volume, with
+    * the winnowing guarantee (any shared run of ≥ n+w−1 tokens
+    * surfaces at least one shared fingerprint) bounding what the
+    * sampling can miss. Same frequent-key guard as
+    * [[ngramJaccardPairs]] (a boilerplate fingerprint in > maxFpDf
+    * docs carries no pairing signal), counted on the window the
+    * self-join's own shuffle provides. Output: (doc_a, doc_b,
+    * n_shared), doc_a < doc_b.
+    */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3, w: Int = 4, minShared: Int = 2,
+                  maxFpDf: Int = 1000): DataFrame = {
+    val fps = df.select(col(idCol).as("doc"),
+        explode(graft.text.TextAnalysis.winnow(
+          graft.text.TextAnalysis.tokens(col(textCol)), n, w)).as("e"))
+      .select(col("doc"), col("e.fp").as("fp")).distinct()
+    val wdw = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val f2 = fps
+      .withColumn("_df", count(lit(1)).over(wdw))
+      .filter(col("_df") <= maxFpDf)
+      .drop("_df")
+    f2.as("a")
+      .join(f2.as("b"), col("a.fp") === col("b.fp") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        n: Int, threshold: Double,
                        maxShingleDf: Int = 1000): DataFrame = {

@@ -332,6 +332,24 @@ object Pipeline {
         .select(col("doc_id"), col("e.pos").as("pos"), col("e.fp").as("fp"))
         .orderBy("doc_id", "pos")
     }),
+    // 34c — winnow-pair matching (the MOSS match step): docs sharing
+    // >= 2 winnow fingerprints pair up. The self-join runs over the
+    // WINNOWED stream (~2/(w+1) of the gram universe) — the shingle
+    // self-join's shape at a fraction of its exchange volume, with
+    // the every-window guarantee bounding what sampling can miss.
+    // Same planted aug as dd_containment (doc_id % 4 == 1 appends its
+    // predecessor's text) so matching pairs exist at every SF
+    "dd_winnow_pairs" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val base = d.select((col("doc_id") + 1).as("doc_id"), col("text").as("_base_text"))
+      val aug = d.join(base, Seq("doc_id"), "left")
+        .withColumn("aug",
+          when(col("doc_id") % 4 === 1 && col("_base_text").isNotNull,
+            concat(col("text"), lit(" "), col("_base_text")))
+            .otherwise(col("text")))
+      Dedup.winnowPairs(aug, "doc_id", "aug", n = 3, w = 4, minShared = 2)
+        .orderBy("doc_a", "doc_b")
+    }),
     // 41b — text normalization (canonical form for dedup)
     "txt_normalize" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1298,6 +1316,24 @@ object Pipeline {
       |   _ki -> CAST(strpos('0123456789abcdef', substr(md5($e), CAST(_ki AS INT), 1)) - 1 AS BIGINT))),
       | (_ka, _kv) -> _ka*16 + _kv)""".stripMargin.replace("\n", " ")
 
+  /** Winnow core CTE chain over `src` (needs doc_id, text): word
+    * 3-gram 60-bit hashes, w=4 sliding min with rightmost tie-break —
+    * ends at `wsel(doc_id, fp, pos)` (one row per WINDOW; callers
+    * DISTINCT). Matches graft_winnow(tokens, 3, 4) exactly. */
+  private def winnowCoreSql(src: String): String =
+    s"""tk0 AS (SELECT doc_id, $toksSql AS tk FROM $src),
+      |wg AS (SELECT doc_id, list_transform(range(1, greatest(len(tk) - 2, 0) + 1),
+      |    gi -> array_to_string(tk[CAST(gi AS INT):CAST(gi AS INT) + 2], ' ')) AS grams FROM tk0),
+      |wh AS (SELECT doc_id, list_transform(grams, s -> ${shingleKeySql("s")}) AS hs FROM wg),
+      |ww AS (SELECT doc_id, hs, unnest(range(1, greatest(len(hs) - 4 + 1, 1) + 1)) AS wi
+      |  FROM wh WHERE len(hs) >= 1),
+      |wpick AS (SELECT doc_id, hs, wi,
+      |    list_min(hs[CAST(wi AS INT):CAST(wi AS INT) + 3]) AS fp FROM ww),
+      |wsel AS (SELECT doc_id, fp,
+      |    list_max(list_transform(range(CAST(wi AS INT), least(CAST(wi AS INT) + 4, len(hs) + 1)),
+      |      pj -> CASE WHEN hs[CAST(pj AS INT)] = fp THEN pj ELSE NULL END)) AS pos
+      |  FROM wpick)""".stripMargin
+
   /** First 8 md5 hex chars of `s` as a BIGINT (uint32 range). */
   private val hexHashSql =
     """list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -2025,20 +2061,26 @@ object Pipeline {
     // collapses a selection persisting across consecutive windows —
     // the same three rules the native deque implements
     "txt_winnow" ->
-      s"""WITH tk0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
-        |g AS (SELECT doc_id, list_transform(range(1, greatest(len(tk) - 2, 0) + 1),
-        |    gi -> array_to_string(tk[CAST(gi AS INT):CAST(gi AS INT) + 2], ' ')) AS grams FROM tk0),
-        |h AS (SELECT doc_id, list_transform(grams, s -> ${shingleKeySql("s")}) AS hs FROM g),
-        |w AS (SELECT doc_id, hs, unnest(range(1, greatest(len(hs) - 4 + 1, 1) + 1)) AS wi
-        |  FROM h WHERE len(hs) >= 1),
-        |pick AS (SELECT doc_id, hs, wi,
-        |    list_min(hs[CAST(wi AS INT):CAST(wi AS INT) + 3]) AS fp FROM w),
-        |sel AS (SELECT doc_id, fp,
-        |    list_max(list_transform(range(CAST(wi AS INT), least(CAST(wi AS INT) + 4, len(hs) + 1)),
-        |      pj -> CASE WHEN hs[CAST(pj AS INT)] = fp THEN pj ELSE NULL END)) AS pos
-        |  FROM pick)
-        |SELECT DISTINCT doc_id, CAST(pos AS INT) AS pos, fp FROM sel
+      s"""WITH ${winnowCoreSql("documents")}
+        |SELECT DISTINCT doc_id, CAST(pos AS INT) AS pos, fp FROM wsel
         |ORDER BY doc_id, pos""".stripMargin,
+    // winnow-pair matching (the MOSS step): distinct doc fingerprints,
+    // boilerplate-fp guard, self-join, >= minShared threshold — the
+    // aug corpus mirrors dd_containment's planted embeddings so pairs
+    // provably exist at every SF (shared run >= n+w-1 tokens)
+    "dd_winnow_pairs" ->
+      s"""WITH aug1 AS (SELECT d.doc_id,
+        |    CASE WHEN d.doc_id % 4 = 1 AND b.text IS NOT NULL
+        |      THEN d.text || ' ' || b.text ELSE d.text END AS text
+        |  FROM documents d LEFT JOIN documents b ON b.doc_id = d.doc_id - 1),
+        |${winnowCoreSql("aug1")},
+        |fps AS (SELECT DISTINCT doc_id AS doc, fp FROM wsel),
+        |rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 1000),
+        |f2 AS (SELECT fps.doc, fps.fp FROM fps JOIN rare USING (fp))
+        |SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_shared
+        |FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc < b.doc
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "ev_kmv_distinct" -> {
       val u32 = """list_reduce(list_prepend(CAST(0 AS BIGINT),
         | list_transform(range(1, 9),

@@ -962,6 +962,26 @@ class DedupSimSpec extends AnyFunSuite {
     assert(rr > 0.2, s"rerank recall $rr implausibly low")
   }
 
+  test("winnowPairs: embedded run pairs up; unrelated docs don't; frequent-fp guard trims") {
+    import spark.implicits._
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ") // 12 shared tokens >> n+w-1
+    val docs = Seq(
+      (1L, s"prefix one two $shared tail here"),
+      (2L, s"$shared entirely different continuation tokens"),
+      (3L, "completely unrelated content with other words only")
+    ).toDF("doc_id", "text")
+    val pairs = graft.dedup.Dedup.winnowPairs(docs, "doc_id", "text",
+      n = 3, w = 4, minShared = 2)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs.keySet == Set((1L, 2L)), pairs.toString)
+    assert(pairs((1L, 2L)) >= 2, "12-token shared run must share >= 2 fingerprints")
+    // a fingerprint present in EVERY doc carries no signal: with the
+    // guard at maxFpDf=1, nothing can pair
+    val none = graft.dedup.Dedup.winnowPairs(docs, "doc_id", "text",
+      n = 3, w = 4, minShared = 1, maxFpDf = 1).count()
+    assert(none == 0, "df guard at 1 must strip all multi-doc fingerprints")
+  }
+
   test("containmentPairs: embedded doc at 1.0 where Jaccard dilutes below threshold") {
     import spark.implicits._
     val short = "alpha beta gamma delta epsilon zeta"   // 4 3-gram shingles
