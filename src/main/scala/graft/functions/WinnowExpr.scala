@@ -85,10 +85,12 @@ object WinnowExpr {
     while (i < ng) {
       sb.setLength(0)
       var j = 0
+      var appended = false // sb.length can't tell "" apart from nothing
       while (j < n) {
         if (!toks.isNullAt(i + j)) {
-          if (sb.length > 0) sb.append(' ')
+          if (appended) sb.append(' ')
           sb.append(toks.getUTF8String(i + j).toString)
+          appended = true
         }
         j += 1
       }

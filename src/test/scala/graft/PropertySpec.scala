@@ -332,4 +332,42 @@ class PropertySpec extends AnyFunSuite {
       assert(mh == mhH, s"minhash $id")
     }
   }
+
+  test("property: native winnow equals a reference sliding-min scan on random token streams") {
+    import graft.text.TextAnalysis
+    // reference: brute-force O(ng·w) — per window take the min hash,
+    // rightmost position on ties, then distinct positions in order
+    def refWinnow(toks: Seq[String], n: Int, w: Int): Seq[(Int, Long)] = {
+      val ng = toks.length - n + 1
+      if (ng <= 0) return Seq.empty
+      val hs = (0 until ng).map { i =>
+        val d = org.apache.commons.codec.digest.DigestUtils.md5(
+          toks.slice(i, i + n).mkString(" ").getBytes("UTF-8"))
+        var acc = 0L; (0 until 8).foreach(b => acc = (acc << 8) | (d(b) & 0xffL)); acc >>> 4
+      }
+      val nw = math.max(ng - w + 1, 1)
+      val picks = (0 until nw).map { i =>
+        val win = (i until math.min(i + w, ng))
+        val mn = win.map(hs).min
+        val pos = win.filter(j => hs(j) == mn).max
+        (pos + 1, mn)
+      }
+      picks.distinct
+    }
+    val tokGen = Gen.frequency(6 -> Gen.alphaNumStr.map(_.take(5)),
+      1 -> Gen.const(""), 1 -> Gen.oneOf("ü", "中文", "a b"))
+    val streamGen = for {
+      len <- Gen.chooseNum(0, 40)
+      toks <- Gen.listOfN(len, tokGen)
+      n <- Gen.chooseNum(1, 4)
+      w <- Gen.chooseNum(1, 6)
+    } yield (toks, n, w)
+    (1 to 60).foreach { _ =>
+      val (toks, n, w) = sampled(streamGen)
+      val got = Seq(Tuple1(toks)).toDF("toks")
+        .select(TextAnalysis.winnow(col("toks"), n, w).as("v"))
+        .as[Seq[(Int, Long)]].head()
+      assert(got == refWinnow(toks, n, w), s"toks=$toks n=$n w=$w")
+    }
+  }
 }
