@@ -463,6 +463,17 @@ object Pipeline {
       Similarity.pqEncode(e, "vec_id", "embedding", cb)
         .orderBy("id", "sub")
     }),
+    // 35e — Matryoshka-truncation recall (Kusupati et al. 2022): per
+    // truncation dim, brute cosine top-k over the first d components
+    // vs full-dim top-k — the eval harness run before serving
+    // truncated vectors. Broadcast queries, salted two-stage ranking,
+    // overlap join k rows/query
+    "emb_mrl_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.mrlRecall(e, "vec_id", "embedding",
+        e.filter(col("vec_id") % 50 === 0), dims = Seq(16, 32), fullDim = 64, k = 5)
+        .orderBy("dim", "query_id")
+    }),
     // 37c — PQ-ADC probe search (Jégou et al.): per-query LUT of
     // subvector-to-codebook distances, corpus rows cost one LUT probe
     // per subspace — distance against the whole corpus without
@@ -1293,6 +1304,17 @@ object Pipeline {
   private def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 
+  /** [[dotSql]] over the first `d` components — matches
+    * Similarity.dot on 1..d slices (same strict left fold). */
+  private def dotSqlD(a: String, b: String, d: Int): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       | list_transform(range(1, ${d + 1}),
+       |   i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+       | (acc, v) -> acc + v)""".stripMargin.replace("\n", " ")
+
+  private def cosSqlD(a: String, b: String, d: Int): String =
+    s"(${dotSqlD(a, b, d)} / (sqrt(${dotSqlD(a, a, d)}) * sqrt(${dotSqlD(b, b, d)})))"
+
   /** MinHash signature element for permutation j — matches
     * Dedup.minhash: shingle → first-8-hex-of-md5 as uint32, then
     * affine (h*A_j + B_j) mod P, min over shingles. `hs` is the
@@ -1894,6 +1916,32 @@ object Pipeline {
         |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE ${sqlFp(cosSql("a.embedding", "b.embedding"), 6)} >= 200000
         |ORDER BY id_a, id_b""".stripMargin,
+    // MRL recall mirror: per-dim rank windows over the same cross
+    // join, overlap counted against the full-dim top-5
+    "emb_mrl_recall" -> {
+      def topkCte(name: String, d: Int): String =
+        s"""$name AS (SELECT query_id, id FROM (
+           |  SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY ${sqlFp(cosSqlD("vec", "qvec", d), 6)} DESC, id) AS rk FROM sc)
+           |  WHERE rk <= 5)""".stripMargin
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id % 50 = 0),
+        |sc AS (SELECT q.query_id, e.vec_id AS id, e.embedding AS vec, q.qvec
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        |${topkCte("fullk", 64)},
+        |${topkCte("t16", 16)},
+        |${topkCte("t32", 32)},
+        |h16 AS (SELECT t16.query_id, count(*) AS n_hit FROM t16 JOIN fullk USING (query_id, id) GROUP BY 1),
+        |h32 AS (SELECT t32.query_id, count(*) AS n_hit FROM t32 JOIN fullk USING (query_id, id) GROUP BY 1),
+        |u AS (
+        |  SELECT CAST(16 AS INT) AS dim, q.query_id, CAST(coalesce(h16.n_hit, 0) AS BIGINT) AS n_hit
+        |    FROM q LEFT JOIN h16 USING (query_id)
+        |  UNION ALL
+        |  SELECT CAST(32 AS INT) AS dim, q.query_id, CAST(coalesce(h32.n_hit, 0) AS BIGINT) AS n_hit
+        |    FROM q LEFT JOIN h32 USING (query_id))
+        |SELECT dim, query_id, n_hit,
+        |  ${sqlFp("CAST(n_hit AS DOUBLE) / 5.0", 4)} AS recall_fp4
+        |FROM u ORDER BY dim, query_id""".stripMargin
+    },
     "sim_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings ORDER BY vec_id LIMIT 1)
         |SELECT vec_id, ${sqlFp(cosSql("embedding", "qvec"), 6)} AS cos_fp6

@@ -757,6 +757,54 @@ object Similarity {
     * At scale, size the bucketing so buckets stay ~10³ rows (e.g.
     * IVF kCells ≈ N/1000) and keep the cap as the safety net.
     */
+  /** Matryoshka-truncation recall harness (Kusupati et al. 2022,
+    * arXiv:2205.13147): for each truncation dimension d, brute-force
+    * cosine top-k over the FIRST d embedding components vs the
+    * full-dimension top-k, reported as per-query hit counts — the
+    * measurement every MRL deployment runs before serving truncated
+    * vectors (store/serve d ≪ fullDim at a known recall cost).
+    *
+    * Shape: queries broadcast against one corpus scan per dimension
+    * (the brute-force baseline — this is the EVAL harness, run on a
+    * sampled corpus; production retrieval at truncated d rides the
+    * same IVF/PQ paths as everything else). Rankings use the salted
+    * two-stage [[topKPerQuery]] (never a corpus-sized single-task
+    * window); the per-dim overlap join touches k rows per query.
+    * Cosine over a d-slice is the same strict left-fold both engines
+    * compute, so ranks and hit counts replicate exactly (fp6 scores,
+    * id tie-break).
+    *
+    * Output: (dim, query_id, n_hit, recall_fp4) — one row per
+    * (truncation dim, query); recall = n_hit / k.
+    */
+  def mrlRecall(data: DataFrame, idCol: String, vecCol: String,
+                queries: DataFrame, dims: Seq[Int], fullDim: Int,
+                k: Int): DataFrame = {
+    val corpus = data.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val qs = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")))
+    def topkAt(d: Int): DataFrame = {
+      val scored = corpus.crossJoin(qs)
+        .filter(col("id") =!= col("query_id"))
+        .select(col("query_id"), col("id"),
+          TextAnalysis.fp(cosine(slice(col("vec"), 1, d), slice(col("qvec"), 1, d)), 6).as("cos_fp6"))
+      topKPerQuery(scored, k, Seq(col("cos_fp6").desc, col("id")))
+        .select(col("query_id"), col("id"))
+    }
+    val full = topkAt(fullDim)
+    // plain (unhinted) frame: qids sits LEFT of a left-outer join,
+    // where a broadcast-build hint is unsatisfiable and only warns
+    val qids = queries.select(col(idCol).as("query_id"))
+    dims.map { d =>
+      val hits = topkAt(d).join(full, Seq("query_id", "id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      qids.join(hits, Seq("query_id"), "left")
+        .select(lit(d).as("dim"), col("query_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .withColumn("recall_fp4",
+          TextAnalysis.fp(col("n_hit").cast("double") / lit(k.toDouble), 4))
+    }.reduce(_ unionByName _)
+  }
+
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, bucketCol: String,
                    thresholdFp6: Long, maxBucket: Long = Long.MaxValue): DataFrame = {
     // norms precomputed per row (identical bits to computing them per

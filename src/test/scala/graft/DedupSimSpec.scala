@@ -962,6 +962,24 @@ class DedupSimSpec extends AnyFunSuite {
     assert(rr > 0.2, s"rerank recall $rr implausibly low")
   }
 
+  test("mrlRecall: full-dim truncation is exact; truncated recall bounded and complete") {
+    import spark.implicits._
+    val spark2 = spark
+    val e = spark2.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val out = graft.similarity.Similarity.mrlRecall(
+        e, "vec_id", "embedding", q, dims = Seq(16, 64), fullDim = 64, k = 5)
+      .as[(Int, Long, Long, Long)].collect()
+    val nq = q.count()
+    assert(out.length == 2 * nq, s"one row per (dim, query): ${out.length} vs ${2 * nq}")
+    // truncating at the full dimension IS the full ranking — recall 1.0
+    out.filter(_._1 == 64).foreach { case (_, qid, nHit, r) =>
+      assert(nHit == 5L && r == 10000L, s"full-dim recall must be exact (query $qid)") }
+    // recall always in [0, 1]; hits in [0, k]
+    out.foreach { case (d, qid, nHit, r) =>
+      assert(nHit >= 0L && nHit <= 5L && r >= 0L && r <= 10000L, s"dim $d query $qid") }
+  }
+
   test("winnowPairs: embedded run pairs up; unrelated docs don't; frequent-fp guard trims") {
     import spark.implicits._
     val shared = (1 to 12).map(i => s"s$i").mkString(" ") // 12 shared tokens >> n+w-1
