@@ -112,3 +112,54 @@ object RasterSumExpr {
     s
   }
 }
+
+/** Native sum of absolute pixel differences (SAD) between two
+  * `n`-byte raster binaries — the frame-difference metric behind
+  * scene-cut detection. Unsigned byte arithmetic; either payload
+  * shorter than `n` → null (the [[RasterSumExpr]] truncation
+  * contract). Twin: [[graft.multimodal.Multimodal.rasterSadHof]].
+  *
+  * Registered as SQL function `graft_raster_sad` via
+  * [[GraftFunctions.register]].
+  */
+case class RasterSadExpr(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (BinaryType, BinaryType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"graft_raster_sad expects (binary, binary, int), got ($a, $b, $c)")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_raster_sad"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any, n: Any): Any =
+    RasterSadExpr.compute(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, n) => {
+      val v = ctx.freshName("rsad")
+      s"""
+       |java.lang.Long $v = graft.functions.RasterSadExpr.compute($a, $b, $n);
+       |if ($v == null) { ${ev.isNull} = true; } else { ${ev.value} = $v.longValue(); }
+     """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object RasterSadExpr {
+  /** Called from generated code. */
+  def compute(a: Array[Byte], b: Array[Byte], n: Int): java.lang.Long = {
+    if (n < 0 || a.length < n || b.length < n) return null
+    var s = 0L
+    var i = 0
+    while (i < n) { s += math.abs((a(i) & 0xff) - (b(i) & 0xff)); i += 1 }
+    s
+  }
+}

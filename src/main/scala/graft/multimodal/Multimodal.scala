@@ -518,10 +518,22 @@ object Multimodal {
     * Output: (doc_id, frame_idx, ts_ms, raster) — raster is the
     * decoded width×height grayscale plane, ready for the columnar
     * raster operators ([[aHashHalf]], [[rasterSum]]). */
-  def frameDecodeRle(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+  def frameDecodeRle(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    frameDecodeRleStride(df, idCol, payloadCol, stride = None)
+
+  /** [[frameDecodeRle]] with an explicit sampling stride: `None` =
+    * the 1-frame-per-second default (stride = fps), `Some(1)` =
+    * every frame (what consecutive-frame operators like
+    * [[sceneCuts]] need), `Some(s)` = every s-th frame. Decode cost
+    * scales with frames TOUCHED — the index table means skipped
+    * frames are never read. */
+  def frameDecodeRleStride(df: DataFrame, idCol: String, payloadCol: String,
+                           stride: Option[Int]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    stride.foreach(s => require(s >= 1, s"frameDecodeRleStride: stride $s must be >= 1"))
     val p = col(payloadCol)
+    val stepOf: Column => Column = fps => stride.map(s => lit(s).cast("int")).getOrElse(fps)
     val sampled = df
       // the index-table-fits check (`len ≥ 14 + 8n`) both validates
       // the container and BOUNDS frame_count by the actual payload
@@ -532,7 +544,7 @@ object Multimodal {
       .select(col(idCol).as("doc_id"), p.as("_p"),
         gvrlWidth(p).as("_w"), gvrlHeight(p).as("_h"), gvrlFps(p).as("_fps"),
         explode(when(gvrlFrameCount(p) > 0,
-            sequence(lit(0), (gvrlFrameCount(p) - 1).cast("int"), gvrlFps(p)))
+            sequence(lit(0), (gvrlFrameCount(p) - 1).cast("int"), stepOf(gvrlFps(p))))
           .otherwise(array().cast("array<int>"))).as("frame_idx"))
       .select(col("doc_id"),
         col("frame_idx").cast("long").as("frame_idx"),
@@ -555,6 +567,48 @@ object Multimodal {
     * aggregate [[aHashHalf]] thresholds against. */
   def rasterSum(payload: Column, n: Int): Column =
     call_function("graft_raster_sum", payload, lit(n))
+
+  /** Sum of absolute pixel differences between two `n`-byte rasters
+    * (native [[graft.functions.RasterSadExpr]]) — the
+    * frame-difference metric behind [[sceneCuts]]. */
+  def rasterSad(a: Column, b: Column, n: Int): Column =
+    call_function("graft_raster_sad", a, b, lit(n))
+
+  /** HOF spec twin of [[rasterSad]] (interpreted per-byte parse —
+    * bit-equality tested; don't use it in anything measured). */
+  def rasterSadHof(a: Column, b: Column, n: Int): Column =
+    aggregate(
+      transform(sequence(lit(1), lit(n)), i =>
+        abs(conv(hex(a.substr(i, lit(1))), 16, 10).cast("long") -
+            conv(hex(b.substr(i, lit(1))), 16, 10).cast("long"))),
+      lit(0L),
+      (acc, x) => acc + x)
+
+  /** Scene-cut detection over the GVRL container: decode EVERY frame
+    * (stride 1 — the per-frame index means only touched bytes are
+    * read), lag each clip's raster stream by one, and flag frame
+    * pairs whose SAD (sum of absolute pixel differences, native
+    * [[rasterSad]]) exceeds `threshold` — the scene-boundary pass a
+    * video training pipeline runs before scene-based frame sampling.
+    * The lag window partitions by clip and a clip's frames are
+    * bounded by its duration, so the window is clip-sized, never
+    * corpus-sized; everything before it is narrow.
+    *
+    * Output: (doc_id, frame_idx, ts_ms, sad) — one row per CUT
+    * (frame that starts a new scene), ordered upstream of the caller.
+    */
+  def sceneCuts(df: DataFrame, idCol: String, payloadCol: String,
+                rasterLen: Int, threshold: Long): DataFrame = {
+    val frames = frameDecodeRleStride(df, idCol, payloadCol, stride = Some(1))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_idx")
+    frames
+      .withColumn("_prev", lag(col("raster"), 1).over(w))
+      .filter(col("_prev").isNotNull)
+      .select(col("doc_id"), col("frame_idx"), col("ts_ms"),
+        rasterSad(col("_prev"), col("raster"), rasterLen).as("sad"))
+      .filter(col("sad") > threshold)
+  }
 
   /** HOF spec twin of [[rasterSum]] (interpreted per-byte parse —
     * bit-equality tested; don't use it in anything measured). */

@@ -995,6 +995,32 @@ object Pipeline {
           Multimodal.aHashHalf(col("raster"), 32).as("phash_hi"),
           Multimodal.aHashHalf(col("raster"), 0).as("phash_lo"))
     }),
+    // 45i — scene-cut detection over decoded frames: every frame
+    // decoded (stride 1 through the same GVRL index/RLE codec as
+    // 45f), per-clip lag window, SAD (native graft_raster_sad)
+    // against the previous raster, cut when SAD > threshold — the
+    // scene-boundary pass before scene-based frame sampling. The
+    // synth plants a new scene every 5 frames (all 64 pixels shift by
+    // a 97-multiple) with a ≤2-intensity single-pixel jitter inside a
+    // scene, so threshold 64 separates exactly; the oracle recomputes
+    // every pixel closed-form from (doc_id, frame_idx)
+    "mm_scene_cut" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal
+      val payloads = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          (id, Multimodal.synthVideoRle(
+            width = 8, height = 8,
+            fps = Seq(1, 2, 5, 10)((id % 4).toInt),
+            frames = (id % 24 + 2).toInt,
+            fill = (f, pix) =>
+              (((id * 31 + (f / 5) * 97 + pix * 7) % 251) +
+                (if (pix == 0) f % 3 else 0)).toInt))
+        })
+        .toDF("doc_id", "payload")
+      Multimodal.sceneCuts(payloads, "doc_id", "payload", rasterLen = 64, threshold = 64L)
+        .orderBy("doc_id", "frame_idx")
+    }),
     // 45e — image near-dup via perceptual hash: synthetic 8×8
     // grayscale rasters (deterministic stand-in for decoded
     // thumbnails; the id%3 term is a brightness shift), average-hash
@@ -2497,6 +2523,30 @@ object Pipeline {
         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_reverse(ps[1:32])),
         |    (a, p) -> a * 2 + CASE WHEN p * 64 > s THEN 1 ELSE 0 END) AS BIGINT) AS phash_lo
         |FROM px2 ORDER BY doc_id, frame_idx""".stripMargin,
+    // every pixel of every frame recomputed closed-form; SAD over
+    // consecutive-frame pairs, cuts where SAD > 64 — Spark decodes
+    // the actual RLE payload, so any codec/offset drift changes a
+    // pixel and the SAD
+    "mm_scene_cut" ->
+      """WITH v AS (SELECT doc_id,
+        |    CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 5 ELSE 10 END AS fps,
+        |    doc_id % 24 + 2 AS n
+        |  FROM documents),
+        |idx AS (SELECT doc_id, fps, unnest(range(0, n)) AS i FROM v),
+        |px AS (SELECT doc_id, fps, i,
+        |    list_transform(range(0, 64),
+        |      p -> (doc_id * 31 + (i // 5) * 97 + p * 7) % 251 +
+        |           CASE WHEN p = 0 THEN i % 3 ELSE 0 END) AS ps
+        |  FROM idx),
+        |pair AS (SELECT a.doc_id, a.fps, a.i, b.ps AS prev, a.ps AS cur
+        |  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.i = a.i - 1),
+        |sd AS (SELECT doc_id, fps, i,
+        |    list_sum(list_transform(range(0, 64),
+        |      p -> abs(cur[CAST(p AS INT) + 1] - prev[CAST(p AS INT) + 1]))) AS sad
+        |  FROM pair)
+        |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |  CAST(i * 1000 // fps AS BIGINT) AS ts_ms, CAST(sad AS BIGINT) AS sad
+        |FROM sd WHERE sad > 64 ORDER BY doc_id, frame_idx""".stripMargin,
     // raster re-derived from the synth rule; Spark parses the actual
     // payload bytes — a 1-byte drift in the binary path flips a bit.
     // Bits compare pixel·64 vs the pixel sum (strict, integer), MSB

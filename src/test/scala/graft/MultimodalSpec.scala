@@ -369,4 +369,44 @@ class MultimodalSpec extends AnyFunSuite {
       assert(hi >= 0 && hi < (1L << 32) && lo >= 0 && lo < (1L << 32))
     }
   }
+
+  test("native rasterSad matches the HOF twin; truncated payloads null") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Array.tabulate(64)(i => i.toByte), Array.tabulate(64)(i => (i + 3).toByte)),
+      (2L, Array.tabulate(64)(i => (255 - i).toByte), Array.fill(64)(0.toByte)),
+      (3L, Array.fill(64)(200.toByte), Array.fill(64)(200.toByte)),
+      (4L, Array.fill(10)(7.toByte), Array.fill(64)(9.toByte)) // truncated left
+    ).toDF("id", "a", "b")
+    val got = rows.select(col("id"),
+        Multimodal.rasterSad(col("a"), col("b"), 64).as("nat"),
+        Multimodal.rasterSadHof(col("a"), col("b"), 64).as("hof"))
+      .as[(Long, Option[Long], Option[Long])].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    got.foreach { case (id, (nat, hof)) => assert(nat == hof, s"id $id: $nat vs $hof") }
+    assert(got(1L)._1.contains(3L * 64), "uniform +3 shift sums to 192")
+    assert(got(3L)._1.contains(0L), "identical rasters SAD 0")
+    assert(got(4L)._1.isEmpty, "truncated raster -> null")
+  }
+
+  test("sceneCuts finds exactly the planted scene boundaries; jitter below threshold stays") {
+    import spark.implicits._
+    // 12 frames, scene change every 4: all pixels shift; within a
+    // scene only pixel 0 jitters by <= 2
+    val payload = Multimodal.synthVideoRle(width = 8, height = 8, fps = 2, frames = 12,
+      fill = (f, pix) => (((f / 4) * 101 + pix * 5) % 241 + (if (pix == 0) f % 3 else 0)))
+    val cuts = Multimodal.sceneCuts(
+        Seq((7L, payload)).toDF("doc_id", "payload"), "doc_id", "payload",
+        rasterLen = 64, threshold = 64L)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._2)
+    assert(cuts.map(_._2).toSeq == Seq(4L, 8L), s"cuts at planted boundaries: ${cuts.toSeq}")
+    // exact ts (idx*1000 div fps) and a genuinely large SAD at each cut
+    cuts.foreach { case (_, idx, ts, sad) =>
+      assert(ts == idx * 1000 / 2 && sad > 1000L, s"cut ($idx, $ts, $sad)") }
+    // threshold above the jitter: a clip with NO scene change emits nothing
+    val flat = Multimodal.synthVideoRle(width = 8, height = 8, fps = 1, frames = 6,
+      fill = (f, pix) => (pix * 5) % 241 + (if (pix == 0) f % 3 else 0))
+    val n = Multimodal.sceneCuts(Seq((8L, flat)).toDF("doc_id", "payload"),
+      "doc_id", "payload", rasterLen = 64, threshold = 64L).count()
+    assert(n == 0, "intra-scene jitter must stay below the threshold")
+  }
 }
