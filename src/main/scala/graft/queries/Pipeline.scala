@@ -614,6 +614,45 @@ object Pipeline {
           min(when(col("cum") >= expr("(99 * n + 99) DIV 100"), col("v4"))).as("p99_c4"))
         .orderBy("event_type")
     }),
+    // 43i — RFM user segmentation (recency / frequency / monetary —
+    // the classic activity-profile cut, here the user-level profile
+    // pass an event corpus runs before per-cohort sampling): per-user
+    // aggregates quantized to BOUNDED domains (recency HOUR, event
+    // count, whole value units — sums of per-row fp4, never raw
+    // doubles), quintile thresholds from the SAME histogram rank-scan
+    // as ev_percentile (windows over DISTINCT quantized values — no
+    // corpus-sized ntile window), score = 1 + #thresholds strictly
+    // below; three 1-row threshold frames broadcast back
+    "ev_rfm" -> ((s, dir) => {
+      val u = ev(s, dir).groupBy(col("user_id"))
+        .agg(max("ms").as("_rms"), count(lit(1)).as("f"), sum("v4").as("_m4"))
+        .select(col("user_id"),
+          expr("(_rms - pmod(_rms, 3600000)) DIV 3600000").as("r_hr"),
+          col("f"),
+          expr("(_m4 - pmod(_m4, 10000)) DIV 10000").as("m_u"))
+      def thresholds(c: String, pfx: String) = {
+        val h = u.groupBy(col(c)).agg(count(lit(1)).as("k"))
+        val wc = Window.orderBy(col(c))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val ths = (1 to 4).map(i =>
+          min(when(col("cum") >= expr(s"($i * n + 4) DIV 5"), col(c))).as(s"$pfx$i"))
+        h.withColumn("cum", sum("k").over(wc))
+          .withColumn("n", sum("k").over(Window.partitionBy()))
+          .agg(ths.head, ths.tail: _*)
+      }
+      def score(v: Column, pfx: String): Column =
+        (1 to 4).map(i => when(v > col(s"$pfx$i"), 1).otherwise(0))
+          .foldLeft(lit(1))(_ + _)
+      u.crossJoin(broadcast(thresholds("r_hr", "_tr")))
+        .crossJoin(broadcast(thresholds("f", "_tf")))
+        .crossJoin(broadcast(thresholds("m_u", "_tm")))
+        .select(col("user_id"), col("r_hr"), col("f"), col("m_u"),
+          score(col("r_hr"), "_tr").as("r_score"),
+          score(col("f"), "_tf").as("f_score"),
+          score(col("m_u"), "_tm").as("m_score"))
+        .withColumn("rfm", col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+        .orderBy("user_id")
+    }),
     // 43g — damped PageRank over the event-type transition graph:
     // edges = user-ordered consecutive event pairs (one partitioned
     // window, the only corpus-scale stage), then 3 power iterations
@@ -2234,6 +2273,35 @@ object Pipeline {
         |  min(CASE WHEN cum >= (9 * n + 9) // 10 THEN v4 END) AS p90_c4,
         |  min(CASE WHEN cum >= (99 * n + 99) // 100 THEN v4 END) AS p99_c4
         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // same histogram rank-scan convention as ev_percentile, applied
+    // per RFM dimension over the user-aggregate table
+    "ev_rfm" -> {
+      def th(src: String, vcol: String, pfx: String): String =
+        s"""h$pfx AS (SELECT $vcol AS v, count(*) AS k FROM $src GROUP BY 1),
+           |c$pfx AS (SELECT v, k,
+           |    sum(k) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           |    sum(k) OVER () AS n FROM h$pfx),
+           |t$pfx AS (SELECT
+           |    min(CASE WHEN cum >= (1 * n + 4) // 5 THEN v END) AS ${pfx}1,
+           |    min(CASE WHEN cum >= (2 * n + 4) // 5 THEN v END) AS ${pfx}2,
+           |    min(CASE WHEN cum >= (3 * n + 4) // 5 THEN v END) AS ${pfx}3,
+           |    min(CASE WHEN cum >= (4 * n + 4) // 5 THEN v END) AS ${pfx}4 FROM c$pfx)""".stripMargin
+      def sc(v: String, pfx: String): String =
+        s"CAST(1 + (CASE WHEN $v > ${pfx}1 THEN 1 ELSE 0 END) + (CASE WHEN $v > ${pfx}2 THEN 1 ELSE 0 END)" +
+          s" + (CASE WHEN $v > ${pfx}3 THEN 1 ELSE 0 END) + (CASE WHEN $v > ${pfx}4 THEN 1 ELSE 0 END) AS INT)"
+      s"""WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, ${sqlFp("\"value\"", 4)} AS v4 FROM events),
+        |u AS (SELECT user_id, max(ms) // 3600000 AS r_hr, count(*) AS f,
+        |    CAST(sum(v4) AS BIGINT) // 10000 AS m_u FROM e GROUP BY 1),
+        |${th("u", "r_hr", "tr")},
+        |${th("u", "f", "tf")},
+        |${th("u", "m_u", "tm")}
+        |SELECT user_id, r_hr, f, m_u,
+        |  ${sc("r_hr", "tr")} AS r_score,
+        |  ${sc("f", "tf")} AS f_score,
+        |  ${sc("m_u", "tm")} AS m_score,
+        |  ${sc("r_hr", "tr")} * 100 + ${sc("f", "tf")} * 10 + ${sc("m_u", "tm")} AS rfm
+        |FROM u, ttr, ttf, ttm ORDER BY user_id""".stripMargin
+    },
     "ev_markov_rank" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events),
         |pairs AS (SELECT event_type AS src,

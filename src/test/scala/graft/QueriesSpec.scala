@@ -111,6 +111,32 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("ev_rfm: scores are 1..5 quintiles matching a brute-force threshold pick") {
+    val rows = SparkEntry.queries("ev_rfm")(spark, TestSpark.Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5), r.getInt(6), r.getInt(7)))
+    assert(rows.nonEmpty)
+    // brute per-dimension: threshold_q = smallest v with |{x <= v}| >= ceil(q·n/5)
+    def bruteScores(vals: Seq[Long]): Seq[Int] = {
+      val sorted = vals.sorted
+      val n = vals.length
+      val ts = (1 to 4).map(q => sorted(((q.toLong * n + 4) / 5 - 1).toInt))
+      vals.map(v => 1 + ts.count(v > _))
+    }
+    val rB = bruteScores(rows.map(_._2).toSeq)
+    val fB = bruteScores(rows.map(_._3).toSeq)
+    val mB = bruteScores(rows.map(_._4).toSeq)
+    rows.zipWithIndex.foreach { case ((uid, _, _, _, rs, fs, ms, rfm), i) =>
+      assert(rs == rB(i) && fs == fB(i) && ms == mB(i), s"user $uid scores")
+      assert(rfm == rs * 100 + fs * 10 + ms, s"user $uid rfm composition")
+      assert(rs >= 1 && rs <= 5 && fs >= 1 && fs <= 5 && ms >= 1 && ms <= 5)
+    }
+    // quintiles carry real signal on this data: >= 3 distinct scores
+    // in the frequency and monetary dimensions
+    assert(rows.map(_._6).distinct.length >= 3, "f quintiles degenerate")
+    assert(rows.map(_._7).distinct.length >= 3, "m quintiles degenerate")
+  }
+
   test("ev_markov_rank: teleport floor and total-mass bound hold") {
     val rows = SparkEntry.queries("ev_markov_rank")(spark, TestSpark.Sf)
       .collect().map(r => r.getString(0) -> r.getLong(1))
