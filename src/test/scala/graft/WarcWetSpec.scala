@@ -1,0 +1,106 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.web.WarcWet
+import graft.web.WarcWet.WetRecord
+
+/** The Common Crawl WET reader: golden fixture from an INDEPENDENT
+  * Python gzip writer, writer→reader roundtrips, split-boundary
+  * exactly-once, and corrupt-member drop semantics.
+  */
+class WarcWetSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(name: String): String = {
+    val f = java.io.File.createTempFile(name, ".warc.wet.gz")
+    f.deleteOnExit()
+    f.getAbsolutePath
+  }
+
+  private val battery = Seq(
+    WetRecord("http://a.example/1", "conversion", "2024-02-01T00:00:00Z", 0L, "plain ascii body"),
+    WetRecord("http://b.example/2", "conversion", "2024-02-01T00:00:01Z", 0L, "héllo wörld 中文 → multibyte"),
+    WetRecord("http://c.example/3", "response", "2024-02-01T00:00:02Z", 0L, ""),
+    WetRecord("http://d.example/4", "conversion", "2024-02-01T00:00:03Z", 0L, "line one\nline two\r\nline three"),
+    WetRecord("http://e.example/5", "conversion", "2024-02-01T00:00:04Z", 0L, "y" * 20000))
+
+  test("golden fixture from the independent Python writer reads exactly") {
+    val got = WarcWet.read(spark, "src/test/resources/golden.warc.wet.gz")
+      .as[WetRecord].collect().sortBy(_.url)
+    assert(got.length == 4, got.map(_.url).toSeq.toString)
+    val byUrl = got.map(r => r.url -> r).toMap
+    assert(byUrl("http://example.com/a").text == "Hello web corpus.\nSecond line.")
+    assert(byUrl("http://example.org/b?q=1").text == "Unicode: héllo wörld 中文 →")
+    assert(byUrl("http://example.org/b?q=1").warc_type == "conversion")
+    assert(byUrl("http://example.net/c").text == "" && byUrl("http://example.net/c").warc_type == "response")
+    assert(byUrl("http://example.com/d").text == "x" * 5000)
+    assert(byUrl("http://example.com/d").length == 5000L)
+    assert(got.forall(_.date.startsWith("2024-01-15")))
+  }
+
+  test("writer -> reader roundtrip preserves every record") {
+    val p = tmp("roundtrip")
+    WarcWet.write(p, battery)
+    val got = WarcWet.read(spark, p).as[WetRecord].collect().sortBy(_.url)
+    assert(got.map(_.url).toSeq == battery.map(_.url).sorted)
+    val byUrl = got.map(r => r.url -> r).toMap
+    battery.foreach { r =>
+      assert(byUrl(r.url).text == r.text, r.url)
+      assert(byUrl(r.url).warc_type == r.warc_type, r.url)
+      assert(byUrl(r.url).date == r.date, r.url)
+      assert(byUrl(r.url).length == r.text.getBytes("UTF-8").length.toLong, r.url)
+    }
+  }
+
+  test("tiny ranges force members across split boundaries; still exactly-once") {
+    val p = tmp("splits")
+    WarcWet.write(p, battery)
+    val fileLen = new java.io.File(p).length()
+    // 64-byte ranges: every member straddles several; ownership by
+    // first byte must still emit each record exactly once
+    val got = WarcWet.read(spark, p, rangeBytes = 64L).as[WetRecord].collect()
+    assert(fileLen > 64, "fixture must actually span multiple ranges")
+    assert(got.length == battery.length, s"${got.length} records from tiny ranges")
+    assert(got.map(_.url).sorted.toSeq == battery.map(_.url).sorted)
+  }
+
+  test("a corrupted member drops; its neighbors survive") {
+    val p = tmp("corrupt")
+    WarcWet.write(p, battery)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    // flip a byte in the MIDDLE of the file (inside some member's
+    // deflate stream) — that member's CRC fails and it drops
+    bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x5a).toByte
+    java.nio.file.Files.write(java.nio.file.Paths.get(p), bytes)
+    val got = WarcWet.read(spark, p).as[WetRecord].collect()
+    assert(got.length < battery.length, "the corrupted member must drop")
+    assert(got.length >= battery.length - 2, s"neighbors survive (got ${got.length})")
+    assert(got.forall(r => battery.exists(b => b.url == r.url && b.text == r.text)),
+      "surviving records decode exactly")
+  }
+
+  test("non-WARC gzip members and garbage bytes are skipped, not fatal") {
+    val p = tmp("mixed")
+    val fos = new java.io.FileOutputStream(p)
+    fos.write(Array.fill(100)(0x1f.toByte)) // magic-looking garbage
+    fos.close()
+    // append one real record after the garbage via the writer path
+    val real = tmp("realtail")
+    WarcWet.write(real, battery.take(1))
+    val all = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)) ++
+      makeGzip("not a warc payload") ++
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(real))
+    java.nio.file.Files.write(java.nio.file.Paths.get(p), all)
+    val got = WarcWet.read(spark, p).as[WetRecord].collect()
+    assert(got.length == 1 && got.head.url == battery.head.url,
+      "only the genuine WARC member surfaces")
+  }
+
+  private def makeGzip(s: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(s.getBytes("UTF-8")); gz.close()
+    bos.toByteArray
+  }
+}
