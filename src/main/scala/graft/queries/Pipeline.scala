@@ -350,6 +350,28 @@ object Pipeline {
       Dedup.winnowPairs(aug, "doc_id", "aug", n = 3, w = 4, minShared = 2)
         .orderBy("doc_a", "doc_b")
     }),
+    // 48 — the WET ingestion loop END-TO-END, oracle-gated (the
+    // cg_pipeline_counts argument applied to the web-corpus ingress):
+    // documents → distributed sharded .warc.wet.gz export (every
+    // partition streams one multi-member shard) → split-scan
+    // distributed read-back → md5 re-derivation per doc. The oracle
+    // recomputes the md5 straight from the documents table, so ANY
+    // byte drift in the gzip member framing, the WARC header
+    // rendering, the split-scan member ownership, or the payload
+    // decode hash-mismatches. Tiny rangeBytes forces members across
+    // split boundaries on every run
+    "src_wet_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_wet").toString
+      val docs = t(s, dir, "documents")
+        .select(concat(lit("doc://"), col("doc_id")).as("url"),
+          lit("conversion").as("warc_type"),
+          lit("2024-01-01T00:00:00Z").as("date"), col("text"))
+      graft.web.WarcWet.writeSharded(docs, tmp)
+      graft.web.WarcWet.read(s, tmp, rangeBytes = 4096L)
+        .select(substring(col("url"), 7, 30).cast("long").as("doc_id"),
+          col("length").as("n_bytes"), md5(col("text")).as("h"))
+        .orderBy("doc_id")
+    }),
     // 41b — text normalization (canonical form for dedup)
     "txt_normalize" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -2163,6 +2185,13 @@ object Pipeline {
         |SELECT doc_id, term, tf, count(*) OVER (PARTITION BY term) AS df,
         |  ${sqlFp("CAST(tf AS DOUBLE) * ln(n / CAST(count(*) OVER (PARTITION BY term) AS DOUBLE))", 4)} AS tfidf_fp4
         |FROM tf, n ORDER BY doc_id, term""".stripMargin,
+    // the oracle never sees the WET bytes: it recomputes the expected
+    // output straight from documents, so the whole write→read loop
+    // must reproduce every payload byte to hash-match
+    "src_wet_roundtrip" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS h
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "txt_fingerprint" ->
       """SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
         |  list_transform(range(1, least(length(text), 64) + 1),

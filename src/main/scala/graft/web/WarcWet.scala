@@ -181,13 +181,64 @@ object WarcWet {
            rangeBytes: Long = 32L * 1024 * 1024): DataFrame = {
     import spark.implicits._
     require(rangeBytes >= 1, s"rangeBytes $rangeBytes must be >= 1")
-    val len = new java.io.File(path).length()
-    val ranges = (0L until math.max(1L, (len + rangeBytes - 1) / rangeBytes))
-      .map(i => (i * rangeBytes, math.min((i + 1) * rangeBytes, len)))
-    val p = path
+    // a directory reads as the union of its shards' ranges (the
+    // multi-shard crawl layout); a file reads as its own ranges
+    val f = new java.io.File(path)
+    val files =
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten
+          .filter(x => x.isFile && x.getName.endsWith(".warc.wet.gz"))
+          .map(_.getAbsolutePath).sorted
+      else Seq(path)
+    val ranges = files.flatMap { p =>
+      val len = new java.io.File(p).length()
+      (0L until math.max(1L, (len + rangeBytes - 1) / rangeBytes))
+        .map(i => (p, i * rangeBytes, math.min((i + 1) * rangeBytes, len)))
+    }
     spark.createDataset(ranges)
-      .flatMap { case (s, e) => scanRange(p, s, e) }
+      .flatMap { case (p, s, e) => scanRange(p, s, e) }
       .toDF()
+  }
+
+  /** Distributed sharded export: every partition streams its rows
+    * into ONE self-contained multi-member `.warc.wet.gz` shard —
+    * the Common Crawl layout, so each output shard is independently
+    * [[read]]-able and split-scannable. Input needs columns
+    * (url, warc_type, date, text); rows stream straight to the gzip
+    * sink (no per-partition buffering). Local/NFS paths here; an
+    * object-store deployment swaps the FileOutputStream for a
+    * committer-tracked stream like `OsmChangeXml.writeShardedText`.
+    * Returns the shard file paths. */
+  def writeSharded(df: DataFrame, dir: String): Seq[String] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    new java.io.File(dir).mkdirs()
+    val d = dir
+    df.select("url", "warc_type", "date", "text")
+      .as[(String, String, String, String)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val path = f"$d%s/part-$pid%05d.warc.wet.gz"
+        var n = 0L
+        val fos = new java.io.FileOutputStream(path)
+        try it.foreach { case (url, typ, date, text) =>
+          val body = Option(text).getOrElse("").getBytes("UTF-8")
+          val headers = Seq(
+            "WARC/1.0",
+            s"WARC-Type: ${Option(typ).getOrElse("conversion")}",
+            Option(url).map(u => s"WARC-Target-URI: $u").getOrElse(""),
+            Option(date).map(x => s"WARC-Date: $x").getOrElse(""),
+            s"Content-Length: ${body.length}").filter(_.nonEmpty)
+          val gz = new java.util.zip.GZIPOutputStream(fos)
+          gz.write((headers.mkString("\r\n") + "\r\n\r\n").getBytes("UTF-8"))
+          gz.write(body)
+          gz.finish()
+          n += 1
+        } finally fos.close()
+        if (n == 0) { new java.io.File(path).delete(); Iterator.empty }
+        else Iterator.single(path)
+      }
+      .collect().toSeq.sorted // one path per non-empty partition — driver-sized
   }
 
   // ---- writer (driver-side; fixtures / small exports) ----------------

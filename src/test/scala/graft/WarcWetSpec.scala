@@ -97,6 +97,26 @@ class WarcWetSpec extends AnyFunSuite {
       "only the genuine WARC member surfaces")
   }
 
+  test("writeSharded: one self-contained shard per partition; directory read unions them") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("wet_shards").toString
+    val df = spark.range(0, 40).repartition(4)
+      .select(concat(lit("doc://"), col("id")).as("url"),
+        lit("conversion").as("warc_type"), lit("2024-03-01T00:00:00Z").as("date"),
+        concat(lit("body of "), col("id")).as("text"))
+    val shards = graft.web.WarcWet.writeSharded(df, dir)
+    assert(shards.length == 4, s"one shard per partition: $shards")
+    // every shard independently readable
+    shards.foreach { sh =>
+      assert(graft.web.WarcWet.read(spark, sh).count() > 0, s"shard $sh reads alone") }
+    // the directory read unions all shards exactly-once
+    val got = graft.web.WarcWet.read(spark, dir, rangeBytes = 128L)
+      .as[WetRecord].collect()
+    assert(got.length == 40, s"${got.length} records from the directory")
+    assert(got.map(_.url).sorted.toSeq == (0 until 40).map(i => s"doc://$i").sorted)
+    got.foreach(r => assert(r.text == s"body of ${r.url.drop(6)}", r.url))
+  }
+
   private def makeGzip(s: String): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val gz = new java.util.zip.GZIPOutputStream(bos)
