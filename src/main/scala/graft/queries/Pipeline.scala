@@ -366,7 +366,10 @@ object Pipeline {
         .select(concat(lit("doc://"), col("doc_id")).as("url"),
           lit("conversion").as("warc_type"),
           lit("2024-01-01T00:00:00Z").as("date"), col("text"))
-      graft.web.WarcWet.writeSharded(docs, tmp)
+      val shards = graft.web.WarcWet.writeSharded(docs, tmp)
+      // the read is lazy, so the shards can't be deleted here — clean
+      // at JVM exit instead of accumulating a dir per bench run
+      (shards.map(new java.io.File(_)) :+ new java.io.File(tmp)).foreach(_.deleteOnExit())
       graft.web.WarcWet.read(s, tmp, rangeBytes = 4096L)
         .select(substring(col("url"), 7, 30).cast("long").as("doc_id"),
           col("length").as("n_bytes"), md5(col("text")).as("h"))
