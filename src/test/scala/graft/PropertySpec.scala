@@ -333,6 +333,28 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: native rasterSad equals a reference byte loop on random rasters incl. truncations") {
+    import graft.multimodal.Multimodal
+    def ref(a: Array[Byte], b: Array[Byte], n: Int): Option[Long] =
+      if (a.length < n || b.length < n) None
+      else Some((0 until n).map(i => math.abs((a(i) & 0xff) - (b(i) & 0xff)).toLong).sum)
+    val lenGen = Gen.frequency(6 -> Gen.const(64), 2 -> Gen.chooseNum(0, 63), 1 -> Gen.chooseNum(65, 80))
+    val pairGen = for {
+      la <- lenGen; lb <- lenGen
+      a <- Gen.listOfN(la, Gen.chooseNum(-128, 127).map(_.toByte))
+      b <- Gen.listOfN(lb, Gen.chooseNum(-128, 127).map(_.toByte))
+    } yield (a.toArray, b.toArray)
+    val pairs = (1 to 80).map(i => (i.toLong, sampled(pairGen)))
+    val df = pairs.map { case (id, (a, b)) => (id, a, b) }.toDF("id", "a", "b")
+    val got = df.select(org.apache.spark.sql.functions.col("id"),
+        Multimodal.rasterSad(org.apache.spark.sql.functions.col("a"),
+          org.apache.spark.sql.functions.col("b"), 64).as("sad"))
+      .as[(Long, Option[Long])].collect().toMap
+    pairs.foreach { case (id, (a, b)) =>
+      assert(got(id) == ref(a, b, 64), s"pair $id (|a|=${a.length}, |b|=${b.length})")
+    }
+  }
+
   test("property: native winnow equals a reference sliding-min scan on random token streams") {
     import graft.text.TextAnalysis
     // reference: brute-force O(ng·w) — per window take the min hash,
