@@ -259,6 +259,23 @@ object Relational {
                   (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 4))
             .as("corr_fp4"))
         .orderBy("l_returnflag")
+    }),
+    // 11i — latest-row-per-key (the QUALIFY row_number()=1 pattern:
+    // CDC upsert compaction / changelog dedup — the most common
+    // warehouse maintenance query): per (user, event type), the
+    // newest event wins on (ms, event_id) — a TOTAL order, so rank 1
+    // is unique and the result retry/partitioning-stable. One key
+    // shuffle; the window partition is per-key-sized, never global
+    "q21_latest_per_key" -> ((s, dir) => {
+      val e0 = t(s, dir, "events")
+      val e = e0.select(col("user_id"), col("event_type"), col("event_id"),
+        tsMs(e0).as("ms"), fp(col("value"), 4).as("v4"))
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ms").desc, col("event_id").desc)
+      e.withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") === 1)
+        .drop("_rk")
+        .orderBy("user_id", "event_type")
     })
   )
 
@@ -398,6 +415,14 @@ object Relational {
         |      / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
         |      * 1e4 + 0.5) AS BIGINT)
         |  END AS corr_fp4
-        |FROM m ORDER BY l_returnflag""".stripMargin
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+    // (ms, event_id) is a total order, so QUALIFY rank 1 is unique
+    "q21_latest_per_key" ->
+      """WITH e AS (SELECT user_id, event_type, event_id, epoch_ms(ts) AS ms,
+        |    CAST(floor("value"*1e4+0.5) AS BIGINT) AS v4 FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ms DESC, event_id DESC) AS rk FROM e)
+        |SELECT user_id, event_type, event_id, ms, v4 FROM r WHERE rk = 1
+        |ORDER BY user_id, event_type""".stripMargin
   )
 }
