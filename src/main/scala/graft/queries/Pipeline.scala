@@ -94,6 +94,21 @@ object Pipeline {
           fp(lit(1.0) / col("cluster_n").cast("double"), 6).as("weight_fp6"))
         .orderBy("doc_id")
     }),
+    // 46l — DSIR importance resampling weights (Xie et al. 2023): the
+    // domain-targeting selection pass — score every doc by how much
+    // more TARGET-like (here: the English slice) than corpus-like its
+    // char-trigram stream is, using two corpus-trained Laplace models
+    // in exact fp6 integer arithmetic (probability-space difference
+    // instead of the paper's log-ratio — same ordering signal, no
+    // libm). keep_flag marks the docs an importance resample
+    // up-weights. Shape: see TextAnalysis.dsirWeightsDf — two
+    // broadcast-model scoring passes over one shared tri projection,
+    // charset²-bounded models, corpus shuffles only at the per-doc agg
+    "smp_dsir" -> ((s, dir) => {
+      TextAnalysis.dsirWeightsDf(t(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en")
+        .orderBy("doc_id")
+    }),
     // 31b — incremental snapshot dedup: today's batch anti-joined on
     // content hash against yesterday's corpus (distinct 16-byte hash
     // set, not documents, rides the shuffle)
@@ -553,6 +568,42 @@ object Pipeline {
         nprobe = 2, kCand = 20, k = 5)
         .orderBy("query_id", "rk")
     }),
+    // 37g — mutual k-NN GRAPH construction (the batch input every
+    // graph-based ANN index — HNSW/NSG — and SemDeDup-style cluster
+    // pass starts from): candidates are CELL-BOUNDED (the same
+    // deterministic stride-centroid IVF assignment as 37b — never the
+    // all-pairs corpus square; at 100 TB raise the cell count so
+    // |cell| stays ~√N and the self-join stays linear-ish), per-node
+    // top-3 via a per-node window over ≤|cell| candidate rows (window
+    // partition = node id, never corpus-sized), then the MUTUAL
+    // filter: an undirected edge survives iff each endpoint ranks the
+    // other in ITS top-3 — a self-join of the k·N-row kNN table on
+    // the reversed key pair. Fully oracle-checked: the IVF
+    // assignment, fold-order cosines, rank tie-breaks (cos_fp6 desc,
+    // id asc) and the mutual join all replicate in SQL.
+    "sim_knn_graph" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", 16)
+      val assigned = Similarity.ivfAssign(e, "vec_id", "embedding", cents)
+      val a = assigned.select(col("id").as("id_a"), col("vec").as("_va"), col("cell"))
+      val b = assigned.select(col("id").as("id_b"), col("vec").as("_vb"), col("cell"))
+      val scored = a.join(b, "cell")
+        .filter(col("id_a") =!= col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          fp(Similarity.cosine(col("_va"), col("_vb")), 6).as("cos_fp6"))
+      val wk = Window.partitionBy("id_a")
+        .orderBy(col("cos_fp6").desc, col("id_b"))
+      val knn = scored
+        .withColumn("_rk", row_number().over(wk))
+        .filter(col("_rk") <= 3)
+        .select("id_a", "id_b", "cos_fp6")
+      knn.as("x")
+        .join(knn.select(col("id_a").as("id_b"), col("id_b").as("id_a")).as("y"),
+          Seq("id_a", "id_b"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("cos_fp6"))
+        .orderBy("id_a", "id_b")
+    }),
     // 41f — TF-IDF term weights: explode tokens → (doc, term) tf
     // counts → document frequencies via groupBy(term) + broadcast
     // join-back. The df agg does map-side partial aggregation, so a
@@ -578,6 +629,39 @@ object Pipeline {
           fp(col("tf").cast("double") * log(col("_n") / col("df").cast("double")), 4))
         .select("doc_id", "term", "tf", "df", "tfidf_fp4")
         .orderBy("doc_id", "term")
+    }),
+    // 41j — PMI-style collocation mining (the phrase-discovery pass a
+    // tokenizer-vocabulary build runs over a corpus): score every
+    // bigram by LIFT = P(w1,w2) / (P_left(w1)·P_right(w2)) =
+    // n_xy·N / (n_x·n_y) — PMI without the log, so the statistic is
+    // pure rational arithmetic (exact integer counts, one
+    // correctly-rounded double divide) instead of libm-dependent.
+    // Shape: ONE corpus-sized shuffle (the bigram count, map-side
+    // combined so a hot bigram is one row per task); both marginals
+    // derive from the counted vocab²-bounded table — pinned via
+    // localCheckpoint so the three consumers don't re-run the corpus
+    // pass — and join back broadcast (vocab-sized; swap for shuffle
+    // joins past the broadcast limit, the txt_tfidf note). min-count
+    // ≥ 5 is the standard collocation support floor.
+    "txt_collocations" -> ((s, dir) => {
+      val big = t(s, dir, "documents")
+        .select(explode(call_function("graft_word_ngrams",
+          TextAnalysis.tokens(col("text")), lit(2), lit(1), lit(0))).as("_g"))
+        .select(substring_index(col("_g"), " ", 1).as("w1"),
+          substring_index(col("_g"), " ", -1).as("w2"))
+      val cnt = big.groupBy("w1", "w2").agg(count(lit(1)).as("n_xy"))
+        .localCheckpoint()
+      val lm = cnt.groupBy("w1").agg(sum("n_xy").as("n_x"))
+      val rm = cnt.groupBy("w2").agg(sum("n_xy").as("n_y"))
+      val tot = cnt.agg(sum("n_xy").as("n_tot"))
+      cnt.filter(col("n_xy") >= 5)
+        .join(broadcast(lm), "w1")
+        .join(broadcast(rm), "w2")
+        .crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"), col("n_xy"),
+          fp((col("n_xy").cast("double") * col("n_tot").cast("double")) /
+            (col("n_x").cast("double") * col("n_y").cast("double")), 4).as("lift_fp4"))
+        .orderBy("w1", "w2")
     }),
     // 43d — KMV (bottom-k) distinct-count sketch: deterministic
     // md5-uniform hashing makes the sketch AND its estimate
@@ -676,6 +760,58 @@ object Pipeline {
           score(col("f"), "_tf").as("f_score"),
           score(col("m_u"), "_tm").as("m_score"))
         .withColumn("rfm", col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+        .orderBy("user_id")
+    }),
+    // 43j — DAU/WAU stickiness (the engagement-density profile an
+    // event corpus is cut by before cohort work): two distinct-user
+    // rollups — per (week, day) and per week — each a map-side-
+    // combined distinct shuffle; the week table is |weeks|-sized and
+    // broadcast back onto the day table. Day/week ids are pure
+    // integer floor-divisions of epoch ms (events are post-1970, and
+    // both engines truncate identically on non-negatives); the ratio
+    // is one correctly-rounded double divide, fp4-quantized.
+    "ev_stickiness" -> ((s, dir) => {
+      val d = ev(s, dir).select(col("user_id"),
+          expr("ms DIV 86400000").as("day_id"))
+        .withColumn("week_id", expr("day_id DIV 7"))
+      val dau = d.groupBy("week_id", "day_id")
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val wau = d.groupBy("week_id")
+        .agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(broadcast(wau), "week_id")
+        .select(col("week_id"), col("day_id"), col("dau"), col("wau"),
+          fp(col("dau").cast("double") / col("wau").cast("double"), 4).as("stickiness_fp4"))
+        .orderBy("day_id")
+    }),
+    // 43k — bot/abuse rate filtering (the traffic-hygiene gate an
+    // event corpus passes before it trains anything): flag users whose
+    // peak per-minute event rate exceeds a human-plausible ceiling.
+    // The organic corpus peaks at ~3/min, so bot traffic is
+    // SYNTHESIZED like txt_pii_mask's PII — every user_id % 37 == 0
+    // gets a 120-event burst inside one deterministic minute — and the
+    // detector provably fires at every SF. Shape: two shuffles, both
+    // map-side combined — (user, minute) counts collapse before the
+    // exchange (a bot's burst is ONE row per task, so even a
+    // million-event bot minute cannot skew a reducer), then the
+    // per-user max/sum rollup; the synthetic burst build is a
+    // distinct-users projection exploded 120× (row count bounded by
+    // 120·|users|, no shuffle of its own).
+    "ev_bot_users" -> ((s, dir) => {
+      val organic = ev(s, dir).select(col("user_id"), col("ms"))
+      val bursts = ev(s, dir).filter(col("user_id") % 37 === 0)
+        .select(col("user_id")).distinct()
+        .select(col("user_id"), explode(sequence(lit(0), lit(119))).as("_i"))
+        .select(col("user_id"),
+          (lit(1704067200000L) + (col("user_id") % 1440) * 60000L +
+            col("_i") * 400L).as("ms"))
+      organic.unionByName(bursts)
+        .groupBy(col("user_id"), expr("ms DIV 60000").as("minute_id"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(max("n").as("peak_per_min"), sum("n").as("n_events"))
+        .select(col("user_id"), col("peak_per_min"),
+          col("n_events").cast("long").as("n_events"),
+          (col("peak_per_min") >= 60).cast("long").as("is_bot"))
         .orderBy("user_id")
     }),
     // 43g — damped PageRank over the event-type transition graph:
@@ -1823,6 +1959,27 @@ object Pipeline {
     "sim_ann_lsh_exact" -> annLshExactSql,
     "sim_ann_lsh" -> annLshGuardedSql,
     "sim_ann_ivf" -> annIvfSql,
+    // same IVF assignment CTEs as annIvfSql; candidates cell-bounded,
+    // per-node top-3, then the mutual (reversed-pair) self-join
+    "sim_knn_graph" ->
+      s"""WITH cnt AS (SELECT count(*) AS c FROM embeddings),
+        |cents AS (SELECT vec_id AS centroid_id, embedding AS cvec
+        |          FROM embeddings, cnt WHERE vec_id % greatest(1, (c + 15) // 16) = 0),
+        |ac AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+        |         ${cosSql("e.embedding", "c.cvec")} AS cosv
+        |       FROM embeddings e CROSS JOIN cents c),
+        |asg AS (SELECT vec_id, embedding, centroid_id AS cell FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosv DESC, centroid_id) AS rn
+        |         FROM ac) WHERE rn = 1),
+        |sc AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         ${sqlFp(cosSql("a.embedding", "b.embedding"), 6)} AS cos_fp6
+        |       FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id != b.vec_id),
+        |knn AS (SELECT id_a, id_b, cos_fp6 FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY cos_fp6 DESC, id_b) AS rk
+        |         FROM sc) WHERE rk <= 3)
+        |SELECT k1.id_a, k1.id_b, k1.cos_fp6 FROM knn k1
+        |JOIN knn k2 ON k1.id_a = k2.id_b AND k1.id_b = k2.id_a
+        |WHERE k1.id_a < k1.id_b ORDER BY k1.id_a, k1.id_b""".stripMargin,
     // PQ mirror: stride codebook (rank = code), subspace slices,
     // d2 = x·x − 2·x·c + c·c with the same fold-order dots, argmin =
     // windowed first by (d2, code)
@@ -2158,6 +2315,27 @@ object Pipeline {
         |  CAST(sum(${sqlFp("CAST(cnt + 1 AS DOUBLE) / CAST(tot + v AS DOUBLE)", 6)}) AS BIGINT) AS sum_p_fp6
         |FROM tri JOIN model USING (ctx, c) JOIN ctxt USING (ctx) CROSS JOIN vocab
         |GROUP BY tri.doc_id ORDER BY doc_id""".stripMargin,
+    // the txt_charlm model CTEs trained TWICE (target slice + full
+    // corpus); score = exact fp6 probability difference per position
+    "smp_dsir" ->
+      s"""WITH norm AS (SELECT doc_id, lang = 'en' AS is_t,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]+', ' ', 'g'), '\\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |pos AS (SELECT doc_id, is_t, t, unnest(range(1, greatest(length(t) - 1, 1))) AS i FROM norm),
+        |tri AS (SELECT doc_id, is_t, substr(t, CAST(i AS INT), 2) AS ctx, substr(t, CAST(i AS INT) + 2, 1) AS c FROM pos),
+        |mc AS (SELECT ctx, c, count(*) AS cnt_c FROM tri GROUP BY 1, 2),
+        |mt AS (SELECT ctx, c, count(*) AS cnt_t FROM tri WHERE is_t GROUP BY 1, 2),
+        |cc AS (SELECT ctx, CAST(sum(cnt_c) AS BIGINT) AS tot_c FROM mc GROUP BY 1),
+        |ct AS (SELECT ctx, CAST(sum(cnt_t) AS BIGINT) AS tot_t FROM mt GROUP BY 1),
+        |vocab AS (SELECT count(DISTINCT c) AS v FROM mc),
+        |scd AS (SELECT tri.doc_id,
+        |    ${sqlFp("CAST(coalesce(cnt_t, 0) + 1 AS DOUBLE) / CAST(coalesce(tot_t, 0) + v AS DOUBLE)", 6)} AS pt6,
+        |    ${sqlFp("CAST(cnt_c + 1 AS DOUBLE) / CAST(tot_c + v AS DOUBLE)", 6)} AS pc6
+        |  FROM tri JOIN mc USING (ctx, c) JOIN cc USING (ctx)
+        |    LEFT JOIN mt USING (ctx, c) LEFT JOIN ct USING (ctx) CROSS JOIN vocab)
+        |SELECT doc_id, count(*) AS n_tri, CAST(sum(pt6 - pc6) AS BIGINT) AS dsir_fp6,
+        |  CAST(CASE WHEN CAST(sum(pt6 - pc6) AS BIGINT) > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep_flag
+        |FROM scd GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "txt_pii_mask" ->
       """SELECT doc_id, regexp_replace(regexp_replace(
         |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-'
@@ -2188,6 +2366,18 @@ object Pipeline {
         |SELECT doc_id, term, tf, count(*) OVER (PARTITION BY term) AS df,
         |  ${sqlFp("CAST(tf AS DOUBLE) * ln(n / CAST(count(*) OVER (PARTITION BY term) AS DOUBLE))", 4)} AS tfidf_fp4
         |FROM tf, n ORDER BY doc_id, term""".stripMargin,
+    "txt_collocations" ->
+      s"""WITH toks0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
+        |pos AS (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks0),
+        |big AS (SELECT tk[CAST(i AS INT)] AS w1, tk[CAST(i AS INT) + 1] AS w2 FROM pos),
+        |cnt AS (SELECT w1, w2, count(*) AS n_xy FROM big GROUP BY 1, 2),
+        |lm AS (SELECT w1, CAST(sum(n_xy) AS BIGINT) AS n_x FROM cnt GROUP BY 1),
+        |rm AS (SELECT w2, CAST(sum(n_xy) AS BIGINT) AS n_y FROM cnt GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n_tot FROM cnt)
+        |SELECT w1, w2, n_xy,
+        |  ${sqlFp("(CAST(n_xy AS DOUBLE) * CAST(n_tot AS DOUBLE)) / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))", 4)} AS lift_fp4
+        |FROM cnt JOIN lm USING (w1) JOIN rm USING (w2) CROSS JOIN tot
+        |WHERE n_xy >= 5 ORDER BY w1, w2""".stripMargin,
     // the oracle never sees the WET bytes: it recomputes the expected
     // output straight from documents, so the whole write→read loop
     // must reproduce every payload byte to hash-match
@@ -2334,6 +2524,25 @@ object Pipeline {
         |  ${sc("r_hr", "tr")} * 100 + ${sc("f", "tf")} * 10 + ${sc("m_u", "tm")} AS rfm
         |FROM u, ttr, ttf, ttm ORDER BY user_id""".stripMargin
     },
+    "ev_stickiness" ->
+      s"""WITH d AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day_id FROM events),
+        |d2 AS (SELECT user_id, day_id, day_id // 7 AS week_id FROM d),
+        |dau AS (SELECT week_id, day_id, count(DISTINCT user_id) AS dau FROM d2 GROUP BY 1, 2),
+        |wau AS (SELECT week_id, count(DISTINCT user_id) AS wau FROM d2 GROUP BY 1)
+        |SELECT week_id, day_id, dau, wau,
+        |  ${sqlFp("CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE)", 4)} AS stickiness_fp4
+        |FROM dau JOIN wau USING (week_id) ORDER BY day_id""".stripMargin,
+    "ev_bot_users" ->
+      """WITH organic AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+        |bots AS (SELECT DISTINCT user_id FROM events WHERE user_id % 37 = 0),
+        |burst AS (SELECT b.user_id,
+        |    1704067200000 + (b.user_id % 1440) * 60000 + i * 400 AS ms
+        |  FROM bots b CROSS JOIN range(0, 120) t(i)),
+        |allev AS (SELECT * FROM organic UNION ALL SELECT * FROM burst),
+        |pm AS (SELECT user_id, ms // 60000 AS minute_id, count(*) AS n FROM allev GROUP BY 1, 2)
+        |SELECT user_id, max(n) AS peak_per_min, CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(CASE WHEN max(n) >= 60 THEN 1 ELSE 0 END AS BIGINT) AS is_bot
+        |FROM pm GROUP BY 1 ORDER BY user_id""".stripMargin,
     "ev_markov_rank" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events),
         |pairs AS (SELECT event_type AS src,

@@ -352,6 +352,61 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tri"), sum("p6").as("sum_p_fp6"))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling") re-expressed in
+    * the engine-portable [[charLmScoreDf]] idiom: train the SAME
+    * Laplace-smoothed char-trigram model twice — once on the TARGET
+    * slice (`isTarget`), once on the full corpus — and weight each
+    * doc by how much more target-like than corpus-like its characters
+    * are. DSIR uses log-ratio Σ log(p_T/p_C); log()'s last ulp
+    * differs across libm implementations (the charLmScoreDf lesson),
+    * so the score here is the probability-space difference
+    * Σ (fp6(p_T) − fp6(p_C)) — exact integers, same ordering signal
+    * (positive ⇔ target-shifted) — and `keep_flag` marks the docs an
+    * importance resample would up-weight.
+    *
+    * Scale shape: the corpus is scanned twice (both model builds fold
+    * into ONE pass each over the shared tri projection, charset²-
+    * bounded after map-side partial agg; the target model is a
+    * filtered twin). Scoring is broadcast joins against four
+    * charset²/charset-bounded tables + a 1-row vocab frame — the
+    * corpus side never shuffles by gram; the only corpus-sized
+    * exchange is the final per-doc aggregation. Grams absent from the
+    * target model smooth to (0+1)/(0+v) via the left joins — the
+    * exact Laplace count-zero case, not a special path.
+    */
+  def dsirWeightsDf(df: DataFrame, idCol: String, textCol: String,
+                    isTarget: Column): DataFrame = {
+    val norm = df.select(col(idCol).as("doc_id"),
+      normalize(col(textCol)).as("t"), isTarget.as("_is_t"))
+    val tri = norm
+      .select(col("doc_id"), col("_is_t"),
+        explode(call_function("graft_char_ngrams", col("t"), lit(3))).as("g"))
+      .select(col("doc_id"), col("_is_t"),
+        substring(col("g"), 1, 2).as("ctx"),
+        substring(col("g"), 3, 1).as("c"))
+    val modelC = tri.groupBy("ctx", "c").agg(count(lit(1)).as("cnt_c")).localCheckpoint()
+    val modelT = tri.filter(col("_is_t"))
+      .groupBy("ctx", "c").agg(count(lit(1)).as("cnt_t")).localCheckpoint()
+    val ctxC = modelC.groupBy("ctx").agg(sum("cnt_c").as("tot_c"))
+    val ctxT = modelT.groupBy("ctx").agg(sum("cnt_t").as("tot_t"))
+    val vocab = modelC.agg(count_distinct(col("c")).as("v"))
+    tri
+      .join(broadcast(modelC), Seq("ctx", "c"))
+      .join(broadcast(ctxC), Seq("ctx"))
+      .join(broadcast(modelT), Seq("ctx", "c"), "left")
+      .join(broadcast(ctxT), Seq("ctx"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        fp((coalesce(col("cnt_t"), lit(0L)) + lit(1)).cast("double") /
+          (coalesce(col("tot_t"), lit(0L)) + col("v")).cast("double"), 6).as("pt6"),
+        fp((col("cnt_c") + lit(1)).cast("double") /
+          (col("tot_c") + col("v")).cast("double"), 6).as("pc6"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri"), sum(col("pt6") - col("pc6")).as("dsir_fp6"))
+      .withColumn("keep_flag", (col("dsir_fp6") > 0).cast("long"))
+  }
+
   /** PII masking: replace email addresses and NNN-NNN-NNNN phone
     * numbers with placeholder tokens. Patterns are RE2-safe (no
     * backrefs/lookarounds) so Java regex and DuckDB RE2 agree. */

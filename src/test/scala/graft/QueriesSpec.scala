@@ -167,4 +167,95 @@ class QueriesSpec extends AnyFunSuite {
       assert(math.abs(v - approx(k)) < 2e-3, s"$k: $v vs ${approx(k)}")
     }
   }
+
+  test("sim_knn_graph equals a brute-force per-cell top-3 + mutual filter") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+    val cents = graft.similarity.Similarity.ivfCentroids(e, "vec_id", "embedding", 16)
+    val assigned = graft.similarity.Similarity.ivfAssign(e, "vec_id", "embedding", cents)
+      .select("id", "vec", "cell")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getLong(2)))
+    def cos6(a: Array[Float], b: Array[Float]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6 + 0.5).toLong
+    }
+    val byCell = assigned.groupBy(_._3)
+    val knn: Map[Long, Seq[(Long, Long)]] = assigned.map { case (id, v, cell) =>
+      id -> byCell(cell).filter(_._1 != id)
+        .map { case (oid, ov, _) => (oid, cos6(v, ov)) }
+        .sortBy { case (oid, c) => (-c, oid) }.take(3).map { case (oid, c) => (oid, c) }.toSeq
+    }.toMap
+    val bruteMutual = (for {
+      (a, nbrs) <- knn.toSeq; (b, c) <- nbrs
+      if a < b && knn(b).exists(_._1 == a)
+    } yield (a, b, c)).toSet
+    val out = SparkEntry.queries("sim_knn_graph")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == bruteMutual, s"${out.size} vs brute ${bruteMutual.size}")
+    assert(out.nonEmpty)
+  }
+
+  test("txt_collocations equals a brute-force bigram lift recount") {
+    import org.apache.spark.sql.functions._
+    val toks = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select(col("text")).collect()
+      .map(_.getString(0).toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq)
+    val bigrams = toks.flatMap(t => t.zip(t.drop(1)))
+    val cnt = bigrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nx = cnt.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val ny = cnt.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val tot = cnt.values.sum
+    val brute = cnt.collect { case ((w1, w2), n) if n >= 5 =>
+      (w1, w2, n, math.floor(
+        (n.toDouble * tot.toDouble) / (nx(w1).toDouble * ny(w2).toDouble) * 1e4 + 0.5).toLong)
+    }.toSet
+    val out = SparkEntry.queries("txt_collocations")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == brute, s"${out.size} vs brute ${brute.size}")
+    assert(out.nonEmpty)
+  }
+
+  test("ev_stickiness equals a brute DAU/WAU recount; ratio bounded by 1") {
+    import org.apache.spark.sql.functions._
+    val raw = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
+    val msRows = raw.select(col("user_id"),
+      graft.queries.QueryUtil.tsMs(raw).as("ms")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val days = msRows.map { case (u, ms) => (u, ms / 86400000L) }.distinct
+    val dau = days.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val wau = days.map { case (u, d) => (u, d / 7) }.distinct
+      .groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val out = SparkEntry.queries("ev_stickiness")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    out.foreach { case (week, day, d, w, s4) =>
+      assert(day / 7 == week)
+      assert(d == dau(day), s"day $day dau")
+      assert(w == wau(week), s"week $week wau")
+      assert(s4 == math.floor(d.toDouble / w.toDouble * 1e4 + 0.5).toLong)
+      assert(d <= w, "a day's actives cannot exceed its week's")
+    }
+    assert(out.map(_._2).length == dau.size, "every active day present")
+  }
+
+  test("ev_bot_users flags exactly the synthesized burst users") {
+    val rows = SparkEntry.queries("ev_bot_users")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val flagged = rows.filter(_._4 == 1L).map(_._1).toSet
+    val expected = rows.map(_._1).filter(_ % 37 == 0).toSet
+    assert(flagged == expected, s"flagged $flagged expected $expected")
+    assert(flagged.nonEmpty, "no bot fired — synthesis broken")
+    rows.foreach { case (uid, peak, n, bot) =>
+      if (bot == 1L) assert(peak >= 60L && n >= 120L, s"user $uid bot invariants")
+      else assert(peak < 60L, s"user $uid organic peak $peak")
+    }
+  }
 }

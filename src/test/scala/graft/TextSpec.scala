@@ -145,6 +145,28 @@ class TextSpec extends AnyFunSuite {
     assert(kept == Set(3L))
   }
 
+  test("dsirWeightsDf: target-like docs weigh positive, off-target negative") {
+    // 20 target docs of one character distribution + 20 off-target of a
+    // disjoint one: a doc's grams are either boosted by the target
+    // model (p_T > p_C, diluted corpus) or absent from it (p_T ≈ 1/v)
+    val docs = ((1 to 20).map(i => (i.toLong, s"the quick brown fox number $i", true)) ++
+      (21 to 40).map(i => (i.toLong, s"zxq vjw qqk xxz jqz numero $i", false)))
+      .toDF("doc_id", "text", "is_en")
+    val out = TextAnalysis.dsirWeightsDf(docs, "doc_id", "text", col("is_en"))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> (r._3, r._4)).toMap
+    assert(out.size == 40)
+    (1 to 20).foreach { i =>
+      val (w, keep) = out(i.toLong)
+      assert(w > 0 && keep == 1L, s"target doc $i weight $w")
+    }
+    (21 to 40).foreach { i =>
+      val (w, keep) = out(i.toLong)
+      assert(w < 0 && keep == 0L, s"off-target doc $i weight $w")
+    }
+    // keep_flag is exactly sign(dsir_fp6)
+    out.values.foreach { case (w, keep) => assert(keep == (if (w > 0) 1L else 0L)) }
+  }
+
   test("domainDivergenceDf: zero for a corpus-shaped source, large for a drifted one") {
     // sources a and b share the corpus distribution exactly (identical
     // text); source z is pure out-of-vocabulary drift
