@@ -663,6 +663,40 @@ object Pipeline {
             (col("n_x").cast("double") * col("n_y").cast("double")), 4).as("lift_fp4"))
         .orderBy("w1", "w2")
     }),
+    // 41k — HTML main-text extraction (the web-ingestion stage between
+    // a raw crawl and the WET-style plain text everything downstream
+    // consumes): strip script/style blocks, then tags, decode the
+    // core entities, collapse whitespace. The HTML wrapper is
+    // SYNTHESIZED deterministically around each doc (title / nav /
+    // script / style / entity-bearing footer — the txt_pii_mask
+    // pattern) so every strip rule provably fires at every SF.
+    // Patterns are RE2-safe ([\s\S]*? instead of DOTALL '.', no
+    // lookarounds/backrefs) so Java regex and DuckDB RE2 agree
+    // byte-for-byte; boilerplate_ratio is one correctly-rounded
+    // divide over exact lengths. Pure narrow map — zero shuffles
+    // beyond the presentation sort, trivially 100 TB-shaped.
+    "txt_html_extract" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><script type=\"text/javascript\">var x = 1 < 2;</script>"),
+        lit("<style>.nav{color:red}</style></head><body><nav>home &amp; links</nav><p>"),
+        col("text"),
+        lit("</p><div class=\"footer\">&copy; 2024 &lt;Example&gt;&nbsp;Corp</div></body></html>"))
+      val noScript = regexp_replace(html, "<script[^>]*>[\\s\\S]*?</script>", " ")
+      val noStyle = regexp_replace(noScript, "<style[^>]*>[\\s\\S]*?</style>", " ")
+      val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+      val decoded = regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        noTags, "&amp;", "&"), "&lt;", "<"), "&gt;", ">"), "&nbsp;", " "), "&copy;", "(c)")
+      val clean = trim(regexp_replace(decoded, "\\s+", " "))
+      t(s, dir, "documents")
+        .select(col("doc_id"), html.as("_h"), clean.as("extracted"))
+        .select(col("doc_id"), col("extracted"),
+          length(col("_h")).cast("long").as("n_chars_raw"),
+          length(col("extracted")).cast("long").as("n_chars_text"),
+          fp(lit(1.0) - length(col("extracted")).cast("double") /
+            length(col("_h")).cast("double"), 4).as("boilerplate_ratio_fp4"))
+        .orderBy("doc_id")
+    }),
     // 43d — KMV (bottom-k) distinct-count sketch: deterministic
     // md5-uniform hashing makes the sketch AND its estimate
     // bit-reproducible across engines/retries — the verifiable cousin
@@ -813,6 +847,42 @@ object Pipeline {
           col("n_events").cast("long").as("n_events"),
           (col("peak_per_min") >= 60).cast("long").as("is_bot"))
         .orderBy("user_id")
+    }),
+    // 43l — session co-visitation lift (the recommender/behavior-
+    // mining building block: which event types co-occur in the same
+    // session more than chance): sessions via the SAME gap rule as
+    // ev_sessionize, reduced to DISTINCT (session, type) rows — so
+    // the within-session self-join is bounded by the TYPE VOCABULARY
+    // per session (≤|types|²/2 pairs regardless of session length;
+    // for item catalogs cap per-session items before pairing), never
+    // by event count. Lift = n_ab·S/(n_a·n_b) over session
+    // probabilities — the txt_collocations statistic on a different
+    // universe, same log-free exact-integer convention.
+    "ev_covisit" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ms", "event_id")
+      val st = ev(s, dir)
+        .withColumn("new_sess",
+          when(lag("ms", 1).over(byUser).isNull || col("ms") - lag("ms", 1).over(byUser) > SessionGapMs, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx", sum("new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("user_id", "session_idx", "event_type").distinct()
+        .localCheckpoint()
+      val pairs = st.select(col("user_id"), col("session_idx"), col("event_type").as("type_a"))
+        .join(st.select(col("user_id"), col("session_idx"), col("event_type").as("type_b")),
+          Seq("user_id", "session_idx"))
+        .filter(col("type_a") < col("type_b"))
+      val nab = pairs.groupBy("type_a", "type_b").agg(count(lit(1)).as("n_ab"))
+      val na = st.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val stot = st.select("user_id", "session_idx").distinct()
+        .agg(count(lit(1)).as("s_tot"))
+      nab
+        .join(broadcast(na.select(col("event_type").as("type_a"), col("n").as("n_a"))), "type_a")
+        .join(broadcast(na.select(col("event_type").as("type_b"), col("n").as("n_b"))), "type_b")
+        .crossJoin(broadcast(stot))
+        .select(col("type_a"), col("type_b"), col("n_ab"),
+          fp((col("n_ab").cast("double") * col("s_tot").cast("double")) /
+            (col("n_a").cast("double") * col("n_b").cast("double")), 4).as("lift_fp4"))
+        .orderBy("type_a", "type_b")
     }),
     // 43g — damped PageRank over the event-type transition graph:
     // edges = user-ordered consecutive event pairs (one partitioned
@@ -2378,6 +2448,28 @@ object Pipeline {
         |  ${sqlFp("(CAST(n_xy AS DOUBLE) * CAST(n_tot AS DOUBLE)) / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))", 4)} AS lift_fp4
         |FROM cnt JOIN lm USING (w1) JOIN rm USING (w2) CROSS JOIN tot
         |WHERE n_xy >= 5 ORDER BY w1, w2""".stripMargin,
+    "txt_html_extract" ->
+      s"""WITH h AS (SELECT doc_id,
+        |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |  '</title><script type="text/javascript">var x = 1 < 2;</script>' ||
+        |  '<style>.nav{color:red}</style></head><body><nav>home &amp; links</nav><p>' ||
+        |  text ||
+        |  '</p><div class="footer">&copy; 2024 &lt;Example&gt;&nbsp;Corp</div></body></html>' AS html
+        |  FROM documents),
+        |c AS (SELECT doc_id, html,
+        |  trim(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(html, '<script[^>]*>[\\s\\S]*?</script>', ' ', 'g'),
+        |          '<style[^>]*>[\\s\\S]*?</style>', ' ', 'g'),
+        |        '<[^>]*>', ' ', 'g'),
+        |      '&amp;', '&', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&nbsp;', ' ', 'g'), '&copy;', '(c)', 'g'),
+        |    '\\s+', ' ', 'g')) AS extracted FROM h)
+        |SELECT doc_id, extracted, CAST(length(html) AS BIGINT) AS n_chars_raw,
+        |  CAST(length(extracted) AS BIGINT) AS n_chars_text,
+        |  ${sqlFp("CAST(1.0 AS DOUBLE) - CAST(length(extracted) AS DOUBLE) / CAST(length(html) AS DOUBLE)", 4)} AS boilerplate_ratio_fp4
+        |FROM c ORDER BY doc_id""".stripMargin,
     // the oracle never sees the WET bytes: it recomputes the expected
     // output straight from documents, so the whole write→read loop
     // must reproduce every payload byte to hash-match
@@ -2543,6 +2635,27 @@ object Pipeline {
         |SELECT user_id, max(n) AS peak_per_min, CAST(sum(n) AS BIGINT) AS n_events,
         |  CAST(CASE WHEN max(n) >= 60 THEN 1 ELSE 0 END AS BIGINT) AS is_bot
         |FROM pm GROUP BY 1 ORDER BY user_id""".stripMargin,
+    // the ev_sessionize window CTEs reduced to DISTINCT (session,
+    // type), then the collocation lift over session probabilities
+    "ev_covisit" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |flagged AS (SELECT *, CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > $SessionGapMs
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |sess AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM flagged),
+        |st AS (SELECT DISTINCT user_id, session_idx, event_type FROM sess),
+        |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+        |  FROM st a JOIN st b ON a.user_id = b.user_id AND a.session_idx = b.session_idx
+        |    AND a.event_type < b.event_type),
+        |nab AS (SELECT type_a, type_b, count(*) AS n_ab FROM pairs GROUP BY 1, 2),
+        |na AS (SELECT event_type, count(*) AS n FROM st GROUP BY 1),
+        |stot AS (SELECT count(*) AS s_tot FROM (SELECT DISTINCT user_id, session_idx FROM st))
+        |SELECT type_a, type_b, n_ab,
+        |  ${sqlFp("(CAST(n_ab AS DOUBLE) * CAST(s_tot AS DOUBLE)) / (CAST(na_a.n AS DOUBLE) * CAST(na_b.n AS DOUBLE))", 4)} AS lift_fp4
+        |FROM nab JOIN na na_a ON na_a.event_type = nab.type_a
+        |  JOIN na na_b ON na_b.event_type = nab.type_b CROSS JOIN stot
+        |ORDER BY type_a, type_b""".stripMargin,
     "ev_markov_rank" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events),
         |pairs AS (SELECT event_type AS src,

@@ -258,4 +258,57 @@ class QueriesSpec extends AnyFunSuite {
       else assert(peak < 60L, s"user $uid organic peak $peak")
     }
   }
+
+  test("ev_covisit equals a brute sessionize-and-pair recount") {
+    import org.apache.spark.sql.functions._
+    val raw = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
+    val evs = raw.select(col("user_id"), col("event_id"),
+      graft.queries.QueryUtil.tsMs(raw).as("ms"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // brute sessionize: per user, ordered by (ms, event_id), gap > 6h
+    val st: Seq[(Long, Long, String)] = evs.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._2))
+      var idx = 0L; var prev = Long.MinValue
+      ordered.map { case (_, _, ms, et) =>
+        if (prev == Long.MinValue || ms - prev > 21600000L) idx += 1
+        prev = ms
+        (u, idx, et)
+      }
+    }.distinct
+    val sessions = st.map(r => (r._1, r._2)).distinct.size.toLong
+    val na = st.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val nab = st.groupBy(r => (r._1, r._2)).values.toSeq
+      .flatMap { s => val ts = s.map(_._3).distinct.sorted
+        for (i <- ts.indices; j <- i + 1 until ts.length) yield (ts(i), ts(j)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val brute = nab.map { case ((a, b), n) =>
+      (a, b, n, math.floor((n.toDouble * sessions.toDouble) /
+        (na(a).toDouble * na(b).toDouble) * 1e4 + 0.5).toLong)
+    }.toSet
+    val out = SparkEntry.queries("ev_covisit")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == brute, s"${out.size} vs brute ${brute.size}")
+    assert(out.nonEmpty)
+  }
+
+  test("txt_html_extract strips boilerplate to exactly the expected text") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = SparkEntry.queries("txt_html_extract")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.size == docs.size)
+    out.foreach { case (id, extracted, nRaw, nText, ratio4) =>
+      val body = docs(id).replaceAll("\\s+", " ").trim
+      val expected = (s"Doc $id home & links " + body + " (c) 2024 <Example> Corp")
+        .replaceAll("\\s+", " ").trim
+      assert(extracted == expected, s"doc $id extraction")
+      assert(nText == extracted.length.toLong, s"doc $id n_chars_text")
+      assert(nRaw > nText, s"doc $id raw must exceed extracted")
+      assert(ratio4 == math.floor((1.0 - nText.toDouble / nRaw.toDouble) * 1e4 + 0.5).toLong)
+      assert(!extracted.contains("<script") && !extracted.contains("color:red")
+        && !extracted.contains("&amp;"), s"doc $id boilerplate leaked")
+    }
+  }
 }
