@@ -697,6 +697,71 @@ object Pipeline {
             length(col("_h")).cast("double"), 4).as("boilerplate_ratio_fp4"))
         .orderBy("doc_id")
     }),
+    // 41l — Flesch–Kincaid readability grade (the classic surface
+    // readability signal quality dashboards carry next to the Gopher
+    // rules): words = whitespace tokens, sentences = [.!?]+ runs
+    // (floored at 1 so fragments still score), syllables = [aeiouy]+
+    // vowel-group runs of the lowercased text — the standard
+    // syllable heuristic, counted per doc. grade = 0.39·w/s +
+    // 11.8·syll/w − 15.59 in the IDENTICAL double op order on both
+    // engines (two correctly-rounded divides, two multiplies, one
+    // add/sub chain), fp4-quantized; the exact integer counts ride
+    // alongside so the score is auditable. Pure narrow map — zero
+    // data shuffles beyond the presentation sort, trivially
+    // 100 TB-shaped.
+    "txt_readability" -> ((s, dir) => {
+      val w = size(TextAnalysis.tokens(col("text"))).cast("long")
+      val snt = greatest(lit(1L), regexp_count(col("text"), lit("[.!?]+")).cast("long"))
+      val syl = regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long")
+      t(s, dir, "documents")
+        .select(col("doc_id"), w.as("n_words"), snt.as("n_sentences"), syl.as("n_syllables"))
+        .select(col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
+          when(col("n_words") === 0, lit(0L)).otherwise(
+            fp(lit(0.39) * (col("n_words").cast("double") / col("n_sentences").cast("double")) +
+               lit(11.8) * (col("n_syllables").cast("double") / col("n_words").cast("double")) -
+               lit(15.59), 4)).as("fk_grade_fp4"))
+        .orderBy("doc_id")
+    }),
+    // 43m — A/B experiment readout (the conversion-rate gate an event
+    // corpus answers before any behavioral decision ships): exposure
+    // unit = user-day (the cookie-day grain experiment frameworks
+    // report), deterministic arm assignment (user_id + day) % 2 — a
+    // pure function of the unit key, so retries/reruns agree —
+    // conversion = the unit reached 'purchase'. The 2×2 χ² statistic
+    // runs on EXACT integer per-arm counts with one fixed-order
+    // double expression at the end (diff = a1·b0 − a0·b1 in doubles —
+    // no >2^63 integer products at 10^9-unit scale, no libm),
+    // fp4-quantized, 0 when a margin degenerates. Shape: one
+    // map-side-combinable per-unit rollup (the only corpus-sized
+    // shuffle), a 2-row arm agg, then two 1-row frames broadcast
+    // into the single readout row.
+    "ev_ab_test" -> ((s, dir) => {
+      val units = ev(s, dir)
+        .groupBy(col("user_id"), expr("ms DIV 86400000").as("day"))
+        .agg(max((col("event_type") === "purchase").cast("long")).as("conv"))
+        .withColumn("arm", pmod(col("user_id") + col("day"), lit(2)))
+      val arms = units.groupBy("arm")
+        .agg(count(lit(1)).as("n"), sum("conv").as("k"))
+      val armA = arms.filter(col("arm") === 0)
+        .select(col("n").as("units_a"), col("k").as("conv_a"))
+      val armB = arms.filter(col("arm") === 1)
+        .select(col("n").as("units_b"), col("k").as("conv_b"))
+      val a1 = col("conv_a").cast("double")
+      val a0 = (col("units_a") - col("conv_a")).cast("double")
+      val b1 = col("conv_b").cast("double")
+      val b0 = (col("units_b") - col("conv_b")).cast("double")
+      val ua = col("units_a").cast("double")
+      val ub = col("units_b").cast("double")
+      val nD = (col("units_a") + col("units_b")).cast("double")
+      val diff = a1 * b0 - a0 * b1
+      armA.crossJoin(broadcast(armB))
+        .select(col("units_a"), col("conv_a"), col("units_b"), col("conv_b"),
+          fp(a1 / ua, 6).as("rate_a_fp6"),
+          fp(b1 / ub, 6).as("rate_b_fp6"),
+          when((a1 + b1) === 0.0 || (a0 + b0) === 0.0, lit(0L))
+            .otherwise(fp(nD * diff * diff / ((ua * ub) * ((a1 + b1) * (a0 + b0))), 4))
+            .as("chi2_fp4"))
+    }),
     // 43d — KMV (bottom-k) distinct-count sketch: deterministic
     // md5-uniform hashing makes the sketch AND its estimate
     // bit-reproducible across engines/retries — the verifiable cousin
@@ -2508,6 +2573,43 @@ object Pipeline {
         |FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc < b.doc
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // Flesch–Kincaid: exact integer counts (whitespace tokens, [.!?]+
+    // runs floored at 1, [aeiouy]+ vowel groups), then the grade in
+    // the same double op order as the Spark side
+    "txt_readability" ->
+      s"""WITH c AS (SELECT doc_id,
+        |  CAST(len($toksSql) AS BIGINT) AS n_words,
+        |  CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS n_sentences,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CASE WHEN n_words = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE ${sqlFp("0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) + " +
+             "11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) - 15.59", 4)}
+        |  END AS fk_grade_fp4
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // 2×2 χ² on exact per-arm integers; the double expression mirrors
+    // the Spark op order term for term
+    "ev_ab_test" ->
+      s"""WITH u AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1, 2),
+        |arms AS (SELECT (user_id + day) % 2 AS arm, count(*) AS n, CAST(sum(conv) AS BIGINT) AS k
+        |  FROM u GROUP BY 1),
+        |a AS (SELECT n AS units_a, k AS conv_a FROM arms WHERE arm = 0),
+        |b AS (SELECT n AS units_b, k AS conv_b FROM arms WHERE arm = 1)
+        |SELECT units_a, conv_a, units_b, conv_b,
+        |  ${sqlFp("CAST(conv_a AS DOUBLE) / CAST(units_a AS DOUBLE)", 6)} AS rate_a_fp6,
+        |  ${sqlFp("CAST(conv_b AS DOUBLE) / CAST(units_b AS DOUBLE)", 6)} AS rate_b_fp6,
+        |  CASE WHEN conv_a + conv_b = 0 OR (units_a - conv_a) + (units_b - conv_b) = 0
+        |    THEN CAST(0 AS BIGINT)
+        |    ELSE ${sqlFp("CAST(units_a + units_b AS DOUBLE) * " +
+             "(CAST(conv_a AS DOUBLE) * CAST(units_b - conv_b AS DOUBLE) - CAST(units_a - conv_a AS DOUBLE) * CAST(conv_b AS DOUBLE)) * " +
+             "(CAST(conv_a AS DOUBLE) * CAST(units_b - conv_b AS DOUBLE) - CAST(units_a - conv_a AS DOUBLE) * CAST(conv_b AS DOUBLE)) / " +
+             "((CAST(units_a AS DOUBLE) * CAST(units_b AS DOUBLE)) * " +
+             "((CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE)) * (CAST(units_a - conv_a AS DOUBLE) + CAST(units_b - conv_b AS DOUBLE))))", 4)}
+        |  END AS chi2_fp4
+        |FROM a CROSS JOIN b""".stripMargin,
     "ev_kmv_distinct" -> {
       val u32 = """list_reduce(list_prepend(CAST(0 AS BIGINT),
         | list_transform(range(1, 9),
