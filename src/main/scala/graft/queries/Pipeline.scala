@@ -722,6 +722,78 @@ object Pipeline {
                lit(15.59), 4)).as("fk_grade_fp4"))
         .orderBy("doc_id")
     }),
+    // 41m — BM25 ranked retrieval (Robertson–Spärck Jones, k1=1.2
+    // b=0.75): the classic retrieval scorer run over the corpus's own
+    // 20 highest-df terms as the query workload — per query term,
+    // top-10 docs by BM25. The (doc, term) tf table feeds tf/df/dl
+    // once and ReuseExchange dedups the shuffle (the txt_tfidf
+    // idiom); the 20-term query set broadcasts onto tf so only
+    // query-term postings survive to scoring; per-doc length joins by
+    // doc key; corpus stats are two 1-row broadcast frames. Ranking
+    // on the fp4-QUANTIZED score + doc_id tiebreak (so both engines
+    // rank identically) through the salted two-stage topKPerQuery —
+    // a stopword-grade query term scores every doc, and a single-
+    // reducer window would not survive that at 100 TB. ln() rides
+    // the txt_tfidf precedent (identical libm calls both engines,
+    // fp4 absorbs the ulp).
+    "txt_bm25" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tf = docs
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dlTab = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      val dfTab = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val qTerms = dfTab.orderBy(col("df").desc, col("term")).limit(20)
+      val nd = docs.agg(count(lit(1)).as("n_docs"))
+      val tot = dlTab.agg(sum("dl").cast("double").as("tot"))
+      val avgdl = col("tot") / col("n_docs").cast("double")
+      val idf = log((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)) + lit(1.0))
+      val tfNorm = col("tf").cast("double") * lit(2.2) /
+        (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
+      val scored = tf
+        .join(broadcast(qTerms), "term")
+        .join(dlTab, "doc_id")
+        .crossJoin(broadcast(nd)).crossJoin(broadcast(tot))
+        .select(col("term").as("query_id"), col("doc_id").as("id"), col("tf"),
+          fp(idf * tfNorm, 4).as("bm25_fp4"))
+      Similarity.topKPerQuery(scored, 10, Seq(col("bm25_fp4").desc, col("id")))
+        .select(col("query_id").as("term"), col("id").as("doc_id"), col("tf"), col("bm25_fp4"))
+        .orderBy(col("term"), col("bm25_fp4").desc, col("doc_id"))
+    }),
+    // 41n — positional phrase search (the inverted-index lookup shape:
+    // boolean AND + adjacency over positional postings). The query
+    // phrase is the corpus's own most frequent bigram (count desc,
+    // bigram asc — deterministic at every SF, so the match path
+    // provably fires); postings = (doc, pos, token) from ONE
+    // posexplode, pruned by the broadcast 1-row phrase BEFORE any
+    // shuffle — only the two query terms' postings ship; the
+    // adjacency test is an equi-join on (doc, pos+1); per-doc match
+    // stats collapse map-side. At 100 TB this is the standard
+    // term-partitioned posting intersection — no corpus-sized
+    // window, no cartesian.
+    "txt_phrase_search" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val phrase = docs
+        .select(explode(call_function("graft_word_ngrams",
+          TextAnalysis.tokens(col("text")), lit(2), lit(1), lit(0))).as("_g"))
+        .groupBy("_g").agg(count(lit(1)).as("_c"))
+        .orderBy(col("_c").desc, col("_g")).limit(1)
+        .select(substring_index(col("_g"), " ", 1).as("w1"),
+          substring_index(col("_g"), " ", -1).as("w2"))
+      val pos = docs
+        .select(col("doc_id"), posexplode(TextAnalysis.tokens(col("text"))))
+        .toDF("doc_id", "pos", "tok")
+        .crossJoin(broadcast(phrase))
+      val m1 = pos.filter(col("tok") === col("w1"))
+        .select(col("doc_id"), col("pos").cast("long").as("p1"), col("w1"), col("w2"))
+      val m2 = pos.filter(col("tok") === col("w2"))
+        .select(col("doc_id"), col("pos").cast("long").as("p2"))
+      m1.join(m2, m1("doc_id") === m2("doc_id") && col("p2") === col("p1") + 1L)
+        .groupBy(m1("doc_id").as("doc_id"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n_matches"), min("p1").as("first_pos"))
+        .orderBy("doc_id")
+    }),
     // 43m — A/B experiment readout (the conversion-rate gate an event
     // corpus answers before any behavioral decision ships): exposure
     // unit = user-day (the cookie-day grain experiment frameworks
@@ -2588,6 +2660,42 @@ object Pipeline {
              "11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) - 15.59", 4)}
         |  END AS fk_grade_fp4
         |FROM c ORDER BY doc_id""".stripMargin,
+    // BM25 over the top-20-df query terms: tf/df/dl from the shared
+    // token table, score in the identical double op order (ln both
+    // engines — the txt_tfidf precedent), rank on the fp4 score +
+    // doc_id so ties cut identically
+    "txt_bm25" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |q AS (SELECT term, df FROM df ORDER BY df DESC, term LIMIT 20),
+        |st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |            (SELECT CAST(sum(dl) AS DOUBLE) FROM dl) AS tot),
+        |scored AS (SELECT tf.term, tf.doc_id, tf.tf,
+        |  ${sqlFp("ln((CAST(n_docs AS DOUBLE) - CAST(q.df AS DOUBLE) + 0.5) / (CAST(q.df AS DOUBLE) + 0.5) + 1.0) * " +
+             "(CAST(tf.tf AS DOUBLE) * 2.2 / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / (tot / CAST(n_docs AS DOUBLE)))))) ", 4)} AS bm25_fp4
+        |  FROM tf JOIN q USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY term ORDER BY bm25_fp4 DESC, doc_id) AS r
+        |  FROM scored)
+        |SELECT term, doc_id, tf, bm25_fp4 FROM rk WHERE r <= 10
+        |ORDER BY term, bm25_fp4 DESC, doc_id""".stripMargin,
+    // phrase = globally most frequent bigram (count desc, bigram asc);
+    // postings pruned to the two phrase terms, adjacency on pos+1
+    "txt_phrase_search" ->
+      s"""WITH tk0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
+        |bpos AS (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM tk0),
+        |big AS (SELECT tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1] AS g FROM bpos),
+        |cnt AS (SELECT g, count(*) AS c FROM big GROUP BY 1),
+        |top AS (SELECT string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2
+        |  FROM cnt ORDER BY c DESC, g LIMIT 1),
+        |pos AS (SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos, tk[CAST(i AS INT)] AS tok
+        |  FROM tk0, unnest(range(1, len(tk) + 1)) t(i)),
+        |m1 AS (SELECT doc_id, pos AS p1, w1, w2 FROM pos, top WHERE tok = w1),
+        |m2 AS (SELECT doc_id, pos AS p2 FROM pos, top WHERE tok = w2)
+        |SELECT m1.doc_id, w1, w2, count(*) AS n_matches, min(p1) AS first_pos
+        |FROM m1 JOIN m2 ON m1.doc_id = m2.doc_id AND m2.p2 = m1.p1 + 1
+        |GROUP BY 1, 2, 3 ORDER BY m1.doc_id""".stripMargin,
     // 2×2 χ² on exact per-arm integers; the double expression mirrors
     // the Spark op order term for term
     "ev_ab_test" ->
