@@ -273,6 +273,25 @@ object Multimodal {
     }
   }
 
+  /** Integer box-filter 2× downsample of an 8×8 grayscale raster
+    * held as a binary column — the image-pipeline resize stage: each
+    * 2×2 block averages to one output pixel, out = ⌊Σblock/4⌋ via a
+    * shift (exact integer floor mean, no float filter taps — so any
+    * engine reproduces every pixel). Returns the 4×4 result as a
+    * row-major array<long>. Pure narrow columnar — zero shuffle; at
+    * corpus scale resize runs as a projection over the payload
+    * column. Index math stays in int bit-ops (shiftright / mask):
+    * Spark's `/` on ints promotes to double, which would silently
+    * drift the offsets.
+    */
+  def boxDownsample8(payload: Column): Column =
+    transform(sequence(lit(0), lit(15)), o => {
+      val base = shiftright(o, 2) * 16 + o.bitwiseAND(lit(3)) * 2
+      val s4 = u8(payload, base + 1) + u8(payload, base + 2) +
+        u8(payload, base + 9) + u8(payload, base + 10)
+      shiftright(s4.cast("long"), 2)
+    })
+
   /** Sample every `stride`-th frame of an `array<binary>` column
     * (video keyframe thinning) — pure columnar.
     */

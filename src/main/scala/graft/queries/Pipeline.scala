@@ -390,6 +390,33 @@ object Pipeline {
           col("length").as("n_bytes"), md5(col("text")).as("h"))
         .orderBy("doc_id")
     }),
+    // 48b — the JSONL corpus interchange loop END-TO-END (JSONL is
+    // THE LLM-corpus wire format — Pile/RedPajama/Dolma all ship
+    // it): documents → distributed gzip JSON-lines export through
+    // Spark's NATIVE json sink (one shard per partition — the
+    // declarative path, nothing hand-rolled) → schema-pinned
+    // distributed read-back → per-doc md5 re-derivation. The oracle
+    // recomputes the hashes straight from the documents table, so
+    // any drift in JSON string escaping, charset round-trip, gzip
+    // framing, or shard ownership hash-mismatches. Gzip shards are
+    // not splittable — at 100 TB parallelism = shard count, which
+    // the export side controls by partition count.
+    "src_jsonl_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+        .write.mode("overwrite").option("compression", "gzip").json(tmp)
+      // the read below is lazy — register cleanup at JVM exit (dir
+      // first so children, registered later, delete before it)
+      val root = new java.io.File(tmp)
+      root.deleteOnExit()
+      Option(root.listFiles()).foreach(_.foreach(_.deleteOnExit()))
+      s.read.schema("doc_id LONG, lang STRING, source STRING, text STRING").json(tmp)
+        .select(col("doc_id"), col("lang"), col("source"),
+          length(col("text")).cast("long").as("n_chars_rt"),
+          md5(col("text")).as("h"))
+        .orderBy("doc_id")
+    }),
     // 41b — text normalization (canonical form for dedup)
     "txt_normalize" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1449,6 +1476,28 @@ object Pipeline {
       hashed.join(groups, Seq("phash_hi", "phash_lo"))
         .select("doc_id", "phash_hi", "phash_lo", "rep_id", "group_size")
         .orderBy("doc_id")
+    }),
+    // 45j — image RESIZE (the decode→resize→featurize pipeline's
+    // middle stage, named by the brief): integer box-filter 2×
+    // downsample over the same synthetic 8×8 rasters as 45e — each
+    // 2×2 block floor-averages to one output pixel via
+    // [[Multimodal.boxDownsample8]] (shift arithmetic, no float
+    // taps), one row per output pixel. The oracle recomputes every
+    // pixel closed-form from doc_id (the synthGray8x8 formula), so
+    // any drift in offset math, the unsigned-byte read, or the floor
+    // mean hash-mismatches. Pure narrow map + posexplode — zero data
+    // shuffles, resize at 100 TB is a projection.
+    "mm_image_resize" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal
+      val payloads = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.synthGray8x8(id))))
+        .toDF("doc_id", "payload")
+      payloads
+        .select(col("doc_id"), posexplode(Multimodal.boxDownsample8(col("payload"))))
+        .toDF("doc_id", "pos", "px")
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("px"))
+        .orderBy("doc_id", "pos")
     }),
     // 32d — cross-document SEGMENT-level dedup (Lee et al. 2022
     // granularity): consecutive 8-token segments occurring in >= 2
@@ -2614,6 +2663,13 @@ object Pipeline {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS h
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // same discipline for the JSONL loop: the oracle reads documents
+    // directly — the export/read-back must round-trip every code
+    // point for the md5 to land
+    "src_jsonl_roundtrip" ->
+      """SELECT doc_id, lang, source,
+        |  CAST(length(text) AS BIGINT) AS n_chars_rt, md5(text) AS h
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "txt_fingerprint" ->
       """SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
         |  list_transform(range(1, least(length(text), 64) + 1),
@@ -3200,6 +3256,17 @@ object Pipeline {
         |SELECT h.doc_id, CAST(h.phash_hi AS BIGINT) AS phash_hi,
         |  CAST(h.phash_lo AS BIGINT) AS phash_lo, g.rep_id, g.group_size
         |FROM h JOIN g USING (phash_hi, phash_lo) ORDER BY doc_id""".stripMargin,
+    // resize: every 2×2 block of the closed-form synthGray8x8 raster
+    // floor-averages to one output pixel — integer // 4 mirrors the
+    // Spark side's shift
+    "mm_image_resize" ->
+      """WITH px AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+        |    CAST(((doc_id % 16) * 31 + i * 7) % 240 + doc_id % 3 AS BIGINT) AS v
+        |  FROM documents, range(0, 64) t(i)),
+        |o AS (SELECT doc_id, ((i // 8) // 2) * 4 + (i % 8) // 2 AS pos, v FROM px)
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |  CAST(sum(v) // 4 AS BIGINT) AS px
+        |FROM o GROUP BY doc_id, pos ORDER BY doc_id, pos""".stripMargin,
     "dd_segment_dedup" -> {
       // 8-token segments over the boilerplate-planted text; segments
       // in >= 2 distinct docs are stripped, survivors re-join in order

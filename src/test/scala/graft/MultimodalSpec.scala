@@ -409,4 +409,26 @@ class MultimodalSpec extends AnyFunSuite {
       "doc_id", "payload", rasterLen = 64, threshold = 64L).count()
     assert(n == 0, "intra-scene jitter must stay below the threshold")
   }
+
+  test("boxDownsample8 matches a reference byte loop on random rasters") {
+    // property sweep: the columnar 2×2 floor-mean must agree with a
+    // plain unsigned-byte loop, including >=0x80 bytes (sign traps)
+    val rnd = new scala.util.Random(13)
+    val payloads = (0 until 40).map { i =>
+      val b = new Array[Byte](64); rnd.nextBytes(b); (i.toLong, b)
+    }
+    def ref(b: Array[Byte]): Seq[Long] =
+      (0 until 16).map { o =>
+        val r = (o / 4) * 2; val c = (o % 4) * 2
+        val s = Seq(r * 8 + c, r * 8 + c + 1, (r + 1) * 8 + c, (r + 1) * 8 + c + 1)
+          .map(j => b(j).toLong & 0xffL).sum
+        s / 4
+      }
+    val got = payloads.toDF("id", "payload")
+      .select(col("id"), Multimodal.boxDownsample8(col("payload")).as("px"))
+      .as[(Long, Seq[Long])].collect().toMap
+    payloads.foreach { case (id, b) =>
+      assert(got(id) == ref(b), s"raster $id diverged from the reference loop")
+    }
+  }
 }
