@@ -765,14 +765,20 @@ object Pipeline {
     // fp4 absorbs the ulp).
     "txt_bm25" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // per-doc length rides THROUGH the (doc, term) aggregation
+      // (max of a per-doc constant) — no separate dl table, so no
+      // corpus-keyed join back by doc and one fewer corpus pass
       val tf = docs
-        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dlTab = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_tk"))
+        .select(col("doc_id"), size(col("_tk")).cast("long").as("dl"),
+          explode(col("_tk")).as("term"))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
       val dfTab = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val qTerms = dfTab.orderBy(col("df").desc, col("term")).limit(20)
-      val nd = docs.agg(count(lit(1)).as("n_docs"))
-      val tot = dlTab.agg(sum("dl").cast("double").as("tot"))
+      // corpus stats from ONE documents pass: doc count + total tokens
+      val stats = docs.agg(count(lit(1)).as("n_docs"),
+        sum(size(TextAnalysis.tokens(col("text"))).cast("long")).cast("double").as("tot"))
       val avgdl = col("tot") / col("n_docs").cast("double")
       val idf = log((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
         (col("df").cast("double") + lit(0.5)) + lit(1.0))
@@ -780,8 +786,7 @@ object Pipeline {
         (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
       val scored = tf
         .join(broadcast(qTerms), "term")
-        .join(dlTab, "doc_id")
-        .crossJoin(broadcast(nd)).crossJoin(broadcast(tot))
+        .crossJoin(broadcast(stats))
         .select(col("term").as("query_id"), col("doc_id").as("id"), col("tf"),
           fp(idf * tfNorm, 4).as("bm25_fp4"))
       Similarity.topKPerQuery(scored, 10, Seq(col("bm25_fp4").desc, col("id")))
