@@ -519,6 +519,32 @@ object Pipeline {
         .select(col("vec_id"), fp(col("qz.scale"), 6).as("scale_fp6"),
           posexplode(col("qz.q")).as(Seq("pos", "q")))
     }), // row-per-dim output — no presentation sort (checker row-sorts)
+    // 35f — embedding QA outlier gate (the vector-hygiene pass run
+    // before an ANN build or a contrastive train: truncated/blown-up
+    // vectors poison both): squared norm per vector via the strict
+    // left-fold dot (bit-identical across engines), fp2-quantized so
+    // the distribution HISTOGRAM is value-domain-bounded; Tukey
+    // fences (Q1/Q3 ± 1.5·IQR) from the ev_percentile rank scan, in
+    // ALL-INTEGER form (2·v < 2·q1 − 3·(q3−q1) — no /2 rounding
+    // drift); the 1-row fence frame broadcasts back over the corpus.
+    "emb_outliers" -> ((s, dir) => {
+      val sq = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          fp(Similarity.dot(col("embedding"), col("embedding")), 2).as("sqn_c2"))
+      val wc = Window.orderBy("sqn_c2").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fences = sq.groupBy("sqn_c2").agg(count(lit(1)).as("k"))
+        .withColumn("cum", sum("k").over(wc))
+        .withColumn("n", sum("k").over(Window.partitionBy()))
+        .agg(
+          min(when(col("cum") >= expr("(n + 3) DIV 4"), col("sqn_c2"))).as("q1"),
+          min(when(col("cum") >= expr("(3 * n + 3) DIV 4"), col("sqn_c2"))).as("q3"))
+      sq.crossJoin(broadcast(fences))
+        .select(col("vec_id"), col("sqn_c2"), col("q1"), col("q3"),
+          (col("sqn_c2") * 2 < col("q1") * 2 - (col("q3") - col("q1")) * 3 ||
+           col("sqn_c2") * 2 > col("q3") * 2 + (col("q3") - col("q1")) * 3)
+            .cast("long").as("is_outlier"))
+        .orderBy("vec_id")
+    }),
     // 35c — product quantization: 64-dim vectors → 4 subspaces × 16
     // codes (deterministic stride codebook, same seeding as IVF so the
     // whole build-and-encode path replicates in SQL). Encode is a
@@ -1053,6 +1079,40 @@ object Pipeline {
             (col("n_a").cast("double") * col("n_b").cast("double")), 4).as("lift_fp4"))
         .orderBy("type_a", "type_b")
     }),
+    // 43n — session-length profile (the engagement-distribution
+    // readout cut alongside stickiness before any cohort decision):
+    // sessions via the SAME gap rule as ev_sessionize, reduced to
+    // per-session (n_events, duration) — then the distribution
+    // percentiles run over HISTOGRAMS of the quantized values
+    // (seconds for duration), the ev_percentile discipline: the rank
+    // scan is bounded by the value DOMAIN, never by session count,
+    // so the single-task window over each histogram survives 100 TB.
+    // One readout row: session count, p50/p90 duration, p50/max
+    // events per session.
+    "ev_session_stats" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ms", "event_id")
+      val sess = ev(s, dir)
+        .withColumn("new_sess",
+          when(lag("ms", 1).over(byUser).isNull || col("ms") - lag("ms", 1).over(byUser) > SessionGapMs, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx", sum("new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"), expr("(max(ms) - min(ms)) DIV 1000").as("dur_s"))
+      def rankScan(v: String) = {
+        val wc = Window.orderBy(col(v)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        sess.groupBy(v).agg(count(lit(1)).as("k"))
+          .withColumn("cum", sum("k").over(wc))
+          .withColumn("n", sum("k").over(Window.partitionBy()))
+      }
+      val dur = rankScan("dur_s").agg(
+        max(col("n")).cast("long").as("n_sessions"),
+        min(when(col("cum") >= expr("(n + 1) DIV 2"), col("dur_s"))).as("p50_dur_s"),
+        min(when(col("cum") >= expr("(9 * n + 9) DIV 10"), col("dur_s"))).as("p90_dur_s"))
+      val ne = rankScan("n_events").agg(
+        min(when(col("cum") >= expr("(n + 1) DIV 2"), col("n_events"))).as("p50_events"),
+        max(col("n_events")).as("max_events"))
+      dur.crossJoin(broadcast(ne))
+    }),
     // 43g — damped PageRank over the event-type transition graph:
     // edges = user-ordered consecutive event pairs (one partitioned
     // window, the only corpus-scale stage), then 3 power iterations
@@ -1334,6 +1394,46 @@ object Pipeline {
           col("st.sum_sq").as("sum_sq"))
         .withColumn("rms_fp2",
           fp(sqrt(col("sum_sq").cast("double") / col("n_samples").cast("double")), 2))
+        .orderBy("doc_id")
+    }),
+    // 45k — PCM 2× decimation (the audio RESAMPLE twin of 45j's
+    // image resize — the rate-halving pass an audio pipeline runs
+    // before feature extraction): decode the same synthetic WAV
+    // clips as 45g, then out(k) = ⌊(s[2k]+s[2k+1])/2⌋ via an
+    // ARITHMETIC shift (true floor on negative sums — DuckDB's //
+    // truncates, so the oracle floors through a double, exact for
+    // |sum| < 2^52). Per-clip exact-integer profile (n_out / sum /
+    // min / max) keeps the verified output clip-sized. The decode +
+    // decimation are one narrow columnar projection — zero data
+    // shuffles; the derived array binds once per row (staged
+    // projection — Catalyst does no CSE inside HOF lambdas).
+    "mm_audio_resample" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal
+      val payloads = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val n = (id % 200 + 50).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((id * 31 + i.toLong * i * 7) % 65536) - 32768).toInt)
+          val data = samples.flatMap { v =>
+            val u = v & 0xffff
+            Array((u & 0xff).toByte, ((u >> 8) & 0xff).toByte)
+          }
+          (id, Multimodal.synthWavHeader(1, 16000, 16, n * 2) ++ data)
+        })
+        .toDF("doc_id", "payload")
+      payloads
+        .select(col("doc_id"), Multimodal.wavPcm16(col("payload")).as("_pcm"))
+        .select(col("doc_id"), transform(
+          sequence(lit(0L), shiftright(size(col("_pcm")).cast("long"), 1) - 1),
+          k => shiftright(
+            (element_at(col("_pcm"), (k * 2 + 1).cast("int")) +
+             element_at(col("_pcm"), (k * 2 + 2).cast("int"))).cast("long"), 1)).as("_o"))
+        .select(col("doc_id"),
+          size(col("_o")).cast("long").as("n_out"),
+          aggregate(col("_o"), lit(0L), (a, v) => a + v).as("sum_out"),
+          array_min(col("_o")).as("min_out"),
+          array_max(col("_o")).as("max_out"))
         .orderBy("doc_id")
     }),
     // 45h — frame-energy SEGMENTATION over decoded PCM (the
@@ -2620,6 +2720,20 @@ object Pipeline {
         |  CAST(floor(CAST(e.embedding[i] AS DOUBLE) * scale + 0.5) AS INT) AS q
         |FROM embeddings e JOIN sc ON sc.vec_id = e.vec_id CROSS JOIN range(1, 65) t(i)
         |ORDER BY e.vec_id, pos""".stripMargin,
+    // squared norm via the strict left-fold dot, fp2 histogram,
+    // all-integer Tukey fences — mirrors the Spark expression exactly
+    "emb_outliers" ->
+      s"""WITH sq AS (SELECT vec_id,
+        |    ${sqlFp(dotSql("embedding", "embedding"), 2)} AS sqn_c2 FROM embeddings),
+        |h AS (SELECT sqn_c2 AS v, count(*) AS k FROM sq GROUP BY 1),
+        |h2 AS (SELECT v, sum(k) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(k) OVER () AS n FROM h),
+        |f AS (SELECT min(CASE WHEN cum >= (n + 3) // 4 THEN v END) AS q1,
+        |    min(CASE WHEN cum >= (3 * n + 3) // 4 THEN v END) AS q3 FROM h2)
+        |SELECT vec_id, sqn_c2, q1, q3,
+        |  CAST(CASE WHEN sqn_c2 * 2 < q1 * 2 - (q3 - q1) * 3
+        |    OR sqn_c2 * 2 > q3 * 2 + (q3 - q1) * 3 THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+        |FROM sq CROSS JOIN f ORDER BY vec_id""".stripMargin,
     "txt_tfidf" ->
       s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
@@ -2675,6 +2789,21 @@ object Pipeline {
       """SELECT doc_id, lang, source,
         |  CAST(length(text) AS BIGINT) AS n_chars_rt, md5(text) AS h
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // PCM 2× decimation: every output sample recomputed closed-form
+    // from doc_id; floor through a double because DuckDB's //
+    // truncates on negative sums while the Spark side's arithmetic
+    // shift floors
+    "mm_audio_resample" ->
+      """WITH d AS (SELECT doc_id, doc_id % 200 + 50 AS n FROM documents),
+        |o AS (SELECT doc_id, unnest(range(0, n // 2)) AS k FROM d),
+        |sm AS (SELECT doc_id, CAST(floor(CAST(
+        |    ((doc_id * 31 + (2 * k) * (2 * k) * 7) % 65536 - 32768) +
+        |    ((doc_id * 31 + (2 * k + 1) * (2 * k + 1) * 7) % 65536 - 32768)
+        |    AS DOUBLE) / 2) AS BIGINT) AS v
+        |  FROM o)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_out,
+        |  CAST(sum(v) AS BIGINT) AS sum_out, min(v) AS min_out, max(v) AS max_out
+        |FROM sm GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "txt_fingerprint" ->
       """SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
         |  list_transform(range(1, least(length(text), 64) + 1),
@@ -2927,6 +3056,31 @@ object Pipeline {
         |FROM nab JOIN na na_a ON na_a.event_type = nab.type_a
         |  JOIN na na_b ON na_b.event_type = nab.type_b CROSS JOIN stot
         |ORDER BY type_a, type_b""".stripMargin,
+    // the sessionize CTEs reduced to per-session (n_events, dur_s),
+    // then two histogram rank-scans (the ev_percentile discipline)
+    "ev_session_stats" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |flagged AS (SELECT *, CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > $SessionGapMs
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |sess0 AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM flagged),
+        |sess AS (SELECT user_id, session_idx, count(*) AS n_events,
+        |    (max(ms) - min(ms)) // 1000 AS dur_s
+        |  FROM sess0 GROUP BY 1, 2),
+        |hd AS (SELECT dur_s AS v, count(*) AS k FROM sess GROUP BY 1),
+        |hd2 AS (SELECT v, sum(k) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(k) OVER () AS n FROM hd),
+        |dstats AS (SELECT CAST(max(n) AS BIGINT) AS n_sessions,
+        |    min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS p50_dur_s,
+        |    min(CASE WHEN cum >= (9 * n + 9) // 10 THEN v END) AS p90_dur_s FROM hd2),
+        |he AS (SELECT n_events AS v, count(*) AS k FROM sess GROUP BY 1),
+        |he2 AS (SELECT v, sum(k) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(k) OVER () AS n FROM he),
+        |estats AS (SELECT min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS p50_events,
+        |    max(v) AS max_events FROM he2)
+        |SELECT n_sessions, p50_dur_s, p90_dur_s, p50_events, max_events
+        |FROM dstats CROSS JOIN estats""".stripMargin,
     "ev_markov_rank" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events),
         |pairs AS (SELECT event_type AS src,
