@@ -365,6 +365,47 @@ object Pipeline {
       Dedup.winnowPairs(aug, "doc_id", "aug", n = 3, w = 4, minShared = 2)
         .orderBy("doc_a", "doc_b")
     }),
+    // 32i — dedup-recall EVAL harness (the emb_mrl_recall argument
+    // applied to dedup: before a near-dup config ships against a
+    // corpus, measure what it actually catches): plant ground-truth
+    // near-dup pairs (every doc_id%4==1 becomes its predecessor's
+    // text + a 1-token edit — high-Jaccard by construction, the
+    // dd_winnow_pairs planting pattern), run the REAL MinHash-LSH
+    // candidate pipeline over the planted corpus, score
+    // precision/recall against the planted truth in exact integers +
+    // two guarded fp4 divides. Both engines replicate the whole
+    // pipeline, so the metrics — not just the pairs — are verified.
+    // Shapes: the LSH pipeline's own banded shuffles + three 1-row
+    // aggs; truth is an id-arithmetic self-join, keyed.
+    "dd_eval_recall" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = docs.select((col("doc_id") + 1).as("doc_id"), col("text").as("_base_text"))
+      val aug = docs.join(base, Seq("doc_id"), "left")
+        .withColumn("aug",
+          when(col("doc_id") % 4 === 1 && col("_base_text").isNotNull,
+            concat(col("_base_text"), lit(" planteddup")))
+            .otherwise(col("text")))
+      // pin the candidate-pair table (pairs-sized, NOT corpus-sized —
+      // the ev_covisit idiom): tp and n_pred both consume it, and
+      // without the checkpoint each re-runs the whole LSH pipeline
+      val pred = Dedup.lshCandidatePairs(aug, "doc_id", "aug",
+        shingleSize = 3, numPerm = 8, rowsPerBand = 2)
+        .localCheckpoint()
+      val truth = docs.filter(col("doc_id") % 4 === 1)
+        .join(docs.select((col("doc_id") + 1).as("doc_id")), Seq("doc_id"), "left_semi")
+        .select((col("doc_id") - 1).as("doc_a"), col("doc_id").as("doc_b"))
+        .localCheckpoint()
+      val tp = pred.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("tp"))
+      val np = pred.agg(count(lit(1)).as("n_pred"))
+      val nt = truth.agg(count(lit(1)).as("n_truth"))
+      nt.crossJoin(broadcast(np)).crossJoin(broadcast(tp))
+        .select(col("n_truth"), col("n_pred"), col("tp"),
+          when(col("n_pred") === 0, lit(0L))
+            .otherwise(fp(col("tp").cast("double") / col("n_pred").cast("double"), 4)).as("precision_fp4"),
+          when(col("n_truth") === 0, lit(0L))
+            .otherwise(fp(col("tp").cast("double") / col("n_truth").cast("double"), 4)).as("recall_fp4"))
+    }),
     // 48 — the WET ingestion loop END-TO-END, oracle-gated (the
     // cg_pipeline_counts argument applied to the web-corpus ingress):
     // documents → distributed sharded .warc.wet.gz export (every
@@ -851,6 +892,43 @@ object Pipeline {
         .groupBy(m1("doc_id").as("doc_id"), col("w1"), col("w2"))
         .agg(count(lit(1)).as("n_matches"), min("p1").as("first_pos"))
         .orderBy("doc_id")
+    }),
+    // 41o — RAKE keyword extraction (Rose et al. 2010 — the
+    // phrase-level keyword signal tag/topic pipelines cut): candidate
+    // phrases = maximal runs of non-stopword tokens, found by folding
+    // the token stream into a delimiter string (stopword → '|') and
+    // splitting — the SAME string ops on both engines, no regex
+    // divergence surface. Word stats over ALL phrase occurrences
+    // (freq = occurrences, deg = Σ lengths of containing phrases),
+    // word score in ALL-INTEGER millis ((1000·deg) DIV freq — RAKE's
+    // deg/freq without float sums), phrase score = Σ member-word
+    // scores (integer, order-free — a double Σ would depend on
+    // Spark's unordered agg). Shapes: one word-stat shuffle
+    // (map-side combined, vocab-sized result broadcast back — swap
+    // for a shuffle join past the limit), one distinct + one scoring
+    // agg, all keyed.
+    "txt_keywords" -> ((s, dir) => {
+      val stops = TextAnalysis.DefaultStopwords.head._2
+      val occ = t(s, dir, "documents")
+        .select(col("doc_id"),
+          aggregate(TextAnalysis.tokens(col("text")), lit(""),
+            (acc, tk) => concat(acc,
+              when(tk.isin(stops: _*), lit("|")).otherwise(concat(lit(" "), tk)))).as("_m"))
+        .select(col("doc_id"), explode(split(col("_m"), "\\|")).as("_p"))
+        .select(col("doc_id"), trim(col("_p")).as("phrase"))
+        .filter(length(col("phrase")) > 0)
+      def words(df: DataFrame) = df
+        .select(col("doc_id"), col("phrase"), split(col("phrase"), " ").as("_ws"))
+        .select(col("doc_id"), col("phrase"),
+          size(col("_ws")).cast("long").as("plen"), explode(col("_ws")).as("w"))
+      val wscore = words(occ).groupBy("w")
+        .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+        .select(col("w"), expr("(1000 * deg) DIV freq").as("wscore"))
+      words(occ.distinct())
+        .join(broadcast(wscore), "w")
+        .groupBy("doc_id", "phrase")
+        .agg(max("plen").as("n_words"), sum("wscore").as("score_i"))
+        .orderBy(col("doc_id"), col("score_i").desc, col("phrase"))
     }),
     // 43m — A/B experiment readout (the conversion-rate gate an event
     // corpus answers before any behavioral decision ships): exposure
@@ -2181,7 +2259,7 @@ object Pipeline {
     * re-split: members of buckets with > 100 rows re-key on the band
     * key extended with the next two signature slots (mod 8) in a
     * shifted band namespace; sub-buckets still over the cap drop. */
-  private val minhashCtes: String = {
+  private def minhashCtes(src: String = "documents"): String = {
     val bands = (0 until 4).map { b =>
       val key = s"array_to_string(sig[${b * 2 + 1}:${b * 2 + 2}], '_')"
       val e1 = ((b + 1) * 2) % 8 + 1
@@ -2190,7 +2268,7 @@ object Pipeline {
         s"$key || '_' || CAST(sig[$e1] AS VARCHAR) || '_' || CAST(sig[$e2] AS VARCHAR) AS key_ext FROM sigs"
     }.mkString("\n  UNION ALL ")
     s"""$adaptiveCapCte,
-       |sh0 AS (SELECT doc_id AS doc, ${shinglesSql(3)} AS sh FROM documents),
+       |sh0 AS (SELECT doc_id AS doc, ${shinglesSql(3)} AS sh FROM $src),
        |hashed AS (SELECT doc, list_transform(sh, s -> $hexHashSql) AS hs FROM sh0),
        |sigs AS (SELECT doc, [${(0 until 8).map(minhashSql).mkString(", ")}] AS sig FROM hashed),
        |banded AS (
@@ -2206,13 +2284,13 @@ object Pipeline {
   }
 
   private val minhashPairsSql: String =
-    s"""WITH $minhashCtes
+    s"""WITH ${minhashCtes()}
        |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin
 
   /** dd_minhash_est oracle: per candidate pair, the fraction of the 8
     * signature slots that agree (fp4). */
   private val minhashEstSql: String =
-    s"""WITH $minhashCtes
+    s"""WITH ${minhashCtes()}
        |SELECT doc_a, doc_b,
        |  ${sqlFp("CAST(len(list_filter(range(1, 9), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 8.0", 4)} AS est_jaccard_fp4
        |FROM cand JOIN sigs sa ON sa.doc = doc_a JOIN sigs sb ON sb.doc = doc_b
@@ -2223,11 +2301,32 @@ object Pipeline {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "dd_minhash_pairs" -> minhashPairsSql,
+    // the full LSH pipeline re-run over the planted corpus, metrics
+    // in exact integers + guarded fp4 divides
+    "dd_eval_recall" ->
+      s"""WITH aug0 AS (SELECT d.doc_id,
+        |    CASE WHEN d.doc_id % 4 = 1 AND b.text IS NOT NULL
+        |      THEN b.text || ' planteddup' ELSE d.text END AS text
+        |  FROM documents d LEFT JOIN documents b ON b.doc_id = d.doc_id - 1),
+        |${minhashCtes("aug0")},
+        |truth AS (SELECT b.doc_id AS doc_a, d.doc_id AS doc_b
+        |  FROM documents d JOIN documents b ON b.doc_id = d.doc_id - 1
+        |  WHERE d.doc_id % 4 = 1),
+        |tp AS (SELECT count(*) AS tp FROM cand JOIN truth USING (doc_a, doc_b)),
+        |np AS (SELECT count(*) AS n_pred FROM cand),
+        |nt AS (SELECT count(*) AS n_truth FROM truth)
+        |SELECT CAST(n_truth AS BIGINT) AS n_truth, CAST(n_pred AS BIGINT) AS n_pred,
+        |  CAST(tp AS BIGINT) AS tp,
+        |  CASE WHEN n_pred = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE ${sqlFp("CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE)", 4)} END AS precision_fp4,
+        |  CASE WHEN n_truth = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE ${sqlFp("CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE)", 4)} END AS recall_fp4
+        |FROM tp, np, nt""".stripMargin,
     "dd_minhash_est" -> minhashEstSql,
     // transitive min-label closure via a recursive CTE over the same
     // candidate edges; UNION dedup terminates the recursion
     "dd_components" ->
-      s"""WITH RECURSIVE $minhashCtes,
+      s"""WITH RECURSIVE ${minhashCtes()},
          |sym AS (SELECT doc_a AS src, doc_b AS dst FROM cand
          |        UNION ALL SELECT doc_b, doc_a FROM cand),
          |lbl(node, label) AS (
@@ -2239,7 +2338,7 @@ object Pipeline {
     // same recursive closure as dd_components, then cluster sizes →
     // per-doc 1/n loss weight
     "smp_soft_dedup" ->
-      s"""WITH RECURSIVE $minhashCtes,
+      s"""WITH RECURSIVE ${minhashCtes()},
          |sym AS (SELECT doc_a AS src, doc_b AS dst FROM cand
          |        UNION ALL SELECT doc_b, doc_a FROM cand),
          |lbl(node, label) AS (
@@ -2254,7 +2353,7 @@ object Pipeline {
     // same recursive closure as dd_components, then a deterministic
     // per-cluster argmax (n_chars DESC, doc_id ASC) + cluster size
     "dd_keep_best" ->
-      s"""WITH RECURSIVE $minhashCtes,
+      s"""WITH RECURSIVE ${minhashCtes()},
          |sym AS (SELECT doc_a AS src, doc_b AS dst FROM cand
          |        UNION ALL SELECT doc_b, doc_a FROM cand),
          |lbl(node, label) AS (
@@ -2850,6 +2949,26 @@ object Pipeline {
              "11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) - 15.59", 4)}
         |  END AS fk_grade_fp4
         |FROM c ORDER BY doc_id""".stripMargin,
+    // RAKE: the fold→delimiter→split phrase extraction replicated
+    // with list_reduce, integer word/phrase scores
+    "txt_keywords" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS tk FROM documents),
+        |m AS (SELECT doc_id, list_reduce(list_prepend('', list_transform(tk,
+        |    t -> CASE WHEN t IN ('the','a','of','and','fast','slow') THEN '|'
+        |         ELSE ' ' || t END)), (acc, x) -> acc || x) AS mm FROM tk),
+        |occ AS (SELECT doc_id, trim(p) AS phrase
+        |  FROM m, unnest(string_split(mm, '|')) u(p) WHERE length(trim(p)) > 0),
+        |pw AS (SELECT doc_id, phrase, len(string_split(phrase, ' ')) AS plen,
+        |    unnest(string_split(phrase, ' ')) AS w FROM occ),
+        |ws AS (SELECT w, (1000 * CAST(sum(plen) AS BIGINT)) // count(*) AS wscore
+        |  FROM pw GROUP BY 1),
+        |dp AS (SELECT DISTINCT doc_id, phrase FROM occ),
+        |dpw AS (SELECT doc_id, phrase, len(string_split(phrase, ' ')) AS plen,
+        |    unnest(string_split(phrase, ' ')) AS w FROM dp)
+        |SELECT doc_id, phrase, CAST(max(plen) AS BIGINT) AS n_words,
+        |  CAST(sum(wscore) AS BIGINT) AS score_i
+        |FROM dpw JOIN ws USING (w) GROUP BY 1, 2
+        |ORDER BY doc_id, score_i DESC, phrase""".stripMargin,
     // BM25 over the top-20-df query terms: tf/df/dl from the shared
     // token table, score in the identical double op order (ln both
     // engines — the txt_tfidf precedent), rank on the fp4 score +
