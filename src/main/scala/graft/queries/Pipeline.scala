@@ -893,6 +893,66 @@ object Pipeline {
         .agg(count(lit(1)).as("n_matches"), min("p1").as("first_pos"))
         .orderBy("doc_id")
     }),
+    // 41p — BPE merge LEARNING (Sennrich et al. 2016 — the tokenizer
+    // TRAINING pass; 41d/txt_bpe_tokens applies a merge table, this
+    // derives one): 3 unrolled merge iterations (the ev_markov_rank
+    // r1..r3 precedent) over the word-vocab symbol sequences. Each
+    // iteration: count-weighted adjacent-pair frequencies (native
+    // word-bigram builder over the symbol split), top-1 pair (count
+    // desc, pair asc — deterministic), then GREEDY LEFT-TO-RIGHT
+    // merge application as a string fold whose tail-token check
+    // reproduces the reference scan exactly (a naive global replace
+    // mis-merges overlapping runs like "a b a b"). Everything after
+    // the one corpus token rollup is VOCAB-bounded (the classic BPE
+    // learner shape — real trainers also run on (word, count), not
+    // the token stream); per-step totals prove application fired.
+    "txt_bpe_learn" -> ((s, dir) => {
+      val vocab0 = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .select(col("w"), col("c"),
+          concat_ws(" ", call_function("graft_char_ngrams", col("w"), lit(1))).as("sym"))
+        .localCheckpoint()
+      def pairCounts(v: DataFrame): DataFrame = v
+        .select(col("c"), explode(call_function("graft_word_ngrams",
+          split(col("sym"), " "), lit(2), lit(1), lit(0))).as("g"))
+        .groupBy("g").agg(sum("c").as("cnt_w"))
+      def top1(cnt: DataFrame): DataFrame = cnt
+        .orderBy(col("cnt_w").desc, col("g")).limit(1)
+        .select(col("g").as("m_g"), col("cnt_w").as("m_cnt"))
+      def applyMerge(v: DataFrame, top: DataFrame): DataFrame = {
+        val a = col("_a"); val la = length(a)
+        v.crossJoin(broadcast(top))
+          .withColumn("_a", substring_index(col("m_g"), " ", 1))
+          .withColumn("_b", substring_index(col("m_g"), " ", -1))
+          .withColumn("_m", expr("replace(m_g, ' ', '')"))
+          .withColumn("sym2", aggregate(split(col("sym"), " "), lit(""),
+            (acc, cur) =>
+              when(cur === col("_b") && acc === a, col("_m"))
+                .when(cur === col("_b") && length(acc) > la &&
+                  acc.substr(length(acc) - la, la + lit(1)) === concat(lit(" "), a),
+                  concat(acc.substr(lit(1), length(acc) - la - lit(1)), lit(" "), col("_m")))
+                .when(acc === "", cur)
+                .otherwise(concat(acc, lit(" "), cur))))
+          .select(col("w"), col("c"), col("sym2").as("sym"))
+          .localCheckpoint()
+      }
+      val t1 = top1(pairCounts(vocab0)).localCheckpoint()
+      val v1 = applyMerge(vocab0, t1)
+      val t2 = top1(pairCounts(v1)).localCheckpoint()
+      val v2 = applyMerge(v1, t2)
+      val t3 = top1(pairCounts(v2)).localCheckpoint()
+      val v3 = applyMerge(v2, t3)
+      def tot(v: DataFrame) = v.agg(
+        sum(size(split(col("sym"), " ")).cast("long") * col("c")).as("tot_syms"))
+      def row(step: Int, tp: DataFrame, v: DataFrame) =
+        tp.crossJoin(broadcast(tot(v)))
+          .select(lit(step).cast("long").as("step"), col("m_g").as("pair"),
+            expr("replace(m_g, ' ', '')").as("merged"),
+            col("m_cnt").as("cnt_w"), col("tot_syms"))
+      row(1, t1, v1).unionByName(row(2, t2, v2)).unionByName(row(3, t3, v3))
+        .orderBy("step")
+    }),
     // 41o — RAKE keyword extraction (Rose et al. 2010 — the
     // phrase-level keyword signal tag/topic pipelines cut): candidate
     // phrases = maximal runs of non-stopword tokens, found by folding
@@ -2949,6 +3009,51 @@ object Pipeline {
              "11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) - 15.59", 4)}
         |  END AS fk_grade_fp4
         |FROM c ORDER BY doc_id""".stripMargin,
+    // BPE learn: 3 unrolled merge iterations; the greedy
+    // left-to-right application is the same tail-token fold as the
+    // Spark side, the chars come from the charlm substr convention
+    "txt_bpe_learn" -> {
+      val bgFrom = (v: String) =>
+        s"""(SELECT c, unnest(list_transform(range(1, len(string_split(sym, ' '))),
+           | i -> string_split(sym, ' ')[CAST(i AS INT)] || ' ' ||
+           |      string_split(sym, ' ')[CAST(i AS INT) + 1])) AS g FROM $v)"""
+          .stripMargin.replace("\n", " ")
+      val mergeFold =
+        """list_reduce(list_prepend('', string_split(sym, ' ')), (acc, cur) ->
+          | CASE WHEN cur = mb AND acc = ma THEN mm
+          |      WHEN cur = mb AND length(acc) > length(ma)
+          |           AND substr(acc, length(acc) - length(ma), length(ma) + 1) = ' ' || ma
+          |        THEN substr(acc, 1, length(acc) - length(ma) - 1) || ' ' || mm
+          |      WHEN acc = '' THEN cur
+          |      ELSE acc || ' ' || cur END)""".stripMargin.replace("\n", " ")
+      s"""WITH toks AS (SELECT unnest($toksSql) AS w FROM documents),
+        |v0 AS (SELECT w, count(*) AS c,
+        |    array_to_string(list_transform(range(1, length(w) + 1),
+        |      i -> substr(w, CAST(i AS INT), 1)), ' ') AS sym
+        |  FROM toks GROUP BY w),
+        |p1 AS (SELECT g, CAST(sum(c) AS BIGINT) AS cnt FROM ${bgFrom("v0")} GROUP BY 1),
+        |t1 AS (SELECT g AS m_g, cnt FROM p1 ORDER BY cnt DESC, g LIMIT 1),
+        |m1 AS (SELECT m_g, cnt, split_part(m_g, ' ', 1) AS ma,
+        |    split_part(m_g, ' ', 2) AS mb, replace(m_g, ' ', '') AS mm FROM t1),
+        |v1 AS (SELECT w, c, $mergeFold AS sym FROM v0 CROSS JOIN m1),
+        |p2 AS (SELECT g, CAST(sum(c) AS BIGINT) AS cnt FROM ${bgFrom("v1")} GROUP BY 1),
+        |t2 AS (SELECT g AS m_g, cnt FROM p2 ORDER BY cnt DESC, g LIMIT 1),
+        |m2 AS (SELECT m_g, cnt, split_part(m_g, ' ', 1) AS ma,
+        |    split_part(m_g, ' ', 2) AS mb, replace(m_g, ' ', '') AS mm FROM t2),
+        |v2 AS (SELECT w, c, $mergeFold AS sym FROM v1 CROSS JOIN m2),
+        |p3 AS (SELECT g, CAST(sum(c) AS BIGINT) AS cnt FROM ${bgFrom("v2")} GROUP BY 1),
+        |t3 AS (SELECT g AS m_g, cnt FROM p3 ORDER BY cnt DESC, g LIMIT 1),
+        |m3 AS (SELECT m_g, cnt, split_part(m_g, ' ', 1) AS ma,
+        |    split_part(m_g, ' ', 2) AS mb, replace(m_g, ' ', '') AS mm FROM t3),
+        |v3 AS (SELECT w, c, $mergeFold AS sym FROM v2 CROSS JOIN m3),
+        |tt1 AS (SELECT CAST(sum(c * len(string_split(sym, ' '))) AS BIGINT) AS tot_syms FROM v1),
+        |tt2 AS (SELECT CAST(sum(c * len(string_split(sym, ' '))) AS BIGINT) AS tot_syms FROM v2),
+        |tt3 AS (SELECT CAST(sum(c * len(string_split(sym, ' '))) AS BIGINT) AS tot_syms FROM v3)
+        |SELECT CAST(1 AS BIGINT) AS step, m_g AS pair, mm AS merged, cnt AS cnt_w, tot_syms FROM m1, tt1
+        |UNION ALL SELECT CAST(2 AS BIGINT), m_g, mm, cnt, tot_syms FROM m2, tt2
+        |UNION ALL SELECT CAST(3 AS BIGINT), m_g, mm, cnt, tot_syms FROM m3, tt3
+        |ORDER BY step""".stripMargin
+    },
     // RAKE: the fold→delimiter→split phrase extraction replicated
     // with list_reduce, integer word/phrase scores
     "txt_keywords" ->
