@@ -920,23 +920,15 @@ object Pipeline {
       def top1(cnt: DataFrame): DataFrame = cnt
         .orderBy(col("cnt_w").desc, col("g")).limit(1)
         .select(col("g").as("m_g"), col("cnt_w").as("m_cnt"))
-      def applyMerge(v: DataFrame, top: DataFrame): DataFrame = {
-        val a = col("_a"); val la = length(a)
+      def applyMerge(v: DataFrame, top: DataFrame): DataFrame =
         v.crossJoin(broadcast(top))
           .withColumn("_a", substring_index(col("m_g"), " ", 1))
           .withColumn("_b", substring_index(col("m_g"), " ", -1))
           .withColumn("_m", expr("replace(m_g, ' ', '')"))
-          .withColumn("sym2", aggregate(split(col("sym"), " "), lit(""),
-            (acc, cur) =>
-              when(cur === col("_b") && acc === a, col("_m"))
-                .when(cur === col("_b") && length(acc) > la &&
-                  acc.substr(length(acc) - la, la + lit(1)) === concat(lit(" "), a),
-                  concat(acc.substr(lit(1), length(acc) - la - lit(1)), lit(" "), col("_m")))
-                .when(acc === "", cur)
-                .otherwise(concat(acc, lit(" "), cur))))
+          .withColumn("sym2", TextAnalysis.bpeMergeFold(
+            col("sym"), col("_a"), col("_b"), col("_m")))
           .select(col("w"), col("c"), col("sym2").as("sym"))
           .localCheckpoint()
-      }
       val t1 = top1(pairCounts(vocab0)).localCheckpoint()
       val v1 = applyMerge(vocab0, t1)
       val t2 = top1(pairCounts(v1)).localCheckpoint()

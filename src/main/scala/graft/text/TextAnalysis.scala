@@ -423,6 +423,29 @@ object TextAnalysis {
       concat_ws(" ", filter(toks, (t, i) => i === 0 || t =!= element_at(toks, i)))
     }
 
+  /** GREEDY left-to-right BPE merge application over a space-joined
+    * symbol string: every occurrence of adjacent symbols (a, b) —
+    * scanning left to right, never re-consuming a just-merged token —
+    * becomes the merged symbol `m`. Implemented as a string fold
+    * whose tail-token check is boundary-exact (full-token compare at
+    * a space boundary), so "a b a b" merges twice and "aa" never
+    * tail-matches "a" — a naive global replace gets both wrong.
+    * `a`/`b`/`m` are Columns so a learned (per-row or broadcast)
+    * merge table drives it. Engine-portable: the same fold written
+    * with list_reduce in SQL lands identical strings.
+    */
+  def bpeMergeFold(sym: Column, a: Column, b: Column, m: Column): Column = {
+    val la = length(a)
+    aggregate(split(sym, " "), lit(""),
+      (acc, cur) =>
+        when(cur === b && acc === a, m)
+          .when(cur === b && length(acc) > la &&
+            acc.substr(length(acc) - la, la + lit(1)) === concat(lit(" "), a),
+            concat(acc.substr(lit(1), length(acc) - la - lit(1)), lit(" "), m))
+          .when(acc === "", cur)
+          .otherwise(concat(acc, lit(" "), cur)))
+  }
+
   /** Remove stopwords (whitespace tokens), rejoin with single spaces. */
   def removeStopwords(text: Column, stopwords: Seq[String] = DefaultStopwords.head._2): Column =
     concat_ws(" ", filter(tokens(text), t => !t.isin(stopwords: _*)))

@@ -283,4 +283,36 @@ class TextSpec extends AnyFunSuite {
     // c h→ch, e e? absent, e s→es, (ch,e) absent → ch e es e
     assert(got == ((1L, 10, "the r at at e the ch e es e")), got.toString)
   }
+
+  test("bpeMergeFold matches a reference greedy left-to-right merge on random streams") {
+    // property sweep: the tail-token fold must equal the canonical
+    // index scan — incl. overlapping runs ("a b a b"), self-pairs
+    // ((a,a) on "a a a"), and merged-token/plain-token collisions
+    // ("aa" in the alphabet vs pair (a,a))
+    val rnd = new scala.util.Random(41)
+    val alphabet = Vector("a", "b", "c", "ab", "aa")
+    val cases = (0 until 80).map { i =>
+      val n = rnd.nextInt(14)
+      val syms = Vector.fill(n)(alphabet(rnd.nextInt(alphabet.length)))
+      val a = alphabet(rnd.nextInt(3)); val b = alphabet(rnd.nextInt(3))
+      (i.toLong, syms.mkString(" "), a, b, a + b)
+    }
+    def ref(sym: String, a: String, b: String, m: String): String = {
+      val syms = if (sym.isEmpty) Array.empty[String] else sym.split(" ")
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) { out += m; i += 2 }
+        else { out += syms(i); i += 1 }
+      }
+      out.mkString(" ")
+    }
+    val got = cases.toDF("id", "sym", "a", "b", "m")
+      .select(col("id"),
+        TextAnalysis.bpeMergeFold(col("sym"), col("a"), col("b"), col("m")).as("r"))
+      .as[(Long, String)].collect().toMap
+    cases.foreach { case (id, sym, a, b, m) =>
+      assert(got(id) == ref(sym, a, b, m), s"case $id: sym='$sym' pair=($a,$b)")
+    }
+  }
 }
