@@ -1209,6 +1209,32 @@ object Pipeline {
             (col("n_a").cast("double") * col("n_b").cast("double")), 4).as("lift_fp4"))
         .orderBy("type_a", "type_b")
     }),
+    // 43o — time-to-convert profile (the latency half of ev_funnel:
+    // not whether users convert but HOW FAST): per user, first view →
+    // earliest purchase at-or-after it, latency quantized to minutes,
+    // then p50/p90 over the latency HISTOGRAM (the ev_percentile
+    // discipline — the rank scan is bounded by the latency domain,
+    // never by user count). Readout row: viewers, converters, p50/p90
+    // minutes. Shapes: two filtered user rollups (map-side combined),
+    // one user-keyed join, one domain-bounded histogram scan.
+    "ev_funnel_time" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val firstView = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ms").as("v0"))
+      val lat = e.filter(col("event_type") === "purchase")
+        .join(firstView, "user_id")
+        .filter(col("ms") >= col("v0"))
+        .groupBy("user_id").agg(min(col("ms") - col("v0")).as("lat_ms"))
+        .select(col("user_id"), expr("lat_ms DIV 60000").as("lat_min"))
+      val wc = Window.orderBy("lat_min").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val st = lat.groupBy("lat_min").agg(count(lit(1)).as("k"))
+        .withColumn("cum", sum("k").over(wc))
+        .withColumn("n", sum("k").over(Window.partitionBy()))
+        .agg(max(col("n")).cast("long").as("n_converted"),
+          min(when(col("cum") >= expr("(n + 1) DIV 2"), col("lat_min"))).as("p50_lat_min"),
+          min(when(col("cum") >= expr("(9 * n + 9) DIV 10"), col("lat_min"))).as("p90_lat_min"))
+      firstView.agg(count(lit(1)).as("n_viewers")).crossJoin(broadcast(st))
+    }),
     // 43n — session-length profile (the engagement-distribution
     // readout cut alongside stickiness before any cohort decision):
     // sessions via the SAME gap rule as ev_sessionize, reduced to
@@ -3272,6 +3298,22 @@ object Pipeline {
         |FROM nab JOIN na na_a ON na_a.event_type = nab.type_a
         |  JOIN na na_b ON na_b.event_type = nab.type_b CROSS JOIN stot
         |ORDER BY type_a, type_b""".stripMargin,
+    // first view → earliest at-or-after purchase per user, minute
+    // latency histogram rank-scan
+    "ev_funnel_time" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |fv AS (SELECT user_id, min(ms) AS v0 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |lat AS (SELECT e.user_id, min(e.ms - fv.v0) // 60000 AS lat_min
+        |  FROM e JOIN fv ON fv.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ms >= fv.v0 GROUP BY 1),
+        |h AS (SELECT lat_min AS v, count(*) AS k FROM lat GROUP BY 1),
+        |h2 AS (SELECT v, sum(k) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(k) OVER () AS n FROM h),
+        |st AS (SELECT CAST(max(n) AS BIGINT) AS n_converted,
+        |    min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS p50_lat_min,
+        |    min(CASE WHEN cum >= (9 * n + 9) // 10 THEN v END) AS p90_lat_min FROM h2),
+        |nv AS (SELECT count(*) AS n_viewers FROM fv)
+        |SELECT n_viewers, n_converted, p50_lat_min, p90_lat_min FROM nv CROSS JOIN st""".stripMargin,
     // the sessionize CTEs reduced to per-session (n_events, dur_s),
     // then two histogram rank-scans (the ev_percentile discipline)
     "ev_session_stats" ->
