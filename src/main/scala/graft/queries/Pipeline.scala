@@ -1928,6 +1928,74 @@ object Pipeline {
           fp(log2(col("n").cast("double")) - col("s6").cast("double") / 1e6 / col("n").cast("double"), 4)
             .as("entropy_fp4"))
         .orderBy("doc_id")
+    }),
+    // 43q — per-type daily-volume least-squares trend (ingest drift:
+    // is a source growing or decaying?). x = day offset from the
+    // type's own first day (keeps every product tiny and the normal
+    // equations well-conditioned at 100 TB: x ≤ span-days, never
+    // epoch-days), y = daily count. All four regression sums are
+    // EXACT integers from one |types×days|-sized rollup; slope =
+    // (n·Σxy − Σx·Σy)/(n·Σxx − Σx²) is the single final double op,
+    // fp6. The |types|-sized first-day frame broadcasts back.
+    "ev_trend" -> ((s, dir) => {
+      val d = ev(s, dir)
+        .groupBy(col("event_type"), expr("ms DIV 86400000").as("day"))
+        .agg(count(lit(1)).as("y"))
+      val d0 = d.groupBy("event_type").agg(min("day").as("d0"))
+      val xy = d.join(broadcast(d0), "event_type")
+        .select(col("event_type"), (col("day") - col("d0")).as("x"), col("y"))
+      val sums = xy.groupBy("event_type").agg(
+        count(lit(1)).as("n_days"), sum("y").as("total"),
+        sum("x").as("_sx"), sum(col("x") * col("x")).as("_sxx"),
+        sum(col("x") * col("y")).as("_sxy"))
+      val den = col("n_days") * col("_sxx") - col("_sx") * col("_sx")
+      sums.select(col("event_type"), col("n_days"), col("total"),
+          when(den === 0, lit(0L))
+            .otherwise(fp((col("n_days") * col("_sxy") - col("_sx") * col("total")).cast("double")
+              / den.cast("double"), 6))
+            .as("slope_fp6"))
+        .orderBy("event_type")
+    }),
+    // 43r — top session path trigrams (the user-journey n-gram
+    // profile funnel design starts from): consecutive in-session
+    // event-type triples per user via two lags over the per-user
+    // time order (ties broken by unique event_id), both gaps bound
+    // by the 6h session rule. The path domain is |types|³-bounded,
+    // so the count rollup and the global top-20 (TakeOrdered, ties
+    // to path asc) stay tiny no matter the corpus size.
+    "ev_path_trigrams" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ms", "event_id")
+      ev(s, dir)
+        .withColumn("p1", lag("event_type", 1).over(byUser))
+        .withColumn("p2", lag("event_type", 2).over(byUser))
+        .withColumn("m1", lag("ms", 1).over(byUser))
+        .withColumn("m2", lag("ms", 2).over(byUser))
+        .filter(col("p2").isNotNull &&
+          col("ms") - col("m1") <= SessionGapMs && col("m1") - col("m2") <= SessionGapMs)
+        .select(concat_ws(">", col("p2"), col("p1"), col("event_type")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("path")).limit(20)
+    }),
+    // 35g — per-dimension whitening stats (the mean/variance pass a
+    // 100 TB embedding corpus runs before feature scaling or PCA):
+    // one posexplode → per-dim rollup. Values quantize to fp6 longs
+    // FIRST so the sums are exact integers (a double sum's fold
+    // order differs across engines/retries); squares accumulate in
+    // DECIMAL(38,0) — 10^9 vectors × (10^6)² per-row squares
+    // overflows int64 but not decimal128. Mean and variance are
+    // then fixed-order double expressions over the exact sums.
+    "emb_norm_stats" -> ((s, dir) => {
+      val q = t(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("dim"), fp(col("v").cast("double"), 6).as("q6"))
+      val mean = col("_s6").cast("double") / 1e6 / col("n").cast("double")
+      q.groupBy("dim").agg(
+          count(lit(1)).as("n"), sum("q6").as("_s6"),
+          sum((col("q6") * col("q6")).cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("_ss12"))
+        .select(col("dim"), col("n"), fp(mean, 6).as("mean_fp6"),
+          fp(col("_ss12").cast("double") / 1e12 / col("n").cast("double") - mean * mean, 6)
+            .as("var_fp6"))
+        .orderBy("dim")
     })
   )
 
@@ -3881,6 +3949,44 @@ object Pipeline {
         |SELECT d.doc_id, ent.n,
         |  ${sqlFp("log2(CAST(ent.n AS DOUBLE)) - CAST(ent.s6 AS DOUBLE) / 1e6 / CAST(ent.n AS DOUBLE)", 4)} AS entropy_fp4
         |FROM documents d LEFT JOIN ent ON ent.doc_id = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+    "ev_trend" ->
+      s"""WITH d AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day, count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |d0 AS (SELECT event_type, min(day) AS d0 FROM d GROUP BY 1),
+        |xy AS (SELECT d.event_type, d.day - d0.d0 AS x, d.y
+        |  FROM d JOIN d0 ON d0.event_type = d.event_type),
+        |sums AS (SELECT event_type, count(*) AS n_days,
+        |    CAST(sum(y) AS BIGINT) AS total, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy
+        |  FROM xy GROUP BY 1)
+        |SELECT event_type, n_days, total,
+        |  CASE WHEN n_days*sxx - sx*sx = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE ${sqlFp("CAST(n_days*sxy - sx*total AS DOUBLE) / CAST(n_days*sxx - sx*sx AS DOUBLE)", 6)}
+        |  END AS slope_fp6
+        |FROM sums ORDER BY event_type""".stripMargin,
+    "ev_path_trigrams" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |w AS (SELECT event_type, ms,
+        |    lag(event_type, 1) OVER win AS p1, lag(event_type, 2) OVER win AS p2,
+        |    lag(ms, 1) OVER win AS m1, lag(ms, 2) OVER win AS m2
+        |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ms, event_id))
+        |SELECT p2 || '>' || p1 || '>' || event_type AS path, count(*) AS n
+        |FROM w
+        |WHERE p2 IS NOT NULL AND ms - m1 <= 21600000 AND m1 - m2 <= 21600000
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    "emb_norm_stats" ->
+      s"""WITH q AS (
+        |  SELECT CAST(i - 1 AS INT) AS dim,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS q6
+        |  FROM embeddings CROSS JOIN range(1, 65) t(i)),
+        |a AS (SELECT dim, count(*) AS n, CAST(sum(q6) AS BIGINT) AS s6,
+        |    sum(q6*q6) AS ss12 FROM q GROUP BY 1)
+        |SELECT dim, n,
+        |  ${sqlFp("CAST(s6 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)", 6)} AS mean_fp6,
+        |  ${sqlFp("CAST(ss12 AS DOUBLE) / 1e12 / CAST(n AS DOUBLE) - " +
+             "(CAST(s6 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)) * (CAST(s6 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))", 6)} AS var_fp6
+        |FROM a ORDER BY dim""".stripMargin
   )
 }

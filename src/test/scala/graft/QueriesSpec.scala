@@ -311,4 +311,77 @@ class QueriesSpec extends AnyFunSuite {
         && !extracted.contains("&amp;"), s"doc $id boilerplate leaked")
     }
   }
+
+  test("ev_trend equals a brute per-type least-squares recount") {
+    import org.apache.spark.sql.functions._
+    val raw = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
+    val days = raw.select(col("event_type"),
+        (graft.queries.QueryUtil.tsMs(raw) / 86400000).cast("long").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view
+      .mapValues(_.groupBy(_._2).view.mapValues(_.length.toLong).toMap).toMap
+    val out = SparkEntry.queries("ev_trend")(spark, TestSpark.Sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.keySet == days.keySet)
+    out.foreach { case (et, (nDays, total, slope6)) =>
+      val byDay = days(et)
+      val d0 = byDay.keys.min
+      val pts = byDay.toSeq.map { case (d, y) => (d - d0, y) }
+      assert(nDays == pts.length.toLong, s"$et n_days")
+      assert(total == pts.map(_._2).sum, s"$et total")
+      val n = pts.length.toLong
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum; val sxy = pts.map(p => p._1 * p._2).sum
+      val den = n * sxx - sx * sx
+      val expect = if (den == 0) 0L
+        else math.floor((n * sxy - sx * sy).toDouble / den.toDouble * 1e6 + 0.5).toLong
+      assert(slope6 == expect, s"$et slope")
+    }
+  }
+
+  test("ev_path_trigrams equals a brute in-session trigram recount") {
+    import org.apache.spark.sql.functions._
+    val raw = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
+    val evs = raw.select(col("user_id"),
+        graft.queries.QueryUtil.tsMs(raw).as("ms"), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val gap = 21600000L
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    evs.groupBy(_._1).values.foreach { rows =>
+      val seq = rows.sortBy(r => (r._2, r._3))
+      seq.sliding(3).foreach {
+        case Array((_, m2, _, p2), (_, m1, _, p1), (_, m0, _, p0))
+            if m1 - m2 <= gap && m0 - m1 <= gap =>
+          val k = s"$p2>$p1>$p0"
+          counts(k) = counts.getOrElse(k, 0L) + 1
+        case _ =>
+      }
+    }
+    val expect = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    val out = SparkEntry.queries("ev_path_trigrams")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (p, n) => (-n, p) }
+    assert(out.toSeq == expect, "top-20 path trigrams")
+  }
+
+  test("emb_norm_stats equals a brute per-dimension recount") {
+    import org.apache.spark.sql.functions._
+    val vecs = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+      .select("embedding").collect().map(_.getSeq[Float](0))
+    val out = SparkEntry.queries("emb_norm_stats")(spark, TestSpark.Sf)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.size == vecs.head.length)
+    (0 until vecs.head.length).foreach { d =>
+      val q6 = vecs.map(v => math.floor(v(d).toDouble * 1e6 + 0.5).toLong)
+      val n = q6.length.toLong
+      val s6 = q6.sum
+      val ss12 = q6.map(q => BigInt(q) * BigInt(q)).sum
+      val mean = s6.toDouble / 1e6 / n.toDouble
+      val variance = ss12.toDouble / 1e12 / n.toDouble - mean * mean
+      val (on, om, ov) = out(d)
+      assert(on == n, s"dim $d n")
+      assert(om == math.floor(mean * 1e6 + 0.5).toLong, s"dim $d mean")
+      assert(ov == math.floor(variance * 1e6 + 0.5).toLong, s"dim $d var")
+    }
+  }
 }
