@@ -1996,6 +1996,100 @@ object Pipeline {
           fp(col("_ss12").cast("double") / 1e12 / col("n").cast("double") - mean * mean, 6)
             .as("var_fp6"))
         .orderBy("dim")
+    }),
+    // 39d — Zipf rank-frequency fit over the corpus vocabulary: the
+    // one-line health check of a text corpus (natural language sits
+    // near slope −1 in log-log; templated/boilerplate corpora don't).
+    // Vocab rollup → global top-256 by (freq desc, tok) — a
+    // TakeOrdered over the value-domain-bounded vocab table, never a
+    // corpus sort. log2 per row (the engine-shared log from
+    // txt_entropy), fp6-quantized so the four regression sums are
+    // exact integers; the normal-equation combination runs in
+    // DECIMAL(38,0) (n·Σxy at corpus scale exceeds int64) with one
+    // final double divide per statistic.
+    "txt_zipf" -> ((s, dir) => {
+      val D = org.apache.spark.sql.types.DecimalType(38, 0)
+      val ranked = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("f"))
+        .orderBy(desc("f"), asc("tok")).limit(256)
+        .withColumn("rank", row_number().over(Window.orderBy(desc("f"), asc("tok"))))
+        .select(fp(log2(col("rank").cast("double")), 6).as("x6"),
+          fp(log2(col("f").cast("double")), 6).as("y6"))
+      val sums = ranked.agg(count(lit(1)).as("k"),
+        sum("x6").as("_sx"), sum("y6").as("_sy"),
+        sum(col("x6") * col("x6")).as("_sxx"), sum(col("x6") * col("y6")).as("_sxy"))
+      val (n, sx, sy, sxx, sxy) = (col("k").cast(D), col("_sx").cast(D),
+        col("_sy").cast(D), col("_sxx").cast(D), col("_sxy").cast(D))
+      val den = n * sxx - sx * sx
+      sums.select(col("k"),
+        fp((n * sxy - sx * sy).cast("double") / den.cast("double"), 6).as("slope_fp6"),
+        fp((sy * sxx - sx * sxy).cast("double") / den.cast("double") / 1e6, 6).as("intercept_fp6"))
+    }),
+    // 43s — sampled quantile sketch vs exact: deterministic md5
+    // content-hash sampling (rate 1/8 on event_id — commutes with
+    // merges/retries where Bernoulli rand() does not) feeding the
+    // SAME compressed-histogram rank scan as ev_percentile. ONE
+    // histogram pass carries both populations (k total, ks sampled
+    // per quantized value), so exact and estimate come from a single
+    // corpus shuffle and the sampling error is visible per group.
+    "ev_quantile_sketch" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("event_type"), col("v4"),
+        (conv(substring(md5(concat(lit("qs:"), col("event_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long") < 536870912L).cast("long").as("in_s"))
+      val h = e.groupBy("event_type", "v4")
+        .agg(count(lit(1)).as("k"), sum("in_s").as("ks"))
+      val wc = Window.partitionBy("event_type").orderBy("v4")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy("event_type")
+      h.withColumn("cum", sum("k").over(wc)).withColumn("cums", sum("ks").over(wc))
+        .withColumn("n", sum("k").over(wt)).withColumn("ns", sum("ks").over(wt))
+        .groupBy("event_type")
+        .agg(max("n").cast("long").as("n_rows"), max("ns").cast("long").as("n_sample"),
+          min(when(col("cum") >= expr("(n + 1) DIV 2"), col("v4"))).as("p50_c4"),
+          min(when(col("cum") >= expr("(9 * n + 9) DIV 10"), col("v4"))).as("p90_c4"),
+          min(when(col("cums") >= expr("(ns + 1) DIV 2"), col("v4"))).as("s50_c4"),
+          min(when(col("cums") >= expr("(9 * ns + 9) DIV 10"), col("v4"))).as("s90_c4"))
+        .orderBy("event_type")
+    }),
+    // 44c — bucketed-table co-located join (the 100 TB fact-join
+    // layout: both sides pre-bucketed AND sorted on the join key, so
+    // the sort-merge join needs NO shuffle and NO sort at read time
+    // — write-once, join-many). The merge hint pins SMJ (a broadcast
+    // at toy SF would hide the property being demonstrated);
+    // QueriesSpec asserts the joined plan has zero exchanges.
+    "src_bucketed_join" -> ((s, dir) => {
+      // overwrite alone is not idempotent across JVMs: the in-memory
+      // catalog forgets the table but its warehouse directory
+      // survives, and saveAsTable refuses the orphaned location —
+      // drop both before writing
+      Seq("graft_b_orders", "graft_b_lineitem").foreach { tbl =>
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        val whBase = s.conf.get("spark.sql.warehouse.dir")
+        val basePath =
+          if (whBase.startsWith("file:")) new java.net.URI(whBase).getPath else whBase
+        val wh = java.nio.file.Paths.get(basePath, tbl)
+        if (java.nio.file.Files.exists(wh)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(wh).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      }
+      t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("graft_b_orders")
+      t(s, dir, "lineitem").select("l_orderkey", "l_quantity", "l_extendedprice")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_b_lineitem")
+      s.table("graft_b_orders").hint("merge")
+        .join(s.table("graft_b_lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(fp(col("l_quantity"), 2)).cast("long").as("sum_qty_c"),
+          sum(fp(col("l_extendedprice"), 2)).cast("long").as("sum_price_c"))
+        .orderBy("o_orderpriority")
     })
   )
 
@@ -3987,6 +4081,52 @@ object Pipeline {
         |  ${sqlFp("CAST(s6 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)", 6)} AS mean_fp6,
         |  ${sqlFp("CAST(ss12 AS DOUBLE) / 1e12 / CAST(n AS DOUBLE) - " +
              "(CAST(s6 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)) * (CAST(s6 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))", 6)} AS var_fp6
-        |FROM a ORDER BY dim""".stripMargin
+        |FROM a ORDER BY dim""".stripMargin,
+    "txt_zipf" ->
+      s"""WITH v AS (
+        |  SELECT tok, count(*) AS f
+        |  FROM (SELECT unnest($toksSql) AS tok FROM documents)
+        |  GROUP BY 1 ORDER BY f DESC, tok LIMIT 256),
+        |r AS (SELECT ${sqlFp("log2(CAST(row_number() OVER (ORDER BY f DESC, tok) AS DOUBLE))", 6)} AS x6,
+        |    ${sqlFp("log2(CAST(f AS DOUBLE))", 6)} AS y6
+        |  FROM v),
+        |sums AS (SELECT count(*) AS k,
+        |    CAST(sum(x6) AS HUGEINT) AS sx, CAST(sum(y6) AS HUGEINT) AS sy,
+        |    CAST(sum(x6*x6) AS HUGEINT) AS sxx, CAST(sum(x6*y6) AS HUGEINT) AS sxy
+        |  FROM r)
+        |SELECT k,
+        |  ${sqlFp("CAST(k*sxy - sx*sy AS DOUBLE) / CAST(k*sxx - sx*sx AS DOUBLE)", 6)} AS slope_fp6,
+        |  ${sqlFp("CAST(sy*sxx - sx*sxy AS DOUBLE) / CAST(k*sxx - sx*sx AS DOUBLE) / 1e6", 6)} AS intercept_fp6
+        |FROM sums""".stripMargin,
+    "ev_quantile_sketch" -> {
+      val u32 = """list_reduce(list_prepend(CAST(0 AS BIGINT),
+        | list_transform(range(1, 9),
+        |   i -> CAST(strpos('0123456789abcdef',
+        |          substr(md5('qs:' || CAST(event_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT))),
+        | (a, v) -> a*16 + v)""".stripMargin.replace("\n", " ")
+      s"""WITH e AS (SELECT event_type, ${sqlFp("\"value\"", 4)} AS v4,
+        |    CASE WHEN $u32 < 536870912 THEN 1 ELSE 0 END AS in_s FROM events),
+        |h AS (SELECT event_type, v4, count(*) AS k, sum(in_s) AS ks FROM e GROUP BY 1, 2),
+        |c AS (SELECT event_type, v4,
+        |    sum(k) OVER (PARTITION BY event_type ORDER BY v4
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(ks) OVER (PARTITION BY event_type ORDER BY v4
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cums,
+        |    sum(k) OVER (PARTITION BY event_type) AS n,
+        |    sum(ks) OVER (PARTITION BY event_type) AS ns
+        |  FROM h)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n_rows, CAST(max(ns) AS BIGINT) AS n_sample,
+        |  min(CASE WHEN cum >= (n + 1) // 2 THEN v4 END) AS p50_c4,
+        |  min(CASE WHEN cum >= (9 * n + 9) // 10 THEN v4 END) AS p90_c4,
+        |  min(CASE WHEN cums >= (ns + 1) // 2 THEN v4 END) AS s50_c4,
+        |  min(CASE WHEN cums >= (9 * ns + 9) // 10 THEN v4 END) AS s90_c4
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin
+    },
+    "src_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        | CAST(sum(CAST(floor(l_quantity*100+0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        | CAST(sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)) AS BIGINT) AS sum_price_c
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -364,6 +364,75 @@ class QueriesSpec extends AnyFunSuite {
     assert(out.toSeq == expect, "top-20 path trigrams")
   }
 
+  test("txt_zipf equals a brute top-256 log-log regression") {
+    import org.apache.spark.sql.functions._
+    val freqs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select(explode(graft.text.TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("tok").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, f) => (-f, t) }.take(256)
+    val pts = freqs.zipWithIndex.map { case ((_, f), i) =>
+      (math.floor(math.log(i + 1.0) / math.log(2.0) * 1e6 + 0.5).toLong,
+       math.floor(math.log(f.toDouble) / math.log(2.0) * 1e6 + 0.5).toLong)
+    }
+    val n = BigInt(pts.length)
+    val sx = pts.map(p => BigInt(p._1)).sum; val sy = pts.map(p => BigInt(p._2)).sum
+    val sxx = pts.map(p => BigInt(p._1) * BigInt(p._1)).sum
+    val sxy = pts.map(p => BigInt(p._1) * BigInt(p._2)).sum
+    val den = (n * sxx - sx * sx).toDouble
+    val slope = (n * sxy - sx * sy).toDouble / den
+    val icept = (sy * sxx - sx * sxy).toDouble / den / 1e6
+    val r = SparkEntry.queries("txt_zipf")(spark, TestSpark.Sf).collect().head
+    assert(r.getLong(0) == pts.length.toLong)
+    assert(r.getLong(1) == math.floor(slope * 1e6 + 0.5).toLong, "slope")
+    assert(r.getLong(2) == math.floor(icept * 1e6 + 0.5).toLong, "intercept")
+    // natural-language corpora sit on a clearly negative Zipf slope
+    assert(r.getLong(1) < 0L, "zipf slope must be negative")
+  }
+
+  test("ev_quantile_sketch: sample percentiles equal a brute pick; exact matches ev_percentile") {
+    import org.apache.spark.sql.functions._
+    val raw = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
+    val rows = raw.select(col("event_type"),
+        graft.text.TextAnalysis.fp(col("value"), 4).as("v4"),
+        conv(substring(md5(concat(lit("qs:"), col("event_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long").as("u"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val out = SparkEntry.queries("ev_quantile_sketch")(spark, TestSpark.Sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    def pick(vs: Seq[Long], num: Long, den: Long): Long = {
+      val n = vs.length.toLong
+      vs((((num * n + num) / den) - 1).toInt.max(0))
+    }
+    rows.groupBy(_._1).foreach { case (et, g) =>
+      val all = g.map(_._2).sorted.toSeq
+      val smp = g.filter(_._3 < 536870912L).map(_._2).sorted.toSeq
+      val (nR, nS, p50, p90, s50, s90) = out(et)
+      assert(nR == all.length.toLong, s"$et n_rows")
+      assert(nS == smp.length.toLong, s"$et n_sample")
+      assert(p50 == pick(all, 1, 2), s"$et p50")
+      assert(p90 == pick(all, 9, 10), s"$et p90")
+      assert(s50 == pick(smp, 1, 2), s"$et s50")
+      assert(s90 == pick(smp, 9, 10), s"$et s90")
+      // the sketch contract: ~1/8 sampled, estimate near exact
+      assert(nS > 0 && nS < nR, s"$et sample size")
+    }
+  }
+
+  test("src_bucketed_join: bucketed+sorted tables sort-merge join with zero exchanges") {
+    import org.apache.spark.sql.functions._
+    // run once to (re)write the bucketed tables, then inspect the
+    // join-only plan: bucketing must supply both distribution AND
+    // order — no Exchange, no explicit Sort feeding the SMJ
+    SparkEntry.queries("src_bucketed_join")(spark, TestSpark.Sf).collect()
+    val joined = spark.table("graft_b_orders").hint("merge")
+      .join(spark.table("graft_b_lineitem"), col("o_orderkey") === col("l_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+  }
+
   test("emb_norm_stats equals a brute per-dimension recount") {
     import org.apache.spark.sql.functions._
     val vecs = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
