@@ -1930,28 +1930,29 @@ object Pipeline {
         .orderBy("doc_id")
     }),
     // 43q — per-type daily-volume least-squares trend (ingest drift:
-    // is a source growing or decaying?). x = day offset from the
-    // type's own first day (keeps every product tiny and the normal
-    // equations well-conditioned at 100 TB: x ≤ span-days, never
-    // epoch-days), y = daily count. All four regression sums are
-    // EXACT integers from one |types×days|-sized rollup; slope =
-    // (n·Σxy − Σx·Σy)/(n·Σxx − Σx²) is the single final double op,
-    // fp6. The |types|-sized first-day frame broadcasts back.
+    // is a source growing or decaying?). x = epoch day, y = daily
+    // count. ONE corpus scan → |types×days|-sized rollup → per-type
+    // agg (a first cut shifted x by each type's first day through a
+    // broadcast join — but the slope is shift-invariant and the
+    // normal-equation combination is EXACT in DECIMAL(38,0), so the
+    // shift only bought a second corpus scan when ReuseExchange
+    // declined the pruning-divergent rollup consumers). slope =
+    // (n·Σxy − Σx·Σy)/(n·Σxx − Σx²), one final double divide, fp6.
     "ev_trend" -> ((s, dir) => {
+      val D = org.apache.spark.sql.types.DecimalType(38, 0)
       val d = ev(s, dir)
         .groupBy(col("event_type"), expr("ms DIV 86400000").as("day"))
         .agg(count(lit(1)).as("y"))
-      val d0 = d.groupBy("event_type").agg(min("day").as("d0"))
-      val xy = d.join(broadcast(d0), "event_type")
-        .select(col("event_type"), (col("day") - col("d0")).as("x"), col("y"))
-      val sums = xy.groupBy("event_type").agg(
+      val sums = d.groupBy("event_type").agg(
         count(lit(1)).as("n_days"), sum("y").as("total"),
-        sum("x").as("_sx"), sum(col("x") * col("x")).as("_sxx"),
-        sum(col("x") * col("y")).as("_sxy"))
-      val den = col("n_days") * col("_sxx") - col("_sx") * col("_sx")
+        sum(col("day").cast(D)).as("_sx"),
+        sum((col("day") * col("day")).cast(D)).as("_sxx"),
+        sum((col("day") * col("y")).cast(D)).as("_sxy"))
+      val nD = col("n_days").cast(D)
+      val den = nD * col("_sxx") - col("_sx") * col("_sx")
       sums.select(col("event_type"), col("n_days"), col("total"),
           when(den === 0, lit(0L))
-            .otherwise(fp((col("n_days") * col("_sxy") - col("_sx") * col("total")).cast("double")
+            .otherwise(fp((nD * col("_sxy") - col("_sx") * col("total").cast(D)).cast("double")
               / den.cast("double"), 6))
             .as("slope_fp6"))
         .orderBy("event_type")
@@ -4048,13 +4049,10 @@ object Pipeline {
       s"""WITH d AS (
         |  SELECT event_type, epoch_ms(ts) // 86400000 AS day, count(*) AS y
         |  FROM events GROUP BY 1, 2),
-        |d0 AS (SELECT event_type, min(day) AS d0 FROM d GROUP BY 1),
-        |xy AS (SELECT d.event_type, d.day - d0.d0 AS x, d.y
-        |  FROM d JOIN d0 ON d0.event_type = d.event_type),
         |sums AS (SELECT event_type, count(*) AS n_days,
-        |    CAST(sum(y) AS BIGINT) AS total, CAST(sum(x) AS BIGINT) AS sx,
-        |    CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy
-        |  FROM xy GROUP BY 1)
+        |    CAST(sum(y) AS BIGINT) AS total, CAST(sum(day) AS HUGEINT) AS sx,
+        |    CAST(sum(day*day) AS HUGEINT) AS sxx, CAST(sum(day*y) AS HUGEINT) AS sxy
+        |  FROM d GROUP BY 1)
         |SELECT event_type, n_days, total,
         |  CASE WHEN n_days*sxx - sx*sx = 0 THEN CAST(0 AS BIGINT)
         |    ELSE ${sqlFp("CAST(n_days*sxy - sx*total AS DOUBLE) / CAST(n_days*sxx - sx*sx AS DOUBLE)", 6)}

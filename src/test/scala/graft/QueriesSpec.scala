@@ -324,14 +324,13 @@ class QueriesSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(out.keySet == days.keySet)
     out.foreach { case (et, (nDays, total, slope6)) =>
-      val byDay = days(et)
-      val d0 = byDay.keys.min
-      val pts = byDay.toSeq.map { case (d, y) => (d - d0, y) }
+      val pts = days(et).toSeq
       assert(nDays == pts.length.toLong, s"$et n_days")
       assert(total == pts.map(_._2).sum, s"$et total")
-      val n = pts.length.toLong
-      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
-      val sxx = pts.map(p => p._1 * p._1).sum; val sxy = pts.map(p => p._1 * p._2).sum
+      val n = BigInt(pts.length)
+      val sx = pts.map(p => BigInt(p._1)).sum; val sy = pts.map(p => BigInt(p._2)).sum
+      val sxx = pts.map(p => BigInt(p._1) * BigInt(p._1)).sum
+      val sxy = pts.map(p => BigInt(p._1) * BigInt(p._2)).sum
       val den = n * sxx - sx * sx
       val expect = if (den == 0) 0L
         else math.floor((n * sxy - sx * sy).toDouble / den.toDouble * 1e6 + 0.5).toLong
