@@ -190,6 +190,34 @@ object EventStreams {
       .agg(count(lit(1)).as("cnt"))
       .select(col("win_start"), col("j"), col("b"), col("cnt"))
 
+  /** Streaming quantile-sketch histogram: watermarked per-window
+    * (group, fp4-value) cell counts for BOTH populations — all rows
+    * (k) and the deterministic 1/8 md5 content-hash sample (ks) —
+    * the same cells the batch `ev_quantile_sketch` rank-scans. The
+    * agg state is VALUE-DOMAIN-bounded (distinct quantized values
+    * per window × group, never row count), and cells SUM-merge
+    * across windows / the stream-batch boundary (a histogram's
+    * merge law), so emitted rows feed the identical offline rank
+    * scan. The md5 gate uses the SAME column expression as the
+    * batch query, so streamed ks equals the batch sample count
+    * bit-for-bit (spec-asserted).
+    * Output (Append, on watermark close): win_start, <keyCol>, v4, k, ks.
+    */
+  def quantileCellsStream(events: DataFrame, keyCol: String = "event_type",
+                          idCol: String = "event_id",
+                          windowMs: Long = 3600000L, lateness: String = "1 hour"): DataFrame =
+    events
+      .withColumn("ts", timestamp_millis(col("ms")))
+      .withWatermark("ts", lateness)
+      .select(col("ts"), (col("ms") - pmod(col("ms"), lit(windowMs))).as("win_start"),
+        col(keyCol), col("v4"),
+        (conv(substring(md5(concat(lit("qs:"), col(idCol).cast("string"))), 1, 8), 16, 10)
+          .cast("long") < 536870912L).cast("long").as("in_s"))
+      .groupBy(window(col("ts"), s"$windowMs milliseconds"), col("win_start"),
+        col(keyCol), col("v4"))
+      .agg(count(lit(1)).as("k"), sum("in_s").as("ks"))
+      .select(col("win_start"), col(keyCol), col("v4"), col("k"), col("ks"))
+
   /** Streaming HyperLogLog register build: watermarked per-window
     * (group, bucket) max-ρ over the SAME uniform/bucket/ρ columns as
     * the batch [[graft.sketch.Sketches.hllRegisters]]. The streaming

@@ -405,6 +405,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming quantile cells sum-merge into the batch histogram; rank scan matches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat, conv, lit, md5, substring, sum => fsum, count => fcount}
+    val input = MemoryStream[Ev]
+    val evs = (1 to 60).map(i =>
+      Ev(i.toLong, i.toLong, Seq("view", "click")(i % 2), (i % 4) * 60000L, (i % 7).toLong * 1000L))
+    val q = EventStreams.quantileCellsStream(input.toDF())
+      .writeStream.format("memory").queryName("q_cells").outputMode(OutputMode.Append).start()
+    try {
+      input.addData(evs.take(30): _*)
+      q.processAllAvailable()
+      input.addData(evs.drop(30): _*)
+      q.processAllAvailable()
+      input.addData(Ev(999, 999, "view", 5 * H, 0)) // close window 0
+      q.processAllAvailable()
+      val streamed = spark.table("q_cells").filter($"win_start" === 0L)
+        .select("event_type", "v4", "k", "ks").as[(String, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+      val batch = evs.toDF()
+        .select(col("event_type"), col("v4"),
+          (conv(substring(md5(concat(lit("qs:"), col("event_id").cast("string"))), 1, 8), 16, 10)
+            .cast("long") < 536870912L).cast("long").as("in_s"))
+        .groupBy("event_type", "v4")
+        .agg(fcount(lit(1)).as("k"), fsum("in_s").as("ks"))
+        .as[(String, Long, Long, Long)].collect().map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+      assert(streamed == batch, s"streamed ${streamed.size} cells vs batch ${batch.size}")
+      // the emitted cells drive the same offline rank scan: exact p50
+      // from cumulative k equals a brute per-group sorted pick
+      streamed.keys.map(_._1).toSeq.distinct.foreach { et =>
+        val cells = streamed.filter(_._1._1 == et).toSeq.map { case ((_, v), (k, _)) => (v, k) }.sortBy(_._1)
+        val n = cells.map(_._2).sum
+        var cum = 0L
+        val p50 = cells.collectFirst { case (v, k) if { cum += k; cum >= (n + 1) / 2 } => v }.get
+        val brute = evs.filter(_.event_type == et).map(_.v4).sorted.apply((((n + 1) / 2) - 1).toInt)
+        assert(p50 == brute, s"$et p50 from streamed cells")
+      }
+      // state bound: cells ≤ |value domain| × groups, not row count
+      assert(streamed.size <= 7 * 2)
+    } finally q.stop()
+  }
+
   test("streaming HLL registers max-merge across windows into the exact batch sketch") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
