@@ -1051,6 +1051,35 @@ object Pipeline {
         .select("event_type", "exact_nd", "v_zero", "reg_sum", "hll_est_fp2")
         .orderBy("event_type")
     }),
+    // 43t — HLL partition-then-merge: the 100 TB sketch DISCIPLINE
+    // made visible in one query — registers built per (type, DAY)
+    // partition, max-merged across days, must equal the one-shot
+    // corpus sketch (register max is associative/commutative/
+    // idempotent, so per-partition builds compose exactly — the
+    // property that lets a cluster sketch each split independently
+    // and a coordinator fold the results). Both paths are computed
+    // INDEPENDENTLY and emitted side by side; the oracle computes
+    // the registers once, so any divergence between the paths
+    // hash-mismatches.
+    "ev_hll_merge" -> ((s, dir) => {
+      val e = ev(s, dir).withColumn("day", expr("ms DIV 86400000"))
+      val dayRegs = graft.sketch.Sketches.hllRegisters(
+        e, Seq("event_type", "day"), "user_id", p = 8)
+        .localCheckpoint() // register-sized; feeds merge AND n_days
+      val merged = dayRegs.groupBy("event_type", "bkt").agg(max("mb").as("mb"))
+      val mergedEst = graft.sketch.Sketches.hllEstimate(merged, Seq("event_type"), p = 8)
+      val directEst = graft.sketch.Sketches.hllEstimate(
+        graft.sketch.Sketches.hllRegisters(ev(s, dir), Seq("event_type"), "user_id", p = 8),
+        Seq("event_type"), p = 8)
+        .select(col("event_type"), col("reg_sum").as("reg_sum_direct"),
+          col("hll_est_fp2").as("est_direct_fp2"))
+      val nDays = dayRegs.groupBy("event_type").agg(countDistinct("day").as("n_days"))
+      mergedEst.join(directEst, "event_type").join(broadcast(nDays), "event_type")
+        .select(col("event_type"), col("n_days"), col("v_zero"), col("reg_sum"),
+          col("hll_est_fp2").as("est_merged_fp2"),
+          col("reg_sum_direct"), col("est_direct_fp2"))
+        .orderBy("event_type")
+    }),
     // 43e — count-min sketch frequency profile: deterministic d×w md5
     // sketch built with map-side combine (the shuffle carries ≤ d·w
     // cells per task, not events); estimate = min over d counters,
@@ -1997,6 +2026,55 @@ object Pipeline {
           fp(col("_ss12").cast("double") / 1e12 / col("n").cast("double") - mean * mean, 6)
             .as("var_fp6"))
         .orderBy("dim")
+    }),
+    // 35h — distributed power-iteration PCA: the top principal
+    // component of the embedding corpus (the direction PCA-whitening
+    // and anisotropy diagnostics start from). Two corpus passes:
+    // (1) the 64×64 Gram matrix via a per-row outer-product explode
+    // that collapses map-side to 4096 cells, (2) per-dim sums + n.
+    // Covariance cells n·Σqᵢqⱼ − MᵢMⱼ are EXACT in DECIMAL(38,0)
+    // (≤10³⁰ at 10⁹ vectors), checkpointed (the markov-rank idiom —
+    // otherwise every iteration replays the corpus), then 4 unrolled
+    // power iterations over the 4096-cell frame: w = C·v in exact
+    // decimal products (≤6.4·10³⁷ < 10³⁸ at corpus scale, documented
+    // bound), L∞ normalization (no sqrt — max|w| keeps the step
+    // rational) with ONE correctly-rounded double divide per element,
+    // fp6-requantized. Sign pinned by the all-ones start vector.
+    "emb_pca_power" -> ((s, dir) => {
+      val D = org.apache.spark.sql.types.DecimalType(38, 0)
+      val q = t(s, dir, "embeddings")
+        .select(transform(col("embedding"), x => fp(x.cast("double"), 6)).as("qv"))
+      val gram = q.select(posexplode(flatten(transform(col("qv"), x =>
+          transform(col("qv"), y => x * y)))).as(Seq("idx", "prod")))
+        .groupBy(expr("idx DIV 64").cast("int").as("i"),
+          pmod(col("idx"), lit(64)).cast("int").as("j"))
+        .agg(sum(col("prod").cast(D)).as("s"))
+      // m is checkpointed like cov: v0 derives from it, and each
+      // iteration references its w frame TWICE (directly and through
+      // the max-|w| normalizer) — un-pinned, the final plan doubles
+      // per iteration and replays the corpus scan 2^iters times
+      val m = q.select(posexplode(col("qv")).as(Seq("dim", "q6")))
+        .groupBy("dim").agg(sum(col("q6").cast(D)).as("m"))
+        .localCheckpoint()
+      val n = broadcast(q.agg(count(lit(1)).cast(D).as("n")))
+      val cov = gram
+        .join(broadcast(m.select(col("dim").as("i"), col("m").as("mi"))), "i")
+        .join(broadcast(m.select(col("dim").as("j"), col("m").as("mj"))), "j")
+        .crossJoin(n)
+        .select(col("i"), col("j"), (col("n") * col("s") - col("mi") * col("mj")).as("c"))
+        .localCheckpoint()
+      var v = m.select(col("dim").as("j"), lit(1000000L).cast(D).as("vj"))
+      for (_ <- 1 to 4) {
+        val w = cov.join(broadcast(v), "j")
+          .groupBy("i").agg(sum(col("c") * col("vj")).as("w"))
+          .localCheckpoint() // 64 rows; consumed twice below
+        val mx = broadcast(w.agg(max(abs(col("w"))).as("mx")))
+        v = w.crossJoin(mx).select(col("i").as("j"),
+          when(col("mx") === 0, lit(1000000L).cast(D))
+            .otherwise(fp(col("w").cast("double") / col("mx").cast("double"), 6).cast(D))
+            .as("vj"))
+      }
+      v.select(col("j").as("dim"), col("vj").cast("long").as("pc1_fp6")).orderBy("dim")
     }),
     // 39d — Zipf rank-frequency fit over the corpus vocabulary: the
     // one-line health check of a text corpus (natural language sits
@@ -3359,6 +3437,39 @@ object Pipeline {
         |  ${sqlFp("est", 2)} AS hll_est_fp2
         |FROM x JOIN ex ON ex.event_type = x.event_type ORDER BY x.event_type""".stripMargin
     },
+    // registers computed ONCE (merge = direct by max-associativity);
+    // emitted under both column pairs so either Spark path diverging
+    // hash-mismatches
+    "ev_hll_merge" -> {
+      val u32 = """list_reduce(list_prepend(CAST(0 AS BIGINT),
+        | list_transform(range(1, 9),
+        |   i -> CAST(strpos('0123456789abcdef',
+        |          substr(md5('hll:' || CAST(user_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT))),
+        | (a, v) -> a*16 + v)""".stripMargin.replace("\n", " ")
+      val numerator = (0.7213 / (1.0 + 1.079 / 256)) * 256.0 * 256.0 * math.pow(2.0, 25)
+      val numLit = "%.17e".formatLocal(java.util.Locale.ROOT, numerator)
+      s"""WITH h AS (SELECT event_type, $u32 AS u FROM events),
+        |b AS (SELECT event_type, u // 16777216 AS bkt, u % 16777216 AS w FROM h),
+        |r AS (SELECT event_type, bkt,
+        |    max(CASE WHEN w = 0 THEN 25 ELSE 25 - length(bin(w)) END) AS mb
+        |  FROM b GROUP BY 1, 2),
+        |agg AS (SELECT event_type,
+        |    CAST(256 - count(*) AS BIGINT) AS v_zero,
+        |    CAST(sum(CAST(1 AS BIGINT) << (25 - mb))
+        |      + (256 - count(*)) * (CAST(1 AS BIGINT) << 25) AS BIGINT) AS reg_sum
+        |  FROM r GROUP BY 1),
+        |x AS (SELECT event_type, v_zero, reg_sum,
+        |    CASE WHEN $numLit / CAST(reg_sum AS DOUBLE) <= 640.0 AND v_zero > 0
+        |      THEN ln(256.0 / CAST(v_zero AS DOUBLE)) * 256
+        |      ELSE $numLit / CAST(reg_sum AS DOUBLE) END AS est
+        |  FROM agg),
+        |d AS (SELECT event_type, count(DISTINCT epoch_ms(ts) // 86400000) AS n_days
+        |  FROM events GROUP BY 1)
+        |SELECT x.event_type, d.n_days, x.v_zero, x.reg_sum,
+        |  ${sqlFp("est", 2)} AS est_merged_fp2,
+        |  x.reg_sum AS reg_sum_direct, ${sqlFp("est", 2)} AS est_direct_fp2
+        |FROM x JOIN d ON d.event_type = x.event_type ORDER BY x.event_type""".stripMargin
+    },
     "ev_cms_freq" -> {
       def bucket(j: Int): String =
         s"""(list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -4080,6 +4191,32 @@ object Pipeline {
         |  ${sqlFp("CAST(ss12 AS DOUBLE) / 1e12 / CAST(n AS DOUBLE) - " +
              "(CAST(s6 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)) * (CAST(s6 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))", 6)} AS var_fp6
         |FROM a ORDER BY dim""".stripMargin,
+    "emb_pca_power" -> {
+      def it(k: Int): String =
+        s"""w$k AS (SELECT cov.i, sum(cov.c * v${k - 1}.vj) AS w
+           |  FROM cov JOIN v${k - 1} ON v${k - 1}.j = cov.j GROUP BY 1),
+           |x$k AS (SELECT max(abs(w)) AS mx FROM w$k),
+           |v$k AS (SELECT i AS j, CASE WHEN mx = 0 THEN CAST(1000000 AS HUGEINT)
+           |    ELSE CAST(CAST(floor(CAST(w AS DOUBLE) / CAST(mx AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS HUGEINT)
+           |  END AS vj
+           |  FROM w$k, x$k)""".stripMargin
+      s"""WITH q AS (
+        |  SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS q6
+        |  FROM embeddings CROSS JOIN range(1, 65) t(i)),
+        |g AS (SELECT a.dim AS i, b.dim AS j, CAST(sum(a.q6 * b.q6) AS HUGEINT) AS s
+        |  FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+        |m AS (SELECT dim, CAST(sum(q6) AS HUGEINT) AS m FROM q GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM embeddings),
+        |cov AS (SELECT g.i, g.j, n.n * g.s - mi.m * mj.m AS c
+        |  FROM g JOIN m mi ON mi.dim = g.i JOIN m mj ON mj.dim = g.j CROSS JOIN n),
+        |v0 AS (SELECT dim AS j, CAST(1000000 AS HUGEINT) AS vj FROM m),
+        |${it(1)},
+        |${it(2)},
+        |${it(3)},
+        |${it(4)}
+        |SELECT j AS dim, CAST(vj AS BIGINT) AS pc1_fp6 FROM v4 ORDER BY dim""".stripMargin
+    },
     "txt_zipf" ->
       s"""WITH v AS (
         |  SELECT tok, count(*) AS f

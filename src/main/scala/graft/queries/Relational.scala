@@ -276,6 +276,26 @@ object Relational {
         .filter(col("_rk") === 1)
         .drop("_rk")
         .orderBy("user_id", "event_type")
+    }),
+    // 11l — UNPIVOT (wide→long): the inverse of q19's PIVOT — melt
+    // the three lineitem measure columns into (measure, value) rows
+    // (Spark's unpivot plans an Expand: each input row fans out to
+    // one row per measure BEFORE the map-side partial agg, so the
+    // shuffle carries 3 agg cells per task, not 3× the corpus). Cents
+    // quantization per row keeps the sums exact integers.
+    "q22_unpivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          fp(col("l_quantity"), 2).as("quantity_c"),
+          fp(col("l_extendedprice"), 2).as("extendedprice_c"),
+          fp(col("l_discount"), 2).as("discount_c"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("quantity_c"), col("extendedprice_c"), col("discount_c")),
+          "measure", "value_c")
+        .groupBy("measure")
+        .agg(count(lit(1)).as("n"), sum("value_c").cast("long").as("sum_c"),
+          min("value_c").as("min_c"), max("value_c").as("max_c"))
+        .orderBy("measure")
     })
   )
 
@@ -423,6 +443,16 @@ object Relational {
         |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
         |    ORDER BY ms DESC, event_id DESC) AS rk FROM e)
         |SELECT user_id, event_type, event_id, ms, v4 FROM r WHERE rk = 1
-        |ORDER BY user_id, event_type""".stripMargin
+        |ORDER BY user_id, event_type""".stripMargin,
+    "q22_unpivot" ->
+      """WITH u AS (
+        |  SELECT 'quantity_c' AS measure, CAST(floor(l_quantity*100+0.5) AS BIGINT) AS v FROM lineitem
+        |  UNION ALL
+        |  SELECT 'extendedprice_c', CAST(floor(l_extendedprice*100+0.5) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'discount_c', CAST(floor(l_discount*100+0.5) AS BIGINT) FROM lineitem)
+        |SELECT measure, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_c,
+        |  min(v) AS min_c, max(v) AS max_c
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

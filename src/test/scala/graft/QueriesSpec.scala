@@ -432,6 +432,73 @@ class QueriesSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
   }
 
+  test("q22_unpivot matches a brute melt and plans an Expand, not three scans") {
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet(s"${TestSpark.Sf}/lineitem.parquet")
+      .select("l_quantity", "l_extendedprice", "l_discount").collect()
+    def cents(d: Double) = math.floor(d * 100 + 0.5).toLong
+    val cols = Map(
+      "quantity_c" -> li.map(r => cents(r.getDouble(0))),
+      "extendedprice_c" -> li.map(r => cents(r.getDouble(1))),
+      "discount_c" -> li.map(r => cents(r.getDouble(2))))
+    val df = SparkEntry.queries("q22_unpivot")(spark, TestSpark.Sf)
+    // explain BEFORE collect: a finalized AQE plan prints Final+Initial
+    // sections and double-counts every node
+    val planBefore = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    val out = df.collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.keySet == cols.keySet)
+    cols.foreach { case (m, vs) =>
+      assert(out(m) == ((vs.length.toLong, vs.sum, vs.min, vs.max)), s"measure $m")
+    }
+    assert(planBefore.contains("Expand"), s"unpivot must plan an Expand:\n$planBefore")
+    assert(planBefore.sliding("FileScan parquet".length).count(_ == "FileScan parquet") == 1,
+      "unpivot must read the table once, not per measure")
+  }
+
+  test("ev_hll_merge: day-partitioned registers merge to the one-shot sketch") {
+    val rows = SparkEntry.queries("ev_hll_merge")(spark, TestSpark.Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, nDays, regSum, estM, regSumD, estD) =>
+      assert(nDays >= 1, s"$et n_days")
+      assert(regSum == regSumD, s"$et merged register sum must equal the one-shot build")
+      assert(estM == estD, s"$et merged estimate must equal the one-shot estimate")
+    }
+  }
+
+  test("emb_pca_power equals a brute BigInt power iteration and is near-eigen") {
+    import org.apache.spark.sql.functions._
+    val vecs = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(x => BigInt(math.floor(x.toDouble * 1e6 + 0.5).toLong)).toArray)
+    val d = vecs.head.length
+    val n = BigInt(vecs.length)
+    val s = Array.ofDim[BigInt](d, d); val m = Array.fill(d)(BigInt(0))
+    for (i <- 0 until d; j <- 0 until d) s(i)(j) = BigInt(0)
+    vecs.foreach { v =>
+      for (i <- 0 until d) { m(i) += v(i); for (j <- 0 until d) s(i)(j) += v(i) * v(j) }
+    }
+    val cov = Array.tabulate(d, d)((i, j) => n * s(i)(j) - m(i) * m(j))
+    var v = Array.fill(d)(BigInt(1000000))
+    for (_ <- 1 to 4) {
+      val w = Array.tabulate(d)(i => (0 until d).map(j => cov(i)(j) * v(j)).sum)
+      val mx = w.map(_.abs).max
+      v = if (mx == 0) Array.fill(d)(BigInt(1000000))
+        else w.map(wi => BigInt(math.floor(wi.toDouble / mx.toDouble * 1e6 + 0.5).toLong))
+    }
+    val out = SparkEntry.queries("emb_pca_power")(spark, TestSpark.Sf)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out.size == d)
+    (0 until d).foreach(i => assert(out(i) == v(i).toLong, s"dim $i"))
+    // eigen sanity: C·v stays aligned with v (cosine ≥ 0.99 after 4 iters)
+    val vd = v.map(_.toDouble)
+    val cv = Array.tabulate(d)(i => (0 until d).map(j => cov(i)(j).toDouble * vd(j)).sum)
+    val cos = (0 until d).map(i => cv(i) * vd(i)).sum /
+      (math.sqrt(cv.map(x => x * x).sum) * math.sqrt(vd.map(x => x * x).sum))
+    assert(cos > 0.99, s"cosine(C*v, v) = $cos")
+  }
+
   test("emb_norm_stats equals a brute per-dimension recount") {
     import org.apache.spark.sql.functions._
     val vecs = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
