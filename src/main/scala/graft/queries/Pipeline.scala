@@ -458,6 +458,30 @@ object Pipeline {
           md5(col("text")).as("h"))
         .orderBy("doc_id")
     }),
+    // 48d — partitioned-parquet write + partition-PRUNED read (the
+    // other half of the 100 TB storage-layout discipline next to
+    // src_bucketed_join's bucketing): events written partitioned by
+    // event_type, read back with a partition-key filter — the scan
+    // must list ONLY the matching directory (PartitionFilters in the
+    // plan, spec-asserted), so a 100 TB corpus filtered to one type
+    // reads that type's bytes and nothing else. The daily rollup on
+    // the re-read frame goes through the dataType-branched tsMs (the
+    // roundtrip preserves the timestamp type).
+    "src_partitioned_scan" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+      t(s, dir, "events")
+        .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+      // nested partition dirs: register deepest-first so JVM-exit
+      // deletion empties children before parents
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
+        .toSeq.sortBy(-_.getNameCount).foreach(_.toFile.deleteOnExit())
+      val rd = s.read.parquet(tmp).filter(col("event_type") === "purchase")
+      rd.select(tsMs(rd).as("ms"), fp(col("value"), 4).as("v4"))
+        .groupBy(expr("ms DIV 86400000").as("day"))
+        .agg(count(lit(1)).as("n"), sum("v4").as("sum_v4"))
+        .orderBy("day")
+    }),
     // 41b — text normalization (canonical form for dedup)
     "txt_normalize" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -4217,6 +4241,11 @@ object Pipeline {
         |${it(4)}
         |SELECT j AS dim, CAST(vj AS BIGINT) AS pc1_fp6 FROM v4 ORDER BY dim""".stripMargin
     },
+    "src_partitioned_scan" ->
+      s"""SELECT epoch_ms(ts) // 86400000 AS day, count(*) AS n,
+        |  CAST(sum(${sqlFp("\"value\"", 4)}) AS BIGINT) AS sum_v4
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "txt_zipf" ->
       s"""WITH v AS (
         |  SELECT tok, count(*) AS f

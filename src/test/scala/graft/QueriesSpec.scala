@@ -456,6 +456,23 @@ class QueriesSpec extends AnyFunSuite {
       "unpivot must read the table once, not per measure")
   }
 
+  test("src_partitioned_scan: the partition filter prunes to one directory") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("src_partitioned_scan")(spark, TestSpark.Sf)
+    val plan = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"),
+      s"partition filter must reach the scan:\n$plan")
+    // values match an unpartitioned recount
+    val raw = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
+    val expect = raw.filter(col("event_type") === "purchase")
+      .select((graft.queries.QueryUtil.tsMs(raw) / 86400000).cast("long").as("day"),
+        graft.text.TextAnalysis.fp(col("value"), 4).as("v4"))
+      .groupBy("day").agg(count(lit(1)).as("n"), sum("v4").as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val out = df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == expect, "partitioned readback must equal the unpartitioned recount")
+  }
+
   test("ev_hll_merge: day-partitioned registers merge to the one-shot sketch") {
     val rows = SparkEntry.queries("ev_hll_merge")(spark, TestSpark.Sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
