@@ -1075,6 +1075,40 @@ object Pipeline {
         .select("event_type", "exact_nd", "v_zero", "reg_sum", "hll_est_fp2")
         .orderBy("event_type")
     }),
+    // 32j — verifiable Bloom-filter state + OR-merge law: the third
+    // mergeable-sketch family next to HLL (max-merge, 43t) and
+    // CMS/histograms (add-merge) — Bloom bit sets merge by OR, so
+    // per-shard builds compose into the corpus filter exactly. The
+    // per-(source, shard) bit sets are SKETCH-sized (≤ shards·m rows,
+    // bounded by the bit domain — checkpointed off one corpus pass);
+    // the direct per-source build runs INDEPENDENTLY (second corpus
+    // pass by design, the ev_hll_merge argument) and both paths'
+    // (bits_set, pos_sum) state is emitted — the oracle computes the
+    // bit set once, so any divergence hash-mismatches. k=4 md5 hash
+    // rows over the content hash, m=1024 bits.
+    "dd_bloom_state" -> ((s, dir) => {
+      def bitsOf(df: DataFrame): DataFrame =
+        df.select(col("source"), col("doc_id"),
+          explode(array((0 until 4).map(j =>
+            pmod(conv(substring(md5(concat(lit(s"bf$j:"), md5(col("text")))), 1, 8), 16, 10)
+              .cast("long"), lit(1024L))): _*)).as("bit"))
+      val docs = t(s, dir, "documents")
+      val shardBits = bitsOf(docs)
+        .withColumn("shard", pmod(col("doc_id"), lit(8L)))
+        .select("source", "shard", "bit").distinct()
+        .localCheckpoint() // ≤ sources·8·1024 rows at any corpus size
+      val merged = shardBits.select("source", "bit").distinct()
+        .groupBy("source")
+        .agg(count(lit(1)).as("bits_set_merged"), sum("bit").as("pos_sum_merged"))
+      val direct = bitsOf(docs).select("source", "bit").distinct()
+        .groupBy("source")
+        .agg(count(lit(1)).as("bits_set"), sum("bit").as("pos_sum"))
+      direct.join(merged, "source")
+        .select(col("source"), col("bits_set"), col("pos_sum"),
+          fp(col("bits_set").cast("double") / 1024.0, 4).as("fill_fp4"),
+          col("bits_set_merged"), col("pos_sum_merged"))
+        .orderBy("source")
+    }),
     // 43t — HLL partition-then-merge: the 100 TB sketch DISCIPLINE
     // made visible in one query — registers built per (type, DAY)
     // partition, max-merged across days, must equal the one-shot
@@ -3460,6 +3494,27 @@ object Pipeline {
         |SELECT x.event_type, ex.exact_nd, x.v_zero, x.reg_sum,
         |  ${sqlFp("est", 2)} AS hll_est_fp2
         |FROM x JOIN ex ON ex.event_type = x.event_type ORDER BY x.event_type""".stripMargin
+    },
+    // bit set computed ONCE (OR-merge = direct by set-union
+    // associativity); emitted under both column pairs so either
+    // Spark path diverging hash-mismatches
+    "dd_bloom_state" -> {
+      def u32(j: Int): String =
+        s"""(list_reduce(list_prepend(CAST(0 AS BIGINT),
+          | list_transform(range(1, 9),
+          |   i -> CAST(strpos('0123456789abcdef',
+          |          substr(md5('bf$j:' || md5(text)), CAST(i AS INT), 1)) - 1 AS BIGINT))),
+          | (a, v) -> a*16 + v) % 1024)""".stripMargin.replace("\n", " ")
+      val arms = (0 until 4).map(j =>
+        s"SELECT source, ${u32(j)} AS bit FROM documents").mkString("\n  UNION ALL\n  ")
+      s"""WITH b AS (SELECT DISTINCT source, bit FROM (
+        |  $arms)),
+        |a AS (SELECT source, count(*) AS bits_set, CAST(sum(bit) AS BIGINT) AS pos_sum
+        |  FROM b GROUP BY 1)
+        |SELECT source, bits_set, pos_sum,
+        |  ${sqlFp("CAST(bits_set AS DOUBLE) / 1024.0", 4)} AS fill_fp4,
+        |  bits_set AS bits_set_merged, pos_sum AS pos_sum_merged
+        |FROM a ORDER BY source""".stripMargin
     },
     // registers computed ONCE (merge = direct by max-associativity);
     // emitted under both column pairs so either Spark path diverging

@@ -456,6 +456,31 @@ class QueriesSpec extends AnyFunSuite {
       "unpivot must read the table once, not per measure")
   }
 
+  test("dd_bloom_state equals a brute bit recount; shard OR-merge equals direct") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select(col("source"), md5(col("text")).as("h")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def u32mod(salt: String, h: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest((salt + h).getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % 1024L
+    }
+    val bySource = docs.groupBy(_._1).view.mapValues(_.flatMap { case (_, h) =>
+      (0 until 4).map(j => u32mod(s"bf$j:", h)) }.toSet).toMap
+    val out = SparkEntry.queries("dd_bloom_state")(spark, TestSpark.Sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out.keySet == bySource.keySet)
+    out.foreach { case (src, (bits, posSum, fill, bitsM, posSumM)) =>
+      val expect = bySource(src)
+      assert(bits == expect.size.toLong, s"$src bits_set")
+      assert(posSum == expect.sum, s"$src pos_sum")
+      assert(fill == math.floor(expect.size.toDouble / 1024.0 * 1e4 + 0.5).toLong, s"$src fill")
+      assert(bitsM == bits && posSumM == posSum, s"$src shard merge must equal direct")
+    }
+  }
+
   test("src_partitioned_scan: the partition filter prunes to one directory") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("src_partitioned_scan")(spark, TestSpark.Sf)
