@@ -296,6 +296,27 @@ object Relational {
         .agg(count(lit(1)).as("n"), sum("value_c").cast("long").as("sum_c"),
           min("value_c").as("min_c"), max("value_c").as("max_c"))
         .orderBy("measure")
+    }),
+    // 11m — correlated scalar subquery through the SQL FRONT-END:
+    // orders whose total exceeds 1.5× their own customer's average
+    // (the planner must decorrelate — RewriteCorrelatedScalarSubquery
+    // turns each subquery into an aggregate + join, and
+    // MergeScalarSubqueries can fuse the two over the same table;
+    // nothing executes per-row). The 1.5× test is all-integer:
+    // 2·cents·n > 3·Σcents avoids a cross-engine double average.
+    "q23_correlated" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("graft_q23_orders")
+      s.sql("""
+        SELECT o_custkey, count(*) AS n_big
+        FROM graft_q23_orders o
+        WHERE 2 * CAST(floor(o_totalprice*100+0.5) AS BIGINT)
+                * (SELECT count(*) FROM graft_q23_orders o2
+                   WHERE o2.o_custkey = o.o_custkey)
+            > 3 * (SELECT sum(CAST(floor(o2.o_totalprice*100+0.5) AS BIGINT))
+                   FROM graft_q23_orders o2
+                   WHERE o2.o_custkey = o.o_custkey)
+        GROUP BY o_custkey ORDER BY o_custkey
+      """)
     })
   )
 
@@ -453,6 +474,14 @@ object Relational {
         |  SELECT 'discount_c', CAST(floor(l_discount*100+0.5) AS BIGINT) FROM lineitem)
         |SELECT measure, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_c,
         |  min(v) AS min_c, max(v) AS max_c
-        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q23_correlated" ->
+      """SELECT o_custkey, count(*) AS n_big
+        |FROM orders o
+        |WHERE 2 * CAST(floor(o_totalprice*100+0.5) AS BIGINT)
+        |        * (SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |    > 3 * (SELECT CAST(sum(CAST(floor(o2.o_totalprice*100+0.5) AS BIGINT)) AS BIGINT)
+        |           FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

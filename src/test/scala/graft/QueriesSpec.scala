@@ -456,6 +456,28 @@ class QueriesSpec extends AnyFunSuite {
       "unpivot must read the table once, not per measure")
   }
 
+  test("q23_correlated decorrelates to a join and matches a brute recount") {
+    import org.apache.spark.sql.functions._
+    val orders = spark.read.parquet(s"${TestSpark.Sf}/orders.parquet")
+      .select("o_custkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), math.floor(r.getDouble(1) * 100 + 0.5).toLong))
+    val byCust = orders.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val expect = byCust.flatMap { case (ck, cs) =>
+      val n = cs.length.toLong; val s = cs.sum
+      val big = cs.count(c => 2 * c * n > 3 * s).toLong
+      if (big > 0) Some(ck -> big) else None
+    }
+    val df = SparkEntry.queries("q23_correlated")(spark, TestSpark.Sf)
+    val plan = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    // decorrelation: the scalar subqueries must become aggregate+join,
+    // never a per-row subquery execution
+    assert(plan.contains("Join"), s"expected a decorrelated join:\n$plan")
+    assert(!plan.contains("Subquery"), s"subquery must not survive to execution:\n$plan")
+    val out = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == expect, "per-customer big-order counts")
+    assert(out.nonEmpty)
+  }
+
   test("dd_bloom_state equals a brute bit recount; shard OR-merge equals direct") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
