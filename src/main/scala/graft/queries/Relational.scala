@@ -317,6 +317,30 @@ object Relational {
                    WHERE o2.o_custkey = o.o_custkey)
         GROUP BY o_custkey ORDER BY o_custkey
       """)
+    }),
+    // 11n — LATERAL correlated subquery with ORDER BY + LIMIT (the
+    // SQL-standard "top-3 orders per customer" shape). Distinct
+    // planner path from q15's window-rank: the lateral decorrelates
+    // through DomainJoin into WindowGroupLimit — a PARTIAL map-side
+    // top-k per key BEFORE the exchange (each task forwards ≤3 rows
+    // per customer, not the customer's whole order history), then the
+    // final group-limit after the key shuffle, joined back broadcast.
+    // Tie-break on unique o_orderkey keeps the top-3 total-ordered.
+    "q24_lateral" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("graft_q24_customer")
+      t(s, dir, "orders").createOrReplaceTempView("graft_q24_orders")
+      s.sql("""
+        SELECT c.c_custkey, t.o_orderkey, t.cents
+        FROM graft_q24_customer c,
+        LATERAL (
+          SELECT o_orderkey, CAST(floor(o_totalprice*100+0.5) AS BIGINT) AS cents
+          FROM graft_q24_orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY cents DESC, o_orderkey
+          LIMIT 3
+        ) t
+        ORDER BY c.c_custkey, cents DESC, o_orderkey
+      """)
     })
   )
 
@@ -482,6 +506,17 @@ object Relational {
         |        * (SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
         |    > 3 * (SELECT CAST(sum(CAST(floor(o2.o_totalprice*100+0.5) AS BIGINT)) AS BIGINT)
         |           FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q24_lateral" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.cents
+        |FROM customer c,
+        |LATERAL (
+        |  SELECT o_orderkey, CAST(floor(o_totalprice*100+0.5) AS BIGINT) AS cents
+        |  FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY cents DESC, o_orderkey
+        |  LIMIT 3
+        |) t
+        |ORDER BY c.c_custkey, cents DESC, o_orderkey""".stripMargin
   )
 }

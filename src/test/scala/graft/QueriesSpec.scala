@@ -478,6 +478,25 @@ class QueriesSpec extends AnyFunSuite {
     assert(out.nonEmpty)
   }
 
+  test("q24_lateral plans a partial WindowGroupLimit and matches a brute top-3") {
+    val orders = spark.read.parquet(s"${TestSpark.Sf}/orders.parquet")
+      .select("o_custkey", "o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.floor(r.getDouble(2) * 100 + 0.5).toLong))
+    val expect = orders.groupBy(_._1).toSeq.flatMap { case (ck, os) =>
+      os.sortBy(o => (-o._3, o._2)).take(3).map(o => (ck, o._2, o._3))
+    }.toSet
+    val df = SparkEntry.queries("q24_lateral")(spark, TestSpark.Sf)
+    val plan = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    // the lateral must decorrelate into a rank-pushdown group limit —
+    // tasks forward ≤3 rows per key BEFORE the exchange, so the
+    // shuffle never carries a customer's full order history
+    assert(plan.contains("WindowGroupLimit"), s"expected rank pushdown:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"lateral must not plan a cross product:\n$plan")
+    val out = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == expect, "top-3 orders per customer")
+    assert(out.nonEmpty)
+  }
+
   test("dd_bloom_state equals a brute bit recount; shard OR-merge equals direct") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
