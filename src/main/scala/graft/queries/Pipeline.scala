@@ -2227,6 +2227,74 @@ object Pipeline {
           sum(fp(col("l_quantity"), 2)).cast("long").as("sum_qty_c"),
           sum(fp(col("l_extendedprice"), 2)).cast("long").as("sum_price_c"))
         .orderBy("o_orderpriority")
+    }),
+    // 35i — k-means (Lloyd) over the embedding corpus: k=8 TRAINED
+    // centroids (sim_ann_ivf's are sampled, not trained), 2
+    // iterations, deterministic end-to-end. All state in fp6 fixed
+    // point: vectors quantize once to bigint, distances are EXACT
+    // long sums of squares (≤ 64·(2e6)² ≈ 2.6e14 ≪ 2^63), the argmin
+    // is a per-row packed fold (min over dist·8+cid — ties to the
+    // smallest cid by construction), and the centroid update is one
+    // correctly-rounded double divide (Σq6 per cell < 2^53 up to
+    // ~10⁹ assigned vectors at |v| ≤ 4, documented bound) re-floored
+    // to fp6. Empty clusters carry the previous centroid forward
+    // (left join on the k×64 grid). Scale shape: the centroids ride
+    // along as ONE broadcast row of k structs, assignment is
+    // map-side only (no groupBy, no sort, no k-row fanout), so each
+    // iteration is one corpus scan feeding a 512-key partial agg;
+    // the next iteration's centroid frame is localCheckpoint'd so
+    // lineage (and the corpus-scan count) stays LINEAR in the
+    // iteration count.
+    "emb_kmeans" -> ((s, dir) => {
+      val k = 8
+      val q = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => fp(x.cast("double"), 6)).as("qv"))
+      val seedW = Window.orderBy("vec_id")
+      var cent = q.orderBy("vec_id").limit(k)
+        .select((row_number().over(seedW) - 1).as("cid"), col("qv").as("cv"))
+        .localCheckpoint()
+      var grid: DataFrame = null
+      for (it <- 1 to 2) {
+        // per-ROW packed argmin — the k centroids ride along as ONE
+        // broadcast row of k structs, and the nearest cid is a fold
+        // over them: min(dist·8 + cid) (dist ≤ 2.6e14, ·8 ≪ 2^63;
+        // the low 3 bits ARE the tiebreak-to-smallest-cid). No
+        // aggregation, no sort, no per-vector k-row blowup: the
+        // assignment is map-side only, so the whole iteration's
+        // shuffle is the 512-key (cid,dim) partial agg below.
+        val centArr = cent
+          .agg(array_sort(collect_list(struct(col("cid"), col("cv")))).as("cs"))
+        val assigned = q.crossJoin(broadcast(centArr))
+          .select(col("vec_id"), col("qv"),
+            pmod(aggregate(col("cs"), lit(Long.MaxValue), (acc, c) =>
+              least(acc,
+                aggregate(zip_with(col("qv"), c.getField("cv"),
+                  (x, y) => (x - y) * (x - y)), lit(0L), _ + _) * 8
+                  + c.getField("cid"))),
+              lit(8L)).cast("int").as("cid"))
+        val sums = assigned
+          .select(col("cid"), posexplode(col("qv")).as(Seq("dim", "v")))
+          .groupBy("cid", "dim")
+          .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+        grid = cent
+          .select(col("cid"), posexplode(col("cv")).as(Seq("dim", "pv")))
+          .join(sums, Seq("cid", "dim"), "left")
+          .select(col("cid"), col("dim"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            coalesce(fp(col("sv").cast("double") / col("n").cast("double"), 0),
+              col("pv")).as("c"))
+        // only the frame the NEXT iteration re-consumes is pinned —
+        // the final grid stays un-checkpointed so the returned plan
+        // is the real assignment shape (one corpus scan + broadcast)
+        if (it < 2) cent = grid.groupBy("cid")
+          .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+            p => p.getField("c")).as("cv"))
+          .localCheckpoint()
+      }
+      grid.select(col("cid"), col("dim"), col("n").as("n_assigned"),
+          col("c").as("c_fp6"))
+        .orderBy("cid", "dim")
     })
   )
 
@@ -4346,6 +4414,39 @@ object Pipeline {
         | CAST(sum(CAST(floor(l_quantity*100+0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c,
         | CAST(sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)) AS BIGINT) AS sum_price_c
         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "emb_kmeans" -> {
+      // one Lloyd step: assign (argmin dist, ties to smallest cid) →
+      // per-(cid,dim) sums → centroid update with empty-cluster
+      // carry-forward. Long-format twin of the Spark array-HOF path:
+      // same fp6 ints, same exact integer distances, same single
+      // rounded divide.
+      def step(i: Int): String = {
+        val p = s"c${i - 1}"
+        s"""d$i AS (SELECT q.vec_id, c.cid, sum((q.v - c.c)*(q.v - c.c)) AS dist
+           |  FROM q JOIN $p c ON c.dim = q.dim GROUP BY 1, 2),
+           |a$i AS (SELECT vec_id, cid FROM (
+           |    SELECT vec_id, cid,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+           |    FROM d$i) WHERE rn = 1),
+           |s$i AS (SELECT a.cid, q.dim, CAST(sum(q.v) AS BIGINT) AS sv, count(*) AS n
+           |  FROM a$i a JOIN q ON q.vec_id = a.vec_id GROUP BY 1, 2),
+           |c$i AS (SELECT $p.cid, $p.dim,
+           |    coalesce(CAST(floor(CAST(s$i.sv AS DOUBLE)/CAST(s$i.n AS DOUBLE)+0.5) AS BIGINT), $p.c) AS c,
+           |    CAST(coalesce(s$i.n, 0) AS BIGINT) AS n
+           |  FROM $p LEFT JOIN s$i ON s$i.cid = $p.cid AND s$i.dim = $p.dim)""".stripMargin
+      }
+      s"""WITH q AS (
+        |  SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE)*1e6+0.5) AS BIGINT) AS v
+        |  FROM embeddings CROSS JOIN range(1, 65) t(i)),
+        |seeds AS (
+        |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+        |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+        |c0 AS (SELECT s.cid, q.dim, q.v AS c FROM seeds s JOIN q ON q.vec_id = s.vec_id),
+        |${step(1)},
+        |${step(2)}
+        |SELECT cid, dim, n AS n_assigned, c AS c_fp6 FROM c2 ORDER BY cid, dim""".stripMargin
+    }
   )
 }

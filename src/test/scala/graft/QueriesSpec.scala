@@ -582,6 +582,52 @@ class QueriesSpec extends AnyFunSuite {
     assert(cos > 0.99, s"cosine(C*v, v) = $cos")
   }
 
+  test("emb_kmeans equals a brute Lloyd recompute and moves the centroids") {
+    import org.apache.spark.sql.functions._
+    val k = 8
+    val rows = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong).toArray)
+      .sortBy(_._1)
+    val d = rows.head._2.length
+    val seed = rows.take(k).map(_._2.clone)
+    var cent = seed.map(_.clone)
+    var lastGrid: Array[(Int, Int, Long, Long)] = null
+    for (_ <- 1 to 2) {
+      val assign = rows.map { case (_, v) =>
+        (0 until k).map(c => ((0 until d).map(i => {
+          val e = v(i) - cent(c)(i); e * e
+        }).sum, c)).min._2 -> v
+      }
+      lastGrid = (0 until k).flatMap { c =>
+        val mine = assign.filter(_._1 == c).map(_._2)
+        (0 until d).map { i =>
+          val cv = if (mine.isEmpty) cent(c)(i)
+            else math.floor(mine.map(_(i)).sum.toDouble / mine.length + 0.5).toLong
+          (c, i, mine.length.toLong, cv)
+        }
+      }.toArray
+      cent = (0 until k).map(c =>
+        (0 until d).map(i => lastGrid(c * d + i)._4).toArray).toArray
+    }
+    val df = SparkEntry.queries("emb_kmeans")(spark, TestSpark.Sf)
+    val out = df.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == lastGrid.toSeq, "final centroid grid")
+    // the training actually moved every centroid off its seed vector
+    (0 until k).foreach { c =>
+      assert(!cent(c).sameElements(seed(c)), s"centroid $c never moved")
+    }
+    // every vector assigned exactly once; no empty cluster at this SF
+    assert((0 until k).forall(c => out(c * d)._3 > 0), "empty cluster at test SF")
+    assert(out.map(r => r._3).grouped(d).map(_.head).sum == rows.length)
+    // scale shape: the assignment cross joins a BROADCAST centroid
+    // frame — no shuffle of the corpus against the k-row side
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"centroids must broadcast:\n$plan")
+  }
+
   test("emb_norm_stats equals a brute per-dimension recount") {
     import org.apache.spark.sql.functions._
     val vecs = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
