@@ -2228,6 +2228,51 @@ object Pipeline {
           sum(fp(col("l_extendedprice"), 2)).cast("long").as("sum_price_c"))
         .orderBy("o_orderpriority")
     }),
+    // 44d — CDC changelog apply (the MERGE INTO / upsert shape every
+    // incremental 100 TB snapshot pipeline needs): a deterministic
+    // changelog of I/U/D ops derives from lineitem (op and key from
+    // l_linenumber residues — inserts get keys offset past the base
+    // key range, updates/deletes hit real orders; seq = l_linenumber,
+    // unique per key) and is applied to the orders base snapshot.
+    // The changelog's (key, seq) is NOT unique (the synthetic
+    // lineitem has duplicate (orderkey, linenumber) rows), so
+    // latest-wins needs a TOTAL order: the whole (seq, payload)
+    // packs into one long — seq·2³⁵ + cents, ·4 + op rank, ·4 + flag
+    // rank — and compaction is a SINGLE per-key max() hash agg (one
+    // shuffle, map-side combine, no join-back, no window sort); the
+    // winner's op and payload decode back out of the long. Then ONE
+    // key-partitioned full-outer merge: base-only rows survive, op=D
+    // drops, op=I/U takes the changelog payload. At scale the base
+    // side would be bucketed on key (src_bucketed_join demonstrates
+    // that layout) so only the changelog shuffles.
+    "src_cdc_apply" -> ((s, dir) => {
+      val base = t(s, dir, "orders").select(col("o_orderkey").as("key"),
+        col("o_orderstatus").as("status"), fp(col("o_totalprice"), 2).as("total_c"))
+      val li = t(s, dir, "lineitem")
+      val chg = li.select(
+        when(pmod(col("l_linenumber"), lit(3)) === 2, col("l_orderkey") + 600000000L)
+          .otherwise(col("l_orderkey")).as("key"),
+        (((col("l_linenumber").cast("long") * 34359738368L +
+            fp(col("l_extendedprice"), 2)) * 4 +
+          pmod(col("l_linenumber"), lit(3)).cast("long")) * 4 +
+          when(col("l_returnflag") === "A", 0L)
+            .when(col("l_returnflag") === "N", 1L).otherwise(2L)).as("packed"))
+      val latest = chg.groupBy("key").agg(max("packed").as("p"))
+        .select(col("key"),
+          when(pmod(expr("p DIV 4"), lit(4)) === 0, "D")
+            .when(pmod(expr("p DIV 4"), lit(4)) === 1, "U").otherwise("I").as("op"),
+          when(pmod(col("p"), lit(4)) === 0, "A")
+            .when(pmod(col("p"), lit(4)) === 1, "N").otherwise("R").as("new_status"),
+          pmod(expr("p DIV 16"), lit(34359738368L)).as("new_total_c"))
+      base.join(latest, Seq("key"), "full_outer")
+        .where(col("op").isNull || col("op") =!= "D")
+        .select(col("key"),
+          when(col("op").isNull, col("status")).otherwise(col("new_status"))
+            .as("status"),
+          when(col("op").isNull, col("total_c")).otherwise(col("new_total_c"))
+            .as("total_c"))
+        .orderBy("key")
+    }),
     // 35i — k-means (Lloyd) over the embedding corpus: k=8 TRAINED
     // centroids (sim_ann_ivf's are sampled, not trained), 2
     // iterations, deterministic end-to-end. All state in fp6 fixed
@@ -4415,6 +4460,31 @@ object Pipeline {
         | CAST(sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)) AS BIGINT) AS sum_price_c
         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src_cdc_apply" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS key, o_orderstatus AS status,
+        |    CAST(floor(o_totalprice*100+0.5) AS BIGINT) AS total_c
+        |  FROM orders),
+        |chg AS (
+        |  SELECT CASE WHEN l_linenumber % 3 = 2 THEN l_orderkey + 600000000
+        |              ELSE l_orderkey END AS key,
+        |    ((CAST(l_linenumber AS BIGINT) * 34359738368
+        |        + CAST(floor(l_extendedprice*100+0.5) AS BIGINT)) * 4
+        |      + l_linenumber % 3) * 4
+        |      + CASE l_returnflag WHEN 'A' THEN 0 WHEN 'N' THEN 1 ELSE 2 END AS packed
+        |  FROM lineitem),
+        |latest AS (
+        |  SELECT key,
+        |    CASE (p // 4) % 4 WHEN 0 THEN 'D' WHEN 1 THEN 'U' ELSE 'I' END AS op,
+        |    CASE p % 4 WHEN 0 THEN 'A' WHEN 1 THEN 'N' ELSE 'R' END AS new_status,
+        |    (p // 16) % 34359738368 AS new_total_c
+        |  FROM (SELECT key, max(packed) AS p FROM chg GROUP BY 1))
+        |SELECT coalesce(b.key, l.key) AS key,
+        |  CASE WHEN l.key IS NULL THEN b.status ELSE l.new_status END AS status,
+        |  CASE WHEN l.key IS NULL THEN b.total_c ELSE l.new_total_c END AS total_c
+        |FROM base b FULL JOIN latest l ON l.key = b.key
+        |WHERE l.op IS NULL OR l.op <> 'D'
+        |ORDER BY key""".stripMargin,
     "emb_kmeans" -> {
       // one Lloyd step: assign (argmin dist, ties to smallest cid) →
       // per-(cid,dim) sums → centroid update with empty-cluster

@@ -432,6 +432,48 @@ class QueriesSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
   }
 
+  test("src_cdc_apply equals a brute latest-wins merge and never sorts an aggregate") {
+    import org.apache.spark.sql.functions._
+    def cents(d: Double) = math.floor(d * 100 + 0.5).toLong
+    val base = spark.read.parquet(s"${TestSpark.Sf}/orders.parquet")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), cents(r.getDouble(2))))).toMap
+    val chg = spark.read.parquet(s"${TestSpark.Sf}/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice").collect()
+      .map { r =>
+        val ln = r.getInt(1)
+        val key = if (ln % 3 == 2) r.getLong(0) + 600000000L else r.getLong(0)
+        val packed = ((ln.toLong * 34359738368L + cents(r.getDouble(3))) * 4 +
+          ln % 3) * 4 + "ANR".indexOf(r.getString(2))
+        key -> packed
+      }
+    val latest = chg.groupBy(_._1).map { case (k, cs) =>
+      val p = cs.map(_._2).max
+      k -> (("DUI" ((p / 4 % 4).toInt), "ANR" ((p % 4).toInt).toString,
+        p / 16 % 34359738368L))
+    }
+    val expect = (base.keySet ++ latest.keySet).flatMap { k =>
+      latest.get(k) match {
+        case Some(('D', _, _)) => None
+        case Some((_, st, tc)) => Some((k, st, tc))
+        case None => base.get(k).map { case (st, tc) => (k, st, tc) }
+      }
+    }
+    val df = SparkEntry.queries("src_cdc_apply")(spark, TestSpark.Sf)
+    val plan = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    val out = df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == expect, "merged snapshot")
+    // deletes really removed base rows and inserts really added keys
+    assert(out.size != base.size)
+    assert(out.exists(_._1 > 600000000L), "no inserted keys")
+    assert(base.keySet.exists(k => !out.exists(_._1 == k)), "no deleted keys")
+    // latest-wins compaction is hash-agg + join — no sorted aggregate,
+    // no cartesian anywhere in the merge
+    assert(!plan.contains("SortAggregate"), s"compaction must hash-agg:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    assert(plan.contains("FullOuter"), s"merge must be full outer:\n$plan")
+  }
+
   test("q22_unpivot matches a brute melt and plans an Expand, not three scans") {
     import org.apache.spark.sql.functions._
     val li = spark.read.parquet(s"${TestSpark.Sf}/lineitem.parquet")
