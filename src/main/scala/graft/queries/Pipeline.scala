@@ -2273,6 +2273,41 @@ object Pipeline {
             .as("total_c"))
         .orderBy("key")
     }),
+    // 44e — SCD type-2 history build from the same changelog as
+    // src_cdc_apply: per key, every DISTINCT I/U change becomes a
+    // version row; the packed long (seq·2³⁵+cents, ·4+op, ·4+flag) IS
+    // the change's total order, so lead(packed) over (key, packed)
+    // finds each version's successor — a D successor (or any
+    // successor) closes the interval, and is_current marks the last
+    // change overall. Shape: one distinct() on the changelog + ONE
+    // key shuffle reused by both windows (lead before the D-filter,
+    // row_number after — same partitioning, Spark plans a single
+    // exchange). Changelog-sized work only; the 100 TB base is never
+    // touched — SCD2 is a pure function of the change stream.
+    "src_scd2" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val chg = li.select(
+        when(pmod(col("l_linenumber"), lit(3)) === 2, col("l_orderkey") + 600000000L)
+          .otherwise(col("l_orderkey")).as("key"),
+        (((col("l_linenumber").cast("long") * 34359738368L +
+            fp(col("l_extendedprice"), 2)) * 4 +
+          pmod(col("l_linenumber"), lit(3)).cast("long")) * 4 +
+          when(col("l_returnflag") === "A", 0L)
+            .when(col("l_returnflag") === "N", 1L).otherwise(2L)).as("packed"))
+        .distinct()
+      val wAll = Window.partitionBy("key").orderBy("packed")
+      val versions = chg
+        .withColumn("nxt", lead("packed", 1).over(wAll))
+        .where(pmod(expr("packed DIV 4"), lit(4)) =!= 0) // drop D events
+        .withColumn("ver", row_number().over(wAll).cast("int"))
+        .select(col("key"), col("ver"),
+          when(pmod(col("packed"), lit(4)) === 0, "A")
+            .when(pmod(col("packed"), lit(4)) === 1, "N").otherwise("R")
+            .as("status"),
+          pmod(expr("packed DIV 16"), lit(34359738368L)).as("total_c"),
+          col("nxt").isNull.cast("long").as("is_current"))
+      versions.orderBy("key", "ver")
+    }),
     // 35i — k-means (Lloyd) over the embedding corpus: k=8 TRAINED
     // centroids (sim_ann_ivf's are sampled, not trained), 2
     // iterations, deterministic end-to-end. All state in fp6 fixed
@@ -4485,6 +4520,27 @@ object Pipeline {
         |FROM base b FULL JOIN latest l ON l.key = b.key
         |WHERE l.op IS NULL OR l.op <> 'D'
         |ORDER BY key""".stripMargin,
+    "src_scd2" ->
+      """WITH chg AS (
+        |  SELECT DISTINCT
+        |    CASE WHEN l_linenumber % 3 = 2 THEN l_orderkey + 600000000
+        |         ELSE l_orderkey END AS key,
+        |    ((CAST(l_linenumber AS BIGINT) * 34359738368
+        |        + CAST(floor(l_extendedprice*100+0.5) AS BIGINT)) * 4
+        |      + l_linenumber % 3) * 4
+        |      + CASE l_returnflag WHEN 'A' THEN 0 WHEN 'N' THEN 1 ELSE 2 END AS packed
+        |  FROM lineitem),
+        |led AS (
+        |  SELECT key, packed,
+        |    lead(packed) OVER (PARTITION BY key ORDER BY packed) AS nxt
+        |  FROM chg),
+        |iu AS (SELECT * FROM led WHERE (packed // 4) % 4 <> 0)
+        |SELECT key,
+        |  CAST(row_number() OVER (PARTITION BY key ORDER BY packed) AS INT) AS ver,
+        |  CASE packed % 4 WHEN 0 THEN 'A' WHEN 1 THEN 'N' ELSE 'R' END AS status,
+        |  (packed // 16) % 34359738368 AS total_c,
+        |  CAST(nxt IS NULL AS BIGINT) AS is_current
+        |FROM iu ORDER BY key, ver""".stripMargin,
     "emb_kmeans" -> {
       // one Lloyd step: assign (argmin dist, ties to smallest cid) →
       // per-(cid,dim) sums → centroid update with empty-cluster

@@ -474,6 +474,42 @@ class QueriesSpec extends AnyFunSuite {
     assert(plan.contains("FullOuter"), s"merge must be full outer:\n$plan")
   }
 
+  test("src_scd2 equals a brute version history and reuses one key shuffle") {
+    import org.apache.spark.sql.functions._
+    def cents(d: Double) = math.floor(d * 100 + 0.5).toLong
+    val chg = spark.read.parquet(s"${TestSpark.Sf}/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice").collect()
+      .map { r =>
+        val ln = r.getInt(1)
+        val key = if (ln % 3 == 2) r.getLong(0) + 600000000L else r.getLong(0)
+        key -> (((ln.toLong * 34359738368L + cents(r.getDouble(3))) * 4 +
+          ln % 3) * 4 + "ANR".indexOf(r.getString(2)))
+      }.distinct
+    val expect = chg.groupBy(_._1).toSeq.flatMap { case (k, cs) =>
+      val ordered = cs.map(_._2).sorted.toSeq
+      val iu = ordered.zipWithIndex.filter { case (p, _) => p / 4 % 4 != 0 }
+      iu.zipWithIndex.map { case ((p, pos), i) =>
+        (k, i + 1, "ANR"((p % 4).toInt).toString, p / 16 % 34359738368L,
+          if (pos == ordered.length - 1) 1L else 0L)
+      }
+    }.toSet
+    val df = SparkEntry.queries("src_scd2")(spark, TestSpark.Sf)
+    val plan = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    val out = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(out == expect, "version history")
+    assert(out.exists(_._5 == 1L) && out.exists(_._5 == 0L), "both interval states")
+    assert(out.exists(_._2 > 1), "multi-version keys exist")
+    // lead + row_number share the (key, packed) partitioning: two
+    // Window nodes but no extra exchange between them
+    val nWindows = plan.sliding("Window".length).count(_ == "Window")
+    val nExchanges = plan.sliding("Exchange".length).count(_ == "Exchange")
+    assert(nWindows >= 2, s"expected two window passes:\n$plan")
+    assert(nExchanges <= 3, s"windows must share one key shuffle:\n$plan")
+    assert(!plan.contains("SortAggregate") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("q22_unpivot matches a brute melt and plans an Expand, not three scans") {
     import org.apache.spark.sql.functions._
     val li = spark.read.parquet(s"${TestSpark.Sf}/lineitem.parquet")
