@@ -2273,6 +2273,47 @@ object Pipeline {
             .as("total_c"))
         .orderBy("key")
     }),
+    // 44f — Z-ORDER clustering stats (the Delta/Iceberg OPTIMIZE
+    // ZORDER layout, made verifiable): every row's (x, y) dims
+    // interleave into a Morton code with the classic 4-step bit
+    // spread (pure codegen'd long shifts/masks — identical arithmetic
+    // in the SQL oracle), rows bucket by the code's high bits, and
+    // the output is each bucket's bounding box + count — i.e. the
+    // min/max MANIFEST a file-skipping reader would consult. The
+    // same scan ALSO emits the naive linear-sort layout (bucket by x
+    // alone) via a 2-element explode, so one query shows WHY z-order
+    // wins: z-buckets have tiles ≤ 1/16 of the domain on BOTH dims
+    // (spec-asserted), linear buckets span the full y domain — a
+    // 2-dim probe skips ~15/16 of z-ordered files and almost nothing
+    // of linearly-sorted ones. Scale: narrow map + one 512-key
+    // partial agg; at 100 TB the bucket id becomes the
+    // repartitionByRange key at write time and this query IS the
+    // manifest build.
+    "src_zorder" -> ((s, dir) => {
+      def spread(c: Column): Column = {
+        val a = c.bitwiseAND(lit(4095L))
+        val b = a.bitwiseOR(shiftleft(a, 8)).bitwiseAND(lit(0x00FF00FFL))
+        val d = b.bitwiseOR(shiftleft(b, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+        val e = d.bitwiseOR(shiftleft(d, 2)).bitwiseAND(lit(0x33333333L))
+        e.bitwiseOR(shiftleft(e, 1)).bitwiseAND(lit(0x55555555L))
+      }
+      // multiplicative hash-spread so both dims fill the 4096 domain
+      // at every SF (raw keys are dense near 0 at small SF, which
+      // would make any layout look clustered)
+      val li = t(s, dir, "lineitem").select(
+        pmod(col("l_partkey") * 2654435761L, lit(4096L)).as("x"),
+        pmod(col("l_suppkey") * 2246822519L, lit(4096L)).as("y"))
+      val z = spread(col("x")).bitwiseOR(shiftleft(spread(col("y")), 1))
+      li.select(col("x"), col("y"), explode(array(
+          struct(lit("zorder").as("layout"), shiftright(z, 16).as("bucket")),
+          struct(lit("linear").as("layout"), shiftright(col("x"), 4).as("bucket"))))
+          .as("lb"))
+        .groupBy(col("lb.layout").as("layout"), col("lb.bucket").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min("x").as("x_min"), max("x").as("x_max"),
+          min("y").as("y_min"), max("y").as("y_max"))
+        .orderBy("layout", "bucket")
+    }),
     // 44e — SCD type-2 history build from the same changelog as
     // src_cdc_apply: per key, every DISTINCT I/U change becomes a
     // version row; the packed long (seq·2³⁵+cents, ·4+op, ·4+flag) IS
@@ -4520,6 +4561,28 @@ object Pipeline {
         |FROM base b FULL JOIN latest l ON l.key = b.key
         |WHERE l.op IS NULL OR l.op <> 'D'
         |ORDER BY key""".stripMargin,
+    "src_zorder" -> {
+      // the same 4-step Morton bit spread, in SQL long arithmetic
+      def spread(v: String): String = {
+        val a = s"($v & 4095)"
+        val b = s"(($a | ($a << 8)) & 16711935)"
+        val d = s"(($b | ($b << 4)) & 252645135)"
+        val e = s"(($d | ($d << 2)) & 858993459)"
+        s"(($e | ($e << 1)) & 1431655765)"
+      }
+      s"""WITH pts AS (
+        |  SELECT (l_partkey * 2654435761) % 4096 AS x,
+        |    (l_suppkey * 2246822519) % 4096 AS y FROM lineitem),
+        |z AS (SELECT x, y,
+        |  (${spread("x")} | (${spread("y")} << 1)) AS zc FROM pts),
+        |lay AS (
+        |  SELECT 'zorder' AS layout, zc >> 16 AS bucket, x, y FROM z
+        |  UNION ALL
+        |  SELECT 'linear' AS layout, x >> 4 AS bucket, x, y FROM z)
+        |SELECT layout, bucket, count(*) AS n,
+        |  min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
+        |FROM lay GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     "src_scd2" ->
       """WITH chg AS (
         |  SELECT DISTINCT

@@ -341,6 +341,26 @@ object Relational {
         ) t
         ORDER BY c.c_custkey, cents DESC, o_orderkey
       """)
+    }),
+    // 11o — RANGE-frame window (value-based bounds): per customer,
+    // trailing-30-DAY order spend/count ordered by epoch day. The
+    // semantics q16's ROWS frame can't express — the frame holds
+    // whatever rows fall in the value interval (gaps shrink it, peer
+    // days enter together), which is the time-windowed feature shape
+    // (trailing-spend features, rate limits, rolling exposure).
+    // Scale: one key shuffle, per-key sort bounded by a customer's
+    // order count, frame evaluation is the sliding two-pointer pass
+    // Spark codegens for bounded RANGE frames — never O(rows²).
+    "q25_range_frame" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy("day").rangeBetween(-30, 0)
+      o.select(col("o_custkey"), col("o_orderkey"),
+          expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000").as("day"),
+          fp(col("o_totalprice"), 2).as("cents"))
+        .withColumn("sum30_c", sum("cents").over(w))
+        .withColumn("n30", count(lit(1)).over(w))
+        .orderBy("o_custkey", "day", "o_orderkey")
     })
   )
 
@@ -517,6 +537,15 @@ object Relational {
         |  ORDER BY cents DESC, o_orderkey
         |  LIMIT 3
         |) t
-        |ORDER BY c.c_custkey, cents DESC, o_orderkey""".stripMargin
+        |ORDER BY c.c_custkey, cents DESC, o_orderkey""".stripMargin,
+    "q25_range_frame" ->
+      """SELECT o_custkey, o_orderkey, epoch_ms(o_orderdate) // 86400000 AS day,
+        |  CAST(floor(o_totalprice*100+0.5) AS BIGINT) AS cents,
+        |  CAST(sum(CAST(floor(o_totalprice*100+0.5) AS BIGINT)) OVER w AS BIGINT) AS sum30_c,
+        |  count(*) OVER w AS n30
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_ms(o_orderdate) // 86400000
+        |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, day, o_orderkey""".stripMargin
   )
 }

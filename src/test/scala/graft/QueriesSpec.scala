@@ -474,6 +474,44 @@ class QueriesSpec extends AnyFunSuite {
     assert(plan.contains("FullOuter"), s"merge must be full outer:\n$plan")
   }
 
+  test("src_zorder equals a brute Morton recompute; z-buckets bound BOTH dims") {
+    import org.apache.spark.sql.functions._
+    def spread(v0: Long): Long = {
+      var v = v0 & 4095L
+      v = (v | (v << 8)) & 0x00FF00FFL
+      v = (v | (v << 4)) & 0x0F0F0F0FL
+      v = (v | (v << 2)) & 0x33333333L
+      (v | (v << 1)) & 0x55555555L
+    }
+    val pts = spark.read.parquet(s"${TestSpark.Sf}/lineitem.parquet")
+      .select("l_partkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0) * 2654435761L % 4096, r.getLong(1) * 2246822519L % 4096))
+    val expect = pts.flatMap { case (x, y) =>
+      Seq(("zorder", (spread(x) | (spread(y) << 1)) >> 16, x, y),
+        ("linear", x >> 4, x, y))
+    }.groupBy(p => (p._1, p._2)).map { case ((lay, b), ps) =>
+      (lay, b, ps.length.toLong,
+        ps.map(_._3).min, ps.map(_._3).max, ps.map(_._4).min, ps.map(_._4).max)
+    }.toSet
+    val df = SparkEntry.queries("src_zorder")(spark, TestSpark.Sf)
+    val plan = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    val out = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.toSet == expect, "manifest stats")
+    // the z-order guarantee: every bucket's bounding box is a ≤256-
+    // wide tile on BOTH dimensions (high interleaved bits fix the
+    // high 4 bits of each dim); the linear layout can't bound y
+    val zo = out.filter(_._1 == "zorder")
+    assert(zo.nonEmpty && zo.forall(b => b._5 - b._4 <= 255 && b._7 - b._6 <= 255),
+      "z tile bound violated")
+    val lin = out.filter(_._1 == "linear")
+    assert(lin.exists(b => b._7 - b._6 > 1024), "linear y-span should be unbounded")
+    // one corpus scan feeds both layouts (the 2-row explode, not a union of scans)
+    assert(plan.sliding("FileScan parquet".length).count(_ == "FileScan parquet") == 1,
+      s"both layouts must share one scan:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortAggregate"), plan)
+  }
+
   test("src_scd2 equals a brute version history and reuses one key shuffle") {
     import org.apache.spark.sql.functions._
     def cents(d: Double) = math.floor(d * 100 + 0.5).toLong
@@ -573,6 +611,32 @@ class QueriesSpec extends AnyFunSuite {
     val out = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(out == expect, "top-3 orders per customer")
     assert(out.nonEmpty)
+  }
+
+  test("q25_range_frame equals a brute trailing-30-day recompute") {
+    import org.apache.spark.sql.functions._
+    def cents(d: Double) = math.floor(d * 100 + 0.5).toLong
+    val orders = spark.read.parquet(s"${TestSpark.Sf}/orders.parquet")
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000").as("day"),
+        col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), cents(r.getDouble(3))))
+    val expect = orders.groupBy(_._1).toSeq.flatMap { case (_, os) =>
+      os.map { case (ck, ok, day, c) =>
+        val in = os.filter(o => o._3 >= day - 30 && o._3 <= day)
+        (ck, ok, day, c, in.map(_._4).sum, in.length.toLong)
+      }
+    }.toSet
+    val df = SparkEntry.queries("q25_range_frame")(spark, TestSpark.Sf)
+    val plan = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    val out = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(out == expect, "trailing-30-day frame")
+    assert(out.exists(_._6 > 1), "some frame holds >1 order")
+    // a RANGE (value-bounded) frame, evaluated in one specified-window
+    // pass — not a rows frame, not a self-join
+    assert(plan.contains("specifiedwindowframe(RangeFrame"), s"expected RANGE frame:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"), plan)
   }
 
   test("dd_bloom_state equals a brute bit recount; shard OR-merge equals direct") {
