@@ -1169,6 +1169,33 @@ object Pipeline {
           min(when(col("cum") >= expr("(99 * n + 99) DIV 100"), col("v4"))).as("p99_c4"))
         .orderBy("event_type")
     }),
+    // 43u — BITMAP-INDEX retention (the roaring-bitmap warehouse
+    // discipline in exact integer arithmetic): each day's active-user
+    // set becomes 63-bit bitmap WORDS — (day, user DIV 63) keyed,
+    // bits OR-combined map-side by the bit_or hash agg — and 7-day
+    // retention is a co-partitioned equi-join of each day's words
+    // with day+7's, popcounting the AND. n_active is popcount too,
+    // so distinct-count and overlap come from the SAME structure with
+    // no count(distinct) shuffle of raw user ids. Scale: the bitmap
+    // build shuffles (day, word) keys — users/63 words per day,
+    // 8 bytes each, ~2 MB per 10⁹-user day — and at 100 TB the bm
+    // frame IS the persisted index table (checkpointed here; written
+    // once, probed by every cohort/retention/funnel query after);
+    // intersections never touch raw events again.
+    "ev_bitmap_retention" -> ((s, dir) => {
+      val e = ev(s, dir).select(expr("ms DIV 86400000").as("day"),
+        expr("user_id DIV 63").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(user_id, 63) AS INT))").as("bit"))
+      val bm = e.groupBy("day", "word").agg(expr("bit_or(bit)").as("bm"))
+        .localCheckpoint() // the index; consumed as both join sides
+      bm.as("a").join(bm.as("b"),
+          col("a.word") === col("b.word") && col("a.day") + 7 === col("b.day"), "left")
+        .groupBy(col("a.day").as("day"))
+        .agg(sum(expr("CAST(bit_count(a.bm) AS BIGINT)")).as("n_active"),
+          sum(coalesce(expr("CAST(bit_count(a.bm & b.bm) AS BIGINT)"), lit(0L)))
+            .as("n_ret7"))
+        .orderBy("day")
+    }),
     // 43i — RFM user segmentation (recency / frequency / monetary —
     // the classic activity-profile cut, here the user-level profile
     // pass an event corpus runs before per-cohort sampling): per-user
@@ -4561,6 +4588,16 @@ object Pipeline {
         |FROM base b FULL JOIN latest l ON l.key = b.key
         |WHERE l.op IS NULL OR l.op <> 'D'
         |ORDER BY key""".stripMargin,
+    "ev_bitmap_retention" ->
+      """WITH e AS (
+        |  SELECT epoch_ms(ts) // 86400000 AS day, user_id // 63 AS word,
+        |    1::BIGINT << CAST(user_id % 63 AS INT) AS bit
+        |  FROM events),
+        |bm AS (SELECT day, word, bit_or(bit) AS bm FROM e GROUP BY 1, 2)
+        |SELECT a.day, CAST(sum(bit_count(a.bm)) AS BIGINT) AS n_active,
+        |  CAST(sum(coalesce(bit_count(a.bm & b.bm), 0)) AS BIGINT) AS n_ret7
+        |FROM bm a LEFT JOIN bm b ON b.word = a.word AND b.day = a.day + 7
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "src_zorder" -> {
       // the same 4-step Morton bit spread, in SQL long arithmetic
       def spread(v: String): String = {

@@ -474,6 +474,29 @@ class QueriesSpec extends AnyFunSuite {
     assert(plan.contains("FullOuter"), s"merge must be full outer:\n$plan")
   }
 
+  test("ev_bitmap_retention popcounts equal plain set intersection semantics") {
+    import org.apache.spark.sql.functions._
+    val raw = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
+    val byDay = raw.select(
+        (graft.queries.QueryUtil.tsMs(raw) / 86400000).cast("long").as("day"),
+        col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (d, us) => d -> us.map(_._2).toSet }
+    val expect = byDay.map { case (d, users) =>
+      (d, users.size.toLong,
+        byDay.get(d + 7).map(n => (users & n).size.toLong).getOrElse(0L))
+    }.toSet
+    val df = SparkEntry.queries("ev_bitmap_retention")(spark, TestSpark.Sf)
+    val out = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == expect, "bitmap popcounts vs set semantics")
+    assert(out.exists(_._3 > 0), "some 7-day retention is nonzero")
+    // the intersection never re-touches raw events: the index frame is
+    // checkpointed once and both join sides read it
+    val plan = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(!plan.contains("FileScan"), s"join must probe the index, not rescan events:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortAggregate"), plan)
+  }
+
   test("src_zorder equals a brute Morton recompute; z-buckets bound BOTH dims") {
     import org.apache.spark.sql.functions._
     def spread(v0: Long): Long = {
