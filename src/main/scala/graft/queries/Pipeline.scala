@@ -1169,6 +1169,32 @@ object Pipeline {
           min(when(col("cum") >= expr("(99 * n + 99) DIV 100"), col("v4"))).as("p99_c4"))
         .orderBy("event_type")
     }),
+    // 43v — exponentially time-decayed engagement score (the
+    // recency-weighted user feature every ranking/mixing pipeline
+    // derives from an event log): score = Σ value·2^(-age/7d),
+    // half-life one week. The decay weight is an EXACT power of two
+    // — 1 / (1L << k), k clamped to 40 — not libm pow(), so the
+    // per-row double product is correctly-rounded identical in both
+    // engines (the cross-engine float discipline: quantize per row
+    // to fp6, sum as integers). The reference day is the corpus max,
+    // broadcast from a 1-row agg. Scale: one corpus scan, narrow map
+    // + per-user hash agg with map-side combine; the broadcast is
+    // 8 bytes. Incremental refresh halves every stored score once a
+    // week and adds the new week's partials — the same mergeable-
+    // state shape as the sketches.
+    "ev_decay_score" -> ((s, dir) => {
+      val e = ev(s, dir).withColumn("day", expr("ms DIV 86400000"))
+      val mx = broadcast(e.agg(max("day").as("max_day")))
+      e.crossJoin(mx)
+        .select(col("user_id"),
+          fp(col("v4").cast("double") / 1e4 /
+            expr("CAST(shiftleft(CAST(1 AS BIGINT), " +
+              "CAST(least((max_day - day) DIV 7, 40) AS INT)) AS DOUBLE)"), 6)
+            .as("c6"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum("c6").as("score_fp6"))
+        .orderBy("user_id")
+    }),
     // 43u — BITMAP-INDEX retention (the roaring-bitmap warehouse
     // discipline in exact integer arithmetic): each day's active-user
     // set becomes 63-bit bitmap WORDS — (day, user DIV 63) keyed,
@@ -4588,6 +4614,17 @@ object Pipeline {
         |FROM base b FULL JOIN latest l ON l.key = b.key
         |WHERE l.op IS NULL OR l.op <> 'D'
         |ORDER BY key""".stripMargin,
+    "ev_decay_score" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+        |    CAST(floor(value*1e4+0.5) AS BIGINT) AS v4
+        |  FROM events),
+        |mx AS (SELECT max(day) AS max_day FROM e)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(floor(CAST(v4 AS DOUBLE) / 1e4 /
+        |      CAST(1::BIGINT << CAST(least((max_day - day) // 7, 40) AS INT) AS DOUBLE)
+        |      * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS score_fp6
+        |FROM e, mx GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_bitmap_retention" ->
       """WITH e AS (
         |  SELECT epoch_ms(ts) // 86400000 AS day, user_id // 63 AS word,

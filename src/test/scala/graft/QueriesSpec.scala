@@ -474,6 +474,32 @@ class QueriesSpec extends AnyFunSuite {
     assert(plan.contains("FullOuter"), s"merge must be full outer:\n$plan")
   }
 
+  test("ev_decay_score equals a brute half-life recompute with exact 2^-k weights") {
+    import org.apache.spark.sql.functions._
+    val raw = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
+    val rows = raw.select(col("user_id"),
+        (graft.queries.QueryUtil.tsMs(raw) / 86400000).cast("long").as("day"),
+        col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.floor(r.getDouble(2) * 1e4 + 0.5).toLong))
+    val maxDay = rows.map(_._2).max
+    val expect = rows.groupBy(_._1).map { case (u, es) =>
+      val s6 = es.map { case (_, d, v4) =>
+        val k = math.min((maxDay - d) / 7, 40L).toInt
+        math.floor(v4.toDouble / 1e4 / (1L << k).toDouble * 1e6 + 0.5).toLong
+      }.sum
+      (u, es.length.toLong, s6)
+    }.toSet
+    val df = SparkEntry.queries("ev_decay_score")(spark, TestSpark.Sf)
+    val out = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == expect, "decayed scores")
+    // decay really differentiates ages: not all weights were 1
+    val flat = rows.groupBy(_._1).map { case (u, es) =>
+      (u, es.length.toLong, es.map(e => math.floor(e._3.toDouble / 1e4 * 1e6 + 0.5).toLong).sum)
+    }.toSet
+    assert(out != flat, "scores must differ from undecayed sums")
+  }
+
   test("ev_bitmap_retention popcounts equal plain set intersection semantics") {
     import org.apache.spark.sql.functions._
     val raw = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
