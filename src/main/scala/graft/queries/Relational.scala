@@ -361,6 +361,42 @@ object Relational {
         .withColumn("sum30_c", sum("cents").over(w))
         .withColumn("n30", count(lit(1)).over(w))
         .orderBy("o_custkey", "day", "o_orderkey")
+    }),
+    // 11p — SALTED skew join: the fact side is deliberately skewed
+    // (~80% of rows map to key 0 — the hot-partition shape a Zipf
+    // key distribution produces at 100 TB), and the join is salted
+    // EXPLICITLY: the fact adds a 16-way salt, the dim replicates
+    // ×16 (explode over the salt domain), and the equi-join runs on
+    // (k, salt) — so the hot key's rows spread over 16 tasks instead
+    // of melting one reducer. shuffle_hash hint keeps the join a
+    // real shuffle (a broadcast would hide the technique; at scale
+    // the dim is past broadcast size and this IS the plan). The
+    // salt never changes semantics: every fact row still meets its
+    // dim row exactly once — the oracle is the PLAIN unsalted join.
+    // AQE's skew-join handles sort-merge skew automatically;
+    // explicit salting is the portable form that also covers
+    // hash joins and aggregations.
+    "q26_skew_join" -> ((s, dir) => {
+      val S = 16
+      val fact = t(s, dir, "lineitem").select(
+        when(col("l_orderkey") % 5 =!= 0, 0L)
+          .otherwise(pmod(col("l_orderkey"), lit(97L))).as("k"),
+        pmod(col("l_orderkey") * 31 + col("l_linenumber"), lit(S.toLong)).as("salt"),
+        fp(col("l_extendedprice"), 2).as("cents"))
+      // dim attribute = name of the min suppkey per k: long min is
+      // hash-aggregable where min(string) would force SortAggregate
+      val sup = t(s, dir, "supplier")
+        .select(pmod(col("s_suppkey"), lit(97L)).as("k"),
+          col("s_suppkey"), col("s_name"))
+      val dim = sup.groupBy("k").agg(min("s_suppkey").as("s_suppkey"))
+        .join(sup, Seq("k", "s_suppkey"))
+        .select(col("k"), col("s_name").as("dim_name"))
+      val dimSalted = dim.withColumn("salt",
+        explode(array((0 until S).map(i => lit(i.toLong)): _*)))
+      fact.join(dimSalted.hint("shuffle_hash"), Seq("k", "salt"))
+        .groupBy("k", "dim_name")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_c"))
+        .orderBy("k")
     })
   )
 
@@ -546,6 +582,21 @@ object Relational {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_ms(o_orderdate) // 86400000
         |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
-        |ORDER BY o_custkey, day, o_orderkey""".stripMargin
+        |ORDER BY o_custkey, day, o_orderkey""".stripMargin,
+    "q26_skew_join" ->
+      """WITH fact AS (
+        |  SELECT CASE WHEN l_orderkey % 5 <> 0 THEN 0
+        |              ELSE l_orderkey % 97 END AS k,
+        |    CAST(floor(l_extendedprice*100+0.5) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |dim AS (
+        |  SELECT m.k, s.s_name AS dim_name
+        |  FROM (SELECT s_suppkey % 97 AS k, min(s_suppkey) AS sk
+        |        FROM supplier GROUP BY 1) m
+        |  JOIN supplier s ON s.s_suppkey = m.sk)
+        |SELECT f.k, d.dim_name, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_c
+        |FROM fact f JOIN dim d ON d.k = f.k
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin
   )
 }

@@ -474,6 +474,38 @@ class QueriesSpec extends AnyFunSuite {
     assert(plan.contains("FullOuter"), s"merge must be full outer:\n$plan")
   }
 
+  test("q26_skew_join: salted join equals the plain join; salt spreads the hot key") {
+    import org.apache.spark.sql.functions._
+    def cents(d: Double) = math.floor(d * 100 + 0.5).toLong
+    val li = spark.read.parquet(s"${TestSpark.Sf}/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice").collect()
+      .map(r => (if (r.getLong(0) % 5 != 0) 0L else r.getLong(0) % 97,
+        (r.getLong(0) * 31 + r.getInt(1)) % 16, cents(r.getDouble(2))))
+    val dim = spark.read.parquet(s"${TestSpark.Sf}/supplier.parquet")
+      .select("s_suppkey", "s_name").collect()
+      .map(r => (r.getLong(0) % 97, r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (k, ss) => k -> ss.minBy(_._2)._3 }
+    val expect = li.groupBy(_._1).collect { case (k, rs) if dim.contains(k) =>
+      (k, dim(k), rs.length.toLong, rs.map(_._3).sum)
+    }.toSet
+    val df = SparkEntry.queries("q26_skew_join")(spark, TestSpark.Sf)
+    val plan = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    val out = df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == expect, "salted join result != plain join semantics")
+    // the skew is real (hot key ~80%) and the salt spreads it 16 ways
+    val hot = li.filter(_._1 == 0L)
+    assert(hot.length.toDouble / li.length > 0.5, "hot key lost its skew")
+    assert(hot.map(_._2).distinct.length == 16, "salt must cover all 16 groups")
+    // the FACT join is a real shuffle on the SALTED key — not a
+    // broadcast (the tiny dim-name join-back inside the dim build may
+    // broadcast; only the salted join itself must shuffle)
+    val joinLines = plan.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joinLines.exists(l => l.contains("ShuffledHashJoin") && l.contains("salt")),
+      s"expected shuffled hash join on (k, salt):\n$plan")
+    assert(!joinLines.exists(l => l.contains("Broadcast") && l.contains("salt")),
+      s"the salted join must not broadcast:\n$plan")
+  }
+
   test("ev_decay_score equals a brute half-life recompute with exact 2^-k weights") {
     import org.apache.spark.sql.functions._
     val raw = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
