@@ -490,4 +490,50 @@ class StreamingSpec extends AnyFunSuite {
       assert(direct == batch)
     } finally q.stop()
   }
+
+  test("streaming CDC compaction emits minimal upserts; final state equals batch latest-wins") {
+    import graft.streaming.CdcStream
+    import graft.streaming.CdcStream.{Chg, Upsert}
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    def pack(seq: Long, cents: Long, opRank: Long, flagRank: Long): Long =
+      ((seq * 34359738368L + cents) * 4 + opRank) * 4 + flagRank
+    val input = MemoryStream[Chg]
+    val q = CdcStream.latestUpserts(input.toDS())
+      .writeStream.format("memory").queryName("cdc_upserts")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: two keys insert
+      input.addData(Chg(10, pack(1, 500, 2, 0)), Chg(20, pack(1, 900, 2, 1)))
+      q.processAllAvailable()
+      val b1 = spark.table("cdc_upserts").as[Upsert].collect()
+      assert(b1.map(_.key).sorted.toSeq == Seq(10L, 20L))
+      assert(b1.forall(_.op == "I"))
+      // batch 2: key 10 advances (update), key 20 REGRESSES (late
+      // replay of an older change — must emit nothing), key 30 deletes
+      input.addData(Chg(10, pack(3, 700, 1, 2)), Chg(20, pack(0, 111, 1, 0)),
+        Chg(30, pack(2, 0, 0, 0)))
+      q.processAllAvailable()
+      val b2 = spark.table("cdc_upserts").as[Upsert].collect()
+      assert(b2.length == b1.length + 2, s"late replay must not emit: ${b2.mkString(", ")}")
+      val k10 = b2.filter(_.key == 10L).maxBy(_.packed)
+      assert(k10.op == "U" && k10.total_c == 700L && k10.status == "R")
+      assert(b2.filter(_.key == 30L).head.op == "D")
+      // duplicate replay of the current winner: absorbed, no emission
+      input.addData(Chg(10, pack(3, 700, 1, 2)))
+      q.processAllAvailable()
+      assert(spark.table("cdc_upserts").count() == b2.length)
+      // final state (last upsert per key) == batch latest-wins compaction
+      val all = Seq(
+        10L -> pack(1, 500, 2, 0), 20L -> pack(1, 900, 2, 1),
+        10L -> pack(3, 700, 1, 2), 20L -> pack(0, 111, 1, 0),
+        30L -> pack(2, 0, 0, 0), 10L -> pack(3, 700, 1, 2))
+      val batchLatest = all.groupBy(_._1).map { case (k, cs) =>
+        CdcStream.decode(k, cs.map(_._2).max)
+      }.toSet
+      val streamLatest = spark.table("cdc_upserts").as[Upsert].collect()
+        .groupBy(_.key).map(_._2.maxBy(_.packed)).toSet
+      assert(streamLatest == batchLatest)
+    } finally q.stop()
+  }
 }
