@@ -482,6 +482,33 @@ object Pipeline {
         .agg(count(lit(1)).as("n"), sum("v4").as("sum_v4"))
         .orderBy("day")
     }),
+    // 44g — DYNAMIC partition pruning (the join-driven half of the
+    // pruning story next to src_partitioned_scan's static filter):
+    // the fact is partitioned by event_type, and the dim's filter —
+    // an md5 prefix test the optimizer cannot constant-fold into the
+    // fact side — only resolves at RUNTIME. DPP injects the dim's
+    // key set into the fact scan as a dynamic PartitionFilter
+    // (spec-asserted), so only the 3-of-5 surviving partition
+    // directories are listed and read. At 100 TB this is the
+    // date-dim → fact-partition pattern: the fact never scans
+    // partitions the dim filter excludes, without hand-written
+    // static predicates.
+    "src_dpp" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+      t(s, dir, "events")
+        .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
+        .toSeq.sortBy(-_.getNameCount).foreach(_.toFile.deleteOnExit())
+      val fact = s.read.parquet(tmp)
+      val dim = t(s, dir, "events").select(col("event_type")).distinct()
+        .filter(substring(md5(col("event_type")), 1, 1) < "a")
+      fact.join(broadcast(dim), "event_type")
+        .select(col("event_type"), tsMs(fact).as("ms"), fp(col("value"), 4).as("v4"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("v4").as("sum_v4"))
+        .orderBy("event_type")
+    }),
     // 41b — text normalization (canonical form for dedup)
     "txt_normalize" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -4614,6 +4641,14 @@ object Pipeline {
         |FROM base b FULL JOIN latest l ON l.key = b.key
         |WHERE l.op IS NULL OR l.op <> 'D'
         |ORDER BY key""".stripMargin,
+    "src_dpp" ->
+      """WITH d AS (
+        |  SELECT DISTINCT event_type FROM events
+        |  WHERE substr(md5(event_type), 1, 1) < 'a')
+        |SELECT e.event_type, count(*) AS n,
+        |  CAST(sum(CAST(floor(value*1e4+0.5) AS BIGINT)) AS BIGINT) AS sum_v4
+        |FROM events e JOIN d ON d.event_type = e.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_decay_score" ->
       """WITH e AS (
         |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,

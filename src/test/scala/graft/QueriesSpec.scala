@@ -474,6 +474,30 @@ class QueriesSpec extends AnyFunSuite {
     assert(plan.contains("FullOuter"), s"merge must be full outer:\n$plan")
   }
 
+  test("src_dpp: the dim filter prunes fact partitions at runtime") {
+    import org.apache.spark.sql.functions._
+    val raw = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
+    val rows = raw.select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) * 1e4 + 0.5).toLong))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def keep(t: String): Boolean = {
+      val h = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      h.charAt(0) < 'a'
+    }
+    val expect = rows.filter(r => keep(r._1)).groupBy(_._1).map { case (t, rs) =>
+      (t, rs.length.toLong, rs.map(_._2).sum)
+    }.toSet
+    val df = SparkEntry.queries("src_dpp")(spark, TestSpark.Sf)
+    val plan = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    val out = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == expect, "pruned join result")
+    assert(out.size < rows.map(_._1).distinct.length, "filter must drop some types")
+    // the fact scan must carry a DYNAMIC partition filter — the dim's
+    // runtime key set, not a static predicate
+    assert(plan.contains("dynamicpruning"), s"expected dynamic partition pruning:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortAggregate"), plan)
+  }
+
   test("q26_skew_join: salted join equals the plain join; salt spreads the hot key") {
     import org.apache.spark.sql.functions._
     def cents(d: Double) = math.floor(d * 100 + 0.5).toLong
