@@ -1196,6 +1196,43 @@ object Pipeline {
           min(when(col("cum") >= expr("(99 * n + 99) DIV 100"), col("v4"))).as("p99_c4"))
         .orderBy("event_type")
     }),
+    // 43w — KMV partition-then-merge: the FOURTH mergeable-sketch
+    // law next to HLL max-merge (43t), Bloom OR-merge (32j), and the
+    // histogram/CMS add-merge — bottom-k sets union-merge: per-(type,
+    // DAY) bottom-64 sketches, unioned + re-bottomed, must equal the
+    // one-shot corpus sketch. Sound because any of the 64 globally
+    // smallest hashes is necessarily in its own day's bottom-64 —
+    // the property that lets every partition keep k values and a
+    // coordinator merge k·partitions rows instead of re-scanning.
+    // Both paths computed INDEPENDENTLY and emitted side by side;
+    // the oracle computes the sketch once, so divergence
+    // hash-mismatches. Day windows bound the per-key sort; merged
+    // state is k rows per (type, day) — sketch-sized, checkpointed.
+    "ev_kmv_merge" -> ((s, dir) => {
+      val e = ev(s, dir).withColumn("day", expr("ms DIV 86400000"))
+      val hashed = e.select(col("event_type"), col("day"),
+        graft.sample.Sampling.hashUniform(col("user_id"), "kmv").as("_u")).distinct()
+      val wd = Window.partitionBy("event_type", "day").orderBy("_u")
+      val dayK = hashed.withColumn("_rk", row_number().over(wd))
+        .filter(col("_rk") <= 64).select("event_type", "day", "_u")
+        .localCheckpoint() // sketch-sized; feeds merge AND n_days
+      val wm = Window.partitionBy("event_type").orderBy("_u")
+      val merged = dayK.select("event_type", "_u").distinct()
+        .withColumn("_rk", row_number().over(wm)).filter(col("_rk") <= 64)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_kept_merged"), max("_u").as("_hkm"))
+      val direct = graft.sketch.Sketches.kmvDistinct(
+        t(s, dir, "events").select("event_type", "user_id"),
+        Seq("event_type"), "user_id", k = 64)
+      val nDays = dayK.groupBy("event_type")
+        .agg(countDistinct("day").as("n_days"))
+      direct.join(merged, "event_type").join(nDays, "event_type")
+        .select(col("event_type"), col("n_days"), col("n_kept"),
+          col("est_distinct_fp2"), col("n_kept_merged"),
+          fp(when(col("n_kept_merged") < 64, col("n_kept_merged").cast("double"))
+            .otherwise(lit(63.0) / col("_hkm")), 2).as("est_merged_fp2"))
+        .orderBy("event_type")
+    }),
     // 43v — exponentially time-decayed engagement score (the
     // recency-weighted user feature every ranking/mixing pipeline
     // derives from an event log): score = Σ value·2^(-age/7d),
@@ -4641,6 +4678,23 @@ object Pipeline {
         |FROM base b FULL JOIN latest l ON l.key = b.key
         |WHERE l.op IS NULL OR l.op <> 'D'
         |ORDER BY key""".stripMargin,
+    "ev_kmv_merge" -> {
+      val u32 = """list_reduce(list_prepend(CAST(0 AS BIGINT),
+        | list_transform(range(1, 9),
+        |   i -> CAST(strpos('0123456789abcdef',
+        |          substr(md5('kmv:' || CAST(user_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT))),
+        | (a, v) -> a*16 + v)""".stripMargin.replace("\n", " ")
+      s"""WITH h AS (SELECT DISTINCT event_type, CAST($u32 AS DOUBLE) / 4294967296.0 AS u FROM events),
+        |r AS (SELECT event_type, u, row_number() OVER (PARTITION BY event_type ORDER BY u) AS rk FROM h),
+        |d AS (SELECT event_type, count(*) AS n_kept,
+        |    ${sqlFp("CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE) ELSE 63.0 / max(u) END", 2)} AS est
+        |  FROM r WHERE rk <= 64 GROUP BY 1),
+        |nd AS (SELECT event_type, count(DISTINCT epoch_ms(ts) // 86400000) AS n_days
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, n_days, n_kept, est AS est_distinct_fp2,
+        |  n_kept AS n_kept_merged, est AS est_merged_fp2
+        |FROM d JOIN nd USING (event_type) ORDER BY event_type""".stripMargin
+    },
     "src_dpp" ->
       """WITH d AS (
         |  SELECT DISTINCT event_type FROM events

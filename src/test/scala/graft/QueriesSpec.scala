@@ -530,6 +530,41 @@ class QueriesSpec extends AnyFunSuite {
       s"the salted join must not broadcast:\n$plan")
   }
 
+  test("ev_kmv_merge: day-partitioned bottom-k sketches union-merge into the corpus sketch") {
+    import org.apache.spark.sql.functions._
+    val raw = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
+    val rows = raw.select(col("event_type"),
+        (graft.queries.QueryUtil.tsMs(raw) / 86400000).cast("long").as("day"),
+        graft.sample.Sampling.hashUniform(col("user_id"), "kmv").as("u"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val k = 64
+    val expect = rows.groupBy(_._1).map { case (t, es) =>
+      // per-day bottom-k, unioned, re-bottomed — the merge path
+      val dayK = es.groupBy(_._2).values.flatMap(_.map(_._3).distinct.sorted.take(k))
+      val mergedK = dayK.toSeq.distinct.sorted.take(k)
+      // direct corpus bottom-k
+      val directK = es.map(_._3).distinct.sorted.take(k).toSeq
+      assert(mergedK == directK, s"union-merge law broke for $t")
+      def est(s: Seq[Double]) =
+        if (s.length < k) s.length.toDouble else (k - 1).toDouble / s.last
+      (t, es.map(_._2).distinct.length.toLong, directK.length.toLong,
+        math.floor(est(directK) * 100 + 0.5).toLong, mergedK.length.toLong,
+        math.floor(est(mergedK) * 100 + 0.5).toLong)
+    }.toSet
+    val out = SparkEntry.queries("ev_kmv_merge")(spark, TestSpark.Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(out == expect, "kmv merge vs brute")
+    // estimates stay within the ~1/sqrt(k) band of the exact count
+    val exact = rows.groupBy(_._1).view.mapValues(_.map(_._3).distinct.length).toMap
+    out.foreach { case (t, _, nk, estFp2, _, _) =>
+      if (nk == k) {
+        val e = estFp2 / 100.0
+        assert(math.abs(e - exact(t)) / exact(t) < 0.5, s"$t estimate off: $e vs ${exact(t)}")
+      }
+    }
+  }
+
   test("ev_decay_score equals a brute half-life recompute with exact 2^-k weights") {
     import org.apache.spark.sql.functions._
     val raw = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
