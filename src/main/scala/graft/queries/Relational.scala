@@ -397,6 +397,32 @@ object Relational {
         .groupBy("k", "dim_name")
         .agg(count(lit(1)).as("n"), sum("cents").as("sum_c"))
         .orderBy("k")
+    }),
+    // 11q — DISTRIBUTION window functions (the ranking family q6/q15
+    // don't cover): per market segment, each customer's spend
+    // quartile (ntile), percent_rank, cume_dist, and the segment's
+    // bottom/top spender via first/last_value over the FULL frame
+    // (unbounded both ways — the frame-spec nuance that trips naive
+    // last_value uses: the default frame stops at CURRENT ROW).
+    // Total order (spend, custkey) makes every rank deterministic;
+    // percent_rank/cume_dist divisions are exact small-int ratios,
+    // fp6-quantized identically cross-engine. One key shuffle,
+    // per-segment sort bounded by segment size.
+    "q27_distribution_ranks" -> ((s, dir) => {
+      val spend = t(s, dir, "orders").groupBy("o_custkey")
+        .agg(sum(fp(col("o_totalprice"), 2)).cast("long").as("spend_c"))
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      val w = Window.partitionBy("c_mktsegment").orderBy(col("spend_c"), col("c_custkey"))
+      val wf = Window.partitionBy("c_mktsegment").orderBy(col("spend_c"), col("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      cust.join(spend, col("c_custkey") === col("o_custkey"))
+        .select(col("c_mktsegment"), col("c_custkey"), col("spend_c"),
+          ntile(4).over(w).as("quartile"),
+          fp(percent_rank().over(w), 6).as("pct_rank_fp6"),
+          fp(cume_dist().over(w), 6).as("cume_fp6"),
+          first(col("c_custkey")).over(wf).as("bottom_custkey"),
+          last(col("c_custkey")).over(wf).as("top_custkey"))
+        .orderBy("c_mktsegment", "spend_c", "c_custkey")
     })
   )
 
@@ -597,6 +623,22 @@ object Relational {
         |SELECT f.k, d.dim_name, count(*) AS n,
         |  CAST(sum(cents) AS BIGINT) AS sum_c
         |FROM fact f JOIN dim d ON d.k = f.k
-        |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "q27_distribution_ranks" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice*100+0.5) AS BIGINT)) AS BIGINT) AS spend_c
+        |  FROM orders GROUP BY 1)
+        |SELECT c_mktsegment, c_custkey, spend_c,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  CAST(floor(percent_rank() OVER w * 1e6 + 0.5) AS BIGINT) AS pct_rank_fp6,
+        |  CAST(floor(cume_dist() OVER w * 1e6 + 0.5) AS BIGINT) AS cume_fp6,
+        |  first_value(c_custkey) OVER wf AS bottom_custkey,
+        |  last_value(c_custkey) OVER wf AS top_custkey
+        |FROM customer JOIN spend ON o_custkey = c_custkey
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY spend_c, c_custkey),
+        |  wf AS (PARTITION BY c_mktsegment ORDER BY spend_c, c_custkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY 1, 3, 2""".stripMargin
   )
 }

@@ -474,6 +474,38 @@ class QueriesSpec extends AnyFunSuite {
     assert(plan.contains("FullOuter"), s"merge must be full outer:\n$plan")
   }
 
+  test("q27_distribution_ranks equals a brute per-segment distribution recompute") {
+    import org.apache.spark.sql.functions._
+    def cents(d: Double) = math.floor(d * 100 + 0.5).toLong
+    val spend = spark.read.parquet(s"${TestSpark.Sf}/orders.parquet")
+      .select("o_custkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), cents(r.getDouble(1))))
+      .groupBy(_._1).map { case (c, os) => c -> os.map(_._2).sum }
+    val segs = spark.read.parquet(s"${TestSpark.Sf}/customer.parquet")
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(c => spend.contains(c._1))
+    def fp6(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    val expect = segs.groupBy(_._2).toSeq.flatMap { case (seg, cs) =>
+      val ordered = cs.map { case (ck, _) => (spend(ck), ck) }.sortBy(identity).toSeq
+      val n = ordered.length
+      ordered.zipWithIndex.map { case ((sp, ck), i) =>
+        // ntile: first (n mod 4) tiles get ceil(n/4) rows
+        val big = n % 4; val base = n / 4
+        val quartile = if (i < big * (base + 1)) i / (base + 1) + 1
+          else big + (i - big * (base + 1)) / base + 1
+        val pr = if (n == 1) 0.0 else i.toDouble / (n - 1)
+        val cd = (i + 1).toDouble / n
+        (seg, ck, sp, quartile, fp6(pr), fp6(cd), ordered.head._2, ordered.last._2)
+      }
+    }.toSet
+    val out = SparkEntry.queries("q27_distribution_ranks")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSet
+    assert(out == expect, "distribution ranks")
+    assert(out.map(_._4).toSet == Set(1, 2, 3, 4), "all quartiles present")
+  }
+
   test("src_dpp: the dim filter prunes fact partitions at runtime") {
     import org.apache.spark.sql.functions._
     val raw = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
