@@ -1196,6 +1196,30 @@ object Pipeline {
           min(when(col("cum") >= expr("(99 * n + 99) DIV 100"), col("v4"))).as("p99_c4"))
         .orderBy("event_type")
     }),
+    // 43x — GAPS-AND-ISLANDS (the consecutive-run pattern behind
+    // uptime/freshness monitoring, coverage audits, and island-based
+    // sessionization): per event type, maximal runs of consecutive
+    // PRESENT hours via the classic hr − row_number() group key
+    // (consecutive hours share it), plus the longest silent gap via
+    // lag. The island key is pure arithmetic on the ordered rank —
+    // no iteration, no self-join — so island detection over a 100 TB
+    // log is ONE key shuffle: per-type sorts bounded by distinct
+    // hours (domain-bounded, ≤ 8760/yr/type), both windows share the
+    // partitioning, and the output is one row per type.
+    "ev_gaps_islands" -> ((s, dir) => {
+      val h = ev(s, dir)
+        .select(col("event_type"), expr("ms DIV 3600000").as("hr")).distinct()
+      val w = Window.partitionBy("event_type").orderBy("hr")
+      val r = h.withColumn("grp", col("hr") - row_number().over(w))
+        .withColumn("gap", col("hr") - lag("hr", 1).over(w) - 1)
+      val islands = r.groupBy("event_type", "grp").agg(count(lit(1)).as("len"))
+      val iAgg = islands.groupBy("event_type").agg(
+        sum("len").cast("long").as("n_hours"), count(lit(1)).as("n_islands"),
+        max("len").as("max_island"))
+      val gAgg = r.groupBy("event_type")
+        .agg(max(coalesce(col("gap"), lit(0L))).as("max_gap"))
+      iAgg.join(gAgg, "event_type").orderBy("event_type")
+    }),
     // 43w — KMV partition-then-merge: the FOURTH mergeable-sketch
     // law next to HLL max-merge (43t), Bloom OR-merge (32j), and the
     // histogram/CMS add-merge — bottom-k sets union-merge: per-(type,
@@ -4678,6 +4702,20 @@ object Pipeline {
         |FROM base b FULL JOIN latest l ON l.key = b.key
         |WHERE l.op IS NULL OR l.op <> 'D'
         |ORDER BY key""".stripMargin,
+    "ev_gaps_islands" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type, epoch_ms(ts) // 3600000 AS hr FROM events),
+        |r AS (SELECT event_type, hr,
+        |    hr - row_number() OVER (PARTITION BY event_type ORDER BY hr) AS grp,
+        |    hr - lag(hr) OVER (PARTITION BY event_type ORDER BY hr) - 1 AS gap
+        |  FROM h),
+        |i AS (SELECT event_type, grp, count(*) AS len FROM r GROUP BY 1, 2),
+        |ia AS (SELECT event_type, CAST(sum(len) AS BIGINT) AS n_hours,
+        |    count(*) AS n_islands, CAST(max(len) AS BIGINT) AS max_island
+        |  FROM i GROUP BY 1),
+        |ga AS (SELECT event_type, max(coalesce(gap, 0)) AS max_gap FROM r GROUP BY 1)
+        |SELECT ia.event_type, n_hours, n_islands, max_island, max_gap
+        |FROM ia JOIN ga USING (event_type) ORDER BY 1""".stripMargin,
     "ev_kmv_merge" -> {
       val u32 = """list_reduce(list_prepend(CAST(0 AS BIGINT),
         | list_transform(range(1, 9),

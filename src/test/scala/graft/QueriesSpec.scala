@@ -562,6 +562,31 @@ class QueriesSpec extends AnyFunSuite {
       s"the salted join must not broadcast:\n$plan")
   }
 
+  test("ev_gaps_islands equals a brute consecutive-run scan") {
+    import org.apache.spark.sql.functions._
+    val raw = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
+    val hrs = raw.select(col("event_type"),
+        (graft.queries.QueryUtil.tsMs(raw) / 3600000).cast("long").as("hr"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (t, hs) => t -> hs.map(_._2).distinct.sorted.toSeq }
+    val expect = hrs.map { case (t, hs) =>
+      val runs = hs.foldLeft(List.empty[(Long, Long)]) { // (start, len) runs
+        case (Nil, h) => List((h, 1L))
+        case ((s0, l) :: rest, h) if h == s0 + l => (s0, l + 1) :: rest
+        case (acc, h) => (h, 1L) :: acc
+      }
+      val gaps = hs.zip(hs.tail).map { case (a, b) => b - a - 1 }
+      (t, hs.length.toLong, runs.length.toLong, runs.map(_._2).max,
+        if (gaps.isEmpty) 0L else math.max(gaps.max, 0L))
+    }.toSet
+    val out = SparkEntry.queries("ev_gaps_islands")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(out == expect, "islands vs brute runs")
+    assert(out.exists(_._3 > 1), "at least one type has multiple islands")
+    assert(out.exists(_._5 > 0), "at least one real gap")
+  }
+
   test("ev_kmv_merge: day-partitioned bottom-k sketches union-merge into the corpus sketch") {
     import org.apache.spark.sql.functions._
     val raw = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
