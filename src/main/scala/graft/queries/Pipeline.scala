@@ -458,6 +458,32 @@ object Pipeline {
           md5(col("text")).as("h"))
         .orderBy("doc_id")
     }),
+    // 48i — corrupt-record tolerant JSON ingest (the PERMISSIVE
+    // schema-on-read discipline a crawl/vendor feed needs): every
+    // 7th synthesized record is truncated mid-token, the parse must
+    // NOT fail the job — malformed rows surface as nulls, flagged
+    // 'CORRUPT', and the good rows' payloads come through intact
+    // (id checksum per lang proves no silent row swallowing). A
+    // per-row codegen'd parse, zero shuffles before the tiny rollup;
+    // at 100 TB the same plan quarantines bad rows to a side output
+    // instead of killing a 10⁵-task ingest for one byte flip.
+    "src_jsonl_corrupt" -> ((s, dir) => {
+      val synth = t(s, dir, "documents").select(
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit("{\"id\": "), col("doc_id"), lit(", \"lang\": ")))
+          .otherwise(concat(lit("{\"id\": "), col("doc_id"),
+            lit(", \"lang\": \""), col("lang"), lit("\"}"))).as("js"))
+      val parsed = synth.select(
+        from_json(col("js"), org.apache.spark.sql.types.StructType.fromDDL(
+          "id LONG, lang STRING")).as("p"))
+      parsed
+        .select(coalesce(col("p.lang"), lit("CORRUPT")).as("lang_parsed"),
+          col("p.id"))
+        .groupBy("lang_parsed")
+        .agg(count(lit(1)).as("n"), count(col("id")).as("n_ids"),
+          sum(coalesce(col("id"), lit(0L))).as("sum_id"))
+        .orderBy("lang_parsed")
+    }),
     // 48d — partitioned-parquet write + partition-PRUNED read (the
     // other half of the 100 TB storage-layout discipline next to
     // src_bucketed_join's bucketing): events written partitioned by
@@ -4702,6 +4728,20 @@ object Pipeline {
         |FROM base b FULL JOIN latest l ON l.key = b.key
         |WHERE l.op IS NULL OR l.op <> 'D'
         |ORDER BY key""".stripMargin,
+    "src_jsonl_corrupt" ->
+      """WITH js AS (
+        |  SELECT CASE WHEN doc_id % 7 = 0
+        |      THEN '{"id": ' || doc_id || ', "lang": '
+        |      ELSE '{"id": ' || doc_id || ', "lang": "' || lang || '"}'
+        |    END AS s
+        |  FROM documents),
+        |p AS (SELECT
+        |    CASE WHEN json_valid(s) THEN json_extract_string(s, '$.lang') END AS lang_p,
+        |    CASE WHEN json_valid(s) THEN CAST(json_extract(s, '$.id') AS BIGINT) END AS id
+        |  FROM js)
+        |SELECT coalesce(lang_p, 'CORRUPT') AS lang_parsed, count(*) AS n,
+        |  count(id) AS n_ids, CAST(sum(coalesce(id, 0)) AS BIGINT) AS sum_id
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_gaps_islands" ->
       """WITH h AS (
         |  SELECT DISTINCT event_type, epoch_ms(ts) // 3600000 AS hr FROM events),

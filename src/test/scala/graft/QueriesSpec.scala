@@ -562,6 +562,30 @@ class QueriesSpec extends AnyFunSuite {
       s"the salted join must not broadcast:\n$plan")
   }
 
+  test("src_jsonl_corrupt quarantines malformed rows without losing good payloads") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select("doc_id", "lang").collect().map(r => (r.getLong(0), r.getString(1)))
+    val expect = docs.groupBy { case (id, lang) =>
+      if (id % 7 == 0) "CORRUPT" else lang
+    }.map { case (k, rs) =>
+      val good = rs.filter(_._1 % 7 != 0)
+      (k, rs.length.toLong, good.length.toLong, good.map(_._1).sum)
+    }.toSet
+    val df = SparkEntry.queries("src_jsonl_corrupt")(spark, TestSpark.Sf)
+    // explain BEFORE collect: a finalized AQE plan prints Final+Initial
+    // sections and double-counts every node
+    val plan = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    val out = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == expect, "quarantine counts + id checksums")
+    assert(out.exists(_._1 == "CORRUPT"), "corrupt bucket must exist")
+    assert(out.filter(_._1 != "CORRUPT").forall(r => r._2 == r._3),
+      "every good row must parse an id")
+    // the parse is a narrow per-row map: exactly one exchange (the rollup)
+    val n = plan.sliding("Exchange".length).count(_ == "Exchange")
+    assert(n <= 2, s"parse must not shuffle (rollup + sort only):\n$plan")
+  }
+
   test("ev_gaps_islands equals a brute consecutive-run scan") {
     import org.apache.spark.sql.functions._
     val raw = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
