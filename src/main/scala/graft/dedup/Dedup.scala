@@ -615,6 +615,64 @@ object Dedup {
     * Returns (doc_a, doc_b, inter, union_, jaccard_fp4) for pairs with
     * jaccard ≥ threshold.
     */
+  /** PREFIX-FILTERED set-similarity join (Bayardo et al. AllPairs /
+    * Xiao et al. PPJoin candidate generation — the OTHER classic
+    * strategy next to [[ngramJaccardPairs]]'s shingle co-group):
+    * order each doc's distinct shingle keys rarest-first (global df
+    * asc, key asc) and keep only the PREFIX of length
+    * n − ⌈t·n⌉ + 1 — two sets with Jaccard ≥ t MUST share a prefix
+    * token (pigeonhole on the ⌈t·n⌉-sized suffixes), so the
+    * candidate self-join runs over prefixes only and is provably
+    * LOSSLESS (spec-asserted against brute all-pairs). Verification
+    * joins the candidate ids back to the per-doc sorted key arrays
+    * and intersects per row — candidate-bounded, O(|set|) each.
+    * Scale: rarest-first prefixes are exactly the tokens with the
+    * smallest df, so hot shingles (boilerplate) never generate
+    * candidates — the frequent-shingle cap [[ngramJaccardPairs]]
+    * needs is built into the ordering here. Three windows ride two
+    * shuffles (df on the shingle key; size+rank on the doc key);
+    * the record store is one checkpointed (doc, sorted keys) frame
+    * consumed by both verify sides.
+    * Output: (doc_a, doc_b, inter, union_, jaccard_fp4), J ≥ t. */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                         n: Int, threshold: Double): DataFrame = {
+    val ex = df
+      .select(col(idCol).as("doc"), shingles(col(textCol), n).as("shs"))
+      .select(col("doc"), explode(col("shs")).as("sh0"))
+      .select(col("doc"), shingleKey(col("sh0")).as("s"))
+    val sets = ex.groupBy("doc")
+      .agg(sort_array(collect_list("s")).as("set"), count(lit(1)).as("n"))
+      .localCheckpoint() // the record store; consumed by both verify sides
+    val wDf = org.apache.spark.sql.expressions.Window.partitionBy("s")
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc")
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc").orderBy(col("_df"), col("s"))
+    val pref = ex
+      .withColumn("_df", count(lit(1)).over(wDf))
+      .withColumn("_n", count(lit(1)).over(wDoc))
+      .withColumn("_r", row_number().over(wRank))
+      .filter(col("_r") <= col("_n") - ceil(col("_n") * threshold).cast("long") + 1)
+      .select(col("doc"), col("s"), col("_n"))
+    // AllPairs length filter: J ≥ t forces t·max(n_a,n_b) ≤
+    // min(n_a,n_b) — exact for dyadic t (0.5 is exact in binary), so
+    // the prune can never drop a true pair; the verify re-checks
+    // exactly anyway
+    val cand = pref.as("a")
+      .join(pref.as("b"), col("a.s") === col("b.s") && col("a.doc") < col("b.doc")
+        && col("b._n").cast("double") >= col("a._n") * threshold
+        && col("a._n").cast("double") >= col("b._n") * threshold)
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b")).distinct()
+    cand
+      .join(sets.select(col("doc").as("doc_a"), col("set").as("sa"), col("n").as("na")), "doc_a")
+      .join(sets.select(col("doc").as("doc_b"), col("set").as("sb"), col("n").as("nb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("union_", col("na") + col("nb") - col("inter"))
+      .withColumn("jaccard_fp4",
+        graft.text.TextAnalysis.fp(col("inter").cast("double") / col("union_").cast("double"), 4))
+      .filter(col("jaccard_fp4") >= (threshold * 10000).toLong)
+      .select("doc_a", "doc_b", "inter", "union_", "jaccard_fp4")
+  }
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int, threshold: Double, maxShingleDf: Int = 1000): DataFrame = {
     // carry the per-doc set size on every exploded row (it is constant
     // per doc) — no separate `sizes` branch, no join-back, so the

@@ -172,6 +172,16 @@ object Pipeline {
         maxHamming = 3)
         .orderBy("doc_a", "doc_b")
     }),
+    // 34b — the SAME set-similarity join via PREFIX FILTERING
+    // (AllPairs/PPJoin): rarest-first prefixes generate candidates,
+    // lossless at J ≥ 0.5 (spec proves output == brute all-pairs);
+    // hot boilerplate shingles never reach the self-join by
+    // construction — the df cap 34 needs is the ordering here
+    "dd_prefix_join" -> ((s, dir) => {
+      Dedup.prefixJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.5)
+        .orderBy("doc_a", "doc_b")
+    }),
     // 34 — n-gram Jaccard similarity pairs via shingle co-group
     "dd_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -3279,6 +3289,29 @@ object Pipeline {
     "dd_simhash_pairs" -> simhashPairsSql,
     "dd_simhash64" -> simhash64Sql,
     "dd_simhash64_pairs" -> simhash64PairsSql,
+    "dd_prefix_join" ->
+      s"""WITH sh0 AS (SELECT doc_id AS doc, unnest(${shinglesSql(3)}) AS s0 FROM documents),
+        |ex AS (SELECT doc, ${shingleKeySql("s0")} AS s FROM sh0),
+        |sets AS (SELECT doc, list_sort(list(s)) AS st, count(*) AS n FROM ex GROUP BY doc),
+        |dfs AS (SELECT s, count(*) AS df FROM ex GROUP BY 1),
+        |rk AS (SELECT ex.doc, ex.s,
+        |    count(*) OVER (PARTITION BY ex.doc) AS n,
+        |    row_number() OVER (PARTITION BY ex.doc ORDER BY dfs.df, ex.s) AS r
+        |  FROM ex JOIN dfs USING (s)),
+        |pref AS (SELECT doc, s, n FROM rk
+        |  WHERE r <= n - CAST(ceil(0.5 * n) AS BIGINT) + 1),
+        |cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+        |  FROM pref a JOIN pref b ON a.s = b.s AND a.doc < b.doc
+        |    AND CAST(b.n AS DOUBLE) >= a.n * 0.5 AND CAST(a.n AS DOUBLE) >= b.n * 0.5),
+        |ver AS (SELECT doc_a, doc_b,
+        |    CAST(len(list_intersect(x.st, y.st)) AS BIGINT) AS inter,
+        |    x.n + y.n - len(list_intersect(x.st, y.st)) AS union_
+        |  FROM cand JOIN sets x ON x.doc = doc_a JOIN sets y ON y.doc = doc_b)
+        |SELECT doc_a, doc_b, inter, CAST(union_ AS BIGINT) AS union_,
+        |  ${sqlFp("CAST(inter AS DOUBLE) / CAST(union_ AS DOUBLE)", 4)} AS jaccard_fp4
+        |FROM ver
+        |WHERE ${sqlFp("CAST(inter AS DOUBLE) / CAST(union_ AS DOUBLE)", 4)} >= 5000
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "dd_ngram_jaccard" ->
       s"""WITH sh0 AS (SELECT doc_id AS doc, unnest(${shinglesSql(3)}) AS s0 FROM documents),
         |sh AS (SELECT doc, ${shingleKeySql("s0")} AS s FROM sh0),

@@ -562,6 +562,38 @@ class QueriesSpec extends AnyFunSuite {
       s"the salted join must not broadcast:\n$plan")
   }
 
+  test("dd_prefix_join is LOSSLESS: prefix-filtered pairs equal brute all-pairs Jaccard") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+    val sets = docs.select(col("doc_id"),
+        graft.dedup.Dedup.shingles(col("text"), 3).as("shs"))
+      .collect().map { r =>
+        val keys = r.getSeq[String](1).map { sh =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val hex = md.digest(sh.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          java.lang.Long.parseLong(hex.take(15), 16)
+        }
+        r.getLong(0) -> keys
+      }
+    def fp4(x: Double) = math.floor(x * 1e4 + 0.5).toLong
+    val expect = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = sa.toSet.intersect(sb.toSet).size.toLong
+      un = sa.length + sb.length - inter
+      j = fp4(inter.toDouble / un) if j >= 5000L
+    } yield (a, b, inter, un, j)).toSet
+    val out = SparkEntry.queries("dd_prefix_join")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(out == expect, "prefix filtering lost or invented pairs")
+    assert(out.nonEmpty)
+    // and it genuinely filters: the candidate prefix join is far
+    // smaller than all-pairs (the reduction IS the operator)
+    val nCand = graft.dedup.Dedup.prefixJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .count() // just re-execute; the real reduction shows in the plan shape
+    assert(nCand == out.size.toLong)
+  }
+
   test("src_jsonl_corrupt quarantines malformed rows without losing good payloads") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
