@@ -2491,6 +2491,71 @@ object Pipeline {
           min("y").as("y_min"), max("y").as("y_max"))
         .orderBy("layout", "bucket")
     }),
+    // 44h — INCREMENTAL VIEW MAINTENANCE: the law that makes 100 TB
+    // aggregates maintainable — agg(apply(base, Δ)) must equal
+    // merge(agg(base), agg(Δ)). The per-status (count, sum) view is
+    // maintained by DELTAS from the compacted changelog (D/U remove
+    // the old row's contribution — found by joining latest changes
+    // to the base, changelog-sized — U/I add the new payload's),
+    // and the INDEPENDENTLY recomputed aggregate over the fully
+    // merged snapshot is emitted side by side; the oracle computes
+    // the view once, so any divergence — a missed retraction, a
+    // double-applied insert — hash-mismatches. Full-outer on the
+    // group key so a spurious or missing group surfaces as nulls
+    // rather than being silently dropped. Scale: the maintenance
+    // path touches base ONLY on the changelog's keys (a keyed join,
+    // never a base scan at real layout where base aggs are stored);
+    // the recompute path exists here to PROVE the law.
+    "src_ivm" -> ((s, dir) => {
+      val base = t(s, dir, "orders").select(col("o_orderkey").as("key"),
+        col("o_orderstatus").as("status"), fp(col("o_totalprice"), 2).as("total_c"))
+      val li = t(s, dir, "lineitem")
+      val chg = li.select(
+        when(pmod(col("l_linenumber"), lit(3)) === 2, col("l_orderkey") + 600000000L)
+          .otherwise(col("l_orderkey")).as("key"),
+        (((col("l_linenumber").cast("long") * 34359738368L +
+            fp(col("l_extendedprice"), 2)) * 4 +
+          pmod(col("l_linenumber"), lit(3)).cast("long")) * 4 +
+          when(col("l_returnflag") === "A", 0L)
+            .when(col("l_returnflag") === "N", 1L).otherwise(2L)).as("packed"))
+      val latest = chg.groupBy("key").agg(max("packed").as("p"))
+        .select(col("key"),
+          when(pmod(expr("p DIV 4"), lit(4)) === 0, "D")
+            .when(pmod(expr("p DIV 4"), lit(4)) === 1, "U").otherwise("I").as("op"),
+          when(pmod(col("p"), lit(4)) === 0, "A")
+            .when(pmod(col("p"), lit(4)) === 1, "N").otherwise("R").as("new_status"),
+          pmod(expr("p DIV 16"), lit(34359738368L)).as("new_total_c"))
+        .localCheckpoint() // feeds deltas AND the recompute merge
+      // maintenance path: retractions + additions, changelog-sized
+      val deltas = latest.join(base, Seq("key"), "left")
+        .select(explode(array(
+          when(col("op").isin("D", "U") && col("status").isNotNull,
+            struct(col("status").as("st"), lit(-1L).as("dn"),
+              (-col("total_c")).as("dt"))),
+          when(col("op").isin("U", "I"),
+            struct(col("new_status").as("st"), lit(1L).as("dn"),
+              col("new_total_c").as("dt"))))).as("x"))
+        .filter(col("x").isNotNull)
+        .groupBy(col("x.st").as("status"))
+        .agg(sum("x.dn").as("dn"), sum("x.dt").as("dt"))
+      val baseAgg = base.groupBy("status")
+        .agg(count(lit(1)).as("n0"), sum("total_c").as("t0"))
+      val maintained = baseAgg.join(deltas, Seq("status"), "full_outer")
+        .select(col("status"),
+          (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_inc"),
+          (coalesce(col("t0"), lit(0L)) + coalesce(col("dt"), lit(0L))).as("sum_inc_c"))
+        .filter(col("n_inc") =!= 0)
+      // recompute path: the full merge (src_cdc_apply), re-aggregated
+      val direct = base.join(latest, Seq("key"), "full_outer")
+        .where(col("op").isNull || col("op") =!= "D")
+        .select(when(col("op").isNull, col("status")).otherwise(col("new_status"))
+          .as("status"),
+          when(col("op").isNull, col("total_c")).otherwise(col("new_total_c"))
+            .as("tc"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_direct"), sum("tc").as("sum_direct_c"))
+      maintained.join(direct, Seq("status"), "full_outer").orderBy("status")
+    }),
     // 44e — SCD type-2 history build from the same changelog as
     // src_cdc_apply: per key, every DISTINCT I/U change becomes a
     // version row; the packed long (seq·2³⁵+cents, ·4+op, ·4+flag) IS
@@ -4857,6 +4922,32 @@ object Pipeline {
         |  min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
         |FROM lay GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
+    "src_ivm" ->
+      """WITH chg AS (
+        |  SELECT CASE WHEN l_linenumber % 3 = 2 THEN l_orderkey + 600000000
+        |              ELSE l_orderkey END AS key,
+        |    ((CAST(l_linenumber AS BIGINT) * 34359738368
+        |        + CAST(floor(l_extendedprice*100+0.5) AS BIGINT)) * 4
+        |      + l_linenumber % 3) * 4
+        |      + CASE l_returnflag WHEN 'A' THEN 0 WHEN 'N' THEN 1 ELSE 2 END AS packed
+        |  FROM lineitem),
+        |latest AS (
+        |  SELECT key,
+        |    CASE (p // 4) % 4 WHEN 0 THEN 'D' WHEN 1 THEN 'U' ELSE 'I' END AS op,
+        |    CASE p % 4 WHEN 0 THEN 'A' WHEN 1 THEN 'N' ELSE 'R' END AS new_status,
+        |    (p // 16) % 34359738368 AS new_total_c
+        |  FROM (SELECT key, max(packed) AS p FROM chg GROUP BY 1)),
+        |base AS (SELECT o_orderkey AS key, o_orderstatus AS status,
+        |    CAST(floor(o_totalprice*100+0.5) AS BIGINT) AS total_c FROM orders),
+        |merged AS (
+        |  SELECT CASE WHEN l.key IS NULL THEN b.status ELSE l.new_status END AS status,
+        |    CASE WHEN l.key IS NULL THEN b.total_c ELSE l.new_total_c END AS tc
+        |  FROM base b FULL JOIN latest l ON l.key = b.key
+        |  WHERE l.op IS NULL OR l.op <> 'D'),
+        |v AS (SELECT status, count(*) AS n, CAST(sum(tc) AS BIGINT) AS t
+        |  FROM merged GROUP BY 1)
+        |SELECT status, n AS n_inc, t AS sum_inc_c, n AS n_direct, t AS sum_direct_c
+        |FROM v ORDER BY status""".stripMargin,
     "src_scd2" ->
       """WITH chg AS (
         |  SELECT DISTINCT

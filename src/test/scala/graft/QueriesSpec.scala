@@ -765,6 +765,52 @@ class QueriesSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("SortAggregate"), plan)
   }
 
+  test("src_ivm: delta-maintained aggregate equals the recomputed view, retractions fire") {
+    import org.apache.spark.sql.functions._
+    def cents(d: Double) = math.floor(d * 100 + 0.5).toLong
+    val base = spark.read.parquet(s"${TestSpark.Sf}/orders.parquet")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), cents(r.getDouble(2))))).toMap
+    val chg = spark.read.parquet(s"${TestSpark.Sf}/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice").collect()
+      .map { r =>
+        val ln = r.getInt(1)
+        val key = if (ln % 3 == 2) r.getLong(0) + 600000000L else r.getLong(0)
+        key -> (((ln.toLong * 34359738368L + cents(r.getDouble(3))) * 4 +
+          ln % 3) * 4 + "ANR".indexOf(r.getString(2)))
+      }
+    val latest = chg.groupBy(_._1).map { case (k, cs) =>
+      val p = cs.map(_._2).max
+      k -> (("DUI" ((p / 4 % 4).toInt), "ANR" ((p % 4).toInt).toString,
+        p / 16 % 34359738368L))
+    }
+    // brute recompute over the merged snapshot
+    val merged = (base.keySet ++ latest.keySet).toSeq.flatMap { k =>
+      latest.get(k) match {
+        case Some(('D', _, _)) => None
+        case Some((_, st, tc)) => Some((st, tc))
+        case None => base.get(k).map { case (st, tc) => (st, tc) }
+      }
+    }
+    val view = merged.groupBy(_._1).map { case (st, rs) =>
+      (st, rs.length.toLong, rs.map(_._2).sum)
+    }.toSet
+    val out = SparkEntry.queries("src_ivm")(spark, TestSpark.Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // the LAW: both paths equal the brute view, no nulls from the
+    // full-outer (a spurious/missing group would surface as null)
+    assert(out.map(r => (r._1, r._2, r._3)).toSet == view, "maintained path")
+    assert(out.map(r => (r._1, r._4, r._5)).toSet == view, "recomputed path")
+    // retractions genuinely fired: every base status group SHRANK
+    val baseCounts = base.values.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    baseCounts.foreach { case (st, n0) =>
+      val now = out.find(_._1 == st).map(_._2).getOrElse(0L)
+      assert(now < n0, s"status $st never lost a row — retraction path untested")
+    }
+    // and additions landed in changelog-only statuses
+    assert(out.exists(r => !baseCounts.contains(r._1)), "no inserted status groups")
+  }
+
   test("src_scd2 equals a brute version history and reuses one key shuffle") {
     import org.apache.spark.sql.functions._
     def cents(d: Double) = math.floor(d * 100 + 0.5).toLong
