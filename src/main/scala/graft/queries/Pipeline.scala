@@ -2591,6 +2591,47 @@ object Pipeline {
           col("nxt").isNull.cast("long").as("is_current"))
       versions.orderBy("key", "ver")
     }),
+    // 35j — class-separation diagnostic over the labeled embeddings
+    // (the Fisher/ANOVA health check of an embedding space: do the
+    // labels cluster?): per label, the mean squared distance of
+    // members to their own fp6 centroid (within-class scatter) and
+    // the squared distance of that centroid to the global centroid
+    // (between-class). Same exact-arithmetic discipline as
+    // emb_kmeans — centroids are one rounded double divide from
+    // exact integer sums, per-row squared distances are EXACT longs,
+    // and the within-class total accumulates in DECIMAL(38,0)
+    // (≤ 2.6e23 at 10⁹ vectors — past int64, inside decimal128);
+    // only the final mean drops to double, once, identically in both
+    // engines. Scale: one posexplode rollup (labels×64 cells) feeds
+    // the centroids, one corpus pass joined to the BROADCAST
+    // centroid grid computes scatter — two corpus reads total,
+    // per-label output rows.
+    "emb_class_sep" -> ((s, dir) => {
+      val D = org.apache.spark.sql.types.DecimalType(38, 0)
+      val q = t(s, dir, "embeddings").select(col("label"),
+        transform(col("embedding"), x => fp(x.cast("double"), 6)).as("qv"))
+      val cells = q.select(col("label"), posexplode(col("qv")).as(Seq("dim", "v")))
+      val sums = cells.groupBy("label", "dim")
+        .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+        .localCheckpoint() // labels×64 rows; feeds label AND global centroids
+      val cent = sums.select(col("label"), col("dim"),
+        fp(col("sv").cast("double") / col("n").cast("double"), 0).as("c"))
+      val gcent = sums.groupBy("dim")
+        .agg(fp(sum("sv").cast("double") / sum("n").cast("double"), 0).as("g"))
+      val wss = cells.join(broadcast(cent), Seq("label", "dim"))
+        .groupBy("label")
+        .agg(sum(((col("v") - col("c")) * (col("v") - col("c"))).cast(D)).as("wss"),
+          (count(lit(1)) / 64).as("n"))
+      val bss = cent.join(broadcast(gcent), "dim")
+        .groupBy("label")
+        .agg(sum((col("c") - col("g")) * (col("c") - col("g"))).as("bss"))
+      wss.join(bss, "label")
+        .select(col("label"), col("n").cast("long").as("n"),
+          fp(col("wss").cast("double") / col("n").cast("double") / 64.0 / 1e12, 4)
+            .as("msd_within_fp4"),
+          col("bss").cast("long").as("bss_sq"))
+        .orderBy("label")
+    }),
     // 35i — k-means (Lloyd) over the embedding corpus: k=8 TRAINED
     // centroids (sim_ann_ivf's are sampled, not trained), 2
     // iterations, deterministic end-to-end. All state in fp6 fixed
@@ -4969,6 +5010,30 @@ object Pipeline {
         |  (packed // 16) % 34359738368 AS total_c,
         |  CAST(nxt IS NULL AS BIGINT) AS is_current
         |FROM iu ORDER BY key, ver""".stripMargin,
+    "emb_class_sep" ->
+      """WITH q AS (
+        |  SELECT label, CAST(i - 1 AS INT) AS dim,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE)*1e6+0.5) AS BIGINT) AS v
+        |  FROM embeddings CROSS JOIN range(1, 65) t(i)),
+        |sums AS (SELECT label, dim, CAST(sum(v) AS BIGINT) AS sv, count(*) AS n
+        |  FROM q GROUP BY 1, 2),
+        |cent AS (SELECT label, dim,
+        |    CAST(floor(CAST(sv AS DOUBLE)/CAST(n AS DOUBLE)+0.5) AS BIGINT) AS c
+        |  FROM sums),
+        |gcent AS (SELECT dim,
+        |    CAST(floor(CAST(sum(sv) AS DOUBLE)/CAST(sum(n) AS DOUBLE)+0.5) AS BIGINT) AS g
+        |  FROM sums GROUP BY 1),
+        |w AS (SELECT q.label,
+        |    sum(CAST((q.v - c.c)*(q.v - c.c) AS HUGEINT)) AS wss,
+        |    count(*) // 64 AS n
+        |  FROM q JOIN cent c ON c.label = q.label AND c.dim = q.dim GROUP BY 1),
+        |b AS (SELECT c.label, CAST(sum((c.c - g.g)*(c.c - g.g)) AS BIGINT) AS bss
+        |  FROM cent c JOIN gcent g USING (dim) GROUP BY 1)
+        |SELECT w.label, CAST(w.n AS BIGINT) AS n,
+        |  CAST(floor(CAST(w.wss AS DOUBLE) / CAST(w.n AS DOUBLE) / 64.0 / 1e12
+        |    * 1e4 + 0.5) AS BIGINT) AS msd_within_fp4,
+        |  b.bss AS bss_sq
+        |FROM w JOIN b USING (label) ORDER BY label""".stripMargin,
     "emb_kmeans" -> {
       // one Lloyd step: assign (argmin dist, ties to smallest cid) →
       // per-(cid,dim) sums → centroid update with empty-cluster

@@ -1023,6 +1023,39 @@ class QueriesSpec extends AnyFunSuite {
     assert(cos > 0.99, s"cosine(C*v, v) = $cos")
   }
 
+  test("emb_class_sep equals a brute within/between scatter recompute") {
+    import org.apache.spark.sql.functions._
+    val rows = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+      .select("label", "embedding").collect()
+      .map(r => r.getInt(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong).toArray)
+    val d = rows.head._2.length
+    val byLabel = rows.groupBy(_._1)
+    def centOf(vs: Iterable[Array[Long]]): Array[Long] = {
+      val n = vs.size
+      Array.tabulate(d)(i => math.floor(vs.map(_(i)).sum.toDouble / n + 0.5).toLong)
+    }
+    val gcent = {
+      // global centroid from the PER-LABEL sums (same arithmetic path)
+      val n = rows.length
+      Array.tabulate(d)(i => math.floor(rows.map(_._2(i)).sum.toDouble / n + 0.5).toLong)
+    }
+    val expect = byLabel.map { case (lab, vs) =>
+      val c = centOf(vs.map(_._2))
+      val wss = vs.map(_._2).map(v =>
+        (0 until d).map(i => BigInt(v(i) - c(i)) * BigInt(v(i) - c(i))).sum).sum
+      val bss = (0 until d).map(i => (c(i) - gcent(i)) * (c(i) - gcent(i))).sum
+      val msd = math.floor(
+        wss.toDouble / vs.size / 64.0 / 1e12 * 1e4 + 0.5).toLong
+      (lab, vs.size.toLong, msd, bss)
+    }.toSet
+    val out = SparkEntry.queries("emb_class_sep")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == expect, "scatter stats")
+    assert(out.map(_._1).size > 1, "multiple labels")
+    assert(out.forall(_._4 > 0), "between-class distances nonzero")
+  }
+
   test("emb_kmeans equals a brute Lloyd recompute and moves the centroids") {
     import org.apache.spark.sql.functions._
     val k = 8
