@@ -2591,6 +2591,30 @@ object Pipeline {
           col("nxt").isNull.cast("long").as("is_current"))
       versions.orderBy("key", "ver")
     }),
+    // 38k — class-BALANCED downsampling over the labeled embeddings
+    // (imbalance correction: every label keeps exactly k rows where
+    // k = the SMALLEST class size, derived from the data via a
+    // broadcast 1-row min — the balancing rule itself is part of the
+    // operator, unlike smp_reservoir's caller-fixed k). Selection is
+    // the deterministic md5-uniform rank (commutes with retries and
+    // partitioning, like every smp_* row); the output carries
+    // per-label id checksums so the oracle verifies WHICH rows were
+    // kept, not just how many. One per-label count agg + one rank
+    // window; per-label sorts bounded by class size.
+    "smp_balance" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("label"))
+        .withColumn("u", graft.sample.Sampling.hashUniform(col("vec_id"), "bal"))
+      val k = broadcast(e.groupBy("label").agg(count(lit(1)).as("cn"))
+        .agg(min("cn").as("k")))
+      val w = Window.partitionBy("label").orderBy(col("u"), col("vec_id"))
+      e.withColumn("r", row_number().over(w))
+        .crossJoin(k)
+        .filter(col("r") <= col("k"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_kept"), sum("vec_id").as("id_sum"),
+          fp(max("u"), 6).as("max_u_fp6"))
+        .orderBy("label")
+    }),
     // 35j — class-separation diagnostic over the labeled embeddings
     // (the Fisher/ANOVA health check of an embedding space: do the
     // labels cluster?): per label, the mean squared distance of
@@ -5010,6 +5034,24 @@ object Pipeline {
         |  (packed // 16) % 34359738368 AS total_c,
         |  CAST(nxt IS NULL AS BIGINT) AS is_current
         |FROM iu ORDER BY key, ver""".stripMargin,
+    "smp_balance" -> {
+      val u32 = """list_reduce(list_prepend(CAST(0 AS BIGINT),
+        | list_transform(range(1, 9),
+        |   i -> CAST(strpos('0123456789abcdef',
+        |          substr(md5('bal:' || CAST(vec_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT))),
+        | (a, v) -> a*16 + v)""".stripMargin.replace("\n", " ")
+      s"""WITH e AS (SELECT vec_id, label,
+        |    CAST($u32 AS DOUBLE) / 4294967296.0 AS u FROM embeddings),
+        |k AS (SELECT min(cn) AS k FROM (
+        |  SELECT label, count(*) AS cn FROM e GROUP BY 1)),
+        |r AS (SELECT label, vec_id, u,
+        |    row_number() OVER (PARTITION BY label ORDER BY u, vec_id) AS r
+        |  FROM e)
+        |SELECT label, count(*) AS n_kept,
+        |  CAST(sum(vec_id) AS BIGINT) AS id_sum,
+        |  ${sqlFp("max(u)", 6)} AS max_u_fp6
+        |FROM r, k WHERE r.r <= k.k GROUP BY label ORDER BY label""".stripMargin
+    },
     "emb_class_sep" ->
       """WITH q AS (
         |  SELECT label, CAST(i - 1 AS INT) AS dim,

@@ -1023,6 +1023,30 @@ class QueriesSpec extends AnyFunSuite {
     assert(cos > 0.99, s"cosine(C*v, v) = $cos")
   }
 
+  test("smp_balance keeps exactly min-class-size rows per label, identity-checked") {
+    import org.apache.spark.sql.functions._
+    val rows = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+      .select("vec_id", "label").collect().map(r => (r.getLong(0), r.getInt(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u(id: Long): Double = {
+      val hex = md.digest(s"bal:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16).toDouble / 4294967296.0
+    }
+    val byLabel = rows.groupBy(_._2)
+    val k = byLabel.values.map(_.length).min
+    val expect = byLabel.map { case (lab, vs) =>
+      val kept = vs.map(v => (u(v._1), v._1)).sortBy(identity).take(k)
+      (lab, k.toLong, kept.map(_._2).sum,
+        math.floor(kept.map(_._1).max * 1e6 + 0.5).toLong)
+    }.toSet
+    val out = SparkEntry.queries("smp_balance")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == expect, "balanced selection identity")
+    assert(out.map(_._2).toSet.size == 1, "every label kept the same count")
+    // the rule actually balanced: some class was LARGER than k
+    assert(byLabel.values.exists(_.length > k), "no imbalance to correct at this SF")
+  }
+
   test("emb_class_sep equals a brute within/between scatter recompute") {
     import org.apache.spark.sql.functions._
     val rows = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
