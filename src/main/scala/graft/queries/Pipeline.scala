@@ -684,6 +684,23 @@ object Pipeline {
       Similarity.pqEncode(e, "vec_id", "embedding", cb)
         .orderBy("id", "sub")
     }),
+    // 35k — PQ DISTORTION profile (the compression-quality report
+    // that gates an ANN deployment: how much squared error does each
+    // subquantizer introduce?): per subspace, count / exact integer
+    // SUM / max of the per-row fp6 squared reconstruction error the
+    // verified pqEncode path already emits. Summing the fp6 ints is
+    // exact and order-free, so the corpus-wide distortion total is
+    // bit-stable across partitionings — the number you trend across
+    // codebook retrainings. One corpus encode pass + a 4-key rollup.
+    "emb_pq_distortion" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cb = Similarity.pqCodebook(e, "vec_id", "embedding", dim = 64, m = 4, k = 16)
+      Similarity.pqEncode(e, "vec_id", "embedding", cb)
+        .groupBy("sub")
+        .agg(count(lit(1)).as("n"), sum("d2_fp6").cast("long").as("sum_d2_fp6"),
+          max("d2_fp6").as("max_d2_fp6"))
+        .orderBy("sub")
+    }),
     // 35e — Matryoshka-truncation recall (Kusupati et al. 2022): per
     // truncation dim, brute cosine top-k over the first d components
     // vs full-dim top-k — the eval harness run before serving
@@ -3320,6 +3337,12 @@ object Pipeline {
       s"""WITH $pqCtes
         |SELECT id, sub, code, ${sqlFp("d2", 6)} AS d2_fp6
         |FROM best WHERE rn = 1 ORDER BY id, sub""".stripMargin,
+    "emb_pq_distortion" ->
+      s"""WITH $pqCtes,
+        |enc AS (SELECT id, sub, ${sqlFp("d2", 6)} AS d6 FROM best WHERE rn = 1)
+        |SELECT sub, count(*) AS n, CAST(sum(d6) AS BIGINT) AS sum_d2_fp6,
+        |  CAST(max(d6) AS BIGINT) AS max_d2_fp6
+        |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin,
     // ADC mirror: per-query LUT from the same codebook, fp6 per
     // subspace, integer sum, windowed top-k ascending
     "sim_ann_pq" ->

@@ -1023,6 +1023,23 @@ class QueriesSpec extends AnyFunSuite {
     assert(cos > 0.99, s"cosine(C*v, v) = $cos")
   }
 
+  test("emb_pq_distortion equals the rollup of the verified encode and bounds hold") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+    val cb = graft.similarity.Similarity.pqCodebook(e, "vec_id", "embedding", 64, 4, 16)
+    val enc = graft.similarity.Similarity.pqEncode(e, "vec_id", "embedding", cb)
+      .select("sub", "d2_fp6").collect().map(r => (r.getInt(0), r.getLong(1)))
+    val expect = enc.groupBy(_._1).map { case (s, ds) =>
+      (s, ds.length.toLong, ds.map(_._2).sum, ds.map(_._2).max)
+    }.toSet
+    val out = SparkEntry.queries("emb_pq_distortion")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == expect, "distortion rollup")
+    assert(out.size == 4 && out.forall(_._3 > 0), "4 subspaces, nonzero distortion")
+    // d2 is a squared distance: never negative
+    assert(enc.forall(_._2 >= 0), "negative squared distortion")
+  }
+
   test("smp_balance keeps exactly min-class-size rows per label, identity-checked") {
     import org.apache.spark.sql.functions._
     val rows = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
