@@ -1249,6 +1249,27 @@ object Pipeline {
           min(when(col("cum") >= expr("(99 * n + 99) DIV 100"), col("v4"))).as("p99_c4"))
         .orderBy("event_type")
     }),
+    // 43y — INTER-ARRIVAL time profile (the traffic-model histogram
+    // behind session-gap and rate-limit tuning): per-user event gaps
+    // in ms, bucketed by floor(log2) — computed as length(bin(gap))−1,
+    // pure integer arithmetic identical in both engines (the HLL ρ
+    // trick), so the doubling-bucket histogram needs no libm and no
+    // float binning edge cases. One user-keyed window for the lag,
+    // then a ≤64-bucket rollup — the histogram is domain-bounded
+    // regardless of corpus size.
+    "ev_interarrival" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+      e.withColumn("prev", lag("ms", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select((col("ms") - col("prev")).as("gap"))
+        .withColumn("bucket",
+          when(col("gap") === 0, lit(-1))
+            .otherwise(expr("CAST(length(bin(gap)) AS INT) - 1")))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min("gap").as("min_gap"), max("gap").as("max_gap"))
+        .orderBy("bucket")
+    }),
     // 43x — GAPS-AND-ISLANDS (the consecutive-run pattern behind
     // uptime/freshness monitoring, coverage audits, and island-based
     // sessionization): per event type, maximal runs of consecutive
@@ -4928,6 +4949,16 @@ object Pipeline {
         |SELECT coalesce(lang_p, 'CORRUPT') AS lang_parsed, count(*) AS n,
         |  count(id) AS n_ids, CAST(sum(coalesce(id, 0)) AS BIGINT) AS sum_id
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev_interarrival" ->
+      """WITH g AS (
+        |  SELECT ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS gap
+        |  FROM (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events)),
+        |b AS (SELECT gap,
+        |    CASE WHEN gap = 0 THEN -1
+        |         ELSE CAST(length(bin(gap)) AS INT) - 1 END AS bucket
+        |  FROM g WHERE gap IS NOT NULL)
+        |SELECT bucket, count(*) AS n, min(gap) AS min_gap, max(gap) AS max_gap
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_gaps_islands" ->
       """WITH h AS (
         |  SELECT DISTINCT event_type, epoch_ms(ts) // 3600000 AS hr FROM events),

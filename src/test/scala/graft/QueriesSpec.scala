@@ -618,6 +618,29 @@ class QueriesSpec extends AnyFunSuite {
     assert(n <= 2, s"parse must not shuffle (rollup + sort only):\n$plan")
   }
 
+  test("ev_interarrival equals a brute log2-bucketed gap histogram") {
+    import org.apache.spark.sql.functions._
+    val raw = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
+    val evs = raw.select(col("user_id"), col("event_id"),
+        graft.queries.QueryUtil.tsMs(raw).as("ms"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gaps = evs.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.map(e => (e._3, e._2)).sortBy(identity).toSeq
+      sorted.zip(sorted.tail).map { case ((a, _), (b, _)) => b - a }
+    }.toSeq
+    val expect = gaps.groupBy { g =>
+      if (g == 0) -1 else 63 - java.lang.Long.numberOfLeadingZeros(g)
+    }.map { case (b, gs) => (b, gs.size.toLong, gs.min, gs.max) }.toSet
+    val out = SparkEntry.queries("ev_interarrival")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == expect, "gap histogram")
+    // buckets genuinely double: every bucket's range sits in [2^b, 2^(b+1))
+    out.filter(_._1 >= 0).foreach { case (b, _, mn, mx) =>
+      assert(mn >= (1L << b) && mx < (1L << (b + 1)), s"bucket $b out of range")
+    }
+    assert(out.size > 3, "non-degenerate histogram")
+  }
+
   test("ev_gaps_islands equals a brute consecutive-run scan") {
     import org.apache.spark.sql.functions._
     val raw = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
