@@ -1270,6 +1270,33 @@ object Pipeline {
         .agg(count(lit(1)).as("n"), min("gap").as("min_gap"), max("gap").as("max_gap"))
         .orderBy("bucket")
     }),
+    // 43z — ROLLING-window distinct actives (trailing 7-day WAU per
+    // day + DAU + rolling stickiness — the engagement trendline; the
+    // calendar-week twin is 43j ev_stickiness). Rolling DISTINCT does
+    // not decompose like a windowed sum: the window must dedup
+    // (day, user) across 7 days, so the scale path pre-dedups raw
+    // events to the day×user activity set (one shuffle; ≤ users×days
+    // rows — orders smaller than the event log), then replicates each
+    // activity row to the ≤7 window anchors it supports (bounded ×7
+    // fan-out via sequence/explode) and counts distinct per anchor.
+    // The BETWEEN self-join the oracle states would plan a range
+    // θ-join; the explode form is an equi-shuffle on day, and anchor
+    // days outside the observed domain are clipped by a broadcast
+    // semi-join against the (domain-bounded) day list.
+    "ev_rolling_distinct" -> ((s, dir) => {
+      val du = ev(s, dir)
+        .select(expr("ms DIV 86400000").as("day"), col("user_id")).distinct()
+      val days = du.select(col("day")).distinct()
+      val dau = du.groupBy("day").agg(countDistinct(col("user_id")).as("dau"))
+      val wau = du
+        .select(explode(sequence(col("day"), col("day") + 6)).as("day"), col("user_id"))
+        .join(broadcast(days), "day")
+        .groupBy("day").agg(countDistinct(col("user_id")).as("wau7"))
+      dau.join(wau, "day")
+        .select(col("day"), col("dau"), col("wau7"),
+          fp(col("dau").cast("double") / col("wau7").cast("double"), 4).as("stickiness_fp4"))
+        .orderBy("day")
+    }),
     // 43x — GAPS-AND-ISLANDS (the consecutive-run pattern behind
     // uptime/freshness monitoring, coverage audits, and island-based
     // sessionization): per event type, maximal runs of consecutive
@@ -4959,6 +4986,14 @@ object Pipeline {
         |  FROM g WHERE gap IS NOT NULL)
         |SELECT bucket, count(*) AS n, min(gap) AS min_gap, max(gap) AS max_gap
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev_rolling_distinct" ->
+      s"""WITH du AS (SELECT DISTINCT epoch_ms(ts) // 86400000 AS day, user_id FROM events),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM du GROUP BY 1),
+        |wau AS (SELECT d.day, count(DISTINCT u.user_id) AS wau7
+        |  FROM dau d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day GROUP BY 1)
+        |SELECT day, dau, wau7,
+        |  ${sqlFp("CAST(dau AS DOUBLE) / CAST(wau7 AS DOUBLE)", 4)} AS stickiness_fp4
+        |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
     "ev_gaps_islands" ->
       """WITH h AS (
         |  SELECT DISTINCT event_type, epoch_ms(ts) // 3600000 AS hr FROM events),

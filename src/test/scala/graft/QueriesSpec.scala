@@ -641,6 +641,28 @@ class QueriesSpec extends AnyFunSuite {
     assert(out.size > 3, "non-degenerate histogram")
   }
 
+  test("ev_rolling_distinct equals a brute trailing-7-day distinct scan") {
+    import org.apache.spark.sql.functions._
+    val raw = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
+    val du = raw.select(col("user_id"), graft.queries.QueryUtil.tsMs(raw).as("ms"))
+      .collect().map(r => (r.getLong(1) / 86400000L, r.getLong(0))).distinct
+    val days = du.map(_._1).distinct
+    val expect = days.map { d =>
+      val dau = du.count(_._1 == d).toLong
+      val wau = du.filter(p => p._1 >= d - 6 && p._1 <= d).map(_._2).distinct.size.toLong
+      (d, dau, wau, math.floor(dau.toDouble / wau * 10000 + 0.5).toLong)
+    }.toSet
+    val out = SparkEntry.queries("ev_rolling_distinct")(spark, TestSpark.Sf)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"rolling distinct must stay an equi-join plan:\n$plan")
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect, "rolling DAU/WAU7")
+    // WAU dominates DAU, and the window genuinely widens it somewhere
+    got.foreach { case (_, dau, wau, _) => assert(wau >= dau) }
+    assert(got.exists { case (_, dau, wau, _) => wau > dau }, "window never widened")
+  }
+
   test("ev_gaps_islands equals a brute consecutive-run scan") {
     import org.apache.spark.sql.functions._
     val raw = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
