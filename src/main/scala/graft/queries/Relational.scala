@@ -423,6 +423,28 @@ object Relational {
           first(col("c_custkey")).over(wf).as("bottom_custkey"),
           last(col("c_custkey")).over(wf).as("top_custkey"))
         .orderBy("c_mktsegment", "spend_c", "c_custkey")
+    }),
+    // 11r — BAG-semantics set operations (q9 is set-semantics EXCEPT;
+    // multiplicities are a different operator): INTERSECT ALL keeps
+    // min(cntA, cntB) copies per value, EXCEPT ALL keeps
+    // max(0, cntA − cntB). Catalyst rewrites both into ONE count
+    // aggregate per side + a Generate that re-expands the surviving
+    // multiplicity — an equi-shuffle on the value key, never a join
+    // of the raw bags — so the op costs two pre-agg scans regardless
+    // of duplication depth. Output re-aggregates the expanded bags so
+    // the oracle can hash-match multiplicities exactly.
+    "q28_setop_all" -> ((s, dir) => {
+      val a = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select((col("l_orderkey") % 1000).as("k"))
+      val b = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select((col("o_orderkey") % 1000).as("k"))
+      val ia = a.intersectAll(b).groupBy("k").agg(count(lit(1)).as("n_both"))
+      val ea = a.exceptAll(b).groupBy("k").agg(count(lit(1)).as("n_only_a"))
+      ia.join(ea, Seq("k"), "full_outer")
+        .select(coalesce(col("k"), lit(-1L)).as("k"),
+          coalesce(col("n_both"), lit(0L)).as("n_both"),
+          coalesce(col("n_only_a"), lit(0L)).as("n_only_a"))
+        .orderBy("k")
     })
   )
 
@@ -639,6 +661,16 @@ object Relational {
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY spend_c, c_custkey),
         |  wf AS (PARTITION BY c_mktsegment ORDER BY spend_c, c_custkey
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-        |ORDER BY 1, 3, 2""".stripMargin
+        |ORDER BY 1, 3, 2""".stripMargin,
+    "q28_setop_all" ->
+      """WITH a AS (SELECT l_orderkey % 1000 AS k FROM lineitem WHERE l_returnflag = 'R'),
+        |b AS (SELECT o_orderkey % 1000 AS k FROM orders WHERE o_orderstatus = 'F'),
+        |ia AS (SELECT k, count(*) AS n_both
+        |  FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) GROUP BY 1),
+        |ea AS (SELECT k, count(*) AS n_only_a
+        |  FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) GROUP BY 1)
+        |SELECT coalesce(ia.k, ea.k) AS k, coalesce(n_both, 0) AS n_both,
+        |  coalesce(n_only_a, 0) AS n_only_a
+        |FROM ia FULL JOIN ea ON ia.k = ea.k ORDER BY k""".stripMargin
   )
 }

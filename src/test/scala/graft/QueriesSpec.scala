@@ -506,6 +506,33 @@ class QueriesSpec extends AnyFunSuite {
     assert(out.map(_._4).toSet == Set(1, 2, 3, 4), "all quartiles present")
   }
 
+  test("q28_setop_all equals brute multiset min/difference arithmetic") {
+    import org.apache.spark.sql.functions._
+    val a = spark.read.parquet(s"${TestSpark.Sf}/lineitem.parquet")
+      .filter(col("l_returnflag") === "R").select((col("l_orderkey") % 1000).as("k"))
+      .collect().map(_.getLong(0))
+    val b = spark.read.parquet(s"${TestSpark.Sf}/orders.parquet")
+      .filter(col("o_orderstatus") === "F").select((col("o_orderkey") % 1000).as("k"))
+      .collect().map(_.getLong(0))
+    val ca = a.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val cb = b.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val expect = ca.keySet.flatMap { k =>
+      val nBoth = math.min(ca(k), cb.getOrElse(k, 0L))
+      val nOnly = math.max(0L, ca(k) - cb.getOrElse(k, 0L))
+      if (nBoth == 0 && nOnly == 0) None else Some((k, nBoth, nOnly))
+    }
+    val df = SparkEntry.queries("q28_setop_all")(spark, TestSpark.Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val out = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == expect, "bag intersect/except multiplicities")
+    // bag dups must genuinely exist: somewhere min(cntA,cntB) > 1
+    assert(out.exists(_._2 > 1), "no multiplicity >1 — bag semantics untested")
+    // Catalyst's rewrite: count-aggregate + Generate re-expansion, no raw-bag join
+    assert(plan.contains("ReplicateRows") || plan.contains("Generate"),
+      s"expected the aggregate+replicate INTERSECT/EXCEPT ALL plan:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortAggregate"), plan)
+  }
+
   test("src_dpp: the dim filter prunes fact partitions at runtime") {
     import org.apache.spark.sql.functions._
     val raw = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
