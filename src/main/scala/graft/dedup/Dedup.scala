@@ -456,6 +456,39 @@ object Dedup {
           .cast("double") / lit(numPerm.toDouble), 4))
       .select("doc_a", "doc_b", "est_jaccard_fp4")
 
+  /** B-BIT minwise hashing (Li & König 2010): store only the lowest
+    * `b` bits of each minhash slot — the signature shrinks 64/b×
+    * (b=2 keeps a 16-perm signature in 4 bytes), which is what makes
+    * corpus-scale signature TABLES (not just pair estimates) fit in
+    * memory/shuffle at 100 TB. Truncation inflates agreement by
+    * chance collisions: P(slot match) = C + (1−C)·J with C = 2^−b,
+    * so the unbiased estimate is Ĵ = (Â − C)/(1 − C), clamped at 0.
+    * Emitted per LSH candidate pair alongside the full-width
+    * estimator so the truncation cost is directly observable.
+    * Signatures ride the pair rows from [[lshCandidatePairs]]
+    * (`withSigs`) — the shingle→md5→minhash scan still runs once.
+    * Output: (doc_a, doc_b, agree_b2_fp4, est_b2_fp4, est_full_fp4).
+    */
+  def bbitMinhashEstPairs(df: DataFrame, idCol: String, textCol: String,
+                          shingleSize: Int = 3, numPerm: Int = 8,
+                          rowsPerBand: Int = 2, bBits: Int = 2): DataFrame = {
+    val m = 1L << bBits
+    val c = 1.0 / m
+    val nAgree = (suffix: String) => size(filter(
+      zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => if (suffix == "b") (x % m) === (y % m) else x === y),
+      p => p))
+    lshCandidatePairs(df, idCol, textCol, shingleSize, numPerm, rowsPerBand,
+        maxBucket = 0, withSigs = true)
+      .withColumn("ab", nAgree("b").cast("double") / lit(numPerm.toDouble))
+      .select(col("doc_a"), col("doc_b"),
+        TextAnalysis.fp(col("ab"), 4).as("agree_b2_fp4"),
+        TextAnalysis.fp(greatest(lit(0.0), (col("ab") - lit(c)) / lit(1.0 - c)), 4)
+          .as("est_b2_fp4"),
+        TextAnalysis.fp(nAgree("full").cast("double") / lit(numPerm.toDouble), 4)
+          .as("est_full_fp4"))
+  }
+
   /** 32-bit SimHash via the native codegen'd expression (one pass, one
     * md5 per distinct token). Bit-identical to [[simhash32]], which is
     * retained as its interpreted spec twin (32 HOF folds — ~20×

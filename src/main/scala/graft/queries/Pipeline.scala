@@ -151,6 +151,16 @@ object Pipeline {
         shingleSize = 3, numPerm = 8, rowsPerBand = 2)
         .orderBy("doc_a", "doc_b")
     }),
+    // 32m — b-bit minwise hashing (Li & König 2010): 2-bit truncated
+    // signatures + the collision-corrected Jaccard estimate next to
+    // the full-width estimator — the storage layout that shrinks a
+    // corpus signature table 32× (what makes it broadcastable at
+    // 100 TB). Same one-scan LSH candidate machinery as 32b.
+    "dd_bbit_minhash" -> ((s, dir) => {
+      Dedup.bbitMinhashEstPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, numPerm = 8, rowsPerBand = 2, bBits = 2)
+        .orderBy("doc_a", "doc_b")
+    }),
     // 33b — SimHash Hamming-neighbor pairs (pigeonhole band join)
     "dd_simhash_pairs" -> ((s, dir) => {
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -3261,6 +3271,17 @@ object Pipeline {
         |    ELSE ${sqlFp("CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE)", 4)} END AS recall_fp4
         |FROM tp, np, nt""".stripMargin,
     "dd_minhash_est" -> minhashEstSql,
+    // b=2 truncation: slot match on sig mod 4; Ĵ=(Â−1/4)/(3/4) clamped
+    "dd_bbit_minhash" -> {
+      val a2 = "CAST(len(list_filter(range(1, 9), i -> sa.sig[i] % 4 = sb.sig[i] % 4)) AS DOUBLE) / 8.0"
+      s"""WITH ${minhashCtes()}
+         |SELECT doc_a, doc_b,
+         |  ${sqlFp(a2, 4)} AS agree_b2_fp4,
+         |  ${sqlFp(s"greatest(0.0, ($a2 - 0.25) / 0.75)", 4)} AS est_b2_fp4,
+         |  ${sqlFp("CAST(len(list_filter(range(1, 9), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 8.0", 4)} AS est_full_fp4
+         |FROM cand JOIN sigs sa ON sa.doc = doc_a JOIN sigs sb ON sb.doc = doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
     // transitive min-label closure via a recursive CTE over the same
     // candidate edges; UNION dedup terminates the recursion
     "dd_components" ->

@@ -195,6 +195,26 @@ class DedupSimSpec extends AnyFunSuite {
     assert(est.find(e => e._1 == 100L && e._2 == 101L).exists(_._3 == 10000L))
   }
 
+  test("bbitMinhashEstPairs obeys the Li-König correction law vs the full estimator") {
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+    val bb = Dedup.bbitMinhashEstPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val full = Dedup.minhashEstPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(e => (e._1, e._2) -> e._3).toMap
+    assert(bb.map(e => (e._1, e._2)).toSet == full.keySet, "same candidate pairs")
+    bb.foreach { case (a, b, agree2, est2, estFull) =>
+      assert(estFull == full((a, b)), "full-width column equals the 32b estimator")
+      // truncation can only inflate agreement: equal slots stay equal mod 4
+      assert(agree2 >= estFull, s"($a,$b): agree_b2 $agree2 < full $estFull")
+      // the correction law, reconstructed exactly (agreement is k/8, k∈0..8)
+      val k = math.round(agree2 * 8.0 / 10000.0)
+      val want = math.floor(math.max(0.0, (k / 8.0 - 0.25) / 0.75) * 1e4 + 0.5).toLong
+      assert(est2 == want, s"($a,$b): est_b2 $est2 != law $want (k=$k)")
+    }
+    // some pair must actually lose information to truncation
+    assert(bb.exists(e => e._3 > e._5), "no pair shows chance collisions")
+  }
+
   test("minhash est computes the signature pipeline once (single scan, reused exchange)") {
     val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
