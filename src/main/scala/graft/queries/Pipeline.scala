@@ -528,6 +528,33 @@ object Pipeline {
         .agg(count(lit(1)).as("n"), sum("v4").as("sum_v4"))
         .orderBy("day")
     }),
+    // 44h — SCHEMA-EVOLUTION read (the lakehouse reality that a
+    // 100 TB table accumulates files from many writer versions):
+    // batch v1 predates the `source`/`n_chars` columns, batch v2
+    // carries them. mergeSchema=true unions the parquet footers into
+    // one superset schema and back-fills absent columns with null —
+    // old files are never rewritten to add a column (at 100 TB you
+    // cannot rewrite history; the merge cost is footer-sized, not
+    // data-sized). The profile splits legacy (null-source) rows from
+    // evolved rows per lang, proving the back-fill is observable.
+    "src_schema_evolution" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_evo").toString
+      val docs = t(s, dir, "documents")
+      docs.filter(col("doc_id") % 2 === 0).select("doc_id", "lang")
+        .write.mode("overwrite").parquet(s"$tmp/v1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$tmp/v2")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
+        .toSeq.sortBy(-_.getNameCount).foreach(_.toFile.deleteOnExit())
+      s.read.option("mergeSchema", "true").parquet(s"$tmp/v1", s"$tmp/v2")
+        .groupBy("lang").agg(
+          count(lit(1)).as("n"),
+          sum(when(col("source").isNull, 1L).otherwise(0L)).as("n_legacy"),
+          sum(coalesce(col("n_chars"), lit(0L))).as("sum_chars_v2"))
+        .orderBy("lang")
+    }),
     // 44g — DYNAMIC partition pruning (the join-driven half of the
     // pruning story next to src_partitioned_scan's static filter):
     // the fact is partitioned by event_type, and the dim's filter —
@@ -4907,6 +4934,12 @@ object Pipeline {
         |${it(4)}
         |SELECT j AS dim, CAST(vj AS BIGINT) AS pc1_fp6 FROM v4 ORDER BY dim""".stripMargin
     },
+    // legacy batch = even doc_ids (written without source/n_chars)
+    "src_schema_evolution" ->
+      """SELECT lang, count(*) AS n,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS sum_chars_v2
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "src_partitioned_scan" ->
       s"""SELECT epoch_ms(ts) // 86400000 AS day, count(*) AS n,
         |  CAST(sum(${sqlFp("\"value\"", 4)}) AS BIGINT) AS sum_v4

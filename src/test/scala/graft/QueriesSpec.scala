@@ -533,6 +533,25 @@ class QueriesSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("SortAggregate"), plan)
   }
 
+  test("src_schema_evolution back-fills pre-evolution files with nulls") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expect = docs.groupBy(_._2).map { case (lang, rs) =>
+      (lang, rs.length.toLong,
+        rs.count(_._1 % 2 == 0).toLong,
+        rs.filter(_._1 % 2 == 1).map(_._3).sum)
+    }.toSet
+    val df = SparkEntry.queries("src_schema_evolution")(spark, TestSpark.Sf)
+    // the merged read surfaces the evolved columns even though the
+    // v1 footers lack them — that IS the schema-evolution contract
+    val out = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == expect, "legacy/evolved split per lang")
+    assert(out.exists(_._3 > 0), "no legacy rows — evolution untested")
+  }
+
   test("src_dpp: the dim filter prunes fact partitions at runtime") {
     import org.apache.spark.sql.functions._
     val raw = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
