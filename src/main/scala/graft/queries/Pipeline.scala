@@ -839,6 +839,45 @@ object Pipeline {
         .select(col("id_a"), col("id_b"), col("cos_fp6"))
         .orderBy("id_a", "id_b")
     }),
+    // 35l — HARD-NEGATIVE mining over the labeled embeddings (the
+    // contrastive-training data op: per anchor, the most-similar
+    // DIFFERENT-label vector = hardest negative, the most-similar
+    // same-label vector = nearest positive, and the margin between
+    // them — anchors with negative margin are the label noise /
+    // boundary cases a triplet-loss curriculum feeds first).
+    // Candidates are blocked by the deterministic IVF cell (the
+    // sim_ann_ivf machinery): hard negatives are by definition NEAR
+    // the anchor, so the cell that bounds ANN candidates bounds them
+    // too — within-cell pairs, never corpus². Both argmaxes ride ONE
+    // hash agg over packed longs ((cos_fp6+1e6)·2^40 + (2^40−1−id):
+    // max = best cosine, ties to smallest id; ids must fit 2^40 —
+    // document-scale, and the pack overflows loudly, not silently)
+    // — no per-anchor window, no SortAggregate.
+    "emb_hard_negatives" -> ((s, dir) => {
+      val P = 1L << 40
+      val e = t(s, dir, "embeddings")
+      val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", 16)
+      val assigned = Similarity.ivfAssign(e, "vec_id", "embedding", cents)
+      val lbl = e.select(col("vec_id"), col("label"))
+      val withLab = assigned.join(lbl, col("id") === col("vec_id")).drop("vec_id")
+      val a = withLab.select(col("id").as("id_a"), col("vec").as("_va"),
+        col("cell"), col("label").as("lab_a"))
+      val b = withLab.select(col("id").as("id_b"), col("vec").as("_vb"),
+        col("cell"), col("label").as("lab_b"))
+      val pk = (fp(Similarity.cosine(col("_va"), col("_vb")), 6) + lit(1000000L)) * lit(P) +
+        (lit(P - 1) - col("id_b"))
+      val agg = a.join(b, "cell").filter(col("id_a") =!= col("id_b"))
+        .groupBy("id_a")
+        .agg(max(when(col("lab_b") =!= col("lab_a"), pk)).as("pn"),
+          max(when(col("lab_b") === col("lab_a"), pk)).as("pp"))
+      agg.select(col("id_a").as("vec_id"),
+          (lit(P - 1) - pmod(col("pn"), lit(P))).as("neg_id"),
+          (expr(s"pn DIV ${P}") - lit(1000000L)).as("cos_neg_fp6"),
+          (lit(P - 1) - pmod(col("pp"), lit(P))).as("pos_id"),
+          (expr(s"pp DIV ${P}") - lit(1000000L)).as("cos_pos_fp6"),
+          (expr(s"pp DIV ${P}") - expr(s"pn DIV ${P}")).as("margin_fp6"))
+        .orderBy("vec_id")
+    }),
     // 41f — TF-IDF term weights: explode tokens → (doc, term) tf
     // counts → document frequencies via groupBy(term) + broadcast
     // join-back. The df agg does map-side partial aggregation, so a
@@ -3426,6 +3465,34 @@ object Pipeline {
         |SELECT k1.id_a, k1.id_b, k1.cos_fp6 FROM knn k1
         |JOIN knn k2 ON k1.id_a = k2.id_b AND k1.id_b = k2.id_a
         |WHERE k1.id_a < k1.id_b ORDER BY k1.id_a, k1.id_b""".stripMargin,
+    // same IVF assignment CTEs, labels carried; both argmaxes via the
+    // identical packed-long max ((cos_fp6+1e6)·2^40 + (2^40−1−id))
+    "emb_hard_negatives" ->
+      s"""WITH cnt AS (SELECT count(*) AS c FROM embeddings),
+        |cents AS (SELECT vec_id AS centroid_id, embedding AS cvec
+        |          FROM embeddings, cnt WHERE vec_id % greatest(1, (c + 15) // 16) = 0),
+        |ac AS (SELECT e.vec_id, e.embedding, e.label, c.centroid_id,
+        |         ${cosSql("e.embedding", "c.cvec")} AS cosv
+        |       FROM embeddings e CROSS JOIN cents c),
+        |asg AS (SELECT vec_id, embedding, label, centroid_id AS cell FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosv DESC, centroid_id) AS rn
+        |         FROM ac) WHERE rn = 1),
+        |sc AS (SELECT a.vec_id AS id_a, a.label AS lab_a, b.vec_id AS id_b, b.label AS lab_b,
+        |         ${sqlFp(cosSql("a.embedding", "b.embedding"), 6)} AS cos_fp6
+        |       FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id != b.vec_id),
+        |pk AS (SELECT id_a,
+        |         max(CASE WHEN lab_b != lab_a
+        |             THEN (cos_fp6 + 1000000) * 1099511627776 + (1099511627775 - id_b) END) AS pn,
+        |         max(CASE WHEN lab_b = lab_a
+        |             THEN (cos_fp6 + 1000000) * 1099511627776 + (1099511627775 - id_b) END) AS pp
+        |       FROM sc GROUP BY 1)
+        |SELECT id_a AS vec_id,
+        |  1099511627775 - (pn % 1099511627776) AS neg_id,
+        |  pn // 1099511627776 - 1000000 AS cos_neg_fp6,
+        |  1099511627775 - (pp % 1099511627776) AS pos_id,
+        |  pp // 1099511627776 - 1000000 AS cos_pos_fp6,
+        |  pp // 1099511627776 - pn // 1099511627776 AS margin_fp6
+        |FROM pk ORDER BY vec_id""".stripMargin,
     // PQ mirror: stride codebook (rank = code), subspace slices,
     // d2 = x·x − 2·x·c + c·c with the same fold-order dots, argmin =
     // windowed first by (d2, code)

@@ -215,6 +215,37 @@ class DedupSimSpec extends AnyFunSuite {
     assert(bb.exists(e => e._3 > e._5), "no pair shows chance collisions")
   }
 
+  test("emb_hard_negatives equals brute within-cell triplet selection") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+    val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", 16)
+    val asg = Similarity.ivfAssign(e, "vec_id", "embedding", cents)
+      .join(e.select(col("vec_id"), col("label")), col("id") === col("vec_id"))
+    val a = asg.select(col("id").as("ia"), col("vec").as("va"), col("cell"), col("label").as("la"))
+    val b = asg.select(col("id").as("ib"), col("vec").as("vb"), col("cell"), col("label").as("lb"))
+    // cosines from the same engine expression; SELECTION brute-forced in Scala
+    val pairs = a.join(b, "cell").filter(col("ia") =!= col("ib"))
+      .select(col("ia"), col("la"), col("ib"), col("lb"),
+        graft.text.TextAnalysis.fp(Similarity.cosine(col("va"), col("vb")), 6).as("c6"))
+      .as[(Long, Int, Long, Int, Long)].collect()
+    def best(ps: Seq[(Long, Long)]): Option[(Long, Long)] = // (cos, id) → max cos, tie min id
+      if (ps.isEmpty) None else Some(ps.maxBy { case (c, id) => (c, -id) })
+    val expect = pairs.groupBy(_._1).map { case (ia, rs) =>
+      val neg = best(rs.filter(r => r._4 != r._2).map(r => (r._5, r._3)).toSeq)
+      val pos = best(rs.filter(r => r._4 == r._2).map(r => (r._5, r._3)).toSeq)
+      (ia, neg.map(_._2), neg.map(_._1), pos.map(_._2), pos.map(_._1),
+        for (n <- neg; p <- pos) yield p._1 - n._1)
+    }.toSet
+    val out = SparkEntry.queries("emb_hard_negatives")(spark, TestSpark.Sf)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortAggregate"), s"argmax must hash-aggregate:\n$plan")
+    def optL(r: org.apache.spark.sql.Row, i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+    val got = out.collect().map(r => (r.getLong(0), optL(r, 1), optL(r, 2),
+      optL(r, 3), optL(r, 4), optL(r, 5))).toSet
+    assert(got == expect, "hard-negative triplet selection")
+    assert(got.exists(_._6.exists(_ < 0)), "no negative-margin anchor — selection untested at the boundary")
+  }
+
   test("minhash est computes the signature pipeline once (single scan, reused exchange)") {
     val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
