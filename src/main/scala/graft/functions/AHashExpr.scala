@@ -113,6 +113,55 @@ object RasterSumExpr {
   }
 }
 
+/** Native sum of SQUARED pixel values of an `n`-byte raster binary —
+  * the second moment that, with [[RasterSumExpr]], yields exact
+  * per-channel mean/variance normalization constants. Same
+  * truncation contract: payload shorter than `n` → null. Twin:
+  * [[graft.multimodal.Multimodal.rasterSumSqHof]].
+  *
+  * Registered as SQL function `graft_raster_sumsq` via
+  * [[GraftFunctions.register]].
+  */
+case class RasterSumSqExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (BinaryType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_raster_sumsq expects (binary, int), got ($l, $r)")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_raster_sumsq"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(payload: Any, n: Any): Any =
+    RasterSumSqExpr.compute(payload.asInstanceOf[Array[Byte]], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (p, n) => {
+      val v = ctx.freshName("rsumsq")
+      s"""
+       |java.lang.Long $v = graft.functions.RasterSumSqExpr.compute($p, $n);
+       |if ($v == null) { ${ev.isNull} = true; } else { ${ev.value} = $v.longValue(); }
+     """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object RasterSumSqExpr {
+  /** Called from generated code. */
+  def compute(p: Array[Byte], n: Int): java.lang.Long = {
+    if (n < 0 || p.length < n) return null
+    var s = 0L
+    var i = 0
+    while (i < n) { val v = (p(i) & 0xff).toLong; s += v * v; i += 1 }
+    s
+  }
+}
+
 /** Native sum of absolute pixel differences (SAD) between two
   * `n`-byte raster binaries — the frame-difference metric behind
   * scene-cut detection. Unsigned byte arithmetic; either payload

@@ -145,6 +145,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[RasterSumExpr].getName, "graft_raster_sum"),
       (children: Seq[Expression]) => RasterSumExpr(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_raster_sumsq"),
+      new ExpressionInfo(classOf[RasterSumSqExpr].getName, "graft_raster_sumsq"),
+      (children: Seq[Expression]) => RasterSumSqExpr(children(0), children(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_raster_sad"),
       new ExpressionInfo(classOf[RasterSadExpr].getName, "graft_raster_sad"),
       (children: Seq[Expression]) => RasterSadExpr(children(0), children(1), children(2))))

@@ -244,6 +244,32 @@ object Multimodal {
     Array.tabulate(64)(i => (((base + i * 7) % 240) + shift).toByte)
   }
 
+  /** Deterministic channel-PLANAR RGB 8×8 raster (192 bytes: R plane,
+    * G plane, B plane). Channel c's pixel i is
+    * `((id%16)·31 + i·7 + c·11) % 240 + id%3` — the gray rule with a
+    * per-channel phase, so channels genuinely differ and the
+    * per-channel moments are distinguishable. */
+  def synthRgb8x8(id: Long): Array[Byte] = {
+    val base = (id % 16) * 31
+    val shift = id % 3
+    Array.tabulate(192) { j =>
+      val c = j / 64; val i = j % 64
+      (((base + i * 7 + c * 11) % 240) + shift).toByte
+    }
+  }
+
+  /** Native sum of squared pixel values of an `n`-byte raster — the
+    * second moment behind exact channel mean/variance stats. */
+  def rasterSumSq(payload: Column, n: Int): Column =
+    call_function("graft_raster_sumsq", payload, lit(n))
+
+  /** HOF spec twin of [[rasterSumSq]] (interpreted per-byte parse —
+    * bit-equality tested; don't use it in anything measured). */
+  def rasterSumSqHof(payload: Column, n: Int): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(n - 1)), i => u8(payload, i + lit(1)).cast("long")),
+      lit(0L), (a, v) => a + v * v)
+
   /** One half of the 64-bit average hash (aHash) of an 8×8 grayscale
     * raster carried as a 64-byte binary column: bit i (pixel
     * `start+i`, i = 0..31) is set iff pixel·64 > Σ pixels — strict

@@ -2143,6 +2143,39 @@ object Pipeline {
         .select("doc_id", "phash_hi", "phash_lo", "rep_id", "group_size")
         .orderBy("doc_id")
     }),
+    // 45m — per-CHANNEL pixel normalization constants (the
+    // dataset-level mean/variance every vision pipeline computes once
+    // — the "ImageNet mean/std" numbers baked into preprocessing):
+    // channel-planar RGB rasters, exact integer first/second moments
+    // per channel via the native raster folds (one byte pass each),
+    // variance from the moment identity n·Σx²−(Σx)² carried in
+    // DECIMAL(38,0) (exact past 10⁹ images where long products
+    // overflow), ONE double divide at the end. Narrow columnar map →
+    // a 3-key rollup: zero joins, the shuffle is 3×tasks partial rows.
+    "mm_channel_stats" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal
+      val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val payloads = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.synthRgb8x8(id))))
+        .toDF("doc_id", "payload")
+      val slice = (c: Column) => col("payload").substr(c.cast("int") * lit(64) + lit(1), lit(64))
+      val perChan = payloads
+        .select(explode(array(lit(0L), lit(1L), lit(2L))).as("channel"), col("payload"))
+        .select(col("channel"),
+          Multimodal.rasterSum(slice(col("channel")), 64).as("s"),
+          Multimodal.rasterSumSq(slice(col("channel")), 64).as("q"))
+      perChan.groupBy("channel")
+        .agg((count(lit(1)) * 64).as("n_px"),
+          sum("s").cast("long").as("sum_px"),
+          sum("q").cast("long").as("sumsq_px"))
+        .select(col("channel"), col("n_px"), col("sum_px"), col("sumsq_px"),
+          fp(col("sum_px").cast("double") / col("n_px").cast("double"), 4).as("mean_fp4"),
+          fp((col("n_px").cast(D38) * col("sumsq_px").cast(D38) -
+              col("sum_px").cast(D38) * col("sum_px").cast(D38)).cast("double") /
+             (col("n_px").cast("double") * col("n_px").cast("double")), 4).as("var_fp4"))
+        .orderBy("channel")
+    }),
     // 45j — image RESIZE (the decode→resize→featurize pipeline's
     // middle stage, named by the brief): integer box-filter 2×
     // downsample over the same synthetic 8×8 rasters as 45e — each
@@ -4731,6 +4764,18 @@ object Pipeline {
         |SELECT h.doc_id, CAST(h.phash_hi AS BIGINT) AS phash_hi,
         |  CAST(h.phash_lo AS BIGINT) AS phash_lo, g.rep_id, g.group_size
         |FROM h JOIN g USING (phash_hi, phash_lo) ORDER BY doc_id""".stripMargin,
+    // channel-planar synth rule re-derived per (channel, pixel);
+    // moment identity in HUGEINT mirrors Spark's DECIMAL(38,0)
+    "mm_channel_stats" ->
+      s"""WITH px AS (
+        |  SELECT c, ((doc_id % 16) * 31 + i * 7 + c * 11) % 240 + doc_id % 3 AS p
+        |  FROM documents CROSS JOIN range(0, 3) t1(c) CROSS JOIN range(0, 64) t2(i)),
+        |a AS (SELECT c AS channel, count(*) AS n_px, CAST(sum(p) AS BIGINT) AS sum_px,
+        |    CAST(sum(p * p) AS BIGINT) AS sumsq_px FROM px GROUP BY 1)
+        |SELECT channel, n_px, sum_px, sumsq_px,
+        |  ${sqlFp("CAST(sum_px AS DOUBLE) / CAST(n_px AS DOUBLE)", 4)} AS mean_fp4,
+        |  ${sqlFp("CAST(CAST(n_px AS HUGEINT) * sumsq_px - CAST(sum_px AS HUGEINT) * sum_px AS DOUBLE) / (CAST(n_px AS DOUBLE) * CAST(n_px AS DOUBLE))", 4)} AS var_fp4
+        |FROM a ORDER BY channel""".stripMargin,
     // resize: every 2×2 block of the closed-form synthGray8x8 raster
     // floor-averages to one output pixel — integer // 4 mirrors the
     // Spark side's shift

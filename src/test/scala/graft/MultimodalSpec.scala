@@ -343,6 +343,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.exists(r => r._2 != 0L || r._4 != 0L), "battery must include a nonzero hash")
   }
 
+  test("rasterSumSq native equals the HOF twin incl. truncation; channel stats match brute moments") {
+    import org.apache.spark.sql.functions._
+    // twin battery: full, flat, extreme, truncated, overlong
+    val payloads = Seq(Multimodal.synthGray8x8(1L), Array.fill[Byte](64)(100.toByte),
+      Array.fill[Byte](32)(0.toByte) ++ Array.fill[Byte](32)(255.toByte),
+      Multimodal.synthGray8x8(3L) ++ Array[Byte](9),
+      Array.empty[Byte], Multimodal.synthGray8x8(5L).take(63))
+    val rows = payloads.zipWithIndex.map { case (p, i) => (i.toLong, p) }.toDF("id", "payload")
+      .select(Multimodal.rasterSumSq(col("payload"), 64).as("q"),
+        Multimodal.rasterSumSqHof(col("payload"), 64).as("q_hof"))
+      .as[(Option[Long], Option[Long])].collect()
+    rows.foreach { case (q, qh) => assert(q == qh, s"$q vs $qh") }
+    assert(rows.count(_._1.isEmpty) == 2, "two truncated rasters must null")
+    // brute per-channel moments over the sf corpus
+    val ids = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select("doc_id").as[Long].collect()
+    val expect = (0 until 3).map { c =>
+      val px = ids.flatMap(id => Multimodal.synthRgb8x8(id)
+        .slice(c * 64, c * 64 + 64).map(b => (b & 0xff).toLong))
+      val n = px.length.toLong; val s = px.sum
+      val q = px.map(v => v * v).sum
+      val mean = math.floor(s.toDouble / n * 1e4 + 0.5).toLong
+      val vv = math.floor((BigInt(n) * q - BigInt(s) * s).toDouble / (n.toDouble * n.toDouble) * 1e4 + 0.5).toLong
+      (c.toLong, n, s, q, mean, vv)
+    }.toSet
+    val got = graft.SparkEntry.queries("mm_channel_stats")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == expect, "channel moment stats")
+    assert(got.map(_._5).size == 3, "channel means must differ (phase term)")
+  }
+
   test("aHash: brightness-shift invariant, pattern-sensitive, JVM synth ↔ columnar parse agree") {
     import org.apache.spark.sql.functions.col
     // ids 1, 17, 33 share id%16=1 but differ in id%3 (1, 2, 0): same
