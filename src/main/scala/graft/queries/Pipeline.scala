@@ -315,6 +315,31 @@ object Pipeline {
       TextAnalysis.langIdNgramDf(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
     }),
+    // 38l — classifier EVALUATION report (the eval harness every
+    // pipeline classifier ships with): both language-ID
+    // implementations scored against the truth label per language —
+    // accuracy of each plus inter-classifier agreement (the
+    // label-free proxy monitored when truth is missing). Two
+    // single-pass prediction frames equi-joined back on doc_id, then
+    // a languages-bounded rollup; rates are exact small-int
+    // divisions fp4-quantized.
+    "txt_langid_eval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val a = TextAnalysis.langIdDf(docs, "doc_id", "text", out = "pred_stop")
+      val b = TextAnalysis.langIdNgramDf(docs, "doc_id", "text", out = "pred_gram")
+      docs.select(col("doc_id"), col("lang"))
+        .join(a, "doc_id").join(b, "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pred_stop") === col("lang"), 1L).otherwise(0L)).as("n_stop_ok"),
+          sum(when(col("pred_gram") === col("lang"), 1L).otherwise(0L)).as("n_gram_ok"),
+          sum(when(col("pred_stop") === col("pred_gram"), 1L).otherwise(0L)).as("n_agree"))
+        .select(col("lang"), col("n_docs"), col("n_stop_ok"), col("n_gram_ok"), col("n_agree"),
+          fp(col("n_stop_ok").cast("double") / col("n_docs").cast("double"), 4).as("acc_stop_fp4"),
+          fp(col("n_gram_ok").cast("double") / col("n_docs").cast("double"), 4).as("acc_gram_fp4"),
+          fp(col("n_agree").cast("double") / col("n_docs").cast("double"), 4).as("agree_fp4"))
+        .orderBy("lang")
+    }),
     // 39 — quality scoring (length/punct/stopword ratios; staged tokens)
     "txt_quality" -> ((s, dir) => {
       TextAnalysis.qualityDf(t(s, dir, "documents"), "doc_id", "text")
@@ -3781,6 +3806,27 @@ object Pipeline {
       val best = s"greatest(${scores.map(_._2).mkString(", ")})"
       val cases = scores.map { case (lang, e) => s"WHEN $e = $best THEN '$lang'" }.mkString(" ")
       s"SELECT doc_id, CASE $cases END AS lang_pred FROM documents ORDER BY doc_id"
+    },
+    "txt_langid_eval" -> {
+      val scores = TextAnalysis.DefaultTrigramProfiles.map { case (lang, grams) =>
+        val inList = grams.map(g => s"'${g.replace("'", "''")}'").mkString(", ")
+        lang -> (s"len(list_filter(CASE WHEN length(lower(text)) < 3 THEN [] " +
+          s"ELSE list_transform(range(1, length(lower(text)) - 1), i -> substr(lower(text), CAST(i AS INT), 3)) END, " +
+          s"g -> g IN ($inList)))")
+      }
+      val best = s"greatest(${scores.map(_._2).mkString(", ")})"
+      val cases = scores.map { case (lang, e) => s"WHEN $e = $best THEN '$lang'" }.mkString(" ")
+      s"""WITH p AS (SELECT lang, $langIdSql AS ps, CASE $cases END AS pg FROM documents),
+        |a AS (SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN ps = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_stop_ok,
+        |  CAST(sum(CASE WHEN pg = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_gram_ok,
+        |  CAST(sum(CASE WHEN ps = pg THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+        |FROM p GROUP BY 1)
+        |SELECT lang, n_docs, n_stop_ok, n_gram_ok, n_agree,
+        |  ${sqlFp("CAST(n_stop_ok AS DOUBLE) / CAST(n_docs AS DOUBLE)", 4)} AS acc_stop_fp4,
+        |  ${sqlFp("CAST(n_gram_ok AS DOUBLE) / CAST(n_docs AS DOUBLE)", 4)} AS acc_gram_fp4,
+        |  ${sqlFp("CAST(n_agree AS DOUBLE) / CAST(n_docs AS DOUBLE)", 4)} AS agree_fp4
+        |FROM a ORDER BY 1""".stripMargin
     },
     "txt_quality" ->
       s"""SELECT doc_id, CAST(length(text) AS INT) AS n_chars,

@@ -687,6 +687,30 @@ class QueriesSpec extends AnyFunSuite {
     assert(out.size > 3, "non-degenerate histogram")
   }
 
+  test("txt_langid_eval equals the rollup of the two verified langid outputs") {
+    import org.apache.spark.sql.functions._
+    val truth = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select("doc_id", "lang").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ps = SparkEntry.queries("txt_langid")(spark, TestSpark.Sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pg = SparkEntry.queries("txt_langid_ngram")(spark, TestSpark.Sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def f4(n: Long, d: Long) = math.floor(n.toDouble / d * 1e4 + 0.5).toLong
+    val expect = truth.groupBy(_._2).map { case (lang, docs) =>
+      val ids = docs.keys.toSeq
+      val n = ids.size.toLong
+      val ns = ids.count(i => ps(i) == lang).toLong
+      val ng = ids.count(i => pg(i) == lang).toLong
+      val na = ids.count(i => ps(i) == pg(i)).toLong
+      (lang, n, ns, ng, na, f4(ns, n), f4(ng, n), f4(na, n))
+    }.toSet
+    val got = SparkEntry.queries("txt_langid_eval")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSet
+    assert(got == expect, "per-language eval rollup")
+    assert(got.map(_._2).sum == truth.size, "cells partition the corpus")
+  }
+
   test("ev_rolling_distinct equals a brute trailing-7-day distinct scan") {
     import org.apache.spark.sql.functions._
     val raw = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
