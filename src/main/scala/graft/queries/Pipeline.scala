@@ -2279,6 +2279,16 @@ object Pipeline {
         Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
         .orderBy("doc_id")
     }),
+    // 46n — deterministic k-FOLD cross-validation assignment (the
+    // eval-protocol twin of 46e's single split): fold = floor(u·5)
+    // over the md5-uniform — fold f's train set is "fold != f",
+    // recomputable anywhere without materializing 5 corpus copies;
+    // zero shuffle
+    "smp_kfold" -> ((s, dir) => {
+      graft.sample.Sampling.kfold(
+        t(s, dir, "documents").select("doc_id", "source"), "doc_id", k = 5)
+        .orderBy("doc_id")
+    }),
     // 46f — budget-bounded corpus selection: best docs (longest,
     // id tiebreak) kept while the running token total stays within
     // budget — a global ordered cumsum WITHOUT a single-task window
@@ -4906,6 +4916,17 @@ object Pipeline {
         | (a, v) -> a*16 + v)""".stripMargin.replace("\n", " ")
       s"""SELECT doc_id, source,
         |  CASE WHEN u < 0.75 THEN 'train' WHEN u < 0.875 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, source,
+        |    CAST($u32 AS DOUBLE) / 4294967296.0 AS u FROM documents)
+        |ORDER BY doc_id""".stripMargin
+    },
+    "smp_kfold" -> {
+      val u32 = """list_reduce(list_prepend(CAST(0 AS BIGINT),
+        | list_transform(range(1, 9),
+        |   i -> CAST(strpos('0123456789abcdef',
+        |          substr(md5('kf:' || CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT))),
+        | (a, v) -> a*16 + v)""".stripMargin.replace("\n", " ")
+      s"""SELECT doc_id, source, CAST(least(floor(u * 5), 4) AS BIGINT) AS fold
         |FROM (SELECT doc_id, source,
         |    CAST($u32 AS DOUBLE) / 4294967296.0 AS u FROM documents)
         |ORDER BY doc_id""".stripMargin

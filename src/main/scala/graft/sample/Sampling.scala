@@ -154,6 +154,19 @@ object Sampling {
       .drop("_u")
   }
 
+  /** Deterministic K-FOLD cross-validation assignment: fold =
+    * floor(u·k) over the md5-uniform u — every row lands in exactly
+    * one of k folds, rerun/retry/partitioning-stable (the property
+    * that lets fold f's train set = "fold != f" be recomputed
+    * anywhere without materializing k copies of the corpus). The
+    * least() guard pins the (unreachable for k ≪ 2³²) u→1 edge to
+    * fold k−1. Narrow map, zero shuffle. */
+  def kfold(df: DataFrame, idCol: String, k: Int, salt: String = "kf"): DataFrame = {
+    require(k > 1, "kfold needs k > 1")
+    df.withColumn("fold",
+      least(floor(hashUniform(col(idCol), salt) * k).cast("long"), lit(k - 1L)))
+  }
+
   /** Budget-bounded corpus selection: walk the corpus in (scoreCol
     * DESC, idCol ASC) order and keep rows while the running sum of
     * `weightCol` stays ≤ `budget` — "take the best documents up to

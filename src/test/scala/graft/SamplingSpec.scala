@@ -209,6 +209,28 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("kfold partitions into k balanced folds, stable across repartition, matches the md5 rule") {
+    val df = (0L until 4000L).map(Tuple1(_)).toDF("doc_id")
+    val out = Sampling.kfold(df, "doc_id", k = 5)
+      .select("doc_id", "fold").as[(Long, Long)].collect()
+    assert(out.length == 4000 && out.map(_._1).distinct.length == 4000)
+    val sizes = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(sizes.keySet == Set(0L, 1L, 2L, 3L, 4L), sizes.toString)
+    sizes.values.foreach(n => assert(math.abs(n / 4000.0 - 0.2) < 0.05, sizes.toString))
+    // pure function of (salt, id)
+    val re = Sampling.kfold(df.repartition(13), "doc_id", k = 5)
+      .select("doc_id", "fold").as[(Long, Long)].collect().toMap
+    assert(out.forall { case (id, f) => re(id) == f })
+    // independent JVM re-derivation of the rule
+    val md = java.security.MessageDigest.getInstance("MD5")
+    out.take(200).foreach { case (id, f) =>
+      val hex = md.digest(s"kf:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val u = java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+      assert(f == math.min(math.floor(u * 5).toLong, 4L), s"id $id")
+    }
+    intercept[IllegalArgumentException] { Sampling.kfold(df, "doc_id", k = 1) }
+  }
+
   test("budgetSelect keeps the greedy score-ordered prefix, independent of partitioning") {
     val rows = (1L to 500L).map(i => (i, (i * 37 % 211) + 1, (i * 13 % 50) + 1)) // (id, score, weight)
     val df = rows.toDF("doc_id", "score", "wt")
