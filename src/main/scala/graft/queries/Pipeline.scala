@@ -1767,6 +1767,48 @@ object Pipeline {
     // eval-set decontamination → budget-bounded selection. Seven
     // section counts oracle-gated, so a drift in ANY stage's
     // semantics (or in how the stages compose) hash-mismatches
+    // 47b — the DATASET CARD (the per-source corpus profile every
+    // released training set ships with): docs, whitespace tokens,
+    // exact-dup fraction (corpus-wide content-hash groups — a source
+    // re-hosting another's docs counts as duplicated), majority
+    // language, exact median doc length, mean length. One doc scan
+    // feeds four source-keyed rollups: dup marks ride a hash
+    // self-join linear in dup mass; the median uses the ev_percentile
+    // histogram compression ((source, n_chars) groups — the window
+    // walks value groups, never raw rows); top-lang is a
+    // langs-bounded window. Sources are domain-bounded, so every
+    // intermediate after the first agg is tiny.
+    "pipe_dataset_card" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"),
+          md5(col("text")).as("h"))
+      val dup = base.groupBy("h").agg(count(lit(1)).as("hc"))
+      val agg = base.join(dup, "h")
+        .withColumn("is_dup", (col("hc") > 1).cast("long"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_toks").cast("long").as("n_tokens"),
+          sum("is_dup").cast("long").as("dup_docs"),
+          sum("n_chars").cast("long").as("sum_chars"))
+      val wl = Window.partitionBy("source").orderBy(col("ln").desc, col("lang"))
+      val top = base.groupBy("source", "lang").agg(count(lit(1)).as("ln"))
+        .withColumn("rn", row_number().over(wl)).filter(col("rn") === 1)
+        .select(col("source"), col("lang").as("top_lang"), col("ln").as("top_lang_n"))
+      val wc = Window.partitionBy("source").orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy("source")
+      val p50 = base.groupBy("source", "n_chars").agg(count(lit(1)).as("k"))
+        .withColumn("cum", sum("k").over(wc)).withColumn("n", sum("k").over(wt))
+        .groupBy("source")
+        .agg(min(when(col("cum") >= expr("(n + 1) DIV 2"), col("n_chars"))).as("p50_chars"))
+      agg.join(top, "source").join(p50, "source")
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("dup_docs"),
+          fp(col("dup_docs").cast("double") / col("n_docs").cast("double"), 4).as("dup_frac_fp4"),
+          col("top_lang"), col("top_lang_n"), col("p50_chars"),
+          fp(col("sum_chars").cast("double") / col("n_docs").cast("double"), 2).as("mean_chars_fp2"))
+        .orderBy("source")
+    }),
     "pipe_prep_counts" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val eval = docs.filter(col("doc_id") % 97 === 0)
@@ -4510,6 +4552,33 @@ object Pipeline {
         |  FROM nodes n CROSS JOIN nv)
         |SELECT node AS event_type, CAST(r AS BIGINT) AS rank_fp9
         |FROM r3 ORDER BY event_type""".stripMargin,
+    // same four rollups from one base CTE; median = smallest value
+    // whose cum count reaches (n+1)//2 (the ev_percentile rule)
+    "pipe_dataset_card" ->
+      s"""WITH base AS (SELECT doc_id, source, lang, n_chars,
+        |    CAST(len($toksSql) AS BIGINT) AS n_toks, md5(text) AS h FROM documents),
+        |dup AS (SELECT h, count(*) AS hc FROM base GROUP BY 1),
+        |agg AS (SELECT source, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN hc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM base JOIN dup USING (h) GROUP BY 1),
+        |lt AS (SELECT source, lang, count(*) AS ln FROM base GROUP BY 1, 2),
+        |top AS (SELECT source, lang AS top_lang, ln AS top_lang_n FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY source ORDER BY ln DESC, lang) AS rn
+        |    FROM lt) WHERE rn = 1),
+        |hh AS (SELECT source, n_chars, count(*) AS k FROM base GROUP BY 1, 2),
+        |hc2 AS (SELECT source, n_chars,
+        |    sum(k) OVER (PARTITION BY source ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(k) OVER (PARTITION BY source) AS n FROM hh),
+        |p50 AS (SELECT source, min(CASE WHEN cum >= (n + 1) // 2 THEN n_chars END) AS p50_chars
+        |  FROM hc2 GROUP BY 1)
+        |SELECT a.source, n_docs, n_tokens, dup_docs,
+        |  ${sqlFp("CAST(dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE)", 4)} AS dup_frac_fp4,
+        |  top_lang, top_lang_n, p50_chars,
+        |  ${sqlFp("CAST(sum_chars AS DOUBLE) / CAST(n_docs AS DOUBLE)", 2)} AS mean_chars_fp2
+        |FROM agg a JOIN top USING (source) JOIN p50 USING (source)
+        |ORDER BY a.source""".stripMargin,
     // every stage reuses its standalone oracle's rule verbatim:
     // gopher keep thresholds (txt_gopher), normalize+md5 (txt_normalize
     // / dd_exact), 4-gram decontamination (dd_decontaminate), ordered

@@ -687,6 +687,49 @@ class QueriesSpec extends AnyFunSuite {
     assert(out.size > 3, "non-degenerate histogram")
   }
 
+  test("pipe_dataset_card equals a brute per-source profile") {
+    import org.apache.spark.sql.functions._
+    val rows = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select("doc_id", "source", "lang", "n_chars", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getString(4)))
+    val hashCount = rows.groupBy(r => java.security.MessageDigest.getInstance("MD5")
+      .digest(r._5.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      .view.mapValues(_.length).toMap
+    def md5h(t: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect = rows.groupBy(_._2).map { case (src, rs) =>
+      val n = rs.length.toLong
+      val toks = rs.map(_._5.toLowerCase.split("\\s+").count(_.nonEmpty).toLong).sum
+      val dups = rs.count(r => hashCount(md5h(r._5)) > 1).toLong
+      val lens = rs.map(_._4).sorted
+      val p50 = lens((((n + 1) / 2) - 1).toInt) // smallest value with cum >= (n+1)/2
+      val top = rs.groupBy(_._3).view.mapValues(_.length).toSeq
+        .sortBy { case (l, c) => (-c, l) }.head
+      (src, n, toks, dups, math.floor(dups.toDouble / n * 1e4 + 0.5).toLong,
+        top._1, top._2.toLong, p50,
+        math.floor(rs.map(_._4).sum.toDouble / n * 1e2 + 0.5).toLong)
+    }.toSet
+    val got = SparkEntry.queries("pipe_dataset_card")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5), r.getLong(6), r.getLong(7), r.getLong(8))).toSet
+    assert(got == expect, "dataset card rows")
+    // the synthetic corpus has zero exact-dup texts (verified), so
+    // exercise the dup-fraction path on a constructed table: 3 of 4
+    // docs in src a share a text (one re-hosted from src b → both
+    // count as duplicated, cross-source)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_card").toString
+    import spark.implicits._
+    Seq((1L, "a", "en", 5L, "same text"), (2L, "a", "en", 5L, "same text"),
+        (3L, "a", "en", 9L, "unique one"), (4L, "b", "de", 5L, "same text"))
+      .toDF("doc_id", "source", "lang", "n_chars", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val card = SparkEntry.queries("pipe_dataset_card")(spark, tmp)
+      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(card("a") == ((2L, 6667L)), s"src a dup fraction: ${card("a")}")
+    assert(card("b") == ((1L, 10000L)), s"src b re-hosted copy must count: ${card("b")}")
+    new java.io.File(tmp).listFiles().foreach(_ => ())
+  }
+
   test("txt_langid_eval equals the rollup of the two verified langid outputs") {
     import org.apache.spark.sql.functions._
     val truth = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
