@@ -424,6 +424,21 @@ object Relational {
           last(col("c_custkey")).over(wf).as("top_custkey"))
         .orderBy("c_mktsegment", "spend_c", "c_custkey")
     }),
+    // 11s — CUBE + GROUPING_ID (the all-subsets grouping q10's rollup
+    // — prefix-hierarchy only — doesn't cover): every 2^k dimension
+    // subset aggregated in ONE Expand+hash-agg pass (k× row expansion
+    // map-side, one shuffle — never 2^k separate scans), with
+    // grouping_id() disambiguating "NULL because aggregated away"
+    // from a genuinely NULL dimension value. The BI-layer workhorse
+    // for materialized all-margins summaries.
+    "q29_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum(fp(col("l_quantity"), 2)).as("sum_qty_c"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
     // 11r — BAG-semantics set operations (q9 is set-semantics EXCEPT;
     // multiplicities are a different operator): INTERSECT ALL keeps
     // min(cntA, cntB) copies per value, EXCEPT ALL keeps
@@ -494,6 +509,12 @@ object Relational {
         | CAST(sum(CAST(floor(l_quantity*100+0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "q29_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | CAST(sum(CAST(floor(l_quantity*100+0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "q11_like_scan" ->
       "SELECT p_brand, count(*) AS n FROM part WHERE p_name LIKE '%e%' GROUP BY 1 ORDER BY 1",
     "q12_outer_join" ->

@@ -687,6 +687,26 @@ class QueriesSpec extends AnyFunSuite {
     assert(out.size > 3, "non-degenerate histogram")
   }
 
+  test("q29_cube covers all 4 grouping subsets consistently, via one Expand pass") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("q29_cube")(spark, TestSpark.Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"CUBE must plan one Expand, not 2^k scans:\n$plan")
+    assert(plan.sliding("Scan parquet".length).count(_ == "Scan parquet") == 1, plan)
+    val rows = df.collect().map(r => (Option(r.getString(0)), Option(r.getString(1)),
+      r.getLong(2), r.getLong(3), r.getLong(4)))
+    // gid partitions the output into the 4 subsets; each subset's
+    // total mass equals the grand total
+    val byGid = rows.groupBy(_._5)
+    assert(byGid.keySet == Set(0L, 1L, 2L, 3L), byGid.keySet.toString)
+    val grand = byGid(3L)
+    assert(grand.length == 1 && grand.head._1.isEmpty && grand.head._2.isEmpty)
+    byGid.values.foreach { g =>
+      assert(g.map(_._3).sum == grand.head._3, "row mass per subset")
+      assert(g.map(_._4).sum == grand.head._4, "qty mass per subset")
+    }
+  }
+
   test("pipe_dataset_card equals a brute per-source profile") {
     import org.apache.spark.sql.functions._
     val rows = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
