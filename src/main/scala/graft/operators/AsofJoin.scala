@@ -87,6 +87,38 @@ object AsofJoin {
     matched.select(out: _*)
   }
 
+  /** FORWARD as-of: for every left row, the EARLIEST right row with
+    * the same key whose time is ≥ the left row's time (> when
+    * `strict`) — the "next event after" enrichment (next price tick,
+    * next deploy, next maintenance window). Pure time-reversal of
+    * [[asofBackward]]: both time columns are negated, the backward
+    * sort-merge runs unchanged (same single shuffle + spillable-sort
+    * cost shape), and the matched time is negated back. Requires a
+    * NUMERIC time column (epoch ms — the library convention).
+    *
+    * Ties on (key, time) resolve to the struct-MAX payload at the
+    * matched time, replicable in an oracle as min(time ≥ t) then
+    * max(payload fields) at that time.
+    */
+  def asofForward(
+      left: DataFrame,
+      leftKey: String,
+      leftTime: String,
+      right: DataFrame,
+      rightKey: String,
+      rightTime: String,
+      payloadCols: Seq[String],
+      prefix: String = "asof_",
+      strict: Boolean = false
+  ): DataFrame = {
+    val lNeg = left.withColumn(leftTime, negate(col(leftTime)))
+    val rNeg = right.withColumn(rightTime, negate(col(rightTime)))
+    asofBackward(lNeg, leftKey, leftTime, rNeg, rightKey, rightTime,
+      payloadCols, prefix, strict)
+      .withColumn(leftTime, negate(col(leftTime)))
+      .withColumn(prefix + "time", negate(col(prefix + "time")))
+  }
+
   /** Skew-proof as-of: [[asofBackward]] semantics with the sort
     * partitioned on (key, time-epoch) instead of key alone — the
     * hot-key remedy the plain sort-merge cannot offer (one key's

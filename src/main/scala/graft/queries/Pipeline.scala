@@ -1858,6 +1858,60 @@ object Pipeline {
         .agg(count(lit(1)).as("n"), sum("v4").as("sum_v4"))
         .orderBy("win_start", "event_type")
     }),
+    // 43aa — HOPPING (sliding) window agg, size 1h / hop 30min — the
+    // overlapping-window twin of the tumbling agg above and the batch
+    // shape of Spark's window(ts, "1 hour", "30 minutes"): each event
+    // replicates to size/hop = 2 windows via an explode (map-side,
+    // bounded 2× row growth), then ONE hash agg — never a self-join
+    // of shifted tumbles. The general (size, hop) guard filter is
+    // kept although vacuous at 2×.
+    "ev_sliding_window" -> ((s, dir) => {
+      val size = 3600000L; val hop = 1800000L
+      ev(s, dir)
+        .withColumn("k", explode(sequence(lit(0L), lit(size / hop - 1))))
+        .withColumn("win_start",
+          col("ms") - pmod(col("ms"), lit(hop)) - col("k") * lit(hop))
+        .filter(col("ms") < col("win_start") + lit(size))
+        .groupBy("win_start", "event_type")
+        .agg(count(lit(1)).as("n"), sum("v4").as("sum_v4"))
+        .orderBy("win_start", "event_type")
+    }),
+    // 43ab — event-SEQUENCE pattern matching (MATCH_RECOGNIZE's
+    // poor-man twin, and the per-user behavioral fingerprint): each
+    // user's arrival-ordered event types collapse to a symbol string
+    // (first letters are distinct across the 5 types), then regexes
+    // count contiguous view→click→purchase runs and test the gapped
+    // funnel v…c…p. ONE user-keyed ObjectHashAggregate builds the
+    // path (per-user event counts are human-bounded, never
+    // corpus-bounded); the regex scan is a narrow map.
+    "ev_pattern_match" -> ((s, dir) => {
+      ev(s, dir)
+        .select(col("user_id"), col("ms"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("sym"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("ms"), col("event_id"), col("sym")))),
+            e => e.getField("sym")), "").as("path"))
+        .withColumn("n_vcp",
+          expr("(length(path) - length(regexp_replace(path, 'vcp', ''))) DIV 3"))
+        .withColumn("has_funnel", col("path").rlike("v[^p]*c[^p]*p").cast("int"))
+        .orderBy("user_id")
+    }),
+    // 43ac — watermark LATENESS accounting (the batch counterfactual
+    // of streaming's withWatermark drop rule): replay the log in
+    // arrival order (event_id), hold the running event-time high-water
+    // mark, and flag events arriving more than 2h behind it — per
+    // tumbling hour, how many events WOULD a 2h watermark drop? The
+    // global running max is the budgetSelect prefix-scan shape
+    // (operators/Watermark.scala), never a single-task window.
+    "ev_late_events" -> ((s, dir) => {
+      graft.operators.Watermark.lateness(ev(s, dir), "event_id", "ms", delayMs = 7200000L)
+        .withColumn("win_start", col("ms") - pmod(col("ms"), lit(3600000L)))
+        .groupBy("win_start")
+        .agg(count(lit(1)).as("n"), sum(col("is_late").cast("long")).as("n_late"))
+        .orderBy("win_start")
+    }),
     // 43g — daily-volume anomaly profile (ingest monitoring: which
     // source×day volumes spike/crater before they poison a mixture):
     // per (event_type, day) counts, flagged |n−μ|>2σ against the
@@ -4663,6 +4717,34 @@ object Pipeline {
         |  CAST(sum(v4) AS BIGINT) AS sum_v4
         |FROM (SELECT epoch_ms(ts) AS ms, event_type, ${sqlFp("\"value\"", 4)} AS v4 FROM events)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ev_sliding_window" ->
+      s"""SELECT win_start, event_type, count(*) AS n, CAST(sum(v4) AS BIGINT) AS sum_v4
+        |FROM (SELECT ms - ((ms % 1800000 + 1800000) % 1800000) - hops.k * 1800000 AS win_start,
+        |             ms, event_type, v4
+        |      FROM (SELECT epoch_ms(ts) AS ms, event_type, ${sqlFp("\"value\"", 4)} AS v4 FROM events)
+        |      CROSS JOIN (SELECT 0 AS k UNION ALL SELECT 1) hops)
+        |WHERE ms < win_start + 3600000
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ev_pattern_match" ->
+      // string_agg ORDER BY (ms, event_id) mirrors Spark's struct
+      // array_sort; the 'g' flag makes regexp_replace global like
+      // Spark's
+      """SELECT user_id, count(*) AS n_events,
+        |  string_agg(left(event_type, 1), '' ORDER BY ms, event_id) AS path,
+        |  (length(string_agg(left(event_type, 1), '' ORDER BY ms, event_id))
+        |   - length(regexp_replace(string_agg(left(event_type, 1), '' ORDER BY ms, event_id),
+        |                           'vcp', '', 'g'))) // 3 AS n_vcp,
+        |  CAST(regexp_matches(string_agg(left(event_type, 1), '' ORDER BY ms, event_id),
+        |                      'v[^p]*c[^p]*p') AS INT) AS has_funnel
+        |FROM (SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id FROM events)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "ev_late_events" ->
+      """WITH e AS (SELECT event_id, epoch_ms(ts) AS ms FROM events),
+        |w AS (SELECT ms, max(ms) OVER (ORDER BY event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm FROM e)
+        |SELECT ms - ((ms % 3600000 + 3600000) % 3600000) AS win_start, count(*) AS n,
+        |  CAST(sum(CASE WHEN hwm - 7200000 > ms THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_funnel" ->
       s"""WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
         |s1 AS (SELECT user_id, min(ms) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),

@@ -460,7 +460,27 @@ object Relational {
           coalesce(col("n_both"), lit(0L)).as("n_both"),
           coalesce(col("n_only_a"), lit(0L)).as("n_only_a"))
         .orderBy("k")
-    })
+    }),
+    // 11t — FORWARD as-of join (q17's time-mirror): each order picks
+    // the EARLIEST event at-or-after its date on the same key — the
+    // "next event after" enrichment (next tick, next deploy). Same
+    // single-shuffle tagged-union sort-merge as backward, run on
+    // negated time (operators/AsofJoin.asofForward) — no range
+    // θ-join, no per-row probe.
+    "q30_asof_fwd" -> ((s, dir) => {
+      val o0 = t(s, dir, "orders")
+      val o = o0.select(
+        col("o_orderkey"), pmod(col("o_custkey"), lit(100L)).as("k"),
+        tsMs(o0, "o_orderdate").as("oms"))
+      val e0 = t(s, dir, "events")
+      val e = e0.select(
+        pmod(col("user_id"), lit(100L)).as("k"),
+        tsMs(e0).as("ms"),
+        col("event_id"))
+      graft.operators.AsofJoin.asofForward(o, "k", "oms", e, "k", "ms", Seq("event_id"))
+        .select(col("o_orderkey"), col("k"), col("oms"),
+          col("asof_time").as("ev_ms"), col("asof_event_id").as("ev_event_id"))
+    }) // row-per-order output — no presentation sort (checker row-sorts)
   )
 
   val oracles: Map[String, String] = Map(
@@ -692,6 +712,16 @@ object Relational {
         |  FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) GROUP BY 1)
         |SELECT coalesce(ia.k, ea.k) AS k, coalesce(n_both, 0) AS n_both,
         |  coalesce(n_only_a, 0) AS n_only_a
-        |FROM ia FULL JOIN ea ON ia.k = ea.k ORDER BY k""".stripMargin
+        |FROM ia FULL JOIN ea ON ia.k = ea.k ORDER BY k""".stripMargin,
+    "q30_asof_fwd" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey % 100 AS k, epoch_ms(o_orderdate) AS oms FROM orders),
+        |e AS (SELECT user_id % 100 AS k, epoch_ms(ts) AS ms, event_id FROM events),
+        |b AS (SELECT o.o_orderkey, min(e.ms) AS ev_ms
+        |      FROM o LEFT JOIN e ON e.k = o.k AND e.ms >= o.oms GROUP BY 1),
+        |p AS (SELECT o.o_orderkey, o.k, o.oms, b.ev_ms, max(e.event_id) AS ev_event_id
+        |      FROM o JOIN b ON b.o_orderkey = o.o_orderkey
+        |      LEFT JOIN e ON e.k = o.k AND e.ms = b.ev_ms
+        |      GROUP BY 1, 2, 3, 4)
+        |SELECT o_orderkey, k, oms, ev_ms, ev_event_id FROM p ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -115,6 +115,56 @@ class OperatorsSpec extends AnyFunSuite {
     assert(strict(2L) == ((Some(200L), Some(11L))))
   }
 
+  test("AsofJoin.asofForward picks the earliest at-or-after row; strict excludes equal time") {
+    val l = Seq((1L, 10L, 100L), (2L, 10L, 250L), (3L, 20L, 200L), (4L, 30L, 500L))
+      .toDF("oid", "k", "t")
+    val r = Seq((10L, 100L, 7L), (10L, 100L, 9L), (10L, 200L, 11L), (20L, 150L, 13L))
+      .toDF("k", "rt", "eid")
+    def run(strict: Boolean) =
+      AsofJoin.asofForward(l, "k", "t", r, "k", "rt", Seq("eid"), strict = strict)
+        .select("oid", "asof_time", "asof_eid")
+        .as[(Long, Option[Long], Option[Long])].collect().map { case (k, v1, v2) => k -> ((v1, v2)) }.toMap
+    val incl = run(strict = false)
+    // equal-time match included; ties at the same time go to max payload
+    assert(incl(1L) == ((Some(100L), Some(9L))))
+    assert(incl(2L) == ((None, None)), "no event at-or-after t=250 for key 10")
+    assert(incl(3L) == ((None, None)), "key 20's only event is before t=200")
+    assert(incl(4L) == ((None, None)), "key 30 has no events")
+    val strict = run(strict = true)
+    assert(strict(1L) == ((Some(200L), Some(11L))), "strict must skip the equal-time rows")
+    // forward equals brute per-row min-qualifying pick on random series
+    val rnd = new scala.util.Random(42)
+    val ls = (1 to 200).map(i => (i.toLong, rnd.nextInt(4).toLong, rnd.nextInt(50).toLong))
+    val rs = (1 to 300).map(i => (rnd.nextInt(4).toLong, rnd.nextInt(50).toLong, i.toLong))
+    val got = AsofJoin.asofForward(
+      ls.toDF("oid", "k", "t"), "k", "t",
+      rs.toDF("k", "rt", "eid"), "k", "rt", Seq("eid"))
+      .select("oid", "asof_time", "asof_eid")
+      .as[(Long, Option[Long], Option[Long])].collect().map { case (o, a, b) => o -> ((a, b)) }.toMap
+    ls.foreach { case (oid, k, t) =>
+      val cand = rs.filter(x => x._1 == k && x._2 >= t)
+      val want = if (cand.isEmpty) ((None, None)) else {
+        val mt = cand.map(_._2).min
+        ((Some(mt), Some(cand.filter(_._2 == mt).map(_._3).max)))
+      }
+      assert(got(oid) == want, s"oid=$oid k=$k t=$t")
+    }
+  }
+
+  test("Watermark.lateness equals a brute arrival-ordered running-max recount") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 500).map(i => (i.toLong, rnd.nextInt(1000).toLong))
+    val got = Watermark.lateness(rows.toDF("arr", "t"), "arr", "t", delayMs = 100L)
+      .select("arr", "hwm", "is_late")
+      .as[(Long, Option[Long], Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    var hwm = Option.empty[Long]
+    rows.sortBy(_._1).foreach { case (arr, t) =>
+      val late = hwm.exists(_ - 100L > t)
+      assert(got(arr) == ((hwm, late)), s"arr=$arr t=$t")
+      hwm = Some(hwm.fold(t)(math.max(_, t)))
+    }
+  }
+
   test("AsofJoin payload is atomic: all fields come from the same matched row") {
     // the later row carries a NULL field — per-column last(ignoreNulls)
     // would resurrect the older row's value; the struct must not

@@ -291,6 +291,41 @@ class QueriesSpec extends AnyFunSuite {
     assert(out.nonEmpty)
   }
 
+  test("ev_sliding_window equals a brute 2-hop replication recount") {
+    import org.apache.spark.sql.functions._
+    val raw = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
+    val evs = raw.select(graft.queries.QueryUtil.tsMs(raw).as("ms"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val brute = evs.flatMap { case (ms, et) =>
+      val w0 = ms - java.lang.Math.floorMod(ms, 1800000L)
+      Seq((w0, et), (w0 - 1800000L, et)).filter { case (w, _) => ms < w + 3600000L }
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val out = SparkEntry.queries("ev_sliding_window")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == brute)
+    // every event lands in exactly 2 windows
+    assert(out.values.sum == 2L * evs.length)
+  }
+
+  test("ev_pattern_match equals a brute per-user symbol-path recount") {
+    import org.apache.spark.sql.functions._
+    val raw = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
+    val evs = raw.select(col("user_id"), col("event_id"),
+      graft.queries.QueryUtil.tsMs(raw).as("ms"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val brute = evs.groupBy(_._1).map { case (u, rows) =>
+      val path = rows.sortBy(r => (r._3, r._2)).map(_._4.head).mkString
+      val nVcp = "vcp".r.findAllIn(path).length.toLong
+      val funnel = if ("v[^p]*c[^p]*p".r.findFirstIn(path).isDefined) 1 else 0
+      u -> ((rows.size.toLong, path, nVcp, funnel))
+    }
+    val out = SparkEntry.queries("ev_pattern_match")(spark, TestSpark.Sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getLong(3), r.getInt(4))))
+      .toMap
+    assert(out == brute)
+    assert(out.nonEmpty)
+  }
+
   test("txt_html_extract strips boilerplate to exactly the expected text") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
