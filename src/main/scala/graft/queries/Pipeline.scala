@@ -621,6 +621,31 @@ object Pipeline {
     }),
     // 39b — repetition ratio: 1 - distinct/total tokens (fp4), the
     // C4-style repetitiveness quality signal
+    // 41r — sentence SEGMENTATION stats (the unit every
+    // sentence-level filter, splitter, and readability rule consumes;
+    // 41l's readability counts sentence RUNS — this materializes the
+    // segments): split on [.!?]+ runs, strip edge whitespace by
+    // regex (engine-identical; trim() semantics differ), drop empty
+    // segments. The synthetic corpus carries no punctuation, so
+    // boundaries are synthesized first by plain substring replaces
+    // of two frequent tokens (the txt_url_normalize synthetic-input
+    // precedent; replace() is engine-identical left-to-right
+    // non-overlapping). Pure narrow map — zero shuffles; the per-doc
+    // fold is sentence-count-bounded.
+    "txt_sentencize" -> ((s, dir) => {
+      val punct = expr("replace(replace(text, ' merge ', '. '), ' batch ', '! ')")
+      val segs = filter(
+        transform(split(punct, "[.!?]+"),
+          x => regexp_replace(x, "^\\s+|\\s+$", "")),
+        x => length(x) > 0)
+      t(s, dir, "documents")
+        .select(col("doc_id"), segs.as("segs"))
+        .select(col("doc_id"),
+          size(col("segs")).as("n_sent"),
+          aggregate(col("segs"), lit(0L), (a, x) => a + length(x)).as("sum_len"),
+          aggregate(col("segs"), lit(0), (a, x) => greatest(a, length(x))).as("max_len"))
+        .orderBy("doc_id")
+    }),
     "txt_repetition" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_toks"))
@@ -2385,6 +2410,33 @@ object Pipeline {
         t(s, dir, "documents").select("doc_id", "source"), "doc_id", k = 5)
         .orderBy("doc_id")
     }),
+    // 46o — CURRICULUM staging (shortest-first curriculum learning —
+    // the canonical length-ordered baseline): docs bucket into 3
+    // stages by EXACT corpus terciles of n_chars. Thresholds come
+    // from the compressed-histogram rank scan (the ev_percentile
+    // discipline — the window runs over DISTINCT lengths, value-
+    // domain-bounded, never corpus rows), broadcast back as one row;
+    // stage assignment is a narrow map, the report a 3-row rollup.
+    "smp_curriculum" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      val h = docs.groupBy("n_chars").agg(count(lit(1)).as("k"))
+      val tot = docs.agg(count(lit(1)).as("n"))
+      val wc = Window.orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val thr = h.withColumn("cum", sum("k").over(wc))
+        .crossJoin(broadcast(tot))
+        .agg(min(when(col("cum") >= expr("(n + 2) DIV 3"), col("n_chars"))).as("t1"),
+          min(when(col("cum") >= expr("(2 * n + 2) DIV 3"), col("n_chars"))).as("t2"))
+      docs.crossJoin(broadcast(thr))
+        .withColumn("stage",
+          when(col("n_chars") <= col("t1"), 1)
+            .when(col("n_chars") <= col("t2"), 2).otherwise(3))
+        .groupBy("stage")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
+          min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+        .orderBy("stage")
+    }),
     // 46f — budget-bounded corpus selection: best docs (longest,
     // id tiebreak) kept while the running token total stays within
     // budget — a global ordered cumsum WITHOUT a single-task window
@@ -2795,6 +2847,65 @@ object Pipeline {
           min("x").as("x_min"), max("x").as("x_max"),
           min("y").as("y_min"), max("y").as("y_max"))
         .orderBy("layout", "bucket")
+    }),
+    // 44i — small-file COMPACTION planner (the OPTIMIZE/maintenance
+    // pass every long-lived 100 TB table needs): daily ingest
+    // partitions become the file inventory (bytes = rows × 128 row
+    // proxy), files below the DATA-DERIVED mean are coalesced into
+    // ~4×-mean target bins by sequential prefix-sum grouping within
+    // their month group, big files pass through untouched (bin −1).
+    // The cumsum windows run over month-sized slices — never a
+    // corpus-wide single task; the 1-row mean broadcasts.
+    "src_compaction" -> ((s, dir) => {
+      val o0 = t(s, dir, "orders")
+      val dayMs = 86400000L
+      val files = o0.select(tsMs(o0, "o_orderdate").as("ms"))
+        .withColumn("day", expr(s"(ms - pmod(ms, $dayMs)) DIV $dayMs"))
+        .groupBy("day").agg((count(lit(1)) * lit(128L)).as("bytes"))
+        .withColumn("grp", expr("day DIV 32"))
+      val stats = files.agg(expr("sum(bytes) DIV count(1)").as("avg_bytes"))
+      val withAvg = files.crossJoin(broadcast(stats))
+      val w = Window.partitionBy("grp").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val small = withAvg.filter(col("bytes") < col("avg_bytes"))
+        .withColumn("pre", sum("bytes").over(w) - col("bytes"))
+        .withColumn("bin", expr("pre DIV (4 * avg_bytes)"))
+      val big = withAvg.filter(col("bytes") >= col("avg_bytes"))
+        .withColumn("bin", lit(-1L))
+      small.select("grp", "bin", "bytes").unionByName(big.select("grp", "bin", "bytes"))
+        .groupBy("grp", "bin")
+        .agg(count(lit(1)).as("n_files"), sum("bytes").as("tot_bytes"))
+        .orderBy("grp", "bin")
+    }),
+    // 44j — zone-map (min/max stats) PRUNING audit: how many files
+    // does a shipdate-quarter predicate skip under two layouts of the
+    // SAME rows — insert-ordered files (orderkey ranges; date
+    // locality only by accident) vs date-partitioned files (weekly)?
+    // The data-skipping effectiveness report behind every "why
+    // cluster/z-order" decision (44f src_zorder profiles the layouts
+    // themselves; this prices them against a predicate). Per-file
+    // min/max/counts collapse map-side; the file-stats table is
+    // inventory-sized, the final rollup 2 rows.
+    "src_stats_pruning" -> ((s, dir) => {
+      val l0 = t(s, dir, "lineitem")
+      val dayMs = 86400000L
+      val lo = 883612800000L // 1998-01-01
+      val hi = 899251200000L // 1998-07-01
+      val base = l0.select(col("l_orderkey"), tsMs(l0, "l_shipdate").as("ms"))
+        .withColumn("day", expr(s"(ms - pmod(ms, $dayMs)) DIV $dayMs"))
+      val layouts = base.select(explode(array(
+          struct(lit("insert_order").as("layout"), expr("l_orderkey DIV 200").as("fid")),
+          struct(lit("date_partitioned").as("layout"), expr("day DIV 7").as("fid")))).as("lf"),
+        col("ms"))
+      layouts.groupBy(col("lf.layout").as("layout"), col("lf.fid").as("fid"))
+        .agg(min("ms").as("mn"), max("ms").as("mx"), count(lit(1)).as("n"),
+          sum(when(col("ms") >= lo && col("ms") < hi, 1L).otherwise(0L)).as("nm"))
+        .groupBy("layout")
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("mx") < lo || col("mn") >= hi, 1L).otherwise(0L)).as("n_pruned"),
+          sum(when(col("mx") >= lo && col("mn") < hi, col("n")).otherwise(0L)).as("rows_scanned"),
+          sum("nm").as("rows_matched"))
+        .orderBy("layout")
     }),
     // 44h — INCREMENTAL VIEW MAINTENANCE: the law that makes 100 TB
     // aggregates maintainable — agg(apply(base, Δ)) must equal
@@ -4757,6 +4868,19 @@ object Pipeline {
         |  UNION ALL SELECT '2_click', count(*) FROM s2
         |  UNION ALL SELECT '3_purchase', count(*) FROM s3
         |) ORDER BY stage""".stripMargin,
+    "txt_sentencize" ->
+      // list lambdas replicate the Spark HOF folds; edge whitespace
+      // stripped by regex on both engines (trim() semantics differ)
+      """WITH d AS (SELECT doc_id,
+        |  list_filter(list_transform(string_split_regex(
+        |                replace(replace(text, ' merge ', '. '), ' batch ', '! '),
+        |                '[.!?]+'),
+        |              x -> regexp_replace(x, '^\s+|\s+$', '', 'g')),
+        |              x -> length(x) > 0) AS segs FROM documents)
+        |SELECT doc_id, CAST(len(segs) AS INT) AS n_sent,
+        |  CAST(coalesce(list_sum(list_transform(segs, x -> length(x))), 0) AS BIGINT) AS sum_len,
+        |  CAST(coalesce(list_max(list_transform(segs, x -> length(x))), 0) AS INT) AS max_len
+        |FROM d ORDER BY doc_id""".stripMargin,
     "txt_repetition" ->
       s"""SELECT doc_id, CASE WHEN len($toksSql) = 0 THEN 0
         | ELSE ${sqlFp("1.0 - CAST(len(list_distinct(" + toksSql + ")) AS DOUBLE) / CAST(len(" + toksSql + ") AS DOUBLE)", 4)}
@@ -5071,6 +5195,20 @@ object Pipeline {
         |    CAST($u32 AS DOUBLE) / 4294967296.0 AS u FROM documents)
         |ORDER BY doc_id""".stripMargin
     },
+    "smp_curriculum" ->
+      // exact tercile thresholds from the distinct-length histogram —
+      // the ev_percentile rank-scan shape in SQL
+      s"""WITH d AS (SELECT doc_id, n_chars,
+        |    CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
+        |h AS (SELECT n_chars, count(*) AS k FROM d GROUP BY 1),
+        |c AS (SELECT n_chars, sum(k) OVER (ORDER BY n_chars) AS cum,
+        |             sum(k) OVER () AS n FROM h),
+        |t AS (SELECT min(CASE WHEN cum >= (n + 2) // 3 THEN n_chars END) AS t1,
+        |             min(CASE WHEN cum >= (2 * n + 2) // 3 THEN n_chars END) AS t2 FROM c)
+        |SELECT CASE WHEN n_chars <= t1 THEN 1 WHEN n_chars <= t2 THEN 2 ELSE 3 END AS stage,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM d, t GROUP BY 1 ORDER BY 1""".stripMargin,
     "smp_kfold" -> {
       val u32 = """list_reduce(list_prepend(CAST(0 AS BIGINT),
         | list_transform(range(1, 9),
@@ -5438,6 +5576,38 @@ object Pipeline {
         |  CAST(sum(coalesce(bit_count(a.bm & b.bm), 0)) AS BIGINT) AS n_ret7
         |FROM bm a LEFT JOIN bm b ON b.word = a.word AND b.day = a.day + 7
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src_compaction" ->
+      // floored modulus mirrors pmod; exclusive prefix via the
+      // 1-PRECEDING frame (coalesced to 0 for each group's first row)
+      """WITH f AS (SELECT (ms - ((ms % 86400000 + 86400000) % 86400000)) // 86400000 AS day,
+        |             CAST(count(*) * 128 AS BIGINT) AS bytes
+        |           FROM (SELECT epoch_ms(o_orderdate) AS ms FROM orders) GROUP BY 1),
+        |g AS (SELECT day, bytes, day // 32 AS grp FROM f),
+        |a AS (SELECT CAST(sum(bytes) // count(*) AS BIGINT) AS avg_bytes FROM g),
+        |sm AS (SELECT grp, bytes,
+        |         CAST(coalesce(sum(bytes) OVER (PARTITION BY grp ORDER BY day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pre
+        |       FROM g, a WHERE bytes < avg_bytes),
+        |b AS (SELECT grp, CAST(pre // (4 * avg_bytes) AS BIGINT) AS bin, bytes FROM sm, a
+        |      UNION ALL
+        |      SELECT grp, CAST(-1 AS BIGINT) AS bin, bytes FROM g, a WHERE bytes >= avg_bytes)
+        |SELECT grp, bin, count(*) AS n_files, CAST(sum(bytes) AS BIGINT) AS tot_bytes
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "src_stats_pruning" ->
+      """WITH base AS (SELECT l_orderkey, epoch_ms(l_shipdate) AS ms,
+        |    (epoch_ms(l_shipdate) - ((epoch_ms(l_shipdate) % 86400000 + 86400000) % 86400000)) // 86400000 AS day
+        |  FROM lineitem),
+        |lay AS (SELECT 'insert_order' AS layout, l_orderkey // 200 AS fid, ms FROM base
+        |        UNION ALL
+        |        SELECT 'date_partitioned' AS layout, day // 7 AS fid, ms FROM base),
+        |pf AS (SELECT layout, fid, min(ms) AS mn, max(ms) AS mx, count(*) AS n,
+        |         CAST(sum(CASE WHEN ms >= 883612800000 AND ms < 899251200000 THEN 1 ELSE 0 END) AS BIGINT) AS nm
+        |       FROM lay GROUP BY 1, 2)
+        |SELECT layout, count(*) AS n_files,
+        |  CAST(sum(CASE WHEN mx < 883612800000 OR mn >= 899251200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+        |  CAST(sum(CASE WHEN mx >= 883612800000 AND mn < 899251200000 THEN n ELSE 0 END) AS BIGINT) AS rows_scanned,
+        |  CAST(sum(nm) AS BIGINT) AS rows_matched
+        |FROM pf GROUP BY 1 ORDER BY 1""".stripMargin,
     "src_zorder" -> {
       // the same 4-step Morton bit spread, in SQL long arithmetic
       def spread(v: String): String = {

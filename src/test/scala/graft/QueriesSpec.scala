@@ -291,6 +291,76 @@ class QueriesSpec extends AnyFunSuite {
     assert(out.nonEmpty)
   }
 
+  test("txt_sentencize equals a brute segment recount") {
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val brute = docs.map { case (id, text) =>
+      val punct = text.replace(" merge ", ". ").replace(" batch ", "! ")
+      val segs = punct.split("[.!?]+").map(_.replaceAll("^\\s+|\\s+$", "")).filter(_.nonEmpty)
+      id -> ((segs.length, segs.map(_.length.toLong).sum, if (segs.isEmpty) 0 else segs.map(_.length).max))
+    }.toMap
+    val out = SparkEntry.queries("txt_sentencize")(spark, TestSpark.Sf)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(out == brute)
+    assert(out.values.exists(_._1 > 1), "corpus must contain multi-sentence docs")
+  }
+
+  test("smp_curriculum equals a brute tercile staging; stages partition the corpus") {
+    val lens = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select("n_chars").collect().map(_.getLong(0)).sorted
+    val n = lens.length
+    def thr(target: Long) = lens((target - 1).toInt) // smallest v with cum >= target
+    val t1 = thr((n + 2) / 3); val t2 = thr((2L * n + 2) / 3)
+    val out = SparkEntry.queries("smp_curriculum")(spark, TestSpark.Sf)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+    val brute = lens.groupBy(v => if (v <= t1) 1 else if (v <= t2) 2 else 3)
+      .view.mapValues(g => (g.length.toLong, g.min, g.max)).toMap
+    assert(out == brute)
+    assert(out.values.map(_._1).sum == n.toLong, "stages must partition the corpus")
+  }
+
+  test("src_compaction equals a brute sequential-coalesce plan") {
+    import org.apache.spark.sql.functions._
+    val raw = spark.read.parquet(s"${TestSpark.Sf}/orders.parquet")
+    val days = raw.select(graft.queries.QueryUtil.tsMs(raw, "o_orderdate").as("ms"))
+      .collect().map(r => Math.floorDiv(r.getLong(0), 86400000L))
+    val files = days.groupBy(identity).view.mapValues(_.size * 128L).toSeq
+      .map { case (d, b) => (d, d / 32, b) }.sortBy(_._1)
+    val avg = files.map(_._3).sum / files.length
+    val target = 4 * avg
+    val brute = scala.collection.mutable.Map[(Long, Long), (Long, Long)]()
+    files.groupBy(_._2).foreach { case (grp, fs) =>
+      var pre = 0L
+      fs.sortBy(_._1).foreach { case (_, _, b) =>
+        val bin = if (b >= avg) -1L else { val k = pre / target; pre += b; k }
+        val (c, t) = brute.getOrElse((grp, bin), (0L, 0L))
+        brute((grp, bin)) = (c + 1, t + b)
+      }
+    }
+    val out = SparkEntry.queries("src_compaction")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out == brute.toMap.view.mapValues { case (c, t) => ((c, t)) }.toMap)
+  }
+
+  test("src_stats_pruning: pruned files hold zero matches; matched totals equal the predicate count") {
+    import org.apache.spark.sql.functions._
+    val lo = 883612800000L; val hi = 899251200000L
+    val raw = spark.read.parquet(s"${TestSpark.Sf}/lineitem.parquet")
+    val nMatch = raw.filter(graft.queries.QueryUtil.tsMs(raw, "l_shipdate") >= lo &&
+      graft.queries.QueryUtil.tsMs(raw, "l_shipdate") < hi).count()
+    val total = raw.count()
+    val out = SparkEntry.queries("src_stats_pruning")(spark, TestSpark.Sf)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.keySet == Set("insert_order", "date_partitioned"))
+    out.foreach { case (layout, (nf, np, scanned, matched)) =>
+      assert(matched == nMatch, s"$layout matched")
+      assert(np < nf, s"$layout must scan at least one file")
+      assert(scanned <= total && scanned >= matched, s"$layout scan bounds")
+    }
+    // a date-clustered layout must skip at least as many ROWS as insert order
+    assert(out("date_partitioned")._3 <= out("insert_order")._3)
+  }
+
   test("ev_sliding_window equals a brute 2-hop replication recount") {
     import org.apache.spark.sql.functions._
     val raw = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
