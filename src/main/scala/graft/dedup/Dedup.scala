@@ -602,6 +602,20 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** Banded Hamming-neighbor pairs over PRECOMPUTED signatures — the
+    * [[simhashPairs64]] engine opened to any bit-signature source
+    * (perceptual image hashes, audio fingerprints). `sigs` must have
+    * columns (doc, sig); `maxHamming + 1` must divide `sigBits`.
+    * Banding is LOSSLESS for hamming ≤ maxHamming (pigeonhole: a pair
+    * within h flips must agree on ≥ 1 of h+1 bands) as long as no
+    * bucket overflows `maxBucket` — pass a cap above the largest
+    * expected bucket when exact pair recall is required (signature-
+    * deduped inputs are tiny, so that's cheap there).
+    * Output: (doc_a, doc_b, hamming). */
+  def hammingPairs(sigs: DataFrame, sigBits: Int, maxHamming: Int,
+                   maxBucket: Long = 0L): DataFrame =
+    hammingBandPairs(sigs, sigBits, maxHamming, maxBucket)
+
   /** SimHash near-duplicate pairs within `maxHamming` bit flips over
     * the 32-bit signature. Bands unroll at plan-build time (literal
     * shifts); the bucket cap (adaptive by default, like

@@ -277,6 +277,29 @@ object Pipeline {
         .orderBy(col("cos_fp6").desc, col("vec_id"))
         .limit(10)
     }),
+    // 37g — multi-vector MaxSim retrieval (ColBERT late interaction,
+    // Khattab & Zaharia 2020): docs are GROUPS of vectors (vec_id
+    // DIV 4 — 4 token vectors each), queries the first two groups;
+    // score(q,d) = Σ_{query token} max_{doc token} cos. The per-token
+    // cosine quantizes fp6 BEFORE the max, so max and sum are pure
+    // long arithmetic on both engines. Query tokens broadcast onto
+    // the corpus scan (queries are human-sized); two hash aggs (max
+    // per (q,token,doc), sum per (q,doc)) — map-side partials, never
+    // a per-doc sort; top-5 rank runs per query group only.
+    "sim_maxsim" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), expr("vec_id DIV 4").as("grp"))
+      val q = e.filter(col("grp") < 2)
+        .select(col("grp").as("qgrp"), col("vec_id").as("qtok"), col("embedding").as("qvec"))
+      val w = Window.partitionBy("qgrp").orderBy(col("maxsim_fp6").desc, col("grp"))
+      e.crossJoin(broadcast(q)).filter(col("grp") =!= col("qgrp"))
+        .groupBy("qgrp", "qtok", "grp")
+        .agg(max(fp(Similarity.cosine(col("embedding"), col("qvec")), 6)).as("mx"))
+        .groupBy("qgrp", "grp").agg(sum("mx").as("maxsim_fp6"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .orderBy("qgrp", "rnk")
+    }),
     // 37 — LSH-bucketed ANN (rows-only; recall spec-tested vs brute
     // force). Runs with the scale guards on: degenerate buckets capped,
     // 2 extra multi-probe buckets per query to recover recall.
@@ -1803,6 +1826,42 @@ object Pipeline {
     // walks value groups, never raw rows); top-lang is a
     // langs-bounded window. Sources are domain-bounded, so every
     // intermediate after the first agg is tiny.
+    // 47c — pipeline SURVIVAL funnel (the filter-cascade report every
+    // FineWeb/C4-style cleaning run publishes: how much corpus does
+    // each rule cost, cumulatively?): length bounds → repetition cap
+    // → language metadata gate → stopword floor, each stage the
+    // conjunction of all before it. ONE corpus scan computes every
+    // per-doc flag (the repetition rule reuses its query twin's
+    // exact expression; the language gate reads the corpus metadata
+    // column — the stopword-langid predicts 'en' corpus-wide on this
+    // synthetic data, so the metadata gate is the one that bites);
+    // the report is a 1-row agg of
+    // conditional sums exploded to stage rows — no per-stage rescans.
+    "pipe_quality_funnel" -> ((s, dir) => {
+      val en = TextAnalysis.DefaultStopwords.head._2
+      val flags = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), TextAnalysis.tokens(col("text")).as("toks"))
+        .withColumn("rep4",
+          when(size(col("toks")) === 0, lit(10000L))
+            .otherwise(fp(lit(1.0) - size(array_distinct(col("toks"))).cast("double")
+              / size(col("toks")).cast("double"), 4)))
+        .withColumn("f1", size(col("toks")).between(20, 200))
+        .withColumn("f2", col("f1") && col("lang") === "en")
+        .withColumn("f3", col("f2") && col("rep4") <= 6000)
+        .withColumn("f4", col("f3") &&
+          size(filter(col("toks"), t => t.isin(en: _*))) >= 2)
+      def n(c: Column) = sum(c.cast("long"))
+      flags.agg(count(lit(1)).as("n0"), n(col("f1")).as("n1"), n(col("f2")).as("n2"),
+          n(col("f3")).as("n3"), n(col("f4")).as("n4"))
+        .select(explode(array(
+          struct(lit("1_all").as("stage"), col("n0").as("n_docs")),
+          struct(lit("2_len").as("stage"), col("n1").as("n_docs")),
+          struct(lit("3_lang_en").as("stage"), col("n2").as("n_docs")),
+          struct(lit("4_repetition").as("stage"), col("n3").as("n_docs")),
+          struct(lit("5_stopwords").as("stage"), col("n4").as("n_docs")))).as("s"))
+        .select(col("s.stage").as("stage"), col("s.n_docs").as("n_docs"))
+        .orderBy("stage")
+    }),
     "pipe_dataset_card" -> ((s, dir) => {
       val base = t(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
@@ -2288,6 +2347,36 @@ object Pipeline {
       hashed.join(groups, Seq("phash_hi", "phash_lo"))
         .select("doc_id", "phash_hi", "phash_lo", "rep_id", "group_size")
         .orderBy("doc_id")
+    }),
+    // 45o — perceptual-hash NEAR-dup pairs (the image twin of
+    // dd_simhash64_pairs — multimodal dedup is bit-signature dedup
+    // with a different hasher): exact-signature groups collapse
+    // FIRST (signature-space is tiny next to the corpus), then the
+    // banded Hamming self-join pairs group REPRESENTATIVES within
+    // ≤7 flips — lossless by pigeonhole over 8 bands, and the output
+    // is group-pair-sized, never corpus-quadratic. Oracle is the
+    // brute all-pairs filter over the distinct-signature groups,
+    // with hamming as the sum of the two half XOR popcounts (the
+    // 64-bit recompose overflows SQL BIGINT multiply).
+    "dd_phash_neardup" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal
+      val payloads = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.synthGray8x8(id))))
+        .toDF("doc_id", "payload")
+      val hashed = payloads.select(col("doc_id"),
+        shiftleft(Multimodal.aHashHalf(col("payload"), 32), 32)
+          .bitwiseOR(Multimodal.aHashHalf(col("payload"), 0)).as("sig"))
+      val groups = hashed.groupBy("sig")
+        .agg(min("doc_id").as("rep"), count(lit(1)).as("n"))
+      val pairs = Dedup.hammingPairs(
+        groups.select(col("rep").as("doc"), col("sig")),
+        sigBits = 64, maxHamming = 7, maxBucket = 1L << 20)
+      pairs
+        .join(groups.select(col("rep").as("doc_a"), col("n").as("size_a")), "doc_a")
+        .join(groups.select(col("rep").as("doc_b"), col("n").as("size_b")), "doc_b")
+        .select("doc_a", "doc_b", "hamming", "size_a", "size_b")
+        .orderBy("doc_a", "doc_b")
     }),
     // 45m — per-CHANNEL pixel normalization constants (the
     // dataset-level mean/variance every vision pipeline computes once
@@ -4011,6 +4100,16 @@ object Pipeline {
         |SELECT vec_id, ${sqlFp(cosSql("embedding", "qvec"), 6)} AS cos_fp6
         |FROM embeddings, q WHERE vec_id != qid
         |ORDER BY 2 DESC, vec_id LIMIT 10""".stripMargin,
+    "sim_maxsim" ->
+      s"""WITH e AS (SELECT vec_id, embedding, vec_id // 4 AS grp FROM embeddings),
+        |q AS (SELECT grp AS qgrp, vec_id AS qtok, embedding AS qvec FROM e WHERE grp < 2),
+        |tok AS (SELECT qgrp, qtok, e.grp, max(${sqlFp(cosSql("embedding", "qvec"), 6)}) AS mx
+        |        FROM e, q WHERE e.grp != qgrp GROUP BY 1, 2, 3),
+        |d AS (SELECT qgrp, grp, CAST(sum(mx) AS BIGINT) AS maxsim_fp6 FROM tok GROUP BY 1, 2),
+        |r AS (SELECT qgrp, grp, maxsim_fp6,
+        |        CAST(row_number() OVER (PARTITION BY qgrp ORDER BY maxsim_fp6 DESC, grp) AS INT) AS rnk
+        |      FROM d)
+        |SELECT qgrp, grp, maxsim_fp6, rnk FROM r WHERE rnk <= 5 ORDER BY qgrp, rnk""".stripMargin,
     "txt_langid" ->
       s"SELECT doc_id, $langIdSql AS lang_pred FROM documents ORDER BY doc_id",
     "txt_langid_ngram" -> {
@@ -4717,6 +4816,30 @@ object Pipeline {
         |  FROM nodes n CROSS JOIN nv)
         |SELECT node AS event_type, CAST(r AS BIGINT) AS rank_fp9
         |FROM r3 ORDER BY event_type""".stripMargin,
+    "pipe_quality_funnel" ->
+      // the rule expressions are the same ones txt_repetition /
+      // txt_quality verify individually; lang is the metadata column
+      s"""WITH f AS (SELECT
+        |    len($toksSql) AS nt,
+        |    CASE WHEN len($toksSql) = 0 THEN 10000
+        |      ELSE ${sqlFp("1.0 - CAST(len(list_distinct(" + toksSql + ")) AS DOUBLE) / CAST(len(" + toksSql + ") AS DOUBLE)", 4)}
+        |    END AS rep4,
+        |    lang AS lp,
+        |    len(list_filter($toksSql, t -> t IN ('the', 'a', 'of', 'and', 'fast', 'slow'))) AS ns
+        |  FROM documents),
+        |g AS (SELECT
+        |    count(*) AS n0,
+        |    CAST(sum(CASE WHEN nt BETWEEN 20 AND 200 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN nt BETWEEN 20 AND 200 AND lp = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN nt BETWEEN 20 AND 200 AND lp = 'en' AND rep4 <= 6000 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        |    CAST(sum(CASE WHEN nt BETWEEN 20 AND 200 AND lp = 'en' AND rep4 <= 6000 AND ns >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+        |  FROM f)
+        |SELECT '1_all' AS stage, n0 AS n_docs FROM g
+        |UNION ALL SELECT '2_len', n1 FROM g
+        |UNION ALL SELECT '3_lang_en', n2 FROM g
+        |UNION ALL SELECT '4_repetition', n3 FROM g
+        |UNION ALL SELECT '5_stopwords', n4 FROM g
+        |ORDER BY stage""".stripMargin,
     // same four rollups from one base CTE; median = smallest value
     // whose cum count reaches (n+1)//2 (the ev_percentile rule)
     "pipe_dataset_card" ->
@@ -5095,6 +5218,33 @@ object Pipeline {
         |SELECT h.doc_id, CAST(h.phash_hi AS BIGINT) AS phash_hi,
         |  CAST(h.phash_lo AS BIGINT) AS phash_lo, g.rep_id, g.group_size
         |FROM h JOIN g USING (phash_hi, phash_lo) ORDER BY doc_id""".stripMargin,
+    "dd_phash_neardup" ->
+      // hamming over the two 32-bit halves (the 64-bit recompose
+      // would overflow BIGINT multiply); brute all-pairs over the
+      // ≤ signature-domain distinct groups — the banded join is
+      // lossless at hamming ≤ 7 by pigeonhole
+      """WITH px AS (SELECT doc_id,
+        |    list_transform(range(0, 64),
+        |      i -> ((doc_id % 16) * 31 + i * 7) % 240 + doc_id % 3) AS ps
+        |  FROM documents),
+        |px2 AS (SELECT doc_id, ps, list_sum(ps) AS s FROM px),
+        |h AS (SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_reverse(ps[33:64])),
+        |      (a, p) -> a * 2 + CASE WHEN p * 64 > s THEN 1 ELSE 0 END) AS phash_hi,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_reverse(ps[1:32])),
+        |      (a, p) -> a * 2 + CASE WHEN p * 64 > s THEN 1 ELSE 0 END) AS phash_lo
+        |  FROM px2),
+        |g AS (SELECT phash_hi, phash_lo, min(doc_id) AS rep, count(*) AS n
+        |  FROM h GROUP BY 1, 2)
+        |SELECT a.rep AS doc_a, b.rep AS doc_b,
+        |  CAST(bit_count(xor(a.phash_hi, b.phash_hi))
+        |     + bit_count(xor(a.phash_lo, b.phash_lo)) AS INT) AS hamming,
+        |  a.n AS size_a, b.n AS size_b
+        |FROM g a, g b
+        |WHERE a.rep < b.rep
+        |  AND bit_count(xor(a.phash_hi, b.phash_hi))
+        |    + bit_count(xor(a.phash_lo, b.phash_lo)) <= 7
+        |ORDER BY 1, 2""".stripMargin,
     // channel-planar synth rule re-derived per (channel, pixel);
     // moment identity in HUGEINT mirrors Spark's DECIMAL(38,0)
     "mm_channel_stats" ->

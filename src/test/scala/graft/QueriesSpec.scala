@@ -291,6 +291,83 @@ class QueriesSpec extends AnyFunSuite {
     assert(out.nonEmpty)
   }
 
+  test("dd_phash_neardup equals a brute all-pairs filter over signature groups") {
+    val ids = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    def ahash(id: Long): Long = {
+      val px = Array.tabulate(64)(i => ((id % 16) * 31 + i * 7) % 240 + id % 3)
+      val s = px.sum
+      (0 until 64).foldLeft(0L)((acc, i) => acc | (if (px(63 - i) * 64 > s) 1L << (63 - i) else 0L))
+    }
+    val groups = ids.groupBy(ahash).map { case (sig, ds) => (sig, ds.min, ds.length.toLong) }.toSeq
+    val brute = (for {
+      (sa, ra, na) <- groups; (sb, rb, nb) <- groups if ra < rb
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 7
+    } yield (ra, rb) -> ((h, na, nb))).toMap
+    val out = SparkEntry.queries("dd_phash_neardup")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getInt(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out == brute)
+    assert(out.nonEmpty, "synthetic rasters must yield near-dup signature pairs")
+    assert(out.values.forall { case (h, _, _) => h >= 1 && h <= 7 })
+  }
+
+  test("sim_maxsim equals a brute late-interaction recount") {
+    val vecs = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos6(a: Array[Float], b: Array[Float]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6 + 0.5).toLong
+    }
+    val byGrp = vecs.groupBy { case (id, _) => id / 4 }
+    val queries = byGrp.filter(_._1 < 2)
+    val brute = queries.flatMap { case (qg, qtoks) =>
+      byGrp.filter(_._1 != qg).map { case (dg, dtoks) =>
+        val score = qtoks.map { case (_, qv) => dtoks.map { case (_, dv) => cos6(qv, dv) }.max }.sum
+        (qg, dg, score)
+      }.toSeq.sortBy { case (_, dg, sc) => (-sc, dg) }.take(5).zipWithIndex
+        .map { case ((g, d, sc), i) => (g, d) -> ((sc, i + 1)) }
+    }
+    val out = SparkEntry.queries("sim_maxsim")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getInt(3)))).toMap
+    assert(out == brute)
+    assert(out.count(_._1._1 == 0L) == 5 && out.count(_._1._1 == 1L) == 5)
+  }
+
+  test("pipe_quality_funnel stages are monotone and match a brute conjunction recount") {
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select("text", "lang").collect().map(r => (r.getString(0), r.getString(1)))
+    val en = Set("the", "a", "of", "and", "fast", "slow")
+    val brute = {
+      var n = Array(0L, 0L, 0L, 0L, 0L)
+      docs.foreach { case (text, lang) =>
+        val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        val rep4 = if (toks.isEmpty) 10000L
+          else math.floor((1.0 - toks.distinct.length.toDouble / toks.length) * 1e4 + 0.5).toLong
+        val f = Array(true,
+          toks.length >= 20 && toks.length <= 200,
+          false, false, false)
+        f(2) = f(1) && lang == "en"
+        f(3) = f(2) && rep4 <= 6000
+        f(4) = f(3) && toks.count(en) >= 2
+        for (i <- 0 to 4 if f(i)) n(i) += 1
+      }
+      Map("1_all" -> n(0), "2_len" -> n(1), "3_lang_en" -> n(2),
+        "4_repetition" -> n(3), "5_stopwords" -> n(4))
+    }
+    val out = SparkEntry.queries("pipe_quality_funnel")(spark, TestSpark.Sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == brute)
+    val ordered = out.toSeq.sortBy(_._1).map(_._2)
+    assert(ordered == ordered.sorted.reverse, "survival must be monotone non-increasing")
+  }
+
   test("txt_sentencize equals a brute segment recount") {
     val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
       .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
