@@ -2367,8 +2367,12 @@ object Pipeline {
       val hashed = payloads.select(col("doc_id"),
         shiftleft(Multimodal.aHashHalf(col("payload"), 32), 32)
           .bitwiseOR(Multimodal.aHashHalf(col("payload"), 0)).as("sig"))
+      // groups is signature-domain-bounded (tiny) and consumed 3×
+      // (pair join sides + two size joins) — pin it so the corpus
+      // synth+hash scan runs once, not four times
       val groups = hashed.groupBy("sig")
         .agg(min("doc_id").as("rep"), count(lit(1)).as("n"))
+        .localCheckpoint()
       val pairs = Dedup.hammingPairs(
         groups.select(col("rep").as("doc"), col("sig")),
         sigBits = 64, maxHamming = 7, maxBucket = 1L << 20)
@@ -2509,8 +2513,8 @@ object Pipeline {
     "smp_curriculum" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"),
         size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
-      val h = docs.groupBy("n_chars").agg(count(lit(1)).as("k"))
-      val tot = docs.agg(count(lit(1)).as("n"))
+      val h = docs.groupBy("n_chars").agg(count(lit(1)).as("k")).localCheckpoint()
+      val tot = h.agg(sum("k").as("n")) // corpus count from the histogram — no extra scan
       val wc = Window.orderBy("n_chars")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val thr = h.withColumn("cum", sum("k").over(wc))
@@ -2952,6 +2956,9 @@ object Pipeline {
         .withColumn("day", expr(s"(ms - pmod(ms, $dayMs)) DIV $dayMs"))
         .groupBy("day").agg((count(lit(1)) * lit(128L)).as("bytes"))
         .withColumn("grp", expr("day DIV 32"))
+        // inventory-sized and consumed 3× (mean, small, big) — pin it
+        // so the corpus day-rollup runs once
+        .localCheckpoint()
       val stats = files.agg(expr("sum(bytes) DIV count(1)").as("avg_bytes"))
       val withAvg = files.crossJoin(broadcast(stats))
       val w = Window.partitionBy("grp").orderBy("day")
