@@ -757,6 +757,38 @@ object Pipeline {
         .select(col("vec_id"), fp(col("qz.scale"), 6).as("scale_fp6"),
           posexplode(col("qz.q")).as(Seq("pos", "q")))
     }), // row-per-dim output — no presentation sort (checker row-sorts)
+    // 35m — PROTOTYPE (coreset exemplar) selection per label: the
+    // vector nearest its class centroid — the classic class-prototype
+    // / dataset-distillation pick (and the few-shot support-set
+    // builder). ALL-INTEGER: embeddings quantize to fp3 ints, and
+    // "nearest to mean" evaluates as argmin Σ_d (q_d·n − s_d)² — the
+    // mean CLEARED of its /n (≤ ~6.4e15 at sf0.1 — inside long;
+    // a real corpus re-scales the quantization or lifts to
+    // DECIMAL(38,0), the emb_class_sep staging). Centroid sums are
+    // one (label,dim)-keyed hash agg (≤ labels×64 rows, broadcast
+    // back); argmin is the keepBest min-dist + join-back idiom —
+    // struct-min would plan a SortAggregate.
+    "emb_prototypes" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), v => fp(v.cast("double"), 3)).as("q"))
+      val cnt = e.groupBy("label").agg(count(lit(1)).as("n"))
+      val cents = e.select(col("label"), posexplode(col("q")).as(Seq("d", "qv")))
+        .groupBy("label", "d").agg(sum("qv").as("sd"))
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("sd")))),
+          x => x.getField("sd")).as("sds"))
+      val dist = e.join(broadcast(cents), "label").join(broadcast(cnt), "label")
+        .select(col("label"), col("vec_id"), col("n"),
+          aggregate(zip_with(col("q"), col("sds"),
+              (qd, sd) => (qd * col("n") - sd) * (qd * col("n") - sd)),
+            lit(0L), (a, x) => a + x).as("dist"))
+      val best = dist.groupBy("label").agg(min("dist").as("dist"))
+      dist.join(best, Seq("label", "dist"))
+        .groupBy("label", "dist", "n").agg(min("vec_id").as("proto_id"))
+        .select(col("label"), col("proto_id"), col("dist").as("min_dist"), col("n"))
+        .orderBy("label")
+    }),
     // 35f — embedding QA outlier gate (the vector-hygiene pass run
     // before an ANN build or a contrastive train: truncated/blown-up
     // vectors poison both): squared norm per vector via the strict
@@ -4303,6 +4335,23 @@ object Pipeline {
         |  CAST(floor(CAST(e.embedding[i] AS DOUBLE) * scale + 0.5) AS INT) AS q
         |FROM embeddings e JOIN sc ON sc.vec_id = e.vec_id CROSS JOIN range(1, 65) t(i)
         |ORDER BY e.vec_id, pos""".stripMargin,
+    "emb_prototypes" ->
+      // argmin Σ(q_d·n − s_d)² — the per-class mean cleared of /n;
+      // everything integer after the shared fp3 quantization
+      """WITH q AS (SELECT vec_id, label,
+        |    list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE)*1e3+0.5) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |cn AS (SELECT label, count(*) AS n FROM q GROUP BY 1),
+        |cd AS (SELECT label, i AS d, CAST(sum(qv[i]) AS BIGINT) AS sd
+        |       FROM q CROSS JOIN range(1, 65) t(i) GROUP BY 1, 2),
+        |dist AS (SELECT q.vec_id, q.label, cn.n,
+        |    CAST(sum((qv[d] * n - sd) * (qv[d] * n - sd)) AS BIGINT) AS dist
+        |  FROM q JOIN cn USING (label) JOIN cd ON cd.label = q.label
+        |  GROUP BY 1, 2, 3),
+        |m AS (SELECT label, min(dist) AS min_dist FROM dist GROUP BY 1)
+        |SELECT dist.label AS label, min(vec_id) AS proto_id, min_dist, n
+        |FROM dist JOIN m ON m.label = dist.label AND dist.dist = m.min_dist
+        |GROUP BY dist.label, min_dist, n ORDER BY dist.label""".stripMargin,
     // squared norm via the strict left-fold dot, fp2 histogram,
     // all-integer Tukey fences — mirrors the Spark expression exactly
     "emb_outliers" ->

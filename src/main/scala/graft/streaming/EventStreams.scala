@@ -39,6 +39,24 @@ object EventStreams {
         unix_millis(col("window.start")).as("win_start"),
         col("event_type"), col("n"), col("sum_v4"))
 
+  /** Watermarked HOPPING-window aggregation — the streaming twin of
+    * the batch `ev_sliding_window` (size 1h, hop 30min: every event
+    * lands in exactly 2 overlapping windows). Spark's `window(ts,
+    * size, hop)` plans the same bounded replicate-then-hash-agg the
+    * batch explode writes by hand; the 1h watermark closes each
+    * window once event time passes its end + lateness. Output schema
+    * matches the batch twin: (win_start ms, event_type, n, sum_v4).
+    */
+  def hoppingAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", timestamp_millis(col("ms")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("v4").as("sum_v4"))
+      .select(
+        unix_millis(col("window.start")).as("win_start"),
+        col("event_type"), col("n"), col("sum_v4"))
+
   /** Streaming volume-anomaly scoring — the deploy shape of
     * `ev_anomaly`: the per-key volume profile (N, S, Q) is TRAINED in
     * batch ([[graft.operators.EventStats.volumeStats]] over history)

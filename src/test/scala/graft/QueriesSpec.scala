@@ -291,6 +291,28 @@ class QueriesSpec extends AnyFunSuite {
     assert(out.nonEmpty)
   }
 
+  test("emb_prototypes equals a brute integer argmin-to-centroid pick") {
+    val vecs = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray
+        .map(v => math.floor(v.toDouble * 1e3 + 0.5).toLong)))
+    val brute = vecs.groupBy(_._2).map { case (label, vs) =>
+      val n = vs.length.toLong
+      val sd = vs.map(_._3).transpose.map(_.sum)
+      val dists = vs.map { case (id, _, q) =>
+        (id, q.zip(sd).map { case (qd, s) => val d = qd * n - s; d * d }.sum)
+      }
+      val minDist = dists.map(_._2).min
+      label -> ((dists.filter(_._2 == minDist).map(_._1).min, minDist, n))
+    }
+    val out = SparkEntry.queries("emb_prototypes")(spark, TestSpark.Sf)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == brute)
+    // the prototype must carry its own label's membership
+    assert(out.forall { case (label, (proto, _, _)) =>
+      vecs.find(_._1 == proto).exists(_._2 == label) })
+  }
+
   test("dd_phash_neardup equals a brute all-pairs filter over signature groups") {
     val ids = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
       .select("doc_id").collect().map(_.getLong(0))

@@ -34,6 +34,73 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("hopping window aggregation: every event lands in exactly two overlapping windows") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val q = EventStreams.hoppingAgg(input.toDF())
+      .writeStream.format("memory").queryName("hopping").outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Ev(1, 1, "click", 0L, 10),       // windows [-30m,30m) and [0,1h)
+        Ev(2, 1, "click", H / 2, 20),    // windows [0,1h) and [30m,90m)
+        Ev(3, 2, "view", H / 4, 5))      // windows [-30m,30m) and [0,1h)
+      q.processAllAvailable()
+      input.addData(Ev(4, 1, "click", 4 * H, 1)) // advance watermark, close them
+      q.processAllAvailable()
+      val rows = spark.table("hopping")
+        .select("win_start", "event_type", "n", "sum_v4")
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(rows.contains((-H / 2, "click", 1L, 10L)))
+      assert(rows.contains((0L, "click", 2L, 30L)))
+      assert(rows.contains((H / 2, "click", 1L, 20L)))
+      assert(rows.contains((-H / 2, "view", 1L, 5L)))
+      assert(rows.contains((0L, "view", 1L, 5L)))
+      // batch twin invariant on the same data: 2 windows per event
+      val batch = Seq((0L, "click", 10L), (H / 2, "click", 20L), (H / 4, "view", 5L))
+        .flatMap { case (ms, et, _) =>
+          Seq(ms - Math.floorMod(ms, H / 2), ms - Math.floorMod(ms, H / 2) - H / 2).map((_, et))
+        }
+      assert(batch.size == 6)
+      batch.foreach { case (w, et) =>
+        assert(rows.exists(r => r._1 == w && r._2 == et), s"missing window ($w, $et)")
+      }
+    } finally q.stop()
+  }
+
+  test("streaming drops exactly the events the batch watermark counterfactual flags late") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // arrival order (event_id) with one event 3h behind the high-water
+    // mark under a 1h allowed lateness: tumblingAgg must drop it, and
+    // Watermark.lateness with the same delay must flag it — and only it
+    val evs = Seq(
+      Ev(1, 1, "click", 0L, 1),
+      Ev(2, 1, "click", 3 * H, 1), // hwm -> 3h
+      Ev(3, 1, "click", H + 1, 1), // 3h - (H+1) > 1h late -> dropped + flagged
+      Ev(4, 1, "click", 3 * H - 1, 1), // within lateness -> kept, not flagged
+      Ev(5, 1, "click", 6 * H, 1)) // closes everything
+    val flagged = graft.operators.Watermark
+      .lateness(evs.toDF(), "event_id", "ms", delayMs = H)
+      .select("event_id", "is_late").as[(Long, Boolean)].collect().toMap
+    assert(flagged == Map(1L -> false, 2L -> false, 3L -> true, 4L -> false, 5L -> false))
+    val input = MemoryStream[Ev]
+    val q = EventStreams.tumblingAgg(input.toDF())
+      .writeStream.format("memory").queryName("latedrop").outputMode(OutputMode.Append).start()
+    try {
+      evs.foreach { e => input.addData(e); q.processAllAvailable() }
+      val rows = spark.table("latedrop")
+        .select("win_start", "n").as[(Long, Long)].collect().toMap
+      // window [1h,2h) would hold event 3 — it was late, so the window
+      // never materializes; window [0,1h) holds only event 1
+      assert(rows.get(0L).contains(1L))
+      assert(!rows.contains(H), "the too-late event must have been dropped")
+      // event 4 (t=3h-1) lands in [2h,3h); event 2 in [3h,4h)
+      assert(rows.get(2 * H).contains(1L))
+      assert(rows.get(3 * H).contains(1L))
+    } finally q.stop()
+  }
+
   test("streaming anomaly scoring flags a spike window against the batch-trained profile") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
