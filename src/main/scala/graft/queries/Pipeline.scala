@@ -921,6 +921,27 @@ object Pipeline {
     // the reversed key pair. Fully oracle-checked: the IVF
     // assignment, fold-order cosines, rank tie-breaks (cos_fp6 desc,
     // id asc) and the mutual join all replicate in SQL.
+    // 32n — dedup-THRESHOLD calibration sweep (every near-dup pass
+    // has a τ; this is the curve you pick it from): within-cell pair
+    // similarities histogrammed at fp2 granularity over cos ≥ 0.1 —
+    // how many pairs would each threshold merge? Cell-blocked like
+    // sim_knn_graph (the IVF assignment bounds the self-join to
+    // cell-sized blocks — never corpus-quadratic); the histogram is
+    // value-domain-bounded (≤ 91 buckets).
+    "dd_threshold_sweep" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", 16)
+      val assigned = Similarity.ivfAssign(e, "vec_id", "embedding", cents)
+      val a = assigned.select(col("id").as("id_a"), col("vec").as("_va"), col("cell"))
+      val b = assigned.select(col("id").as("id_b"), col("vec").as("_vb"), col("cell"))
+      a.join(b, "cell")
+        .filter(col("id_a") < col("id_b"))
+        .select(fp(Similarity.cosine(col("_va"), col("_vb")), 6).as("cos_fp6"))
+        .filter(col("cos_fp6") >= 100000L)
+        .select(expr("cos_fp6 DIV 10000").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("bucket")
+    }),
     "sim_knn_graph" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", 16)
@@ -2028,6 +2049,29 @@ object Pipeline {
         .agg(count(lit(1)).as("n"), sum(col("is_late").cast("long")).as("n_late"))
         .orderBy("win_start")
     }),
+    // 43ad — seasonal-naive FORECAST backtest (the baseline every
+    // volume forecast must beat, and the capacity-planning sanity
+    // report): predict each (event_type, day) count by the count 7
+    // days earlier, score per-type MAE over the days where a
+    // prediction exists. ALL-INTEGER: the daily rollup is one hash
+    // agg, the lag-7 a self-equi-join on (type, day−7) — never a
+    // window over raw events; mae_fp4 = ⌊Σ|err|/n·10⁴+0.5⌉ computed
+    // as (Σ·2·10⁴+n) DIV (2n), exact on both engines.
+    "ev_forecast_baseline" -> ((s, dir) => {
+      val dayMs = 86400000L
+      val daily = ev(s, dir)
+        .withColumn("day", expr(s"(ms - pmod(ms, $dayMs)) DIV $dayMs"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      val pred = daily.select(col("event_type"), (col("day") + 7).as("day"),
+        col("n").as("n_pred"))
+      daily.join(pred, Seq("event_type", "day"))
+        .select(col("event_type"), abs(col("n") - col("n_pred")).as("err"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"), sum("err").as("total_abs_err"))
+        .withColumn("mae_fp4",
+          expr("(total_abs_err * 20000 + n_days) DIV (2 * n_days)"))
+        .orderBy("event_type")
+    }),
     // 43g — daily-volume anomaly profile (ingest monitoring: which
     // source×day volumes spike/crater before they poison a mixture):
     // per (event_type, day) counts, flagged |n−μ|>2σ against the
@@ -3035,6 +3079,36 @@ object Pipeline {
           sum("nm").as("rows_matched"))
         .orderBy("layout")
     }),
+    // 48m — TTL / retention DELETE planner (the GDPR-expiry twin of
+    // 48l's scan audit — deletes are priced differently: an all-
+    // expired file DROPS for free, a mixed file REWRITES every
+    // surviving row): per layout, files fully dropped vs rewritten
+    // vs untouched, rows deleted vs rewritten, for a shipdate <
+    // 1997-01-01 expiry. Same inventory-sized per-file stats agg as
+    // the pruning audit; the quantified case for date-partitioning
+    // a table that carries a retention policy.
+    "src_ttl_retention" -> ((s, dir) => {
+      val l0 = t(s, dir, "lineitem")
+      val dayMs = 86400000L
+      val cut = 852076800000L // 1997-01-01
+      val base = l0.select(col("l_orderkey"), tsMs(l0, "l_shipdate").as("ms"))
+        .withColumn("day", expr(s"(ms - pmod(ms, $dayMs)) DIV $dayMs"))
+      val layouts = base.select(explode(array(
+          struct(lit("insert_order").as("layout"), expr("l_orderkey DIV 200").as("fid")),
+          struct(lit("date_partitioned").as("layout"), expr("day DIV 7").as("fid")))).as("lf"),
+        col("ms"))
+      layouts.groupBy(col("lf.layout").as("layout"), col("lf.fid").as("fid"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("ms") < cut, 1L).otherwise(0L)).as("nexp"))
+        .groupBy("layout")
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("nexp") === col("n"), 1L).otherwise(0L)).as("n_drop"),
+          sum(when(col("nexp") > 0 && col("nexp") < col("n"), 1L).otherwise(0L)).as("n_rewrite"),
+          sum(when(col("nexp") === 0, 1L).otherwise(0L)).as("n_keep"),
+          sum("nexp").as("rows_deleted"),
+          sum(when(col("nexp") > 0, col("n") - col("nexp")).otherwise(0L)).as("rows_rewritten"))
+        .orderBy("layout")
+    }),
     // 44h — INCREMENTAL VIEW MAINTENANCE: the law that makes 100 TB
     // aggregates maintainable — agg(apply(base, Δ)) must equal
     // merge(agg(base), agg(Δ)). The per-status (count, sum) view is
@@ -3849,6 +3923,20 @@ object Pipeline {
     "sim_ann_ivf" -> annIvfSql,
     // same IVF assignment CTEs as annIvfSql; candidates cell-bounded,
     // per-node top-3, then the mutual (reversed-pair) self-join
+    "dd_threshold_sweep" ->
+      s"""WITH cnt AS (SELECT count(*) AS c FROM embeddings),
+        |cents AS (SELECT vec_id AS centroid_id, embedding AS cvec
+        |          FROM embeddings, cnt WHERE vec_id % greatest(1, (c + 15) // 16) = 0),
+        |ac AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+        |         ${cosSql("e.embedding", "c.cvec")} AS cosv
+        |       FROM embeddings e CROSS JOIN cents c),
+        |asg AS (SELECT vec_id, embedding, centroid_id AS cell FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosv DESC, centroid_id) AS rn
+        |         FROM ac) WHERE rn = 1),
+        |sc AS (SELECT ${sqlFp(cosSql("a.embedding", "b.embedding"), 6)} AS cos_fp6
+        |       FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+        |SELECT cos_fp6 // 10000 AS bucket, count(*) AS n_pairs
+        |FROM sc WHERE cos_fp6 >= 100000 GROUP BY 1 ORDER BY 1""".stripMargin,
     "sim_knn_graph" ->
       s"""WITH cnt AS (SELECT count(*) AS c FROM embeddings),
         |cents AS (SELECT vec_id AS centroid_id, embedding AS cvec
@@ -5799,6 +5887,35 @@ object Pipeline {
         |      SELECT grp, CAST(-1 AS BIGINT) AS bin, bytes FROM g, a WHERE bytes >= avg_bytes)
         |SELECT grp, bin, count(*) AS n_files, CAST(sum(bytes) AS BIGINT) AS tot_bytes
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ev_forecast_baseline" ->
+      """WITH daily AS (
+        |  SELECT event_type, (ms - ((ms % 86400000 + 86400000) % 86400000)) // 86400000 AS day,
+        |    count(*) AS n
+        |  FROM (SELECT event_type, epoch_ms(ts) AS ms FROM events) GROUP BY 1, 2),
+        |j AS (SELECT a.event_type, abs(a.n - b.n) AS err
+        |      FROM daily a JOIN daily b
+        |        ON a.event_type = b.event_type AND a.day = b.day + 7)
+        |SELECT event_type, count(*) AS n_days,
+        |  CAST(sum(err) AS BIGINT) AS total_abs_err,
+        |  CAST((sum(err) * 20000 + count(*)) // (2 * count(*)) AS BIGINT) AS mae_fp4
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src_ttl_retention" ->
+      """WITH base AS (SELECT l_orderkey, epoch_ms(l_shipdate) AS ms,
+        |    (epoch_ms(l_shipdate) - ((epoch_ms(l_shipdate) % 86400000 + 86400000) % 86400000)) // 86400000 AS day
+        |  FROM lineitem),
+        |lay AS (SELECT 'insert_order' AS layout, l_orderkey // 200 AS fid, ms FROM base
+        |        UNION ALL
+        |        SELECT 'date_partitioned' AS layout, day // 7 AS fid, ms FROM base),
+        |pf AS (SELECT layout, fid, count(*) AS n,
+        |         CAST(sum(CASE WHEN ms < 852076800000 THEN 1 ELSE 0 END) AS BIGINT) AS nexp
+        |       FROM lay GROUP BY 1, 2)
+        |SELECT layout, count(*) AS n_files,
+        |  CAST(sum(CASE WHEN nexp = n THEN 1 ELSE 0 END) AS BIGINT) AS n_drop,
+        |  CAST(sum(CASE WHEN nexp > 0 AND nexp < n THEN 1 ELSE 0 END) AS BIGINT) AS n_rewrite,
+        |  CAST(sum(CASE WHEN nexp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |  CAST(sum(nexp) AS BIGINT) AS rows_deleted,
+        |  CAST(sum(CASE WHEN nexp > 0 THEN n - nexp ELSE 0 END) AS BIGINT) AS rows_rewritten
+        |FROM pf GROUP BY 1 ORDER BY 1""".stripMargin,
     "src_stats_pruning" ->
       """WITH base AS (SELECT l_orderkey, epoch_ms(l_shipdate) AS ms,
         |    (epoch_ms(l_shipdate) - ((epoch_ms(l_shipdate) % 86400000 + 86400000) % 86400000)) // 86400000 AS day

@@ -291,6 +291,69 @@ class QueriesSpec extends AnyFunSuite {
     assert(out.nonEmpty)
   }
 
+  test("dd_threshold_sweep equals a brute within-cell pair histogram") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+    val cents = graft.similarity.Similarity.ivfCentroids(e, "vec_id", "embedding", 16)
+    val assigned = graft.similarity.Similarity.ivfAssign(e, "vec_id", "embedding", cents)
+      .select("id", "vec", "cell")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getLong(2)))
+    def cos6(a: Array[Float], b: Array[Float]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble; na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble; i += 1
+      }
+      math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6 + 0.5).toLong
+    }
+    val brute = assigned.groupBy(_._3).values.flatMap { cell =>
+      for (i <- cell.indices; j <- i + 1 until cell.length) yield {
+        val (a, b) = if (cell(i)._1 < cell(j)._1) (cell(i), cell(j)) else (cell(j), cell(i))
+        cos6(a._2, b._2)
+      }
+    }.filter(_ >= 100000L).map(_ / 10000L)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val out = SparkEntry.queries("dd_threshold_sweep")(spark, TestSpark.Sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == brute)
+    assert(out.nonEmpty)
+  }
+
+  test("ev_forecast_baseline equals a brute lag-7 MAE recount") {
+    import org.apache.spark.sql.functions._
+    val raw = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
+    val evs = raw.select(col("event_type"), graft.queries.QueryUtil.tsMs(raw).as("ms"))
+      .collect().map(r => (r.getString(0), Math.floorDiv(r.getLong(1), 86400000L)))
+    val daily = evs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val brute = daily.keys.toSeq.flatMap { case (et, day) =>
+      daily.get((et, day - 7)).map(pred => (et, math.abs(daily((et, day)) - pred)))
+    }.groupBy(_._1).map { case (et, errs) =>
+      val tot = errs.map(_._2).sum; val n = errs.size.toLong
+      et -> ((n, tot, (tot * 20000 + n) / (2 * n)))
+    }
+    val out = SparkEntry.queries("ev_forecast_baseline")(spark, TestSpark.Sf)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == brute)
+    assert(out.nonEmpty)
+  }
+
+  test("src_ttl_retention: partitions sum up; deleted rows equal the raw expiry count across layouts") {
+    import org.apache.spark.sql.functions._
+    val cut = 852076800000L
+    val raw = spark.read.parquet(s"${TestSpark.Sf}/lineitem.parquet")
+    val nExpired = raw.filter(graft.queries.QueryUtil.tsMs(raw, "l_shipdate") < cut).count()
+    val out = SparkEntry.queries("src_ttl_retention")(spark, TestSpark.Sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(out.keySet == Set("insert_order", "date_partitioned"))
+    out.foreach { case (layout, (nf, drop, rw, keep, del, rewr)) =>
+      assert(drop + rw + keep == nf, s"$layout partition classes must sum to n_files")
+      assert(del == nExpired, s"$layout must delete every expired row")
+    }
+    // the date layout must rewrite no more rows than insert order
+    assert(out("date_partitioned")._6 <= out("insert_order")._6)
+  }
+
   test("emb_prototypes equals a brute integer argmin-to-centroid pick") {
     val vecs = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
       .select("vec_id", "label", "embedding").collect()
