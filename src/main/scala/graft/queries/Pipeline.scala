@@ -1987,6 +1987,53 @@ object Pipeline {
         .agg(count(lit(1)).as("n_events"), min("ms").as("start_ms"), max("ms").as("end_ms"), sum("v4").as("sum_v4"))
         .orderBy("user_id", "session_idx")
     }),
+    // 43ae — interval CONCURRENCY (sweep line): per day, the peak
+    // number of simultaneously-open sessions — the load-planning
+    // number behind connection pools and rate limits. Sessions
+    // (6h-gap, the ev_sessionize rule) explode to ±1 boundary deltas;
+    // within each day a running sum over (t, +1-before-−1) finds the
+    // peak (inclusive overlap at touching instants); sessions that
+    // straddle midnight carry +1 into each later covered day (span
+    // explode — bounded by session duration in days). The sweep
+    // windows are DAY-sliced, never one global task; the per-day peak
+    // is order-stable under ties because equal deltas commute inside
+    // their block.
+    "ev_concurrency" -> ((s, dir) => {
+      val dayMs = 86400000L
+      val byUser = Window.partitionBy("user_id").orderBy("ms", "event_id")
+      val sess = ev(s, dir)
+        .withColumn("new_sess",
+          when(lag("ms", 1).over(byUser).isNull || col("ms") - lag("ms", 1).over(byUser) > SessionGapMs, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx", sum("new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_idx")
+        .agg(min("ms").as("st"), max("ms").as("en"))
+        .withColumn("sd", expr(s"(st - pmod(st, $dayMs)) DIV $dayMs"))
+        .withColumn("ed", expr(s"(en - pmod(en, $dayMs)) DIV $dayMs"))
+      val deltas = sess.select(explode(array(
+          struct(col("sd").as("day"), col("st").as("t"), lit(1L).as("d")),
+          struct(col("ed").as("day"), col("en").as("t"), lit(-1L).as("d")))).as("e"))
+        .select(col("e.day").as("day"), col("e.t").as("t"), col("e.d").as("d"))
+      val carries = sess.filter(col("ed") > col("sd"))
+        .select(explode(sequence(col("sd") + 1, col("ed"))).as("day"))
+        .groupBy("day").agg(count(lit(1)).as("carry"))
+      val wd = Window.partitionBy("day").orderBy(col("t"), col("d").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deltas
+        .withColumn("run", sum("d").over(wd))
+        .groupBy("day")
+        .agg(max("run").as("peak_in_day"),
+          sum(when(col("d") === 1, 1L).otherwise(0L)).as("n_starts"))
+        .join(carries, Seq("day"), "full_outer")
+        // concurrency at day START is the carry alone — a day whose
+        // deltas only close carried sessions (or has none) peaks there
+        .select(col("day"),
+          (coalesce(col("carry"), lit(0L)) +
+            greatest(coalesce(col("peak_in_day"), lit(0L)), lit(0L))).as("peak_conc"),
+          coalesce(col("carry"), lit(0L)).as("carry_in"),
+          coalesce(col("n_starts"), lit(0L)).as("n_starts"))
+        .orderBy("day")
+    }),
     // 43 — tumbling-window aggregation (batch twin of the streaming op)
     "ev_window_agg" -> ((s, dir) => {
       ev(s, dir)
@@ -2847,6 +2894,29 @@ object Pipeline {
     // exact integers; the normal-equation combination runs in
     // DECIMAL(38,0) (n·Σxy at corpus scale exceeds int64) with one
     // final double divide per statistic.
+    // 41s — VOCABULARY coverage curve (tokenizer-budget selection:
+    // what fraction of corpus token OCCURRENCES does a top-k vocab
+    // cover?): one token rollup, top-1024 via TakeOrdered (never a
+    // corpus- or vocab-sized sort), the four k-levels evaluated as a
+    // tiny explode + filter + rollup over that bounded head. coverage
+    // = ⌊covered/total·10⁶+0.5⌉ in pure integer form.
+    "txt_vocab_coverage" -> ((s, dir) => {
+      val vocab = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("f"))
+      val tot = vocab.agg(sum("f").as("total"))
+      val head = vocab.orderBy(desc("f"), asc("tok")).limit(1024)
+        .withColumn("rank", row_number().over(Window.orderBy(desc("f"), asc("tok"))))
+      head.select(col("f"), col("rank"),
+          explode(typedLit(Seq(16, 64, 256, 1024))).as("k"))
+        .filter(col("rank") <= col("k"))
+        .groupBy("k").agg(sum("f").as("covered"))
+        .crossJoin(broadcast(tot))
+        .select(col("k"),
+          col("covered"),
+          expr("(covered * 2000000 + total) DIV (2 * total)").as("coverage_fp6"))
+        .orderBy("k")
+    }),
     "txt_zipf" -> ((s, dir) => {
       val D = org.apache.spark.sql.types.DecimalType(38, 0)
       val ranked = t(s, dir, "documents")
@@ -5088,6 +5158,30 @@ object Pipeline {
         |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, count(*) AS n_events,
         |  min(ms) AS start_ms, max(ms) AS end_ms, CAST(sum(v4) AS BIGINT) AS sum_v4
         |FROM sess GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+    "ev_concurrency" ->
+      s"""WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events),
+        |flagged AS (SELECT *, CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > $SessionGapMs
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |sess AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM flagged),
+        |si AS (SELECT user_id, session_idx, min(ms) AS st, max(ms) AS en FROM sess GROUP BY 1, 2),
+        |sd AS (SELECT st, en,
+        |    (st - ((st % 86400000 + 86400000) % 86400000)) // 86400000 AS sd,
+        |    (en - ((en % 86400000 + 86400000) % 86400000)) // 86400000 AS ed FROM si),
+        |deltas AS (SELECT sd AS day, st AS t, 1 AS d FROM sd
+        |           UNION ALL SELECT ed, en, -1 FROM sd),
+        |runs AS (SELECT day, d, sum(d) OVER (PARTITION BY day ORDER BY t, d DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM deltas),
+        |agg AS (SELECT day, max(run) AS peak_in_day,
+        |    sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS n_starts FROM runs GROUP BY 1),
+        |car AS (SELECT day, count(*) AS carry FROM
+        |    (SELECT unnest(range(sd + 1, ed + 1)) AS day FROM sd WHERE ed > sd) GROUP BY 1)
+        |SELECT coalesce(agg.day, car.day) AS day,
+        |  CAST(coalesce(carry, 0) + greatest(coalesce(peak_in_day, 0), 0) AS BIGINT) AS peak_conc,
+        |  CAST(coalesce(carry, 0) AS BIGINT) AS carry_in,
+        |  CAST(coalesce(n_starts, 0) AS BIGINT) AS n_starts
+        |FROM agg FULL JOIN car ON agg.day = car.day ORDER BY 1""".stripMargin,
     "ev_window_agg" ->
       // floored modulus ((x % m + m) % m) mirrors Spark's pmod, so the
       // window start floors for negative ms too (DuckDB % truncates)
@@ -5707,6 +5801,16 @@ object Pipeline {
         |  CAST(sum(${sqlFp("\"value\"", 4)}) AS BIGINT) AS sum_v4
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "txt_vocab_coverage" ->
+      s"""WITH v AS (SELECT tok, count(*) AS f FROM
+        |    (SELECT unnest($toksSql) AS tok FROM documents) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(f) AS BIGINT) AS total FROM v),
+        |head AS (SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS rank
+        |         FROM v ORDER BY f DESC, tok LIMIT 1024),
+        |ks AS (SELECT unnest([16, 64, 256, 1024]) AS k)
+        |SELECT k, CAST(sum(f) AS BIGINT) AS covered,
+        |  CAST((sum(f) * 2000000 + total) // (2 * total) AS BIGINT) AS coverage_fp6
+        |FROM head, ks, tot WHERE rank <= k GROUP BY k, total ORDER BY k""".stripMargin,
     "txt_zipf" ->
       s"""WITH v AS (
         |  SELECT tok, count(*) AS f

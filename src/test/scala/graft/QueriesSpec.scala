@@ -291,6 +291,58 @@ class QueriesSpec extends AnyFunSuite {
     assert(out.nonEmpty)
   }
 
+  test("ev_concurrency equals a brute sweep over session intervals") {
+    import org.apache.spark.sql.functions._
+    val raw = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
+    val evs = raw.select(col("user_id"), col("event_id"),
+      graft.queries.QueryUtil.tsMs(raw).as("ms")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gap = 21600000L; val dayMs = 86400000L
+    val sessions: Seq[(Long, Long)] = evs.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._2)).map(_._3)
+      val bounds = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      var st = ordered.head; var prev = ordered.head
+      ordered.tail.foreach { ms =>
+        if (ms - prev > gap) { bounds += ((st, prev)); st = ms }
+        prev = ms
+      }
+      bounds += ((st, prev)); bounds.toSeq
+    }
+    def dayOf(t: Long) = Math.floorDiv(t, dayMs)
+    val days = sessions.flatMap { case (st, en) => dayOf(st) to dayOf(en) }.distinct.sorted
+    def conc(t: Long) = sessions.count { case (st, en) => st <= t && t <= en }
+    val brute = days.map { d =>
+      val d0 = d * dayMs
+      val cands = d0 +: sessions.map(_._1).filter(t => dayOf(t) == d)
+      val peak = cands.map(conc).max.toLong
+      val carry = sessions.count { case (st, en) => st < d0 && en >= d0 }.toLong
+      val starts = sessions.count(s => dayOf(s._1) == d).toLong
+      d -> ((peak, carry, starts))
+    }.toMap
+    val out = SparkEntry.queries("ev_concurrency")(spark, TestSpark.Sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == brute)
+    assert(out.nonEmpty)
+  }
+
+  test("txt_vocab_coverage equals a brute top-k occurrence recount and is monotone") {
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val freq = docs.flatMap(_.toLowerCase.split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (tok, f) => (-f, tok) }
+    val total = freq.map(_._2).sum
+    val brute = Seq(16, 64, 256, 1024).map { k =>
+      val covered = freq.take(k).map(_._2).sum
+      k -> ((covered, (covered * 2000000L + total) / (2 * total)))
+    }.toMap
+    val out = SparkEntry.queries("txt_vocab_coverage")(spark, TestSpark.Sf)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == brute)
+    val cov = Seq(16, 64, 256, 1024).map(out(_)._2)
+    assert(cov == cov.sorted, "coverage must be monotone in k")
+  }
+
   test("dd_threshold_sweep equals a brute within-cell pair histogram") {
     import org.apache.spark.sql.functions._
     val e = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
