@@ -2709,6 +2709,25 @@ object Pipeline {
         budget = 256L, numGroups = 8)
         .orderBy("doc_id")
     }),
+    // 46p — LENGTH-BUCKET batching waste report (the seq-len
+    // bucketing trick: batch docs padded to power-of-two caps; how
+    // many pad tokens does each bucket burn?): cap = 2^⌈log2 n⌉ via
+    // the length(bin(n−1)) integer trick (the ev_interarrival HLL-ρ
+    // idiom — no libm), waste = n_docs·cap − Σn. One narrow map +
+    // one ≤64-bucket rollup; waste_fp4 in pure integer form.
+    "smp_length_buckets" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+        .withColumn("cap",
+          when(col("n") <= 1L, lit(1L))
+            .otherwise(expr("shiftleft(CAST(1 AS BIGINT), CAST(length(bin(n - 1)) AS INT))")))
+        .groupBy("cap")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("real_tokens"))
+        .withColumn("padded_tokens", col("n_docs") * col("cap"))
+        .withColumn("waste_fp4",
+          expr("((padded_tokens - real_tokens) * 20000 + padded_tokens) DIV (2 * padded_tokens)"))
+        .orderBy("cap")
+    }),
     // 32f — content-defined chunking (rsync/LBFS window-hash cuts):
     // boundaries are a function of local content, so chunk-hash dedup
     // re-synchronizes on shifted duplicates where fixed-offset
@@ -5660,6 +5679,16 @@ object Pipeline {
         |WHERE rank_in_stratum <= 5
         |ORDER BY source, rank_in_stratum""".stripMargin
     },
+    "smp_length_buckets" ->
+      s"""WITH d AS (SELECT CAST(len($toksSql) AS BIGINT) AS n FROM documents),
+        |c AS (SELECT n, CASE WHEN n <= 1 THEN CAST(1 AS BIGINT)
+        |        ELSE (CAST(1 AS BIGINT) << length(bin(n - 1))) END AS cap FROM d),
+        |g AS (SELECT cap, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS real_tokens
+        |      FROM c GROUP BY 1)
+        |SELECT cap, n_docs, real_tokens,
+        |  CAST(n_docs * cap AS BIGINT) AS padded_tokens,
+        |  CAST(((n_docs * cap - real_tokens) * 20000 + n_docs * cap) // (2 * n_docs * cap) AS BIGINT) AS waste_fp4
+        |FROM g ORDER BY cap""".stripMargin,
     "smp_pack" ->
       s"""WITH RECURSIVE w AS (
         |  SELECT doc_id, doc_id % 8 AS grp, CAST(len($toksSql) AS BIGINT) AS n_tokens,

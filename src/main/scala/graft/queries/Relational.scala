@@ -480,6 +480,40 @@ object Relational {
       graft.operators.AsofJoin.asofForward(o, "k", "oms", e, "k", "ms", Seq("event_id"))
         .select(col("o_orderkey"), col("k"), col("oms"),
           col("asof_time").as("ev_ms"), col("asof_event_id").as("ev_event_id"))
+    }), // row-per-order output — no presentation sort (checker row-sorts)
+    // 11u — NEAREST as-of (either direction): each order picks
+    // whichever of {latest event ≤ t, earliest event ≥ t} is closer
+    // in time, ties to the backward side — the gap-tolerant
+    // enrichment when staleness in either direction is acceptable.
+    // COMPOSED from the two as-of primitives by CHAINING: the
+    // forward pass runs with the backward pass's output as its left
+    // side (both are left-preserving), so the pick is a narrow map —
+    // two sort-merge passes total, no extra join to reconcile them.
+    "q31_asof_nearest" -> ((s, dir) => {
+      val o0 = t(s, dir, "orders")
+      val o = o0.select(
+        col("o_orderkey"), pmod(col("o_custkey"), lit(100L)).as("k"),
+        tsMs(o0, "o_orderdate").as("oms"))
+      val e0 = t(s, dir, "events")
+      // events postdate every order by decades — fold their times
+      // into the order-date span (deterministic pmod remap) so BOTH
+      // directions genuinely occur
+      val e = e0.select(
+        pmod(col("user_id"), lit(100L)).as("k"),
+        (lit(788918400000L) + pmod(tsMs(e0), lit(207705600000L))).as("ms"),
+        col("event_id"))
+      val b = graft.operators.AsofJoin.asofBackward(o, "k", "oms", e, "k", "ms",
+        Seq("event_id"), prefix = "b_")
+      val bf = graft.operators.AsofJoin.asofForward(b, "k", "oms", e, "k", "ms",
+        Seq("event_id"), prefix = "f_")
+      val useB = col("f_time").isNull ||
+        (col("b_time").isNotNull &&
+          (col("oms") - col("b_time")) <= (col("f_time") - col("oms")))
+      bf.select(col("o_orderkey"), col("k"), col("oms"),
+        when(useB, col("b_time")).otherwise(col("f_time")).as("ev_ms"),
+        when(useB, col("b_event_id")).otherwise(col("f_event_id")).as("ev_event_id"),
+        when(col("b_time").isNull && col("f_time").isNull, lit(null).cast("string"))
+          .when(useB, lit("b")).otherwise(lit("f")).as("dir"))
     }) // row-per-order output — no presentation sort (checker row-sorts)
   )
 
@@ -722,6 +756,32 @@ object Relational {
         |      FROM o JOIN b ON b.o_orderkey = o.o_orderkey
         |      LEFT JOIN e ON e.k = o.k AND e.ms = b.ev_ms
         |      GROUP BY 1, 2, 3, 4)
-        |SELECT o_orderkey, k, oms, ev_ms, ev_event_id FROM p ORDER BY o_orderkey""".stripMargin
+        |SELECT o_orderkey, k, oms, ev_ms, ev_event_id FROM p ORDER BY o_orderkey""".stripMargin,
+    "q31_asof_nearest" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey % 100 AS k, epoch_ms(o_orderdate) AS oms FROM orders),
+        |e AS (SELECT user_id % 100 AS k,
+        |        788918400000 + ((epoch_ms(ts) % 207705600000 + 207705600000) % 207705600000) AS ms,
+        |        event_id FROM events),
+        |bb AS (SELECT o.o_orderkey, max(e.ms) AS bt
+        |       FROM o LEFT JOIN e ON e.k = o.k AND e.ms <= o.oms GROUP BY 1),
+        |bp AS (SELECT o.o_orderkey, bb.bt, max(e.event_id) AS bid
+        |       FROM o JOIN bb ON bb.o_orderkey = o.o_orderkey
+        |       LEFT JOIN e ON e.k = o.k AND e.ms = bb.bt GROUP BY 1, 2),
+        |ff AS (SELECT o.o_orderkey, min(e.ms) AS ft
+        |       FROM o LEFT JOIN e ON e.k = o.k AND e.ms >= o.oms GROUP BY 1),
+        |fp AS (SELECT o.o_orderkey, ff.ft, max(e.event_id) AS fid
+        |       FROM o JOIN ff ON ff.o_orderkey = o.o_orderkey
+        |       LEFT JOIN e ON e.k = o.k AND e.ms = ff.ft GROUP BY 1, 2)
+        |SELECT o.o_orderkey, o.k, o.oms,
+        |  CASE WHEN ft IS NULL OR (bt IS NOT NULL AND o.oms - bt <= ft - o.oms)
+        |       THEN bt ELSE ft END AS ev_ms,
+        |  CASE WHEN ft IS NULL OR (bt IS NOT NULL AND o.oms - bt <= ft - o.oms)
+        |       THEN bid ELSE fid END AS ev_event_id,
+        |  CASE WHEN bt IS NULL AND ft IS NULL THEN NULL
+        |       WHEN ft IS NULL OR (bt IS NOT NULL AND o.oms - bt <= ft - o.oms)
+        |       THEN 'b' ELSE 'f' END AS dir
+        |FROM o JOIN bp ON bp.o_orderkey = o.o_orderkey
+        |JOIN fp ON fp.o_orderkey = o.o_orderkey
+        |ORDER BY o.o_orderkey""".stripMargin
   )
 }

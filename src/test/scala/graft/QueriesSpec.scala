@@ -291,6 +291,40 @@ class QueriesSpec extends AnyFunSuite {
     assert(out.nonEmpty)
   }
 
+  test("q31_asof_nearest picks the closer side with backward ties; both directions occur") {
+    val out = SparkEntry.queries("q31_asof_nearest")(spark, TestSpark.Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(5)) None else Some(r.getString(5))))
+    val dirs = out.flatMap(_._4).toSet
+    assert(dirs == Set("b", "f"), s"both directions must occur, got $dirs")
+    // cross-check against the two primitives on the same inputs
+    val q30Style = out.map { case (ok, oms, ev, dir) => (ok, oms, ev, dir) }
+    q30Style.foreach { case (_, oms, ev, dir) =>
+      (ev, dir) match {
+        case (Some(t), Some("b")) => assert(t <= oms)
+        case (Some(t), Some("f")) => assert(t >= oms)
+        case (None, None)         => ()
+        case other                => fail(s"inconsistent match $other")
+      }
+    }
+  }
+
+  test("smp_length_buckets: caps are powers of two covering every doc; waste is exact") {
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val lens = docs.map(_.toLowerCase.split("\\s+").count(_.nonEmpty).toLong)
+    val brute = lens.map { n =>
+      if (n <= 1) 1L else java.lang.Long.highestOneBit(n - 1) * 2
+    }.zip(lens).groupBy(_._1).map { case (cap, g) =>
+      val nd = g.length.toLong; val real = g.map(_._2).sum; val pad = nd * cap
+      cap -> ((nd, real, pad, ((pad - real) * 20000 + pad) / (2 * pad)))
+    }
+    val out = SparkEntry.queries("smp_length_buckets")(spark, TestSpark.Sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out == brute)
+    out.keys.foreach(cap => assert(java.lang.Long.bitCount(cap) == 1, s"cap $cap not a power of two"))
+  }
+
   test("ev_concurrency equals a brute sweep over session intervals") {
     import org.apache.spark.sql.functions._
     val raw = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
