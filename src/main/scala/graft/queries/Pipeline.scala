@@ -2153,6 +2153,34 @@ object Pipeline {
       cnt(s1, "1_view").unionByName(cnt(s2, "2_click")).unionByName(cnt(s3, "3_purchase"))
         .select("stage", "n_users").orderBy("stage")
     }),
+    // 43af — WINDOWED first-touch funnel (ev_funnel with a conversion
+    // deadline — the product-analytics default): stage k counts only
+    // within W = 24h of the PREVIOUS stage's first-touch time, and
+    // the chain anchors on each user's FIRST stage-1 event
+    // (first-touch semantics, stated and oracle-pinned: a later view
+    // that would have converted does not resurrect the user). Same
+    // three key-shuffles with map-side partial mins as the unbounded
+    // funnel; lag mass rides along for the conversion-latency report.
+    "ev_funnel_window" -> ((s, dir) => {
+      val W = 86400000L
+      val e = ev(s, dir)
+      val s1 = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ms").as("t1"))
+      val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
+        .filter(col("ms") > col("t1") && col("ms") <= col("t1") + W)
+        .groupBy("user_id").agg(min("ms").as("t2"), min("t1").as("t1b"))
+      val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
+        .filter(col("ms") > col("t2") && col("ms") <= col("t2") + W)
+        .groupBy("user_id").agg(min("ms").as("t3"), min("t1b").as("t1c"))
+      def cnt(df: DataFrame, stage: String, lag: Column) =
+        df.agg(count(lit(1)).as("n_users"), sum(lag).as("sum_lag_ms"))
+          .withColumn("stage", lit(stage))
+      cnt(s1, "1_view", lit(0L))
+        .unionByName(cnt(s2, "2_click", col("t2") - col("t1b")))
+        .unionByName(cnt(s3, "3_purchase", col("t3") - col("t1c")))
+        .select(col("stage"), col("n_users"), coalesce(col("sum_lag_ms"), lit(0L)).as("sum_lag_ms"))
+        .orderBy("stage")
+    }),
     // 43c — cohort retention: users grouped by first-activity week,
     // counted per week-offset they return in. Two key-shuffles (per
     // user cohort min, then per (cohort, offset) distinct count).
@@ -2504,6 +2532,34 @@ object Pipeline {
         .join(groups.select(col("rep").as("doc_b"), col("n").as("size_b")), "doc_b")
         .select("doc_a", "doc_b", "hamming", "size_a", "size_b")
         .orderBy("doc_a", "doc_b")
+    }),
+    // 45p — image DEDUP CLUSTERS (the end-to-end multimodal dedup:
+    // 45o's pairs closed into groups): connected components over the
+    // signature-representative pair graph, reported as cluster id
+    // (min rep) + signature count + total image mass. The component
+    // iteration runs on the REP graph (signature-domain-sized, ≪
+    // corpus); image mass joins back from the group table.
+    "mm_image_dedup_cluster" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal
+      val payloads = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.synthGray8x8(id))))
+        .toDF("doc_id", "payload")
+      val groups = payloads.select(col("doc_id"),
+          shiftleft(Multimodal.aHashHalf(col("payload"), 32), 32)
+            .bitwiseOR(Multimodal.aHashHalf(col("payload"), 0)).as("sig"))
+        .groupBy("sig").agg(min("doc_id").as("rep"), count(lit(1)).as("n"))
+        .localCheckpoint()
+      val pairs = Dedup.hammingPairs(
+        groups.select(col("rep").as("doc"), col("sig")),
+        sigBits = 64, maxHamming = 7, maxBucket = 1L << 20)
+      Dedup.connectedComponents(
+          groups.select(col("rep").as("doc_id")), "doc_id",
+          pairs.select("doc_a", "doc_b"), "doc_a", "doc_b")
+        .join(groups.select(col("rep").as("doc_id"), col("n")), "doc_id")
+        .groupBy("component")
+        .agg(count(lit(1)).as("n_sigs"), sum("n").as("n_images"))
+        .orderBy("component")
     }),
     // 45m — per-CHANNEL pixel normalization constants (the
     // dataset-level mean/variance every vision pipeline computes once
@@ -5248,6 +5304,18 @@ object Pipeline {
         |  UNION ALL SELECT '2_click', count(*) FROM s2
         |  UNION ALL SELECT '3_purchase', count(*) FROM s3
         |) ORDER BY stage""".stripMargin,
+    "ev_funnel_window" ->
+      s"""WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |s1 AS (SELECT user_id, min(ms) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(ms) AS t2, min(t1) AS t1b FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND ms > t1 AND ms <= t1 + 86400000 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(ms) AS t3, min(t1b) AS t1c FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND ms > t2 AND ms <= t2 + 86400000 GROUP BY e.user_id)
+        |SELECT stage, n_users, CAST(coalesce(sum_lag_ms, 0) AS BIGINT) AS sum_lag_ms FROM (
+        |  SELECT '1_view' AS stage, count(*) AS n_users, CAST(0 AS BIGINT) AS sum_lag_ms FROM s1
+        |  UNION ALL SELECT '2_click', count(*), CAST(sum(t2 - t1b) AS BIGINT) FROM s2
+        |  UNION ALL SELECT '3_purchase', count(*), CAST(sum(t3 - t1c) AS BIGINT) FROM s3
+        |) ORDER BY stage""".stripMargin,
     "txt_sentencize" ->
       // list lambdas replicate the Spark HOF folds; edge whitespace
       // stripped by regex on both engines (trim() semantics differ)
@@ -5502,6 +5570,35 @@ object Pipeline {
         |  AND bit_count(xor(a.phash_hi, b.phash_hi))
         |    + bit_count(xor(a.phash_lo, b.phash_lo)) <= 7
         |ORDER BY 1, 2""".stripMargin,
+    "mm_image_dedup_cluster" ->
+      // the dd_components recursive closure over the phash rep graph
+      """WITH RECURSIVE px AS (SELECT doc_id,
+        |    list_transform(range(0, 64),
+        |      i -> ((doc_id % 16) * 31 + i * 7) % 240 + doc_id % 3) AS ps
+        |  FROM documents),
+        |px2 AS (SELECT doc_id, ps, list_sum(ps) AS s FROM px),
+        |h AS (SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_reverse(ps[33:64])),
+        |      (a, p) -> a * 2 + CASE WHEN p * 64 > s THEN 1 ELSE 0 END) AS phash_hi,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_reverse(ps[1:32])),
+        |      (a, p) -> a * 2 + CASE WHEN p * 64 > s THEN 1 ELSE 0 END) AS phash_lo
+        |  FROM px2),
+        |g AS (SELECT phash_hi, phash_lo, min(doc_id) AS rep, count(*) AS n
+        |  FROM h GROUP BY 1, 2),
+        |cand AS (SELECT a.rep AS doc_a, b.rep AS doc_b
+        |  FROM g a, g b
+        |  WHERE a.rep < b.rep
+        |    AND bit_count(xor(a.phash_hi, b.phash_hi))
+        |      + bit_count(xor(a.phash_lo, b.phash_lo)) <= 7),
+        |sym AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+        |        UNION ALL SELECT doc_b, doc_a FROM cand),
+        |lbl(node, label) AS (
+        |  SELECT rep, rep FROM g
+        |  UNION
+        |  SELECT s.dst, l.label FROM lbl l JOIN sym s ON s.src = l.node),
+        |comp AS (SELECT node, min(label) AS component FROM lbl GROUP BY 1)
+        |SELECT component, count(*) AS n_sigs, CAST(sum(n) AS BIGINT) AS n_images
+        |FROM comp JOIN g ON g.rep = comp.node GROUP BY 1 ORDER BY 1""".stripMargin,
     // channel-planar synth rule re-derived per (channel, pixel);
     // moment identity in HUGEINT mirrors Spark's DECIMAL(38,0)
     "mm_channel_stats" ->

@@ -482,6 +482,63 @@ class QueriesSpec extends AnyFunSuite {
     assert(out.values.forall { case (h, _, _) => h >= 1 && h <= 7 })
   }
 
+  test("ev_funnel_window equals a brute first-touch windowed chase") {
+    import org.apache.spark.sql.functions._
+    val raw = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
+    val evs = raw.select(col("user_id"), col("event_type"),
+      graft.queries.QueryUtil.tsMs(raw).as("ms")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val W = 86400000L
+    val byUser = evs.groupBy(_._1)
+    def firstAfter(rows: Array[(Long, String, Long)], et: String, lo: Long, hi: Long): Option[Long] = {
+      val c = rows.filter(r => r._2 == et && r._3 > lo && r._3 <= hi).map(_._3)
+      if (c.isEmpty) None else Some(c.min)
+    }
+    var n1 = 0L; var n2 = 0L; var n3 = 0L; var lag2 = 0L; var lag3 = 0L
+    byUser.values.foreach { rowsIt =>
+      val rows = rowsIt.toArray
+      val views = rows.filter(_._2 == "view").map(_._3)
+      if (views.nonEmpty) {
+        n1 += 1
+        val t1 = views.min
+        firstAfter(rows, "click", t1, t1 + W).foreach { t2 =>
+          n2 += 1; lag2 += t2 - t1
+          firstAfter(rows, "purchase", t2, t2 + W).foreach { t3 =>
+            n3 += 1; lag3 += t3 - t1
+          }
+        }
+      }
+    }
+    val out = SparkEntry.queries("ev_funnel_window")(spark, TestSpark.Sf)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map("1_view" -> ((n1, 0L)), "2_click" -> ((n2, lag2)), "3_purchase" -> ((n3, lag3))))
+    assert(n1 >= n2 && n2 >= n3)
+  }
+
+  test("mm_image_dedup_cluster equals a brute union-find over the phash rep graph") {
+    val ids = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    def ahash(id: Long): Long = {
+      val px = Array.tabulate(64)(i => ((id % 16) * 31 + i * 7) % 240 + id % 3)
+      val s = px.sum
+      (0 until 64).foldLeft(0L)((acc, i) => acc | (if (px(i) * 64 > s) 1L << i else 0L))
+    }
+    val groups = ids.groupBy(ahash).map { case (sig, ds) => (sig, ds.min, ds.length.toLong) }.toSeq
+    val parent = scala.collection.mutable.Map(groups.map(g => g._2 -> g._2): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for ((sa, ra, _) <- groups; (sb, rb, _) <- groups
+         if ra < rb && java.lang.Long.bitCount(sa ^ sb) <= 7) {
+      val (x, y) = (find(ra), find(rb)); if (x != y) parent(math.max(x, y)) = math.min(x, y)
+    }
+    val brute = groups.groupBy(g => find(g._2)).map { case (c, gs) =>
+      c -> ((gs.size.toLong, gs.map(_._3).sum))
+    }
+    val out = SparkEntry.queries("mm_image_dedup_cluster")(spark, TestSpark.Sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == brute)
+    assert(out.values.map(_._2).sum == ids.length.toLong, "clusters must cover every image")
+  }
+
   test("sim_maxsim equals a brute late-interaction recount") {
     val vecs = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
       .select("vec_id", "embedding").collect()
