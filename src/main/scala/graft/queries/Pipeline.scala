@@ -772,12 +772,13 @@ object Pipeline {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("label"),
           transform(col("embedding"), v => fp(v.cast("double"), 3)).as("q"))
-      val cnt = e.groupBy("label").agg(count(lit(1)).as("n"))
+      val cnt = e.groupBy("label").agg(count(lit(1)).as("n")).localCheckpoint()
       val cents = e.select(col("label"), posexplode(col("q")).as(Seq("d", "qv")))
         .groupBy("label", "d").agg(sum("qv").as("sd"))
         .groupBy("label")
         .agg(transform(array_sort(collect_list(struct(col("d"), col("sd")))),
           x => x.getField("sd")).as("sds"))
+        .localCheckpoint() // label-domain-sized; keeps broadcast rebuilds off the corpus
       val dist = e.join(broadcast(cents), "label").join(broadcast(cnt), "label")
         .select(col("label"), col("vec_id"), col("n"),
           aggregate(zip_with(col("q"), col("sds"),
@@ -921,6 +922,21 @@ object Pipeline {
     // the reversed key pair. Fully oracle-checked: the IVF
     // assignment, fold-order cosines, rank tie-breaks (cos_fp6 desc,
     // id asc) and the mutual join all replicate in SQL.
+    // 35n — IVF index BALANCE report (the ops view of an ANN build:
+    // skewed cells mean skewed probe latency and hot partitions —
+    // this is the number you re-train centroids over): cell-size
+    // min/max/total + the max/avg skew factor, exactly. One assign
+    // pass + a cells-bounded rollup into a 1-row report.
+    "emb_cell_balance" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", 16)
+      Similarity.ivfAssign(e, "vec_id", "embedding", cents)
+        .groupBy("cell").agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_cells"), min("sz").as("min_sz"),
+          max("sz").as("max_sz"), sum("sz").as("total"))
+        .withColumn("skew_fp4",
+          expr("(max_sz * n_cells * 20000 + total) DIV (2 * total)"))
+    }),
     // 32n — dedup-THRESHOLD calibration sweep (every near-dup pass
     // has a τ; this is the curve you pick it from): within-cell pair
     // similarities histogrammed at fp2 granularity over cos ≥ 0.1 —
@@ -2010,6 +2026,9 @@ object Pipeline {
         .agg(min("ms").as("st"), max("ms").as("en"))
         .withColumn("sd", expr(s"(st - pmod(st, $dayMs)) DIV $dayMs"))
         .withColumn("ed", expr(s"(en - pmod(en, $dayMs)) DIV $dayMs"))
+        // sessions-sized, consumed by deltas AND carries — pin it so the
+        // sessionize window pass runs once
+        .localCheckpoint()
       val deltas = sess.select(explode(array(
           struct(col("sd").as("day"), col("st").as("t"), lit(1L).as("d")),
           struct(col("ed").as("day"), col("en").as("t"), lit(-1L).as("d")))).as("e"))
@@ -2164,11 +2183,15 @@ object Pipeline {
     "ev_funnel_window" -> ((s, dir) => {
       val W = 86400000L
       val e = ev(s, dir)
+      // stage frames are user-domain-sized and each feeds BOTH the next
+      // stage's join and its own count row — pin them so later stages
+      // don't re-run the earlier stages' corpus scans
       val s1 = e.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min("ms").as("t1"))
+        .groupBy("user_id").agg(min("ms").as("t1")).localCheckpoint()
       val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
         .filter(col("ms") > col("t1") && col("ms") <= col("t1") + W)
         .groupBy("user_id").agg(min("ms").as("t2"), min("t1").as("t1b"))
+        .localCheckpoint()
       val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
         .filter(col("ms") > col("t2") && col("ms") <= col("t2") + W)
         .groupBy("user_id").agg(min("ms").as("t3"), min("t1b").as("t1c"))
@@ -2180,6 +2203,47 @@ object Pipeline {
         .unionByName(cnt(s3, "3_purchase", col("t3") - col("t1c")))
         .select(col("stage"), col("n_users"), coalesce(col("sum_lag_ms"), lit(0L)).as("sum_lag_ms"))
         .orderBy("stage")
+    }),
+    // 43ag — GROWTH ACCOUNTING (new / retained / resurrected /
+    // churned per DAY — the canonical user-base decomposition that
+    // retention matrices don't give; daily because this corpus is
+    // week-saturated — every user is active every week): activity
+    // collapses to the distinct (user, day) set first (one dedup
+    // shuffle, ≤ users×days rows — orders smaller than the log);
+    // every status is then an equi-join on (user, day±1) against
+    // that compressed set, churn an anti-join from the day-shifted
+    // twin, clipped to observed days. No window over raw events.
+    "ev_growth_accounting" -> ((s, dir) => {
+      val dayMs = 86400000L
+      val au = ev(s, dir)
+        .select(col("user_id"), expr(s"(ms - pmod(ms, $dayMs)) DIV $dayMs").as("day"))
+        .distinct()
+        // users×days-sized and consumed 4× (first/prev/max/status/churn)
+        // — pin it so the raw-event dedup scan runs once
+        .localCheckpoint()
+      val first = au.groupBy("user_id").agg(min("day").as("fw"))
+      val prev = au.select(col("user_id"), (col("day") + 1).as("day"), lit(1).as("p"))
+      val maxW = au.agg(max("day").as("mw"))
+      val status = au.join(first, "user_id")
+        .join(prev, Seq("user_id", "day"), "left")
+        .select(col("day"),
+          when(col("day") === col("fw"), "new")
+            .when(col("p").isNotNull, "retained")
+            .otherwise("resurrected").as("st"))
+      val churn = prev.join(au, Seq("user_id", "day"), "left_anti")
+        .crossJoin(broadcast(maxW)).filter(col("day") <= col("mw"))
+        .groupBy("day").agg(count(lit(1)).as("n_churned"))
+      status.groupBy("day")
+        .agg(sum(when(col("st") === "new", 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("st") === "retained", 1L).otherwise(0L)).as("n_retained"),
+          sum(when(col("st") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"))
+        .join(churn, Seq("day"), "full_outer")
+        .select(col("day"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+          coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+          coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+        .orderBy("day")
     }),
     // 43c — cohort retention: users grouped by first-activity week,
     // counted per week-offset they return in. Two key-shuffles (per
@@ -4068,6 +4132,50 @@ object Pipeline {
     "sim_ann_ivf" -> annIvfSql,
     // same IVF assignment CTEs as annIvfSql; candidates cell-bounded,
     // per-node top-3, then the mutual (reversed-pair) self-join
+    "ev_growth_accounting" ->
+      """WITH au AS (SELECT DISTINCT user_id,
+        |    (ms - ((ms % 86400000 + 86400000) % 86400000)) // 86400000 AS day
+        |  FROM (SELECT user_id, epoch_ms(ts) AS ms FROM events)),
+        |first AS (SELECT user_id, min(day) AS fw FROM au GROUP BY 1),
+        |prev AS (SELECT user_id, day + 1 AS day FROM au),
+        |mw AS (SELECT max(day) AS mw FROM au),
+        |st AS (SELECT au.day,
+        |    CASE WHEN au.day = f.fw THEN 'new'
+        |         WHEN p.user_id IS NOT NULL THEN 'retained'
+        |         ELSE 'resurrected' END AS st
+        |  FROM au JOIN first f USING (user_id)
+        |  LEFT JOIN prev p ON p.user_id = au.user_id AND p.day = au.day),
+        |chn AS (SELECT p.day, count(*) AS n_churned
+        |  FROM prev p, mw
+        |  WHERE p.day <= mw.mw
+        |    AND NOT EXISTS (SELECT 1 FROM au WHERE au.user_id = p.user_id AND au.day = p.day)
+        |  GROUP BY 1),
+        |agg AS (SELECT day,
+        |    CAST(sum(CASE WHEN st = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |    CAST(sum(CASE WHEN st = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |    CAST(sum(CASE WHEN st = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        |  FROM st GROUP BY 1)
+        |SELECT coalesce(agg.day, chn.day) AS day,
+        |  coalesce(n_new, 0) AS n_new, coalesce(n_retained, 0) AS n_retained,
+        |  coalesce(n_resurrected, 0) AS n_resurrected,
+        |  CAST(coalesce(n_churned, 0) AS BIGINT) AS n_churned
+        |FROM agg FULL JOIN chn ON agg.day = chn.day ORDER BY 1""".stripMargin,
+    "emb_cell_balance" ->
+      s"""WITH cnt AS (SELECT count(*) AS c FROM embeddings),
+        |cents AS (SELECT vec_id AS centroid_id, embedding AS cvec
+        |          FROM embeddings, cnt WHERE vec_id % greatest(1, (c + 15) // 16) = 0),
+        |ac AS (SELECT e.vec_id, c.centroid_id,
+        |         ${cosSql("e.embedding", "c.cvec")} AS cosv
+        |       FROM embeddings e CROSS JOIN cents c),
+        |asg AS (SELECT vec_id, centroid_id AS cell FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosv DESC, centroid_id) AS rn
+        |         FROM ac) WHERE rn = 1),
+        |cs AS (SELECT cell, count(*) AS sz FROM asg GROUP BY 1),
+        |r AS (SELECT count(*) AS n_cells, min(sz) AS min_sz, max(sz) AS max_sz,
+        |        CAST(sum(sz) AS BIGINT) AS total FROM cs)
+        |SELECT n_cells, min_sz, max_sz, total,
+        |  CAST((max_sz * n_cells * 20000 + total) // (2 * total) AS BIGINT) AS skew_fp4
+        |FROM r""".stripMargin,
     "dd_threshold_sweep" ->
       s"""WITH cnt AS (SELECT count(*) AS c FROM embeddings),
         |cents AS (SELECT vec_id AS centroid_id, embedding AS cvec

@@ -325,6 +325,50 @@ class QueriesSpec extends AnyFunSuite {
     out.keys.foreach(cap => assert(java.lang.Long.bitCount(cap) == 1, s"cap $cap not a power of two"))
   }
 
+  test("ev_growth_accounting equals a brute per-day status recount; identities hold") {
+    import org.apache.spark.sql.functions._
+    val raw = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
+    val au = raw.select(col("user_id"), graft.queries.QueryUtil.tsMs(raw).as("ms"))
+      .collect().map(r => (r.getLong(0), Math.floorDiv(r.getLong(1), 86400000L))).distinct
+    val byU = au.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val first = byU.view.mapValues(_.min).toMap
+    val maxD = au.map(_._2).max
+    val days = au.map(_._2).distinct.sorted
+    val brute = (days ++ days.map(_ + 1)).distinct.filter(_ <= maxD).map { d =>
+      var nw = 0L; var rt = 0L; var rs = 0L; var ch = 0L
+      byU.foreach { case (_, ds) =>
+        if (ds(d)) {
+          if (ds.min == d) nw += 1
+          else if (ds(d - 1)) rt += 1
+          else rs += 1
+        } else if (ds(d - 1)) ch += 1
+      }
+      d -> ((nw, rt, rs, ch))
+    }.filter { case (_, (a, b, c, dd)) => a + b + c + dd > 0 }.toMap
+    val out = SparkEntry.queries("ev_growth_accounting")(spark, TestSpark.Sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out == brute)
+    // conservation: actives(d) = new + retained + resurrected; and
+    // actives(d) - actives(d+1) = churned(d+1) - new(d+1) - resurrected(d+1)
+    val act = au.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    out.foreach { case (d, (nw, rt, rs, _)) =>
+      assert(act.getOrElse(d, 0L) == nw + rt + rs, s"day $d active identity")
+    }
+    assert(out.values.map(_._3).sum > 0, "resurrections must occur")
+    assert(out.values.map(_._4).sum > 0, "churn must occur")
+  }
+
+  test("emb_cell_balance: totals and skew agree with a brute cell-size recount") {
+    val e = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+    val cents = graft.similarity.Similarity.ivfCentroids(e, "vec_id", "embedding", 16)
+    val sizes = graft.similarity.Similarity.ivfAssign(e, "vec_id", "embedding", cents)
+      .groupBy("cell").count().collect().map(_.getLong(1))
+    val (n, mn, mx, tot) = (sizes.length.toLong, sizes.min, sizes.max, sizes.sum)
+    val out = SparkEntry.queries("emb_cell_balance")(spark, TestSpark.Sf).collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3)) == ((n, mn, mx, tot)))
+    assert(out.getLong(4) == (mx * n * 20000 + tot) / (2 * tot))
+  }
+
   test("ev_concurrency equals a brute sweep over session intervals") {
     import org.apache.spark.sql.functions._
     val raw = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
