@@ -31,7 +31,7 @@ object OsmXmlSource {
 
   /** Reverse of OsmChangeXml.xmlEscape (+ &apos;): amp decoded LAST so
     * double-escaped text round-trips. */
-  private def unescape(c: Column): Column = {
+  private[osm] def unescape(c: Column): Column = {
     val q = regexp_replace(c, "&quot;", "\"")
     val ap = regexp_replace(q, "&apos;", "'")
     val gt = regexp_replace(ap, "&gt;", ">")
@@ -39,20 +39,20 @@ object OsmXmlSource {
     regexp_replace(lt, "&amp;", "&")
   }
 
-  private def attr(el: Column, name: String): Column = {
+  private[osm] def attr(el: Column, name: String): Column = {
     val raw = regexp_extract(el, s"""\\b$name="([^"]*)"""", 1)
     unescape(raw)
   }
 
   /** version attribute, defaulting to 1 when absent (e.g. fresh
     * creates in .osc files). */
-  private def versionOf(el: Column): Column =
+  private[osm] def versionOf(el: Column): Column =
     when(regexp_extract(el, """\bversion="([^"]*)"""", 1) === "", lit(1))
       .otherwise(regexp_extract(el, """\bversion="([^"]*)"""", 1).cast("int"))
 
   private val TagRx = """<tag k="([^"]*)" v="([^"]*)""""
 
-  private def tagsOf(el: Column): Column =
+  private[osm] def tagsOf(el: Column): Column =
     map_from_arrays(
       transform(regexp_extract_all(el, lit(TagRx), lit(1)), k => unescape(k)),
       transform(regexp_extract_all(el, lit(TagRx), lit(2)), v => unescape(v)))

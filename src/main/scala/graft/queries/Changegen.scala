@@ -374,6 +374,52 @@ object Changegen {
     // the SAME build() the CLI serializes — so the whole flow, not
     // just its operators, is oracle-checked. maxNodes=7 forces way
     // splitting at every SF.
+    // 12q — OsmChange APPLY (the consumer side of the reference's
+    // whole product: changegen emits .osc for `osmosis
+    // --apply-change`; this is that apply, Spark-side, closing the
+    // diff → write → ship → APPLY loop inside the engine): base node
+    // snapshot + deterministic create/modify/delete sets derived from
+    // customer; the Spark side runs the FULL FILE LOOP — render XML,
+    // writeSharded to gzipped .osc shards, re-parse with
+    // OsmChangeSource, applyNodes — while the oracle computes the
+    // expected survivor set relationally. The file roundtrip must
+    // equal the relational semantics exactly (ids, versions, microdeg
+    // coords, tags).
+    "cg_osc_apply" -> ((s, dir) => {
+      import graft.osm.{OsmChangeXml, OsmChangeSource}
+      val base0 = t(s, dir, "customer").select(col("c_custkey").as("id"))
+        .select(col("id"),
+          (lit(1) + pmod(col("id"), lit(3L)).cast("int")).as("version"),
+          (pmod(col("id") * 7919L, lit(170000000L)) - 85000000L).as("lat_u"),
+          (pmod(col("id") * 104729L, lit(360000000L)) - 180000000L).as("lon_u"))
+      val base = base0.select(col("id"), col("version"),
+        (col("lat_u").cast("double") / 1e6).as("lat"),
+        (col("lon_u").cast("double") / 1e6).as("lon"),
+        map(lit("name"), concat(lit("c"), col("id").cast("string"))).as("tags"))
+      val cls = pmod(col("id"), lit(5L))
+      def shardOf = pmod(col("id"), lit(2L)).cast("int").as("shard")
+      val noTags = typedLit(Map.empty[String, String])
+      val del = base0.filter(cls === 0).select(shardOf, lit("delete").as("section"),
+        OsmChangeXml.nodeXml(col("id"), col("version"), col("lat_u"), col("lon_u"), noTags).as("xml"))
+      val mod = base0.filter(cls === 1).select(shardOf, lit("modify").as("section"),
+        OsmChangeXml.nodeXml(col("id"), col("version") + 1, col("lat_u") + 1000L,
+          col("lon_u") - 1000L,
+          map(lit("name"), concat(lit("m"), col("id").cast("string")))).as("xml"))
+      val cre = base0.filter(cls === 2).select(shardOf, lit("create").as("section"),
+        OsmChangeXml.nodeXml(col("id") + 1000000000L, lit(1), -col("lat_u"), -col("lon_u"),
+          map(lit("name"), concat(lit("n"), col("id").cast("string")))).as("xml"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_osc_apply").toString
+      OsmChangeXml.writeSharded(tmp, del.unionByName(mod).unionByName(cre), shards = 2, gzip = true)
+      val root = new java.io.File(tmp)
+      root.deleteOnExit()
+      Option(root.listFiles()).foreach(_.foreach(_.deleteOnExit()))
+      OsmChangeSource.applyNodes(base,
+          OsmChangeSource.nodeActions(s, s"$tmp/shard-*.osc.gz"))
+        .select(col("id"), col("version"),
+          fp(col("lat"), 6).as("lat_u"), fp(col("lon"), 6).as("lon_u"),
+          element_at(col("tags"), "name").as("name"))
+        .orderBy("id")
+    }),
     "cg_pipeline_counts" -> ((s, dir) => {
       val f = graft.ChangegenPipeline.build(s, dir, maxNodes = 7, idOffset = Some(1000000L))
       def cnt(name: String, df: DataFrame) =
@@ -427,6 +473,24 @@ object Changegen {
     s"CAST(floor(($e)*1e$scale+0.5) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "cg_osc_apply" ->
+      // the relational semantics the file loop must reproduce
+      """WITH b AS (SELECT c_custkey AS id,
+        |    CAST(1 + ((c_custkey % 3 + 3) % 3) AS INT) AS version,
+        |    ((c_custkey * 7919) % 170000000 + 170000000) % 170000000 - 85000000 AS lat_u,
+        |    ((c_custkey * 104729) % 360000000 + 360000000) % 360000000 - 180000000 AS lon_u
+        |  FROM customer)
+        |SELECT id, version, lat_u, lon_u, 'c' || CAST(id AS VARCHAR) AS name
+        |FROM b WHERE id % 5 NOT IN (0, 1, 2)
+        |UNION ALL
+        |SELECT id, version, lat_u, lon_u, 'c' || CAST(id AS VARCHAR) FROM b WHERE id % 5 = 2
+        |UNION ALL
+        |SELECT id, CAST(version + 1 AS INT), lat_u + 1000, lon_u - 1000,
+        |  'm' || CAST(id AS VARCHAR) FROM b WHERE id % 5 = 1
+        |UNION ALL
+        |SELECT id + 1000000000, CAST(1 AS INT), -lat_u, -lon_u,
+        |  'n' || CAST(id AS VARCHAR) FROM b WHERE id % 5 = 2
+        |ORDER BY id""".stripMargin,
     "cg_diff_create" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
         |WHERE o_orderkey % 13 != 5 AND NOT (o_orderkey % 11 != 3) ORDER BY o_orderkey""".stripMargin,

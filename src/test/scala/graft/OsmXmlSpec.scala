@@ -62,6 +62,50 @@ class OsmXmlSpec extends AnyFunSuite {
     assert(after.toSeq == Seq("shard-0.osc"), after.mkString(","))
   }
 
+  test("OsmChangeSource parses actions and applyNodes closes the write->parse->apply loop") {
+    import java.nio.file.{Files => JFiles}
+    import graft.osm.OsmChangeSource
+    val dir = JFiles.createTempDirectory("graft_apply").toString
+    def nx(id: Long, v: Int, lat: Long, lon: Long, tags: Map[String, String]) =
+      Seq((id, v, lat, lon, tags)).toDF("id", "v", "la", "lo", "tags")
+        .select(OsmChangeXml.nodeXml(col("id"), col("v"), col("la"), col("lo"), col("tags")))
+        .as[String].head()
+    // base snapshot: nodes 1..3; change: create 4, modify 2, delete 3
+    val changes = Seq(
+      (0, "create", nx(4L, 1, 4500000L, 500000L, Map("amenity" -> "cafe"))),
+      (0, "modify", nx(2L, 7, -1500000L, 2500000L, Map("name" -> "a&b"))),
+      (0, "delete", """<node id="3" version="2" lat="0.000000" lon="0.000000"/>""")
+    ).toDF("shard", "section", "xml")
+    OsmChangeXml.writeSharded(dir, changes, shards = 1, gzip = true)
+
+    val acts = OsmChangeSource.nodeActions(spark, s"$dir/shard-0.osc.gz")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(acts == Set(("create", 4L, 1), ("modify", 2L, 7), ("delete", 3L, 2)))
+
+    val base = Seq(
+      (1L, 1, 1.0, 1.0, Map("k" -> "v")),
+      (2L, 6, 9.0, 9.0, Map("old" -> "y")),
+      (3L, 1, 3.0, 3.0, Map.empty[String, String])
+    ).toDF("id", "version", "lat", "lon", "tags")
+    val applied = OsmChangeSource.applyNodes(
+        base, OsmChangeSource.nodeActions(spark, s"$dir/shard-0.osc.gz"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3),
+        r.getMap[String, String](4).toString)).sortBy(_._1)
+    assert(applied.map(_._1).toSeq == Seq(1L, 2L, 4L), "delete removed 3, create added 4")
+    val n2 = applied.find(_._1 == 2L).get
+    assert(n2._2 == 7 && n2._3 == -1.5 && n2._4 == 2.5 && n2._5.contains("a&b"),
+      s"modify must replace node 2 wholesale: $n2")
+    // delete precedence: a shard pair creating AND deleting the same id drops it
+    val conflict = OsmChangeSource.nodeActions(spark, s"$dir/shard-0.osc.gz")
+      .unionByName(Seq(("create", 2L, 9, 0.0, 0.0, Map.empty[String, String]))
+        .toDF("action", "id", "version", "lat", "lon", "tags"))
+      .unionByName(Seq(("delete", 4L, 3, 0.0, 0.0, Map.empty[String, String]))
+        .toDF("action", "id", "version", "lat", "lon", "tags"))
+    val applied2 = OsmChangeSource.applyNodes(base, conflict)
+      .select("id").as[Long].collect().sorted
+    assert(applied2.toSeq == Seq(1L, 2L), "delete wins over the re-create of 4")
+  }
+
   test("writeShardedText commits one well-formed document per shard dir + manifest") {
     import java.nio.file.{Files => JFiles}
     val dir = JFiles.createTempDirectory("graft_shards_txt").toString
