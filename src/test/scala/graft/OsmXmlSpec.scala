@@ -95,6 +95,20 @@ class OsmXmlSpec extends AnyFunSuite {
     val n2 = applied.find(_._1 == 2L).get
     assert(n2._2 == 7 && n2._3 == -1.5 && n2._4 == 2.5 && n2._5.contains("a&b"),
       s"modify must replace node 2 wholesale: $n2")
+    // way actions parse with the same section attribution
+    val wdir = JFiles.createTempDirectory("graft_apply_w").toString
+    val wchanges = Seq(
+      (0, "create", Seq((7L, 2, Seq(1L, 2L, 3L), Map("highway" -> "path")))
+        .toDF("id", "v", "nds", "tags")
+        .select(OsmChangeXml.wayXml(col("id"), col("v"), col("nds"), col("tags")))
+        .as[String].head()),
+      (0, "delete", """<way id="8" version="1"/>""")
+    ).toDF("shard", "section", "xml")
+    OsmChangeXml.writeSharded(wdir, wchanges, shards = 1)
+    val wacts = OsmChangeSource.wayActions(spark, s"$wdir/shard-0.osc")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](3).toList)).toSet
+    assert(wacts == Set(("create", 7L, List(1L, 2L, 3L)), ("delete", 8L, Nil)))
+
     // delete precedence: a shard pair creating AND deleting the same id drops it
     val conflict = OsmChangeSource.nodeActions(spark, s"$dir/shard-0.osc.gz")
       .unionByName(Seq(("create", 2L, 9, 0.0, 0.0, Map.empty[String, String]))
