@@ -1467,6 +1467,70 @@ object Pipeline {
           min(when(col("cum") >= expr("(99 * n + 99) DIV 100"), col("v4"))).as("p99_c4"))
         .orderBy("event_type")
     }),
+    // 43ah — INTERPOLATED percentiles (SQL-standard percentile_cont;
+    // 43f's rank pick is percentile_disc): h = 1 + (n−1)p lands
+    // between two order statistics, result = lo·(100−frac) + hi·frac
+    // — evaluated ENTIRELY in integers on the fp4 value histogram
+    // (h·100 = 100 + (n−1)·pk is exact for pk ∈ {50,90}; the blend is
+    // the fp6 scale), so the interpolation is engine-exact where a
+    // float quantile_cont would drift. Same compressed-histogram rank
+    // scan as ev_percentile — value-domain-bounded, never a per-group
+    // row sort.
+    "ev_percentile_cont" -> ((s, dir) => {
+      val h = ev(s, dir)
+        .groupBy(col("event_type"), col("v4")).agg(count(lit(1)).as("k"))
+      val wc = Window.partitionBy("event_type").orderBy("v4")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy("event_type")
+      def loR(pk: Int) = expr(s"(100 + (n - 1) * $pk) DIV 100")
+      def hiR(pk: Int) = least(expr(s"(100 + (n - 1) * $pk) DIV 100") + 1, col("n"))
+      val picked = h.withColumn("cum", sum("k").over(wc))
+        .withColumn("n", sum("k").over(wt))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).cast("long").as("n_rows"),
+          min(when(col("cum") >= loR(50), col("v4"))).as("lo50"),
+          min(when(col("cum") >= hiR(50), col("v4"))).as("hi50"),
+          min(when(col("cum") >= loR(90), col("v4"))).as("lo90"),
+          min(when(col("cum") >= hiR(90), col("v4"))).as("hi90"))
+      def blend(pk: Int, lo: Column, hi: Column) = {
+        val frac = expr(s"(100 + (n_rows - 1) * $pk) % 100")
+        lo * (lit(100L) - frac) + hi * frac
+      }
+      picked.select(col("event_type"), col("n_rows"),
+          blend(50, col("lo50"), col("hi50")).as("p50_fp6"),
+          blend(90, col("lo90"), col("hi90")).as("p90_fp6"))
+        .orderBy("event_type")
+    }),
+    // 43ai — time-series GAP FILL (LOCF — last observation carried
+    // forward over a dense day grid; the step every daily-metric
+    // dashboard and feature pipeline needs between sparse
+    // observations): the (type × day) grid explodes from the global
+    // day span (domain-bounded), observations left-join on, and the
+    // carry is last(value, ignoreNulls) over the type-partitioned
+    // day order — windows sliced per type over the DAY domain, never
+    // raw events. Days before a type's first observation stay null
+    // (flagged), the honest LOCF boundary.
+    "ev_gap_fill" -> ((s, dir) => {
+      val dayMs = 86400000L
+      val daily = ev(s, dir)
+        .filter(col("event_type") === "purchase" || col("event_type") === "signup")
+        .filter(pmod(col("event_id"), lit(97L)) === 0) // sparsify so gaps exist
+        .withColumn("day", expr(s"(ms - pmod(ms, $dayMs)) DIV $dayMs"))
+        .groupBy("event_type", "day").agg(sum("v4").as("v"))
+        .localCheckpoint() // tiny series, consumed by span agg + join
+      val span = daily.agg(min("day").as("d0"), max("day").as("d1"))
+      val grid = daily.select("event_type").distinct()
+        .crossJoin(broadcast(span))
+        .select(col("event_type"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("event_type", "day"), "left")
+        .withColumn("filled_v", last(col("v"), ignoreNulls = true).over(w))
+        .select(col("event_type"), col("day"),
+          col("filled_v"),
+          col("v").isNull.cast("int").as("is_gap"))
+        .orderBy("event_type", "day")
+    }),
     // 43y — INTER-ARRIVAL time profile (the traffic-model histogram
     // behind session-gap and rate-limit tuning): per-user event gaps
     // in ms, bucketed by floor(log2) — computed as length(bin(gap))−1,
@@ -5372,6 +5436,41 @@ object Pipeline {
         |  CAST(sum(v4) AS BIGINT) AS sum_v4
         |FROM (SELECT epoch_ms(ts) AS ms, event_type, ${sqlFp("\"value\"", 4)} AS v4 FROM events)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ev_percentile_cont" ->
+      s"""WITH e AS (SELECT event_type, ${sqlFp("\"value\"", 4)} AS v4 FROM events),
+        |h AS (SELECT event_type, v4, count(*) AS k FROM e GROUP BY 1, 2),
+        |c AS (SELECT event_type, v4,
+        |        sum(k) OVER (PARTITION BY event_type ORDER BY v4) AS cum,
+        |        sum(k) OVER (PARTITION BY event_type) AS n FROM h),
+        |p AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n_rows,
+        |  min(CASE WHEN cum >= (100 + (n - 1) * 50) // 100 THEN v4 END) AS lo50,
+        |  min(CASE WHEN cum >= least((100 + (n - 1) * 50) // 100 + 1, n) THEN v4 END) AS hi50,
+        |  min(CASE WHEN cum >= (100 + (n - 1) * 90) // 100 THEN v4 END) AS lo90,
+        |  min(CASE WHEN cum >= least((100 + (n - 1) * 90) // 100 + 1, n) THEN v4 END) AS hi90
+        |  FROM c GROUP BY 1)
+        |SELECT event_type, n_rows,
+        |  CAST(lo50 * (100 - (100 + (n_rows - 1) * 50) % 100)
+        |     + hi50 * ((100 + (n_rows - 1) * 50) % 100) AS BIGINT) AS p50_fp6,
+        |  CAST(lo90 * (100 - (100 + (n_rows - 1) * 90) % 100)
+        |     + hi90 * ((100 + (n_rows - 1) * 90) % 100) AS BIGINT) AS p90_fp6
+        |FROM p ORDER BY event_type""".stripMargin,
+    "ev_gap_fill" ->
+      s"""WITH daily AS (SELECT event_type,
+        |    (ms - ((ms % 86400000 + 86400000) % 86400000)) // 86400000 AS day,
+        |    CAST(sum(v4) AS BIGINT) AS v
+        |  FROM (SELECT event_type, event_id, epoch_ms(ts) AS ms, ${sqlFp("\"value\"", 4)} AS v4 FROM events)
+        |  WHERE event_type IN ('purchase', 'signup') AND ((event_id % 97 + 97) % 97) = 0
+        |  GROUP BY 1, 2),
+        |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |g AS (SELECT t.event_type, unnest(range(span.d0, span.d1 + 1)) AS day
+        |      FROM (SELECT DISTINCT event_type FROM daily) t, span),
+        |j AS (SELECT g.event_type, g.day, daily.v
+        |      FROM g LEFT JOIN daily ON daily.event_type = g.event_type AND daily.day = g.day)
+        |SELECT event_type, day,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_v,
+        |  CAST(v IS NULL AS INT) AS is_gap
+        |FROM j ORDER BY event_type, day""".stripMargin,
     "ev_sliding_window" ->
       s"""SELECT win_start, event_type, count(*) AS n, CAST(sum(v4) AS BIGINT) AS sum_v4
         |FROM (SELECT ms - ((ms % 1800000 + 1800000) % 1800000) - hops.k * 1800000 AS win_start,

