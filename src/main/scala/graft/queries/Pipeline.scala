@@ -1942,6 +1942,38 @@ object Pipeline {
           col("asof_touch_type").as("touch_type"))
         .orderBy("purchase_id")
     }),
+    // 43aj — U-SHAPE (position-based) multi-touch attribution — the
+    // 40/20/40 model next to 43i's last-touch: every view/click in
+    // the 7-day lookback before a purchase shares its credit — 40% to
+    // first and last touch, the middle 20% split evenly. Credit in
+    // EXACT fp6 integers (400000 / 500000 / 1000000; the middle share
+    // is 200000 DIV (k−2) — the integer-division remainder loss is
+    // deterministic and identical in both engines). One user-keyed
+    // equi-join bounds the pairing; position windows run per
+    // purchase (lookback-bounded, never corpus-sized).
+    "ev_attribution_ushape" -> ((s, dir) => {
+      val look = 604800000L
+      val e = ev(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ms").as("pms"), col("event_id").as("purchase_id"))
+      val touches = e.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("ms"), col("event_id"), col("event_type").as("touch_type"))
+      val paired = purchases.join(touches, "user_id")
+        .filter(col("ms") < col("pms") && col("ms") >= col("pms") - look)
+      val wp = Window.partitionBy("purchase_id")
+      val wo = wp.orderBy(col("ms"), col("event_id"))
+      paired
+        .withColumn("k", count(lit(1)).over(wp))
+        .withColumn("rn", row_number().over(wo))
+        .withColumn("credit",
+          when(col("k") === 1, 1000000L)
+            .when(col("k") === 2, 500000L)
+            .when(col("rn") === 1 || col("rn") === col("k"), 400000L)
+            .otherwise(expr("200000 DIV (k - 2)")))
+        .groupBy("touch_type")
+        .agg(count(lit(1)).as("n_touches"), sum("credit").as("credit_fp6"))
+        .orderBy("touch_type")
+    }),
     // 47 — the whole corpus-prep dataflow end-to-end in ONE query
     // (the LLM-pipeline twin of cg_pipeline_counts): eval holdout →
     // Gopher quality gate → exact dedup on normalized text →
@@ -5395,6 +5427,24 @@ object Pipeline {
         |SELECT x.purchase_id, x.user_id, x.pms, x.touch_ms, x.touch_event_id, t2.touch_type
         |FROM x LEFT JOIN t t2 ON t2.event_id = x.touch_event_id
         |ORDER BY purchase_id""".stripMargin,
+    "ev_attribution_ushape" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |p AS (SELECT event_id AS purchase_id, user_id, ms AS pms FROM e WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, ms, event_id, event_type AS touch_type FROM e
+        |      WHERE event_type IN ('view', 'click')),
+        |paired AS (SELECT p.purchase_id, t.ms, t.event_id, t.touch_type
+        |  FROM p JOIN t ON t.user_id = p.user_id
+        |  WHERE t.ms < p.pms AND t.ms >= p.pms - 604800000),
+        |pos AS (SELECT touch_type,
+        |    count(*) OVER (PARTITION BY purchase_id) AS k,
+        |    row_number() OVER (PARTITION BY purchase_id ORDER BY ms, event_id) AS rn
+        |  FROM paired)
+        |SELECT touch_type, count(*) AS n_touches,
+        |  CAST(sum(CASE WHEN k = 1 THEN 1000000
+        |                WHEN k = 2 THEN 500000
+        |                WHEN rn = 1 OR rn = k THEN 400000
+        |                ELSE 200000 // (k - 2) END) AS BIGINT) AS credit_fp6
+        |FROM pos GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_sessionize" ->
       s"""WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms, ${sqlFp("\"value\"", 4)} AS v4 FROM events),
         |flagged AS (SELECT *, CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > $SessionGapMs

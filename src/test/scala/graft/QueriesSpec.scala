@@ -325,6 +325,42 @@ class QueriesSpec extends AnyFunSuite {
     out.keys.foreach(cap => assert(java.lang.Long.bitCount(cap) == 1, s"cap $cap not a power of two"))
   }
 
+  test("ev_attribution_ushape equals a brute 40/20/40 credit recount; mass is conserved") {
+    import org.apache.spark.sql.functions._
+    val raw = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
+    val evs = raw.select(col("user_id"), col("event_type"), col("event_id"),
+      graft.queries.QueryUtil.tsMs(raw).as("ms")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byUser = evs.groupBy(_._1)
+    val acc = scala.collection.mutable.Map[String, (Long, Long)]().withDefaultValue((0L, 0L))
+    var fullPurchases = 0L
+    byUser.values.foreach { rows =>
+      val touches = rows.filter(r => r._2 == "view" || r._2 == "click")
+      rows.filter(_._2 == "purchase").foreach { case (_, _, _, pms) =>
+        val in = touches.filter(t => t._4 < pms && t._4 >= pms - 604800000L)
+          .sortBy(t => (t._4, t._3))
+        val k = in.length
+        if (k > 0) fullPurchases += 1
+        in.zipWithIndex.foreach { case ((_, tt, _, _), i) =>
+          val credit =
+            if (k == 1) 1000000L
+            else if (k == 2) 500000L
+            else if (i == 0 || i == k - 1) 400000L
+            else 200000L / (k - 2)
+          val (n, c) = acc(tt); acc(tt) = (n + 1, c + credit)
+        }
+      }
+    }
+    val out = SparkEntry.queries("ev_attribution_ushape")(spark, TestSpark.Sf)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == acc.toMap)
+    // mass conservation up to the documented DIV remainder: total credit
+    // is within k-2 millionths per purchase of 1.0 per attributed purchase
+    val total = out.values.map(_._2).sum
+    assert(total <= fullPurchases * 1000000L)
+    assert(total >= fullPurchases * 1000000L - out.values.map(_._1).sum)
+  }
+
   test("ev_percentile_cont equals a brute sorted interpolation; brackets percentile_disc") {
     import org.apache.spark.sql.functions._
     val raw = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
