@@ -178,7 +178,15 @@ object AsofJoin {
     // at every epoch holding a left row: markers (tag 0) sort before
     // the same epoch's right best (tag 1), so the running max at a
     // marker sees earlier epochs only
-    val rBest = rTagged.groupBy("_k", "_e").agg(max(col("_r")).as("_b"))
+    // per-(key, epoch) best payload via a row_number window — max()
+    // over the struct column would plan a SortAggregate; the window's
+    // partitions are exactly the epoch-bounded slices the split
+    // creates, so the sort is skew-capped by construction
+    val wBest = Window.partitionBy("_k", "_e").orderBy(col("_r").desc)
+    val rBest = rTagged
+      .withColumn("_bn", row_number().over(wBest))
+      .filter(col("_bn") === 1)
+      .select(col("_k"), col("_e"), col("_r").as("_b"))
     val markers = lTagged.select(col("_k"), col("_e")).distinct()
       .select(col("_k"), col("_e"), lit(0).as("_tag"), lit(null).cast(rType).as("_b"))
     val wc = Window.partitionBy("_k").orderBy(col("_e"), col("_tag"))

@@ -481,6 +481,28 @@ object Relational {
         .select(col("o_orderkey"), col("k"), col("oms"),
           col("asof_time").as("ev_ms"), col("asof_event_id").as("ev_event_id"))
     }), // row-per-order output — no presentation sort (checker row-sorts)
+    // 11v — the SKEW-PROOF as-of path under the oracle gate: q17's
+    // exact semantics through AsofJoin.asofBackwardEpoch (sort
+    // partitioned on (key, week-epoch) with carrier seeding instead
+    // of key alone — the hot-key remedy). Until now the epoch variant
+    // was property-tested against the plain one; this pins it to the
+    // independent DuckDB oracle too, so BOTH physical strategies are
+    // externally verified equal.
+    "q32_asof_skew" -> ((s, dir) => {
+      val o0 = t(s, dir, "orders")
+      val o = o0.select(
+        col("o_orderkey"), pmod(col("o_custkey"), lit(100L)).as("k"),
+        tsMs(o0, "o_orderdate").as("oms"))
+      val e0 = t(s, dir, "events")
+      val e = e0.select(
+        pmod(col("user_id"), lit(100L)).as("k"),
+        (lit(788918400000L) + pmod(tsMs(e0), lit(207705600000L))).as("ms"),
+        col("event_id"))
+      graft.operators.AsofJoin.asofBackwardEpoch(o, "k", "oms", e, "k", "ms",
+          Seq("event_id"), epochMs = 604800000L)
+        .select(col("o_orderkey"), col("k"), col("oms"),
+          col("asof_time").as("ev_ms"), col("asof_event_id").as("ev_event_id"))
+    }), // row-per-order output — no presentation sort (checker row-sorts)
     // 11u — NEAREST as-of (either direction): each order picks
     // whichever of {latest event ≤ t, earliest event ≥ t} is closer
     // in time, ties to the backward side — the gap-tolerant
@@ -752,6 +774,21 @@ object Relational {
         |e AS (SELECT user_id % 100 AS k, epoch_ms(ts) AS ms, event_id FROM events),
         |b AS (SELECT o.o_orderkey, min(e.ms) AS ev_ms
         |      FROM o LEFT JOIN e ON e.k = o.k AND e.ms >= o.oms GROUP BY 1),
+        |p AS (SELECT o.o_orderkey, o.k, o.oms, b.ev_ms, max(e.event_id) AS ev_event_id
+        |      FROM o JOIN b ON b.o_orderkey = o.o_orderkey
+        |      LEFT JOIN e ON e.k = o.k AND e.ms = b.ev_ms
+        |      GROUP BY 1, 2, 3, 4)
+        |SELECT o_orderkey, k, oms, ev_ms, ev_event_id FROM p ORDER BY o_orderkey""".stripMargin,
+    "q32_asof_skew" ->
+      // q17's semantics over the span-folded event times (so backward
+      // matches exist) — the epoch-split physical path must reproduce
+      // them exactly
+      """WITH o AS (SELECT o_orderkey, o_custkey % 100 AS k, epoch_ms(o_orderdate) AS oms FROM orders),
+        |e AS (SELECT user_id % 100 AS k,
+        |        788918400000 + ((epoch_ms(ts) % 207705600000 + 207705600000) % 207705600000) AS ms,
+        |        event_id FROM events),
+        |b AS (SELECT o.o_orderkey, max(e.ms) AS ev_ms
+        |      FROM o LEFT JOIN e ON e.k = o.k AND e.ms <= o.oms GROUP BY 1),
         |p AS (SELECT o.o_orderkey, o.k, o.oms, b.ev_ms, max(e.event_id) AS ev_event_id
         |      FROM o JOIN b ON b.o_orderkey = o.o_orderkey
         |      LEFT JOIN e ON e.k = o.k AND e.ms = b.ev_ms
