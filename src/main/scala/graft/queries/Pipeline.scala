@@ -2522,6 +2522,46 @@ object Pipeline {
     // regions, so first/last-active are real trim boundaries; the
     // oracle recomputes every sample closed-form from doc_id, so the
     // decoder AND the framing/energy arithmetic are both on the hook
+    // 45q — AUDIO FINGERPRINT (Chromaprint's core move on the synth
+    // clips: the SIGN of successive frame-energy deltas packs into a
+    // compact bit signature — robust to gain, cheap to group): per
+    // clip, fold [e_f > e_{f−1}] MSB-first into a long, then exact
+    // signature groups (rep = min doc, size) — the audio twin of the
+    // image aHash grouping. Decode + energies are the native
+    // codegen'd byte walks; the fold is frame-count-bounded.
+    "mm_audio_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal
+      val payloads = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val n = ((id % 10 + 4) * 256 + id % 100).toInt
+          val samples = Array.tabulate(n) { i =>
+            val v = (((id * 31 + i.toLong * i * 7) % 65536) - 32768).toInt
+            if (((i >> 8) + id) % 3 == 0) v & 63 else v
+          }
+          val data = samples.flatMap { v =>
+            val u = v & 0xffff
+            Array((u & 0xff).toByte, ((u >> 8) & 0xff).toByte)
+          }
+          (id, Multimodal.synthWavHeader(1, 16000, 16, n * 2) ++ data)
+        })
+        .toDF("doc_id", "payload")
+      val fps = payloads
+        .select(col("doc_id"),
+          Multimodal.pcmFrameEnergies(
+            Multimodal.wavPcm16(col("payload")), frameLen = 256).as("en"))
+        .filter(col("en").isNotNull)
+        .select(col("doc_id"), size(col("en")).cast("long").as("n_frames"),
+          aggregate(
+            slice(transform(col("en"), (e, i) =>
+              when(i >= 1 && e > element_at(col("en"), i), 1L).otherwise(0L)), 2, 64),
+            lit(0L), (a, b) => a * 2 + b).as("afp"))
+      val groups = fps.groupBy("afp", "n_frames")
+        .agg(min("doc_id").as("rep_id"), count(lit(1)).as("group_size"))
+      fps.join(groups, Seq("afp", "n_frames"))
+        .select("doc_id", "n_frames", "afp", "rep_id", "group_size")
+        .orderBy("doc_id")
+    }),
     "mm_audio_seg" -> ((s, dir) => {
       import s.implicits._
       import graft.multimodal.Multimodal
@@ -5676,6 +5716,27 @@ object Pipeline {
     // the generator's quiet-frame mask re-derived closed-form:
     // (v & 63) is the nonneg mod-64 of the two's-complement sample,
     // i.e. ((v % 64) + 64) % 64; complete frames only (i < frames·256)
+    "mm_audio_fingerprint" ->
+      // delta-sign bits folded MSB-first: b_f carries 2^(frames-1-f)
+      """WITH s AS (SELECT doc_id, doc_id % 10 + 4 AS frames FROM documents),
+        |v AS (SELECT doc_id, frames, unnest(range(0, frames * 256)) AS i FROM s),
+        |x AS (SELECT doc_id, frames, i // 256 AS f,
+        |    CASE WHEN ((i // 256) + doc_id) % 3 = 0
+        |      THEN (((((doc_id * 31 + i * i * 7) % 65536) - 32768) % 64) + 64) % 64
+        |      ELSE ((doc_id * 31 + i * i * 7) % 65536) - 32768 END AS val
+        |  FROM v),
+        |e AS (SELECT doc_id, frames, f, sum(val * val) AS energy FROM x GROUP BY 1, 2, 3),
+        |d AS (SELECT doc_id, frames, f,
+        |    CASE WHEN energy > lag(energy) OVER (PARTITION BY doc_id ORDER BY f)
+        |      THEN 1 ELSE 0 END AS b FROM e),
+        |fp AS (SELECT doc_id, CAST(frames AS BIGINT) AS n_frames,
+        |    CAST(sum(CASE WHEN f >= 1
+        |      THEN b * (CAST(1 AS BIGINT) << CAST(frames - 1 - f AS INT)) ELSE 0 END) AS BIGINT) AS afp
+        |  FROM d GROUP BY 1, 2),
+        |g AS (SELECT afp, n_frames, min(doc_id) AS rep_id, count(*) AS group_size
+        |  FROM fp GROUP BY 1, 2)
+        |SELECT fp.doc_id, fp.n_frames, fp.afp, g.rep_id, g.group_size
+        |FROM fp JOIN g USING (afp, n_frames) ORDER BY doc_id""".stripMargin,
     "mm_audio_seg" ->
       s"""WITH s AS (SELECT doc_id, doc_id % 10 + 4 AS frames FROM documents),
         |v AS (SELECT doc_id, frames, unnest(range(0, frames * 256)) AS i FROM s),

@@ -639,6 +639,36 @@ class QueriesSpec extends AnyFunSuite {
     assert(n1 >= n2 && n2 >= n3)
   }
 
+  test("mm_audio_fingerprint equals a brute delta-sign fold over synth frame energies") {
+    val ids = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    def energies(id: Long): Array[Long] = {
+      val frames = (id % 10 + 4).toInt
+      Array.tabulate(frames) { f =>
+        (0 until 256).map { j =>
+          val i = f * 256 + j
+          val v = (((id * 31 + i.toLong * i * 7) % 65536) - 32768).toInt
+          val s = if (((i >> 8) + id) % 3 == 0) v & 63 else v
+          s.toLong * s
+        }.sum
+      }
+    }
+    val fps = ids.map { id =>
+      val e = energies(id)
+      val afp = (1 until e.length).foldLeft(0L)((a, f) => a * 2 + (if (e(f) > e(f - 1)) 1L else 0L))
+      (id, e.length.toLong, afp)
+    }
+    val groups = fps.groupBy(x => (x._3, x._2))
+      .map { case (k, g) => k -> ((g.map(_._1).min, g.length.toLong)) }
+    val brute = fps.map { case (id, nf, afp) =>
+      id -> ((nf, afp, groups((afp, nf))._1, groups((afp, nf))._2))
+    }.toMap
+    val out = SparkEntry.queries("mm_audio_fingerprint")(spark, TestSpark.Sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out == brute)
+    assert(out.values.exists(_._4 > 1), "duplicate fingerprints must exist")
+  }
+
   test("mm_image_dedup_cluster equals a brute union-find over the phash rep graph") {
     val ids = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
       .select("doc_id").collect().map(_.getLong(0))
