@@ -474,9 +474,13 @@ object Dedup {
                           rowsPerBand: Int = 2, bBits: Int = 2): DataFrame = {
     val m = 1L << bBits
     val c = 1.0 / m
+    // pmod, not %: the minhash affine map keeps slots non-negative
+    // today, but a signed signature source would make Spark's `%`
+    // (sign-of-dividend remainder) diverge from the oracle's
+    // non-negative bucket; pmod is total-order-safe either way.
     val nAgree = (suffix: String) => size(filter(
       zip_with(col("sig_a"), col("sig_b"),
-        (x, y) => if (suffix == "b") (x % m) === (y % m) else x === y),
+        (x, y) => if (suffix == "b") pmod(x, lit(m)) === pmod(y, lit(m)) else x === y),
       p => p))
     lshCandidatePairs(df, idCol, textCol, shingleSize, numPerm, rowsPerBand,
         maxBucket = 0, withSigs = true)
@@ -832,9 +836,13 @@ object Dedup {
     * [[dedupAgainst]] — same oracle — while the shuffled volume drops
     * from |incoming| to |dups| + fpp·|incoming|.
     *
-    * The membership probe is a scalar UDF (the one non-codegen hop —
-    * it guards a shuffle, which costs orders of magnitude more).
-    * `expectedItems` sizes the filter; at 100 TB pass the known
+    * The filter builds through Spark's own `bloom_filter_agg`
+    * (per-partition filters OR-merged in the aggregate — the
+    * distributed build), and the probe is Spark's native codegen'd
+    * `BloomFilterMightContain` over the state embedded as a binary
+    * literal (exposed as `graft_might_contain`; requires
+    * [[graft.GraftSession]]'s extensions) — no UDF anywhere on the
+    * path. `expectedItems` sizes the filter; at 100 TB pass the known
     * corpus cardinality instead of letting this helper count().
     */
   def dedupAgainstBloom(incoming: DataFrame, reference: DataFrame,
@@ -843,16 +851,26 @@ object Dedup {
                         expectedItems: Long = -1L): DataFrame = {
     val refHashes = reference.select(md5(col(textCol)).as("_ref_hash"))
     val n = if (expectedItems > 0) expectedItems else math.max(1L, reference.count())
-    val bf = refHashes.stat.bloomFilter("_ref_hash", n, fpp)
-    val bfB = incoming.sparkSession.sparkContext.broadcast(bf)
-    // null text ⇒ null hash: probe must not NPE, and the row must be
-    // KEPT (dedupAgainst's null-safe anti-join keeps it — null never
-    // equals a reference hash). `h != null && ...` sends null-hash
-    // rows down the fastKeep branch, which keeps them identically.
-    val mightContain = udf((h: String) => h != null && bfB.value.mightContainString(h))
+    // cap at Spark's runtime-filter ceiling (64M bits = 8 MB state);
+    // past it the fpp degrades gracefully, correctness is unaffected
+    val numBits = math.min(
+      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(n, fpp),
+      64L * 1024 * 1024)
+    // xxhash64(null) is the seed, never null — a null-text row probes
+    // like any other and is KEPT by whichever branch it lands in
+    // (fastKeep keeps it; the anti-join keeps it because null never
+    // equals a reference hash). bloom_filter_agg over ZERO non-null
+    // rows yields a null state — then nothing can be a dup, keep all.
+    val bfRow = refHashes
+      .agg(call_function("graft_bloom_agg",
+        xxhash64(col("_ref_hash")), lit(n), lit(numBits)).as("bf"))
+      .head()
+    if (bfRow.isNullAt(0)) return incoming
+    val bf = bfRow.getAs[Array[Byte]](0)
     val inc = incoming.withColumn("_h", md5(col(textCol)))
-    val fastKeep = inc.filter(!mightContain(col("_h")))
-    val checked = inc.filter(mightContain(col("_h")))
+    val probe = call_function("graft_might_contain", lit(bf), xxhash64(col("_h")))
+    val fastKeep = inc.filter(!probe)
+    val checked = inc.filter(probe)
       .join(refHashes.distinct(), col("_h") === col("_ref_hash"), "left_anti")
     fastKeep.unionByName(checked).drop("_h")
   }

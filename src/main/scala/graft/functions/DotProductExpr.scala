@@ -184,6 +184,27 @@ object GraftFunctions {
       FunctionIdentifier("graft_frame_energies"),
       new ExpressionInfo(classOf[PcmFrameEnergiesExpr].getName, "graft_frame_energies"),
       (children: Seq[Expression]) => PcmFrameEnergiesExpr(children(0), children(1))))
+    // Spark's own BloomFilterMightContain (the codegen'd probe behind
+    // runtime row-group filtering) is shipped but not SQL-registered —
+    // expose it so dedupAgainstBloom's pre-filter stays native instead
+    // of a scalar UDF. Child 0 must be a foldable binary (the
+    // bloom_filter_agg state), child 1 an xxhash64 long.
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (children: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children(0), children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_dwithin"),
       new ExpressionInfo(classOf[graft.plans.GraftDWithin].getName, "graft_dwithin"),

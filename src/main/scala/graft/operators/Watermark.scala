@@ -28,29 +28,44 @@ import org.apache.spark.sql.functions._
   *
   * Output: the input rows plus `hwm` (the pre-arrival high-water mark,
   * null for the globally first arrival) and `is_late`.
+  *
+  * Determinism contract: the arrival order must be TOTAL. If
+  * `arrivalCol` alone can tie, pass `tieCols` — they extend both the
+  * range partitioning and the window order, so same-arrival peers get
+  * a deterministic "strictly earlier" relation instead of a
+  * partition-placement-dependent one (a tie split across range
+  * partitions would otherwise see its peer through the exclusive
+  * prefix max but not through the row frame). Rows with null
+  * `timeCol` never advance the watermark (max ignores nulls, and an
+  * all-null partition contributes no prefix).
   */
 object Watermark {
   def lateness(df: DataFrame, arrivalCol: String, timeCol: String,
-               delayMs: Long): DataFrame = {
+               delayMs: Long, tieCols: Seq[String] = Nil): DataFrame = {
     require(delayMs >= 0, "delayMs must be non-negative")
     val spark = df.sparkSession
     val p = spark.sessionState.conf.numShufflePartitions
+    val orderCols = col(arrivalCol) +: tieCols.map(col)
     val ranged = df
-      .repartitionByRange(p, col(arrivalCol))
+      .repartitionByRange(p, orderCols: _*)
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint()
     val partMax = ranged.groupBy("_pid")
       .agg(max(col(timeCol)).cast("long").as("_m"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    // exclusive prefix max of earlier partitions (None before the first)
+      .collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .sortBy(_._1)
+    // exclusive prefix max of earlier partitions (None before the
+    // first and while every earlier partition was all-null)
     val prefixes = partMax.map(_._2)
-      .scanLeft(Option.empty[Long])((a, b) => Some(a.fold(b)(math.max(_, b)))).init
+      .scanLeft(Option.empty[Long])((a, b) =>
+        (a.toSeq ++ b.toSeq).reduceOption((x, y) => math.max(x, y))).init
     val prefixFor = partMax.map(_._1).zip(prefixes).foldLeft(lit(null).cast("long")) {
       case (acc, (pid, pre)) =>
         when(col("_pid") === pid, pre.map(lit(_)).getOrElse(lit(null)).cast("long"))
           .otherwise(acc)
     }
-    val w = Window.partitionBy("_pid").orderBy(col(arrivalCol))
+    val w = Window.partitionBy("_pid").orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     ranged
       .withColumn("hwm", greatest(max(col(timeCol)).over(w), prefixFor))

@@ -408,11 +408,8 @@ object Changegen {
       val cre = base0.filter(cls === 2).select(shardOf, lit("create").as("section"),
         OsmChangeXml.nodeXml(col("id") + 1000000000L, lit(1), -col("lat_u"), -col("lon_u"),
           map(lit("name"), concat(lit("n"), col("id").cast("string")))).as("xml"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_osc_apply").toString
+      val tmp = scratchDir("osc_apply")
       OsmChangeXml.writeSharded(tmp, del.unionByName(mod).unionByName(cre), shards = 2, gzip = true)
-      val root = new java.io.File(tmp)
-      root.deleteOnExit()
-      Option(root.listFiles()).foreach(_.foreach(_.deleteOnExit()))
       OsmChangeSource.applyNodes(base,
           OsmChangeSource.nodeActions(s, s"$tmp/shard-*.osc.gz"))
         .select(col("id"), col("version"),

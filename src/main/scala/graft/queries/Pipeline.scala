@@ -485,15 +485,12 @@ object Pipeline {
     // decode hash-mismatches. Tiny rangeBytes forces members across
     // split boundaries on every run
     "src_wet_roundtrip" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_wet").toString
+      val tmp = scratchDir("wet")
       val docs = t(s, dir, "documents")
         .select(concat(lit("doc://"), col("doc_id")).as("url"),
           lit("conversion").as("warc_type"),
           lit("2024-01-01T00:00:00Z").as("date"), col("text"))
-      val shards = graft.web.WarcWet.writeSharded(docs, tmp)
-      // the read is lazy, so the shards can't be deleted here — clean
-      // at JVM exit instead of accumulating a dir per bench run
-      (shards.map(new java.io.File(_)) :+ new java.io.File(tmp)).foreach(_.deleteOnExit())
+      graft.web.WarcWet.writeSharded(docs, tmp)
       graft.web.WarcWet.read(s, tmp, rangeBytes = 4096L)
         .select(substring(col("url"), 7, 30).cast("long").as("doc_id"),
           col("length").as("n_bytes"), md5(col("text")).as("h"))
@@ -511,15 +508,10 @@ object Pipeline {
     // not splittable — at 100 TB parallelism = shard count, which
     // the export side controls by partition count.
     "src_jsonl_roundtrip" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+      val tmp = scratchDir("jsonl")
       t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("source"), col("text"))
         .write.mode("overwrite").option("compression", "gzip").json(tmp)
-      // the read below is lazy — register cleanup at JVM exit (dir
-      // first so children, registered later, delete before it)
-      val root = new java.io.File(tmp)
-      root.deleteOnExit()
-      Option(root.listFiles()).foreach(_.foreach(_.deleteOnExit()))
       s.read.schema("doc_id LONG, lang STRING, source STRING, text STRING").json(tmp)
         .select(col("doc_id"), col("lang"), col("source"),
           length(col("text")).cast("long").as("n_chars_rt"),
@@ -562,14 +554,9 @@ object Pipeline {
     // the re-read frame goes through the dataType-branched tsMs (the
     // roundtrip preserves the timestamp type).
     "src_partitioned_scan" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+      val tmp = scratchDir("part")
       t(s, dir, "events")
         .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
-      // nested partition dirs: register deepest-first so JVM-exit
-      // deletion empties children before parents
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
-        .toSeq.sortBy(-_.getNameCount).foreach(_.toFile.deleteOnExit())
       val rd = s.read.parquet(tmp).filter(col("event_type") === "purchase")
       rd.select(tsMs(rd).as("ms"), fp(col("value"), 4).as("v4"))
         .groupBy(expr("ms DIV 86400000").as("day"))
@@ -586,16 +573,13 @@ object Pipeline {
     // data-sized). The profile splits legacy (null-source) rows from
     // evolved rows per lang, proving the back-fill is observable.
     "src_schema_evolution" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_evo").toString
+      val tmp = scratchDir("evo")
       val docs = t(s, dir, "documents")
       docs.filter(col("doc_id") % 2 === 0).select("doc_id", "lang")
         .write.mode("overwrite").parquet(s"$tmp/v1")
       docs.filter(col("doc_id") % 2 === 1)
         .select("doc_id", "lang", "source", "n_chars")
         .write.mode("overwrite").parquet(s"$tmp/v2")
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
-        .toSeq.sortBy(-_.getNameCount).foreach(_.toFile.deleteOnExit())
       s.read.option("mergeSchema", "true").parquet(s"$tmp/v1", s"$tmp/v2")
         .groupBy("lang").agg(
           count(lit(1)).as("n"),
@@ -615,12 +599,9 @@ object Pipeline {
     // partitions the dim filter excludes, without hand-written
     // static predicates.
     "src_dpp" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+      val tmp = scratchDir("dpp")
       t(s, dir, "events")
         .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
-        .toSeq.sortBy(-_.getNameCount).foreach(_.toFile.deleteOnExit())
       val fact = s.read.parquet(tmp)
       val dim = t(s, dir, "events").select(col("event_type")).distinct()
         .filter(substring(md5(col("event_type")), 1, 1) < "a")
@@ -2551,10 +2532,15 @@ object Pipeline {
           Multimodal.pcmFrameEnergies(
             Multimodal.wavPcm16(col("payload")), frameLen = 256).as("en"))
         .filter(col("en").isNotNull)
+        // the fold caps at 62 deltas — one per bit with sign headroom,
+        // so the a*2+b accumulation can never overflow a BIGINT under
+        // ANSI mode regardless of clip length; the oracle mirrors the
+        // SAME cap (LEAST(frames-1, 62)), so the bound is part of the
+        // contract, not a coincidence of the synth's 13-frame clips
         .select(col("doc_id"), size(col("en")).cast("long").as("n_frames"),
           aggregate(
             slice(transform(col("en"), (e, i) =>
-              when(i >= 1 && e > element_at(col("en"), i), 1L).otherwise(0L)), 2, 64),
+              when(i >= 1 && e > element_at(col("en"), i), 1L).otherwise(0L)), 2, 62),
             lit(0L), (a, b) => a * 2 + b).as("afp"))
       val groups = fps.groupBy("afp", "n_frames")
         .agg(min("doc_id").as("rep_id"), count(lit(1)).as("group_size"))
@@ -5717,7 +5703,9 @@ object Pipeline {
     // (v & 63) is the nonneg mod-64 of the two's-complement sample,
     // i.e. ((v % 64) + 64) % 64; complete frames only (i < frames·256)
     "mm_audio_fingerprint" ->
-      // delta-sign bits folded MSB-first: b_f carries 2^(frames-1-f)
+      // delta-sign bits folded MSB-first over the first 62 deltas
+      // (mirrors the Spark-side slice cap): b_f carries 2^(cap-f)
+      // with cap = least(frames-1, 62)
       """WITH s AS (SELECT doc_id, doc_id % 10 + 4 AS frames FROM documents),
         |v AS (SELECT doc_id, frames, unnest(range(0, frames * 256)) AS i FROM s),
         |x AS (SELECT doc_id, frames, i // 256 AS f,
@@ -5730,8 +5718,8 @@ object Pipeline {
         |    CASE WHEN energy > lag(energy) OVER (PARTITION BY doc_id ORDER BY f)
         |      THEN 1 ELSE 0 END AS b FROM e),
         |fp AS (SELECT doc_id, CAST(frames AS BIGINT) AS n_frames,
-        |    CAST(sum(CASE WHEN f >= 1
-        |      THEN b * (CAST(1 AS BIGINT) << CAST(frames - 1 - f AS INT)) ELSE 0 END) AS BIGINT) AS afp
+        |    CAST(sum(CASE WHEN f >= 1 AND f <= LEAST(frames - 1, 62)
+        |      THEN b * (CAST(1 AS BIGINT) << CAST(LEAST(frames - 1, 62) - f AS INT)) ELSE 0 END) AS BIGINT) AS afp
         |  FROM d GROUP BY 1, 2),
         |g AS (SELECT afp, n_frames, min(doc_id) AS rep_id, count(*) AS group_size
         |  FROM fp GROUP BY 1, 2)

@@ -27,6 +27,28 @@ object QueryUtil {
   /** Epoch milliseconds from a (ntz) timestamp, UTC session. */
   def epochMs(ts: Column): Column = unix_millis(ts.cast("timestamp"))
 
+  /** Fixed per-name scratch directory under java.io.tmpdir, emptied
+    * and recreated on every call. Queries that materialize a file
+    * layout in-flight (partitioned/sharded writes that a lazy read
+    * then consumes) use this instead of a fresh createTempDirectory:
+    * repeated Verify/Bench sweeps in one long-lived JVM would
+    * otherwise accumulate one parquet dir per run on disk plus an
+    * ever-growing JVM deleteOnExit list. Leftover state is bounded
+    * at one dir per query name. Queries run sequentially in Verify/
+    * Bench, so the fixed path is single-writer by construction.
+    */
+  def scratchDir(name: String): String = {
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_scratch", name)
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+    }
+    java.nio.file.Files.createDirectories(root)
+    root.toString
+  }
+
   /** Epoch milliseconds from the events `ts` column under WHATEVER
     * physical type the driver materialized it as (the testdata
     * regenerates between rounds): TIMESTAMP / TIMESTAMP_NTZ (parquet
