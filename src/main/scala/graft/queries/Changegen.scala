@@ -291,6 +291,64 @@ object Changegen {
         .select(col("c_custkey"), fp(Geo.mercToLon(mx), 6).as("lon_fp6"), fp(Geo.mercToLat(my), 6).as("lat_fp6"))
         .orderBy("c_custkey")
     }),
+    // 28a — arbitrary-CRS reprojection (reference generator.py:69-78
+    // builds a pyproj transformer from the layer's DECLARED EPSG,
+    // db.py:68 — not always web-mercator): the per-layer dispatch arm
+    // next to cg_reproject's 3857 path. A UTM zone-33N layer
+    // (EPSG:32633, closed-form inverse transverse Mercator — the
+    // Snyder series as pure codegen'd column math) and a 4326
+    // passthrough layer, both through Geo.reproject. The oracle runs
+    // the SAME series as a DuckDB CTE chain with identical constants.
+    "cg_reproject_utm" -> ((s, dir) => {
+      val k = col("c_custkey").cast("long")
+      val e = (k * 7919 % 600000 + 200000).cast("double")
+      val n = (k * 104729 % 8000000 + 500000).cast("double")
+      val utm = Geo.reproject(e, n, 32633)
+      val px = (k * 131 % 360000000L - 180000000L).cast("double") / 1000000.0
+      val py = (k * 977 % 180000000L - 90000000L).cast("double") / 1000000.0
+      val pass = Geo.reproject(px, py, 4326)
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          fp(utm.getField("lon"), 6).as("lon_fp6"),
+          fp(utm.getField("lat"), 6).as("lat_fp6"),
+          fp(pass.getField("lon"), 6).as("lon_pass_fp6"),
+          fp(pass.getField("lat"), 6).as("lat_pass_fp6"))
+        .orderBy("c_custkey")
+    }),
+    // 28b — live-database ingestion (reference db.py:28-101): the
+    // PostGIS input path driven END-TO-END through a real JDBC engine
+    // in-query. customer rows → an embedded Derby "PostGIS" snapshot
+    // (BIGINT id, hex-EWKB point geometry, hstore tag text) via
+    // Spark's DISTRIBUTED jdbc writer → Snapshots.postgisTable
+    // partitioned read-back (8 id-ranges, each range decoding its own
+    // rows) → columnar WKB decode + hstore parse. The oracle
+    // recomputes geometry and tags closed-form from customer, so any
+    // drift in the JDBC round-trip, the EWKB byte layout, or the
+    // hstore grammar hash-mismatches. Against live PostGIS only the
+    // URL changes — the adapter call is identical.
+    "cg_jdbc_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val url = "jdbc:derby:memory:graft_cg_jdbc;create=true"
+      val src = t(s, dir, "customer").select(col("c_custkey").cast("long")).as[Long]
+        .mapPartitions(_.map { k =>
+          val x = (k * 977 % 2000000 - 1000000) / 100.0
+          val y = (k * 131 % 2000000 - 1000000) / 100.0
+          val hex = graft.functions.WkbGeomExpr.encode(1, Array((x, y)), srid = 4326)
+            .map("%02x".format(_)).mkString
+          (k, hex, s""""name"=>"cust $k", "ref"=>"${k % 97}"""")
+        }).toDF("id", "wkb_geometry", "tags")
+      src.write.mode("overwrite").jdbc(url, "pgsnap", new java.util.Properties)
+      val hi = src.agg(max("id")).head().getLong(0) + 1L
+      val snap = graft.sources.Snapshots.postgisTable(s, url, "pgsnap",
+        partitionColumn = Some("id"), lowerBound = 1L, upperBound = hi,
+        numPartitions = 8)
+      snap.select(col("id"),
+          fp(element_at(col("wkb_geometry"), 1).getField("x"), 6).as("x_fp6"),
+          fp(element_at(col("wkb_geometry"), 1).getField("y"), 6).as("y_fp6"),
+          element_at(col("tags"), "name").as("name"),
+          element_at(col("tags"), "ref").as("ref"))
+        .orderBy("id")
+    }),
     // 29 — OsmChange XML node serialization (sorted tags, exact 6-dp coords)
     "cg_osc_xml" -> ((s, dir) => {
       val latU = col("c_custkey") * 7919 % 180000000L - 90000000L
@@ -722,6 +780,25 @@ object Changegen {
         |  ${sqlFp("CAST(c_custkey*977 % 2000000 - 1000000 AS DOUBLE)/6378137.0*(180.0/pi())", 6)} AS lon_fp6,
         |  ${sqlFp("(atan(exp(CAST(c_custkey*131 % 2000000 - 1000000 AS DOUBLE)/6378137.0))*2 - pi()/2)*(180.0/pi())", 6)} AS lat_fp6
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "cg_reproject_utm" ->
+      s"""WITH src AS (SELECT c_custkey,
+        |    CAST(c_custkey*7919 % 600000 + 200000 AS DOUBLE) AS e_in,
+        |    CAST(c_custkey*104729 % 8000000 + 500000 AS DOUBLE) AS n_in
+        |  FROM customer),
+        |${Geo.utmToLonLatSqlCtes("src", zone = 33, southern = false)}
+        |SELECT c_custkey,
+        |  ${sqlFp("lon_deg", 6)} AS lon_fp6,
+        |  ${sqlFp("lat_deg", 6)} AS lat_fp6,
+        |  ${sqlFp("CAST(c_custkey*131 % 360000000 - 180000000 AS DOUBLE)/1000000.0", 6)} AS lon_pass_fp6,
+        |  ${sqlFp("CAST(c_custkey*977 % 180000000 - 90000000 AS DOUBLE)/1000000.0", 6)} AS lat_pass_fp6
+        |FROM u8 ORDER BY c_custkey""".stripMargin,
+    "cg_jdbc_ingest" ->
+      s"""SELECT c_custkey AS id,
+        |  ${sqlFp("(c_custkey*977 % 2000000 - 1000000)/100.0", 6)} AS x_fp6,
+        |  ${sqlFp("(c_custkey*131 % 2000000 - 1000000)/100.0", 6)} AS y_fp6,
+        |  'cust ' || CAST(c_custkey AS VARCHAR) AS name,
+        |  CAST(c_custkey % 97 AS VARCHAR) AS ref
+        |FROM customer ORDER BY id""".stripMargin,
     "cg_osc_xml" ->
       """WITH u AS (SELECT c_custkey, c_name, c_mktsegment,
         |  c_custkey*7919 % 180000000 - 90000000 AS lat_u,

@@ -68,6 +68,50 @@ object Snapshots {
     geomCols.foldLeft(df)((d, c) => d.withColumn(c, call_function(fn, col(c))))
   }
 
+  /** The PostGIS ingestion adapter in one call — the reference's live
+    * database input (changegen/db.py:28-101: OGR connection → layer
+    * features with geometry + hstore tags) re-expressed as a Spark
+    * source: `spark.read.jdbc` over `partitionColumn` ranges (each
+    * executor pulls its own slice — never one connection for a big
+    * table), geometry columns decoded IN the range partition that
+    * read them ([[decodeGeometry]] → `array<struct<x,y>>`, or the
+    * ring-indexed layout with `rings = true`), and hstore text
+    * columns parsed to maps ([[graft.operators.TagOps.hstoreToMap]],
+    * db.py:7-25 semantics). Everything downstream of the JDBC fetch
+    * is codegen'd column math — no driver funnel, no UDF.
+    *
+    * The result is directly the frame `ChangegenPipeline.build`
+    * consumes: pass `decodeGeom = false` to keep the wire-form WKB
+    * for the `polyWkb` seam (its ring decode is internal), or the
+    * default decoded layout for the point/line operators.
+    *
+    * Proven against embedded Derby (SourcesSpec: WKB + hstore
+    * round-trip, exactly-once partition ranges) — against a real
+    * PostGIS deployment only the URL and driver properties change.
+    */
+  def postgisTable(
+      spark: SparkSession,
+      url: String,
+      table: String,
+      geomCols: Seq[String] = Seq("wkb_geometry"),
+      hstoreCols: Seq[String] = Seq("tags"),
+      decodeGeom: Boolean = true,
+      rings: Boolean = false,
+      partitionColumn: Option[String] = None,
+      lowerBound: Long = 0L,
+      upperBound: Long = 0L,
+      numPartitions: Int = 1,
+      connProps: Map[String, String] = Map.empty): DataFrame = {
+    val base = partitionColumn match {
+      case Some(pc) => jdbcReader(spark, url, table, pc, lowerBound, upperBound, numPartitions)
+      case None => spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    }
+    val raw = connProps.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load()
+    val geomDecoded = if (decodeGeom) decodeGeometry(raw, geomCols, rings) else raw
+    hstoreCols.foldLeft(geomDecoded)((d, c) =>
+      d.withColumn(c, graft.operators.TagOps.hstoreToMap(col(c))))
+  }
+
   /** Write a snapshot partitioned by a low-cardinality column (e.g.
     * element type or region): partition pruning makes per-type scans
     * O(selected partitions).

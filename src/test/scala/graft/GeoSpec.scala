@@ -135,6 +135,64 @@ class GeoSpec extends AnyFunSuite {
     assert(math.abs(lon1 - 1.0) < 1e-9)
   }
 
+  test("reproject inverts forward UTM across zones/hemispheres; dispatcher covers 4326/3857; unknown EPSG fails loudly") {
+    // independent FORWARD transverse Mercator (Snyder pp. 61) in plain
+    // Scala: project a lon/lat grid to UTM, run it back through the
+    // column-math inverse, require agreement within 1e-6 deg (~0.1 m)
+    val a = 6378137.0; val e2 = 0.00669437999014; val k0 = 0.9996
+    val ep2 = e2 / (1 - e2)
+    def fwd(lonDeg: Double, latDeg: Double, zone: Int): (Double, Double) = {
+      val lon = math.toRadians(lonDeg); val lat = math.toRadians(latDeg)
+      val lon0 = math.toRadians((zone - 1) * 6 - 180 + 3)
+      val n = a / math.sqrt(1 - e2 * math.sin(lat) * math.sin(lat))
+      val t = math.tan(lat) * math.tan(lat)
+      val c = ep2 * math.cos(lat) * math.cos(lat)
+      val bigA = (lon - lon0) * math.cos(lat)
+      val m = a * ((1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * math.pow(e2, 3) / 256) * lat
+        - (3 * e2 / 8 + 3 * e2 * e2 / 32 + 45 * math.pow(e2, 3) / 1024) * math.sin(2 * lat)
+        + (15 * e2 * e2 / 256 + 45 * math.pow(e2, 3) / 1024) * math.sin(4 * lat)
+        - (35 * math.pow(e2, 3) / 3072) * math.sin(6 * lat))
+      val x = k0 * n * (bigA + (1 - t + c) * math.pow(bigA, 3) / 6
+        + (5 - 18 * t + t * t + 72 * c - 58 * ep2) * math.pow(bigA, 5) / 120) + 500000.0
+      val y = k0 * (m + n * math.tan(lat) * (bigA * bigA / 2
+        + (5 - t + 9 * c + 4 * c * c) * math.pow(bigA, 4) / 24
+        + (61 - 58 * t + t * t + 600 * c - 330 * ep2) * math.pow(bigA, 6) / 720))
+      (x, y)
+    }
+    for ((zone, epsg, southern) <- Seq((33, 32633, false), (17, 32717, true))) {
+      val lon0Deg = (zone - 1) * 6 - 180 + 3
+      val pts = for {
+        dLon <- Seq(-2.5, -1.0, 0.0, 1.3, 2.5)
+        lat <- if (southern) Seq(-60.0, -33.7, -8.0, -0.5) else Seq(0.5, 12.0, 45.0, 71.0)
+      } yield (lon0Deg + dLon, lat)
+      val src = pts.map { case (lo, la) =>
+        val (x, y) = fwd(lo, la, zone)
+        (lo, la, x, if (southern) y + 10000000.0 else y) // false northing
+      }.toDF("lon_t", "lat_t", "e", "n")
+      val back = src.select(col("lon_t"), col("lat_t"),
+          Geo.reproject(col("e"), col("n"), epsg).as("p"))
+        .select(col("lon_t"), col("lat_t"),
+          col("p.lon").as("lon_r"), col("p.lat").as("lat_r"))
+        .as[(Double, Double, Double, Double)].collect()
+      back.foreach { case (lonT, latT, lonR, latR) =>
+        assert(math.abs(lonR - lonT) < 1e-6 && math.abs(latR - latT) < 1e-6,
+          s"EPSG:$epsg round-trip drift at ($lonT,$latT): got ($lonR,$latR)")
+      }
+    }
+    // 4326 passthrough and 3857 arm agree with the direct functions
+    val d = Seq((12.5, -33.25, 1391305.3, -3928487.8)).toDF("lon", "lat", "mx", "my")
+    val row = d.select(
+        Geo.reproject(col("lon"), col("lat"), 4326).as("p0"),
+        Geo.reproject(col("mx"), col("my"), 3857).as("p1"),
+        Geo.mercToLon(col("mx")).as("refLon"), Geo.mercToLat(col("my")).as("refLat"))
+      .select(col("p0.lon"), col("p0.lat"), col("p1.lon"), col("p1.lat"),
+        col("refLon"), col("refLat"))
+      .as[(Double, Double, Double, Double, Double, Double)].head()
+    assert(row._1 == 12.5 && row._2 == -33.25)
+    assert(row._3 == row._5 && row._4 == row._6)
+    intercept[IllegalArgumentException](Geo.reproject(col("lon"), col("lat"), 27700))
+  }
+
   test("DWithinJoin.pointPoint equals brute force") {
     val left = (1 to 60).map(i => (i.toLong, (i * 13 % 50).toDouble, (i * 29 % 50).toDouble)).toDF("lid", "lx", "ly")
     val right = (1 to 40).map(i => (i.toLong, (i * 7 % 50).toDouble, (i * 17 % 50).toDouble)).toDF("rid", "rx", "ry")

@@ -202,7 +202,13 @@ class PipelineE2eSpec extends AnyFunSuite {
       ins.setLong(1, 2L); ins.setString(2, hex(Array(solid))); ins.addBatch()
       ins.executeBatch()
 
-      val snap = Snapshots.jdbcReader(spark, url, "polysnap", "id", 0L, 3L, 2).load()
+      // through the one-call adapter, geometry kept in wire form
+      // (decodeGeom=false) because build's polyWkb seam ring-decodes
+      // internally; no hstore columns on this table
+      val snap = Snapshots.postgisTable(spark, url, "polysnap",
+          hstoreCols = Nil, decodeGeom = false,
+          partitionColumn = Some("id"), lowerBound = 0L, upperBound = 3L,
+          numPartitions = 2)
         .select(col("id").as("pgroup"), col("wkb_geometry").as("wkb"))
       val f = ChangegenPipeline.build(spark, TestSpark.Sf, maxNodes = 7,
         idOffset = Some(1000000L), polyWkb = Some(snap))

@@ -101,6 +101,59 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("postgisTable round-trips WKB geometry + hstore tags through embedded JDBC") {
+    import org.apache.spark.sql.functions.{col, element_at}
+    import graft.functions.WkbGeomExpr
+    // the reference's db.py input shape: id + geometry + hstore tag
+    // text, with the awkward hstore corners present (escaped quote,
+    // comma inside a value, duplicate key → last wins) and one
+    // malformed geometry cell (must decode to NULL, not fail)
+    val url = "jdbc:derby:memory:graftpgtable;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute(
+        "CREATE TABLE snap (id BIGINT PRIMARY KEY, wkb_geometry VARCHAR(200), tags VARCHAR(400))")
+      val ins = conn.prepareStatement("INSERT INTO snap VALUES (?, ?, ?)")
+      (1L to 20L).foreach { i =>
+        ins.setLong(1, i)
+        val hex = WkbGeomExpr.encode(1, Array((i * 1.5, i * -0.5)), srid = 4326)
+          .map("%02x".format(_)).mkString
+        ins.setString(2, if (i == 13L) "feed" else hex)
+        ins.setString(3,
+          s""""name"=>"n\\"$i", "addr"=>"a, b$i", "k"=>"lost", "k"=>"kept$i"""")
+        ins.addBatch()
+      }
+      ins.executeBatch()
+
+      val df = Snapshots.postgisTable(spark, url, "snap",
+        partitionColumn = Some("id"), lowerBound = 1L, upperBound = 21L,
+        numPartitions = 4)
+      assert(df.rdd.getNumPartitions == 4)
+      val rows = df.select(col("id"),
+          element_at(col("wkb_geometry"), 1).getField("x").as("x"),
+          element_at(col("wkb_geometry"), 1).getField("y").as("y"),
+          element_at(col("tags"), "name").as("name"),
+          element_at(col("tags"), "addr").as("addr"),
+          element_at(col("tags"), "k").as("k"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some((r.getDouble(1), r.getDouble(2))),
+            r.getString(3), r.getString(4), r.getString(5))).toMap
+      assert(rows.size == 20)
+      (1L to 20L).filter(_ != 13L).foreach { i =>
+        val (geom, name, addr, k) = rows(i)
+        assert(geom.contains((i * 1.5, i * -0.5)), s"row $i geometry: $geom")
+        assert(name == "n\"" + i, s"row $i name: $name")   // escape unwound
+        assert(addr == s"a, b$i", s"row $i addr: $addr")   // comma kept
+        assert(k == s"kept$i", s"row $i k: $k")            // last key wins
+      }
+      // malformed geometry: dropped to NULL, tags still parse
+      assert(rows(13L)._1.isEmpty && rows(13L)._4 == "kept13")
+    } finally {
+      try conn.createStatement().execute("DROP TABLE snap") finally conn.close()
+    }
+  }
+
   test("bucketed tables join without a shuffle") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
