@@ -144,7 +144,8 @@ object ChangegenPipeline {
             osmSrc: Option[String] = None,
             deletionTables: Seq[String] = Nil,
             noCollisions: Boolean = false,
-            polyWkb: Option[DataFrame] = None): Frames = {
+            polyWkb: Option[DataFrame] = None,
+            polySrcEpsg: Int = 4326): Frames = {
     val supplier = Tables.load(spark, sfDir, "supplier")
     val lineitem = Tables.load(spark, sfDir, "lineitem")
 
@@ -185,8 +186,12 @@ object ChangegenPipeline {
 
     // nodes: one per vertex, sequential ids from the configured offset
     val nodes = SequentialIds.assign(verts, "vkey", "node_id", nodeIdBase, negIds).persist()
-    val latU = (col("y") * 1000000L).cast("long")
-    val lonU = (col("x") * 1000000L).cast("long")
+    // microdegrees ROUND half-up (the reference renders "%.6f", which
+    // rounds) — identical to truncation for the exact-millionth 4326
+    // inputs, and correct for reprojected layers whose doubles carry
+    // series noise a hair below the exact value
+    val latU = graft.text.TextAnalysis.fp(col("y"), 6)
+    val lonU = graft.text.TextAnalysis.fp(col("x"), 6)
     val nodeXml = nodes.select(
       OsmChangeXml.nodeXml(col("node_id"), lit(1), latU, lonU,
         map(lit("source"), lit("graft"))).as("xml"))
@@ -334,10 +339,23 @@ object ChangegenPipeline {
         // duplicate vertex is dropped before node-id assignment and
         // the way re-closes below from the assigned ids. All windows
         // are ring-sized partitions — nothing corpus-wide.
-        val decoded = src.select(col("pgroup").cast("long").as("pgroup"),
+        val decodedRaw = src.select(col("pgroup").cast("long").as("pgroup"),
             posexplode(call_function("graft_geom_rings", col("wkb"))).as(Seq("pos", "v")))
           .select(col("pgroup"), col("pos").cast("long").as("pos"),
             col("v.ring").as("ring_idx"), col("v.x").as("x"), col("v.y").as("y"))
+        // per-layer CRS (reference generator.py:69-78 builds its
+        // transformer from the layer's declared EPSG): reproject the
+        // decoded vertices to WGS84 before ring closing / id
+        // assignment. 4326 input skips the step entirely — the plan
+        // is unchanged for the already-geographic case. Ring-closing
+        // equality below is preserved either way: reprojection is a
+        // pure function, equal vertices stay equal.
+        val decoded =
+          if (polySrcEpsg == 4326) decodedRaw
+          else decodedRaw
+            .withColumn("_ll", graft.spatial.Geo.reproject(col("x"), col("y"), polySrcEpsg))
+            .withColumn("x", col("_ll.lon")).withColumn("y", col("_ll.lat"))
+            .drop("_ll")
         val ringW = org.apache.spark.sql.expressions.Window.partitionBy("pgroup", "ring_idx")
         // persisted: SequentialIds.assign runs multiple jobs over its
         // input (range sampling, partition-size count, final compute) —
@@ -384,7 +402,7 @@ object ChangegenPipeline {
     }
     val polyNodeXml = polyNodes.select(
       OsmChangeXml.nodeXml(col("node_id"), lit(1),
-        (col("y") * 1000000L).cast("long"), (col("x") * 1000000L).cast("long"),
+        graft.text.TextAnalysis.fp(col("y"), 6), graft.text.TextAnalysis.fp(col("x"), 6),
         map(lit("source"), lit("graft"))).as("xml"))
     val polyWayXml = polyWays.select(
       OsmChangeXml.wayXml(col("way_id"), lit(1), col("closed_nds"),

@@ -223,6 +223,54 @@ class PipelineE2eSpec extends AnyFunSuite {
     }
   }
 
+  test("polySrcEpsg: a UTM-stored polygon layer reprojects at the decode seam and equals its 4326 twin") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.WkbGeomExpr
+    // the same feature stored twice: once in WGS84 (as imposm3 would
+    // hand it over) and once in EPSG:32633 (a layer kept in its UTM
+    // zone — reference generator.py:69-78 builds its transformer from
+    // the DECLARED epsg, so this layer must not need new code). The
+    // two builds must agree to the microdegree the node XML carries.
+    val a = 6378137.0; val e2 = 0.00669437999014; val k0 = 0.9996
+    val ep2 = e2 / (1 - e2)
+    def fwd(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val lon = math.toRadians(lonDeg); val lat = math.toRadians(latDeg)
+      val lon0 = math.toRadians(15.0) // zone 33
+      val n = a / math.sqrt(1 - e2 * math.sin(lat) * math.sin(lat))
+      val t = math.tan(lat) * math.tan(lat)
+      val c = ep2 * math.cos(lat) * math.cos(lat)
+      val bigA = (lon - lon0) * math.cos(lat)
+      val m = a * ((1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * math.pow(e2, 3) / 256) * lat
+        - (3 * e2 / 8 + 3 * e2 * e2 / 32 + 45 * math.pow(e2, 3) / 1024) * math.sin(2 * lat)
+        + (15 * e2 * e2 / 256 + 45 * math.pow(e2, 3) / 1024) * math.sin(4 * lat)
+        - (35 * math.pow(e2, 3) / 3072) * math.sin(6 * lat))
+      (k0 * n * (bigA + (1 - t + c) * math.pow(bigA, 3) / 6
+        + (5 - 18 * t + t * t + 72 * c - 58 * ep2) * math.pow(bigA, 5) / 120) + 500000.0,
+       k0 * (m + n * math.tan(lat) * (bigA * bigA / 2
+        + (5 - t + 9 * c + 4 * c * c) * math.pow(bigA, 4) / 24
+        + (61 - 58 * t + t * t + 600 * c - 330 * ep2) * math.pow(bigA, 6) / 720)))
+    }
+    val outer = Array((14.0, 45.0), (16.0, 45.0), (16.0, 47.0), (14.0, 47.0), (14.0, 45.0))
+    val hole = Array((14.5, 45.5), (15.5, 45.5), (14.5, 46.5), (14.5, 45.5))
+    def ring(r: Array[(Double, Double)], proj: Boolean) =
+      if (proj) r.map { case (lo, la) => fwd(lo, la) } else r
+    def srcOf(proj: Boolean) = Seq(
+      (1L, WkbGeomExpr.encodePolygon(Array(ring(outer, proj), ring(hole, proj)),
+        srid = if (proj) 32633 else 4326))).toDF("pgroup", "wkb")
+    def nodesOf(proj: Boolean) = ChangegenPipeline.build(spark, TestSpark.Sf,
+        maxNodes = 7, idOffset = Some(1000000L), polyWkb = Some(srcOf(proj)),
+        polySrcEpsg = if (proj) 32633 else 4326)
+      .polyNodes.select(col("node_id"),
+        graft.text.TextAnalysis.fp(col("x"), 6).as("lon_u"),
+        graft.text.TextAnalysis.fp(col("y"), 6).as("lat_u"))
+      .as[(Long, Long, Long)].collect().toSet
+    val viaUtm = nodesOf(proj = true)
+    val via4326 = nodesOf(proj = false)
+    assert(viaUtm.nonEmpty && viaUtm == via4326,
+      s"utm=${viaUtm.toSeq.sorted} vs 4326=${via4326.toSeq.sorted}")
+  }
+
   test("WKB polygon source: a holed PostGIS geometry produces inner-role relation members end-to-end") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
