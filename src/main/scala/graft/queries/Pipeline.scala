@@ -37,6 +37,21 @@ object Pipeline {
       tsMs(e).as("ms"), fp(col("value"), 4).as("v4"))
   }
 
+  /** Cache path for the persisted ANN index queries (37b2/37d2):
+    * keyed on the embeddings table's absolute path + newest file
+    * mtime, so the index is built at most once per testdata snapshot
+    * and any regenerated snapshot gets a fresh key. */
+  private def ivfDiskPath(dir: String): String = {
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    val stamp = Option(src.listFiles()).map(_.map(_.lastModified).max)
+      .getOrElse(src.lastModified)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${src.getAbsolutePath}@$stamp".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    new java.io.File(
+      new java.io.File(sys.props("java.io.tmpdir"), "graft_ivf_index"), key).toString
+  }
+
   val defs: Map[String, Q] = Map(
     // 31 — exact dedup by content hash, keep min id
     "dd_exact" -> ((s, dir) => {
@@ -339,20 +354,36 @@ object Pipeline {
     // index yields identical candidates and arithmetic.
     "sim_ann_ivf_disk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val src = new java.io.File(s"$dir/embeddings.parquet")
-      val stamp = Option(src.listFiles()).map(_.map(_.lastModified).max)
-        .getOrElse(src.lastModified)
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"${src.getAbsolutePath}@$stamp".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-      val path = new java.io.File(
-        new java.io.File(sys.props("java.io.tmpdir"), "graft_ivf_index"), key).toString
+      val path = ivfDiskPath(dir)
       if (!new java.io.File(path, "vectors/_SUCCESS").exists() ||
           !new java.io.File(path, "centroids/_SUCCESS").exists())
         graft.similarity.IvfIndex.build(e, "vec_id", "embedding", kCells = 16, path)
       graft.similarity.IvfIndex.search(s, path,
         e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", nprobe = 2, k = 5)
         .orderBy("query_id", "cos_fp6")
+    }),
+    // 37d2 — the SERVING shape of 37d: IVF-PQ AT REST. The persisted
+    // layout adds `codes/` (4-byte-scale PQ codes, partitioned by the
+    // SAME IVF cell directories) and `codebook/` to the 37b2 index, so
+    // a probe reads nprobe cell directories of codes — never a corpus
+    // float — and the ADC LUT is the only per-query math. Same
+    // build-once / probe-many cache key as 37b2 (the PQ layer is added
+    // to the cached index the first time this query runs against a
+    // snapshot); spec-asserted bit-identical to the in-memory
+    // pqIvfSearch composition, so it shares sim_ann_ivfpq's oracle.
+    "sim_ann_ivfpq_disk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val path = ivfDiskPath(dir)
+      if (!new java.io.File(path, "vectors/_SUCCESS").exists() ||
+          !new java.io.File(path, "centroids/_SUCCESS").exists())
+        graft.similarity.IvfIndex.build(e, "vec_id", "embedding", kCells = 16, path)
+      if (!new java.io.File(path, "codes/_SUCCESS").exists() ||
+          !new java.io.File(path, "codebook/_SUCCESS").exists())
+        graft.similarity.IvfIndex.buildPq(e, "vec_id", "embedding",
+          dim = 64, m = 4, kCodes = 16, path = path)
+      graft.similarity.IvfIndex.searchPq(s, path,
+        e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", nprobe = 2, k = 5)
+        .orderBy("query_id", "approx_d2_fp6", "id")
     }),
     // 38 — stopword-scoring language ID (staged: tokens project once)
     "txt_langid" -> ((s, dir) => {
@@ -4145,7 +4176,14 @@ object Pipeline {
        |FROM cand JOIN sigs sa ON sa.doc = doc_a JOIN sigs sb ON sb.doc = doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  lazy val oracles: Map[String, String] = withDiskTwins(oracles0)
+
+  /** The at-rest ANN probes are spec-asserted bit-identical to their
+    * in-memory compositions, so they share the same DuckDB mirror. */
+  private def withDiskTwins(m: Map[String, String]): Map[String, String] =
+    m + ("sim_ann_ivfpq_disk" -> m("sim_ann_ivfpq"))
+
+  private val oracles0: Map[String, String] = Map(
     "dd_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
