@@ -75,10 +75,20 @@ case class InsertionIndexExpr(first: Expression, second: Expression, third: Expr
     val segStart = frac(bestSeg)
     val segEnd = frac(bestSeg + 1)
     val loc = segStart + bestT * (segEnd - segStart)
+    // fp9-quantized comparison: when the projection lands exactly ON a
+    // vertex, `segStart + t*(segEnd-segStart)` is mathematically equal
+    // to that vertex's fraction but can round one ulp under it — and
+    // the best-SEGMENT tie (t=1 on seg i vs t=0 on seg i+1) can break
+    // differently across engines, flipping a raw `<`. Quantizing both
+    // sides at 1e-9 (fractions live in [0,1]; adjacent vertex fracs
+    // are ~1/n apart) makes the tie land on "not less" — insertion
+    // AFTER the coincident vertex — on every engine.
+    def fp9(x: Double): Long = math.floor(x * 1e9 + 0.5).toLong
+    val locQ = fp9(loc)
     // 0-based j here equals the HOF's (1-based array_position) - 1
     var j = 0
     while (j < n) {
-      if (loc < frac(j)) return j
+      if (locQ < fp9(frac(j))) return j
       j += 1
     }
     n - 1
@@ -126,10 +136,15 @@ case class InsertionIndexExpr(first: Expression, second: Expression, third: Expr
          |    double ${v}FS = (${v}Total == 0.0) ? 0.0 : ${v}Cums[${v}BestSeg] / ${v}Total;
          |    double ${v}FE = (${v}Total == 0.0) ? 0.0 : ${v}Cums[${v}BestSeg + 1] / ${v}Total;
          |    double ${v}Loc = ${v}FS + ${v}BestT * (${v}FE - ${v}FS);
+         |    // fp9-quantized compare — see nullSafeEval: vertex hits
+         |    // must land on "not less" regardless of which tied
+         |    // segment won and of last-ulp rounding
+         |    long ${v}LocQ = (long) java.lang.Math.floor(${v}Loc * 1e9 + 0.5);
          |    boolean $done = false;
          |    for (int $j = 0; $j < $n && !$done; $j++) {
          |      double ${v}F = (${v}Total == 0.0) ? 0.0 : ${v}Cums[$j] / ${v}Total;
-         |      if (${v}Loc < ${v}F) { ${ev.value} = $j; $done = true; }
+         |      long ${v}FQ = (long) java.lang.Math.floor(${v}F * 1e9 + 0.5);
+         |      if (${v}LocQ < ${v}FQ) { ${ev.value} = $j; $done = true; }
          |    }
          |    if (!$done) { ${ev.value} = $n - 1; }
          |  }

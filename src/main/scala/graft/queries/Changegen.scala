@@ -745,7 +745,9 @@ object Changegen {
         |        JOIN frac f1 ON f1.nk = s.nk AND f1.seq = b.seg0 + 1
         |        JOIN frac f2 ON f2.nk = s.nk AND f2.seq = b.seg0 + 2),
         |hit AS (SELECT l.c_custkey, min(f.seq) AS first_g
-        |        FROM loc l JOIN frac f ON f.nk = l.nk AND l.lc < f.f GROUP BY l.c_custkey)
+        |        FROM loc l JOIN frac f ON f.nk = l.nk
+        |          AND ${sqlFp("l.lc", 9)} < ${sqlFp("f.f", 9)}
+        |        GROUP BY l.c_custkey)
         |SELECT l.c_custkey,
         |  CAST(coalesce(h.first_g - 1, ln.nv - 1) AS INT) AS ins_idx
         |FROM loc l

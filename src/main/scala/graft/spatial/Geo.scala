@@ -233,8 +233,12 @@ object Geo {
       // fraction along the whole line of the projected point
       val segStart = element_at(fr, cp.getField("seg") + 1)
       val segEnd = element_at(fr, cp.getField("seg") + 2)
-      let(segStart + cp.getField("t") * (segEnd - segStart)) { loc =>
-        let(array_position(transform(fr, f => loc < f), lit(true))) { firstGreater =>
+      // fp9-quantized compare (see InsertionIndexExpr): a projection
+      // landing exactly ON a vertex must insert AFTER it on every
+      // engine, regardless of best-segment tie-breaks and last-ulp
+      // rounding of segStart + t*(segEnd-segStart)
+      let(graft.text.TextAnalysis.fp(segStart + cp.getField("t") * (segEnd - segStart), 9)) { locQ =>
+        let(array_position(transform(fr, f => locQ < graft.text.TextAnalysis.fp(f, 9)), lit(true))) { firstGreater =>
           when(firstGreater > 0, firstGreater - 1).otherwise(size(line) - 1).cast("int")
         }
       }

@@ -62,6 +62,26 @@ class GeoSpec extends AnyFunSuite {
     assert(idxEnd == 1)
   }
 
+  test("insertionIndex on an exact vertex hit inserts AFTER the vertex, native and HOF alike") {
+    // The projection lands exactly ON vertex 1: its location fraction
+    // equals the vertex's own fraction, and the closest-segment argmin
+    // ties between seg 0 (t=1) and seg 1 (t=0). The fp9-quantized
+    // comparison makes the tie deterministic across engines — "not
+    // less" → insertion goes after the coincident vertex (index 2),
+    // never 1-vs-2 depending on ulp rounding or which segment won.
+    val df = Seq(1).toDF("i")
+    val l = line((0, 0), (10, 0), (20, 0))
+    val native = df.select(Geo.insertionIndex(l, lit(10.0), lit(0.0))).as[Int].head()
+    val hof = df.select(Geo.insertionIndexHof(l, lit(10.0), lit(0.0))).as[Int].head()
+    assert(native == 2 && hof == 2)
+    // irrational segment lengths (fractions not exactly representable)
+    // still agree between the two forms on a vertex hit
+    val l2 = line((0, 0), (1, 1), (3, 2), (4, 0))
+    val n2 = df.select(Geo.insertionIndex(l2, lit(1.0), lit(1.0))).as[Int].head()
+    val h2 = df.select(Geo.insertionIndexHof(l2, lit(1.0), lit(1.0))).as[Int].head()
+    assert(n2 == h2 && n2 == 2)
+  }
+
   test("insertionIndex and closestOnLine null out on all-NaN coordinates (no crash)") {
     val df = Seq(1).toDF("i")
     val nanLine = line((Double.NaN, Double.NaN), (Double.NaN, Double.NaN))
