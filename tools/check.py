@@ -15,8 +15,14 @@ def canon(df: pd.DataFrame) -> str:
     rows.sort()
     return hashlib.md5(json.dumps(rows).encode()).hexdigest()
 
-def main(sfdir, outdir):
+def main(sfdir, outdir, only=None, skip=None):
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
+    if skip:
+        for k in skip:
+            oracle.pop(k, None)
+        print(f"SKIPPED  {sorted(skip)} (excluded by --skip)")
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem "
               "events documents embeddings").split():
@@ -67,4 +73,17 @@ def main(sfdir, outdir):
     return 1 if fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    # optional: --only a,b,c / --skip a,b,c (e.g. exclude oracles that
+    # are quadratic in DuckDB at big scale-sweep SFs)
+    only = skip = None
+    args = sys.argv[1:]
+    pos = []
+    i = 0
+    while i < len(args):
+        if args[i] == "--only":
+            only = set(args[i + 1].split(",")); i += 2
+        elif args[i] == "--skip":
+            skip = set(args[i + 1].split(",")); i += 2
+        else:
+            pos.append(args[i]); i += 1
+    sys.exit(main(pos[0], pos[1], only, skip))
