@@ -625,12 +625,21 @@ object Changegen {
            | list_transform(range(1, 7),
            |  i -> CAST(strpos('0123456789abcdef', substr(md5('$tag' || CAST(c_custkey AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT))),
            | (a, v) -> a*16 + v) / 16777216.0 * 100.0)""".stripMargin.replace("\n", " ")
+      // candidate generation is 2-D banded (cell width = the 4.0
+      // radius; any pair within radius differs by <=1 cell per axis,
+      // width-4 cells make a 2-cell gap imply distance > 4), then the
+      // EXACT distance filter decides — same arithmetic as the raw
+      // all-pairs form, linear candidate mass instead of |pts|^2 (the
+      // all-pairs scan went quadratic in DuckDB at the 10x sweep)
       s"""WITH pts AS (SELECT c_custkey, ${rndSql("sx")} AS x, ${rndSql("sy")} AS y FROM customer),
         |pts2 AS (SELECT c_custkey, x, y FROM pts
-        |         UNION ALL SELECT c_custkey + 10000000, x, y FROM pts WHERE c_custkey % 50 = 0)
+        |         UNION ALL SELECT c_custkey + 10000000, x, y FROM pts WHERE c_custkey % 50 = 0),
+        |cells AS (SELECT *, CAST(floor(x/4.0) AS INT) AS cbx, CAST(floor(y/4.0) AS INT) AS cby FROM pts2),
+        |shifted AS (SELECT c_custkey, x, y, cbx + o.ox AS nbx, cby + o.oy AS nby
+        |            FROM cells CROSS JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)) o(ox, oy))
         |SELECT a.c_custkey, b.c_custkey AS other,
         |  ${sqlFp("sqrt((a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y))", 6)} AS dist_fp6
-        |FROM pts2 a, pts2 b
+        |FROM cells a JOIN shifted b ON a.cbx = b.nbx AND a.cby = b.nby
         |WHERE a.c_custkey < b.c_custkey
         |  AND NOT (a.x = b.x AND a.y = b.y)
         |  AND sqrt((a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y)) <= 4.0
@@ -658,11 +667,12 @@ object Changegen {
         |cp AS (SELECT c_custkey, nk, seg0, (ax + t*dx) AS cx, (ay + t*dy) AS cy,
         |    ((ax + t*dx) - px2)*((ax + t*dx) - px2) + ((ay + t*dy) - py2)*((ay + t*dy) - py2) AS d2
         |  FROM proj),
-        |best AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY c_custkey, nk ORDER BY d2, seg0) AS rn
-        |  FROM cp) WHERE rn = 1)
-        |SELECT c_custkey, CAST(nk AS BIGINT) AS line_id, ${sqlFp("sqrt(d2)", 6)} AS dist_fp6,
-        |  ${sqlFp("cx", 6)} AS cpx_fp6, ${sqlFp("cy", 6)} AS cpy_fp6
-        |FROM best WHERE sqrt(d2) <= 1.0 ORDER BY c_custkey, line_id""".stripMargin,
+        |best AS (SELECT c_custkey, nk,
+        |    min(struct_pack(d2 := d2, seg0 := seg0, cx := cx, cy := cy)) AS b
+        |  FROM cp GROUP BY c_custkey, nk)
+        |SELECT c_custkey, CAST(nk AS BIGINT) AS line_id, ${sqlFp("sqrt(b.d2)", 6)} AS dist_fp6,
+        |  ${sqlFp("b.cx", 6)} AS cpx_fp6, ${sqlFp("b.cy", 6)} AS cpy_fp6
+        |FROM best WHERE sqrt(b.d2) <= 1.0 ORDER BY c_custkey, line_id""".stripMargin,
     "cg_dwithin_lineline" -> {
       def rndE(tag: String, expr: String): String =
         s"""(list_reduce(list_prepend(CAST(0 AS BIGINT),
