@@ -17,12 +17,25 @@ def canon(df: pd.DataFrame) -> str:
 
 def main(sfdir, outdir, only=None, skip=None):
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    # reject misspelled filter names up front: a typo'd --only would
+    # otherwise filter the dict to empty and the gate would print
+    # "0 ok, 0 fail" and exit 0 — a passing run that checked nothing
+    unknown = ((only or set()) | (skip or set())) - oracle.keys()
+    if unknown:
+        print(f"ERROR: unknown query name(s) in --only/--skip: {sorted(unknown)}")
+        return 2
+    excluded = set()
     if only:
+        excluded |= {k for k in oracle if k not in only}
         oracle = {k: v for k, v in oracle.items() if k in only}
     if skip:
         for k in skip:
             oracle.pop(k, None)
+        excluded |= set(skip)
         print(f"SKIPPED  {sorted(skip)} (excluded by --skip)")
+    if not oracle:
+        print("ERROR: --only/--skip left zero oracles to check")
+        return 2
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem "
               "events documents embeddings").split():
@@ -62,9 +75,14 @@ def main(sfdir, outdir, only=None, skip=None):
                     print(f"  spark: {a}\n  duck : {b}"); break
             fail += 1; continue
         print(f"OK       {name}"); ok += 1
-    # rows-only queries (in Verify output but no oracle)
+    # rows-only queries (in Verify output but no oracle). Names the
+    # caller excluded via --only/--skip are NOT rows-only — conflating
+    # the two would make nonzero ROWSONLY (a gate signal: "registered
+    # but unverified") fire on intentional exclusions.
     for d in sorted(glob.glob(f"{outdir}/*/")):
         name = d.rstrip("/").split("/")[-1]
+        if name in excluded:
+            continue
         if name not in oracle:
             files = glob.glob(f"{d}/*.parquet")
             n = sum(len(pd.read_parquet(f)) for f in files) if files else 0
@@ -75,15 +93,26 @@ def main(sfdir, outdir, only=None, skip=None):
 if __name__ == "__main__":
     # optional: --only a,b,c / --skip a,b,c (e.g. exclude oracles that
     # are quadratic in DuckDB at big scale-sweep SFs)
+    def usage(msg):
+        print(f"ERROR: {msg}\nusage: check.py <sfdir> <verify_outdir> "
+              "[--only a,b,c] [--skip a,b,c]")
+        sys.exit(2)
     only = skip = None
     args = sys.argv[1:]
     pos = []
     i = 0
     while i < len(args):
-        if args[i] == "--only":
-            only = set(args[i + 1].split(",")); i += 2
-        elif args[i] == "--skip":
-            skip = set(args[i + 1].split(",")); i += 2
+        if args[i] in ("--only", "--skip"):
+            if i + 1 >= len(args):
+                usage(f"{args[i]} requires a comma-separated value")
+            names = set(args[i + 1].split(","))
+            if args[i] == "--only":
+                only = names
+            else:
+                skip = names
+            i += 2
         else:
             pos.append(args[i]); i += 1
+    if len(pos) != 2:
+        usage(f"expected 2 positional args, got {len(pos)}")
     sys.exit(main(pos[0], pos[1], only, skip))
