@@ -385,6 +385,30 @@ object Pipeline {
         e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", nprobe = 2, k = 5)
         .orderBy("query_id", "approx_d2_fp6", "id")
     }),
+    // 37e2 — the SERVING shape of 37e: retrieve→rerank over the
+    // PERSISTED IVF-PQ index. The ADC retrieval reads nprobe cell
+    // directories of codes and the exact rescore reads true vectors
+    // from the SAME probed cells' partitions (candidates live there by
+    // construction) — so the bench row prices probe+rescore against an
+    // at-rest index, not the in-query index rebuild that dominates
+    // sim_ann_rerank's cost. Same build-once / probe-many cache key as
+    // 37b2/37d2; spec-asserted bit-identical to the in-memory
+    // pqIvfRerank composition, so it shares sim_ann_rerank's oracle.
+    "sim_ann_rerank_disk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val path = ivfDiskPath(dir)
+      if (!new java.io.File(path, "vectors/_SUCCESS").exists() ||
+          !new java.io.File(path, "centroids/_SUCCESS").exists())
+        graft.similarity.IvfIndex.build(e, "vec_id", "embedding", kCells = 16, path)
+      if (!new java.io.File(path, "codes/_SUCCESS").exists() ||
+          !new java.io.File(path, "codebook/_SUCCESS").exists())
+        graft.similarity.IvfIndex.buildPq(e, "vec_id", "embedding",
+          dim = 64, m = 4, kCodes = 16, path = path)
+      graft.similarity.IvfIndex.searchRerank(s, path,
+        e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+        nprobe = 2, kCand = 20, k = 5)
+        .orderBy("query_id", "rk")
+    }),
     // 38 — stopword-scoring language ID (staged: tokens project once)
     "txt_langid" -> ((s, dir) => {
       TextAnalysis.langIdDf(t(s, dir, "documents"), "doc_id", "text")
@@ -4181,7 +4205,8 @@ object Pipeline {
   /** The at-rest ANN probes are spec-asserted bit-identical to their
     * in-memory compositions, so they share the same DuckDB mirror. */
   private def withDiskTwins(m: Map[String, String]): Map[String, String] =
-    m + ("sim_ann_ivfpq_disk" -> m("sim_ann_ivfpq"))
+    m + ("sim_ann_ivfpq_disk" -> m("sim_ann_ivfpq")) +
+      ("sim_ann_rerank_disk" -> m("sim_ann_rerank"))
 
   private val oracles0: Map[String, String] = Map(
     "dd_exact" ->

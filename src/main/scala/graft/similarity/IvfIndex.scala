@@ -230,6 +230,36 @@ object IvfIndex {
     Similarity.pqIvfSearch(codes.select(col("id"), col("sub"), col("code"), col("cell")), cb,
       assigned, cents, queries, idCol, vecCol, nprobe, k)
   }
+
+  /** Two-stage retrieve→rerank over the PERSISTED index —
+    * [[Similarity.pqIvfRerank]] semantics at rest: the ADC retrieval
+    * reads nprobe cell directories of codes ([[searchPq]]'s pruned
+    * path, kCand candidates per query), and the exact-cosine rescore
+    * reads true vectors from the SAME probed cells' `vectors/`
+    * partitions — candidates live in probed cells by construction, so
+    * the rescore scan partition-prunes identically and corpus floats
+    * outside the probed cells are never read. The true-distance work
+    * is ≤ queries·kCand rows regardless of corpus size. */
+  def searchRerank(spark: SparkSession, path: String, queries: DataFrame,
+                   idCol: String, vecCol: String,
+                   nprobe: Int, kCand: Int, k: Int): DataFrame = {
+    require(kCand >= k, s"searchRerank: kCand = $kCand must be >= k = $k")
+    val cents = readCentroids(spark, path)
+    val cb = spark.read.parquet(s"$path/codebook")
+    val cells = probedCells(cents, queries, idCol, vecCol, nprobe).map(Long.box)
+    val codes = spark.read.parquet(s"$path/codes")
+      .filter(col("cell").isin(cells: _*))
+      .withColumn("cell", col("cell").cast("long"))
+    val assigned = codes.select(col("id"), col("cell")).distinct()
+    val approx = Similarity.pqIvfSearch(
+      codes.select(col("id"), col("sub"), col("code"), col("cell")), cb,
+      assigned, cents, queries, idCol, vecCol, nprobe, kCand)
+    val dv = spark.read.parquet(s"$path/vectors")
+      .filter(col("cell").isin(cells: _*))
+      .select(col("id"), col("vec").as("_dv"))
+    Similarity.rerankExact(approx, dv,
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv")), k)
+  }
 }
 
 /** Scheduled-maintenance entry point: run from cron/orchestration as

@@ -732,8 +732,19 @@ object Similarity {
     require(kCand >= k, s"pqIvfRerank: kCand = $kCand must be >= k = $k")
     val approx = pqIvfSearch(encoded, codebook, assigned, centroids,
       queries, idCol, vecCol, nprobe, kCand)
-    val dv = data.select(col(idCol).as("id"), col(vecCol).as("_dv"))
-    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    rerankExact(approx,
+      data.select(col(idCol).as("id"), col(vecCol).as("_dv")),
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv")), k)
+  }
+
+  /** Exact-cosine rescoring tail shared by [[pqIvfRerank]] and the
+    * at-rest [[IvfIndex.searchRerank]]: join the retrieved (query_id,
+    * id) candidates back to true vectors and rank by exact cosine.
+    * `dv` must be (id, _dv); `qv` must be (query_id, _qv). The rank
+    * window is per-query over ≤ kCand rows — bounded by construction.
+    */
+  private[similarity] def rerankExact(approx: DataFrame, dv: DataFrame,
+                                      qv: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos_fp6").desc, col("id"))
     approx.select("query_id", "id")

@@ -492,6 +492,21 @@ class DedupSimSpec extends AnyFunSuite {
     val gotPq = servedPq.as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._3, r._2)).toSeq
     assert(gotPq == memPq)
     assert(servedPq.queryExecution.executedPlan.toString.contains("PartitionFilters: [cell"))
+
+    // retrieve→rerank at rest: the persisted-index two-stage search
+    // must equal the in-memory pqIvfRerank composition bit-for-bit,
+    // and BOTH its scans (codes for ADC, vectors for the exact
+    // rescore) must partition-prune to the probed cells
+    val memRr = Similarity.pqIvfRerank(enc, cb, assigned, cents, queries,
+        "vec_id", "embedding", emb, nprobe = 2, kCand = 10, k = 5)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val servedRr = IvfIndex.searchRerank(spark, path, queries, "vec_id", "embedding",
+      nprobe = 2, kCand = 10, k = 5)
+    val gotRr = servedRr.as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(gotRr == memRr)
+    val rrPlan = servedRr.queryExecution.toString
+    val nPruned = "PartitionFilters: \\[cell".r.findAllIn(rrPlan).length
+    assert(nPruned >= 2, s"expected both codes+vectors scans cell-pruned:\n$rrPlan")
   }
 
   test("incremental IVF append: half-built index + appended half serves like one index") {
