@@ -20,9 +20,14 @@ import graft.spatial.DWithinJoin
   *   4. deletions expanded way→nodes with no double-delete
   *   5. `<create>/<modify>/<delete>` OsmChange XML, single gzip file
   *
-  * Usage: runMain graft.ChangegenPipeline <sfDir> <out.osc[.gz]>
+  * Usage: runMain graft.ChangegenPipeline <sfDir|jdbcUrl> <out.osc[.gz]>
   *        [maxNodesPerWay=500] [idOffset=1000000] [negIds=false]
   *        [shards=0]
+  * A `jdbc:` URL as the first argument runs the SAME dataflow off a
+  * live database (the reference CLI's PostGIS input,
+  * __main__.py:164-169): tables read partition-ranged via
+  * [[Tables.jdbcTable]], deletion tables discovered from connection
+  * metadata instead of a directory listing.
   * shards > 0 writes `out` as a DIRECTORY of self-contained shard
   * documents in parallel on the executors (OsmChangeXml.writeSharded)
   * instead of one driver-assembled file.
@@ -43,15 +48,42 @@ object ChangegenPipeline {
     * reference's `_get_db_tables` (`table_name LIKE '%suffix'`,
     * __main__.py:55-68): every parquet table in `dir` whose name ends
     * with `suffix` contributes `<delete>` entries (its `osm_id`
-    * column names the removed ways). */
-  def discoverDeletionTables(dir: String, suffix: String): Seq[String] = {
-    val d = new java.io.File(dir)
-    Option(d.listFiles()).toSeq.flatten
-      .filter(f => f.getName.endsWith(s"$suffix.parquet"))
-      .map(_.getAbsolutePath).sorted
-  }
+    * column names the removed ways). In database mode (`dir` is a
+    * `jdbc:` URL) the discovery runs against the connection's table
+    * metadata instead of a directory listing — the reference's
+    * information_schema query, verbatim semantics. */
+  def discoverDeletionTables(dir: String, suffix: String): Seq[String] =
+    if (dir.startsWith("jdbc:")) {
+      val conn = java.sql.DriverManager.getConnection(dir)
+      try {
+        val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+        val names =
+          try Iterator.continually(rs).takeWhile(_.next())
+            .map(_.getString("TABLE_NAME")).toList
+          finally rs.close()
+        // lowercase: both Derby (folds unquoted ids UP) and Postgres
+        // (folds DOWN) resolve an unquoted lowercase name back to the
+        // stored one, so the discovered names feed reads on either
+        names.map(_.toLowerCase).filter(_.endsWith(suffix.toLowerCase)).sorted
+      } finally conn.close()
+    } else {
+      val d = new java.io.File(dir)
+      Option(d.listFiles()).toSeq.flatten
+        .filter(f => f.getName.endsWith(s"$suffix.parquet"))
+        .map(_.getAbsolutePath).sorted
+    }
 
   def main(args: Array[String]): Unit = {
+    val spark = GraftSession.get()
+    try run(args, spark) finally spark.stop()
+  }
+
+  /** The full CLI dataflow on a caller-owned session — main() wraps
+    * this with session lifecycle; the e2e spec drives it directly so
+    * the database mode is proven through the exact argv path users
+    * run. `args(0)` is a parquet directory OR a `jdbc:` URL (the
+    * reference CLI points at live PostGIS, __main__.py:164-169). */
+  def run(args: Array[String], spark: SparkSession): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
     val out = if (args.length > 1) args(1) else "/tmp/graft_demo.osc.gz"
     val maxNodes = if (args.length > 2) args(2).toInt else 500
@@ -62,7 +94,6 @@ object ChangegenPipeline {
     val deletionSuffix = if (args.length > 7 && args(7).nonEmpty) Some(args(7)) else None
     val noCollisions = if (args.length > 8) args(8).toBoolean else false
 
-    val spark = GraftSession.get()
     val deletionTables = deletionSuffix.map(discoverDeletionTables(sfDir, _)).getOrElse(Nil)
     if (deletionSuffix.isDefined)
       println(s"[changegen] found deletion tables: ${deletionTables.mkString(", ")}")
@@ -83,7 +114,6 @@ object ChangegenPipeline {
         Some(f.modifyXml), Some(f.deleteXml), gzip = out.endsWith(".gz"))
     println(s"[changegen] wrote $out: nodes=${f.nodes.count()} ways=${f.splitWays.count()} " +
       s"junctions=${f.junctionAt.count()} modified=${f.modified.count()} deletes=${f.deleteSet.count()}")
-    spark.stop()
   }
 
   /** modify_only (reference generator.py:573,608,634-668): features
@@ -273,7 +303,9 @@ object ChangegenPipeline {
     val removedWays =
       if (deletionTables.isEmpty) diffRemoved // no extra distinct shuffle on the default path
       else deletionTables
-        .map(p => spark.read.parquet(p).select(col("osm_id").cast("long").as("o_orderkey")))
+        .map(p => (if (sfDir.startsWith("jdbc:")) Tables.jdbcTable(spark, sfDir, p)
+                   else spark.read.parquet(p))
+          .select(col("osm_id").cast("long").as("o_orderkey")))
         .foldLeft(diffRemoved)((acc, d) => acc.unionByName(d))
         .distinct()
     val deleteSet = WayOps.expandDeletes(

@@ -336,4 +336,67 @@ class PipelineE2eSpec extends AnyFunSuite {
     assert(gotMembers == Seq("outer", "inner", "inner"), gotMembers.toString)
     Files.deleteIfExists(Paths.get(out))
   }
+  test("CLI database mode: a jdbc-URL argv run produces the parquet-mode run's changefile (embedded Derby)") {
+    import org.apache.spark.sql.functions._
+    val tmp = Files.createTempDirectory("graft_clijdbc").toString
+    Seq("supplier", "lineitem", "orders", "part").foreach { t =>
+      Files.copy(Paths.get(s"${TestSpark.Sf}/$t.parquet"), Paths.get(s"$tmp/$t.parquet"))
+    }
+    // a suffix-discovered deletion table naming existing ways the
+    // snapshot diff does NOT already remove (diff removes %13==5)
+    val doomed = spark.read.parquet(s"$tmp/lineitem.parquet")
+      .select(col("l_orderkey")).distinct()
+      .filter(col("l_orderkey") % 13 === 1)
+      .orderBy("l_orderkey").limit(5)
+      .select(col("l_orderkey").as("osm_id"))
+    doomed.write.parquet(s"$tmp/custom_deletions.parquet")
+
+    // the SAME snapshot as a live database
+    val url = "jdbc:derby:memory:graft_cli;create=true"
+    val props = new java.util.Properties
+    Seq("supplier", "lineitem", "orders", "part").foreach { t =>
+      spark.read.parquet(s"$tmp/$t.parquet").write.mode("overwrite").jdbc(url, t, props)
+    }
+    doomed.write.mode("overwrite").jdbc(url, "custom_deletions", props)
+
+    // metadata discovery finds the deletion table, nothing else
+    assert(ChangegenPipeline.discoverDeletionTables(url, "_deletions") == Seq("custom_deletions"))
+
+    // the FULL CLI path (run() is main() minus session lifecycle),
+    // identical argv except the first argument: directory vs jdbc URL
+    val outP = s"$tmp/parquet_mode.osc"
+    val outJ = s"$tmp/jdbc_mode.osc"
+    ChangegenPipeline.run(Array(tmp, outP, "7", "1000000", "false", "0", "", "_deletions"), spark)
+    ChangegenPipeline.run(Array(url, outJ, "7", "1000000", "false", "0", "", "_deletions"), spark)
+
+    // same changefile CONTENT: within-section row order is partition
+    // order (layout-dependent by design — 8 JDBC ranges vs one parquet
+    // file), so each section compares as a sorted element multiset
+    def sections(path: String): Map[String, Seq[String]] = {
+      val src = scala.io.Source.fromFile(path, "UTF-8")
+      val lines = try src.getLines().toList finally src.close()
+      val open = "<(create|modify|delete)>".r
+      var cur: Option[String] = None
+      val acc = scala.collection.mutable.Map[String, Vector[String]]().withDefaultValue(Vector())
+      lines.foreach {
+        case l if open.matches(l.trim) => cur = Some(l.trim.stripPrefix("<").stripSuffix(">"))
+        case l if cur.exists(c => l.trim == s"</$c>") => cur = None
+        case l => cur.foreach(c => acc(c) = acc(c) :+ l.trim)
+      }
+      acc.toMap.view.mapValues(_.sorted.toSeq).toMap
+    }
+    val sp = sections(outP)
+    val sj = sections(outJ)
+    assert(sp.keySet == Set("create", "modify", "delete"), sp.keySet.toString)
+    sp.keySet.foreach { s =>
+      assert(sp(s).nonEmpty, s"empty section $s")
+      assert(sj(s) == sp(s),
+        s"section $s diverges: jdbc=${sj(s).size} rows, parquet=${sp(s).size} rows; " +
+          s"first diff: ${sj(s).zip(sp(s)).find(p => p._1 != p._2)}")
+    }
+    // the discovered deletion table's ways are in BOTH runs' <delete>
+    val doomedIds = doomed.collect().map(_.getLong(0)).toSet
+    val delWays = sp("delete").flatMap("<way id=\"(\\d+)\"".r.findFirstMatchIn(_)).map(_.group(1).toLong).toSet
+    assert(doomedIds.subsetOf(delWays), s"missing: ${doomedIds -- delWays}")
+  }
 }
