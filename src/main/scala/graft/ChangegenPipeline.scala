@@ -169,13 +169,21 @@ object ChangegenPipeline {
     * (reference generator.py:683,719-753) — instead of synthesizing
     * rings from the part table. When absent, the synthetic
     * part-table derivation is unchanged. */
+  /** `lineWkb`: optional REAL-geometry linear source — `(lgroup:
+    * long, wkb: binary | hex string)` rows, LineString OR
+    * MultiLineString (the reference crashes on the latter,
+    * generator.py:603-606). Each MULTI* part becomes its own feature
+    * and flows through the same node-assignment / way-split /
+    * junction dataflow as the synthetic derivation (WGS84 input —
+    * reproject upstream via [[graft.spatial.Geo]] for other CRS). */
   def build(spark: SparkSession, sfDir: String, maxNodes: Int = 500,
             idOffset: Option[Long] = None, negIds: Boolean = false,
             osmSrc: Option[String] = None,
             deletionTables: Seq[String] = Nil,
             noCollisions: Boolean = false,
             polyWkb: Option[DataFrame] = None,
-            polySrcEpsg: Int = 4326): Frames = {
+            polySrcEpsg: Int = 4326,
+            lineWkb: Option[DataFrame] = None): Frames = {
     val supplier = Tables.load(spark, sfDir, "supplier")
     val lineitem = Tables.load(spark, sfDir, "lineitem")
 
@@ -207,12 +215,38 @@ object ChangegenPipeline {
       else System.err.println(s"[changegen] WARNING: $msg")
     }
 
-    // 1. new features: per-group linestrings of supplier points
-    val verts = supplier.select(
-      (col("s_nationkey") % 5).as("feat"),
-      col("s_suppkey").as("vkey"),
-      ((col("s_suppkey") * 13 % 1000) / 10.0).as("x"),
-      ((col("s_suppkey") * 29 % 1000) / 10.0).as("y"))
+    // 1. new features: per-group linestrings — synthetically from
+    // supplier points, or decoded from WKB when `lineWkb` is given.
+    // In WKB mode each MULTI* part is its own feature (way), so a
+    // MultiLineString's parts each become ways — exactly where the
+    // reference raises NotImplementedError (generator.py:603-606).
+    val verts = lineWkb match {
+      case None => supplier.select(
+        (col("s_nationkey") % 5).as("feat"),
+        col("s_suppkey").as("vkey"),
+        ((col("s_suppkey") * 13 % 1000) / 10.0).as("x"),
+        ((col("s_suppkey") * 29 % 1000) / 10.0).as("y"))
+      case Some(src) =>
+        // persisted: SequentialIds runs multiple jobs over its input
+        // (same live-JDBC re-read contract as the polyWkb branch)
+        val dec = src.select(col("lgroup").cast("long").as("lg"),
+            posexplode(call_function("graft_geom_parts", col("wkb"))).as(Seq("pos", "v")))
+          .select(col("lg"), col("v.part").cast("long").as("part"),
+            col("pos").cast("long").as("pos"), col("v.x").as("x"), col("v.y").as("y"))
+          .persist()
+        // dense feature id per (lgroup, part): a feature-count-sized
+        // frame, assigned sequentially so downstream way-id arithmetic
+        // ((feat·1000 + chunk) + base) needs no per-part bound
+        val featSeq = SequentialIds.assign(
+            dec.select(col("lg"), col("part")).distinct()
+              .withColumn("fk", struct(col("lg"), col("part"))),
+            "fk", "feat", 0L)
+          .select(col("lg"), col("part"), col("feat"))
+        dec.join(featSeq, Seq("lg", "part"))
+          .select(col("feat"),
+            struct(col("lg"), col("part"), col("pos")).as("vkey"),
+            col("x"), col("y"))
+    }
 
     // nodes: one per vertex, sequential ids from the configured offset
     val nodes = SequentialIds.assign(verts, "vkey", "node_id", nodeIdBase, negIds).persist()
@@ -365,15 +399,21 @@ object ChangegenPipeline {
           .persist()
         (pn, pw, pr)
       case Some(src) =>
-        // REAL geometry: decode every ring columnar. PostGIS rings
-        // arrive closed (first vertex repeated last); OSM closes a
-        // ring by re-REFERENCING the first node id, so the closing
-        // duplicate vertex is dropped before node-id assignment and
-        // the way re-closes below from the assigned ids. All windows
-        // are ring-sized partitions — nothing corpus-wide.
+        // REAL geometry: decode every ring columnar — through the
+        // PART-preserving decoder, so MultiPolygon rows (where the
+        // reference raises NotImplementedError, generator.py:603-606)
+        // route each part's rings into ways and ONE multipolygon
+        // relation per feature (multiple outer members is valid OSM).
+        // PostGIS rings arrive closed (first vertex repeated last);
+        // OSM closes a ring by re-REFERENCING the first node id, so
+        // the closing duplicate vertex is dropped before node-id
+        // assignment and the way re-closes below from the assigned
+        // ids. All windows are ring-sized partitions — nothing
+        // corpus-wide.
         val decodedRaw = src.select(col("pgroup").cast("long").as("pgroup"),
-            posexplode(call_function("graft_geom_rings", col("wkb"))).as(Seq("pos", "v")))
+            posexplode(call_function("graft_geom_parts", col("wkb"))).as(Seq("pos", "v")))
           .select(col("pgroup"), col("pos").cast("long").as("pos"),
+            col("v.part").as("part_idx"),
             col("v.ring").as("ring_idx"), col("v.x").as("x"), col("v.y").as("y"))
         // per-layer CRS (reference generator.py:69-78 builds its
         // transformer from the layer's declared EPSG): reproject the
@@ -388,7 +428,8 @@ object ChangegenPipeline {
             .withColumn("_ll", graft.spatial.Geo.reproject(col("x"), col("y"), polySrcEpsg))
             .withColumn("x", col("_ll.lon")).withColumn("y", col("_ll.lat"))
             .drop("_ll")
-        val ringW = org.apache.spark.sql.expressions.Window.partitionBy("pgroup", "ring_idx")
+        val ringW = org.apache.spark.sql.expressions.Window
+          .partitionBy("pgroup", "part_idx", "ring_idx")
         // persisted: SequentialIds.assign runs multiple jobs over its
         // input (range sampling, partition-size count, final compute) —
         // against a LIVE JDBC source each job would re-read the table,
@@ -406,14 +447,16 @@ object ChangegenPipeline {
             open.withColumn("okey", struct(col("pgroup"), col("pos"))),
             "okey", "node_id", polyNodeOffset, negIds)
           .drop("okey").persist()
-        val ringsDf = pn.groupBy("pgroup", "ring_idx")
+        val ringsDf = pn.groupBy("pgroup", "part_idx", "ring_idx")
           .agg(array_sort(collect_list(struct(col("pos"), col("node_id")))).as("_kv"))
           .withColumn("ring", transform(col("_kv"), x => x.getField("node_id")))
-        // sequential way ids in (pgroup, ring) order — holes beyond
-        // the first are first-class (a polygon may carry any number
-        // of interior rings), so no per-feature id arithmetic either
+        // sequential way ids in (pgroup, part, ring) order — holes
+        // beyond the first AND parts beyond the first are first-class
+        // (a polygon may carry any number of interior rings; a
+        // MultiPolygon any number of parts), so no per-feature id
+        // arithmetic either
         val pw = SequentialIds.assign(
-            ringsDf.withColumn("rkey", struct(col("pgroup"), col("ring_idx"))),
+            ringsDf.withColumn("rkey", struct(col("pgroup"), col("part_idx"), col("ring_idx"))),
             "rkey", "way_seq", 0L)
           .withColumn("way_id", polyId(lit(polyWayBase) + col("way_seq")))
           .drop("rkey", "way_seq")
@@ -421,9 +464,13 @@ object ChangegenPipeline {
           .persist()
         // reference generator.py:683: no interiors → plain closed
         // way; interiors → multipolygon relation, outer + one
-        // inner-role member PER hole (generator.py:719-753)
+        // inner-role member PER hole (generator.py:719-753).
+        // MULTI* extension: a feature with MULTIPLE rings for ANY
+        // reason — holes or parts — gets one multipolygon relation,
+        // each part's exterior an outer member, each hole an inner
+        // member, ordered (part, ring)
         val pr = pw.groupBy("pgroup")
-          .agg(array_sort(collect_list(struct(col("ring_idx"), col("way_id")))).as("_rw"))
+          .agg(array_sort(collect_list(struct(col("part_idx"), col("ring_idx"), col("way_id")))).as("_rw"))
           .filter(size(col("_rw")) > 1)
           .withColumn("members", transform(col("_rw"), r =>
             struct(r.getField("way_id").as("ref"), lit("way").as("mtype"),

@@ -125,6 +125,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[WkbRingsExpr].getName, "graft_geom_rings"),
       (children: Seq[Expression]) => WkbRingsExpr(children(0))))
     ext.injectFunction((
+      FunctionIdentifier("graft_geom_parts"),
+      new ExpressionInfo(classOf[WkbPartsExpr].getName, "graft_geom_parts"),
+      (children: Seq[Expression]) => WkbPartsExpr(children(0))))
+    ext.injectFunction((
       FunctionIdentifier("graft_bpe_encode"),
       new ExpressionInfo(classOf[BpeEncodeExpr].getName, "graft_bpe_encode"),
       (children: Seq[Expression]) => BpeEncodeExpr(children(0), children(1))))

@@ -148,6 +148,67 @@ case class WkbRingsExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Part-INDEXED WKB / EWKB decode — `graft_geom_parts(col)` →
+  * `array<struct<part:int,ring:int,x:double,y:double>>`. The MULTI*
+  * superset of [[WkbRingsExpr]]: where the reference CRASHES on
+  * MultiLineString/MultiPolygon input (`NotImplementedError`,
+  * changegen/generator.py:603-606) — exactly where a real imposm3
+  * PostGIS schema routinely delivers them — this decoder preserves
+  * every sub-geometry: part 0..n-1 in storage order, each part's
+  * rings indexed as in [[WkbRingsExpr]] (0 = exterior, 1.. = holes).
+  * Simple geometries decode as part 0, so the output is a strict
+  * superset of the rings layout and consumers can feed either.
+  * Each MULTI* member's own WKB header (byte order + type) is
+  * honored; GeometryCollection stays out of scope. Accepted input,
+  * flag handling, and the malformed→NULL contract are identical to
+  * [[WkbGeomExpr]].
+  */
+case class WkbPartsExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType | StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_geom_parts expects binary (WKB) or string (hex EWKB), got $t")
+  }
+
+  override def dataType: DataType =
+    ArrayType(StructType(Seq(
+      StructField("part", IntegerType, nullable = false),
+      StructField("ring", IntegerType, nullable = false),
+      StructField("x", DoubleType, nullable = false),
+      StructField("y", DoubleType, nullable = false))), containsNull = false)
+
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_geom_parts"
+
+  private def isHex = child.dataType == StringType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes =
+      if (isHex) WkbGeomExpr.hexDecode(input.asInstanceOf[UTF8String].toString)
+      else input.asInstanceOf[Array[Byte]]
+    if (bytes == null) null else WkbGeomExpr.decodeParts(bytes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("wkb")
+      val out = ctx.freshName("parts")
+      val toBytes =
+        if (isHex) s"graft.functions.WkbGeomExpr.hexDecode($c.toString())"
+        else c
+      s"""
+         |byte[] $bytes = $toBytes;
+         |org.apache.spark.sql.catalyst.util.ArrayData $out =
+         |  $bytes == null ? null : graft.functions.WkbGeomExpr.decodeParts($bytes);
+         |if ($out == null) { ${ev.isNull} = true; } else { ${ev.value} = $out; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object WkbGeomExpr {
 
   /** Hex string → bytes; null on odd length or a non-hex char (the
@@ -186,20 +247,21 @@ object WkbGeomExpr {
 
   /** Parsed WKB/EWKB envelope: byte order, base geometry type, first
     * payload offset (past any EWKB SRID), and per-vertex byte stride.
-    * Null on a malformed header. Shared by [[decode]] (exterior-only)
-    * and [[decodeRings]] (all rings). */
+    * Null on a malformed header. Shared by [[decode]] (exterior-only),
+    * [[decodeRings]] (all rings), and [[decodeParts]] (all parts —
+    * MULTI* sub-geometries carry their OWN header, read via `at`). */
   private final class Header(val le: Boolean, val baseType: Int,
                              val off: Int, val stride: Int)
 
-  private def readHeader(b: Array[Byte]): Header = {
-    if (b.length < 5) return null
-    val le = b(0) match {
+  private def readHeader(b: Array[Byte], at: Int = 0): Header = {
+    if (b.length < at + 5) return null
+    val le = b(at) match {
       case 1 => true
       case 0 => false
       case _ => return null
     }
-    val rawType = readU32(b, 1, le)
-    var off = 5
+    val rawType = readU32(b, at + 1, le)
+    var off = at + 5
     // EWKB flag bits (PostGIS)
     val hasSrid = (rawType & 0x20000000L) != 0
     val ewkbZ = (rawType & 0x80000000L) != 0
@@ -329,6 +391,137 @@ object WkbGeomExpr {
         new GenericArrayData(acc)
       case _ => null
     }
+  }
+
+  /** One-pass part-preserving walk → `(part, ring, x, y)` ArrayData,
+    * or null on any malformation. Simple geometries (Point /
+    * LineString / Polygon) decode as part 0 with [[decodeRings]]'s
+    * ring layout; MULTI* containers (MultiPoint 4 / MultiLineString 5
+    * / MultiPolygon 6) decode every sub-geometry in storage order as
+    * part 0..n-1, each sub-geometry's own header (byte order + type,
+    * per the WKB spec) honored independently. GeometryCollection (7)
+    * is out of scope → NULL. Every count is bounds-checked against
+    * the actual buffer BEFORE any vertex is materialized, so a
+    * corrupt count can't drive allocation. */
+  def decodeParts(b: Array[Byte]): ArrayData = {
+    val h = readHeader(b)
+    if (h == null) return null
+    val acc = new scala.collection.mutable.ArrayBuffer[Any]()
+
+    // decode one simple geometry under header `sh` as `part`,
+    // appending (part, ring, x, y) rows; returns the sub-geometry's
+    // end offset, or -1 on malformation
+    def simple(sh: Header, part: Int): Int = {
+      val le = sh.le
+      val stride = sh.stride
+      sh.baseType match {
+        case 1 =>
+          if (b.length < sh.off + stride) return -1
+          acc += InternalRow(part, 0, readDouble(b, sh.off, le), readDouble(b, sh.off + 8, le))
+          sh.off + stride
+        case 2 =>
+          if (b.length < sh.off + 4) return -1
+          val n = readU32(b, sh.off, le)
+          if (n > Int.MaxValue || b.length < sh.off + 4 + n * stride) return -1
+          var i = 0
+          while (i < n) {
+            val p = sh.off + 4 + i * stride
+            acc += InternalRow(part, 0, readDouble(b, p, le), readDouble(b, p + 8, le))
+            i += 1
+          }
+          sh.off + 4 + (n * stride).toInt
+        case 3 =>
+          if (b.length < sh.off + 4) return -1
+          val nRings = readU32(b, sh.off, le)
+          if (nRings < 1) return -1
+          var off = sh.off + 4
+          var r = 0
+          while (r < nRings) {
+            if (b.length < off + 4) return -1
+            val n = readU32(b, off, le)
+            if (n > Int.MaxValue || b.length < off + 4 + n * stride) return -1
+            var i = 0
+            while (i < n) {
+              val p = off + 4 + i * stride
+              acc += InternalRow(part, r, readDouble(b, p, le), readDouble(b, p + 8, le))
+              i += 1
+            }
+            off += 4 + (n * stride).toInt
+            r += 1
+          }
+          off
+        case _ => -1
+      }
+    }
+
+    h.baseType match {
+      case 1 | 2 | 3 =>
+        if (simple(h, 0) < 0) null else new GenericArrayData(acc.toArray)
+      case 4 | 5 | 6 =>
+        if (b.length < h.off + 4) return null
+        val nParts = readU32(b, h.off, h.le)
+        var off = h.off + 4
+        var p = 0L
+        while (p < nParts) {
+          val sh = readHeader(b, off)
+          // a container's members must be the matching simple type
+          // (MultiPolygon → Polygons etc., per the WKB spec)
+          if (sh == null || sh.baseType != h.baseType - 3) return null
+          val end = simple(sh, p.toInt)
+          if (end < 0) return null
+          off = end
+          p += 1
+        }
+        new GenericArrayData(acc.toArray)
+      case _ => null
+    }
+  }
+
+  /** JVM-side MULTI* encoder — tests and in-query synthesis only, the
+    * container sibling of [[encode]]/[[encodePolygon]]. `baseType`
+    * 4 = MultiPoint, 5 = MultiLineString, 6 = MultiPolygon;
+    * `parts(p)(r)` is ring r of part p (MultiPoint/MultiLineString
+    * parts carry exactly one "ring" — their vertex run). Each part is
+    * written as a full WKB sub-geometry with its own header; `srid`
+    * ≥ 0 adds the EWKB SRID on the CONTAINER only (PostGIS layout). */
+  def encodeMulti(baseType: Int, parts: Array[Array[Array[(Double, Double)]]],
+                  srid: Int = -1, bigEndian: Boolean = false): Array[Byte] = {
+    require(baseType >= 4 && baseType <= 6, s"encodeMulti: baseType $baseType")
+    val le = !bigEndian
+    val subType = baseType - 3
+    val nPts = parts.map(_.map(_.length).sum).sum
+    val perPartOverhead = subType match {
+      case 1 => 5            // header only
+      case 2 => 5 + 4        // header + count
+      case 3 => 5 + 4        // header + ring count (+4 per ring below)
+    }
+    val ringHeaders = if (subType == 3) 4 * parts.map(_.length).sum else 0
+    val buf = java.nio.ByteBuffer.allocate(
+      9 + (if (srid >= 0) 4 else 0) + parts.length * perPartOverhead + ringHeaders + nPts * 16)
+    buf.order(if (le) java.nio.ByteOrder.LITTLE_ENDIAN else java.nio.ByteOrder.BIG_ENDIAN)
+    buf.put(if (le) 1.toByte else 0.toByte)
+    buf.putInt(if (srid >= 0) (baseType | 0x20000000) else baseType)
+    if (srid >= 0) buf.putInt(srid)
+    buf.putInt(parts.length)
+    parts.foreach { part =>
+      buf.put(if (le) 1.toByte else 0.toByte)
+      buf.putInt(subType)
+      subType match {
+        case 1 =>
+          val (x, y) = part(0)(0)
+          buf.putDouble(x); buf.putDouble(y)
+        case 2 =>
+          buf.putInt(part(0).length)
+          part(0).foreach { case (x, y) => buf.putDouble(x); buf.putDouble(y) }
+        case 3 =>
+          buf.putInt(part.length)
+          part.foreach { ring =>
+            buf.putInt(ring.length)
+            ring.foreach { case (x, y) => buf.putDouble(x); buf.putDouble(y) }
+          }
+      }
+    }
+    buf.array()
   }
 
   /** JVM-side multi-ring Polygon encoder — tests and in-query

@@ -427,6 +427,46 @@ object Changegen {
           col("v.x").cast("long").as("x"), col("v.y").cast("long").as("y"),
           col("h.x").cast("long").as("hx"), col("h.y").cast("long").as("hy"))
     }),
+    // 31c — MULTI*-preserving WKB decode: MultiLineString/MultiPolygon
+    // are exactly where the reference CRASHES (NotImplementedError,
+    // generator.py:603-606) and where a real imposm3 PostGIS schema
+    // routinely delivers rows — graft decodes them part-indexed
+    // instead. Per customer, mapPartitions synthesizes ONE
+    // MultiPolygon (part 0 = holed square — closed exterior + closed
+    // triangular hole; part 1 = plain closed triangle) as
+    // little-endian EWKB binary (container-level SRID exercised) AND
+    // one MultiLineString (3-vertex + 2-vertex parts) as big-endian
+    // ISO-WKB hex. graft_geom_parts decodes both columnar — the
+    // exploded binary decode yields every (part, ring, vertex) triple
+    // in storage order, the hex decode is probed at part 1's second
+    // vertex — and the oracle recomputes all of it closed-form.
+    "cg_wkb_multi" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = t(s, dir, "customer").select(col("c_custkey")).as[Long]
+        .mapPartitions(_.map { k =>
+          val a = (k * 7919 % 100000).toDouble
+          val b = (k * 104729 % 100000).toDouble
+          val outer = Array((a, b), (a + 10, b), (a + 10, b + 10), (a, b + 10), (a, b))
+          val hole = Array((a + 2, b + 2), (a + 4, b + 2), (a + 2, b + 4), (a + 2, b + 2))
+          val tri = Array((a + 20, b), (a + 24, b), (a + 20, b + 4), (a + 20, b))
+          val wkb = graft.functions.WkbGeomExpr.encodeMulti(6,
+            Array(Array(outer, hole), Array(tri)), srid = 4326)
+          val line0 = Array((a, b + 1), (a + 1, b + 2), (a + 2, b + 3))
+          val line1 = Array((a + 5, b), (a + 6, b + 1))
+          val hex = graft.functions.WkbGeomExpr.encodeMulti(5,
+            Array(Array(line0), Array(line1)), bigEndian = true)
+            .map("%02X".format(_)).mkString
+          (k, wkb, hex)
+        }).toDF("c_custkey", "wkb", "hex")
+      payloads.select(col("c_custkey"),
+          posexplode(call_function("graft_geom_parts", col("wkb"))).as(Seq("pos", "v")),
+          call_function("graft_geom_parts", col("hex"))(4).as("h"))
+        .select(col("c_custkey"), col("pos").cast("long").as("pos"),
+          col("v.part").cast("long").as("part"), col("v.ring").cast("long").as("ring"),
+          col("v.x").cast("long").as("x"), col("v.y").cast("long").as("y"),
+          col("h.part").cast("long").as("hpart"),
+          col("h.x").cast("long").as("hx"), col("h.y").cast("long").as("hy"))
+    }),
     // 30b — END-TO-END gate: the full ChangegenPipeline dataflow's
     // section counts (create nodes/ways, modify, delete), built from
     // the SAME build() the CLI serializes — so the whole flow, not
@@ -857,6 +897,27 @@ object Changegen {
         |  {r: 1, p: 7, dx: 2, dy: 4}, {r: 1, p: 8, dx: 2, dy: 2}], recursive := true))
         |SELECT c_custkey, CAST(p AS BIGINT) AS pos, CAST(r AS BIGINT) AS ring,
         |  a + dx AS x, b + dy AS y, a + 2 AS hx, b + 2 AS hy
+        |FROM base CROSS JOIN offs
+        |ORDER BY c_custkey, pos""".stripMargin,
+    // the closed-form MULTI* derivation the Spark side encoded —
+    // MultiPolygon part 0 = holed square (rings 0/1), part 1 = plain
+    // triangle; (hpart, hx, hy) probes the big-endian hex
+    // MultiLineString decode at part 1's second vertex
+    "cg_wkb_multi" ->
+      """WITH base AS (SELECT c_custkey,
+        |    (c_custkey*7919) % 100000 AS a, (c_custkey*104729) % 100000 AS b FROM customer),
+        |offs AS (SELECT unnest([
+        |  {pt: 0, r: 0, p: 0, dx: 0, dy: 0}, {pt: 0, r: 0, p: 1, dx: 10, dy: 0},
+        |  {pt: 0, r: 0, p: 2, dx: 10, dy: 10}, {pt: 0, r: 0, p: 3, dx: 0, dy: 10},
+        |  {pt: 0, r: 0, p: 4, dx: 0, dy: 0},
+        |  {pt: 0, r: 1, p: 5, dx: 2, dy: 2}, {pt: 0, r: 1, p: 6, dx: 4, dy: 2},
+        |  {pt: 0, r: 1, p: 7, dx: 2, dy: 4}, {pt: 0, r: 1, p: 8, dx: 2, dy: 2},
+        |  {pt: 1, r: 0, p: 9, dx: 20, dy: 0}, {pt: 1, r: 0, p: 10, dx: 24, dy: 0},
+        |  {pt: 1, r: 0, p: 11, dx: 20, dy: 4}, {pt: 1, r: 0, p: 12, dx: 20, dy: 0}],
+        |  recursive := true))
+        |SELECT c_custkey, CAST(p AS BIGINT) AS pos, CAST(pt AS BIGINT) AS part,
+        |  CAST(r AS BIGINT) AS ring, a + dx AS x, b + dy AS y,
+        |  CAST(1 AS BIGINT) AS hpart, a + 6 AS hx, b + 1 AS hy
         |FROM base CROSS JOIN offs
         |ORDER BY c_custkey, pos""".stripMargin,
     // mirrors ChangegenPipeline.build(maxNodes=7): segmentLen = 6, so

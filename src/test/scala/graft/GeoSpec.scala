@@ -364,4 +364,54 @@ class GeoSpec extends AnyFunSuite {
       full.take(9 + 4 + outer.length * 16 + 2), hugeCount))
     assert(bad.forall(_.isEmpty), bad.toString)
   }
+  test("WKB parts decode: MULTI* preserved part-indexed, superset of rings decode, malformed → null") {
+    import graft.functions.WkbGeomExpr
+    def dec(rows: Seq[Array[Byte]]): Seq[Option[Seq[(Int, Int, Double, Double)]]] =
+      rows.zipWithIndex.map { case (b, i) => (i, b) }.toDF("i", "wkb")
+        .orderBy("i")
+        .select(call_function("graft_geom_parts", col("wkb")).as("g"))
+        .as[Option[Seq[(Int, Int, Double, Double)]]].collect().toSeq
+    val outer = Array((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0))
+    val hole = Array((2.0, 2.0), (4.0, 2.0), (2.0, 4.0), (2.0, 2.0))
+    val tri = Array((20.0, 0.0), (24.0, 0.0), (20.0, 4.0), (20.0, 0.0))
+    val lineA = Array((1.0, 2.0), (3.0, 4.0), (5.0, 6.0))
+    val lineB = Array((7.0, 8.0), (9.0, 10.0))
+    val mpoly = Array(Array(outer, hole), Array(tri))
+    val mline = Array(Array(lineA), Array(lineB))
+    def flat(parts: Array[Array[Array[(Double, Double)]]]): Seq[(Int, Int, Double, Double)] =
+      parts.zipWithIndex.flatMap { case (p, pi) =>
+        p.zipWithIndex.flatMap { case (r, ri) => r.map { case (x, y) => (pi, ri, x, y) } } }.toSeq
+    val got = dec(Seq(
+      WkbGeomExpr.encodeMulti(6, mpoly, srid = 4326),        // LE EWKB MultiPolygon
+      WkbGeomExpr.encodeMulti(6, mpoly, bigEndian = true),   // BE ISO MultiPolygon
+      WkbGeomExpr.encodeMulti(5, mline),                     // MultiLineString
+      WkbGeomExpr.encodeMulti(4, Array(Array(Array((1.5, -2.5))), Array(Array((3.0, 4.0))))), // MultiPoint
+      WkbGeomExpr.encodePolygon(Array(outer, hole)),         // simple → part 0
+      WkbGeomExpr.encode(2, lineA)))                         // LineString → part 0 ring 0
+    assert(got(0).get == flat(mpoly) && got(1).get == flat(mpoly))
+    assert(got(2).get == flat(mline))
+    assert(got(3).get == Seq((0, 0, 1.5, -2.5), (1, 0, 3.0, 4.0)))
+    // superset contract: a simple geometry decodes as part 0 with
+    // exactly the rings decode's layout
+    val rings = Seq((0, WkbGeomExpr.encodePolygon(Array(outer, hole))))
+      .toDF("i", "wkb")
+      .select(call_function("graft_geom_rings", col("wkb")).as("g"))
+      .as[Seq[(Int, Double, Double)]].head()
+    assert(got(4).get.map(v => (v._2, v._3, v._4)) == rings)
+    assert(got(5).get == lineA.map { case (x, y) => (0, 0, x, y) }.toSeq)
+    // malformed → null, never throw: truncation inside part 1, a
+    // container whose member type mismatches (MultiPolygon wrapping a
+    // LineString), a GeometryCollection (out of scope), and a hostile
+    // part count far past the buffer (rejects before any allocation)
+    val full = WkbGeomExpr.encodeMulti(6, mpoly)
+    val mismatch = {
+      val b = WkbGeomExpr.encodeMulti(5, mline).clone()
+      b(1) = 6 // container says MultiPolygon, members are LineStrings
+      b
+    }
+    val collection = Array[Byte](1, 7, 0, 0, 0, 1, 0, 0, 0)
+    val hugeParts = Array[Byte](1, 6, 0, 0, 0, -1, -1, -1, 0x7f)
+    val bad = dec(Seq(full.dropRight(17), mismatch, collection, hugeParts))
+    assert(bad.forall(_.isEmpty), bad.toString)
+  }
 }

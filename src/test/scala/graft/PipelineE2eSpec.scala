@@ -399,4 +399,62 @@ class PipelineE2eSpec extends AnyFunSuite {
     val delWays = sp("delete").flatMap("<way id=\"(\\d+)\"".r.findFirstMatchIn(_)).map(_.group(1).toLong).toSet
     assert(doomedIds.subsetOf(delWays), s"missing: ${doomedIds -- delWays}")
   }
+  test("MULTI* WKB routes through the pipeline: MultiLineString parts become split ways, MultiPolygon parts relation members") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.functions.WkbGeomExpr
+
+    // MultiPolygon: part 0 = holed square (closed 5-pt exterior +
+    // closed 4-pt hole), part 1 = plain closed triangle — the input
+    // shape the reference crashes on (generator.py:603-606)
+    val outer = Array((50.0, 50.0), (60.0, 50.0), (60.0, 60.0), (50.0, 60.0), (50.0, 50.0))
+    val hole = Array((52.0, 52.0), (54.0, 52.0), (52.0, 54.0), (52.0, 52.0))
+    val tri = Array((70.0, 50.0), (74.0, 50.0), (70.0, 54.0), (70.0, 50.0))
+    val mp = WkbGeomExpr.encodeMulti(6, Array(Array(outer, hole), Array(tri)), srid = 4326)
+    val poly = Seq((1L, mp)).toDF("pgroup", "wkb")
+
+    // MultiLineString: 2 parts x 9 vertices; maxNodes=7 (segmentLen 6)
+    // forces each part to split into ceil(9/6) = 2 chunked ways
+    def line(x0: Double) = Array.tabulate(9)(i => (x0 + i, 80.0 + i))
+    val ml = WkbGeomExpr.encodeMulti(5, Array(Array(line(0.0)), Array(line(20.0))))
+    val lines = Seq((7L, ml)).toDF("lgroup", "wkb")
+
+    val f = ChangegenPipeline.build(spark, TestSpark.Sf, maxNodes = 7,
+      idOffset = Some(1000000L), polyWkb = Some(poly), lineWkb = Some(lines))
+
+    // every MLS vertex becomes a node; each part is its own feature
+    // and splits at the cap: 2 parts x 2 chunks = 4 ways
+    assert(f.nodes.count() == 18)
+    val chunks = f.splitWays.select(col("way").cast("long"), col("chunk_idx").cast("long"),
+        col("chunk_nds")).as[(Long, Long, Seq[Long])].collect()
+    assert(chunks.length == 4, chunks.mkString(","))
+    val byFeat = chunks.groupBy(_._1)
+    assert(byFeat.keySet.size == 2)
+    byFeat.values.foreach { cs =>
+      assert(cs.map(_._2).sorted.toSeq == Seq(0L, 1L))
+      cs.foreach { case (_, _, nds) => assert(nds.length <= 7, nds.toString) }
+      // consecutive chunks share their joiner node (way continuity)
+      val sorted = cs.sortBy(_._2)
+      assert(sorted(0)._3.last == sorted(1)._3.head)
+      // chunks re-concatenate to the part's 9 nodes, no loss
+      assert((sorted(0)._3 ++ sorted(1)._3.drop(1)).length == 9)
+    }
+
+    // polygon parts: rings drop their closing duplicate before node
+    // assignment (4 + 3 + 3 = 10 nodes), every ring becomes a closed
+    // way, and the MULTI-part feature assembles ONE relation whose
+    // members are (part, ring)-ordered: outer, inner, outer
+    assert(f.polyNodes.count() == 10)
+    val pws = f.polyWays.select(col("way_id").cast("long"), col("closed_nds"))
+      .as[(Long, Seq[Long])].collect()
+    assert(pws.length == 3, pws.mkString(","))
+    pws.foreach { case (_, nds) => assert(nds.head == nds.last, nds.toString) }
+    val rels = f.polyRelations.select(col("members")).collect()
+    assert(rels.length == 1)
+    val members = rels(0).getSeq[org.apache.spark.sql.Row](0)
+      .map(m => (m.getAs[Long]("ref"), m.getAs[String]("role")))
+    assert(members.map(_._2) == Seq("outer", "inner", "outer"), members.toString)
+    // member refs point at emitted way ids (referential integrity)
+    assert(members.map(_._1).toSet.subsetOf(pws.map(_._1).toSet))
+  }
 }
