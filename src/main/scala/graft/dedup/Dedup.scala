@@ -680,10 +680,13 @@ object Dedup {
     * Scale: rarest-first prefixes are exactly the tokens with the
     * smallest df, so hot shingles (boilerplate) never generate
     * candidates — the frequent-shingle cap [[ngramJaccardPairs]]
-    * needs is built into the ordering here. Three windows ride two
-    * shuffles (df on the shingle key; size+rank on the doc key);
-    * the record store is one checkpointed (doc, sorted keys) frame
-    * consumed by both verify sides.
+    * needs is built into the ordering here. The exploded stream pays
+    * exactly TWO exchanges: the df window on the shingle key, then
+    * ONE doc-keyed aggregate that builds BOTH the record store
+    * (sorted key array + size) and the rarest-first prefix source —
+    * the prefix is a `slice` of the (df, key)-sorted array, so no
+    * separate doc-keyed rank window re-shuffles the stream (that
+    * third corpus exchange was ~30% of the operator's cost).
     * Output: (doc_a, doc_b, inter, union_, jaccard_fp4), J ≥ t. */
   def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                          n: Int, threshold: Double): DataFrame = {
@@ -691,19 +694,24 @@ object Dedup {
       .select(col(idCol).as("doc"), shingles(col(textCol), n).as("shs"))
       .select(col("doc"), explode(col("shs")).as("sh0"))
       .select(col("doc"), shingleKey(col("sh0")).as("s"))
-    val sets = ex.groupBy("doc")
-      .agg(sort_array(collect_list("s")).as("set"), count(lit(1)).as("n"))
-      .localCheckpoint() // the record store; consumed by both verify sides
     val wDf = org.apache.spark.sql.expressions.Window.partitionBy("s")
-    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc")
-    val wRank = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc").orderBy(col("_df"), col("s"))
-    val pref = ex
+    // one checkpointed frame serves the record store AND the prefix
+    // source; array_sort on (df, key) structs replicates the rank
+    // window's rarest-first order exactly (same total order, no ties)
+    val docsAgg = ex
       .withColumn("_df", count(lit(1)).over(wDf))
-      .withColumn("_n", count(lit(1)).over(wDoc))
-      .withColumn("_r", row_number().over(wRank))
-      .filter(col("_r") <= col("_n") - ceil(col("_n") * threshold).cast("long") + 1)
-      .select(col("doc"), col("s"), col("_n"))
+      .groupBy("doc")
+      .agg(
+        array_sort(collect_list(struct(col("_df"), col("s")))).as("_by_df"),
+        sort_array(collect_list("s")).as("set"),
+        count(lit(1)).as("n"))
+      .localCheckpoint()
+    val sets = docsAgg.select("doc", "set", "n")
+    val pref = docsAgg
+      .select(col("doc"), col("n").as("_n"),
+        explode(slice(col("_by_df"), lit(1),
+          (col("n") - ceil(col("n") * threshold).cast("long") + 1).cast("int"))).as("_p"))
+      .select(col("doc"), col("_p.s").as("s"), col("_n"))
     // AllPairs length filter: J ≥ t forces t·max(n_a,n_b) ≤
     // min(n_a,n_b) — exact for dyadic t (0.5 is exact in binary), so
     // the prune can never drop a true pair; the verify re-checks
