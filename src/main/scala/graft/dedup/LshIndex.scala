@@ -53,6 +53,16 @@ object LshIndex {
             shingleSize: Int = 3, numPerm: Int = 8, rowsPerBand: Int = 2,
             maxBucket: Int = 0, numGroups: Int = 256): Unit = {
     val spark = reference.sparkSession
+    // torn-BUILD detection: a build overwrites banded/sigs/config in
+    // sequence, and a kill between them leaves a READABLE but
+    // inconsistent index (new banded against old sigs, say) that no
+    // recovery can heal — the source text is not stored. Bracket the
+    // whole build with its own marker: every public entry point gates
+    // on it and refuses the torn layout loudly instead of serving it.
+    val fs = marker(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bm = buildMarker(path)
+    fs.mkdirs(bm.getParent)
+    fs.create(bm, true).close()
     val sigs = Dedup.sigTable(reference, idCol, textCol, shingleSize, numPerm)
       .localCheckpoint()
     val n = sigs.count()
@@ -61,9 +71,12 @@ object LshIndex {
       .write.mode("overwrite").partitionBy("grp").parquet(s"$path/banded")
     sigs.write.mode("overwrite").parquet(s"$path/sigs")
     writeConfig(spark, path, shingleSize, numPerm, rowsPerBand, maxBucket, numGroups, n)
-    // a full rebuild supersedes any crashed append's pending state
+    // a full rebuild supersedes any crashed append's pending state;
+    // the build marker drops LAST — the index reads as complete only
+    // after every layer is in place
     val m = marker(path)
-    m.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(m, false)
+    fs.delete(m, false)
+    fs.delete(bm, false)
   }
 
   /** Config updates must be crash-atomic: [[recoverIfPending]] reads
@@ -113,6 +126,8 @@ object LshIndex {
 
   private def marker(path: String) = new org.apache.hadoop.fs.Path(s"$path/_append_pending")
 
+  private def buildMarker(path: String) = new org.apache.hadoop.fs.Path(s"$path/_build_pending")
+
   /** Crash recovery for [[append]]'s multi-step update. An append
     * brackets its writes with the `_append_pending` marker; if a crash
     * strands the marker, `banded/` and `config/` may be behind the
@@ -127,6 +142,11 @@ object LshIndex {
   private def recoverIfPending(spark: SparkSession, path: String): Unit = {
     val m = marker(path)
     val fs = m.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a stranded BUILD marker is not healable (the corpus text is not
+    // stored) — refuse the torn layout instead of serving it
+    if (fs.exists(buildMarker(path)))
+      throw new IllegalStateException(
+        s"LSH index at $path was torn by a crashed build (_build_pending present) — rebuild required")
     if (!fs.exists(m)) return
     // immutable banding params are safe to read from a stale config —
     // only nDocs moves across appends, and that is recounted here

@@ -152,7 +152,33 @@ object OsmChangeXml {
             throw e
         }
       }
+    // the completeness manifest goes in LAST, once every shard is
+    // renamed into place (the _append_pending discipline applied to
+    // exports): a job killed mid-write leaves shard files but no
+    // manifest, so consumers that gate on ExportManifest.verify can
+    // never mistake the directory for a complete export. The stale-
+    // shard cleanup above plus per-shard atomic renames make the
+    // listing exactly this run's output.
+    val listing = Files.list(Paths.get(outDir))
+    val entries =
+      try listing.iterator().asScala.toSeq
+        .filter(p => p.getFileName.toString.startsWith("shard-") &&
+          p.getFileName.toString.endsWith(ext))
+        .map(p => graft.sources.ExportManifest.Entry(
+          p.getFileName.toString, Files.size(p)))
+      finally listing.close()
+    graft.sources.ExportManifest.write(df.sparkSession, outDir, entries,
+      format = s"osmChange/0.6-sharded;gzip=$gzip")
   }
+
+  /** Consumer-side gate for a [[writeSharded]] directory: verifies
+    * the export manifest (absent → the job never finished; missing or
+    * size-mismatched shard → torn) and returns the shard paths to
+    * feed [[OsmChangeSource]]. */
+  def verifiedShardPaths(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): Seq[String] =
+    graft.sources.ExportManifest.verify(spark, dir)
+      .map(e => new java.io.File(dir, e.file).getAbsolutePath)
 
   /** Object-store-safe sharded export: the committer path.
     * [[writeSharded]] needs a POSIX filesystem visible to executors

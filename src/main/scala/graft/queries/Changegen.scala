@@ -508,6 +508,10 @@ object Changegen {
           map(lit("name"), concat(lit("n"), col("id").cast("string")))).as("xml"))
       val tmp = scratchDir("osc_apply")
       OsmChangeXml.writeSharded(tmp, del.unionByName(mod).unionByName(cre), shards = 2, gzip = true)
+      // consumer-side torn-export gate: verify the manifest before
+      // applying (a killed export or deleted shard throws here,
+      // never applies a partial changefile)
+      OsmChangeXml.verifiedShardPaths(s, tmp)
       OsmChangeSource.applyNodes(base,
           OsmChangeSource.nodeActions(s, s"$tmp/shard-*.osc.gz"))
         .select(col("id"), col("version"),

@@ -178,18 +178,28 @@ object WarcWet {
     * driver-side data movement — the driver ships (path, start, end)
     * triples only. */
   def read(spark: SparkSession, path: String,
-           rangeBytes: Long = 32L * 1024 * 1024): DataFrame = {
+           rangeBytes: Long = 32L * 1024 * 1024,
+           requireManifest: Boolean = true): DataFrame = {
     import spark.implicits._
     require(rangeBytes >= 1, s"rangeBytes $rangeBytes must be >= 1")
     // a directory reads as the union of its shards' ranges (the
-    // multi-shard crawl layout); a file reads as its own ranges
+    // multi-shard crawl layout) and is GATED on the export manifest
+    // (a killed writeSharded leaves shards but no manifest; a deleted
+    // or truncated shard mismatches it — either way the read throws
+    // instead of returning a silently incomplete corpus; pass
+    // requireManifest = false only for externally produced crawl
+    // dirs). A file reads as its own ranges, no manifest involved.
     val f = new java.io.File(path)
     val files =
-      if (f.isDirectory)
-        Option(f.listFiles()).toSeq.flatten
-          .filter(x => x.isFile && x.getName.endsWith(".warc.wet.gz"))
-          .map(_.getAbsolutePath).sorted
-      else Seq(path)
+      if (f.isDirectory) {
+        if (requireManifest || graft.sources.ExportManifest.read(spark, path).isDefined)
+          graft.sources.ExportManifest.verify(spark, path)
+            .map(e => new java.io.File(f, e.file).getAbsolutePath).sorted
+        else
+          Option(f.listFiles()).toSeq.flatten
+            .filter(x => x.isFile && x.getName.endsWith(".warc.wet.gz"))
+            .map(_.getAbsolutePath).sorted
+      } else Seq(path)
     val ranges = files.flatMap { p =>
       val len = new java.io.File(p).length()
       (0L until math.max(1L, (len + rangeBytes - 1) / rangeBytes))
@@ -214,7 +224,7 @@ object WarcWet {
     import spark.implicits._
     new java.io.File(dir).mkdirs()
     val d = dir
-    df.select("url", "warc_type", "date", "text")
+    val shards = df.select("url", "warc_type", "date", "text")
       .as[(String, String, String, String)]
       .mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -239,6 +249,16 @@ object WarcWet {
         else Iterator.single(path)
       }
       .collect().toSeq.sorted // one path per non-empty partition — driver-sized
+    // the completeness manifest goes in LAST, once every shard is on
+    // disk (the _append_pending discipline applied to exports): a job
+    // killed mid-write leaves shards but no manifest, so the
+    // directory can never pass [[read]]'s gate as a complete export
+    graft.sources.ExportManifest.write(spark, dir,
+      shards.map { p =>
+        val f = new java.io.File(p)
+        graft.sources.ExportManifest.Entry(f.getName, f.length())
+      }, format = "warc/wet-sharded")
+    shards
   }
 
   // ---- writer (driver-side; fixtures / small exports) ----------------

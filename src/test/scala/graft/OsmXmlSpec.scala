@@ -38,7 +38,10 @@ class OsmXmlSpec extends AnyFunSuite {
       (i % 4, if (i % 3 == 0) "delete" else "create", s"""<node id="$i" version="1" lat="0.000000" lon="0.000000"/>""")
     }.toDF("shard", "section", "xml")
     OsmChangeXml.writeSharded(dir, df, shards = 4)
-    val files = new java.io.File(dir).listFiles().map(_.getName).sorted
+    val all0 = new java.io.File(dir).listFiles().map(_.getName).sorted
+    // shards + the completeness manifest (written LAST) and nothing else
+    assert(all0.contains(graft.sources.ExportManifest.Name), all0.mkString(","))
+    val files = all0.filter(_.startsWith("shard-"))
     assert(files.length == 4 && files.forall(_.matches("shard-\\d\\.osc")))
     val all = files.flatMap { f =>
       val content = new String(JFiles.readAllBytes(Paths.get(s"$dir/$f")))
@@ -243,5 +246,47 @@ class OsmXmlSpec extends AnyFunSuite {
     assert(content.contains("<delete>\n") && content.contains("""<node id="7"/>"""))
     assert(content.endsWith("</osmChange>\n"))
     Files.deleteIfExists(Paths.get(out))
+  }
+  test("torn .osc shard export is detected by the consumer gate; torn LSH build refuses to serve") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // --- sharded OsmChange export: manifest written last, verify gates
+    val dir = java.nio.file.Files.createTempDirectory("osc_torn").toString
+    val df = spark.range(0, 20)
+      .select((col("id") % 4).cast("int").as("shard"), lit("create").as("section"),
+        concat(lit("<node id=\""), col("id"), lit("\" version=\"1\" lat=\"0.000000\" lon=\"0.000000\"/>")).as("xml"))
+    OsmChangeXml.writeSharded(dir, df, shards = 4)
+    val paths = OsmChangeXml.verifiedShardPaths(spark, dir)
+    assert(paths.length == 4, paths.toString)
+    // delete one shard mid-"commit": the consumer gate names the hole
+    assert(new java.io.File(paths(2)).delete())
+    val ex = intercept[IllegalStateException] { OsmChangeXml.verifiedShardPaths(spark, dir) }
+    assert(ex.getMessage.contains(new java.io.File(paths(2)).getName), ex.getMessage)
+    // a killed job that never wrote the manifest is equally refused
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, graft.sources.ExportManifest.Name))
+    val exNone = intercept[IllegalStateException] { OsmChangeXml.verifiedShardPaths(spark, dir) }
+    assert(exNone.getMessage.contains(graft.sources.ExportManifest.Name), exNone.getMessage)
+
+    // --- LSH index: a crashed BUILD (marker stranded between layer
+    // overwrites) is unhealable and must refuse to serve, loudly
+    val idx = java.nio.file.Files.createTempDirectory("lsh_torn").toString
+    val docs = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "totally different words here now")).toDF("doc_id", "text")
+    graft.dedup.LshIndex.build(docs, "doc_id", "text", idx)
+    // healthy index serves
+    assert(graft.dedup.LshIndex.candidates(spark, idx, docs, "doc_id", "text").count() >= 0)
+    // strand the build marker (what a kill between the banded/sigs/
+    // config overwrites leaves behind)
+    val bm = new java.io.File(idx, "_build_pending")
+    assert(bm.createNewFile())
+    val exIdx = intercept[IllegalStateException] {
+      graft.dedup.LshIndex.candidates(spark, idx, docs, "doc_id", "text").count()
+    }
+    assert(exIdx.getMessage.contains("_build_pending"), exIdx.getMessage)
+    // a completed rebuild heals: marker drops last, index serves again
+    graft.dedup.LshIndex.build(docs, "doc_id", "text", idx)
+    assert(!bm.exists())
+    assert(graft.dedup.LshIndex.candidates(spark, idx, docs, "doc_id", "text").count() >= 0)
   }
 }

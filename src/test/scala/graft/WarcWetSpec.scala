@@ -123,4 +123,47 @@ class WarcWetSpec extends AnyFunSuite {
     gz.write(s.getBytes("UTF-8")); gz.close()
     bos.toByteArray
   }
+  test("torn sharded export is detected: missing shard, truncated shard, missing manifest all refuse to read") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("wet_torn").toString
+    val df = spark.range(0, 30).repartition(3)
+      .select(concat(lit("doc://"), col("id")).as("url"),
+        lit("conversion").as("warc_type"), lit("2024-03-01T00:00:00Z").as("date"),
+        concat(lit("body of "), col("id")).as("text"))
+    val shards = graft.web.WarcWet.writeSharded(df, dir)
+    assert(shards.length == 3)
+    // complete export reads clean through the manifest gate
+    assert(graft.web.WarcWet.read(spark, dir).count() == 30)
+
+    // a shard deleted mid-"commit": the directory still LOOKS like a
+    // crawl layout, but the manifest names the hole
+    val victim = new java.io.File(shards(1))
+    assert(victim.delete())
+    val exMissing = intercept[IllegalStateException] {
+      graft.web.WarcWet.read(spark, dir).count()
+    }
+    assert(exMissing.getMessage.contains(victim.getName), exMissing.getMessage)
+
+    // a truncated (killed-stream) shard: present but short
+    val full = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(shards(0)))
+    java.nio.file.Files.write(java.nio.file.Paths.get(shards(0)), full.dropRight(5))
+    java.nio.file.Files.write(java.nio.file.Paths.get(shards(1)), full) // restore the deleted one
+    val exShort = intercept[IllegalStateException] {
+      graft.web.WarcWet.read(spark, dir).count()
+    }
+    assert(exShort.getMessage.contains("bytes"), exShort.getMessage)
+
+    // a killed job never writes the manifest at all: the directory
+    // must not read as a complete export by default...
+    val dir2 = java.nio.file.Files.createTempDirectory("wet_nomani").toString
+    graft.web.WarcWet.writeSharded(df, dir2)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir2, graft.sources.ExportManifest.Name))
+    val exNone = intercept[IllegalStateException] {
+      graft.web.WarcWet.read(spark, dir2).count()
+    }
+    assert(exNone.getMessage.contains(graft.sources.ExportManifest.Name), exNone.getMessage)
+    // ...but an EXTERNAL crawl dir (no manifest discipline) stays
+    // readable on explicit opt-out
+    assert(graft.web.WarcWet.read(spark, dir2, requireManifest = false).count() == 30)
+  }
 }
