@@ -52,6 +52,19 @@ object Pipeline {
       new java.io.File(sys.props("java.io.tmpdir"), "graft_ivf_index"), key).toString
   }
 
+  /** The IVF scale lever, applied: the cell-scaffold queries
+    * (sim_knn_graph, dd_threshold_sweep, emb_hard_negatives) block
+    * their within-cell self-joins by the IVF assignment, and a FIXED
+    * cell count means |cell| grows with the corpus — within-cell
+    * pairs go quadratic (measured 65x wall time for 10x rows on the
+    * sf1 sweep). Scale kCells with the corpus so |cell| ~ 125 stays
+    * constant and the self-join stays linear-ish; floor 16 keeps
+    * every existing gate SF (sf0.001..sf0.1 = 500..2000 vectors)
+    * bit-identical to the old fixed-16 plans. Mirrored exactly in
+    * the DuckDB oracles (greatest(16, count(*) // 125)). */
+  private def adaptiveCells(e: DataFrame): Int =
+    math.max(16L, e.count() / 125L).toInt
+
   val defs: Map[String, Q] = Map(
     // 31 — exact dedup by content hash, keep min id
     "dd_exact" -> ((s, dir) => {
@@ -1009,7 +1022,7 @@ object Pipeline {
     // value-domain-bounded (≤ 91 buckets).
     "dd_threshold_sweep" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", 16)
+      val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", adaptiveCells(e))
       val assigned = Similarity.ivfAssign(e, "vec_id", "embedding", cents)
       val a = assigned.select(col("id").as("id_a"), col("vec").as("_va"), col("cell"))
       val b = assigned.select(col("id").as("id_b"), col("vec").as("_vb"), col("cell"))
@@ -1023,7 +1036,7 @@ object Pipeline {
     }),
     "sim_knn_graph" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", 16)
+      val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", adaptiveCells(e))
       val assigned = Similarity.ivfAssign(e, "vec_id", "embedding", cents)
       val a = assigned.select(col("id").as("id_a"), col("vec").as("_va"), col("cell"))
       val b = assigned.select(col("id").as("id_b"), col("vec").as("_vb"), col("cell"))
@@ -1061,7 +1074,7 @@ object Pipeline {
     "emb_hard_negatives" -> ((s, dir) => {
       val P = 1L << 40
       val e = t(s, dir, "embeddings")
-      val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", 16)
+      val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", adaptiveCells(e))
       val assigned = Similarity.ivfAssign(e, "vec_id", "embedding", cents)
       val lbl = e.select(col("vec_id"), col("label"))
       val withLab = assigned.join(lbl, col("id") === col("vec_id")).drop("vec_id")
@@ -4392,9 +4405,9 @@ object Pipeline {
         |  CAST((max_sz * n_cells * 20000 + total) // (2 * total) AS BIGINT) AS skew_fp4
         |FROM r""".stripMargin,
     "dd_threshold_sweep" ->
-      s"""WITH cnt AS (SELECT count(*) AS c FROM embeddings),
+      s"""WITH cnt AS (SELECT count(*) AS c, greatest(16, count(*) // 125) AS kc FROM embeddings),
         |cents AS (SELECT vec_id AS centroid_id, embedding AS cvec
-        |          FROM embeddings, cnt WHERE vec_id % greatest(1, (c + 15) // 16) = 0),
+        |          FROM embeddings, cnt WHERE vec_id % greatest(1, (c + kc - 1) // kc) = 0),
         |ac AS (SELECT e.vec_id, e.embedding, c.centroid_id,
         |         ${cosSql("e.embedding", "c.cvec")} AS cosv
         |       FROM embeddings e CROSS JOIN cents c),
@@ -4406,9 +4419,9 @@ object Pipeline {
         |SELECT cos_fp6 // 10000 AS bucket, count(*) AS n_pairs
         |FROM sc WHERE cos_fp6 >= 100000 GROUP BY 1 ORDER BY 1""".stripMargin,
     "sim_knn_graph" ->
-      s"""WITH cnt AS (SELECT count(*) AS c FROM embeddings),
+      s"""WITH cnt AS (SELECT count(*) AS c, greatest(16, count(*) // 125) AS kc FROM embeddings),
         |cents AS (SELECT vec_id AS centroid_id, embedding AS cvec
-        |          FROM embeddings, cnt WHERE vec_id % greatest(1, (c + 15) // 16) = 0),
+        |          FROM embeddings, cnt WHERE vec_id % greatest(1, (c + kc - 1) // kc) = 0),
         |ac AS (SELECT e.vec_id, e.embedding, c.centroid_id,
         |         ${cosSql("e.embedding", "c.cvec")} AS cosv
         |       FROM embeddings e CROSS JOIN cents c),
@@ -4427,9 +4440,9 @@ object Pipeline {
     // same IVF assignment CTEs, labels carried; both argmaxes via the
     // identical packed-long max ((cos_fp6+1e6)·2^40 + (2^40−1−id))
     "emb_hard_negatives" ->
-      s"""WITH cnt AS (SELECT count(*) AS c FROM embeddings),
+      s"""WITH cnt AS (SELECT count(*) AS c, greatest(16, count(*) // 125) AS kc FROM embeddings),
         |cents AS (SELECT vec_id AS centroid_id, embedding AS cvec
-        |          FROM embeddings, cnt WHERE vec_id % greatest(1, (c + 15) // 16) = 0),
+        |          FROM embeddings, cnt WHERE vec_id % greatest(1, (c + kc - 1) // kc) = 0),
         |ac AS (SELECT e.vec_id, e.embedding, e.label, c.centroid_id,
         |         ${cosSql("e.embedding", "c.cvec")} AS cosv
         |       FROM embeddings e CROSS JOIN cents c),
