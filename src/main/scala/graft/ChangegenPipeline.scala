@@ -22,12 +22,16 @@ import graft.spatial.DWithinJoin
   *
   * Usage: runMain graft.ChangegenPipeline <sfDir|jdbcUrl> <out.osc[.gz]>
   *        [maxNodesPerWay=500] [idOffset=1000000] [negIds=false]
-  *        [shards=0]
+  *        [shards=0] — or `--key=value` flags (see [[run]]), including
+  *        `--poly-table` / `--line-table` / `--poly-epsg` for
+  *        real-geometry (wkb_geometry) feature tables.
   * A `jdbc:` URL as the first argument runs the SAME dataflow off a
   * live database (the reference CLI's PostGIS input,
   * __main__.py:164-169): tables read partition-ranged via
   * [[Tables.jdbcTable]], deletion tables discovered from connection
-  * metadata instead of a directory listing.
+  * metadata instead of a directory listing, and `--poly-table` /
+  * `--line-table` reading WKB feature tables straight into the
+  * polygon/linestring seams (MULTI* parts included).
   * shards > 0 writes `out` as a DIRECTORY of self-contained shard
   * documents in parallel on the executors (OsmChangeXml.writeSharded)
   * instead of one driver-assembled file.
@@ -82,23 +86,55 @@ object ChangegenPipeline {
     * this with session lifecycle; the e2e spec drives it directly so
     * the database mode is proven through the exact argv path users
     * run. `args(0)` is a parquet directory OR a `jdbc:` URL (the
-    * reference CLI points at live PostGIS, __main__.py:164-169). */
+    * reference CLI points at live PostGIS, __main__.py:164-169).
+    *
+    * Arguments are positional (back-compatible) or `--key=value`
+    * flags; flags win. Keys: max-nodes-per-way, id-offset, neg-ids,
+    * shards, osmsrc, deletion-suffix, no-collisions — plus the
+    * REAL-GEOMETRY inputs the reference's main() actually consumes
+    * (its feature tables carry `wkb_geometry`): `--poly-table` /
+    * `--line-table` name a table (jdbc mode) or a parquet file
+    * (directory mode) of (id, wkb_geometry) rows feeding the
+    * `polyWkb` / `lineWkb` seams — MULTI* parts included — and
+    * `--poly-epsg` sets the polygon layer's source CRS. */
   def run(args: Array[String], spark: SparkSession): Unit = {
-    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
-    val out = if (args.length > 1) args(1) else "/tmp/graft_demo.osc.gz"
-    val maxNodes = if (args.length > 2) args(2).toInt else 500
-    val idOffset = if (args.length > 3) Some(args(3).toLong) else None
-    val negIds = if (args.length > 4) args(4).toBoolean else false
-    val shards = if (args.length > 5) args(5).toInt else 0
-    val osmSrc = if (args.length > 6 && args(6).nonEmpty) Some(args(6)) else None
-    val deletionSuffix = if (args.length > 7 && args(7).nonEmpty) Some(args(7)) else None
-    val noCollisions = if (args.length > 8) args(8).toBoolean else false
+    val (flagArgs, pos) = args.partition(_.startsWith("--"))
+    val flags = flagArgs.map { f =>
+      val a = f.stripPrefix("--").split("=", 2)
+      a(0) -> (if (a.length > 1) a(1) else "true")
+    }.toMap
+    def arg(i: Int, key: String): Option[String] =
+      flags.get(key).orElse(pos.lift(i)).filter(_.nonEmpty)
+    val sfDir = pos.headOption.getOrElse("/root/testdata/sf0.001")
+    val out = if (pos.length > 1) pos(1) else "/tmp/graft_demo.osc.gz"
+    val maxNodes = arg(2, "max-nodes-per-way").map(_.toInt).getOrElse(500)
+    val idOffset = arg(3, "id-offset").map(_.toLong)
+    val negIds = arg(4, "neg-ids").exists(_.toBoolean)
+    val shards = arg(5, "shards").map(_.toInt).getOrElse(0)
+    val osmSrc = arg(6, "osmsrc")
+    val deletionSuffix = arg(7, "deletion-suffix")
+    val noCollisions = arg(8, "no-collisions").exists(_.toBoolean)
+    // real-geometry feature tables (reference db.py:28-101 reads
+    // wkb_geometry through OGR): first column = feature id, a
+    // wkb_geometry column = the WKB/hex payload
+    def geomFrame(name: String, groupCol: String): DataFrame = {
+      val raw =
+        if (sfDir.startsWith("jdbc:"))
+          graft.sources.Snapshots.postgisTable(spark, sfDir, name,
+            decodeGeom = false, hstoreCols = Nil)
+        else spark.read.parquet(s"$sfDir/$name.parquet")
+      raw.select(col(raw.columns.head).cast("long").as(groupCol),
+        col("wkb_geometry").as("wkb"))
+    }
+    val polyWkb = flags.get("poly-table").map(geomFrame(_, "pgroup"))
+    val lineWkb = flags.get("line-table").map(geomFrame(_, "lgroup"))
+    val polyEpsg = flags.get("poly-epsg").map(_.toInt).getOrElse(4326)
 
     val deletionTables = deletionSuffix.map(discoverDeletionTables(sfDir, _)).getOrElse(Nil)
     if (deletionSuffix.isDefined)
       println(s"[changegen] found deletion tables: ${deletionTables.mkString(", ")}")
     val f = build(spark, sfDir, maxNodes, idOffset, negIds, osmSrc,
-      deletionTables, noCollisions)
+      deletionTables, noCollisions, polyWkb, polyEpsg, lineWkb)
 
     // 5. assemble the OsmChange document (creates = nodes then ways)
     if (shards > 0) {

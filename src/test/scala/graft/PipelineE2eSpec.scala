@@ -457,4 +457,47 @@ class PipelineE2eSpec extends AnyFunSuite {
     // member refs point at emitted way ids (referential integrity)
     assert(members.map(_._1).toSet.subsetOf(pws.map(_._1).toSet))
   }
+  test("CLI --poly-table/--line-table: WKB feature tables in the database flow to the .osc (MULTI* included)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.functions.WkbGeomExpr
+    val tmp = Files.createTempDirectory("graft_cligeom").toString
+    val url = "jdbc:derby:memory:graft_cli_geom;create=true"
+    val props = new java.util.Properties
+    Seq("supplier", "lineitem", "orders", "part").foreach { t =>
+      spark.read.parquet(s"${TestSpark.Sf}/$t.parquet").write.mode("overwrite").jdbc(url, t, props)
+    }
+    // real-geometry feature tables, hex-EWKB like a PostGIS text wire:
+    // one MultiPolygon feature (part 0 holed + part 1 plain) and one
+    // MultiLineString feature (2 parts x 9 vertices; maxNodes=7 splits
+    // each part into 2 chunked ways)
+    val outer = Array((50.0, 50.0), (60.0, 50.0), (60.0, 60.0), (50.0, 60.0), (50.0, 50.0))
+    val hole = Array((52.0, 52.0), (54.0, 52.0), (52.0, 54.0), (52.0, 52.0))
+    val tri = Array((70.0, 50.0), (74.0, 50.0), (70.0, 54.0), (70.0, 50.0))
+    val mpHex = WkbGeomExpr.encodeMulti(6, Array(Array(outer, hole), Array(tri)), srid = 4326)
+      .map("%02x".format(_)).mkString
+    def line(x0: Double) = Array.tabulate(9)(i => (x0 + i, 80.0 + i))
+    val mlHex = WkbGeomExpr.encodeMulti(5, Array(Array(line(0.0)), Array(line(20.0))))
+      .map("%02x".format(_)).mkString
+    Seq((1L, mpHex)).toDF("id", "wkb_geometry").write.mode("overwrite").jdbc(url, "poly_feats", props)
+    Seq((7L, mlHex)).toDF("id", "wkb_geometry").write.mode("overwrite").jdbc(url, "line_feats", props)
+
+    val out = s"$tmp/geom_mode.osc"
+    ChangegenPipeline.run(Array(url, out, "--max-nodes-per-way=7", "--id-offset=1000000",
+      "--poly-table=poly_feats", "--line-table=line_feats"), spark)
+    val doc = new String(java.nio.file.Files.readAllBytes(Paths.get(out)), "UTF-8")
+    // the MultiPolygon assembles ONE relation, members (part, ring)-
+    // ordered outer/inner/outer, refs resolving to emitted ways
+    val rel = "<relation[^>]*>(.*?)</relation>".r.findFirstMatchIn(
+      doc.replace("\n", " ")).map(_.group(1)).getOrElse(fail(s"no relation in $out"))
+    val roles = "role=\"(\\w+)\"".r.findAllMatchIn(rel).map(_.group(1)).toSeq
+    assert(roles == Seq("outer", "inner", "outer"), roles.toString)
+    val refs = "ref=\"(\\d+)\"".r.findAllMatchIn(rel).map(_.group(1)).toSet
+    val wayIds = "<way id=\"(\\d+)\"".r.findAllMatchIn(doc).map(_.group(1)).toSet
+    assert(refs.subsetOf(wayIds), s"relation refs $refs not all emitted as ways")
+    // each MultiLineString part split into 2 chunks: the create section
+    // carries 4 linear ways (tag highway=path) + 3 polygon ways (area=yes)
+    assert(doc.sliding("highway".length).count(_ == "highway") == 4, "4 split line ways")
+    assert("<way id=\"\\d+\" version=\"1\">".r.findAllIn(doc).size >= 7)
+  }
 }
