@@ -392,4 +392,52 @@ class PropertySpec extends AnyFunSuite {
       assert(got == refWinnow(toks, n, w), s"toks=$toks n=$n w=$w")
     }
   }
+  test("property: MULTI* WKB roundtrips through graft_geom_parts for random geometry sets, byte orders, srid") {
+    import graft.functions.WkbGeomExpr
+    val coord = Gen.chooseNum(-180000000L, 180000000L).map(_ / 1e6)
+    def ringGen(minPts: Int) = for {
+      n <- Gen.chooseNum(minPts, 8)
+      pts <- Gen.listOfN(n, Gen.zip(coord, coord))
+    } yield pts.toArray
+    val polyPart = for {
+      nRings <- Gen.chooseNum(1, 3)
+      rings <- Gen.listOfN(nRings, ringGen(3))
+    } yield rings.toArray
+    val linePart = ringGen(2).map(Array(_))
+    val pointPart = ringGen(1).map(r => Array(r.take(1)))
+    val geomGen = for {
+      baseType <- Gen.oneOf(4, 5, 6)
+      partGen = baseType match {
+        case 4 => pointPart; case 5 => linePart; case 6 => polyPart
+      }
+      nParts <- Gen.chooseNum(1, 4)
+      parts <- Gen.listOfN(nParts, partGen)
+      srid <- Gen.oneOf(-1, 4326, 3857)
+      be <- Gen.oneOf(true, false)
+      hex <- Gen.oneOf(true, false)
+    } yield (baseType, parts.toArray, srid, be, hex)
+    (1 to 60).foreach { _ =>
+      val (bt, parts, srid, be, hex) = sampled(geomGen)
+      val bytes = WkbGeomExpr.encodeMulti(bt, parts, srid, be)
+      val expect = parts.zipWithIndex.flatMap { case (p, pi) =>
+        p.zipWithIndex.flatMap { case (r, ri) => r.map { case (x, y) => (pi, ri, x, y) } } }.toSeq
+      val got =
+        if (hex) {
+          val h = bytes.map("%02x".format(_)).mkString
+          Seq(Tuple1(h)).toDF("g")
+            .select(call_function("graft_geom_parts", col("g")).as("p"))
+            .as[Seq[(Int, Int, Double, Double)]].head()
+        } else
+          Seq(Tuple1(bytes)).toDF("g")
+            .select(call_function("graft_geom_parts", col("g")).as("p"))
+            .as[Seq[(Int, Int, Double, Double)]].head()
+      assert(got == expect, s"bt=$bt srid=$srid be=$be hex=$hex")
+      // truncation anywhere inside the payload must yield NULL, not junk
+      val cut = bytes.take(bytes.length - 1 - sampled(Gen.chooseNum(0, 15)).min(bytes.length - 6))
+      val gotCut = Seq(Tuple1(cut)).toDF("g")
+        .select(call_function("graft_geom_parts", col("g")).isNull.as("n"))
+        .as[Boolean].head()
+      assert(gotCut, s"truncated buffer must decode NULL (bt=$bt len=${cut.length}/${bytes.length})")
+    }
+  }
 }
