@@ -160,7 +160,6 @@ object ChangegenPipeline {
     * node lists come from the existing extract. */
   def buildModifyOnly(spark: SparkSession, sfDir: String,
                       osmSrc: Option[String] = None): Frames = {
-    val supplier = Tables.load(spark, sfDir, "supplier")
     val empty = spark.emptyDataFrame.withColumn("xml", lit(""))
       .filter(lit(false)).select("xml")
     // "osm_id" analog: the feature's vertex key maps onto existing node
