@@ -368,8 +368,7 @@ object Pipeline {
     "sim_ann_ivf_disk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val path = ivfDiskPath(dir)
-      if (!new java.io.File(path, "vectors/_SUCCESS").exists() ||
-          !new java.io.File(path, "centroids/_SUCCESS").exists())
+      if (!graft.similarity.IvfIndex.isComplete(s, path))
         graft.similarity.IvfIndex.build(e, "vec_id", "embedding", kCells = 16, path)
       graft.similarity.IvfIndex.search(s, path,
         e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", nprobe = 2, k = 5)
@@ -387,11 +386,9 @@ object Pipeline {
     "sim_ann_ivfpq_disk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val path = ivfDiskPath(dir)
-      if (!new java.io.File(path, "vectors/_SUCCESS").exists() ||
-          !new java.io.File(path, "centroids/_SUCCESS").exists())
+      if (!graft.similarity.IvfIndex.isComplete(s, path))
         graft.similarity.IvfIndex.build(e, "vec_id", "embedding", kCells = 16, path)
-      if (!new java.io.File(path, "codes/_SUCCESS").exists() ||
-          !new java.io.File(path, "codebook/_SUCCESS").exists())
+      if (!graft.similarity.IvfIndex.isComplete(s, path, pq = true))
         graft.similarity.IvfIndex.buildPq(e, "vec_id", "embedding",
           dim = 64, m = 4, kCodes = 16, path = path)
       graft.similarity.IvfIndex.searchPq(s, path,
@@ -410,11 +407,9 @@ object Pipeline {
     "sim_ann_rerank_disk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val path = ivfDiskPath(dir)
-      if (!new java.io.File(path, "vectors/_SUCCESS").exists() ||
-          !new java.io.File(path, "centroids/_SUCCESS").exists())
+      if (!graft.similarity.IvfIndex.isComplete(s, path))
         graft.similarity.IvfIndex.build(e, "vec_id", "embedding", kCells = 16, path)
-      if (!new java.io.File(path, "codes/_SUCCESS").exists() ||
-          !new java.io.File(path, "codebook/_SUCCESS").exists())
+      if (!graft.similarity.IvfIndex.isComplete(s, path, pq = true))
         graft.similarity.IvfIndex.buildPq(e, "vec_id", "embedding",
           dim = 64, m = 4, kCodes = 16, path = path)
       graft.similarity.IvfIndex.searchRerank(s, path,

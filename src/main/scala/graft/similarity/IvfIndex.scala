@@ -35,12 +35,91 @@ object IvfIndex {
   }
 
   /** Persist a prebuilt assignment + centroid table (e.g. refined with
-    * [[Similarity.kmeansCentroids]]). */
+    * [[Similarity.kmeansCentroids]]). Crash safety: `vectors/` and
+    * `centroids/` are two separate jobs, so the whole build is
+    * bracketed with `_build_pending` — a build that dies between them
+    * leaves a layout every serving entry point refuses loudly
+    * ([[recoverIfPending]]) instead of probing half an index; the
+    * heal is a rebuild (this method overwrites, so re-running it
+    * clears the marker). A full rebuild also supersedes any crashed
+    * append's pending state — both markers drop LAST. */
   def write(assigned: DataFrame, centroids: DataFrame, path: String): Unit = {
+    val spark = assigned.sparkSession
+    val fs = fsOf(spark, path)
+    val bm = buildMarker(path)
+    fs.mkdirs(bm.getParent)
+    fs.create(bm, true).close()
     assigned.select(col("id"), col("vec"), col("nrm"), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
     centroids.select(col("centroid_id"), col("cvec"), col("cnrm"))
       .write.mode("overwrite").parquet(s"$path/centroids")
+    fs.delete(appendMarker(path), false)
+    fs.delete(bm, false)
+  }
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def buildMarker(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_build_pending")
+
+  private def appendMarker(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_append_pending")
+
+  /** True iff the layout at `path` is a SERVABLE index: both base
+    * layers committed (`_SUCCESS`) and no `_build_pending` stranded by
+    * a crashed build. With `pq = true` the PQ layers must be committed
+    * too. Build-or-probe callers (the registered disk queries, a
+    * serving job's cold start) gate on this instead of raw `_SUCCESS`
+    * checks so a torn layout is REBUILT rather than refused. A
+    * stranded `_append_pending` does NOT fail this check — that state
+    * self-heals on the next serve ([[recoverIfPending]]) and needs no
+    * rebuild. */
+  def isComplete(spark: SparkSession, path: String, pq: Boolean = false): Boolean = {
+    val fs = fsOf(spark, path)
+    def ok(sub: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/$sub/_SUCCESS"))
+    ok("vectors") && ok("centroids") &&
+      (!pq || (ok("codes") && ok("codebook"))) &&
+      !fs.exists(buildMarker(path))
+  }
+
+  /** Crash recovery, called by every serving entry point.
+    *
+    * A stranded `_build_pending` is not healable in place (the build's
+    * source frame is the caller's) — refuse the torn layout loudly;
+    * a rebuild clears it.
+    *
+    * A stranded `_append_pending` IS healable: [[append]] commits
+    * `vectors/` FIRST and `codes/` is a pure function of the stored
+    * vectors × the FROZEN codebook, so recovery re-encodes exactly
+    * the vectors whose codes are missing and appends them. Idempotent:
+    * a crash during recovery strands the marker and the next entry
+    * retries (the anti-join sees whatever already landed). Without
+    * this, a crash between the two append jobs would leave vectors
+    * that every PQ probe silently omits from its candidates — the
+    * torn-export failure mode, applied to an index. */
+  def recoverIfPending(spark: SparkSession, path: String): Unit = {
+    val fs = fsOf(spark, path)
+    if (fs.exists(buildMarker(path)))
+      throw new IllegalStateException(
+        s"IVF index at $path was torn by a crashed build (_build_pending present) — rebuild required")
+    val m = appendMarker(path)
+    if (!fs.exists(m)) return
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/codebook"))) {
+      val missing = readVectors(spark, path)
+        .join(spark.read.parquet(s"$path/codes").select(col("id")).distinct(),
+          Seq("id"), "left_anti")
+        .localCheckpoint() // pin: the codes write below must not re-read codes/
+      if (!missing.isEmpty) {
+        val cb = spark.read.parquet(s"$path/codebook")
+        Similarity.pqEncode(missing, "id", "vec", cb, carry = Seq("cell"))
+          .select(col("id"), col("sub"), col("code"), col("cell"))
+          .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+      }
+    }
+    fs.delete(m, false)
   }
 
   def readCentroids(spark: SparkSession, path: String): DataFrame =
@@ -57,6 +136,7 @@ object IvfIndex {
     * partitions. */
   def search(spark: SparkSession, path: String, queries: DataFrame,
              idCol: String, vecCol: String, nprobe: Int, k: Int): DataFrame = {
+    recoverIfPending(spark, path)
     val cents = readCentroids(spark, path)
     // filter BEFORE the long-cast so the IN lands directly on the raw
     // partition column (guaranteed listing-time pruning), cast after
@@ -93,19 +173,32 @@ object IvfIndex {
     * Returns the number of rows appended. */
   def append(newData: DataFrame, idCol: String, vecCol: String, path: String): Long = {
     val spark = newData.sparkSession
+    recoverIfPending(spark, path) // heal any crashed predecessor first
     val cents = readCentroids(spark, path)
+    // anti-join away ids already resident: retrying a crashed or
+    // overlapping batch is IDEMPOTENT rather than double-ingested —
+    // and the localCheckpoint pins the batch so the vectors write
+    // below cannot re-read `vectors/` mid-append
     val assigned = Similarity.ivfAssign(newData, idCol, vecCol, cents)
+      .join(readVectors(spark, path).select(col("id")), Seq("id"), "left_anti")
+      .localCheckpoint()
+    val n = assigned.count()
+    if (n == 0) return 0L
+    // the update is two jobs (vectors, then codes), so it brackets
+    // itself with `_append_pending`: vectors commit FIRST, codes are
+    // re-derivable from them ([[recoverIfPending]]), the marker drops
+    // LAST. Resolve the filesystem FROM the index path (not the
+    // default FS) so an index on a non-default scheme (s3a:// with an
+    // HDFS default, say) doesn't throw 'Wrong FS' here.
+    val fs = fsOf(spark, path)
+    val m = appendMarker(path)
+    fs.create(m, true).close()
     assigned.select(col("id"), col("vec"), col("nrm"), col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
     // a PQ layer must not go stale: encode the new vectors with the
     // index's FROZEN codebook (same contract as the frozen centroids)
-    // and append their codes to the probed layout. Resolve the
-    // filesystem FROM the index path (not the default FS) so an index
-    // on a non-default scheme (s3a:// with an HDFS default, say)
-    // doesn't throw 'Wrong FS' here.
-    val cbPath = new org.apache.hadoop.fs.Path(s"$path/codebook")
-    val fs = cbPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(cbPath)) {
+    // and append their codes to the probed layout
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/codebook"))) {
       val cb = spark.read.parquet(s"$path/codebook")
       // encode the ASSIGNED frame: codes leave the encode cell-keyed —
       // no corpus-wide id join-back
@@ -113,14 +206,17 @@ object IvfIndex {
         .select(col("id"), col("sub"), col("code"), col("cell"))
         .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
     }
-    newData.count()
+    fs.delete(m, false)
+    n
   }
 
   /** Per-cell row counts — the drift signal for scheduled
     * re-centering: [[append]] freezes centroids, so a shifting input
     * distribution shows up as cell-size skew. */
-  def cellStats(spark: SparkSession, path: String): DataFrame =
+  def cellStats(spark: SparkSession, path: String): DataFrame = {
+    recoverIfPending(spark, path)
     readVectors(spark, path).groupBy("cell").agg(count(lit(1)).as("n"))
+  }
 
   /** max/avg cell size of the persisted index (1.0 = perfectly
     * balanced). Schedule [[recenter]] when this crosses the
@@ -138,6 +234,7 @@ object IvfIndex {
     * Returns the new cell count. */
   def recenter(spark: SparkSession, srcPath: String, destPath: String,
                kCells: Int, iters: Int = 3): Long = {
+    recoverIfPending(spark, srcPath)
     val vecs = readVectors(spark, srcPath).select(col("id"), col("vec"))
     val cents = Similarity.kmeansCentroids(vecs, "id", "vec", kCells, iters)
     val assigned = Similarity.ivfAssign(vecs, "id", "vec", cents)
@@ -200,14 +297,24 @@ object IvfIndex {
     // trained = the per-subspace k-means refinement (better recall,
     // not oracle-replicable); the codebook persists either way, so
     // probes decode with whichever variant built the index
+    val spark = data.sparkSession
+    // same discipline as [[write]]: codes/ and codebook/ are two jobs,
+    // so the layer build brackets itself with `_build_pending` — a
+    // crash between them must not serve (a codebook-less codes/ read
+    // fails loudly anyway, but the marker also covers a torn
+    // overwrite of codes/ itself)
+    val fs = fsOf(spark, path)
+    val bm = buildMarker(path)
+    fs.create(bm, true).close()
     val cb =
       if (trained) Similarity.pqCodebookTrained(data, idCol, vecCol, dim, m, kCodes, iters)
       else Similarity.pqCodebook(data, idCol, vecCol, dim, m, kCodes)
     val enc = Similarity.pqEncode(data, idCol, vecCol, cb)
-    val cellOf = readVectors(data.sparkSession, path).select(col("id"), col("cell"))
+    val cellOf = readVectors(spark, path).select(col("id"), col("cell"))
     enc.select(col("id"), col("sub"), col("code")).join(cellOf, "id")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
     cb.write.mode("overwrite").parquet(s"$path/codebook")
+    fs.delete(bm, false)
   }
 
   /** IVF-PQ probe search over the persisted codes —
@@ -217,6 +324,7 @@ object IvfIndex {
     * LUT against `codebook/`; corpus floats are never read. */
   def searchPq(spark: SparkSession, path: String, queries: DataFrame,
                idCol: String, vecCol: String, nprobe: Int, k: Int): DataFrame = {
+    recoverIfPending(spark, path)
     val cents = readCentroids(spark, path)
     val cb = spark.read.parquet(s"$path/codebook")
     val cells = probedCells(cents, queries, idCol, vecCol, nprobe).map(Long.box)
@@ -244,6 +352,7 @@ object IvfIndex {
                    idCol: String, vecCol: String,
                    nprobe: Int, kCand: Int, k: Int): DataFrame = {
     require(kCand >= k, s"searchRerank: kCand = $kCand must be >= k = $k")
+    recoverIfPending(spark, path)
     val cents = readCentroids(spark, path)
     val cb = spark.read.parquet(s"$path/codebook")
     val cells = probedCells(cents, queries, idCol, vecCol, nprobe).map(Long.box)

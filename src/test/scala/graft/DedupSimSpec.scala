@@ -560,6 +560,65 @@ class DedupSimSpec extends AnyFunSuite {
     emb.unpersist()
   }
 
+  test("IVF index crash safety: torn append heals on next probe, torn build refuses, append is idempotent") {
+    val emb = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet").cache()
+    val first = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 =!= 0)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val path = java.nio.file.Files.createTempDirectory("ivftorn").toString
+    IvfIndex.build(first, "vec_id", "embedding", kCells = 8, path = path)
+    IvfIndex.buildPq(first, "vec_id", "embedding", dim = 64, m = 4, kCodes = 16, path = path)
+    assert(IvfIndex.isComplete(spark, path, pq = true))
+
+    // simulate an append that died AFTER committing vectors/ but
+    // BEFORE the codes append: replay append's committed prefix by
+    // hand (marker up, vectors landed, codes never written)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_append_pending")
+    fs.create(marker, true).close()
+    val cents = IvfIndex.readCentroids(spark, path)
+    Similarity.ivfAssign(rest, "vec_id", "embedding", cents)
+      .select(col("id"), col("vec"), col("nrm"), col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
+    // a stranded append marker does not demand a rebuild...
+    assert(IvfIndex.isComplete(spark, path, pq = true))
+    // ...because the next probe HEALS it: searchPq must equal the
+    // in-memory IVF-PQ composition over the FULL corpus with the
+    // frozen centroids + codebook — the appended vectors become
+    // candidates instead of being silently missing from codes/
+    val cb = Similarity.pqCodebook(first, "vec_id", "embedding", dim = 64, m = 4, k = 16)
+    val encAll = Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+    val assignedAll = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+    val memPq = Similarity.pqIvfSearch(encAll, cb, assignedAll, cents, queries,
+        "vec_id", "embedding", nprobe = 2, k = 5)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._3, r._2)).toSeq
+    val healed = IvfIndex.searchPq(spark, path, queries, "vec_id", "embedding", nprobe = 2, k = 5)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._3, r._2)).toSeq
+    assert(healed == memPq)
+    assert(!fs.exists(marker), "heal must clear _append_pending")
+
+    // idempotency: retrying the same batch ingests nothing twice
+    assert(IvfIndex.append(rest, "vec_id", "embedding", path) == 0L)
+    val after = IvfIndex.searchPq(spark, path, queries, "vec_id", "embedding", nprobe = 2, k = 5)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._3, r._2)).toSeq
+    assert(after == memPq)
+
+    // a stranded BUILD marker is not healable in place: every serving
+    // entry refuses loudly, isComplete reports rebuild-needed, and a
+    // completed rebuild clears it
+    val bm = new org.apache.hadoop.fs.Path(s"$path/_build_pending")
+    fs.create(bm, true).close()
+    assert(!IvfIndex.isComplete(spark, path))
+    val ex = intercept[IllegalStateException] {
+      IvfIndex.search(spark, path, queries, "vec_id", "embedding", nprobe = 2, k = 5)
+    }
+    assert(ex.getMessage.contains("_build_pending"))
+    IvfIndex.build(emb, "vec_id", "embedding", kCells = 8, path = path)
+    assert(IvfIndex.isComplete(spark, path))
+    emb.unpersist()
+  }
+
   test("annLsh multi-probe raises recall over single-probe; bucket cap bounds candidates") {
     val emb = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
     val queries = emb.filter(col("vec_id") % 25 === 0)
