@@ -63,12 +63,21 @@ object ChangegenPipeline {
         val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
         val names =
           try Iterator.continually(rs).takeWhile(_.next())
-            .map(_.getString("TABLE_NAME")).toList
+            .map(r => (Option(r.getString("TABLE_SCHEM")), r.getString("TABLE_NAME"))).toList
           finally rs.close()
-        // lowercase: both Derby (folds unquoted ids UP) and Postgres
-        // (folds DOWN) resolve an unquoted lowercase name back to the
-        // stored one, so the discovered names feed reads on either
-        names.map(_.toLowerCase).filter(_.endsWith(suffix.toLowerCase)).sorted
+        // SCHEMA-QUALIFY each discovered name: getTables scans every
+        // schema, so an unqualified read-back would resolve through
+        // search_path — a DIFFERENT (or missing) table than the one
+        // discovered whenever the match lives outside it, and two
+        // same-named tables in different schemas would collapse into
+        // duplicate reads of one. Lowercase both parts: Derby (folds
+        // unquoted ids UP) and Postgres (folds DOWN) each resolve an
+        // unquoted lowercase identifier back to the stored one.
+        names.collect {
+          case (schem, n) if n.toLowerCase.endsWith(suffix.toLowerCase) =>
+            schem.filter(_.nonEmpty).map(s => s"${s.toLowerCase}.").getOrElse("") +
+              n.toLowerCase
+        }.sorted
       } finally conn.close()
     } else {
       val d = new java.io.File(dir)
@@ -103,6 +112,17 @@ object ChangegenPipeline {
       val a = f.stripPrefix("--").split("=", 2)
       a(0) -> (if (a.length > 1) a(1) else "true")
     }.toMap
+    // reject typo'd keys loudly: a silently-ignored --max-nodes=7
+    // would fall back to the default and write a structurally valid
+    // but WRONG changefile (the same failure mode check.py guards
+    // its --only/--skip names against)
+    val knownFlags = Set("max-nodes-per-way", "id-offset", "neg-ids",
+      "shards", "osmsrc", "deletion-suffix", "no-collisions",
+      "poly-table", "line-table", "poly-epsg")
+    val unknownFlags = flags.keySet -- knownFlags
+    require(unknownFlags.isEmpty,
+      s"unknown flag(s): ${unknownFlags.toSeq.sorted.map("--" + _).mkString(", ")}" +
+        s" — known flags: ${knownFlags.toSeq.sorted.map("--" + _).mkString(", ")}")
     def arg(i: Int, key: String): Option[String] =
       flags.get(key).orElse(pos.lift(i)).filter(_.nonEmpty)
     val sfDir = pos.headOption.getOrElse("/root/testdata/sf0.001")

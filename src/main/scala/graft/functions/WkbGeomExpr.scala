@@ -489,6 +489,14 @@ object WkbGeomExpr {
     require(baseType >= 4 && baseType <= 6, s"encodeMulti: baseType $baseType")
     val le = !bigEndian
     val subType = baseType - 3
+    // shape guard: the buffer is sized from EVERY ring/point, but
+    // MultiPoint writes only part(0)(0) and MultiLineString only
+    // part(0) — an over-shaped part would silently drop data and pad
+    // the WKB with trailing zero bytes instead of failing here
+    if (subType == 1) require(parts.forall(p => p.length == 1 && p(0).length == 1),
+      "encodeMulti: MultiPoint parts must carry exactly one point")
+    if (subType == 2) require(parts.forall(_.length == 1),
+      "encodeMulti: MultiLineString parts must carry exactly one vertex run")
     val nPts = parts.map(_.map(_.length).sum).sum
     val perPartOverhead = subType match {
       case 1 => 5            // header only

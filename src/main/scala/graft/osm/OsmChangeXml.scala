@@ -95,7 +95,10 @@ object OsmChangeXml {
     import scala.jdk.CollectionConverters._
     Files.createDirectories(Paths.get(outDir))
     val ext = if (gzip) ".osc.gz" else ".osc"
-    // overwrite semantics: drop stale shards from previous runs
+    // overwrite semantics: the OLD manifest dies FIRST (a re-run
+    // killed mid-write must read as incomplete, never as the previous
+    // export), then stale shards from previous runs
+    graft.sources.ExportManifest.invalidate(df.sparkSession, outDir)
     val stale = Files.list(Paths.get(outDir))
     try stale.iterator().asScala.toSeq
       .filter(_.getFileName.toString.startsWith("shard-")).foreach(Files.deleteIfExists)

@@ -62,8 +62,8 @@ object Pipeline {
     * every existing gate SF (sf0.001..sf0.1 = 500..2000 vectors)
     * bit-identical to the old fixed-16 plans. Mirrored exactly in
     * the DuckDB oracles (greatest(16, count(*) // 125)). */
-  private def adaptiveCells(e: DataFrame): Int =
-    math.max(16L, e.count() / 125L).toInt
+  private def adaptiveCells(n: Long): Int =
+    math.max(16L, n / 125L).toInt
 
   val defs: Map[String, Q] = Map(
     // 31 — exact dedup by content hash, keep min id
@@ -1017,7 +1017,8 @@ object Pipeline {
     // value-domain-bounded (≤ 91 buckets).
     "dd_threshold_sweep" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", adaptiveCells(e))
+      val nE = e.count() // one corpus count serves kCells AND the stride pick
+      val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", adaptiveCells(nE), nE)
       val assigned = Similarity.ivfAssign(e, "vec_id", "embedding", cents)
       val a = assigned.select(col("id").as("id_a"), col("vec").as("_va"), col("cell"))
       val b = assigned.select(col("id").as("id_b"), col("vec").as("_vb"), col("cell"))
@@ -1031,7 +1032,8 @@ object Pipeline {
     }),
     "sim_knn_graph" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", adaptiveCells(e))
+      val nE = e.count() // one corpus count serves kCells AND the stride pick
+      val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", adaptiveCells(nE), nE)
       val assigned = Similarity.ivfAssign(e, "vec_id", "embedding", cents)
       val a = assigned.select(col("id").as("id_a"), col("vec").as("_va"), col("cell"))
       val b = assigned.select(col("id").as("id_b"), col("vec").as("_vb"), col("cell"))
@@ -1069,7 +1071,8 @@ object Pipeline {
     "emb_hard_negatives" -> ((s, dir) => {
       val P = 1L << 40
       val e = t(s, dir, "embeddings")
-      val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", adaptiveCells(e))
+      val nE = e.count() // one corpus count serves kCells AND the stride pick
+      val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", adaptiveCells(nE), nE)
       val assigned = Similarity.ivfAssign(e, "vec_id", "embedding", cents)
       val lbl = e.select(col("vec_id"), col("label"))
       val withLab = assigned.join(lbl, col("id") === col("vec_id")).drop("vec_id")

@@ -180,8 +180,15 @@ object Similarity {
     * contract (assign → inverted lists → probe) is unchanged, and a
     * deterministic pick keeps the operator oracle/spec-checkable.
     */
-  def ivfCentroids(data: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    val n = data.count()
+  def ivfCentroids(data: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
+    ivfCentroids(data, idCol, vecCol, k, data.count())
+
+  /** Overload for callers that already hold the corpus count (the
+    * adaptive-kCells queries derive k FROM a count — recounting here
+    * would re-scan the corpus, a full table re-read on a JDBC
+    * source). */
+  def ivfCentroids(data: DataFrame, idCol: String, vecCol: String, k: Int,
+                   n: Long): DataFrame = {
     val stride = math.max(1L, (n + k - 1) / k)
     // id-modulo pick: no global sort/window, scales to any corpus with
     // roughly dense ids (hash the id first for sparse id spaces)

@@ -44,6 +44,18 @@ object ExportManifest {
   private def unesc(s: String): String =
     s.replace("\\\"", "\"").replace("\\\\", "\\")
 
+  /** Drop any manifest left by a PREVIOUS export — writers call this
+    * FIRST, before touching a shard. Without it, a re-export killed
+    * mid-job would leave the OLD manifest verifying against old (or
+    * byte-size-coincident) shard files, and the torn re-run would
+    * read as a complete export — the exact window the manifest
+    * exists to close. */
+  def invalidate(spark: SparkSession, dir: String): Unit = {
+    val (dirPath, fs) = fsOf(spark, dir)
+    fs.delete(new org.apache.hadoop.fs.Path(dirPath, Name), false)
+    ()
+  }
+
   /** Write the manifest — call ONLY after every listed file is fully
     * in place. Atomic: temp file + FileContext rename with OVERWRITE
     * (the same discipline as [[graft.similarity.IvfIndex.flipPointer]]). */

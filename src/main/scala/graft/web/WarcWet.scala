@@ -223,6 +223,15 @@ object WarcWet {
     val spark = df.sparkSession
     import spark.implicits._
     new java.io.File(dir).mkdirs()
+    // re-export discipline: the OLD manifest dies FIRST (a re-run
+    // killed mid-write must read as incomplete, not as the previous
+    // export), then stale shards from a wider previous run go (run 2
+    // may produce fewer partitions — a lingering part-00002 from run
+    // 1 must not sit next to a manifest that doesn't list it)
+    graft.sources.ExportManifest.invalidate(spark, dir)
+    Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .filter(_.getName.matches("part-\\d+\\.warc\\.wet\\.gz"))
+      .foreach(_.delete())
     val d = dir
     val shards = df.select("url", "warc_type", "date", "text")
       .as[(String, String, String, String)]

@@ -359,8 +359,12 @@ class PipelineE2eSpec extends AnyFunSuite {
     }
     doomed.write.mode("overwrite").jdbc(url, "custom_deletions", props)
 
-    // metadata discovery finds the deletion table, nothing else
-    assert(ChangegenPipeline.discoverDeletionTables(url, "_deletions") == Seq("custom_deletions"))
+    // metadata discovery finds the deletion table, nothing else —
+    // SCHEMA-QUALIFIED (Derby's default schema is APP), so the
+    // read-back targets the discovered table rather than resolving
+    // the bare name through search_path on a multi-schema database
+    assert(ChangegenPipeline.discoverDeletionTables(url, "_deletions")
+      == Seq("app.custom_deletions"))
 
     // the FULL CLI path (run() is main() minus session lifecycle),
     // identical argv except the first argument: directory vs jdbc URL

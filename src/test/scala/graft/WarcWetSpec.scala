@@ -166,4 +166,31 @@ class WarcWetSpec extends AnyFunSuite {
     // readable on explicit opt-out
     assert(graft.web.WarcWet.read(spark, dir2, requireManifest = false).count() == 30)
   }
+
+  test("re-export over a populated directory: old manifest dies first, stale shards are swept") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("wet_reexport").toString
+    def corpus(n: Int, parts: Int) = spark.range(0, n).repartition(parts)
+      .select(concat(lit("doc://"), col("id")).as("url"),
+        lit("conversion").as("warc_type"), lit("2024-03-01T00:00:00Z").as("date"),
+        concat(lit("body of "), col("id")).as("text"))
+    graft.web.WarcWet.writeSharded(corpus(30, 3), dir)
+
+    // a RE-export into the same directory that dies mid-job must not
+    // leave the previous manifest verifying the previous shards as a
+    // complete export: the writer's FIRST act is manifest + stale-
+    // shard invalidation, replayed here up to the simulated kill
+    graft.sources.ExportManifest.invalidate(spark, dir)
+    val exTorn = intercept[IllegalStateException] {
+      graft.web.WarcWet.read(spark, dir).count()
+    }
+    assert(exTorn.getMessage.contains(graft.sources.ExportManifest.Name), exTorn.getMessage)
+
+    // a COMPLETED narrower re-export (fewer partitions than run 1)
+    // must not leave run 1's extra shards next to the new manifest
+    graft.web.WarcWet.writeSharded(corpus(10, 1), dir)
+    val files = new java.io.File(dir).listFiles().map(_.getName).sorted.toSeq
+    assert(files.count(_.endsWith(".warc.wet.gz")) == 1, s"stale shards remain: $files")
+    assert(graft.web.WarcWet.read(spark, dir).count() == 10)
+  }
 }

@@ -5,7 +5,7 @@ Runs each oracle SQL in DuckDB over the same sf dir, loads the Spark
 parquet dump from Verify, sorts columns by name, row-sorts both, and
 hash-compares values. Usage: check.py <sfdir> <verify_outdir>
 """
-import sys, json, glob, hashlib
+import sys, os, json, glob, hashlib
 import duckdb
 import pandas as pd
 
@@ -19,8 +19,13 @@ def main(sfdir, outdir, only=None, skip=None):
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     # reject misspelled filter names up front: a typo'd --only would
     # otherwise filter the dict to empty and the gate would print
-    # "0 ok, 0 fail" and exit 0 — a passing run that checked nothing
-    unknown = ((only or set()) | (skip or set())) - oracle.keys()
+    # "0 ok, 0 fail" and exit 0 — a passing run that checked nothing.
+    # Valid names = oracle keys UNION dumped query dirs, so a
+    # registered rows-only query (Verify output, no oracle) stays
+    # skippable rather than tripping the typo guard
+    dumped = {os.path.basename(p) for p in glob.glob(f"{outdir}/*")
+              if os.path.isdir(p)}
+    unknown = ((only or set()) | (skip or set())) - (oracle.keys() | dumped)
     if unknown:
         print(f"ERROR: unknown query name(s) in --only/--skip: {sorted(unknown)}")
         return 2
