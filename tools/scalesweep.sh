@@ -1,0 +1,49 @@
+#!/usr/bin/env bash
+# Scale-robustness sweep: replicate sf0.1 N-fold, run the query
+# surface through graft.Verify, and hash-compare against the DuckDB
+# oracle at that scale. Usage:
+#
+#   tools/scalesweep.sh <copies> [skip.csv]
+#
+#   copies    replication factor (5 = sf0.5, 10 = sf1, 20 = sf2, ...)
+#   skip.csv  optional comma-separated query names to EXCLUDE — used
+#             for the adjudicated output-bound / fixture-pathology
+#             rows (docs/SF1_SCALING.md) whose TRUE result size grows
+#             quadratically on a bit-identical replicated fixture.
+#             Skips are named in the output; never silent.
+#
+# Runs from the repo root. The fixture lands in target/sf<x>, Verify
+# dumps in /tmp/verify_sf<x>.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+copies="${1:?usage: tools/scalesweep.sh <copies> [skip.csv]}"
+skip="${2:-}"
+dst="target/sweep_${copies}x"
+out="/tmp/verify_sweep_${copies}x"
+
+python3 tools/mkscale.py /root/testdata/sf0.1 "$dst" "$copies"
+
+only_arg=""
+if [[ -n "$skip" ]]; then
+  # Verify takes the RUN list: complement the skip list against the
+  # registered oracle names from a previous dump (any sf dir works)
+  sbt -batch "runMain graft.Verify /root/testdata/sf0.001 /tmp/sweep_names q1_agg" >/dev/null
+  only_arg=$(python3 - "$skip" <<'EOF'
+import json, sys
+oracle = json.load(open("/tmp/sweep_names/oracle_sql.json"))
+skip = set(sys.argv[1].split(","))
+unknown = skip - set(oracle)
+if unknown:
+    sys.exit(f"unknown skip names: {sorted(unknown)}")
+print(",".join(sorted(set(oracle) - skip)))
+EOF
+)
+fi
+
+sbt -batch "runMain graft.Verify $dst $out $only_arg" | tail -2
+if [[ -n "$skip" ]]; then
+  python3 tools/check.py "$dst" "$out" --skip "$skip"
+else
+  python3 tools/check.py "$dst" "$out"
+fi
