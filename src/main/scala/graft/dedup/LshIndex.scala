@@ -87,7 +87,8 @@ object LshIndex {
     * atomic directory RENAME — `config/` is therefore always either
     * the complete old directory or the complete new one, never partial
     * (a crash in the delete→rename window leaves `config/` absent and
-    * `config_tmp/` complete, which [[rawConfig]] promotes on read). */
+    * `config_tmp/` complete, which writers promote on read and
+    * readers fall back to without renaming — [[rawConfig]]). */
   private def writeConfig(spark: SparkSession, path: String, shingleSize: Int,
                           numPerm: Int, rowsPerBand: Int, maxBucket: Int,
                           numGroups: Int, nDocs: Long): Unit = {
@@ -104,24 +105,48 @@ object LshIndex {
   private case class Config(shingleSize: Int, numPerm: Int, rowsPerBand: Int,
                             maxBucket: Int, numGroups: Int, nDocs: Long)
 
-  private def rawConfig(spark: SparkSession, path: String): Config = {
-    // heal a crash in writeConfig's delete→rename window: config/
-    // absent, complete config_tmp/ present → promote it
+  /** Read the config row. `promote = true` (writer side) heals a
+    * crash in [[writeConfig]]'s delete→rename window by renaming the
+    * complete `config_tmp/` into place; readers pass `promote =
+    * false` and just READ the tmp directory when `config/` is absent
+    * — same bytes, no filesystem mutation from a serving path. */
+  private def rawConfig(spark: SparkSession, path: String, promote: Boolean): Config = {
     val fs = marker(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cfg = new org.apache.hadoop.fs.Path(s"$path/config")
     val tmp = new org.apache.hadoop.fs.Path(s"$path/config_tmp")
-    if (!fs.exists(cfg) && fs.exists(tmp)) fs.rename(tmp, cfg)
-    val r = spark.read.parquet(s"$path/config")
+    val src =
+      if (fs.exists(cfg)) s"$path/config"
+      else if (promote && fs.exists(tmp)) { fs.rename(tmp, cfg); s"$path/config" }
+      else s"$path/config_tmp"
+    val r = spark.read.parquet(src)
       .select("shingleSize", "numPerm", "rowsPerBand", "maxBucket", "numGroups", "nDocs")
       .head()
     Config(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getLong(5))
   }
 
-  /** Every public entry point resolves config through the recovery
-    * gate, so a crashed index heals on next use. */
+  /** WRITER-side config resolution: heals any pending state first
+    * ([[recoverIfPending]]). Mutating entry points are single-writer
+    * by contract (one maintenance job owns the index at a time). */
   private def config(spark: SparkSession, path: String): Config = {
     recoverIfPending(spark, path)
-    rawConfig(spark, path)
+    rawConfig(spark, path, promote = true)
+  }
+
+  /** READER-side config resolution: refuses a torn build, tolerates a
+    * stranded or in-flight `_append_pending` WITHOUT healing — the
+    * marker is legitimately present during any live [[append]], and a
+    * probe that re-banded concurrently with the appender would race
+    * its `banded/` overwrite. `sigs/` commits first and `banded/` is
+    * rewritten in one atomic job commit, so a reader always sees a
+    * consistent committed snapshot (at worst the pre-append index —
+    * the batch has not committed yet from the probe's point of view).
+    * A stranded marker is healed by the next writer entry. */
+  private def readerConfig(spark: SparkSession, path: String): Config = {
+    val fs = marker(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(buildMarker(path)))
+      throw new IllegalStateException(
+        s"LSH index at $path was torn by a crashed build (_build_pending present) — rebuild required")
+    rawConfig(spark, path, promote = false)
   }
 
   private def marker(path: String) = new org.apache.hadoop.fs.Path(s"$path/_append_pending")
@@ -138,6 +163,12 @@ object LshIndex {
     * recount, and drops the marker — restoring the rebuild-equivalence
     * invariant exactly. Idempotent: a crash DURING recovery leaves the
     * marker in place and the next entry retries.
+    *
+    * Called from WRITER entry points only ([[append]], and via the
+    * [[config]] gate). Probes must not heal: the marker is
+    * legitimately up during a live append, and a probe re-banding
+    * concurrently would race the appender's own `banded/` overwrite —
+    * readers instead serve the committed snapshot ([[readerConfig]]).
     */
   private def recoverIfPending(spark: SparkSession, path: String): Unit = {
     val m = marker(path)
@@ -150,7 +181,7 @@ object LshIndex {
     if (!fs.exists(m)) return
     // immutable banding params are safe to read from a stale config —
     // only nDocs moves across appends, and that is recounted here
-    val c = rawConfig(spark, path)
+    val c = rawConfig(spark, path, promote = true)
     val sigs = spark.read.parquet(s"$path/sigs")
     val n = sigs.count()
     Dedup.survivingBandedFixedCap(sigs, c.numPerm, c.rowsPerBand, capOf(c.maxBucket, n),
@@ -181,8 +212,9 @@ object LshIndex {
     * Crash safety: the update is multi-step (sigs, banded partitions,
     * config), so it brackets itself with the `_append_pending` marker
     * and commits `sigs/` FIRST — a crash anywhere in the sequence is
-    * healed by [[recoverIfPending]] on the next probe or append
-    * (re-band from sigs), and docs already present in `sigs/` are
+    * healed by [[recoverIfPending]] on the next append or scheduled
+    * maintenance run (re-band from sigs; probes meanwhile serve the
+    * committed snapshot), and docs already present in `sigs/` are
     * anti-joined away, so retrying a crashed or overlapping batch is
     * idempotent rather than double-counted.
     */
@@ -244,7 +276,7 @@ object LshIndex {
     * (same id) are excluded so a corpus can probe its own index. */
   def candidates(spark: SparkSession, path: String, incoming: DataFrame,
                  idCol: String, textCol: String): DataFrame = {
-    val c = config(spark, path)
+    val c = readerConfig(spark, path)
     val numBands = c.numPerm / c.rowsPerBand
     val incSigs = Dedup.sigTable(incoming, idCol, textCol, c.shingleSize, c.numPerm)
     val incBanded0 = Dedup.bandedRows(incSigs, c.numPerm, c.rowsPerBand,

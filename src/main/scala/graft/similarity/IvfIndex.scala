@@ -73,9 +73,10 @@ object IvfIndex {
     * too. Build-or-probe callers (the registered disk queries, a
     * serving job's cold start) gate on this instead of raw `_SUCCESS`
     * checks so a torn layout is REBUILT rather than refused. A
-    * stranded `_append_pending` does NOT fail this check — that state
-    * self-heals on the next serve ([[recoverIfPending]]) and needs no
-    * rebuild. */
+    * stranded `_append_pending` does NOT fail this check — probes
+    * serve the committed prefix meanwhile ([[ensureServable]]) and
+    * the next writer entry heals it ([[recoverIfPending]]); no
+    * rebuild needed. */
   def isComplete(spark: SparkSession, path: String, pq: Boolean = false): Boolean = {
     val fs = fsOf(spark, path)
     def ok(sub: String) =
@@ -85,11 +86,38 @@ object IvfIndex {
       !fs.exists(buildMarker(path))
   }
 
-  /** Crash recovery, called by every serving entry point.
+  /** Read-side gate, called by every serving entry point. Refuses a
+    * layout torn by a crashed BUILD (`_build_pending` — not healable
+    * in place, the build's source frame was the caller's; a rebuild
+    * clears it). A stranded or in-flight `_append_pending` is
+    * TOLERATED without healing: `vectors/` commits before `codes/`,
+    * so readers always see a consistent committed prefix — exact
+    * search sees every committed vector, and the PQ paths derive
+    * their candidate set from `codes/`, so a vector whose codes have
+    * not landed is simply not yet ingested from the probe's point of
+    * view. Readers MUST NOT heal here: `_append_pending` is
+    * legitimately present during any live [[append]], and a probe
+    * that re-encoded "missing" codes concurrently with the appender
+    * would land duplicate (id, sub) rows that double ADC distances in
+    * [[Similarity.pqIvfSearch]]'s per-(query, id) sum. Healing is a
+    * writer-side act ([[recoverIfPending]]). */
+  private def ensureServable(spark: SparkSession, path: String): Unit = {
+    if (fsOf(spark, path).exists(buildMarker(path)))
+      throw new IllegalStateException(
+        s"IVF index at $path was torn by a crashed build (_build_pending present) — rebuild required")
+  }
+
+  /** Crash recovery, called by every WRITER entry point ([[append]],
+    * [[recenter]], [[recenterIfSkewed]] — and therefore the
+    * [[IvfMaintain]] cron job, which bounds how long a stranded
+    * marker can live). Mutating entry points are single-writer by
+    * contract — one maintenance job owns the index at a time, the
+    * same assumption the blue/green pointer flip already makes;
+    * concurrent PROBES are always safe because serving paths never
+    * write ([[ensureServable]]).
     *
-    * A stranded `_build_pending` is not healable in place (the build's
-    * source frame is the caller's) — refuse the torn layout loudly;
-    * a rebuild clears it.
+    * A stranded `_build_pending` is not healable in place — refuse
+    * loudly; a rebuild clears it.
     *
     * A stranded `_append_pending` IS healable: [[append]] commits
     * `vectors/` FIRST and `codes/` is a pure function of the stored
@@ -102,9 +130,7 @@ object IvfIndex {
     * torn-export failure mode, applied to an index. */
   def recoverIfPending(spark: SparkSession, path: String): Unit = {
     val fs = fsOf(spark, path)
-    if (fs.exists(buildMarker(path)))
-      throw new IllegalStateException(
-        s"IVF index at $path was torn by a crashed build (_build_pending present) — rebuild required")
+    ensureServable(spark, path)
     val m = appendMarker(path)
     if (!fs.exists(m)) return
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/codebook"))) {
@@ -136,7 +162,7 @@ object IvfIndex {
     * partitions. */
   def search(spark: SparkSession, path: String, queries: DataFrame,
              idCol: String, vecCol: String, nprobe: Int, k: Int): DataFrame = {
-    recoverIfPending(spark, path)
+    ensureServable(spark, path)
     val cents = readCentroids(spark, path)
     // filter BEFORE the long-cast so the IN lands directly on the raw
     // partition column (guaranteed listing-time pruning), cast after
@@ -214,7 +240,7 @@ object IvfIndex {
     * re-centering: [[append]] freezes centroids, so a shifting input
     * distribution shows up as cell-size skew. */
   def cellStats(spark: SparkSession, path: String): DataFrame = {
-    recoverIfPending(spark, path)
+    ensureServable(spark, path)
     readVectors(spark, path).groupBy("cell").agg(count(lit(1)).as("n"))
   }
 
@@ -277,6 +303,7 @@ object IvfIndex {
   def recenterIfSkewed(spark: SparkSession, pointerPath: String, destPath: String,
                        kCells: Int, threshold: Double, iters: Int = 3): (Double, Boolean) = {
     val src = readPointer(spark, pointerPath)
+    recoverIfPending(spark, src) // the maintenance job is the designated healer
     val skew = skewRatio(spark, src)
     if (skew <= threshold) (skew, false)
     else {
@@ -324,7 +351,7 @@ object IvfIndex {
     * LUT against `codebook/`; corpus floats are never read. */
   def searchPq(spark: SparkSession, path: String, queries: DataFrame,
                idCol: String, vecCol: String, nprobe: Int, k: Int): DataFrame = {
-    recoverIfPending(spark, path)
+    ensureServable(spark, path)
     val cents = readCentroids(spark, path)
     val cb = spark.read.parquet(s"$path/codebook")
     val cells = probedCells(cents, queries, idCol, vecCol, nprobe).map(Long.box)
@@ -352,7 +379,7 @@ object IvfIndex {
                    idCol: String, vecCol: String,
                    nprobe: Int, kCand: Int, k: Int): DataFrame = {
     require(kCand >= k, s"searchRerank: kCand = $kCand must be >= k = $k")
-    recoverIfPending(spark, path)
+    ensureServable(spark, path)
     val cents = readCentroids(spark, path)
     val cb = spark.read.parquet(s"$path/codebook")
     val cells = probedCells(cents, queries, idCol, vecCol, nprobe).map(Long.box)

@@ -560,7 +560,7 @@ class DedupSimSpec extends AnyFunSuite {
     emb.unpersist()
   }
 
-  test("IVF index crash safety: torn append heals on next probe, torn build refuses, append is idempotent") {
+  test("IVF index crash safety: probes serve the committed prefix read-only, writer entries heal, torn build refuses") {
     val emb = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet").cache()
     val first = emb.filter(col("vec_id") % 2 === 0)
     val rest = emb.filter(col("vec_id") % 2 =!= 0)
@@ -583,22 +583,45 @@ class DedupSimSpec extends AnyFunSuite {
       .write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
     // a stranded append marker does not demand a rebuild...
     assert(IvfIndex.isComplete(spark, path, pq = true))
-    // ...because the next probe HEALS it: searchPq must equal the
-    // in-memory IVF-PQ composition over the FULL corpus with the
-    // frozen centroids + codebook — the appended vectors become
-    // candidates instead of being silently missing from codes/
+    // ...and a PROBE must serve the COMMITTED PREFIX without healing:
+    // codes-driven candidates exclude the un-coded batch (it never
+    // committed, from the probe's point of view), and the probe
+    // writes NOTHING — a reader healing here would race a live
+    // appender and land duplicate (id, sub) code rows that double ADC
+    // distances (the advisor's multi-job serving scenario)
     val cb = Similarity.pqCodebook(first, "vec_id", "embedding", dim = 64, m = 4, k = 16)
-    val encAll = Similarity.pqEncode(emb, "vec_id", "embedding", cb)
-    val assignedAll = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
-    val memPq = Similarity.pqIvfSearch(encAll, cb, assignedAll, cents, queries,
-        "vec_id", "embedding", nprobe = 2, k = 5)
+    def memPqOf(corpus: org.apache.spark.sql.DataFrame) = {
+      val enc = Similarity.pqEncode(corpus, "vec_id", "embedding", cb)
+      val asg = Similarity.ivfAssign(corpus, "vec_id", "embedding", cents)
+      Similarity.pqIvfSearch(enc, cb, asg, cents, queries,
+          "vec_id", "embedding", nprobe = 2, k = 5)
+        .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._3, r._2)).toSeq
+    }
+    val codesBefore = spark.read.parquet(s"$path/codes").count()
+    val duringTorn = IvfIndex.searchPq(spark, path, queries, "vec_id", "embedding", nprobe = 2, k = 5)
       .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._3, r._2)).toSeq
+    assert(duringTorn == memPqOf(first), "probe under a pending append must serve the committed prefix")
+    assert(fs.exists(marker), "a probe must NOT heal (reader entry points are read-only)")
+    assert(spark.read.parquet(s"$path/codes").count() == codesBefore,
+      "a probe must not write code rows")
+
+    // the next WRITER entry heals: retrying the batch re-encodes the
+    // missing codes (vectors committed first; codes are a pure
+    // function of vectors × the frozen codebook) and the appended
+    // vectors become candidates instead of being silently missing —
+    // while the retry itself anti-joins away as already resident
+    val memPq = memPqOf(emb)
+    assert(IvfIndex.append(rest, "vec_id", "embedding", path) == 0L)
+    assert(!fs.exists(marker), "writer entry must clear _append_pending")
     val healed = IvfIndex.searchPq(spark, path, queries, "vec_id", "embedding", nprobe = 2, k = 5)
       .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._3, r._2)).toSeq
     assert(healed == memPq)
-    assert(!fs.exists(marker), "heal must clear _append_pending")
+    // no duplicate (id, sub) code rows after the heal
+    val codesAll = spark.read.parquet(s"$path/codes")
+    assert(codesAll.count() == codesAll.select("id", "sub").distinct().count(),
+      "heal must not produce duplicate (id, sub) code rows")
 
-    // idempotency: retrying the same batch ingests nothing twice
+    // idempotency: retrying the same batch again still ingests nothing
     assert(IvfIndex.append(rest, "vec_id", "embedding", path) == 0L)
     val after = IvfIndex.searchPq(spark, path, queries, "vec_id", "embedding", nprobe = 2, k = 5)
       .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._3, r._2)).toSeq
@@ -836,38 +859,47 @@ class DedupSimSpec extends AnyFunSuite {
 
     // branch 3: CRASH RECOVERY — simulate an append that died after
     // its sigs commit but before banded/config (the worst stranded
-    // state: banded behind sigs). The `_append_pending` marker must
-    // make the next probe re-band from sigs and converge on the fresh
-    // build; retrying the crashed batch must then be a no-op.
+    // state: banded behind sigs). A PROBE must serve the committed
+    // snapshot READ-ONLY (healing from a reader would race a live
+    // appender's banded/ overwrite); the next WRITER entry re-bands
+    // from sigs and converges on the fresh build, and retrying the
+    // crashed batch is a no-op.
     LshIndex.build(first, "doc_id", "text", s"$base/inc2", numGroups = 32)
+    val prefixPairs = pairSet(s"$base/inc2", probe) // the committed snapshot
     spark.read.parquet(s"$base/full/sigs").as("s")
       .join(rest.select(col("doc_id").as("doc")), Seq("doc"), "left_semi")
       .write.mode("append").parquet(s"$base/inc2/sigs")
     val m = new org.apache.hadoop.fs.Path(s"$base/inc2/_append_pending")
     val fs = m.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.create(m, true).close()
-    val healedPairs = pairSet(s"$base/inc2", probe) // public entry → heals
-    assert(!fs.exists(m), "recovery must clear the pending marker")
+    val duringTorn = pairSet(s"$base/inc2", probe)
+    assert(fs.exists(m), "a probe must NOT heal (reader entry points are read-only)")
+    assert(duringTorn == prefixPairs,
+      "probe under a pending append must serve the committed snapshot")
+    assert(LshIndex.append(rest, "doc_id", "text", s"$base/inc2") == 0L,
+      "retrying the crashed batch must heal, then anti-join away as already indexed")
+    assert(!fs.exists(m), "writer entry must clear the pending marker")
     assert(bandedSet(s"$base/inc2") == bandedSet(s"$base/full"),
       "recovered banded layout diverges from a fresh build")
-    assert(healedPairs == pairSet(s"$base/full", probe))
-    assert(LshIndex.append(rest, "doc_id", "text", s"$base/inc2") == 0L,
-      "retrying the crashed batch must anti-join away as already indexed")
-    assert(bandedSet(s"$base/inc2") == bandedSet(s"$base/full"))
+    assert(pairSet(s"$base/inc2", probe) == pairSet(s"$base/full", probe))
 
     // branch 4: crash INSIDE writeConfig's delete→rename window —
     // config/ deleted, complete config_tmp/ stranded, marker still
-    // up. The config read must promote the tmp dir (never depend on
-    // a file the crashed step half-overwrote) and recovery then run
-    // to completion as usual.
+    // up. A probe must READ the tmp dir in place (no promotion — a
+    // reader mutating the layout is the race all over again); the
+    // next writer entry promotes it and heals to a clean layout.
     val cfgP = new org.apache.hadoop.fs.Path(s"$base/inc2/config")
     val tmpP = new org.apache.hadoop.fs.Path(s"$base/inc2/config_tmp")
     assert(fs.rename(cfgP, tmpP), "could not stage the crash state")
     fs.create(m, true).close()
-    val healed2 = pairSet(s"$base/inc2", probe) // public entry → heals
+    val during2 = pairSet(s"$base/inc2", probe)
+    assert(fs.exists(m) && !fs.exists(cfgP) && fs.exists(tmpP),
+      "a probe must read config_tmp in place without promoting it")
+    assert(during2 == pairSet(s"$base/full", probe))
+    assert(LshIndex.append(rest, "doc_id", "text", s"$base/inc2") == 0L)
     assert(!fs.exists(m) && fs.exists(cfgP) && !fs.exists(tmpP),
-      "config-swap crash not healed to a clean layout")
-    assert(healed2 == pairSet(s"$base/full", probe))
+      "config-swap crash not healed to a clean layout by the writer entry")
+    assert(pairSet(s"$base/inc2", probe) == pairSet(s"$base/full", probe))
     docs.unpersist()
   }
 
