@@ -5,6 +5,19 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    // `--list [outFile]`: print the registered query names (the FULL
+    // registry, one per line) without starting Spark — tools that
+    // complement a skip list (tools/scalesweep.sh) resolve names from
+    // this instead of oracle keys, so rows-only queries (registered
+    // but oracle-less) can never be silently dropped from a sweep
+    if (args.headOption.contains("--list")) {
+      val names = SparkEntry.queries.keys.toSeq.sorted.mkString("", "\n", "\n")
+      args.lift(1) match {
+        case Some(f) => Files.writeString(Paths.get(f), names)
+        case None    => print(names)
+      }
+      return
+    }
     val Array(sfDir, outDir) = args.take(2)
     // optional 3rd arg (local iteration only): comma-separated query
     // names — the driver always runs the full set
@@ -57,6 +70,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the FULL registry (not only-filtered): check.py validates
+    // --only/--skip names against this, so a stale dump dir from a
+    // renamed query in a reused outdir can no longer satisfy the
+    // typo guard, while rows-only registered queries stay filterable
+    Files.writeString(Paths.get(s"$outDir/registered_queries.json"),
+      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     failures.toMap
   }
 }

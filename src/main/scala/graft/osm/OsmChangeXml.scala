@@ -100,8 +100,14 @@ object OsmChangeXml {
     // export), then stale shards from previous runs
     graft.sources.ExportManifest.invalidate(df.sparkSession, outDir)
     val stale = Files.list(Paths.get(outDir))
+    // `.shard-*-…*.tmp` covers temp files stranded by a killed prior
+    // run's tasks (invisible to manifest-gated readers, but they'd
+    // accumulate without bound under repeated crash/retry)
     try stale.iterator().asScala.toSeq
-      .filter(_.getFileName.toString.startsWith("shard-")).foreach(Files.deleteIfExists)
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("shard-") || (n.startsWith(".shard-") && n.endsWith(".tmp"))
+      }.foreach(Files.deleteIfExists)
     finally stale.close()
 
     val sectionRank = when(col("section") === "create", 0)

@@ -20,12 +20,21 @@ def main(sfdir, outdir, only=None, skip=None):
     # reject misspelled filter names up front: a typo'd --only would
     # otherwise filter the dict to empty and the gate would print
     # "0 ok, 0 fail" and exit 0 — a passing run that checked nothing.
-    # Valid names = oracle keys UNION dumped query dirs, so a
+    # Valid names = oracle keys UNION the run's registered query set
+    # (registered_queries.json, written by Verify every run), so a
     # registered rows-only query (Verify output, no oracle) stays
-    # skippable rather than tripping the typo guard
-    dumped = {os.path.basename(p) for p in glob.glob(f"{outdir}/*")
-              if os.path.isdir(p)}
-    unknown = ((only or set()) | (skip or set())) - (oracle.keys() | dumped)
+    # skippable WITHOUT widening the guard to stale dump dirs left in
+    # a reused outdir by renamed/removed queries. Older dumps without
+    # the registry file fall back to dump dirs, with a warning.
+    reg_file = f"{outdir}/registered_queries.json"
+    if os.path.exists(reg_file):
+        registered = set(json.load(open(reg_file)))
+    else:
+        registered = {os.path.basename(p) for p in glob.glob(f"{outdir}/*")
+                      if os.path.isdir(p)}
+        print("WARNING: no registered_queries.json in outdir — validating "
+              "filter names against dump dirs (stale dirs may pass)")
+    unknown = ((only or set()) | (skip or set())) - (oracle.keys() | registered)
     if unknown:
         print(f"ERROR: unknown query name(s) in --only/--skip: {sorted(unknown)}")
         return 2

@@ -27,16 +27,19 @@ python3 tools/mkscale.py /root/testdata/sf0.1 "$dst" "$copies"
 only_arg=""
 if [[ -n "$skip" ]]; then
   # Verify takes the RUN list: complement the skip list against the
-  # registered oracle names from a previous dump (any sf dir works)
-  sbt -batch "runMain graft.Verify /root/testdata/sf0.001 /tmp/sweep_names q1_agg" >/dev/null
+  # FULL registered query set (Verify --list), not the oracle keys —
+  # a registered rows-only query (no oracle) must still run in the
+  # sweep rather than be silently excluded
+  sbt -batch "runMain graft.Verify --list /tmp/sweep_names.txt" >/dev/null
   only_arg=$(python3 - "$skip" <<'EOF'
-import json, sys
-oracle = json.load(open("/tmp/sweep_names/oracle_sql.json"))
+import sys
+registered = set(open("/tmp/sweep_names.txt").read().split())
+assert registered, "Verify --list produced no names"
 skip = set(sys.argv[1].split(","))
-unknown = skip - set(oracle)
+unknown = skip - registered
 if unknown:
     sys.exit(f"unknown skip names: {sorted(unknown)}")
-print(",".join(sorted(set(oracle) - skip)))
+print(",".join(sorted(registered - skip)))
 EOF
 )
 fi
