@@ -182,6 +182,22 @@ object Bench {
     }
     val mins = results.map { case (k, runs) => k -> minOf(runs) }
     val total = mins.values.filter(_ >= 0).sum
+    // phase-timed sub-numbers for the sharded-export rows (write vs
+    // read+verify), UNTIMED relative to the sweep — they make a
+    // single-phase regression (e.g. manifest-verify cost) attributable
+    // from the detail file alone. Best-effort: a failure records the
+    // message instead of killing the bench.
+    val exportDetail: Map[String, Map[String, Double]] =
+      Seq("src_wet_roundtrip" -> (() => graft.queries.ExportDetail.wet(spark, sfDir)),
+        "src_jsonl_roundtrip" -> (() => graft.queries.ExportDetail.jsonl(spark, sfDir)))
+        .filter { case (n, _) => selected.contains(n) }
+        .flatMap { case (n, f) =>
+          try Some(n -> f())
+          catch { case e: Throwable =>
+            errors.getOrElseUpdate(s"${n}_detail", s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
+            None
+          }
+        }.toMap
     // full-precision detail (raw runs) to a file, NOT stdout
     val detail = {
       val runsJson = results.map { case (k, runs) =>
@@ -189,7 +205,10 @@ object Bench {
       }.mkString("{", ",", "}")
       val errJson = errors.map { case (k, m) => s"${jstr(k)}:${jstr(m)}" }.mkString("{", ",", "}")
       val flaggedJson = flagged.map(jstr).mkString("[", ",", "]")
-      s"""{"total":$total,"runs":$runsJson,"errors":$errJson,"readjudicated":$flaggedJson,"n_pinned":${pinned.size},"n_runs":$nRuns,"sf":${jstr(sfDir)}}"""
+      val exportJson = exportDetail.map { case (q, phases) =>
+        s"${jstr(q)}:${phases.map { case (p, v) => s"${jstr(p)}:$v" }.mkString("{", ",", "}")}"
+      }.mkString("{", ",", "}")
+      s"""{"total":$total,"runs":$runsJson,"errors":$errJson,"readjudicated":$flaggedJson,"export_detail":$exportJson,"n_pinned":${pinned.size},"n_runs":$nRuns,"sf":${jstr(sfDir)}}"""
     }
     try {
       // anchor next to build.sbt when possible so the artifact lands in

@@ -48,15 +48,15 @@ object ChangegenPipeline {
       modifyXml: DataFrame, deleteXml: DataFrame,
       polyNodes: DataFrame, polyWays: DataFrame, polyRelations: DataFrame)
 
-  /** Deletion-table discovery by name suffix — the CLI analog of the
-    * reference's `_get_db_tables` (`table_name LIKE '%suffix'`,
-    * __main__.py:55-68): every parquet table in `dir` whose name ends
-    * with `suffix` contributes `<delete>` entries (its `osm_id`
-    * column names the removed ways). In database mode (`dir` is a
-    * `jdbc:` URL) the discovery runs against the connection's table
-    * metadata instead of a directory listing — the reference's
+  /** Table discovery by name suffix — the reference's `_get_db_tables`
+    * (`table_name LIKE '%suffix'`, __main__.py:55-68), used for BOTH
+    * deletion tables (`--deletion-suffix`) and new-feature tables
+    * (`--suffix`, __main__.py:73-83 — the reference's default way of
+    * naming its inputs). In database mode (`dir` is a `jdbc:` URL)
+    * the discovery runs against the connection's table metadata
+    * instead of a directory listing — the reference's
     * information_schema query, verbatim semantics. */
-  def discoverDeletionTables(dir: String, suffix: String): Seq[String] =
+  def discoverTables(dir: String, suffix: String): Seq[String] =
     if (dir.startsWith("jdbc:")) {
       val conn = java.sql.DriverManager.getConnection(dir)
       try {
@@ -86,6 +86,63 @@ object ChangegenPipeline {
         .map(_.getAbsolutePath).sorted
     }
 
+  /** Deletion-table discovery (kept as the deletion-specific name the
+    * deletion path and its specs use): discovered tables contribute
+    * `<delete>` entries via their `osm_id` column. */
+  def discoverDeletionTables(dir: String, suffix: String): Seq[String] =
+    discoverTables(dir, suffix)
+
+  /** Read a feature table RAW (all columns, geometry undecoded):
+    * jdbc mode via the partition-ranged PostGIS reader, directory
+    * mode straight from parquet (`name` may be a discovered absolute
+    * path or a bare table name). */
+  def featureTable(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (dir.startsWith("jdbc:"))
+      graft.sources.Snapshots.postgisTable(spark, dir, name,
+        decodeGeom = false, hstoreCols = Nil)
+    else if (name.endsWith(".parquet")) spark.read.parquet(name)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Geometry class of one WKB/hex-EWKB value: 1 = point, 2 = line,
+    * 3 = polygon (MULTI* fold onto their base type; ISO Z/M offsets
+    * and EWKB flag bits stripped). Driver-side constant work — used
+    * to route each DISCOVERED feature table to the point/line/polygon
+    * seam from a single sampled row, the way the reference's OGR
+    * layer loop branches on the feature's geometry type
+    * (generator.py:604-686). imposm-style tables are homogeneous per
+    * table, so one sample classifies the table. */
+  def wkbClass(v: Any): Int = {
+    val bytes: Array[Byte] = v match {
+      case b: Array[Byte] => b
+      case s: String =>
+        s.take(10).grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      case other => throw new IllegalArgumentException(
+        s"unsupported wkb_geometry value type: ${other.getClass.getName}")
+    }
+    require(bytes.length >= 5, "truncated WKB header")
+    val le = bytes(0) == 1
+    val raw =
+      if (le) (bytes(1) & 0xff) | ((bytes(2) & 0xff) << 8) |
+        ((bytes(3) & 0xff) << 16) | ((bytes(4) & 0xff) << 24)
+      else ((bytes(1) & 0xff) << 24) | ((bytes(2) & 0xff) << 16) |
+        ((bytes(3) & 0xff) << 8) | (bytes(4) & 0xff)
+    ((raw & 0x0FFFFFFF) % 1000) match {
+      case 1 | 4 => 1
+      case 2 | 5 => 2
+      case 3 | 6 => 3
+      case x => throw new IllegalArgumentException(s"unsupported WKB geometry type $x")
+    }
+  }
+
+  /** One sampled geometry class for a feature table (see [[wkbClass]]);
+    * fails loudly on an all-null or empty geometry column. */
+  def tableGeomClass(df: DataFrame, name: String): Int = {
+    val sample = df.select(col("wkb_geometry"))
+      .filter(col("wkb_geometry").isNotNull).head(1)
+    require(sample.nonEmpty, s"feature table $name has no non-null wkb_geometry to classify")
+    wkbClass(sample(0).get(0))
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get()
     try run(args, spark) finally spark.stop()
@@ -99,7 +156,9 @@ object ChangegenPipeline {
     *
     * Arguments are positional (back-compatible) or `--key=value`
     * flags; flags win. Keys: max-nodes-per-way, id-offset, neg-ids,
-    * shards, osmsrc, deletion-suffix, no-collisions — plus the
+    * shards, osmsrc, deletion-suffix, no-collisions, suffix
+    * (new-feature table discovery, comma-separated), existing
+    * (junction-target tables), modify-meta, hstore-tags — plus the
     * REAL-GEOMETRY inputs the reference's main() actually consumes
     * (its feature tables carry `wkb_geometry`): `--poly-table` /
     * `--line-table` name a table (jdbc mode) or a parquet file
@@ -118,7 +177,8 @@ object ChangegenPipeline {
     // its --only/--skip names against)
     val knownFlags = Set("max-nodes-per-way", "id-offset", "neg-ids",
       "shards", "osmsrc", "deletion-suffix", "no-collisions",
-      "poly-table", "line-table", "poly-epsg")
+      "poly-table", "line-table", "poly-epsg",
+      "modify-meta", "hstore-tags", "suffix", "existing")
     val unknownFlags = flags.keySet -- knownFlags
     require(unknownFlags.isEmpty,
       s"unknown flag(s): ${unknownFlags.toSeq.sorted.map("--" + _).mkString(", ")}" +
@@ -146,15 +206,74 @@ object ChangegenPipeline {
       raw.select(col(raw.columns.head).cast("long").as(groupCol),
         col("wkb_geometry").as("wkb"))
     }
-    val polyWkb = flags.get("poly-table").map(geomFrame(_, "pgroup"))
-    val lineWkb = flags.get("line-table").map(geomFrame(_, "lgroup"))
     val polyEpsg = flags.get("poly-epsg").map(_.toInt).getOrElse(4326)
+    // reference __main__.py:104-117,152-163: --modify-meta turns the
+    // suffix tables into <modify> elements (metadata only, geometry
+    // untouched); --hstore-tags names the hstore column tags merge
+    // from (table columns win). --suffix discovers new-feature tables
+    // by name (multiple, comma-separated — the reference's repeatable
+    // -s); --existing names the geometry tables eligible for junction
+    // modification (__main__.py:95-103).
+    val modifyMeta = flags.get("modify-meta").exists(_.toBoolean)
+    val hstoreCol = flags.get("hstore-tags")
+    val suffixes = flags.get("suffix").map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val existingNames = flags.get("existing").map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    // the reference's own incompatibility rule (__main__.py:229-230)
+    require(!(modifyMeta && existingNames.nonEmpty),
+      "--modify-meta cannot be used with --existing")
 
-    val deletionTables = deletionSuffix.map(discoverDeletionTables(sfDir, _)).getOrElse(Nil)
+    val deletionTables = deletionSuffix.map(discoverTables(sfDir, _)).getOrElse(Nil)
     if (deletionSuffix.isDefined)
       println(s"[changegen] found deletion tables: ${deletionTables.mkString(", ")}")
-    val f = build(spark, sfDir, maxNodes, idOffset, negIds, osmSrc,
-      deletionTables, noCollisions, polyWkb, polyEpsg, lineWkb)
+    val discovered = suffixes.flatMap(discoverTables(sfDir, _)).distinct.sorted
+    if (suffixes.nonEmpty) {
+      require(discovered.nonEmpty,
+        s"--suffix=${suffixes.mkString(",")} discovered no feature tables in $sfDir")
+      println(s"[changegen] found feature tables: ${discovered.mkString(", ")}")
+    }
+    val discoveredFrames = discovered.map { n =>
+      val df = featureTable(spark, sfDir, n)
+      (n, df, tableGeomClass(df, n))
+    }
+
+    val f =
+      if (modifyMeta) buildModifyOnly(spark, sfDir, osmSrc, discoveredFrames, hstoreCol)
+      else {
+        // suffix-discovered tables route to the line/poly seams by
+        // sampled geometry class; the table ordinal moves into the
+        // group id's high bits so per-table feature ids stay
+        // injective after the union (explicit --poly-table /
+        // --line-table inputs keep their raw ids, ordinal 0)
+        def seamUnion(cls: Int, explicitTbl: Option[String], groupCol: String): Option[DataFrame] = {
+          val fromSuffix = discoveredFrames.filter(_._3 == cls).map(_._2)
+          val all = explicitTbl.map(geomFrame(_, groupCol)).toSeq ++
+            fromSuffix.zipWithIndex.map { case (df, i) =>
+              df.select((lit((i + 1).toLong << 40) + col(df.columns.head).cast("long")).as(groupCol),
+                col("wkb_geometry").as("wkb"))
+            }
+          all.reduceOption(_ unionByName _)
+        }
+        val pointTables = discoveredFrames.filter(_._3 == 1).map(_._1)
+        require(pointTables.isEmpty,
+          s"point feature tables are not supported for creates (use --modify-meta): ${pointTables.mkString(", ")}")
+        val existingWkb =
+          if (existingNames.isEmpty) None
+          else {
+            // node ids for the named geometries' vertices resolve by
+            // position against the extract's way node lists — the
+            // reference's own requirement (its --osmsrc is mandatory)
+            require(osmSrc.isDefined,
+              "--existing requires --osmsrc (node ids come from the extract)")
+            Some(existingNames.map { n =>
+              featureTable(spark, sfDir, n)
+                .select(col("osm_id").cast("long").as("eway"), col("wkb_geometry").as("wkb"))
+            }.reduce(_ unionByName _))
+          }
+        build(spark, sfDir, maxNodes, idOffset, negIds, osmSrc,
+          deletionTables, noCollisions,
+          seamUnion(3, flags.get("poly-table"), "pgroup"), polyEpsg,
+          seamUnion(2, flags.get("line-table"), "lgroup"), existingWkb)
+      }
 
     // 5. assemble the OsmChange document (creates = nodes then ways)
     if (shards > 0) {
@@ -177,9 +296,22 @@ object ChangegenPipeline {
     * emit them as version-2 `<modify>` elements with refreshed tags
     * and UNCHANGED geometry (no new nodes, no splitting, no junction
     * pass; "modify_only does not support modifying geometries"). Way
-    * node lists come from the existing extract. */
+    * node lists come from the existing extract.
+    *
+    * `features` (the CLI's `--suffix`-discovered tables, raw frames +
+    * sampled geometry class from [[tableGeomClass]]): each row's tags
+    * come from its table columns, merged with the `hstoreCol` hstore
+    * map when given — column keys take precedence and neither
+    * `osm_id` nor the hstore column itself is emitted as a tag
+    * (reference `_generate_tags_from_feature`, generator.py:169-205).
+    * Line/polygon rows become way modifies (node lists joined from
+    * the extract by `osm_id`); point rows become v2 nodes at their
+    * own coordinates (generator.py:610-625). Without `features` the
+    * synthetic demo derivation is unchanged. */
   def buildModifyOnly(spark: SparkSession, sfDir: String,
-                      osmSrc: Option[String] = None): Frames = {
+                      osmSrc: Option[String] = None,
+                      features: Seq[(String, DataFrame, Int)] = Nil,
+                      hstoreCol: Option[String] = None): Frames = {
     val empty = spark.emptyDataFrame.withColumn("xml", lit(""))
       .filter(lit(false)).select("xml")
     // "osm_id" analog: the feature's vertex key maps onto existing node
@@ -192,15 +324,44 @@ object ChangegenPipeline {
         col("l_orderkey").as("eway"), col("l_linenumber").as("seq"), col("l_partkey").as("enode"))
     }
     val existingWays = WayOps.wayNodeMap(existingEdges, "eway", "seq", "enode")
-    // refreshed tags per existing way (the table's columns → tags);
-    // geometry (node list) passes through untouched, version bumps to 2
-    val modified = existingWays
-      .withColumn("new_nds", col("nds"))
-      .persist()
-    val modifyXml = modified.select(
-      OsmChangeXml.wayXml(col("eway"), lit(2), col("new_nds"),
-        map(lit("surface"), lit("asphalt"),
-          lit("ref"), concat(lit("W"), col("eway").cast("string")))).as("xml"))
+    val (modified, modifyXml) =
+      if (features.isEmpty) {
+        // synthetic demo derivation: every existing way refreshed
+        val m = existingWays.withColumn("new_nds", col("nds")).persist()
+        (m, m.select(
+          OsmChangeXml.wayXml(col("eway"), lit(2), col("new_nds"),
+            map(lit("surface"), lit("asphalt"),
+              lit("ref"), concat(lit("W"), col("eway").cast("string")))).as("xml")))
+      } else {
+        val perTable = features.map { case (name, df, cls) =>
+          val excluded = Set("osm_id", "wkb_geometry") ++ hstoreCol.map(_.toLowerCase)
+          val tagCols = df.columns.map(_.toLowerCase).filterNot(excluded.contains).toSeq.sorted
+          val colTags = graft.operators.TagOps.tagsFromColumns(df, tagCols)
+          val tags = hstoreCol
+            .map(h => graft.operators.TagOps.mergeTags(colTags, graft.operators.TagOps.hstoreToMap(col(h))))
+            .getOrElse(colTags)
+          if (cls == 1) {
+            // point feature: v2 node at the feature's own coordinates
+            val xml = df
+              .withColumn("_v", element_at(call_function("graft_geom_parts", col("wkb_geometry")), 1))
+              .select(OsmChangeXml.nodeXml(col("osm_id").cast("long"), lit(2),
+                graft.text.TextAnalysis.fp(col("_v").getField("y"), 6),
+                graft.text.TextAnalysis.fp(col("_v").getField("x"), 6), tags).as("xml"))
+            (xml, None)
+          } else {
+            // line/polygon feature: v2 way, node list from the extract
+            val ways = df.select(col("osm_id").cast("long").as("eway"), tags.as("_tags"))
+              .join(existingWays, "eway")
+            (ways.select(OsmChangeXml.wayXml(col("eway"), lit(2), col("nds"), col("_tags")).as("xml")),
+              Some(ways.select(col("eway"), col("nds").as("new_nds"))))
+          }
+        }
+        val m = perTable.flatMap(_._2)
+          .reduceOption(_ unionByName _)
+          .getOrElse(existingWays.select(col("eway"), col("nds").as("new_nds")).filter(lit(false)))
+          .persist()
+        (m, perTable.map(_._1).reduce(_ unionByName _))
+      }
     val none = modified.filter(lit(false))
     Frames(none, none, none, modified, none.select(lit("way").as("elem_type"), col("eway").as("elem_id")),
       empty, empty, empty, modifyXml, empty, none, none, none)
@@ -231,6 +392,17 @@ object ChangegenPipeline {
     * and flows through the same node-assignment / way-split /
     * junction dataflow as the synthetic derivation (WGS84 input —
     * reproject upstream via [[graft.spatial.Geo]] for other CRS). */
+  /** `existingWkb`: optional `(eway: long, wkb: binary | hex string)`
+    * rows naming the EXISTING geometries eligible for junction
+    * modification — the reference's `--existing` tables
+    * (__main__.py:95-103: "Table of geometries to use when
+    * determining whether existing features must be altered"). When
+    * present, junction detection runs against these features'
+    * vertices ONLY (coordinates decoded from the table's geometry,
+    * node ids resolved positionally against the extract's way node
+    * lists — so `osmSrc` is required), and only these ways are
+    * spliced. Deletions still expand against the FULL extract: the
+    * reference's deletion pass is independent of `--existing`. */
   def build(spark: SparkSession, sfDir: String, maxNodes: Int = 500,
             idOffset: Option[Long] = None, negIds: Boolean = false,
             osmSrc: Option[String] = None,
@@ -238,7 +410,10 @@ object ChangegenPipeline {
             noCollisions: Boolean = false,
             polyWkb: Option[DataFrame] = None,
             polySrcEpsg: Int = 4326,
-            lineWkb: Option[DataFrame] = None): Frames = {
+            lineWkb: Option[DataFrame] = None,
+            existingWkb: Option[DataFrame] = None): Frames = {
+    require(existingWkb.isEmpty || osmSrc.isDefined,
+      "existingWkb needs osmSrc: vertex node ids resolve positionally against the extract")
     val supplier = Tables.load(spark, sfDir, "supplier")
     val lineitem = Tables.load(spark, sfDir, "lineitem")
 
@@ -340,7 +515,7 @@ object ChangegenPipeline {
     // both the way→node lists and the node coordinates come from the
     // .pbf extract (lon→x, lat→y planar convention); synthetically,
     // from the lineitem edge table.
-    val (existingEdges, existingNodes) = osmSrc match {
+    val (existingEdges0, existingNodes0) = osmSrc match {
       case Some(p) =>
         val e = graft.osm.OsmPbf.ways(spark, p).toDF()
           .select(col("id").as("eway"), posexplode(col("nds")).as(Seq("seq", "enode")))
@@ -354,6 +529,22 @@ object ChangegenPipeline {
           col("enode"),
           ((col("enode") * 13 % 1000) / 10.0).as("ex"),
           ((col("enode") * 29 % 1000) / 10.0).as("ey")).distinct()
+        (e, n)
+    }
+    // --existing restriction: junction targets are the NAMED tables'
+    // features only — vertex coordinates from the table geometry
+    // (db.py runs its ST_DWithin against the table, not the extract),
+    // node ids joined positionally from the extract's way node lists
+    val (existingEdges, existingNodes) = existingWkb match {
+      case None => (existingEdges0, existingNodes0)
+      case Some(ew) =>
+        val ids = ew.select(col("eway")).distinct()
+        val e = existingEdges0.join(ids, Seq("eway"), "left_semi")
+        val verts = ew.select(col("eway"),
+            posexplode(call_function("graft_geom_parts", col("wkb"))).as(Seq("seq", "v")))
+          .select(col("eway"), col("seq"), col("v.x").as("ex"), col("v.y").as("ey"))
+        val n = verts.join(e, Seq("eway", "seq"))
+          .select(col("enode"), col("ex"), col("ey")).distinct()
         (e, n)
     }
     val junctions = DWithinJoin.pointPoint(
@@ -397,8 +588,14 @@ object ChangegenPipeline {
           .select(col("osm_id").cast("long").as("o_orderkey")))
         .foldLeft(diffRemoved)((acc, d) => acc.unionByName(d))
         .distinct()
+    // deletions expand against the FULL extract's way map, not the
+    // --existing-restricted one (the reference's deletion pass is a
+    // separate loop, independent of --existing)
+    val deleteWayMap =
+      if (existingWkb.isEmpty) existingWays
+      else WayOps.wayNodeMap(existingEdges0, "eway", "seq", "enode")
     val deleteSet = WayOps.expandDeletes(
-      existingWays.join(removedWays, col("eway") === col("o_orderkey")).select(col("eway").as("way"), col("nds")),
+      deleteWayMap.join(removedWays, col("eway") === col("o_orderkey")).select(col("eway").as("way"), col("nds")),
       "way", "nds").persist()
     val deleteXml = deleteSet.select(
       when(col("elem_type") === "way",

@@ -409,12 +409,16 @@ object IvfMaintain {
       "usage: IvfMaintain <pointerFile> <destPath> <kCells> <skewThreshold> [iters]")
     val Array(pointer, dest, kCells, threshold) = args.take(4)
     val iters = if (args.length > 4) args(4).toInt else 3
-    val spark = SparkSession.builder()
+    // own the session lifecycle only when this main CREATED it — a
+    // caller-provided active session (the e2e spec, or an
+    // orchestration job embedding the maintenance step) survives
+    val preExisting = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+    val spark = preExisting.getOrElse(SparkSession.builder()
       .withExtensions(graft.functions.GraftFunctions.register)
-      .getOrCreate()
+      .getOrCreate())
     val (skew, flipped) =
       IvfIndex.recenterIfSkewed(spark, pointer, dest, kCells.toInt, threshold.toDouble, iters)
     println(s"""{"skew":$skew,"flipped":$flipped,"active":"${IvfIndex.readPointer(spark, pointer)}"}""")
-    spark.stop()
+    if (preExisting.isEmpty) spark.stop()
   }
 }

@@ -215,31 +215,57 @@ object WarcWet {
     * the Common Crawl layout, so each output shard is independently
     * [[read]]-able and split-scannable. Input needs columns
     * (url, warc_type, date, text); rows stream straight to the gzip
-    * sink (no per-partition buffering). Local/NFS paths here; an
-    * object-store deployment swaps the FileOutputStream for a
-    * committer-tracked stream like `OsmChangeXml.writeShardedText`.
+    * sink (no per-partition buffering).
+    *
+    * The byte sink goes through the Hadoop FileSystem resolved from
+    * `dir` (no java.io in the write path), so the export works on
+    * any Hadoop-addressable store: each task writes to an
+    * ATTEMPT-UNIQUE `.part-*-<attempt>.tmp` name and renames into
+    * place — a retried or speculative attempt never corrupts a
+    * committed shard, and the rename is the per-shard commit.
     * Returns the shard file paths. */
   def writeSharded(df: DataFrame, dir: String): Seq[String] = {
     val spark = df.sparkSession
     import spark.implicits._
-    new java.io.File(dir).mkdirs()
+    import org.apache.hadoop.fs.Path
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dirPath = new Path(dir)
+    val dfs = dirPath.getFileSystem(hconf)
+    dfs.mkdirs(dirPath)
     // re-export discipline: the OLD manifest dies FIRST (a re-run
     // killed mid-write must read as incomplete, not as the previous
     // export), then stale shards from a wider previous run go (run 2
     // may produce fewer partitions — a lingering part-00002 from run
-    // 1 must not sit next to a manifest that doesn't list it)
+    // 1 must not sit next to a manifest that doesn't list it), plus
+    // task temps stranded by a killed prior run
     graft.sources.ExportManifest.invalidate(spark, dir)
-    Option(new java.io.File(dir).listFiles()).toSeq.flatten
-      .filter(_.getName.matches("part-\\d+\\.warc\\.wet\\.gz"))
-      .foreach(_.delete())
+    dfs.listStatus(dirPath).map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.matches("part-\\d+\\.warc\\.wet\\.gz") ||
+          (n.startsWith(".part-") && n.endsWith(".tmp"))
+      }
+      .foreach(p => dfs.delete(p, false))
+    // the Hadoop conf travels to the tasks as plain pairs (the conf
+    // object itself is not serializable): scheme handlers + any
+    // driver-set store credentials resolve identically executor-side
+    val confPairs = {
+      import scala.jdk.CollectionConverters._
+      hconf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
+    }
     val d = dir
-    val shards = df.select("url", "warc_type", "date", "text")
+    val shardNames = df.select("url", "warc_type", "date", "text")
       .as[(String, String, String, String)]
       .mapPartitions { it =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        val path = f"$d%s/part-$pid%05d.warc.wet.gz"
+        val tc = org.apache.spark.TaskContext.get()
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confPairs.foreach { case (k, v) => conf.set(k, v) }
+        val dp = new Path(d)
+        val fs = dp.getFileSystem(conf)
+        val finalName = f"part-${tc.partitionId()}%05d.warc.wet.gz"
+        val tmp = new Path(dp, f".part-${tc.partitionId()}%05d-${tc.taskAttemptId()}%d.tmp")
         var n = 0L
-        val fos = new java.io.FileOutputStream(path)
+        val fos = fs.create(tmp, true)
         try it.foreach { case (url, typ, date, text) =>
           val body = Option(text).getOrElse("").getBytes("UTF-8")
           val headers = Seq(
@@ -254,20 +280,25 @@ object WarcWet {
           gz.finish()
           n += 1
         } finally fos.close()
-        if (n == 0) { new java.io.File(path).delete(); Iterator.empty }
-        else Iterator.single(path)
+        if (n == 0) { fs.delete(tmp, false); Iterator.empty }
+        else {
+          val fin = new Path(dp, finalName)
+          fs.delete(fin, false) // a lost earlier attempt's commit: last wins
+          if (!fs.rename(tmp, fin))
+            throw new java.io.IOException(s"commit rename $tmp -> $fin failed")
+          Iterator.single(finalName)
+        }
       }
-      .collect().toSeq.sorted // one path per non-empty partition — driver-sized
+      .collect().toSeq.sorted // one name per non-empty partition — driver-sized
     // the completeness manifest goes in LAST, once every shard is on
     // disk (the _append_pending discipline applied to exports): a job
     // killed mid-write leaves shards but no manifest, so the
     // directory can never pass [[read]]'s gate as a complete export
     graft.sources.ExportManifest.write(spark, dir,
-      shards.map { p =>
-        val f = new java.io.File(p)
-        graft.sources.ExportManifest.Entry(f.getName, f.length())
+      shardNames.map { nme =>
+        graft.sources.ExportManifest.Entry(nme, dfs.getFileStatus(new Path(dirPath, nme)).getLen)
       }, format = "warc/wet-sharded")
-    shards
+    shardNames.map(nme => s"$d/$nme")
   }
 
   // ---- writer (driver-side; fixtures / small exports) ----------------

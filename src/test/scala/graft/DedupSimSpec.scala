@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.dedup.{Dedup, LshIndex}
-import graft.similarity.{IvfIndex, Similarity}
+import graft.similarity.{IvfIndex, IvfMaintain, Similarity}
 
 class DedupSimSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -951,6 +951,41 @@ class DedupSimSpec extends AnyFunSuite {
     // flip is idempotent-safe: re-pointing back to blue still serves
     IvfIndex.flipPointer(spark, ptr, blue)
     assert(IvfIndex.readPointer(spark, ptr) == blue)
+  }
+
+  test("IvfMaintain main: the cron argv path measures skew, heals stranded appends, flips the pointer, serves equivalently") {
+    val emb = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+    val base = java.nio.file.Files.createTempDirectory("ivfmaincron").toString
+    val blue = s"$base/blue"; val green = s"$base/green"; val ptr = s"$base/current"
+    IvfIndex.build(emb, "vec_id", "embedding", kCells = 8, path = blue)
+    IvfIndex.flipPointer(spark, ptr, blue)
+    val skew = IvfIndex.skewRatio(spark, blue)
+    // under threshold: a no-op run leaves the pointer on blue
+    IvfMaintain.main(Array(ptr, green, "8", (skew + 1).toString))
+    assert(IvfIndex.readPointer(spark, ptr) == blue)
+    assert(!spark.sparkContext.isStopped, "main must not stop a caller-owned session")
+    // strand an append marker on the SERVED index: the maintenance
+    // run is the designated healer (probes are read-only since the
+    // reader/writer split), so the cron entry must clear it
+    val fs = new org.apache.hadoop.fs.Path(blue)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$blue/_append_pending")
+    fs.create(marker, true).close()
+    // over threshold: heal, rebuild into green, flip
+    IvfMaintain.main(Array(ptr, green, "8", (skew / 2).toString, "2"))
+    assert(!fs.exists(marker), "maintenance run must heal the stranded append marker")
+    assert(IvfIndex.readPointer(spark, ptr) == green)
+    // post-flip serve equivalence: the pointer-resolved index answers
+    // exactly like an in-memory search over the SAME rebuilt centroids
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val cents = IvfIndex.readCentroids(spark, green)
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+    val mem = Similarity.ivfSearch(assigned, queries, "vec_id", "embedding", cents, nprobe = 2, k = 5)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._3, r._2)).toSeq
+    val served = IvfIndex.search(spark, IvfIndex.readPointer(spark, ptr), queries,
+        "vec_id", "embedding", nprobe = 2, k = 5)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._3, r._2)).toSeq
+    assert(served == mem, "pointer-resolved serve diverges from the rebuilt index")
   }
 
   test("pqIvfSearch over cell-carrying codes prunes on cell and never reads the (id,cell) index") {

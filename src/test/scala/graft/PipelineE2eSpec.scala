@@ -504,4 +504,124 @@ class PipelineE2eSpec extends AnyFunSuite {
     assert(doc.sliding("highway".length).count(_ == "highway") == 4, "4 split line ways")
     assert("<way id=\"\\d+\" version=\"1\">".r.findAllIn(doc).size >= 7)
   }
+
+  test("CLI --modify-meta/--hstore-tags: suffix tables become v2 modifies with column+hstore tags (reference __main__.py:104-117,152-163)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.functions.WkbGeomExpr
+    val tmp = Files.createTempDirectory("graft_cli_mm").toString
+    val url = "jdbc:derby:memory:graft_cli_mm;create=true"
+    val props = new java.util.Properties
+    Seq("supplier", "lineitem", "orders", "part").foreach { t =>
+      spark.read.parquet(s"${TestSpark.Sf}/$t.parquet").write.mode("overwrite").jdbc(url, t, props)
+    }
+    // two existing way ids (synthetic existing side: lineitem
+    // l_orderkey → ordered l_partkey node lists)
+    val li = spark.read.parquet(s"${TestSpark.Sf}/lineitem.parquet")
+    val wayIds = li.groupBy("l_orderkey").count().filter(col("count") >= 2)
+      .orderBy("l_orderkey").limit(2).collect().map(_.getLong(0))
+    def expectedNds(w: Long): Seq[Long] = li.filter(col("l_orderkey") === w)
+      .orderBy("l_linenumber").select("l_partkey").collect().map(_.getLong(0)).toSeq
+    // line feature table: osm_id + tag columns + hstore column whose
+    // `surface` key must LOSE to the table column, `sac_scale` must
+    // come through (the reference's column-precedence merge)
+    val lineHex = WkbGeomExpr.encode(2, Array((1.0, 2.0), (3.0, 4.0)))
+      .map("%02x".format(_)).mkString
+    wayIds.zipWithIndex.map { case (w, i) =>
+      (w, s"Trail $i", "gravel",
+        "\"surface\"=>\"SHOULD_LOSE\", \"sac_scale\"=>\"hiking\"", lineHex)
+    }.toSeq.toDF("osm_id", "name", "surface", "tags", "wkb_geometry")
+      .write.mode("overwrite").jdbc(url, "trails_new", props)
+    // point feature table: becomes a v2 <node> at its own coordinates
+    val ptHex = WkbGeomExpr.encode(1, Array((7.25, 40.5))).map("%02x".format(_)).mkString
+    Seq((777L, "shelter", "\"ele\"=>\"2042\"", ptHex))
+      .toDF("osm_id", "amenity", "tags", "wkb_geometry")
+      .write.mode("overwrite").jdbc(url, "pois_new", props)
+
+    val out = s"$tmp/modify_meta.osc"
+    ChangegenPipeline.run(Array(url, out, "--suffix=_new", "--modify-meta", "--hstore-tags=tags"), spark)
+    val doc = new String(java.nio.file.Files.readAllBytes(Paths.get(out)), "UTF-8")
+
+    // no creates, no deletes — only v2 modifies
+    assert(!doc.contains("version=\"1\""), "modify-meta must not create elements")
+    val modWays = "<way id=\"(\\d+)\" version=\"2\">".r.findAllMatchIn(doc).map(_.group(1).toLong).toSet
+    assert(modWays == wayIds.toSet, s"modified ways: $modWays")
+    // geometry untouched: node refs = the existing way's ordered list
+    val w0 = wayIds.head
+    val wayXml = s"""<way id="$w0" version="2">(.*?)</way>""".r
+      .findFirstMatchIn(doc.replace("\n", " ")).map(_.group(1)).getOrElse(fail("way missing"))
+    val nds = "<nd ref=\"(\\d+)\"/>".r.findAllMatchIn(wayXml).map(_.group(1).toLong).toSeq
+    assert(nds == expectedNds(w0), s"nds diverge: $nds vs ${expectedNds(w0)}")
+    // tags: columns present, column wins over hstore, hstore-only key
+    // present, osm_id and the hstore column itself never emitted
+    assert(wayXml.contains("<tag k=\"name\" v=\"Trail 0\"/>"))
+    assert(wayXml.contains("<tag k=\"surface\" v=\"gravel\"/>") && !wayXml.contains("SHOULD_LOSE"))
+    assert(wayXml.contains("<tag k=\"sac_scale\" v=\"hiking\"/>"))
+    assert(!wayXml.contains("k=\"osm_id\"") && !wayXml.contains("k=\"tags\""))
+    // the point feature: v2 node at its own coordinates with merged tags
+    val nodeXml = "<node id=\"777\" version=\"2\"[^/]*>.*?</node>|<node id=\"777\" version=\"2\"[^>]*/>".r
+      .findFirstIn(doc.replace("\n", " ")).getOrElse(fail("no v2 node 777"))
+    assert(nodeXml.contains("lat=\"40.500000\"") && nodeXml.contains("lon=\"7.250000\""), nodeXml)
+    assert(nodeXml.contains("k=\"amenity\"") && nodeXml.contains("k=\"ele\""), nodeXml)
+    // the reference's incompatibility rule surfaces as a loud error
+    val ex = intercept[IllegalArgumentException] {
+      ChangegenPipeline.run(Array(url, out, "--suffix=_new", "--modify-meta", "--existing=trails_new"), spark)
+    }
+    assert(ex.getMessage.contains("--modify-meta cannot be used with --existing"))
+  }
+
+  test("CLI --suffix discovery + --existing: creates from discovered tables, junctions only against named geometries (reference __main__.py:73-103)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.functions.WkbGeomExpr
+    import graft.osm.{OsmModel, OsmPbf}
+    val tmp = Files.createTempDirectory("graft_cli_sfx").toString
+    val url = "jdbc:derby:memory:graft_cli_sfx;create=true"
+    val props = new java.util.Properties
+    Seq("supplier", "lineitem", "orders", "part").foreach { t =>
+      spark.read.parquet(s"${TestSpark.Sf}/$t.parquet").write.mode("overwrite").jdbc(url, t, props)
+    }
+    // extract: way 9001 (named in --existing) and way 9002 (NOT named)
+    val n1 = Seq((501L, 5.0, 5.0), (502L, 5.0, 6.0), (503L, 5.0, 7.0))
+    val n2 = Seq((601L, 50.0, 50.0), (602L, 50.0, 51.0))
+    val pbfNodes = (n1 ++ n2).map { case (id, x, y) => OsmModel.Node(id, 1, y, x, Map.empty) }
+    val pbf = Files.createTempFile("graft_sfx", ".osm.pbf").toString
+    OsmPbf.write(pbf, pbfNodes, Seq(
+      OsmModel.Way(9001L, 1, n1.map(_._1), Map.empty),
+      OsmModel.Way(9002L, 1, n2.map(_._1), Map.empty)), Nil)
+    // --existing table: way 9001's geometry only
+    Seq((9001L, WkbGeomExpr.encode(2, n1.map(p => (p._2, p._3)).toArray).map("%02x".format(_)).mkString))
+      .toDF("osm_id", "wkb_geometry").write.mode("overwrite").jdbc(url, "trails_existing", props)
+    // discovered feature tables: a LineString table whose features run
+    // within 0.5 of BOTH extract ways' vertices (only 9001 may
+    // junction — 9002 is not in --existing), and a Polygon table
+    val roadHexA = WkbGeomExpr.encode(2, Array((5.2, 5.0), (5.2, 6.0))).map("%02x".format(_)).mkString
+    val roadHexB = WkbGeomExpr.encode(2, Array((50.2, 50.0), (50.2, 51.0))).map("%02x".format(_)).mkString
+    Seq((1L, roadHexA), (2L, roadHexB)).toDF("id", "wkb_geometry")
+      .write.mode("overwrite").jdbc(url, "roads_new", props)
+    val lakeHex = WkbGeomExpr.encodePolygon(
+      Array(Array((80.0, 10.0), (82.0, 10.0), (80.0, 12.0), (80.0, 10.0)))).map("%02x".format(_)).mkString
+    Seq((1L, lakeHex)).toDF("id", "wkb_geometry")
+      .write.mode("overwrite").jdbc(url, "lakes_new", props)
+
+    val out = s"$tmp/suffix_mode.osc"
+    ChangegenPipeline.run(Array(url, out, "--suffix=_new", s"--osmsrc=$pbf",
+      "--existing=trails_existing", "--id-offset=1000000"), spark)
+    val doc = new String(java.nio.file.Files.readAllBytes(Paths.get(out)), "UTF-8")
+
+    // creates from BOTH discovered tables, with no per-table flags:
+    // 2 line ways (highway=path) + 1 polygon way (area=yes)
+    assert(doc.sliding("highway".length).count(_ == "highway") == 2, "2 discovered line ways")
+    assert(doc.contains("area"), "discovered polygon way missing")
+    // junction restriction: way 9001 modified with a spliced junction
+    // node; way 9002 untouched even though a new feature runs beside it
+    val modWays = "<way id=\"(\\d+)\" version=\"2\">".r.findAllMatchIn(doc).map(_.group(1).toLong).toSet
+    assert(modWays == Set(9001L), s"modified ways: $modWays (9002 must not junction)")
+    val mod = s"""<way id="9001" version="2">(.*?)</way>""".r
+      .findFirstMatchIn(doc.replace("\n", " ")).map(_.group(1)).getOrElse(fail("no modify"))
+    val nds = "<nd ref=\"(\\d+)\"/>".r.findAllMatchIn(mod).map(_.group(1).toLong).toSeq
+    assert(nds.filter(_ < 1000000L) == n1.map(_._1), s"original order broken: $nds")
+    assert(nds.exists(_ >= 1000000L), s"no junction spliced: $nds")
+    Files.deleteIfExists(Paths.get(pbf))
+  }
 }

@@ -193,4 +193,26 @@ class WarcWetSpec extends AnyFunSuite {
     assert(files.count(_.endsWith(".warc.wet.gz")) == 1, s"stale shards remain: $files")
     assert(graft.web.WarcWet.read(spark, dir).count() == 10)
   }
+
+  test("writeSharded through a file:-scheme Hadoop path: object-store-shaped sink, no java.io in the write path") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("wet_hpath").toString
+    val df = spark.range(0, 20).repartition(2)
+      .select(concat(lit("doc://"), col("id")).as("url"),
+        lit("conversion").as("warc_type"), lit("2024-03-01T00:00:00Z").as("date"),
+        concat(lit("body of "), col("id")).as("text"))
+    // an explicit URI scheme exercises the Hadoop FileSystem sink the
+    // way an object-store path (s3a://…) would — resolution, create,
+    // attempt-temp, rename, manifest all through the FS abstraction
+    val shards = graft.web.WarcWet.writeSharded(df, s"file:$dir")
+    assert(shards.length == 2 && shards.forall(_.startsWith(s"file:$dir/part-")), shards.toString)
+    // committed layout: no stranded attempt temps, manifest present
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSeq
+    assert(!names.exists(_.endsWith(".tmp")), s"stranded temps: $names")
+    assert(names.contains(graft.sources.ExportManifest.Name), names.toString)
+    // plain-path readback reconciles through the manifest gate
+    val got = graft.web.WarcWet.read(spark, dir).as[WetRecord].collect()
+    assert(got.length == 20)
+    assert(got.map(_.url).sorted.toSeq == (0 until 20).map(i => s"doc://$i").sorted)
+  }
 }

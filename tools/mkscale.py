@@ -11,13 +11,34 @@ exact twins) while remaining engine-agnostic: Spark and DuckDB read
 the same files, so any disagreement is a real cross-engine bug, not a
 fixture artifact.
 
-Usage: python3 tools/mkscale.py /root/testdata/sf0.1 target/sf0.5 5
+--perturb: ALSO rewrite the similarity-bearing attributes per copy so
+cross-copy twins stop being near-duplicates and TRUE pair counts stay
+~linear in the copy count - the fixture that separates plan cost from
+output growth for the near-dup rows (a bit-identical replica makes
+their true result size quadratic in copies, drowning any plan
+signal). The rewrites preserve WITHIN-copy structure exactly:
+  - documents.text goes through a per-copy Caesar rotation of the
+    letters (a bijection on characters): length, token boundaries,
+    within-copy equalities and shingle Jaccards are untouched, so
+    each copy reproduces the original pair set; cross-copy shingles
+    share (almost) no tokens, so cross-copy pairs vanish.
+  - embeddings.embedding gains a per-copy additive epsilon
+    (copy * 1e-6 per component, float-rounded): breaks exact-vector
+    twins and duplicate-centroid ties without moving any vector
+    meaningfully (uniform SCALING would be invisible to cosine;
+    the additive form is not).
+Copy 0 is bit-identical in both modes, so the perturbed fixture's
+rows are a superset-by-copy of the plain one.
+
+Usage: python3 tools/mkscale.py /root/testdata/sf0.1 target/sf0.5 5 [--perturb]
 """
-import sys, os
+import sys, os, string
 import duckdb
 
-src, dst = sys.argv[1], sys.argv[2]
-copies = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+args = [a for a in sys.argv[1:] if a != "--perturb"]
+perturb = "--perturb" in sys.argv[1:]
+src, dst = args[0], args[1]
+copies = int(args[2]) if len(args) > 2 else 5
 os.makedirs(dst, exist_ok=True)
 con = duckdb.connect()
 
@@ -39,6 +60,22 @@ def emit(table, select_for_copy, ncopies):
     con.sql(f"COPY ({union}) TO '{dst}/{table}.parquet' (FORMAT PARQUET)")
     n = con.sql(f"SELECT count(*) FROM '{dst}/{table}.parquet'").fetchone()[0]
     print(f"{table}: {n} rows")
+
+def text_expr(c):
+    """Per-copy letter rotation (identity for copy 0 / plain mode)."""
+    if not perturb or c == 0:
+        return "text"
+    k = c % 25 + 1  # 1..25, never the identity rotation
+    lo, up = string.ascii_lowercase, string.ascii_uppercase
+    rot = lo[k:] + lo[:k] + up[k:] + up[:k]
+    return f"translate(text, '{lo + up}', '{rot}') AS text"
+
+def emb_expr(c):
+    """Per-copy additive epsilon (identity for copy 0 / plain mode)."""
+    if not perturb or c == 0:
+        return "embedding"
+    return (f"list_transform(embedding, x -> CAST(x + {c} * 0.000001 AS FLOAT))"
+            " AS embedding")
 
 # dimensions stay as-is (a 5x corpus does not grow its region list)
 for dim in ("region", "nation"):
@@ -67,8 +104,8 @@ emit("events", lambda c:
      f"user_id, event_type, value, props FROM '{src}/events.parquet'",
      copies)
 emit("documents", lambda c:
-     f"SELECT doc_id + {c*OD} AS doc_id, text, lang, source, n_chars "
-     f"FROM '{src}/documents.parquet'", copies)
+     f"SELECT doc_id + {c*OD} AS doc_id, {text_expr(c)}, lang, source, "
+     f"n_chars FROM '{src}/documents.parquet'", copies)
 emit("embeddings", lambda c:
-     f"SELECT vec_id + {c*OV} AS vec_id, embedding, label "
+     f"SELECT vec_id + {c*OV} AS vec_id, {emb_expr(c)}, label "
      f"FROM '{src}/embeddings.parquet'", copies)

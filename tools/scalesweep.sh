@@ -11,18 +11,23 @@
 #             rows (docs/SF1_SCALING.md) whose TRUE result size grows
 #             quadratically on a bit-identical replicated fixture.
 #             Skips are named in the output; never silent.
+#   --perturb (3rd arg) builds the PERTURBED fixture (per-copy text
+#             rotation + embedding epsilon — near-dup pair counts stay
+#             ~linear; see tools/mkscale.py), so the output-bound rows
+#             can run WITHOUT skips and measure plan cost.
 #
-# Runs from the repo root. The fixture lands in target/sf<x>, Verify
-# dumps in /tmp/verify_sf<x>.
+# Runs from the repo root. The fixture lands in target/sweep_<x>,
+# Verify dumps in /tmp/verify_sweep_<x>.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-copies="${1:?usage: tools/scalesweep.sh <copies> [skip.csv]}"
+copies="${1:?usage: tools/scalesweep.sh <copies> [skip.csv] [--perturb]}"
 skip="${2:-}"
-dst="target/sweep_${copies}x"
-out="/tmp/verify_sweep_${copies}x"
+perturb="${3:-}"
+dst="target/sweep_${copies}x${perturb:+_perturb}"
+out="/tmp/verify_sweep_${copies}x${perturb:+_perturb}"
 
-python3 tools/mkscale.py /root/testdata/sf0.1 "$dst" "$copies"
+python3 tools/mkscale.py /root/testdata/sf0.1 "$dst" "$copies" $perturb
 
 only_arg=""
 if [[ -n "$skip" ]]; then
