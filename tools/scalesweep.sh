@@ -8,7 +8,7 @@
 #   copies    replication factor (5 = sf0.5, 10 = sf1, 20 = sf2, ...)
 #   skip.csv  optional comma-separated query names to EXCLUDE — used
 #             for the adjudicated output-bound / fixture-pathology
-#             rows (docs/SF1_SCALING.md) whose TRUE result size grows
+#             rows (docs/SCALING.md) whose TRUE result size grows
 #             quadratically on a bit-identical replicated fixture.
 #             Skips are named in the output; never silent.
 #   --perturb (3rd arg) builds the PERTURBED fixture (per-copy text
