@@ -265,21 +265,16 @@ object WarcWet {
         val finalName = f"part-${tc.partitionId()}%05d.warc.wet.gz"
         val tmp = new Path(dp, f".part-${tc.partitionId()}%05d-${tc.taskAttemptId()}%d.tmp")
         var n = 0L
-        val fos = fs.create(tmp, true)
+        // each gzip member carries its own CRC32 (verified at read,
+        // [[inflateMember]]); Hadoop's local ChecksumFileSystem .crc
+        // sidecar on top of that is pure duplicate I/O — off
+        fs.setWriteChecksum(false)
+        val fos = new java.io.BufferedOutputStream(fs.create(tmp, true), 256 * 1024)
+        val mw = new MemberWriter(fos)
         try it.foreach { case (url, typ, date, text) =>
-          val body = Option(text).getOrElse("").getBytes("UTF-8")
-          val headers = Seq(
-            "WARC/1.0",
-            s"WARC-Type: ${Option(typ).getOrElse("conversion")}",
-            Option(url).map(u => s"WARC-Target-URI: $u").getOrElse(""),
-            Option(date).map(x => s"WARC-Date: $x").getOrElse(""),
-            s"Content-Length: ${body.length}").filter(_.nonEmpty)
-          val gz = new java.util.zip.GZIPOutputStream(fos)
-          gz.write((headers.mkString("\r\n") + "\r\n\r\n").getBytes("UTF-8"))
-          gz.write(body)
-          gz.finish()
+          mw.writeMember(recordPayload(url, typ, date, text))
           n += 1
-        } finally fos.close()
+        } finally { try mw.end() finally fos.close() }
         if (n == 0) { fs.delete(tmp, false); Iterator.empty }
         else {
           val fin = new Path(dp, finalName)
@@ -301,25 +296,67 @@ object WarcWet {
     shardNames.map(nme => s"$d/$nme")
   }
 
+  // ---- member writer --------------------------------------------------
+
+  /** Streams per-record gzip members through ONE reused native
+    * `Deflater` (nowrap) with hand-rolled framing — the header /
+    * trailer mirror exactly what [[inflateMember]] validates. A
+    * per-record `GZIPOutputStream` would allocate a fresh native
+    * zlib context per record and never `Deflater.end()` it (closing
+    * the stream would close the underlying sink): tens of thousands
+    * of un-freed native contexts per task at corpus scale. One
+    * context per task, `reset()` per member, `end()` once. */
+  private[web] final class MemberWriter(out: java.io.OutputStream) {
+    private val def_ = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    private val crc = new java.util.zip.CRC32()
+    private val buf = new Array[Byte](64 * 1024)
+    // magic 1f 8b, CM=deflate, FLG=0, MTIME=0, XFL=0, OS=unknown
+    private val header = Array[Byte](0x1f.toByte, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0xff.toByte)
+
+    def writeMember(payload: Array[Byte]): Unit = {
+      out.write(header)
+      def_.reset()
+      def_.setInput(payload)
+      def_.finish()
+      while (!def_.finished()) {
+        val n = def_.deflate(buf)
+        if (n > 0) out.write(buf, 0, n)
+      }
+      crc.reset()
+      crc.update(payload)
+      le32(crc.getValue)
+      le32(payload.length.toLong & 0xffffffffL)
+    }
+    private def le32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    /** Frees the native context; does NOT close `out`. */
+    def end(): Unit = def_.end()
+  }
+
+  private def recordPayload(url: String, typ: String, date: String, text: String): Array[Byte] = {
+    val body = Option(text).getOrElse("")
+    val headers = Seq(
+      "WARC/1.0",
+      s"WARC-Type: ${Option(typ).getOrElse("conversion")}",
+      Option(url).map(u => s"WARC-Target-URI: $u").getOrElse(""),
+      Option(date).map(x => s"WARC-Date: $x").getOrElse(""),
+      s"Content-Length: ${body.getBytes("UTF-8").length}").filter(_.nonEmpty)
+    (headers.mkString("\r\n") + "\r\n\r\n" + body).getBytes("UTF-8")
+  }
+
   // ---- writer (driver-side; fixtures / small exports) ----------------
 
   /** Write records as a multi-member `.warc.wet.gz`: one gzip member
     * per record, concatenated — the Common Crawl layout, so the file
     * round-trips through [[read]] and stays split-scannable. */
   def write(path: String, records: Seq[WetRecord]): Unit = {
-    val fos = new java.io.FileOutputStream(path)
+    val fos = new java.io.BufferedOutputStream(new java.io.FileOutputStream(path), 256 * 1024)
+    val mw = new MemberWriter(fos)
     try records.foreach { r =>
-      val headers = Seq(
-        "WARC/1.0",
-        s"WARC-Type: ${Option(r.warc_type).getOrElse("conversion")}",
-        Option(r.url).map(u => s"WARC-Target-URI: $u").getOrElse(""),
-        Option(r.date).map(d => s"WARC-Date: $d").getOrElse(""),
-        s"Content-Length: ${r.text.getBytes("UTF-8").length}"
-      ).filter(_.nonEmpty)
-      val payload = (headers.mkString("\r\n") + "\r\n\r\n" + r.text).getBytes("UTF-8")
-      val gz = new java.util.zip.GZIPOutputStream(fos)
-      gz.write(payload)
-      gz.finish() // member trailer; do NOT close (closes fos)
-    } finally fos.close()
+      mw.writeMember(recordPayload(r.url, r.warc_type, r.date, r.text))
+    } finally { try mw.end() finally fos.close() }
   }
 }
