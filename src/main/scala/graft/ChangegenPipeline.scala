@@ -46,7 +46,8 @@ object ChangegenPipeline {
       modified: DataFrame, deleteSet: DataFrame,
       nodeXml: DataFrame, wayXml: DataFrame, relXml: DataFrame,
       modifyXml: DataFrame, deleteXml: DataFrame,
-      polyNodes: DataFrame, polyWays: DataFrame, polyRelations: DataFrame)
+      polyNodes: DataFrame, polyWays: DataFrame, polyRelations: DataFrame,
+      pointNodes: DataFrame, selfJunctions: DataFrame)
 
   /** Table discovery by name suffix — the reference's `_get_db_tables`
     * (`table_name LIKE '%suffix'`, __main__.py:55-68), used for BOTH
@@ -178,7 +179,8 @@ object ChangegenPipeline {
     val knownFlags = Set("max-nodes-per-way", "id-offset", "neg-ids",
       "shards", "osmsrc", "deletion-suffix", "no-collisions",
       "poly-table", "line-table", "poly-epsg",
-      "modify-meta", "hstore-tags", "suffix", "existing")
+      "modify-meta", "hstore-tags", "suffix", "existing",
+      "self", "deletions", "compress")
     val unknownFlags = flags.keySet -- knownFlags
     require(unknownFlags.isEmpty,
       s"unknown flag(s): ${unknownFlags.toSeq.sorted.map("--" + _).mkString(", ")}" +
@@ -221,9 +223,34 @@ object ChangegenPipeline {
     // the reference's own incompatibility rule (__main__.py:229-230)
     require(!(modifyMeta && existingNames.nonEmpty),
       "--modify-meta cannot be used with --existing")
+    // --self: junctions among the new features themselves
+    // (__main__.py:131-140); --compress: force gzip output regardless
+    // of the output extension (__main__.py:115, the reference default)
+    val selfIntersect = flags.get("self").exists(_.toBoolean)
+    val forceGzip = flags.get("compress").exists(_.toBoolean)
 
-    val deletionTables = deletionSuffix.map(discoverTables(sfDir, _)).getOrElse(Nil)
-    if (deletionSuffix.isDefined)
+    // deletion tables: suffix-discovered (--deletion-suffix) plus
+    // EXPLICITLY named (--deletions=a,b — the reference's repeatable
+    // -d/--deletions option, __main__.py:84-93). A named table that
+    // does not exist fails loudly here, before any work runs.
+    val namedDeletions = flags.get("deletions")
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+      .map { n =>
+        val resolved =
+          if (sfDir.startsWith("jdbc:"))
+            discoverTables(sfDir, n).filter(t => t == n || t.endsWith("." + n))
+          else {
+            val f = new java.io.File(sfDir, s"$n.parquet")
+            if (f.isFile || f.isDirectory) Seq(f.getAbsolutePath) else Nil
+          }
+        require(resolved.nonEmpty, s"--deletions table not found: $n")
+        require(resolved.size == 1,
+          s"--deletions table '$n' is ambiguous: ${resolved.mkString(", ")}")
+        resolved.head
+      }
+    val deletionTables =
+      (deletionSuffix.map(discoverTables(sfDir, _)).getOrElse(Nil) ++ namedDeletions).distinct
+    if (deletionSuffix.isDefined || namedDeletions.nonEmpty)
       println(s"[changegen] found deletion tables: ${deletionTables.mkString(", ")}")
     val discovered = suffixes.flatMap(discoverTables(sfDir, _)).distinct.sorted
     if (suffixes.nonEmpty) {
@@ -236,6 +263,34 @@ object ChangegenPipeline {
       (n, df, tableGeomClass(df, n))
     }
 
+    // per-feature id of a discovered table: resolved BY NAME (osm_id —
+    // the reference's id field), falling back to the first column only
+    // when no osm_id exists. Non-numeric or null id values RAISE at
+    // execution instead of casting to null — a null group id would
+    // silently collapse every such feature into one way (imposm
+    // column order over JDBC/parquet is not user-visible, so "first
+    // column" alone is not a safe id heuristic).
+    def featId(df: DataFrame, name: String): org.apache.spark.sql.Column = {
+      val idc = df.columns.find(_.equalsIgnoreCase("osm_id")).getOrElse(df.columns.head)
+      val c = col(idc)
+      when(c.isNull || c.cast("long").isNull,
+        raise_error(concat(lit(s"feature table $name: id column '$idc' has a null/non-numeric value: "),
+          coalesce(c.cast("string"), lit("NULL")))))
+        .otherwise(c.cast("long"))
+    }
+    // create-mode tags (reference _generate_tags_from_feature,
+    // generator.py:169-205): every table column EXCEPT the geometry
+    // and the hstore column itself — osm_id INCLUDED (only the modify
+    // branch filters it out) — merged with the hstore map, columns
+    // winning on key conflicts
+    def featureTags(df: DataFrame): org.apache.spark.sql.Column = {
+      val excluded = Set("wkb_geometry") ++ hstoreCol.map(_.toLowerCase)
+      val tagCols = df.columns.map(_.toLowerCase).filterNot(excluded.contains).toSeq.sorted
+      val colTags = graft.operators.TagOps.tagsFromColumns(df, tagCols)
+      hstoreCol
+        .map(h => graft.operators.TagOps.mergeTags(colTags, graft.operators.TagOps.hstoreToMap(col(h))))
+        .getOrElse(colTags)
+    }
     val f =
       if (modifyMeta) buildModifyOnly(spark, sfDir, osmSrc, discoveredFrames, hstoreCol)
       else {
@@ -245,17 +300,25 @@ object ChangegenPipeline {
         // injective after the union (explicit --poly-table /
         // --line-table inputs keep their raw ids, ordinal 0)
         def seamUnion(cls: Int, explicitTbl: Option[String], groupCol: String): Option[DataFrame] = {
-          val fromSuffix = discoveredFrames.filter(_._3 == cls).map(_._2)
+          val fromSuffix = discoveredFrames.filter(_._3 == cls)
           val all = explicitTbl.map(geomFrame(_, groupCol)).toSeq ++
-            fromSuffix.zipWithIndex.map { case (df, i) =>
-              df.select((lit((i + 1).toLong << 40) + col(df.columns.head).cast("long")).as(groupCol),
+            fromSuffix.zipWithIndex.map { case ((name, df, _), i) =>
+              df.select((lit((i + 1).toLong << 40) + featId(df, name)).as(groupCol),
                 col("wkb_geometry").as("wkb"))
             }
           all.reduceOption(_ unionByName _)
         }
-        val pointTables = discoveredFrames.filter(_._3 == 1).map(_._1)
-        require(pointTables.isEmpty,
-          s"point feature tables are not supported for creates (use --modify-meta): ${pointTables.mkString(", ")}")
+        // point-class tables: v1 <create> nodes (reference
+        // generator.py:622-631) — reprojected coords + full
+        // table-derived tags, one node per feature
+        val pointFrames = discoveredFrames.filter(_._3 == 1)
+        val pointWkb =
+          if (pointFrames.isEmpty) None
+          else Some(pointFrames.zipWithIndex.map { case ((name, df, _), i) =>
+            df.select((lit((i + 1).toLong << 40) + featId(df, name)).as("pgrp"),
+              featureTags(df).as("ptags"),
+              col("wkb_geometry").as("wkb"))
+          }.reduce(_ unionByName _))
         val existingWkb =
           if (existingNames.isEmpty) None
           else {
@@ -272,7 +335,8 @@ object ChangegenPipeline {
         build(spark, sfDir, maxNodes, idOffset, negIds, osmSrc,
           deletionTables, noCollisions,
           seamUnion(3, flags.get("poly-table"), "pgroup"), polyEpsg,
-          seamUnion(2, flags.get("line-table"), "lgroup"), existingWkb)
+          seamUnion(2, flags.get("line-table"), "lgroup"), existingWkb,
+          pointWkb, selfIntersect = selfIntersect)
       }
 
     // 5. assemble the OsmChange document (creates = nodes then ways)
@@ -283,11 +347,12 @@ object ChangegenPipeline {
         sec(f.nodeXml, "create").unionByName(sec(f.wayXml, "create"))
           .unionByName(sec(f.relXml, "create"))
           .unionByName(sec(f.modifyXml, "modify")).unionByName(sec(f.deleteXml, "delete")),
-        shards, gzip = false)
+        shards, gzip = forceGzip)
     } else
       OsmChangeXml.write(out, f.nodeXml.unionByName(f.wayXml).unionByName(f.relXml),
-        Some(f.modifyXml), Some(f.deleteXml), gzip = out.endsWith(".gz"))
+        Some(f.modifyXml), Some(f.deleteXml), gzip = forceGzip || out.endsWith(".gz"))
     println(s"[changegen] wrote $out: nodes=${f.nodes.count()} ways=${f.splitWays.count()} " +
+      s"points=${f.pointNodes.count()} self_junctions=${f.selfJunctions.count()} " +
       s"junctions=${f.junctionAt.count()} modified=${f.modified.count()} deletes=${f.deleteSet.count()}")
   }
 
@@ -349,9 +414,20 @@ object ChangegenPipeline {
                 graft.text.TextAnalysis.fp(col("_v").getField("x"), 6), tags).as("xml"))
             (xml, None)
           } else {
-            // line/polygon feature: v2 way, node list from the extract
-            val ways = df.select(col("osm_id").cast("long").as("eway"), tags.as("_tags"))
-              .join(existingWays, "eway")
+            // line/polygon feature: v2 way, node list from the extract.
+            // A feature whose osm_id is absent from the extract fails
+            // LOUDLY before any XML is written — the reference raises
+            // KeyError on existing_nodes_for_ways[existing_id]
+            // (generator.py:634-650); an inner join would silently
+            // drop the row from the changefile instead.
+            val feats = df.select(col("osm_id").cast("long").as("eway"), tags.as("_tags"))
+            val missing = feats.join(existingWays, Seq("eway"), "left_anti")
+              .select("eway").limit(10).collect().map(_.getLong(0))
+            require(missing.isEmpty,
+              s"feature table $name: osm_id(s) not present in the extract's ways: " +
+                s"${missing.mkString(", ")} (reference fails with KeyError on a " +
+                "feature whose osm_id is missing from osmsrc)")
+            val ways = feats.join(existingWays, "eway")
             (ways.select(OsmChangeXml.wayXml(col("eway"), lit(2), col("nds"), col("_tags")).as("xml")),
               Some(ways.select(col("eway"), col("nds").as("new_nds"))))
           }
@@ -364,7 +440,7 @@ object ChangegenPipeline {
       }
     val none = modified.filter(lit(false))
     Frames(none, none, none, modified, none.select(lit("way").as("elem_type"), col("eway").as("elem_id")),
-      empty, empty, empty, modifyXml, empty, none, none, none)
+      empty, empty, empty, modifyXml, empty, none, none, none, none, none)
   }
 
   /** Build the full dataflow. `idOffset = None` reproduces the CLI
@@ -403,6 +479,27 @@ object ChangegenPipeline {
     * lists — so `osmSrc` is required), and only these ways are
     * spliced. Deletions still expand against the FULL extract: the
     * reference's deletion pass is independent of `--existing`. */
+  /** `pointWkb`: optional POINT feature source — `(pgrp: long
+    * injective feature key, ptags: map<string,string>, wkb)` rows.
+    * Each feature becomes ONE v1 `<create>` node at its (reprojected)
+    * coordinates carrying its table-derived tags — the reference's
+    * Point create branch (generator.py:622-631: `Node(id=next(ids),
+    * version=1, lat, lon, tags=feat_tags)`). Points join no ways, no
+    * junction pass, no relations — exactly the reference's seam.
+    * MULTIPOINT rows contribute their FIRST point (the reference's
+    * isinstance ladder silently drops MultiPoint features entirely —
+    * handled here as one-node-per-feature instead of silent loss). */
+  /** `selfIntersect`: the reference's `--self` / `-si` flag
+    * (__main__.py:131-140): junctions AMONG the new features
+    * themselves. Closest points of feature pairs within `selfRadius`
+    * (`db.intersections(table, table)`, `not st_equals` excluded)
+    * dedup at 6 decimals (COORDINATE_PRECISION,
+    * _generate_intersection_db generator.py:136-143) into ONE
+    * junction node per coordinate; way assembly then REUSES the
+    * junction id for a 6dp-coincident vertex (generator.py:429-448)
+    * and INSERTS the remaining junctions at their projection index
+    * (generator.py:449-476) — so two crossing new features share one
+    * node id in the changefile. */
   def build(spark: SparkSession, sfDir: String, maxNodes: Int = 500,
             idOffset: Option[Long] = None, negIds: Boolean = false,
             osmSrc: Option[String] = None,
@@ -411,7 +508,11 @@ object ChangegenPipeline {
             polyWkb: Option[DataFrame] = None,
             polySrcEpsg: Int = 4326,
             lineWkb: Option[DataFrame] = None,
-            existingWkb: Option[DataFrame] = None): Frames = {
+            existingWkb: Option[DataFrame] = None,
+            pointWkb: Option[DataFrame] = None,
+            pointSrcEpsg: Int = 4326,
+            selfIntersect: Boolean = false,
+            selfRadius: Double = 0.5): Frames = {
     require(existingWkb.isEmpty || osmSrc.isDefined,
       "existingWkb needs osmSrc: vertex node ids resolve positionally against the extract")
     val supplier = Tables.load(spark, sfDir, "supplier")
@@ -486,22 +587,107 @@ object ChangegenPipeline {
     // series noise a hair below the exact value
     val latU = graft.text.TextAnalysis.fp(col("y"), 6)
     val lonU = graft.text.TextAnalysis.fp(col("x"), 6)
-    val nodeXml = nodes.select(
-      OsmChangeXml.nodeXml(col("node_id"), lit(1), latU, lonU,
-        map(lit("source"), lit("graft"))).as("xml"))
 
-    // 2. ways: ordered node-id lists per feature, split at maxNodes.
-    // segmentLen = maxNodes-1 so a chunk plus its shared joiner node
-    // never exceeds the maxNodesPerWay cap.
-    val ways = WayOps.wayNodeMap(
-      nodes.select(col("feat").as("way"), col("vkey").as("seq"), col("node_id").as("node")),
-      "way", "seq", "node")
     // way ids: clear of the assigned node-id range AND the existing way
     // ids; 1000 chunks per feature keeps (feat, chunk) → id injective
     val nVerts = nodes.count()
     val wayIdBase =
       if (negIds) nVerts + 1 // nodes occupy -1 .. -nVerts
       else math.max(maxExistingWay + 1, nodeIdBase + nVerts + 1)
+    // NODE-id zones beyond the line verts (node space only — way and
+    // relation ids are separate OSM id spaces): poly nodes sit at
+    // wayIdBase+1M (below), self-junction nodes at +5M, point-create
+    // nodes at +6M; negative mode descends zone by zone
+    val selfNodeOffset = if (negIds) -(nVerts + 2100000L) else wayIdBase + 5000000L
+    val pointNodeOffset = if (negIds) -(nVerts + 4200000L) else wayIdBase + 6000000L
+
+    // 1b. --self junction nodes among the new features (see Scaladoc):
+    // candidate pairs from the grid-bucketed line-line ST_DWithin (no
+    // all-pairs), closest points via the native graft_line_closest,
+    // 6dp dedup to one node per coordinate, then vertex REUSE +
+    // interior INSERT during way assembly. All windows are
+    // feature-sized; the pair join is the same scale-safe grid join
+    // the registered cg_dwithin_lineline uses.
+    def fp6(c: org.apache.spark.sql.Column) = graft.text.TextAnalysis.fp(c, 6)
+    val (wayVertSrc, emittedLineNodes, selfJunctions) =
+      if (!selfIntersect)
+        (nodes.select(col("feat").as("way"), col("vkey").as("seq"), col("node_id").as("node")),
+          nodes.select(col("node_id"), col("x"), col("y")),
+          nodes.select(col("node_id"), col("x"), col("y")).filter(lit(false)))
+      else {
+        val posW = org.apache.spark.sql.expressions.Window
+          .partitionBy("feat").orderBy("vkey")
+        val posed = nodes
+          .withColumn("pos0", (row_number().over(posW) - 1).cast("double"))
+          .persist()
+        val lines = posed.groupBy("feat")
+          .agg(array_sort(collect_list(struct(col("pos0"), struct(col("x"), col("y")).as("pt")))).as("_kv"))
+          .select(col("feat"), transform(col("_kv"), x => x.getField("pt")).as("line"))
+          .persist() // consumed by the pair join (twice) + insertion index
+        val pairs = DWithinJoin.lineLine(
+          lines.select(col("feat").as("lfeat"), col("line")), "lfeat", "line",
+          lines.select(col("feat").as("rfeat"), col("line")), "rfeat", "line",
+          selfRadius, excludeEqual = true, keepLines = true)
+          .filter(col("lfeat") =!= col("rfeat"))
+        // closest point ON the left feature to the right; both ordered
+        // pairs flow, so a non-crossing pair yields one point per side
+        // while a crossing pair collapses onto one 6dp coordinate
+        val ipts = pairs
+          .select(col("lfeat").as("feat"),
+            call_function("graft_line_closest", col("_lline"), col("_rline")).as("cp"))
+          .select(col("feat"), fp6(col("cp.x")).as("jx6"), fp6(col("cp.y")).as("jy6"))
+          .filter(col("jx6").isNotNull && col("jy6").isNotNull) // degenerate-line guard
+          .distinct()
+          .persist()
+        // ONE junction node per distinct 6dp coordinate (the
+        // reference's round(COORDINATE_PRECISION) dict dedup)
+        val jn = SequentialIds.assign(
+          ipts.select("jx6", "jy6").distinct()
+            .withColumn("jkey", struct(col("jx6"), col("jy6"))),
+          "jkey", "node_id", selfNodeOffset, negIds)
+          .select(col("node_id"), (col("jx6") / 1e6).as("x"), (col("jy6") / 1e6).as("y"),
+            col("jx6"), col("jy6"))
+          .persist()
+        // (a) vertex coincidence at 6dp: ANY feature's vertex at a
+        // junction coordinate adopts the junction node id (the
+        // reference's near-vertex rtree reuse, generator.py:429-440);
+        // the original node is not emitted
+        val replaced = posed
+          .withColumn("jx6", fp6(col("x"))).withColumn("jy6", fp6(col("y")))
+          .join(jn.select(col("jx6"), col("jy6"), col("node_id").as("jnode")),
+            Seq("jx6", "jy6"), "left")
+          .persist()
+        // (b) interior insertion: a junction on its SOURCE feature that
+        // matched none of that feature's vertices inserts at the
+        // fractional projection index — idx - 0.5 sorts strictly
+        // between the flanking integer vertex positions
+        val toInsert = ipts
+          .join(jn, Seq("jx6", "jy6"))
+          .join(replaced.filter(col("jnode").isNotNull)
+            .select(col("feat"), col("jnode").as("node_id")).distinct(),
+            Seq("feat", "node_id"), "left_anti")
+          .join(lines, Seq("feat"))
+          .select(col("feat"),
+            (graft.spatial.Geo.insertionIndex(col("line"), col("x"), col("y")).cast("double") - 0.5).as("pos0"),
+            col("node_id"))
+        val wv = replaced
+          .select(col("feat"), col("pos0"), coalesce(col("jnode"), col("node_id")).as("node_id"))
+          .unionByName(toInsert)
+          .select(col("feat").as("way"), col("pos0").as("seq"), col("node_id").as("node"))
+        val emitted = replaced.filter(col("jnode").isNull)
+          .select(col("node_id"), col("x"), col("y"))
+          .unionByName(jn.select(col("node_id"), col("x"), col("y")))
+          .persist()
+        (wv, emitted, jn.select(col("node_id"), col("x"), col("y")))
+      }
+    val nodeXml = emittedLineNodes.select(
+      OsmChangeXml.nodeXml(col("node_id"), lit(1), latU, lonU,
+        map(lit("source"), lit("graft"))).as("xml"))
+
+    // 2. ways: ordered node-id lists per feature, split at maxNodes.
+    // segmentLen = maxNodes-1 so a chunk plus its shared joiner node
+    // never exceeds the maxNodesPerWay cap.
+    val ways = WayOps.wayNodeMap(wayVertSrc, "way", "seq", "node")
     val wayId = (col("way") * 1000 + col("chunk_idx")) + lit(wayIdBase)
     val splitWays = WayOps.splitWay(ways, "nds", nodeLimit = maxNodes, segmentLen = math.max(1, maxNodes - 1))
       .withColumn("way_id", if (negIds) -wayId else wayId)
@@ -548,7 +734,7 @@ object ChangegenPipeline {
         (e, n)
     }
     val junctions = DWithinJoin.pointPoint(
-      nodes.select(col("node_id"), col("x"), col("y")), "node_id", "x", "y",
+      emittedLineNodes, "node_id", "x", "y",
       existingNodes, "enode", "ex", "ey", 0.5)
     // one junction per existing node: deterministic min node_id
     val junctionAt = junctions.groupBy("enode").agg(min("node_id").as("jnode")).persist()
@@ -731,6 +917,36 @@ object ChangegenPipeline {
           .persist()
         (pn, pw, pr)
     }
+    // 4c. point features (reference generator.py:622-631, the
+    // non-modify Point branch): one v1 <create> node per feature at
+    // its reprojected coordinates, carrying the table-derived tags
+    // (tags=feat_tags, UNFILTERED — unlike the modify branch, osm_id
+    // stays a tag). No ways, no junctions, no relations.
+    val pointNodes = pointWkb match {
+      case None =>
+        spark.range(0).select(col("id").as("node_id"),
+          lit(0.0).as("x"), lit(0.0).as("y"),
+          map().cast("map<string,string>").as("ptags"))
+      case Some(src) =>
+        val dec0 = src.select(col("pgrp").cast("long").as("pgrp"), col("ptags"),
+            element_at(call_function("graft_geom_parts", col("wkb")), 1).as("_v"))
+          .select(col("pgrp"), col("ptags"), col("_v.x").as("x"), col("_v.y").as("y"))
+        val dec =
+          if (pointSrcEpsg == 4326) dec0
+          else dec0
+            .withColumn("_ll", graft.spatial.Geo.reproject(col("x"), col("y"), pointSrcEpsg))
+            .withColumn("x", col("_ll.lon")).withColumn("y", col("_ll.lat"))
+            .drop("_ll")
+        // persisted for the same live-JDBC re-read reason as the
+        // line/poly seams: SequentialIds runs multiple jobs
+        SequentialIds.assign(dec, "pgrp", "node_id", pointNodeOffset, negIds)
+          .select(col("node_id"), col("x"), col("y"), col("ptags")).persist()
+    }
+    val pointNodeXml = pointNodes.select(
+      OsmChangeXml.nodeXml(col("node_id"), lit(1),
+        graft.text.TextAnalysis.fp(col("y"), 6), graft.text.TextAnalysis.fp(col("x"), 6),
+        col("ptags")).as("xml"))
+
     val polyNodeXml = polyNodes.select(
       OsmChangeXml.nodeXml(col("node_id"), lit(1),
         graft.text.TextAnalysis.fp(col("y"), 6), graft.text.TextAnalysis.fp(col("x"), 6),
@@ -744,8 +960,10 @@ object ChangegenPipeline {
         col("members"), map(lit("type"), lit("multipolygon"))).as("xml"))
 
     Frames(nodes, splitWays, junctionAt, modified, deleteSet,
-      nodeXml.unionByName(polyNodeXml), wayXml.unionByName(polyWayXml), relXml,
+      nodeXml.unionByName(polyNodeXml).unionByName(pointNodeXml),
+      wayXml.unionByName(polyWayXml), relXml,
       modifyXml, deleteXml,
-      polyNodes, polyWays, polyRelations)
+      polyNodes, polyWays, polyRelations,
+      pointNodes, selfJunctions)
   }
 }

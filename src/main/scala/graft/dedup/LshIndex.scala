@@ -136,11 +136,16 @@ object LshIndex {
     * stranded or in-flight `_append_pending` WITHOUT healing — the
     * marker is legitimately present during any live [[append]], and a
     * probe that re-banded concurrently with the appender would race
-    * its `banded/` overwrite. `sigs/` commits first and `banded/` is
-    * rewritten in one atomic job commit, so a reader always sees a
-    * consistent committed snapshot (at worst the pre-append index —
-    * the batch has not committed yet from the probe's point of view).
-    * A stranded marker is healed by the next writer entry. */
+    * its `banded/` update. Concurrency contract for probes racing a
+    * live append: full re-bands (cap change, recovery) swap in
+    * rename-based ([[swapBanded]] + the [[bandedDir]] fallback), so a
+    * probe reads one complete layout — pre- or post-swap; the
+    * same-cap incremental path overwrites only the affected `grp=`
+    * partitions, so a probe's listing may mix pre- and post-append
+    * GROUPS (each internally consistent — a near-committed state in
+    * which some candidates already reflect the in-flight batch). A
+    * probe never serves torn part files, and a stranded marker is
+    * healed by the next writer entry. */
   private def readerConfig(spark: SparkSession, path: String): Config = {
     val fs = marker(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(buildMarker(path)))
@@ -152,6 +157,32 @@ object LshIndex {
   private def marker(path: String) = new org.apache.hadoop.fs.Path(s"$path/_append_pending")
 
   private def buildMarker(path: String) = new org.apache.hadoop.fs.Path(s"$path/_build_pending")
+
+  /** banded/ swap discipline for FULL re-bands (the cap-changing
+    * append and crash recovery): write the new layout to
+    * `banded_tmp/`, drop `banded/`, rename into place — the same
+    * pattern `config/` already uses. A probe whose listing lands in
+    * the delete→rename window falls back to the complete tmp layout
+    * ([[bandedDir]]) instead of crashing on part files deleted
+    * mid-scan. */
+  private def swapBanded(spark: SparkSession, path: String)(write: String => Unit): Unit = {
+    val fs = marker(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/banded_tmp")
+    fs.delete(tmp, true) // a stranded tmp from a crashed prior swap
+    write(s"$path/banded_tmp")
+    val b = new org.apache.hadoop.fs.Path(s"$path/banded")
+    fs.delete(b, true)
+    if (!fs.rename(tmp, b))
+      throw new java.io.IOException(s"banded swap rename $tmp -> $b failed")
+  }
+
+  /** Reader-side banded/ resolution: prefer the committed directory,
+    * fall back to a complete `banded_tmp/` when a swap is mid-rename. */
+  private def bandedDir(spark: SparkSession, path: String): String = {
+    val fs = marker(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/banded"))) s"$path/banded"
+    else s"$path/banded_tmp"
+  }
 
   /** Crash recovery for [[append]]'s multi-step update. An append
     * brackets its writes with the `_append_pending` marker; if a crash
@@ -184,9 +215,11 @@ object LshIndex {
     val c = rawConfig(spark, path, promote = true)
     val sigs = spark.read.parquet(s"$path/sigs")
     val n = sigs.count()
-    Dedup.survivingBandedFixedCap(sigs, c.numPerm, c.rowsPerBand, capOf(c.maxBucket, n),
-        resplit = true, numGroups = c.numGroups)
-      .write.mode("overwrite").partitionBy("grp").parquet(s"$path/banded")
+    swapBanded(spark, path) { dst =>
+      Dedup.survivingBandedFixedCap(sigs, c.numPerm, c.rowsPerBand, capOf(c.maxBucket, n),
+          resplit = true, numGroups = c.numGroups)
+        .write.mode("overwrite").partitionBy("grp").parquet(dst)
+    }
     writeConfig(spark, path, c.shingleSize, c.numPerm, c.rowsPerBand, c.maxBucket,
       c.numGroups, n)
     fs.delete(m, false)
@@ -236,10 +269,14 @@ object LshIndex {
     newSigs.write.mode("append").parquet(s"$path/sigs")
     val allSigs = spark.read.parquet(s"$path/sigs")
     if (newCap != oldCap) {
-      // cap-survival changed globally → full re-band from sigs
-      Dedup.survivingBandedFixedCap(allSigs, c.numPerm, c.rowsPerBand, newCap,
-          resplit = true, numGroups = c.numGroups)
-        .write.mode("overwrite").partitionBy("grp").parquet(s"$path/banded")
+      // cap-survival changed globally → full re-band from sigs,
+      // swapped in rename-based so concurrent probes never scan a
+      // half-deleted layout
+      swapBanded(spark, path) { dst =>
+        Dedup.survivingBandedFixedCap(allSigs, c.numPerm, c.rowsPerBand, newCap,
+            resplit = true, numGroups = c.numGroups)
+          .write.mode("overwrite").partitionBy("grp").parquet(dst)
+      }
     } else {
       // groups touched by the new docs' plain-namespace rows — ≤
       // numGroups values by construction, safe to collect
@@ -284,7 +321,7 @@ object LshIndex {
     val probe = incBanded0.select(col("doc"), col("sig"), col("band"), col("key"))
       .unionByName(incBanded0.select(col("doc"), col("sig"),
         (col("band") + numBands).as("band"), col("key_ext").as("key")))
-    val stored = spark.read.parquet(s"$path/banded")
+    val stored = spark.read.parquet(bandedDir(spark, path))
     val refSigs = spark.read.parquet(s"$path/sigs")
       .select(col("doc").as("doc_ref"), col("sig").as("sig_ref"))
     val est = TextAnalysis.fp(

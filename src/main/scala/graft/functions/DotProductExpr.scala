@@ -113,6 +113,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[LineDistExpr].getName, "graft_line_dist2"),
       (children: Seq[Expression]) => LineDistExpr(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_line_closest"),
+      new ExpressionInfo(classOf[LineClosestExpr].getName, "graft_line_closest"),
+      (children: Seq[Expression]) => LineClosestExpr(children(0), children(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_trigram_score"),
       new ExpressionInfo(classOf[TrigramScoreExpr].getName, "graft_trigram_score"),
       (children: Seq[Expression]) => TrigramScoreExpr(children(0), children(1))))

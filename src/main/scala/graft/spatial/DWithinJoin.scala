@@ -170,7 +170,8 @@ object DWithinJoin {
       rightId: String,
       rightLine: String,
       radius: Double,
-      excludeEqual: Boolean = false
+      excludeEqual: Boolean = false,
+      keepLines: Boolean = false
   ): DataFrame = {
     val r = lit(radius)
     def xs(c: Column) = transform(c, p => p.getField("x"))
@@ -203,6 +204,13 @@ object DWithinJoin {
     val excluded =
       if (excludeEqual) joined.filter(!(col("_lline") === col("_rline")))
       else joined
-    excluded.select(col(leftId), col(rightId), col("dist"))
+    // keepLines: callers that derive a per-pair geometry (e.g. the
+    // --self junction pass computes graft_line_closest on each
+    // candidate pair) read the arrays straight off the join output
+    // instead of re-joining both sides by id
+    if (keepLines)
+      excluded.select(col(leftId), col(rightId), col("dist"), col("_lline"), col("_rline"))
+    else
+      excluded.select(col(leftId), col(rightId), col("dist"))
   }
 }

@@ -124,6 +124,49 @@ class GeoSpec extends AnyFunSuite {
     assert(nul)
   }
 
+  test("graft_line_closest: crossing point, projection point, left-endpoint, symmetry with line_dist2") {
+    val df = Seq(1).toDF("i")
+    def cp(a: Column, b: Column) =
+      call_function("graft_line_closest", a, b)
+    val out = df.select(
+      // proper crossing → the crossing point itself (on both lines)
+      cp(line((0, 0), (10, 0)), line((5, -5), (5, 5))).as("crossing"),
+      // parallel gap → right endpoint projects onto the left line
+      cp(line((0, 0), (10, 0)), line((3, 3), (7, 3))).as("proj"),
+      // corner case → the left ENDPOINT is the closest realized point
+      cp(line((0, 0), (10, 0)), line((13, 4), (20, 4))).as("corner"),
+      // multi-segment: nearest via the vertical segment
+      cp(line((0, 0), (10, 0), (10, 10)), line((12, 9), (20, 9))).as("multiseg"))
+      .selectExpr("crossing.x", "crossing.y", "proj.y", "corner.x", "corner.y",
+        "multiseg.x", "multiseg.y")
+      .as[(Double, Double, Double, Double, Double, Double, Double)].head()
+    assert(out._1 == 5.0 && out._2 == 0.0, s"crossing: $out")
+    assert(out._3 == 0.0, s"projection must land ON the left line: $out")
+    assert(out._4 == 10.0 && out._5 == 0.0, s"corner: $out")
+    assert(out._6 == 10.0 && out._7 == 9.0, s"multiseg: $out")
+    // the realized point's distance to the right line equals
+    // graft_line_dist2's minimum — the two walks agree on the argmin
+    val agree = df.select(
+      cp(line((0, 0), (10, 0), (10, 10)), line((12, 9), (20, 9))).as("p"),
+      sqrt(call_function("graft_line_dist2",
+        line((0, 0), (10, 0), (10, 10)), line((12, 9), (20, 9)))).as("d"))
+      .selectExpr("abs(sqrt((p.x-12)*(p.x-12) + (p.y-9)*(p.y-9)) - d) < 1e-12")
+      .as[Boolean].head()
+    assert(agree)
+    // ordered-pair symmetry for a crossing: closest-on-A-to-B and
+    // closest-on-B-to-A are the SAME coordinate (what makes both
+    // sides of a --self pair dedup onto one junction node)
+    val sym = df.select(
+      cp(line((0, 0), (10, 0)), line((5, -5), (5, 5))).as("ab"),
+      cp(line((5, -5), (5, 5)), line((0, 0), (10, 0))).as("ba"))
+      .selectExpr("ab.x = ba.x AND ab.y = ba.y").as[Boolean].head()
+    assert(sym)
+    // degenerate → null
+    val nul = df.select(call_function("graft_line_closest",
+      line((0, 0)), line((1, 1), (2, 2))).isNull).as[Boolean].head()
+    assert(nul)
+  }
+
   test("DWithinJoin.lineLine equals brute force and reports each pair once") {
     // small blobby lines scattered over a 40x40 box
     def mkLines(n: Int, seed: Int) = (1 to n).map { g =>

@@ -624,4 +624,137 @@ class PipelineE2eSpec extends AnyFunSuite {
     assert(nds.exists(_ >= 1000000L), s"no junction spliced: $nds")
     Files.deleteIfExists(Paths.get(pbf))
   }
+
+  test("CLI point-feature creates: a discovered POI table becomes v1 <create> nodes with table tags (reference generator.py:622-631)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.functions.WkbGeomExpr
+    val tmp = Files.createTempDirectory("graft_cli_poi").toString
+    val url = "jdbc:derby:memory:graft_cli_poi;create=true"
+    val props = new java.util.Properties
+    Seq("supplier", "lineitem", "orders", "part").foreach { t =>
+      spark.read.parquet(s"${TestSpark.Sf}/$t.parquet").write.mode("overwrite").jdbc(url, t, props)
+    }
+    def ptHex(x: Double, y: Double) =
+      WkbGeomExpr.encode(1, Array((x, y))).map("%02x".format(_)).mkString
+    Seq((11L, "cafe", ptHex(7.25, 40.5)), (12L, "bench", ptHex(-3.125, 60.0)))
+      .toDF("osm_id", "kind", "wkb_geometry")
+      .write.mode("overwrite").jdbc(url, "poi_new", props)
+
+    val out = s"$tmp/poi.osc"
+    // the exact argv path a reference user runs: suffix discovery
+    // routes the point-class table to the v1-node create seam
+    ChangegenPipeline.run(Array(url, out, "--suffix=_new", "--id-offset=1000000"), spark)
+    val doc = new String(java.nio.file.Files.readAllBytes(Paths.get(out)), "UTF-8")
+    val create = doc.split("</create>")(0)
+    val pois = """<node id="(\d+)" version="1" lat="([-\d.]+)" lon="([-\d.]+)"><tag.*?</node>"""
+      .r.findAllMatchIn(create.replace("\n", " ")).toSeq
+      .filter(_.matched.contains("\"kind\""))
+    assert(pois.size == 2, s"expected 2 POI create nodes, got ${pois.size}")
+    val byKind = pois.map(m => (
+      """<tag k="kind" v="(\w+)"/>""".r.findFirstMatchIn(m.matched).get.group(1),
+      (m.group(2), m.group(3), m.matched))).toMap
+    assert(byKind("cafe")._1 == "40.500000" && byKind("cafe")._2 == "7.250000")
+    assert(byKind("bench")._1 == "60.000000" && byKind("bench")._2 == "-3.125000")
+    // create-mode tags keep osm_id (only the modify branch filters it)
+    assert(byKind("cafe")._3.contains("""<tag k="osm_id" v="11"/>"""))
+    // section gate: the create path emits points as NODES only — no
+    // way references a point node's id
+    val pointIds = pois.map(m => m.group(1).toLong).toSet
+    val wayRefs = "<nd ref=\"(\\d+)\"/>".r.findAllMatchIn(doc).map(_.group(1).toLong).toSet
+    assert(pointIds.intersect(wayRefs).isEmpty, "point create nodes must not join ways")
+  }
+
+  test("CLI --self: two crossing NEW lines share ONE junction node id in the .osc (reference __main__.py:131-140, db.py:134)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.functions.WkbGeomExpr
+    val tmp = Files.createTempDirectory("graft_cli_self").toString
+    Seq("supplier", "lineitem", "orders", "part").foreach { t =>
+      Files.copy(Paths.get(s"${TestSpark.Sf}/$t.parquet"), Paths.get(s"$tmp/$t.parquet"))
+    }
+    // two lines crossing at exactly (65, 85) — placed far from the
+    // synthetic existing nodes (coords ≤ 100 grid) so the only
+    // junction machinery exercised deterministically is --self's
+    def hex(pts: Array[(Double, Double)]) =
+      WkbGeomExpr.encode(2, pts).map("%02x".format(_)).mkString
+    Seq((1L, hex(Array((60.0, 85.0), (70.0, 85.0)))),
+        (2L, hex(Array((65.0, 80.0), (65.0, 90.0)))))
+      .toDF("osm_id", "wkb_geometry")
+      .write.parquet(s"$tmp/trails_new.parquet")
+
+    val out = s"$tmp/self.osc"
+    ChangegenPipeline.run(Array(tmp, out, "--suffix=_new", "--self=true",
+      "--id-offset=1000000"), spark)
+    val doc = new String(java.nio.file.Files.readAllBytes(Paths.get(out)), "UTF-8")
+    // exactly one junction node at the crossing
+    val jn = """<node id="(\d+)" version="1" lat="85\.000000" lon="65\.000000"""".r
+      .findAllMatchIn(doc).map(_.group(1).toLong).toSeq
+    assert(jn.size == 1, s"expected ONE junction node at (65,85): $jn")
+    // BOTH new ways reference it, inserted between their own vertices
+    val newWays = """<way id="(\d+)" version="1">((?:<nd[^>]*/>)+)""".r
+      .findAllMatchIn(doc.replace("\n", "")).toSeq
+      .map(m => (m.group(1).toLong, "<nd ref=\"(\\d+)\"/>".r.findAllMatchIn(m.group(2)).map(_.group(1).toLong).toSeq))
+      .filter { case (_, nds) => nds.contains(jn.head) }
+    assert(newWays.size == 2, s"junction must be shared by BOTH crossing ways: $newWays")
+    newWays.foreach { case (w, nds) =>
+      assert(nds.size == 3 && nds(1) == jn.head,
+        s"way $w: junction must sit between the original vertices: $nds")
+    }
+    // counts gate through the frames the CLI writes from
+    val f = ChangegenPipeline.build(spark, tmp, idOffset = Some(1000000L),
+      lineWkb = Some(spark.read.parquet(s"$tmp/trails_new.parquet")
+        .select((col("osm_id") + (1L << 40)).as("lgroup"), col("wkb_geometry").as("wkb"))),
+      selfIntersect = true)
+    assert(f.selfJunctions.count() == 1)
+    assert(f.nodes.count() == 4) // the four original vertices
+  }
+
+  test("CLI --deletions names a non-suffixed table; an unknown name fails loudly (reference __main__.py:84-93)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_cli_ndel").toString
+    val url = "jdbc:derby:memory:graft_cli_ndel;create=true"
+    val props = new java.util.Properties
+    Seq("supplier", "lineitem", "orders", "part").foreach { t =>
+      spark.read.parquet(s"${TestSpark.Sf}/$t.parquet").write.mode("overwrite").jdbc(url, t, props)
+    }
+    // ways the snapshot diff does NOT already remove, in a table whose
+    // name shares no suffix convention with anything
+    val doomed = spark.read.jdbc(url, "lineitem", props)
+      .select(col("l_orderkey")).distinct()
+      .filter(col("l_orderkey") % 13 === 2)
+      .orderBy("l_orderkey").limit(3)
+      .select(col("l_orderkey").as("osm_id"))
+    doomed.write.mode("overwrite").jdbc(url, "legacy_removed", props)
+
+    val out = s"$tmp/named_del.osc"
+    ChangegenPipeline.run(Array(url, out, "--deletions=legacy_removed",
+      "--id-offset=1000000"), spark)
+    val doc = new String(java.nio.file.Files.readAllBytes(Paths.get(out)), "UTF-8")
+    val delWays = """<way id="(\d+)" version="1"/>""".r
+      .findAllMatchIn(doc.split("<delete>")(1)).map(_.group(1).toLong).toSet
+    val doomedIds = doomed.collect().map(_.getLong(0)).toSet
+    assert(doomedIds.subsetOf(delWays), s"missing named deletions: ${doomedIds -- delWays}")
+    // unknown table name: loud failure before any work
+    val e = intercept[IllegalArgumentException] {
+      ChangegenPipeline.run(Array(url, out, "--deletions=no_such_table"), spark)
+    }
+    assert(e.getMessage.contains("no_such_table"))
+  }
+
+  test("modify-meta with an osm_id missing from the extract fails loudly (reference KeyError, generator.py:634-650)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.functions.WkbGeomExpr
+    val lineHex = WkbGeomExpr.encode(2, Array((1.0, 1.0), (2.0, 2.0))).map("%02x".format(_)).mkString
+    // 999999999 is no synthetic way (l_orderkey) — the reference
+    // crashes with KeyError; an inner join would silently drop it
+    val feats = Seq((999999999L, "x", lineHex)).toDF("osm_id", "kind", "wkb_geometry")
+    val e = intercept[IllegalArgumentException] {
+      ChangegenPipeline.buildModifyOnly(spark, TestSpark.Sf,
+        features = Seq(("ghost_new", feats, 2))).modifyXml.count()
+    }
+    assert(e.getMessage.contains("999999999"), e.getMessage)
+  }
 }

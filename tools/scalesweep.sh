@@ -24,6 +24,11 @@ cd "$(dirname "$0")/.."
 copies="${1:?usage: tools/scalesweep.sh <copies> [skip.csv] [--perturb]}"
 skip="${2:-}"
 perturb="${3:-}"
+# a typo'd 3rd arg (--preturb, say) would label the fixture _perturb
+# while mkscale.py silently builds a PLAIN one — corrupting the
+# plan-vs-output methodology the flag exists for. Exact match or die.
+[[ -z "$perturb" || "$perturb" == "--perturb" ]] || {
+  echo "unknown 3rd arg: '$perturb' (only --perturb is accepted)" >&2; exit 2; }
 dst="target/sweep_${copies}x${perturb:+_perturb}"
 out="/tmp/verify_sweep_${copies}x${perturb:+_perturb}"
 
