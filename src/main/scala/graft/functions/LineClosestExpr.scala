@@ -87,42 +87,60 @@ object LineClosestExpr {
   def compute(a: ArrayData, b: ArrayData): InternalRow = {
     val na = a.numElements(); val nb = b.numElements()
     if (na < 2 || nb < 2) return null
-    var i = 0
-    while (i < na) { if (a.isNullAt(i)) return null; i += 1 }
-    var j = 0
-    while (j < nb) { if (b.isNullAt(j)) return null; j += 1 }
+    // flat-array staging (see LineDistExpr.flatten): the O(n·m) walk
+    // must not allocate per segment pair
+    val fa = LineDistExpr.flatten(a); if (fa == null) return null
+    val fb = LineDistExpr.flatten(b); if (fb == null) return null
+    val (axs, ays) = fa; val (bxs, bys) = fb
+    val (bminx, bmaxx, bminy, bmaxy) = LineDistExpr.segBoxes(bxs, bys)
     var best = Double.MaxValue
     var bx0 = 0.0; var by0 = 0.0
-    i = 0
+    var i = 0
+    var j = 0
     while (i < na - 1 && best > 0.0) {
-      val p1 = a.getStruct(i, 2); val p2 = a.getStruct(i + 1, 2)
-      val p1x = p1.getDouble(0); val p1y = p1.getDouble(1)
-      val p2x = p2.getDouble(0); val p2y = p2.getDouble(1)
+      val p1x = axs(i); val p1y = ays(i)
+      val p2x = axs(i + 1); val p2y = ays(i + 1)
+      val pminx = if (p1x <= p2x) p1x else p2x
+      val pmaxx = if (p1x <= p2x) p2x else p1x
+      val pminy = if (p1y <= p2y) p1y else p2y
+      val pmaxy = if (p1y <= p2y) p2y else p1y
       j = 0
       while (j < nb - 1 && best > 0.0) {
-        val q1 = b.getStruct(j, 2); val q2 = b.getStruct(j + 1, 2)
-        val q1x = q1.getDouble(0); val q1y = q1.getDouble(1)
-        val q2x = q2.getDouble(0); val q2y = q2.getDouble(1)
-        val o1 = cross(q1x, q1y, q2x, q2y, p1x, p1y)
-        val o2 = cross(q1x, q1y, q2x, q2y, p2x, p2y)
-        val o3 = cross(p1x, p1y, p2x, p2y, q1x, q1y)
-        val o4 = cross(p1x, p1y, p2x, p2y, q2x, q2y)
-        if (((o1 > 0 && o2 < 0) || (o1 < 0 && o2 > 0)) &&
-            ((o3 > 0 && o4 < 0) || (o3 < 0 && o4 > 0))) {
-          // proper crossing: solve on the LEFT segment; s in (0,1)
-          // because the orientation signs are strict
-          val s = o1 / (o1 - o2)
-          best = 0.0
-          bx0 = p1x + s * (p2x - p1x); by0 = p1y + s * (p2y - p1y)
-        } else {
-          val c1 = projOnSeg(p1x, p1y, q1x, q1y, q2x, q2y)
-          if (c1._3 < best) { best = c1._3; bx0 = p1x; by0 = p1y }
-          val c2 = projOnSeg(p2x, p2y, q1x, q1y, q2x, q2y)
-          if (c2._3 < best) { best = c2._3; bx0 = p2x; by0 = p2y }
-          val c3 = projOnSeg(q1x, q1y, p1x, p1y, p2x, p2y)
-          if (c3._3 < best) { best = c3._3; bx0 = c3._1; by0 = c3._2 }
-          val c4 = projOnSeg(q2x, q2y, p1x, p1y, p2x, p2y)
-          if (c4._3 < best) { best = c4._3; bx0 = c4._1; by0 = c4._2 }
+        // exact prune (LineDistExpr.segBoxes): a pair whose bbox gap²
+        // is >= best can never strictly improve, so the
+        // first-strictly-smaller argmin is unchanged
+        var gx = bminx(j) - pmaxx
+        val gx2 = pminx - bmaxx(j)
+        if (gx2 > gx) gx = gx2
+        if (gx < 0.0) gx = 0.0
+        var gy = bminy(j) - pmaxy
+        val gy2 = pminy - bmaxy(j)
+        if (gy2 > gy) gy = gy2
+        if (gy < 0.0) gy = 0.0
+        if (gx * gx + gy * gy < best) {
+          val q1x = bxs(j); val q1y = bys(j)
+          val q2x = bxs(j + 1); val q2y = bys(j + 1)
+          val o1 = cross(q1x, q1y, q2x, q2y, p1x, p1y)
+          val o2 = cross(q1x, q1y, q2x, q2y, p2x, p2y)
+          val o3 = cross(p1x, p1y, p2x, p2y, q1x, q1y)
+          val o4 = cross(p1x, p1y, p2x, p2y, q2x, q2y)
+          if (((o1 > 0 && o2 < 0) || (o1 < 0 && o2 > 0)) &&
+              ((o3 > 0 && o4 < 0) || (o3 < 0 && o4 > 0))) {
+            // proper crossing: solve on the LEFT segment; s in (0,1)
+            // because the orientation signs are strict
+            val s = o1 / (o1 - o2)
+            best = 0.0
+            bx0 = p1x + s * (p2x - p1x); by0 = p1y + s * (p2y - p1y)
+          } else {
+            val c1 = projOnSeg(p1x, p1y, q1x, q1y, q2x, q2y)
+            if (c1._3 < best) { best = c1._3; bx0 = p1x; by0 = p1y }
+            val c2 = projOnSeg(p2x, p2y, q1x, q1y, q2x, q2y)
+            if (c2._3 < best) { best = c2._3; bx0 = p2x; by0 = p2y }
+            val c3 = projOnSeg(q1x, q1y, p1x, p1y, p2x, p2y)
+            if (c3._3 < best) { best = c3._3; bx0 = c3._1; by0 = c3._2 }
+            val c4 = projOnSeg(q2x, q2y, p1x, p1y, p2x, p2y)
+            if (c4._3 < best) { best = c4._3; bx0 = c4._1; by0 = c4._2 }
+          }
         }
         j += 1
       }

@@ -188,6 +188,36 @@ object Changegen {
         .select(col("c_custkey"), col("other"), fp(col("dist"), 6).as("dist_fp6"))
         .orderBy("c_custkey", "other")
     }),
+    // 21f — the --self junction-NODE table (the pipeline's
+    // `_generate_intersection_db` with self=True, generator.py:99-158
+    // over db.intersections(table, table), db.py:102-140): the
+    // CLOSEST POINT of every new-vs-new feature pair within the
+    // buffer (`not st_equals` exercised by a planted duplicate line
+    // under a new id), deduped at 6 decimals (COORDINATE_PRECISION,
+    // the reference's dict trick) into ONE junction node per
+    // coordinate with its source-feature count. The oracle replicates
+    // the native graft_line_closest argmin walk byte for byte:
+    // crossing solve s=o1/(o1-o2) on the LEFT segment, clamped
+    // endpoint projections otherwise, first-minimum in
+    // (segA, segB, candidate) walk order.
+    "cg_self_junctions" -> ((s, dir) => {
+      val l0 = blobLines(t(s, dir, "customer"), "c_custkey", 8, "lid", "lbx", "lby", 7, 23)
+        .select(col("lid").cast("long").as("lid"), col("line"))
+      val l = l0.unionByName(
+        l0.filter(col("lid") === 0).select(lit(100L).as("lid"), col("line")))
+      val pairs = DWithinJoin.lineLine(l, "lid", "line",
+          l.select(col("lid").as("rid"), col("line").as("line2")), "rid", "line2", 5.0,
+          excludeEqual = true, keepLines = true)
+        .filter(col("lid") =!= col("rid"))
+      pairs
+        .select(col("lid"),
+          call_function("graft_line_closest", col("_lline"), col("_rline")).as("cp"))
+        .select(col("lid"), fp(col("cp.x"), 6).as("jx6"), fp(col("cp.y"), 6).as("jy6"))
+        .distinct()
+        .groupBy("jx6", "jy6")
+        .agg(count(lit(1)).as("n_feats"))
+        .orderBy("jx6", "jy6")
+    }),
     // 20b — relation for split ways (_generate_relation_for_ways,
     // generator.py:380-395): chunks of a split way tied together as
     // ordered outer members; unsplit ways get no relation
@@ -775,6 +805,78 @@ object Changegen {
         |SELECT CAST(md.lid AS BIGINT) AS lid, CAST(md.rid AS BIGINT) AS rid, ${sqlFp("sqrt(d2)", 6)} AS dist_fp6
         |FROM md LEFT JOIN eqpairs e ON e.lid = md.lid AND e.rid = md.rid
         |WHERE e.lid IS NULL AND sqrt(d2) <= 3.0 ORDER BY md.lid, md.rid""".stripMargin
+    },
+    "cg_self_junctions" -> {
+      def rndE(tag: String, expr: String): String =
+        s"""(list_reduce(list_prepend(CAST(0 AS BIGINT),
+           | list_transform(range(1, 7),
+           |  i -> CAST(strpos('0123456789abcdef', substr(md5('$tag' || CAST($expr AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT))),
+           | (a, v) -> a*16 + v) / 16777216.0 * 100.0)""".stripMargin.replace("\n", " ")
+      // the graft_line_closest walk in SQL: per ordered pair, every
+      // segment-pair candidate (crossing point with d2=0, else the
+      // four endpoint/projection candidates realized ON the left
+      // segment), argmin by (d2, segA, segB, candidate) — exactly the
+      // native first-strictly-smaller traversal; pair admission is
+      // the same sqrt(min d2) <= radius as graft_line_dist2
+      s"""WITH lsp0 AS (SELECT c_custkey % 8 AS lid,
+        |    row_number() OVER (PARTITION BY c_custkey % 8 ORDER BY c_custkey) AS seq,
+        |    ${rndE("lbx", "c_custkey % 8")} * 0.3 + (c_custkey*7 % 40)/10.0 AS x,
+        |    ${rndE("lby", "c_custkey % 8")} * 0.3 + (c_custkey*23 % 40)/10.0 AS y FROM customer),
+        |lln AS (SELECT lid FROM lsp0 GROUP BY lid HAVING count(*) >= 2),
+        |sp AS (SELECT lid, seq, x, y FROM lsp0 JOIN lln USING (lid)
+        |       UNION ALL SELECT 100, seq, x, y FROM lsp0 JOIN lln USING (lid) WHERE lid = 0),
+        |verts AS (SELECT lid, list(struct_pack(x := x, y := y) ORDER BY seq) AS vs
+        |          FROM sp GROUP BY lid),
+        |eqpairs AS (SELECT l.lid AS lid, r.lid AS rid FROM verts l JOIN verts r
+        |            ON l.vs = r.vs AND l.lid <> r.lid),
+        |segs AS (SELECT a.lid, a.seq AS si, a.x AS p1x, a.y AS p1y, b.x AS p2x, b.y AS p2y
+        |         FROM sp a JOIN sp b ON a.lid = b.lid AND b.seq = a.seq + 1),
+        |dv AS (SELECT l.lid, r.lid AS rid, l.si, r.si AS sj,
+        |    l.p1x, l.p1y, l.p2x, l.p2y,
+        |    r.p1x AS q1x, r.p1y AS q1y, r.p2x AS q2x, r.p2y AS q2y,
+        |    (l.p2x - l.p1x) AS adx, (l.p2y - l.p1y) AS ady,
+        |    (r.p2x - r.p1x) AS bdx, (r.p2y - r.p1y) AS bdy,
+        |    ((l.p2x - l.p1x)*(l.p2x - l.p1x) + (l.p2y - l.p1y)*(l.p2y - l.p1y)) AS alen2,
+        |    ((r.p2x - r.p1x)*(r.p2x - r.p1x) + (r.p2y - r.p1y)*(r.p2y - r.p1y)) AS blen2,
+        |    ((r.p2x - r.p1x)*(l.p1y - r.p1y) - (r.p2y - r.p1y)*(l.p1x - r.p1x)) AS o1,
+        |    ((r.p2x - r.p1x)*(l.p2y - r.p1y) - (r.p2y - r.p1y)*(l.p2x - r.p1x)) AS o2,
+        |    ((l.p2x - l.p1x)*(r.p1y - l.p1y) - (l.p2y - l.p1y)*(r.p1x - l.p1x)) AS o3,
+        |    ((l.p2x - l.p1x)*(r.p2y - l.p1y) - (l.p2y - l.p1y)*(r.p2x - l.p1x)) AS o4
+        |  FROM segs l JOIN segs r ON l.lid <> r.lid),
+        |ts AS (SELECT *,
+        |    ((o1 > 0 AND o2 < 0) OR (o1 < 0 AND o2 > 0))
+        |      AND ((o3 > 0 AND o4 < 0) OR (o3 < 0 AND o4 > 0)) AS crossing,
+        |    least(greatest(CASE WHEN blen2 = 0 THEN 0.0 ELSE ((p1x - q1x)*bdx + (p1y - q1y)*bdy) / blen2 END, 0.0), 1.0) AS t1,
+        |    least(greatest(CASE WHEN blen2 = 0 THEN 0.0 ELSE ((p2x - q1x)*bdx + (p2y - q1y)*bdy) / blen2 END, 0.0), 1.0) AS t2,
+        |    least(greatest(CASE WHEN alen2 = 0 THEN 0.0 ELSE ((q1x - p1x)*adx + (q1y - p1y)*ady) / alen2 END, 0.0), 1.0) AS t3,
+        |    least(greatest(CASE WHEN alen2 = 0 THEN 0.0 ELSE ((q2x - p1x)*adx + (q2y - p1y)*ady) / alen2 END, 0.0), 1.0) AS t4
+        |  FROM dv),
+        |cands AS (
+        |  SELECT lid, rid, si, sj, 0 AS cidx, 0.0 AS d2,
+        |         p1x + (o1/(o1-o2))*adx AS cx, p1y + (o1/(o1-o2))*ady AS cy
+        |    FROM ts WHERE crossing
+        |  UNION ALL SELECT lid, rid, si, sj, 1,
+        |         ((q1x + t1*bdx) - p1x)*((q1x + t1*bdx) - p1x) + ((q1y + t1*bdy) - p1y)*((q1y + t1*bdy) - p1y),
+        |         p1x, p1y FROM ts WHERE NOT crossing
+        |  UNION ALL SELECT lid, rid, si, sj, 2,
+        |         ((q1x + t2*bdx) - p2x)*((q1x + t2*bdx) - p2x) + ((q1y + t2*bdy) - p2y)*((q1y + t2*bdy) - p2y),
+        |         p2x, p2y FROM ts WHERE NOT crossing
+        |  UNION ALL SELECT lid, rid, si, sj, 3,
+        |         ((p1x + t3*adx) - q1x)*((p1x + t3*adx) - q1x) + ((p1y + t3*ady) - q1y)*((p1y + t3*ady) - q1y),
+        |         p1x + t3*adx, p1y + t3*ady FROM ts WHERE NOT crossing
+        |  UNION ALL SELECT lid, rid, si, sj, 4,
+        |         ((p1x + t4*adx) - q2x)*((p1x + t4*adx) - q2x) + ((p1y + t4*ady) - q2y)*((p1y + t4*ady) - q2y),
+        |         p1x + t4*adx, p1y + t4*ady FROM ts WHERE NOT crossing),
+        |mins AS (SELECT lid, rid, min(d2) AS pairmin FROM cands GROUP BY lid, rid),
+        |best AS (SELECT lid, rid, cx, cy,
+        |           row_number() OVER (PARTITION BY lid, rid ORDER BY d2, si, sj, cidx) AS rn
+        |         FROM cands),
+        |pts AS (SELECT b.lid, ${sqlFp("b.cx", 6)} AS jx6, ${sqlFp("b.cy", 6)} AS jy6
+        |        FROM best b JOIN mins m ON m.lid = b.lid AND m.rid = b.rid
+        |        LEFT JOIN eqpairs e ON e.lid = b.lid AND e.rid = b.rid
+        |        WHERE b.rn = 1 AND sqrt(m.pairmin) <= 5.0 AND e.lid IS NULL),
+        |dd AS (SELECT DISTINCT lid, jx6, jy6 FROM pts)
+        |SELECT jx6, jy6, count(*) AS n_feats FROM dd GROUP BY jx6, jy6 ORDER BY jx6, jy6""".stripMargin
     },
     "cg_node_dedup" ->
       s"""SELECT rx, ry, min(c_custkey) AS keep_id, count(*) AS n_dups FROM (

@@ -900,6 +900,26 @@ class DedupSimSpec extends AnyFunSuite {
     assert(!fs.exists(m) && fs.exists(cfgP) && !fs.exists(tmpP),
       "config-swap crash not healed to a clean layout by the writer entry")
     assert(pairSet(s"$base/inc2", probe) == pairSet(s"$base/full", probe))
+
+    // branch 5: crash INSIDE swapBanded's delete→rename window —
+    // banded/ deleted, a COMPLETE banded_tmp/ stranded, marker up
+    // (the cap-changing append's full re-band). A probe must fall
+    // back to the complete tmp layout (bandedDir) instead of failing
+    // on the missing directory; the next writer entry re-bands from
+    // sigs and restores the committed layout.
+    val bP = new org.apache.hadoop.fs.Path(s"$base/inc2/banded")
+    val btP = new org.apache.hadoop.fs.Path(s"$base/inc2/banded_tmp")
+    assert(fs.rename(bP, btP), "could not stage the banded-swap crash state")
+    fs.create(m, true).close()
+    val during3 = pairSet(s"$base/inc2", probe)
+    assert(fs.exists(m) && !fs.exists(bP) && fs.exists(btP),
+      "a probe must read banded_tmp in place without promoting it")
+    assert(during3 == pairSet(s"$base/full", probe),
+      "probe under a mid-swap crash must serve the complete tmp layout")
+    assert(LshIndex.append(rest, "doc_id", "text", s"$base/inc2") == 0L)
+    assert(!fs.exists(m) && fs.exists(bP) && !fs.exists(btP),
+      "banded-swap crash not healed to a clean layout by the writer entry")
+    assert(pairSet(s"$base/inc2", probe) == pairSet(s"$base/full", probe))
     docs.unpersist()
   }
 
