@@ -189,7 +189,11 @@ object ChangegenPipeline {
       flags.get(key).orElse(pos.lift(i)).filter(_.nonEmpty)
     val sfDir = pos.headOption.getOrElse("/root/testdata/sf0.001")
     val out = if (pos.length > 1) pos(1) else "/tmp/graft_demo.osc.gz"
-    val maxNodes = arg(2, "max-nodes-per-way").map(_.toInt).getOrElse(500)
+    // "none" = no way splitting (the reference's `--max_nodes_per_way
+    // none`, __main__.py:141-148) — modeled as an unreachable cap
+    val maxNodes = arg(2, "max-nodes-per-way")
+      .map(v => if (v.equalsIgnoreCase("none")) Int.MaxValue else v.toInt)
+      .getOrElse(500)
     val idOffset = arg(3, "id-offset").map(_.toLong)
     val negIds = arg(4, "neg-ids").exists(_.toBoolean)
     val shards = arg(5, "shards").map(_.toInt).getOrElse(0)
