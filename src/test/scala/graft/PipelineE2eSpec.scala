@@ -710,6 +710,40 @@ class PipelineE2eSpec extends AnyFunSuite {
     assert(f.nodes.count() == 4) // the four original vertices
   }
 
+  test("--self T-junction: a vertex-coincident junction REUSES the node id; the other way inserts it (generator.py:429-448)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.functions.WkbGeomExpr
+    // line 1: (60,85)-(70,85); line 2 STARTS exactly ON it at (65,85)
+    // and runs away — a T. The junction coincides with line 2's first
+    // vertex (reuse, no new node for it) and sits in line 1's
+    // interior (insert).
+    def hex(pts: Array[(Double, Double)]) =
+      WkbGeomExpr.encode(2, pts).map("%02x".format(_)).mkString
+    val feats = Seq(
+      (1L, hex(Array((60.0, 85.0), (70.0, 85.0)))),
+      (2L, hex(Array((65.0, 85.0), (65.0, 95.0)))))
+      .toDF("osm_id", "wkb_geometry")
+    val f = ChangegenPipeline.build(spark, TestSpark.Sf, idOffset = Some(1000000L),
+      lineWkb = Some(feats.select(col("osm_id").as("lgroup"), col("wkb_geometry").as("wkb"))),
+      selfIntersect = true)
+    assert(f.selfJunctions.count() == 1)
+    val j = f.selfJunctions.select("node_id").as[Long].head()
+    val ways = f.splitWays.select(col("way"), col("chunk_nds"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(ways.size == 2, ways.toString)
+    val stem = ways.minBy(_._2.size) // line 2: first vertex reused → 2 nds
+    val bar = ways.maxBy(_._2.size)  // line 1: junction inserted → 3 nds
+    assert(bar._2.size == 3 && bar._2(1) == j,
+      s"junction must INSERT into the crossed line's interior: $ways j=$j")
+    assert(stem._2.size == 2 && stem._2.head == j,
+      s"junction must REPLACE the coincident vertex (reuse, not insert): $ways j=$j")
+    // the replaced vertex is not emitted: 4 original verts - 1 reused
+    // + 1 junction = 4 line nodes in the changefile
+    assert(f.nodeXml.count() - f.polyNodes.count() == 4,
+      s"emitted line nodes: ${f.nodeXml.count() - f.polyNodes.count()}")
+  }
+
   test("CLI --deletions names a non-suffixed table; an unknown name fails loudly (reference __main__.py:84-93)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
