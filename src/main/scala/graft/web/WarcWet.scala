@@ -74,30 +74,37 @@ object WarcWet {
       if ((flg & 16) != 0) { p = skipZeroTerminated(p); if (p < 0) return null }
       if ((flg & 2) != 0) p += 2 // FHCRC
       if (p >= fileLen) return null
+      // the Inflater's native context must be freed on EVERY exit —
+      // including the reject paths: this runs once per CANDIDATE
+      // offset, and false-positive gzip magics inside compressed
+      // bytes are routine at corpus scale, so a reject-path leak here
+      // is the read-side twin of the per-record Deflater leak the
+      // writer once had
       val inf = new java.util.zip.Inflater(true)
       val out = new ByteArrayOutputStream()
       val crc = new java.util.zip.CRC32()
-      val in = new Array[Byte](64 * 1024)
-      val buf = new Array[Byte](64 * 1024)
-      var at = p
-      raf.seek(p)
       var consumedEnd = p
-      while (!inf.finished()) {
-        if (inf.needsInput()) {
-          if (at >= fileLen) return null // truncated member
-          raf.seek(at)
-          val n = raf.read(in, 0, math.min(in.length.toLong, fileLen - at).toInt)
-          if (n <= 0) return null
-          inf.setInput(in, 0, n)
-          at += n
+      try {
+        val in = new Array[Byte](64 * 1024)
+        val buf = new Array[Byte](64 * 1024)
+        var at = p
+        raf.seek(p)
+        while (!inf.finished()) {
+          if (inf.needsInput()) {
+            if (at >= fileLen) return null // truncated member
+            raf.seek(at)
+            val n = raf.read(in, 0, math.min(in.length.toLong, fileLen - at).toInt)
+            if (n <= 0) return null
+            inf.setInput(in, 0, n)
+            at += n
+          }
+          val n = inf.inflate(buf)
+          if (n > 0) { out.write(buf, 0, n); crc.update(buf, 0, n) }
+          else if (n == 0 && inf.needsDictionary()) return null
+          if (out.size() > MaxMemberBytes) return null // runaway/hostile member
         }
-        val n = inf.inflate(buf)
-        if (n > 0) { out.write(buf, 0, n); crc.update(buf, 0, n) }
-        else if (n == 0 && inf.needsDictionary()) return null
-        if (out.size() > MaxMemberBytes) return null // runaway/hostile member
-      }
-      consumedEnd = at - inf.getRemaining
-      inf.end()
+        consumedEnd = at - inf.getRemaining
+      } finally inf.end()
       // trailer: CRC32 + ISIZE (mod 2^32), little-endian
       if (consumedEnd + 8 > fileLen) return null
       raf.seek(consumedEnd)
