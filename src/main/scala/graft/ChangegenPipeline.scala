@@ -426,7 +426,8 @@ object ChangegenPipeline {
             // drop the row from the changefile instead.
             val feats = df.select(col("osm_id").cast("long").as("eway"), tags.as("_tags"))
             val missing = feats.join(existingWays, Seq("eway"), "left_anti")
-              .select("eway").limit(10).collect().map(_.getLong(0))
+              .select("eway").limit(10).collect()
+              .map(r => if (r.isNullAt(0)) "null/non-numeric" else r.getLong(0).toString)
             require(missing.isEmpty,
               s"feature table $name: osm_id(s) not present in the extract's ways: " +
                 s"${missing.mkString(", ")} (reference fails with KeyError on a " +
@@ -934,6 +935,10 @@ object ChangegenPipeline {
       case Some(src) =>
         val dec0 = src.select(col("pgrp").cast("long").as("pgrp"), col("ptags"),
             element_at(call_function("graft_geom_parts", col("wkb")), 1).as("_v"))
+          // malformed WKB decodes to NULL — DROP the feature (the same
+          // drop-don't-throw contract as the exploding line/poly seams,
+          // where posexplode(null) yields zero rows)
+          .filter(col("_v").isNotNull)
           .select(col("pgrp"), col("ptags"), col("_v.x").as("x"), col("_v.y").as("y"))
         val dec =
           if (pointSrcEpsg == 4326) dec0
