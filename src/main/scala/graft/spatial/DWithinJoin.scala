@@ -173,29 +173,42 @@ object DWithinJoin {
       excludeEqual: Boolean = false,
       keepLines: Boolean = false
   ): DataFrame = {
+    require(leftId != rightId, s"lineLine needs distinct id column names, got '$leftId' twice")
     val r = lit(radius)
     def xs(c: Column) = transform(c, p => p.getField("x"))
     def ys(c: Column) = transform(c, p => p.getField("y"))
-    def cellsOf(df: DataFrame, lineCol: String, pad: Column, cxm: String, cym: String) = {
+    // replicate ONLY (id, cell, bbox-min) over the bbox cells — not
+    // the geometry (the pointLine lesson: carrying the vertex array
+    // through the cell explosion multiplies the cell shuffle by the
+    // line size; a corpus-scale feature table with long ways pays
+    // that on BOTH sides here). Geometry re-attaches per CANDIDATE
+    // PAIR by id after the canonical-cell filter, so the exact
+    // predicate still runs once per pair on exactly-once rows.
+    def cellsOf(df: DataFrame, id: String, lineCol: String, pad: Column,
+                idOut: String, cxm: String, cym: String) = {
       val cxMin = floor((array_min(xs(col(lineCol))) - pad) / r).cast("long")
       val cxMax = floor((array_max(xs(col(lineCol))) + pad) / r).cast("long")
       val cyMin = floor((array_min(ys(col(lineCol))) - pad) / r).cast("long")
       val cyMax = floor((array_max(ys(col(lineCol))) + pad) / r).cast("long")
-      df.withColumn(cxm, cxMin)
-        .withColumn(cym, cyMin)
+      df.select(col(id).as(idOut),
+          cxMin.as(cxm), cyMin.as(cym), cxMax.as("_cxmax"), cyMax.as("_cymax"))
         .withColumn("_cell", explode(flatten(transform(
-          sequence(col(cxm), cxMax),
-          cx => transform(sequence(col(cym), cyMax), cy => struct(cx.as("cx"), cy.as("cy")))))))
+          sequence(col(cxm), col("_cxmax")),
+          cx => transform(sequence(col(cym), col("_cymax")), cy => struct(cx.as("cx"), cy.as("cy")))))))
+        .drop("_cxmax", "_cymax")
     }
-    val lCells = cellsOf(
-      left.select(col(leftId), col(leftLine).as("_lline")), "_lline", r, "_lcx0", "_lcy0")
-    val rCells = cellsOf(
-      right.select(col(rightId), col(rightLine).as("_rline")), "_rline", lit(0.0), "_rcx0", "_rcy0")
+    val lCells = cellsOf(left, leftId, leftLine, r, "_lid0", "_lcx0", "_lcy0")
+    val rCells = cellsOf(right, rightId, rightLine, lit(0.0), "_rid0", "_rcx0", "_rcy0")
+    val lGeom = left.select(col(leftId).as("_lid0"), col(leftLine).as("_lline"))
+    val rGeom = right.select(col(rightId).as("_rid0"), col(rightLine).as("_rline"))
     val joined = lCells
       .join(rCells, "_cell")
       // canonical cell: exactly-once without a distinct shuffle
       .filter(col("_cell.cx") === greatest(col("_lcx0"), col("_rcx0")) &&
         col("_cell.cy") === greatest(col("_lcy0"), col("_rcy0")))
+      .select(col("_lid0").as(leftId), col("_rid0").as(rightId))
+      .join(lGeom.withColumnRenamed("_lid0", leftId), leftId)
+      .join(rGeom.withColumnRenamed("_rid0", rightId), rightId)
       .withColumn("dist", sqrt(call_function("graft_line_dist2", col("_lline"), col("_rline"))))
       .filter(col("dist") <= radius)
     // reference's `not st_equals` (db.py:134) for linestrings:
