@@ -530,8 +530,8 @@ object ChangegenPipeline {
     val maxRow = osmSrc match {
       case Some(p) =>
         graft.osm.OsmPbf.nodes(spark, p).toDF().agg(max("id"))
-          .crossJoin(graft.osm.OsmPbf.ways(spark, p).toDF().agg(max("id"))).head
-      case None => lineitem.agg(max("l_partkey"), max("l_orderkey")).head
+          .crossJoin(graft.osm.OsmPbf.ways(spark, p).toDF().agg(max("id"))).head()
+      case None => lineitem.agg(max("l_partkey"), max("l_orderkey")).head()
     }
     val maxExistingNode = maxRow.getLong(0)
     val maxExistingWay = maxRow.getLong(1)
