@@ -166,12 +166,32 @@ object ChangegenPipeline {
     * (directory mode) of (id, wkb_geometry) rows feeding the
     * `polyWkb` / `lineWkb` seams — MULTI* parts included — and
     * `--poly-epsg` sets the polygon layer's source CRS. */
+  /** `--debug` per-stage progress lines (reference __main__.py:72 —
+    * its --debug flips the logger to DEBUG and the stages narrate).
+    * The message is by-name, so disabled runs pay nothing. */
+  private def dbg(enabled: Boolean, msg: => String): Unit =
+    if (enabled) println(s"[changegen:debug] $msg")
+
   def run(args: Array[String], spark: SparkSession): Unit = {
     val (flagArgs, pos) = args.partition(_.startsWith("--"))
-    val flags = flagArgs.map { f =>
+    val parsedFlags = flagArgs.map { f =>
       val a = f.stripPrefix("--").split("=", 2)
       a(0) -> (if (a.length > 1) a(1) else "true")
-    }.toMap
+    }
+    // the reference's -s/-d/-e options are REPEATABLE (multiple=True,
+    // __main__.py:73-103): repeated occurrences of the list-valued
+    // flags merge as comma lists. Any OTHER flag repeated is an error
+    // — a silent last-wins would drop the earlier value (e.g. the
+    // first --deletions table's <delete> entries)
+    val repeatableFlags = Set("suffix", "existing", "deletions")
+    val dupScalars = parsedFlags.groupBy(_._1)
+      .collect { case (k, vs) if vs.length > 1 && !repeatableFlags(k) => k }
+    require(dupScalars.isEmpty,
+      s"flag(s) given more than once: ${dupScalars.toSeq.sorted.map("--" + _).mkString(", ")}" +
+        s" — only ${repeatableFlags.toSeq.sorted.map("--" + _).mkString(", ")} are repeatable")
+    val flags = parsedFlags.groupBy(_._1).map { case (k, vs) =>
+      k -> vs.map(_._2).mkString(",")
+    }
     // reject typo'd keys loudly: a silently-ignored --max-nodes=7
     // would fall back to the default and write a structurally valid
     // but WRONG changefile (the same failure mode check.py guards
@@ -180,7 +200,7 @@ object ChangegenPipeline {
       "shards", "osmsrc", "deletion-suffix", "no-collisions",
       "poly-table", "line-table", "poly-epsg",
       "modify-meta", "hstore-tags", "suffix", "existing",
-      "self", "deletions", "compress")
+      "self", "deletions", "compress", "debug")
     val unknownFlags = flags.keySet -- knownFlags
     require(unknownFlags.isEmpty,
       s"unknown flag(s): ${unknownFlags.toSeq.sorted.map("--" + _).mkString(", ")}" +
@@ -232,6 +252,9 @@ object ChangegenPipeline {
     // of the output extension (__main__.py:115, the reference default)
     val selfIntersect = flags.get("self").exists(_.toBoolean)
     val forceGzip = flags.get("compress").exists(_.toBoolean)
+    // --debug: per-stage progress logging (the reference's --debug
+    // flips its logger to DEBUG, __main__.py:72 — same role here)
+    val debug = flags.get("debug").exists(_.toBoolean)
 
     // deletion tables: suffix-discovered (--deletion-suffix) plus
     // EXPLICITLY named (--deletions=a,b — the reference's repeatable
@@ -340,10 +363,13 @@ object ChangegenPipeline {
           deletionTables, noCollisions,
           seamUnion(3, flags.get("poly-table"), "pgroup"), polyEpsg,
           seamUnion(2, flags.get("line-table"), "lgroup"), existingWkb,
-          pointWkb, selfIntersect = selfIntersect)
+          pointWkb, selfIntersect = selfIntersect, debug = debug)
       }
 
     // 5. assemble the OsmChange document (creates = nodes then ways)
+    dbg(debug, s"stage 5 (write): assembling OsmChange document -> $out" +
+      s" (shards=$shards gzip=${forceGzip || out.endsWith(".gz")})")
+    val tWrite0 = System.nanoTime()
     if (shards > 0) {
       def sec(df: DataFrame, s: String) = df.select(
         pmod(xxhash64(col("xml")), lit(shards)).cast("int").as("shard"), lit(s).as("section"), col("xml"))
@@ -355,6 +381,7 @@ object ChangegenPipeline {
     } else
       OsmChangeXml.write(out, f.nodeXml.unionByName(f.wayXml).unionByName(f.relXml),
         Some(f.modifyXml), Some(f.deleteXml), gzip = forceGzip || out.endsWith(".gz"))
+    dbg(debug, f"stage 5 (write): done in ${(System.nanoTime() - tWrite0) / 1e9}%.2f s")
     println(s"[changegen] wrote $out: nodes=${f.nodes.count()} ways=${f.splitWays.count()} " +
       s"points=${f.pointNodes.count()} self_junctions=${f.selfJunctions.count()} " +
       s"junctions=${f.junctionAt.count()} modified=${f.modified.count()} deletes=${f.deleteSet.count()}")
@@ -517,7 +544,8 @@ object ChangegenPipeline {
             pointWkb: Option[DataFrame] = None,
             pointSrcEpsg: Int = 4326,
             selfIntersect: Boolean = false,
-            selfRadius: Double = 0.5): Frames = {
+            selfRadius: Double = 0.5,
+            debug: Boolean = false): Frames = {
     require(existingWkb.isEmpty || osmSrc.isDefined,
       "existingWkb needs osmSrc: vertex node ids resolve positionally against the extract")
     val supplier = Tables.load(spark, sfDir, "supplier")
@@ -535,6 +563,7 @@ object ChangegenPipeline {
     }
     val maxExistingNode = maxRow.getLong(0)
     val maxExistingWay = maxRow.getLong(1)
+    dbg(debug, s"stage 0 (ids): existing max node id=$maxExistingNode, max way id=$maxExistingWay")
     // negative mode descends from -1 (never collides with positive OSM
     // ids); positive mode starts above both the flag and the observed max
     val nodeIdBase =
@@ -605,6 +634,14 @@ object ChangegenPipeline {
     // nodes at +6M; negative mode descends zone by zone
     val selfNodeOffset = if (negIds) -(nVerts + 2100000L) else wayIdBase + 5000000L
     val pointNodeOffset = if (negIds) -(nVerts + 4200000L) else wayIdBase + 6000000L
+    // zone WIDTHS in node-id space (distance to the next zone in the
+    // assignment direction) — counts are guarded against these below
+    // so an overflow fails loudly instead of silently colliding node
+    // ids across zones and corrupting the changefile
+    val selfNodeWindow = if (negIds) 2100000L else 1000000L
+    val polyNodeWindow = if (negIds) 2000000L else 4000000L
+    dbg(debug, s"stage 1 (new features): $nVerts vertices; nodeIdBase=$nodeIdBase " +
+      s"wayIdBase=$wayIdBase selfNodeOffset=$selfNodeOffset pointNodeOffset=$pointNodeOffset")
 
     // 1b. --self junction nodes among the new features (see Scaladoc):
     // candidate pairs from the grid-bucketed line-line ST_DWithin (no
@@ -653,6 +690,11 @@ object ChangegenPipeline {
           .select(col("node_id"), (col("jx6") / 1e6).as("x"), (col("jy6") / 1e6).as("y"),
             col("jx6"), col("jy6"))
           .persist()
+        val nJn = jn.count()
+        require(nJn < selfNodeWindow,
+          s"--self produced $nJn junction nodes, overflowing the fixed self-junction id zone " +
+            s"($selfNodeWindow ids from $selfNodeOffset) — ids would collide with the point-create zone")
+        dbg(debug, s"stage 1b (--self): $nJn junction nodes at 6dp-distinct coordinates")
         // (a) vertex coincidence at 6dp: ANY feature's vertex at a
         // junction coordinate adopts the junction node id (the
         // reference's near-vertex rtree reuse, generator.py:429-440);
@@ -922,6 +964,11 @@ object ChangegenPipeline {
           .persist()
         (pn, pw, pr)
     }
+    val nPolyNodes = polyNodes.count()
+    require(nPolyNodes < polyNodeWindow,
+      s"polygon features produced $nPolyNodes ring nodes, overflowing the fixed polygon-node id zone " +
+        s"($polyNodeWindow ids from $polyNodeOffset) — ids would collide with the next zone")
+    dbg(debug, s"stage 4b (polygons): $nPolyNodes ring nodes")
     // 4c. point features (reference generator.py:622-631, the
     // non-modify Point branch): one v1 <create> node per feature at
     // its reprojected coordinates, carrying the table-derived tags

@@ -13,7 +13,9 @@ import graft.text.TextAnalysis
   * stored banded rows.
   *
   * Layout under `path`:
-  *   - `banded/` — the CAP-SURVIVING banded rows of the reference
+  *   - `banded/` (or, after any FULL re-band, the highest-numbered
+  *     committed `banded_g{N}/` generation — see [[swapBanded]]) —
+  *     the CAP-SURVIVING banded rows of the reference
   *     ([[Dedup.survivingBandedFixedCap]]: cold buckets plain, hot
   *     buckets re-keyed on extended signature slots in the shifted
   *     band namespace — exactly [[Dedup.lshCandidatePairs]]'
@@ -63,6 +65,14 @@ object LshIndex {
     val bm = buildMarker(path)
     fs.mkdirs(bm.getParent)
     fs.create(bm, true).close()
+    // a rebuild writes the plain `banded/` layout; stale generation
+    // dirs from the previous index life would outrank it at
+    // resolution ([[bandedDir]] prefers the highest committed
+    // generation), so they go first — probes are locked out by the
+    // build marker for the whole window
+    listGens(fs, path, completeOnly = false)
+      .foreach(n => fs.delete(new org.apache.hadoop.fs.Path(genPath(path, n)), true))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/banded_tmp"), true)
     val sigs = Dedup.sigTable(reference, idCol, textCol, shingleSize, numPerm)
       .localCheckpoint()
     val n = sigs.count()
@@ -137,15 +147,16 @@ object LshIndex {
     * marker is legitimately present during any live [[append]], and a
     * probe that re-banded concurrently with the appender would race
     * its `banded/` update. Concurrency contract for probes racing a
-    * live append: full re-bands (cap change, recovery) swap in
-    * rename-based ([[swapBanded]] + the [[bandedDir]] fallback), so a
-    * probe reads one complete layout — pre- or post-swap; the
-    * same-cap incremental path overwrites only the affected `grp=`
-    * partitions, so a probe's listing may mix pre- and post-append
-    * GROUPS (each internally consistent — a near-committed state in
-    * which some candidates already reflect the in-flight batch). A
-    * probe never serves torn part files, and a stranded marker is
-    * healed by the next writer entry. */
+    * live append: full re-bands (cap change, recovery) commit into a
+    * fresh RETAINED generation ([[swapBanded]] + [[bandedDir]]
+    * resolution), so a probe reads one complete layout — the one it
+    * resolved survives on disk until a SECOND full re-band supersedes
+    * it; the same-cap incremental path overwrites only the affected
+    * `grp=` partitions, so a probe's listing may mix pre- and
+    * post-append GROUPS (each internally consistent — a
+    * near-committed state in which some candidates already reflect
+    * the in-flight batch). A probe never serves torn part files, and
+    * a stranded marker is healed by the next writer entry. */
   private def readerConfig(spark: SparkSession, path: String): Config = {
     val fs = marker(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(buildMarker(path)))
@@ -158,29 +169,77 @@ object LshIndex {
 
   private def buildMarker(path: String) = new org.apache.hadoop.fs.Path(s"$path/_build_pending")
 
-  /** banded/ swap discipline for FULL re-bands (the cap-changing
-    * append and crash recovery): write the new layout to
-    * `banded_tmp/`, drop `banded/`, rename into place — the same
-    * pattern `config/` already uses. A probe whose listing lands in
-    * the delete→rename window falls back to the complete tmp layout
-    * ([[bandedDir]]) instead of crashing on part files deleted
-    * mid-scan. */
-  private def swapBanded(spark: SparkSession, path: String)(write: String => Unit): Unit = {
-    val fs = marker(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/banded_tmp")
-    fs.delete(tmp, true) // a stranded tmp from a crashed prior swap
-    write(s"$path/banded_tmp")
-    val b = new org.apache.hadoop.fs.Path(s"$path/banded")
-    fs.delete(b, true)
-    if (!fs.rename(tmp, b))
-      throw new java.io.IOException(s"banded swap rename $tmp -> $b failed")
+  private val GenRe = "banded_g([0-9]+)".r
+
+  private def genPath(path: String, n: Long) = s"$path/banded_g$n"
+
+  /** Generation numbers under `path`. A generation is COMMITTED once
+    * it carries the `_COMMITTED` marker [[swapBanded]] drops after the
+    * parquet job finishes — `completeOnly = true` filters to those;
+    * `false` also returns the torn remains of crashed swaps. */
+  private def listGens(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                       completeOnly: Boolean): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case GenRe(n) if !completeOnly ||
+          fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_COMMITTED")) => Some(n.toLong)
+        case _ => None
+      }
+    }
   }
 
-  /** Reader-side banded/ resolution: prefer the committed directory,
-    * fall back to a complete `banded_tmp/` when a swap is mid-rename. */
-  private def bandedDir(spark: SparkSession, path: String): String = {
+  /** banded swap discipline for FULL re-bands (the cap-changing
+    * append and crash recovery): write the new layout to a fresh
+    * GENERATION directory `banded_g{N}/`, mark it committed, and only
+    * then prune layouts at least one whole swap old — the previous
+    * generation is RETAINED. A probe therefore never loses part files
+    * mid-scan across a single re-band: the directory it resolved (the
+    * then-current generation, or the legacy `banded/`) survives until
+    * the NEXT full re-band supersedes it. Only a probe that stays
+    * in-flight across TWO full re-bands can observe deleted files —
+    * full re-bands are the rare cap-change/recovery path, so that
+    * window is two maintenance cycles, not one directory delete.
+    *
+    * Crash-safe at every step: a crash before `_COMMITTED` leaves a
+    * torn generation that resolution ignores and the next swap
+    * deletes; a crash after commit but before prune leaves an extra
+    * complete generation that resolution outranks and the next swap
+    * prunes. */
+  private def swapBanded(spark: SparkSession, path: String)(write: String => Unit): Unit = {
     val fs = marker(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/banded"))) s"$path/banded"
+    val complete = listGens(fs, path, completeOnly = true)
+    val cur = complete.sorted.lastOption
+    // torn remains of crashed prior swaps (no _COMMITTED marker)
+    (listGens(fs, path, completeOnly = false).toSet -- complete.toSet)
+      .foreach(n => fs.delete(new org.apache.hadoop.fs.Path(genPath(path, n)), true))
+    val next = genPath(path, cur.getOrElse(0L) + 1)
+    write(next)
+    fs.create(new org.apache.hadoop.fs.Path(s"$next/_COMMITTED"), true).close()
+    // prune: keep the new generation and the immediately previous
+    // layout; everything older has already sat out one full swap
+    cur.foreach { c =>
+      complete.filter(_ < c)
+        .foreach(n => fs.delete(new org.apache.hadoop.fs.Path(genPath(path, n)), true))
+      // the legacy plain `banded/` (+ a stranded pre-generation
+      // `banded_tmp/`) is older than generation 1 — prune once a
+      // generation has itself been superseded
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/banded"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/banded_tmp"), true)
+    }
+  }
+
+  /** Banded-layout resolution, reader and writer side: the
+    * highest-numbered COMMITTED generation wins; indexes that have
+    * never full-re-banded serve the plain `banded/` a build writes;
+    * `banded_tmp/` is the legacy fallback for an index whose last
+    * writer was the old delete+rename code and crashed mid-swap. */
+  private[graft] def bandedDir(spark: SparkSession, path: String): String = {
+    val fs = marker(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val complete = listGens(fs, path, completeOnly = true)
+    if (complete.nonEmpty) genPath(path, complete.max)
+    else if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/banded"))) s"$path/banded"
     else s"$path/banded_tmp"
   }
 
@@ -288,14 +347,18 @@ object LshIndex {
       val regenerated = Dedup.survivingBandedFixedCap(allSigs, c.numPerm, c.rowsPerBand,
           newCap, resplit = true, numGroups = c.numGroups, groupFilter = Some(affected))
         .localCheckpoint()
+      // in-place partition maintenance targets the CURRENT layout —
+      // the plain banded/ of a never-re-banded index, or the live
+      // generation dir after any full swap
+      val cur = bandedDir(spark, path)
       regenerated
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-        .partitionBy("grp").parquet(s"$path/banded")
+        .partitionBy("grp").parquet(cur)
       // an affected group whose buckets ALL dropped writes no
       // partition — dynamic overwrite would leave its stale files
       val nonEmpty = regenerated.select("grp").distinct().collect().map(_.getInt(0)).toSet
       (affected.toSet -- nonEmpty).foreach { g =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/banded/grp=$g"), true)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$cur/grp=$g"), true)
       }
     }
     writeConfig(spark, path, c.shingleSize, c.numPerm, c.rowsPerBand, c.maxBucket,

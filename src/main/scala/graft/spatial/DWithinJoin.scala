@@ -161,7 +161,14 @@ object DWithinJoin {
     * The exact predicate is the native `graft_line_dist2` (proper
     * segment crossing → 0, else endpoint-to-segment minima — true
     * segment distance, not densified). Output: leftId, rightId, dist.
-    */
+    *
+    * ID CONTRACT: `leftId` / `rightId` must be UNIQUE within their
+    * side. The cell shuffle carries only (id, cell, bbox-min) and the
+    * geometry re-attaches to each candidate pair by an id equi-join,
+    * so a duplicated id would fan a candidate out over every row
+    * sharing it (and cross-pair their geometries). Every caller here
+    * derives the id from a per-feature key; assert uniqueness upstream
+    * if yours does not. */
   def lineLine(
       left: DataFrame,
       leftId: String,

@@ -268,28 +268,34 @@ object WarcWet {
         val conf = new org.apache.hadoop.conf.Configuration(false)
         confPairs.foreach { case (k, v) => conf.set(k, v) }
         val dp = new Path(d)
-        val fs = dp.getFileSystem(conf)
-        val finalName = f"part-${tc.partitionId()}%05d.warc.wet.gz"
-        val tmp = new Path(dp, f".part-${tc.partitionId()}%05d-${tc.taskAttemptId()}%d.tmp")
-        var n = 0L
-        // each gzip member carries its own CRC32 (verified at read,
-        // [[inflateMember]]); Hadoop's local ChecksumFileSystem .crc
-        // sidecar on top of that is pure duplicate I/O — off
-        fs.setWriteChecksum(false)
-        val fos = new java.io.BufferedOutputStream(fs.create(tmp, true), 256 * 1024)
-        val mw = new MemberWriter(fos)
-        try it.foreach { case (url, typ, date, text) =>
-          mw.writeMember(recordPayload(url, typ, date, text))
-          n += 1
-        } finally { try mw.end() finally fos.close() }
-        if (n == 0) { fs.delete(tmp, false); Iterator.empty }
-        else {
-          val fin = new Path(dp, finalName)
-          fs.delete(fin, false) // a lost earlier attempt's commit: last wins
-          if (!fs.rename(tmp, fin))
-            throw new java.io.IOException(s"commit rename $tmp -> $fin failed")
-          Iterator.single(finalName)
-        }
+        // a task-PRIVATE FileSystem instance (not the JVM-shared cache
+        // entry getFileSystem returns): setWriteChecksum below mutates
+        // the instance, and flipping it on the cached one would turn
+        // off .crc sidecars for every other writer in this executor
+        val fs = org.apache.hadoop.fs.FileSystem.newInstance(dp.toUri, conf)
+        try {
+          val finalName = f"part-${tc.partitionId()}%05d.warc.wet.gz"
+          val tmp = new Path(dp, f".part-${tc.partitionId()}%05d-${tc.taskAttemptId()}%d.tmp")
+          var n = 0L
+          // each gzip member carries its own CRC32 (verified at read,
+          // [[inflateMember]]); Hadoop's local ChecksumFileSystem .crc
+          // sidecar on top of that is pure duplicate I/O — off
+          fs.setWriteChecksum(false)
+          val fos = new java.io.BufferedOutputStream(fs.create(tmp, true), 256 * 1024)
+          val mw = new MemberWriter(fos)
+          try it.foreach { case (url, typ, date, text) =>
+            mw.writeMember(recordPayload(url, typ, date, text))
+            n += 1
+          } finally { try mw.end() finally fos.close() }
+          if (n == 0) { fs.delete(tmp, false); Iterator.empty }
+          else {
+            val fin = new Path(dp, finalName)
+            fs.delete(fin, false) // a lost earlier attempt's commit: last wins
+            if (!fs.rename(tmp, fin))
+              throw new java.io.IOException(s"commit rename $tmp -> $fin failed")
+            Iterator.single(finalName)
+          }
+        } finally fs.close()
       }
       .collect().toSeq.sorted // one name per non-empty partition — driver-sized
     // the completeness manifest goes in LAST, once every shard is on

@@ -821,7 +821,7 @@ class DedupSimSpec extends AnyFunSuite {
 
   test("LshIndex append: incrementally-grown index is rebuild-equivalent (both cap branches)") {
     def bandedSet(path: String): Set[(Long, Int, String)] =
-      spark.read.parquet(s"$path/banded").select("doc", "band", "key")
+      spark.read.parquet(LshIndex.bandedDir(spark, path)).select("doc", "band", "key")
         .as[(Long, Int, String)].collect().toSet
     def pairSet(path: String, probe: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
       LshIndex.candidates(spark, path, probe, "doc_id", "text")
@@ -901,25 +901,55 @@ class DedupSimSpec extends AnyFunSuite {
       "config-swap crash not healed to a clean layout by the writer entry")
     assert(pairSet(s"$base/inc2", probe) == pairSet(s"$base/full", probe))
 
-    // branch 5: crash INSIDE swapBanded's delete→rename window —
-    // banded/ deleted, a COMPLETE banded_tmp/ stranded, marker up
-    // (the cap-changing append's full re-band). A probe must fall
-    // back to the complete tmp layout (bandedDir) instead of failing
-    // on the missing directory; the next writer entry re-bands from
-    // sigs and restores the committed layout.
-    val bP = new org.apache.hadoop.fs.Path(s"$base/inc2/banded")
-    val btP = new org.apache.hadoop.fs.Path(s"$base/inc2/banded_tmp")
-    assert(fs.rename(bP, btP), "could not stage the banded-swap crash state")
-    fs.create(m, true).close()
-    val during3 = pairSet(s"$base/inc2", probe)
-    assert(fs.exists(m) && !fs.exists(bP) && fs.exists(btP),
+    // branch 5: the LEGACY delete+rename layout's mid-swap crash
+    // state — banded/ absent, a COMPLETE banded_tmp/ stranded, marker
+    // up (an index whose last writer was the pre-generation code). A
+    // probe must fall back to the tmp layout (bandedDir) instead of
+    // failing on the missing directory; the next writer entry
+    // re-bands from sigs into a committed GENERATION dir and the
+    // stale tmp is pruned one swap later.
+    LshIndex.build(first, "doc_id", "text", s"$base/inc3", numGroups = 32)
+    val bP = new org.apache.hadoop.fs.Path(s"$base/inc3/banded")
+    val btP = new org.apache.hadoop.fs.Path(s"$base/inc3/banded_tmp")
+    assert(fs.rename(bP, btP), "could not stage the legacy banded-swap crash state")
+    val m3 = new org.apache.hadoop.fs.Path(s"$base/inc3/_append_pending")
+    fs.create(m3, true).close()
+    val during3 = pairSet(s"$base/inc3", probe)
+    assert(fs.exists(m3) && !fs.exists(bP) && fs.exists(btP),
       "a probe must read banded_tmp in place without promoting it")
-    assert(during3 == pairSet(s"$base/full", probe),
+    assert(during3 == prefixPairs,
       "probe under a mid-swap crash must serve the complete tmp layout")
-    assert(LshIndex.append(rest, "doc_id", "text", s"$base/inc2") == 0L)
-    assert(!fs.exists(m) && fs.exists(bP) && !fs.exists(btP),
-      "banded-swap crash not healed to a clean layout by the writer entry")
-    assert(pairSet(s"$base/inc2", probe) == pairSet(s"$base/full", probe))
+    assert(LshIndex.append(rest, "doc_id", "text", s"$base/inc3") == rest.count(),
+      "recovery must heal the legacy crash, then the batch appends normally")
+    assert(!fs.exists(m3) && !fs.exists(bP),
+      "legacy crash must heal into a generation layout, not re-create banded/")
+    assert(LshIndex.bandedDir(spark, s"$base/inc3") == s"$base/inc3/banded_g1")
+    assert(pairSet(s"$base/inc3", probe) == pairSet(s"$base/full", probe))
+    assert(bandedSet(s"$base/inc3") == bandedSet(s"$base/full"))
+
+    // branch 6: GENERATION RETENTION — a probe frame resolved before
+    // a full re-band keeps its files through ONE swap (the previous
+    // generation is retained); only a second swap prunes it. Stranded
+    // markers force pure recovery re-bands (append of already-indexed
+    // docs is otherwise a no-op).
+    val preFrame = LshIndex.candidates(spark, s"$base/inc3", probe, "doc_id", "text")
+    val expected = preFrame.count() // resolves + lists banded_g1 now
+    fs.create(m3, true).close()
+    assert(LshIndex.append(rest, "doc_id", "text", s"$base/inc3") == 0L) // swap → g2
+    assert(LshIndex.bandedDir(spark, s"$base/inc3") == s"$base/inc3/banded_g2")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$base/inc3/banded_g1")),
+      "the immediately previous generation must be retained")
+    assert(!fs.exists(btP), "legacy banded_tmp must be pruned once a generation is superseded")
+    assert(preFrame.count() == expected,
+      "a probe in flight across one full re-band must not lose its part files")
+    val midFrame = LshIndex.candidates(spark, s"$base/inc3", probe, "doc_id", "text")
+    fs.create(m3, true).close()
+    assert(LshIndex.append(rest, "doc_id", "text", s"$base/inc3") == 0L) // swap → g3
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/inc3/banded_g1")),
+      "a generation two swaps old must be pruned")
+    assert(midFrame.count() == expected,
+      "the previous generation must survive the latest swap")
+    assert(pairSet(s"$base/inc3", probe) == pairSet(s"$base/full", probe))
     docs.unpersist()
   }
 

@@ -151,7 +151,7 @@ class PipelineE2eSpec extends AnyFunSuite {
     assert(newNds.filter(_ < 1000000L) == near.map(_.id), s"original order broken: $newNds")
     assert(newNds.exists(_ >= 1000000L), s"no junction id spliced: $newNds")
     // max-id collision check read from the pbf: new node ids start above 1e6 anyway
-    assert(f.nodes.select(org.apache.spark.sql.functions.min("node_id")).head.getLong(0) >= 1000000L)
+    assert(f.nodes.select(org.apache.spark.sql.functions.min("node_id")).head().getLong(0) >= 1000000L)
     Files.deleteIfExists(Paths.get(pbf))
   }
 
@@ -744,7 +744,7 @@ class PipelineE2eSpec extends AnyFunSuite {
       s"emitted line nodes: ${f.nodeXml.count() - f.polyNodes.count()}")
   }
 
-  test("CLI --deletions names a non-suffixed table; an unknown name fails loudly (reference __main__.py:84-93)") {
+  test("CLI --deletions repeats like the reference's -d; --debug narrates stages; an unknown name or repeated scalar flag fails loudly (__main__.py:72,84-93)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft_cli_ndel").toString
@@ -761,20 +761,41 @@ class PipelineE2eSpec extends AnyFunSuite {
       .orderBy("l_orderkey").limit(3)
       .select(col("l_orderkey").as("osm_id"))
     doomed.write.mode("overwrite").jdbc(url, "legacy_removed", props)
+    // a SECOND named table, passed as a second --deletions occurrence
+    // (the reference's -d is repeatable) — the union must reach <delete>
+    val doomed2 = spark.read.jdbc(url, "lineitem", props)
+      .select(col("l_orderkey")).distinct()
+      .filter(col("l_orderkey") % 13 === 3)
+      .orderBy("l_orderkey").limit(2)
+      .select(col("l_orderkey").as("osm_id"))
+    doomed2.write.mode("overwrite").jdbc(url, "legacy_removed2", props)
 
     val out = s"$tmp/named_del.osc"
-    ChangegenPipeline.run(Array(url, out, "--deletions=legacy_removed",
-      "--id-offset=1000000"), spark)
+    val bout = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(bout, true, "UTF-8")) {
+      ChangegenPipeline.run(Array(url, out, "--deletions=legacy_removed",
+        "--deletions=legacy_removed2", "--id-offset=1000000", "--debug"), spark)
+    }
     val doc = new String(java.nio.file.Files.readAllBytes(Paths.get(out)), "UTF-8")
     val delWays = """<way id="(\d+)" version="1"/>""".r
       .findAllMatchIn(doc.split("<delete>")(1)).map(_.group(1).toLong).toSet
-    val doomedIds = doomed.collect().map(_.getLong(0)).toSet
+    val doomedIds = (doomed.collect() ++ doomed2.collect()).map(_.getLong(0)).toSet
     assert(doomedIds.subsetOf(delWays), s"missing named deletions: ${doomedIds -- delWays}")
+    // --debug stage narration reached the console
+    val log = bout.toString("UTF-8")
+    assert(log.contains("[changegen:debug] stage 1 (new features)"), log.take(1500))
+    assert(log.contains("[changegen:debug] stage 5 (write): done"), log.take(1500))
     // unknown table name: loud failure before any work
     val e = intercept[IllegalArgumentException] {
       ChangegenPipeline.run(Array(url, out, "--deletions=no_such_table"), spark)
     }
     assert(e.getMessage.contains("no_such_table"))
+    // a repeated NON-list flag is an error, not a silent last-wins
+    val dup = intercept[IllegalArgumentException] {
+      ChangegenPipeline.run(Array(url, out, "--id-offset=1000000",
+        "--id-offset=2000000"), spark)
+    }
+    assert(dup.getMessage.contains("--id-offset"), dup.getMessage)
   }
 
   test("modify-meta with an osm_id missing from the extract fails loudly (reference KeyError, generator.py:634-650)") {
