@@ -61,17 +61,29 @@ object Changegen {
     * gets an md5-scattered base point and vertices jittered within a
     * ~4×4 box around it, so line pairs span the full near/far/crossing
     * distance range (the global lattice lines all cross each other —
-    * useless for a distance-join oracle). */
+    * useless for a distance-join oracle).
+    *
+    * `domainScale` stretches the blob-CENTER domain (not the jitter)
+    * — callers that grow `groups` with corpus size pass sqrt(m/8) so
+    * blob DENSITY stays constant and per-line neighbor counts stay
+    * O(1) at any scale. 1.0 leaves the expression untouched
+    * (bit-identical to the unscaled form). */
   private def blobLines(df: DataFrame, keyCol: String, groups: Int, idName: String,
-                        tagX: String, tagY: String, offA: Int, offB: Int): DataFrame =
+                        tagX: String, tagY: String, offA: Int, offB: Int,
+                        domainScale: Double = 1.0): DataFrame = {
+    def center(tag: String) = {
+      val c = rnd(tag, col(keyCol) % groups) * lit(0.3)
+      if (domainScale == 1.0) c else c * lit(domainScale)
+    }
     df.select((col(keyCol) % groups).as(idName), col(keyCol).as("k"),
-        (rnd(tagX, col(keyCol) % groups) * lit(0.3) + (col(keyCol) * offA % 40) / lit(10.0)).as("x"),
-        (rnd(tagY, col(keyCol) % groups) * lit(0.3) + (col(keyCol) * offB % 40) / lit(10.0)).as("y"))
+        (center(tagX) + (col(keyCol) * offA % 40) / lit(10.0)).as("x"),
+        (center(tagY) + (col(keyCol) * offB % 40) / lit(10.0)).as("y"))
       .groupBy(idName)
       .agg(array_sort(collect_list(struct(col("k"), col("x"), col("y")))).as("_kxy"))
       .withColumn("line", transform(col("_kxy"), e => struct(e.getField("x").as("x"), e.getField("y").as("y"))))
       .filter(size(col("line")) >= 2)
       .select(idName, "line")
+  }
 
   val defs: Map[String, Q] = Map(
     // 12 — new-vs-old snapshot → <create>: left-anti join on key
@@ -201,10 +213,23 @@ object Changegen {
     // endpoint projections otherwise, first-minimum in
     // (segA, segB, candidate) walk order.
     "cg_self_junctions" -> ((s, dir) => {
-      val l0 = blobLines(t(s, dir, "customer"), "c_custkey", 8, "lid", "lbx", "lby", 7, 23)
+      // line count follows the corpus (modulus m = n/2000, the
+      // reference's own max_nodes_per_way cap, __main__.py:141-149)
+      // with the blob-center domain stretched sqrt(m/8)× so density —
+      // and therefore per-line neighbor count — is scale-invariant:
+      // the seg×seg oracle stays LINEAR in corpus size instead of
+      // quadratic in line length. At sf≤0.1, m=8 and scale=1.0 —
+      // bit-identical to the fixed-modulus form this row pinned with.
+      val cust = t(s, dir, "customer")
+      val m = math.max(8L, cust.count() / 2000L)
+      val ds = math.sqrt(m.toDouble / 8.0)
+      val l0 = blobLines(cust, "c_custkey", m.toInt, "lid", "lbx", "lby", 7, 23,
+          domainScale = ds)
         .select(col("lid").cast("long").as("lid"), col("line"))
+      // duplicate twin of line 0 (exercises the not-st_equals
+      // exclusion): id -1 can never collide with a real lid at any m
       val l = l0.unionByName(
-        l0.filter(col("lid") === 0).select(lit(100L).as("lid"), col("line")))
+        l0.filter(col("lid") === 0).select(lit(-1L).as("lid"), col("line")))
       val pairs = DWithinJoin.lineLine(l, "lid", "line",
           l.select(col("lid").as("rid"), col("line").as("line2")), "rid", "line2", 5.0,
           excludeEqual = true, keepLines = true)
@@ -232,11 +257,22 @@ object Changegen {
     // point on the line (db.py:127-135) — grid-bucketed, line side
     // replicated over its padded bbox cells, point side in one cell
     "cg_dwithin_line" -> ((s, dir) => {
+      // BOUNDED blob lines (verts-per-line capped at ~2000, the
+      // reference's max_nodes_per_way; feature count grows instead) in
+      // the points' [0,100) extent via the 3.0*sqrt(m/5) center
+      // stretch — the per-candidate walk is a constant at any corpus
+      // size, and candidate count tracks point density like a real
+      // ST_DWithin against split ways would
       val pts = t(s, dir, "customer")
         .select(col("c_custkey"), px(col("c_custkey")).as("cpx"), py(col("c_custkey")).as("cpy"))
+      val supp = t(s, dir, "supplier")
+      val m = math.max(5L, supp.count() / 2000L)
+      val ds = 3.0 * math.sqrt(m.toDouble / 5.0)
+      val lines = blobLines(supp, "s_suppkey", m.toInt, "lid", "dlx", "dly", 7, 23,
+          domainScale = ds)
+        .select(col("lid").cast("long").as("line_id"), col("line"))
       DWithinJoin.pointLine(pts, "c_custkey", "cpx", "cpy",
-          nationLines(s, dir).select(col("nk").cast("long").as("line_id"), col("line")),
-          "line_id", "line", 1.0)
+          lines, "line_id", "line", 1.0)
         .select(col("c_custkey"), col("line_id"),
           fp(col("dist"), 6).as("dist_fp6"), fp(col("cp_x"), 6).as("cpx_fp6"), fp(col("cp_y"), 6).as("cpy_fp6"))
         .orderBy("c_custkey", "line_id")
@@ -249,11 +285,23 @@ object Changegen {
     // (the (0, 100) pair is at distance 0 and must NOT report; other
     // lines still pair against the clone).
     "cg_dwithin_lineline" -> ((s, dir) => {
-      val l = blobLines(t(s, dir, "supplier"), "s_suppkey", 4, "lid", "lbx", "lby", 7, 23)
+      // adaptive moduli bound verts-per-line at ~2000 (the reference's
+      // max_nodes_per_way) and the SHARED sqrt((mL+mR)/19) center
+      // stretch keeps combined blob density constant — feature count,
+      // not feature size, grows with the corpus. At sf<=0.1 both
+      // moduli hit their floors (4, 15) and the scale is exactly 1.0.
+      val supp = t(s, dir, "supplier")
+      val cust = t(s, dir, "customer")
+      val mL = math.max(4L, supp.count() / 2000L)
+      val mR = math.max(15L, cust.count() / 2000L)
+      val ds = math.sqrt((mL + mR).toDouble / 19.0)
+      val l = blobLines(supp, "s_suppkey", mL.toInt, "lid", "lbx", "lby", 7, 23,
+          domainScale = ds)
         .select(col("lid").cast("long").as("lid"), col("line"))
-      val r = blobLines(t(s, dir, "customer"), "c_custkey", 15, "rid", "rbx", "rby", 11, 31)
+      val r = blobLines(cust, "c_custkey", mR.toInt, "rid", "rbx", "rby", 11, 31,
+          domainScale = ds)
         .select(col("rid").cast("long").as("rid"), col("line"))
-        .unionByName(l.filter(col("lid") === 0).select(lit(100L).as("rid"), col("line")))
+        .unionByName(l.filter(col("lid") === 0).select(lit(-1L).as("rid"), col("line")))
       DWithinJoin.lineLine(l, "lid", "line", r, "rid", "line", 3.0, excludeEqual = true)
         .select(col("lid"), col("rid"), fp(col("dist"), 6).as("dist_fp6"))
         .orderBy("lid", "rid")
@@ -724,56 +772,87 @@ object Changegen {
         |SELECT c_custkey, seg0 AS seg, ${sqlFp("t", 6)} AS t_fp6,
         |  ${sqlFp("cx", 6)} AS x_fp6, ${sqlFp("cy", 6)} AS y_fp6
         |FROM best ORDER BY c_custkey""".stripMargin,
-    "cg_dwithin_line" ->
-      s"""WITH sp AS (SELECT s_nationkey % 5 AS nk,
-        |  row_number() OVER (PARTITION BY s_nationkey % 5 ORDER BY s_suppkey) AS seq,
-        |  (s_suppkey*13 % 1000)/10.0 AS x, (s_suppkey*29 % 1000)/10.0 AS y FROM supplier),
-        |ln AS (SELECT nk FROM sp GROUP BY nk HAVING count(*) >= 2),
-        |seg AS (SELECT a.nk, CAST(a.seq - 1 AS INT) AS seg0, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by2
-        |        FROM sp a JOIN sp b ON a.nk = b.nk AND b.seq = a.seq + 1 JOIN ln ON ln.nk = a.nk),
+    "cg_dwithin_line" -> {
+      def rndE(tag: String, expr: String): String =
+        s"""(list_reduce(list_prepend(CAST(0 AS BIGINT),
+           | list_transform(range(1, 7),
+           |  i -> CAST(strpos('0123456789abcdef', substr(md5('$tag' || CAST($expr AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT))),
+           | (a, v) -> a*16 + v) / 16777216.0 * 100.0)""".stripMargin.replace("\n", " ")
+      // mm mirrors the Spark side's adaptive modulus + center stretch;
+      // the bbox join replaces the cust × seg cross join EXACTLY (a
+      // point farther than 1.0 from a line's padded bbox can never
+      // pass sqrt(d2) <= 1.0)
+      s"""WITH mm AS (SELECT greatest(5, count(*) // 2000) AS m,
+        |    3.0 * sqrt(greatest(5, count(*) // 2000) / 5.0) AS s FROM supplier),
+        |sp AS (SELECT s_suppkey % mm.m AS lid,
+        |  row_number() OVER (PARTITION BY s_suppkey % mm.m ORDER BY s_suppkey) AS seq,
+        |  ${rndE("dlx", "s_suppkey % mm.m")} * 0.3 * mm.s + (s_suppkey*7 % 40)/10.0 AS x,
+        |  ${rndE("dly", "s_suppkey % mm.m")} * 0.3 * mm.s + (s_suppkey*23 % 40)/10.0 AS y
+        |  FROM supplier CROSS JOIN mm),
+        |ln AS (SELECT lid FROM sp GROUP BY lid HAVING count(*) >= 2),
+        |seg AS (SELECT a.lid, CAST(a.seq - 1 AS INT) AS seg0, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by2
+        |        FROM sp a JOIN sp b ON a.lid = b.lid AND b.seq = a.seq + 1 JOIN ln ON ln.lid = a.lid),
+        |bb AS (SELECT lid, min(x) AS x0, max(x) AS x1, min(y) AS y0, max(y) AS y1
+        |       FROM sp JOIN ln USING (lid) GROUP BY lid),
         |cust AS (SELECT c_custkey, (c_custkey*13 % 1000)/10.0 AS px2, (c_custkey*29 % 1000)/10.0 AS py2 FROM customer),
-        |cand AS (SELECT c.c_custkey, g.nk, g.seg0, g.ax, g.ay, c.px2, c.py2,
+        |cand AS (SELECT c.c_custkey, g.lid, g.seg0, g.ax, g.ay, c.px2, c.py2,
         |    (g.bx - g.ax) AS dx, (g.by2 - g.ay) AS dy,
         |    ((g.bx - g.ax)*(g.bx - g.ax) + (g.by2 - g.ay)*(g.by2 - g.ay)) AS len2
-        |  FROM cust c CROSS JOIN seg g),
+        |  FROM cust c JOIN bb ON c.px2 >= bb.x0 - 1.0 AND c.px2 <= bb.x1 + 1.0
+        |                     AND c.py2 >= bb.y0 - 1.0 AND c.py2 <= bb.y1 + 1.0
+        |  JOIN seg g ON g.lid = bb.lid),
         |proj AS (SELECT *, least(greatest(CASE WHEN len2 = 0 THEN 0.0
         |    ELSE ((px2 - ax)*dx + (py2 - ay)*dy) / len2 END, 0.0), 1.0) AS t FROM cand),
-        |cp AS (SELECT c_custkey, nk, seg0, (ax + t*dx) AS cx, (ay + t*dy) AS cy,
+        |cp AS (SELECT c_custkey, lid, seg0, (ax + t*dx) AS cx, (ay + t*dy) AS cy,
         |    ((ax + t*dx) - px2)*((ax + t*dx) - px2) + ((ay + t*dy) - py2)*((ay + t*dy) - py2) AS d2
         |  FROM proj),
-        |best AS (SELECT c_custkey, nk,
+        |best AS (SELECT c_custkey, lid,
         |    min(struct_pack(d2 := d2, seg0 := seg0, cx := cx, cy := cy)) AS b
-        |  FROM cp GROUP BY c_custkey, nk)
-        |SELECT c_custkey, CAST(nk AS BIGINT) AS line_id, ${sqlFp("sqrt(b.d2)", 6)} AS dist_fp6,
+        |  FROM cp GROUP BY c_custkey, lid)
+        |SELECT c_custkey, CAST(lid AS BIGINT) AS line_id, ${sqlFp("sqrt(b.d2)", 6)} AS dist_fp6,
         |  ${sqlFp("b.cx", 6)} AS cpx_fp6, ${sqlFp("b.cy", 6)} AS cpy_fp6
-        |FROM best WHERE sqrt(b.d2) <= 1.0 ORDER BY c_custkey, line_id""".stripMargin,
+        |FROM best WHERE sqrt(b.d2) <= 1.0 ORDER BY c_custkey, line_id""".stripMargin
+    },
     "cg_dwithin_lineline" -> {
       def rndE(tag: String, expr: String): String =
         s"""(list_reduce(list_prepend(CAST(0 AS BIGINT),
            | list_transform(range(1, 7),
            |  i -> CAST(strpos('0123456789abcdef', substr(md5('$tag' || CAST($expr AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT))),
            | (a, v) -> a*16 + v) / 16777216.0 * 100.0)""".stripMargin.replace("\n", " ")
-      s"""WITH lsp AS (SELECT s_suppkey % 4 AS lid,
-        |    row_number() OVER (PARTITION BY s_suppkey % 4 ORDER BY s_suppkey) AS seq,
-        |    ${rndE("lbx", "s_suppkey % 4")} * 0.3 + (s_suppkey*7 % 40)/10.0 AS x,
-        |    ${rndE("lby", "s_suppkey % 4")} * 0.3 + (s_suppkey*23 % 40)/10.0 AS y FROM supplier),
+      s"""WITH ml AS (SELECT greatest(4, count(*) // 2000) AS m FROM supplier),
+        |mr AS (SELECT greatest(15, count(*) // 2000) AS m FROM customer),
+        |sc AS (SELECT sqrt((ml.m + mr.m) / 19.0) AS s FROM ml CROSS JOIN mr),
+        |lsp AS (SELECT s_suppkey % ml.m AS lid,
+        |    row_number() OVER (PARTITION BY s_suppkey % ml.m ORDER BY s_suppkey) AS seq,
+        |    ${rndE("lbx", "s_suppkey % ml.m")} * 0.3 * sc.s + (s_suppkey*7 % 40)/10.0 AS x,
+        |    ${rndE("lby", "s_suppkey % ml.m")} * 0.3 * sc.s + (s_suppkey*23 % 40)/10.0 AS y
+        |  FROM supplier CROSS JOIN ml CROSS JOIN sc),
         |lln AS (SELECT lid FROM lsp GROUP BY lid HAVING count(*) >= 2),
         |aseg AS (SELECT a.lid, a.x AS p1x, a.y AS p1y, b.x AS p2x, b.y AS p2y
         |         FROM lsp a JOIN lsp b ON a.lid = b.lid AND b.seq = a.seq + 1 JOIN lln ON lln.lid = a.lid),
-        |rsp AS (SELECT c_custkey % 15 AS rid,
-        |    row_number() OVER (PARTITION BY c_custkey % 15 ORDER BY c_custkey) AS seq,
-        |    ${rndE("rbx", "c_custkey % 15")} * 0.3 + (c_custkey*11 % 40)/10.0 AS x,
-        |    ${rndE("rby", "c_custkey % 15")} * 0.3 + (c_custkey*31 % 40)/10.0 AS y FROM customer),
+        |rsp AS (SELECT c_custkey % mr.m AS rid,
+        |    row_number() OVER (PARTITION BY c_custkey % mr.m ORDER BY c_custkey) AS seq,
+        |    ${rndE("rbx", "c_custkey % mr.m")} * 0.3 * sc.s + (c_custkey*11 % 40)/10.0 AS x,
+        |    ${rndE("rby", "c_custkey % mr.m")} * 0.3 * sc.s + (c_custkey*31 % 40)/10.0 AS y
+        |  FROM customer CROSS JOIN mr CROSS JOIN sc),
         |rln AS (SELECT rid FROM rsp GROUP BY rid HAVING count(*) >= 2),
         |bseg AS (SELECT a.rid, a.x AS q1x, a.y AS q1y, b.x AS q2x, b.y AS q2y
         |         FROM rsp a JOIN rsp b ON a.rid = b.rid AND b.seq = a.seq + 1 JOIN rln ON rln.rid = a.rid
-        |         UNION ALL SELECT 100 AS rid, p1x, p1y, p2x, p2y FROM aseg WHERE lid = 0),
+        |         UNION ALL SELECT -1 AS rid, p1x, p1y, p2x, p2y FROM aseg WHERE lid = 0),
         |lverts AS (SELECT lid, list(struct_pack(x := x, y := y) ORDER BY seq) AS vs
         |           FROM lsp JOIN lln USING (lid) GROUP BY lid),
         |rverts AS (SELECT rid, list(struct_pack(x := x, y := y) ORDER BY seq) AS vs
         |           FROM rsp JOIN rln USING (rid) GROUP BY rid
-        |           UNION ALL SELECT 100, vs FROM lverts WHERE lid = 0),
+        |           UNION ALL SELECT -1, vs FROM lverts WHERE lid = 0),
         |eqpairs AS (SELECT l.lid, r.rid FROM lverts l JOIN rverts r ON l.vs = r.vs),
+        |abb AS (SELECT lid, min(x) AS x0, max(x) AS x1, min(y) AS y0, max(y) AS y1
+        |        FROM lsp JOIN lln USING (lid) GROUP BY lid),
+        |bbb AS (SELECT rid, min(x) AS x0, max(x) AS x1, min(y) AS y0, max(y) AS y1
+        |        FROM rsp JOIN rln USING (rid) GROUP BY rid
+        |        UNION ALL SELECT -1, x0, x1, y0, y1 FROM abb WHERE lid = 0),
+        |lpr AS (SELECT a.lid AS plid, b.rid AS prid FROM abb a JOIN bbb b
+        |        ON greatest(a.x0 - b.x1, b.x0 - a.x1) <= 3.0
+        |       AND greatest(a.y0 - b.y1, b.y0 - a.y1) <= 3.0),
         |dv AS (SELECT *,
         |    (p2x - p1x) AS adx, (p2y - p1y) AS ady,
         |    (q2x - q1x) AS bdx, (q2y - q1y) AS bdy,
@@ -783,7 +862,7 @@ object Changegen {
         |    ((q2x - q1x)*(p2y - q1y) - (q2y - q1y)*(p2x - q1x)) AS o2,
         |    ((p2x - p1x)*(q1y - p1y) - (p2y - p1y)*(q1x - p1x)) AS o3,
         |    ((p2x - p1x)*(q2y - p1y) - (p2y - p1y)*(q2x - p1x)) AS o4
-        |  FROM aseg CROSS JOIN bseg),
+        |  FROM lpr JOIN aseg ON aseg.lid = lpr.plid JOIN bseg ON bseg.rid = lpr.prid),
         |ts AS (SELECT *,
         |    least(greatest(CASE WHEN blen2 = 0 THEN 0.0 ELSE ((p1x - q1x)*bdx + (p1y - q1y)*bdy) / blen2 END, 0.0), 1.0) AS t1,
         |    least(greatest(CASE WHEN blen2 = 0 THEN 0.0 ELSE ((p2x - q1x)*bdx + (p2y - q1y)*bdy) / blen2 END, 0.0), 1.0) AS t2,
@@ -817,20 +896,33 @@ object Changegen {
       // four endpoint/projection candidates realized ON the left
       // segment), argmin by (d2, segA, segB, candidate) — exactly the
       // native first-strictly-smaller traversal; pair admission is
-      // the same sqrt(min d2) <= radius as graft_line_dist2
-      s"""WITH lsp0 AS (SELECT c_custkey % 8 AS lid,
-        |    row_number() OVER (PARTITION BY c_custkey % 8 ORDER BY c_custkey) AS seq,
-        |    ${rndE("lbx", "c_custkey % 8")} * 0.3 + (c_custkey*7 % 40)/10.0 AS x,
-        |    ${rndE("lby", "c_custkey % 8")} * 0.3 + (c_custkey*23 % 40)/10.0 AS y FROM customer),
+      // the same sqrt(min d2) <= radius as graft_line_dist2.
+      // mm mirrors the Spark side's adaptive modulus (m = n/2000,
+      // vertex cap) + sqrt(m/8) center-domain stretch; lp prunes line
+      // pairs by bbox gap — EXACT, since line distance >= each axis
+      // gap, so a pruned pair could never pass sqrt(pairmin) <= 5 —
+      // making the seg×seg walk linear in corpus size at any scale
+      s"""WITH mm AS (SELECT greatest(8, count(*) // 2000) AS m,
+        |    sqrt(greatest(8, count(*) // 2000) / 8.0) AS s FROM customer),
+        |lsp0 AS (SELECT c_custkey % mm.m AS lid,
+        |    row_number() OVER (PARTITION BY c_custkey % mm.m ORDER BY c_custkey) AS seq,
+        |    ${rndE("lbx", "c_custkey % mm.m")} * 0.3 * mm.s + (c_custkey*7 % 40)/10.0 AS x,
+        |    ${rndE("lby", "c_custkey % mm.m")} * 0.3 * mm.s + (c_custkey*23 % 40)/10.0 AS y
+        |  FROM customer CROSS JOIN mm),
         |lln AS (SELECT lid FROM lsp0 GROUP BY lid HAVING count(*) >= 2),
         |sp AS (SELECT lid, seq, x, y FROM lsp0 JOIN lln USING (lid)
-        |       UNION ALL SELECT 100, seq, x, y FROM lsp0 JOIN lln USING (lid) WHERE lid = 0),
+        |       UNION ALL SELECT -1, seq, x, y FROM lsp0 JOIN lln USING (lid) WHERE lid = 0),
         |verts AS (SELECT lid, list(struct_pack(x := x, y := y) ORDER BY seq) AS vs
         |          FROM sp GROUP BY lid),
         |eqpairs AS (SELECT l.lid AS lid, r.lid AS rid FROM verts l JOIN verts r
         |            ON l.vs = r.vs AND l.lid <> r.lid),
         |segs AS (SELECT a.lid, a.seq AS si, a.x AS p1x, a.y AS p1y, b.x AS p2x, b.y AS p2y
         |         FROM sp a JOIN sp b ON a.lid = b.lid AND b.seq = a.seq + 1),
+        |bb AS (SELECT lid, min(x) AS x0, max(x) AS x1, min(y) AS y0, max(y) AS y1
+        |       FROM sp GROUP BY lid),
+        |lp AS (SELECT a.lid AS plid, b.lid AS prid FROM bb a JOIN bb b ON a.lid <> b.lid
+        |       AND greatest(a.x0 - b.x1, b.x0 - a.x1) <= 5.0
+        |       AND greatest(a.y0 - b.y1, b.y0 - a.y1) <= 5.0),
         |dv AS (SELECT l.lid, r.lid AS rid, l.si, r.si AS sj,
         |    l.p1x, l.p1y, l.p2x, l.p2y,
         |    r.p1x AS q1x, r.p1y AS q1y, r.p2x AS q2x, r.p2y AS q2y,
@@ -842,7 +934,7 @@ object Changegen {
         |    ((r.p2x - r.p1x)*(l.p2y - r.p1y) - (r.p2y - r.p1y)*(l.p2x - r.p1x)) AS o2,
         |    ((l.p2x - l.p1x)*(r.p1y - l.p1y) - (l.p2y - l.p1y)*(r.p1x - l.p1x)) AS o3,
         |    ((l.p2x - l.p1x)*(r.p2y - l.p1y) - (l.p2y - l.p1y)*(r.p2x - l.p1x)) AS o4
-        |  FROM segs l JOIN segs r ON l.lid <> r.lid),
+        |  FROM lp JOIN segs l ON l.lid = lp.plid JOIN segs r ON r.lid = lp.prid),
         |ts AS (SELECT *,
         |    ((o1 > 0 AND o2 < 0) OR (o1 < 0 AND o2 > 0))
         |      AND ((o3 > 0 AND o4 < 0) OR (o3 < 0 AND o4 > 0)) AS crossing,
@@ -867,14 +959,14 @@ object Changegen {
         |  UNION ALL SELECT lid, rid, si, sj, 4,
         |         ((p1x + t4*adx) - q2x)*((p1x + t4*adx) - q2x) + ((p1y + t4*ady) - q2y)*((p1y + t4*ady) - q2y),
         |         p1x + t4*adx, p1y + t4*ady FROM ts WHERE NOT crossing),
-        |mins AS (SELECT lid, rid, min(d2) AS pairmin FROM cands GROUP BY lid, rid),
-        |best AS (SELECT lid, rid, cx, cy,
-        |           row_number() OVER (PARTITION BY lid, rid ORDER BY d2, si, sj, cidx) AS rn
-        |         FROM cands),
-        |pts AS (SELECT b.lid, ${sqlFp("b.cx", 6)} AS jx6, ${sqlFp("b.cy", 6)} AS jy6
-        |        FROM best b JOIN mins m ON m.lid = b.lid AND m.rid = b.rid
-        |        LEFT JOIN eqpairs e ON e.lid = b.lid AND e.rid = b.rid
-        |        WHERE b.rn = 1 AND sqrt(m.pairmin) <= 5.0 AND e.lid IS NULL),
+        |best AS (SELECT lid, rid,
+        |           min(struct_pack(d2 := d2, si := si, sj := sj, cidx := cidx,
+        |                           cx := cx, cy := cy)) AS b
+        |         FROM cands GROUP BY lid, rid),
+        |pts AS (SELECT t.lid, ${sqlFp("t.b.cx", 6)} AS jx6, ${sqlFp("t.b.cy", 6)} AS jy6
+        |        FROM best t
+        |        LEFT JOIN eqpairs e ON e.lid = t.lid AND e.rid = t.rid
+        |        WHERE sqrt(t.b.d2) <= 5.0 AND e.lid IS NULL),
         |dd AS (SELECT DISTINCT lid, jx6, jy6 FROM pts)
         |SELECT jx6, jy6, count(*) AS n_feats FROM dd GROUP BY jx6, jy6 ORDER BY jx6, jy6""".stripMargin
     },

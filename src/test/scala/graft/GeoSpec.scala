@@ -271,6 +271,37 @@ class GeoSpec extends AnyFunSuite {
     assert(salted == brute)
   }
 
+  test("adaptive salting: dense-cell subdivision is exactly-once and equals brute force (skew, boundary straddle, negatives)") {
+    // one cell crammed with 500 points around (-7.3, 4.1) — forces the
+    // occupancy-derived f up to the cap; a second cluster STRADDLING a
+    // cell boundary at x=2/y=0; plus a uniform scatter. Radius 2 makes
+    // pairs cross coarse and fine cell edges in both signs.
+    val pts = (1 to 500).map(i => (i.toLong, -7.3 + (i % 23) * 0.01, 4.1 + (i % 19) * 0.01)) ++
+      (501 to 700).map(i => (i.toLong, 1.95 + (i % 11) * 0.01, -0.02 + (i % 7) * 0.01)) ++
+      (701 to 800).map(i => (i.toLong, (i * 13 % 97).toDouble / 2 - 20, (i * 29 % 89).toDouble / 2 - 15))
+    val left = pts.toDF("lid", "lx", "ly")
+    val right = pts.map { case (i, x, y) => (i + 1000, x + 0.005, y - 0.003) }.toDF("rid", "rx", "ry")
+    val brute = left.crossJoin(right)
+      .filter(Geo.dist(col("lx"), col("ly"), col("rx"), col("ry")) <= 2.0)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    // low target forces real subdivision (500 in one cell, target 8)
+    val salted = DWithinJoin.pointPoint(left, "lid", "lx", "ly", right, "rid", "rx", "ry", 2.0,
+        occupancyTarget = 8, maxSubdiv = 4)
+      .select("lid", "rid").as[(Long, Long)].collect()
+    assert(salted.length == salted.toSet.size, "a pair met in more than one fine cell")
+    assert(salted.toSet == brute)
+    // adaptive layer disabled -> the plain grid agrees
+    val plain = DWithinJoin.pointPoint(left, "lid", "lx", "ly", right, "rid", "rx", "ry", 2.0,
+        occupancyTarget = 0)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(plain == brute)
+    // composes with the manual base grid
+    val both = DWithinJoin.pointPoint(left, "lid", "lx", "ly", right, "rid", "rx", "ry", 2.0,
+        cellsPerRadius = 2, occupancyTarget = 8, maxSubdiv = 3)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(both == brute)
+  }
+
   test("excludeEqual drops duplicate-geometry pairs but keeps co-located distinct geometries") {
     // rid 1 duplicates lid 1's coords exactly; rid 2 is 0.5 away
     val left = Seq((1L, 10.0, 10.0)).toDF("lid", "lx", "ly")
