@@ -19,9 +19,14 @@ object ExplainAudit {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     val execute = args.lift(2).contains("--execute")
+    // local iteration: a trailing comma-list restricts the audited set
+    val only = args.drop(2).filterNot(_ == "--execute").headOption
+      .map(_.split(",").map(_.trim).toSet)
     val spark = GraftSession.get()
     new java.io.File(outDir).mkdirs()
-    val rows = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val rows = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         if (execute) df.queryExecution.toRdd.foreachPartition(_ => ())

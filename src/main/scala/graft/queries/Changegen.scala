@@ -181,6 +181,30 @@ object Changegen {
           fp(graft.spatial.Geo.dist(col("cx"), col("cy"), col("sx"), col("sy")), 6).as("dist_fp6"))
         .orderBy("c_custkey", "s_suppkey")
     }),
+    // 21g — the ADAPTIVE-SALTING path under oracle: a "city" skew
+    // (every 3rd key collapses into a 2×2 box at (50,50)) drives
+    // per-cell occupancy past the target at EVERY gate SF, so the
+    // dense-cell subdivision (f≥2: clamped fine keys, padded ranges,
+    // the broadcast dense table) is exercised by the DuckDB compare,
+    // not just the unit spec. Customer is the RIGHT (occupancy) side:
+    // its dense box exceeds occupancyTarget=16 from sf0.01 up (f=2 at
+    // the driver's correctness gate, f=5 at sf0.1); the geometry
+    // answer must be IDENTICAL to an unsalted distance join by
+    // construction.
+    "cg_dwithin_salted" -> ((s, dir) => {
+      def skewX(k: org.apache.spark.sql.Column) =
+        when(k % 3 === 0, lit(50.0) + (k * 7 % 200) / lit(100.0)).otherwise(px(k))
+      def skewY(k: org.apache.spark.sql.Column) =
+        when(k % 3 === 0, lit(50.0) + (k * 11 % 200) / lit(100.0)).otherwise(py(k))
+      val c = t(s, dir, "customer").select(col("c_custkey"),
+        skewX(col("c_custkey")).as("cx"), skewY(col("c_custkey")).as("cy"))
+      val sup = t(s, dir, "supplier").select(col("s_suppkey"),
+        skewX(col("s_suppkey")).as("sx"), skewY(col("s_suppkey")).as("sy"))
+      DWithinJoin.pointPoint(sup, "s_suppkey", "sx", "sy", c, "c_custkey", "cx", "cy", 0.5,
+          occupancyTarget = 16, maxSubdiv = 8)
+        .select(col("c_custkey"), col("s_suppkey"), fp(col("dist"), 6).as("dist_fp6"))
+        .orderBy("c_custkey", "s_suppkey")
+    }),
     // 21b — self-intersections among new features (generator.py handles
     // new-vs-new junctions the same as new-vs-existing): self distance
     // join via the same grid buckets, deduped to a<b pairs. Duplicate-
@@ -731,6 +755,30 @@ object Changegen {
         |FROM (SELECT c_custkey, (c_custkey*13 % 1000)/10.0 AS cx, (c_custkey*29 % 1000)/10.0 AS cy FROM customer),
         |     (SELECT s_suppkey, (s_suppkey*13 % 1000)/10.0 AS sx, (s_suppkey*29 % 1000)/10.0 AS sy FROM supplier)
         |WHERE sqrt((cx-sx)*(cx-sx)+(cy-sy)*(cy-sy)) <= 1.5
+        |ORDER BY c_custkey, s_suppkey""".stripMargin,
+    // the salting must be value-invisible: the oracle is a plain
+    // cell-prefiltered distance join over the SAME skewed derivation
+    // (cell side = radius, left replicated to its 3×3 neighborhood —
+    // the textbook grid join, no knowledge of the adaptive layer)
+    "cg_dwithin_salted" ->
+      s"""WITH cust AS (SELECT c_custkey,
+        |    CASE WHEN c_custkey % 3 = 0 THEN 50.0 + (c_custkey*7 % 200)/100.0 ELSE (c_custkey*13 % 1000)/10.0 END AS x,
+        |    CASE WHEN c_custkey % 3 = 0 THEN 50.0 + (c_custkey*11 % 200)/100.0 ELSE (c_custkey*29 % 1000)/10.0 END AS y
+        |  FROM customer),
+        |supp AS (SELECT s_suppkey,
+        |    CASE WHEN s_suppkey % 3 = 0 THEN 50.0 + (s_suppkey*7 % 200)/100.0 ELSE (s_suppkey*13 % 1000)/10.0 END AS x,
+        |    CASE WHEN s_suppkey % 3 = 0 THEN 50.0 + (s_suppkey*11 % 200)/100.0 ELSE (s_suppkey*29 % 1000)/10.0 END AS y
+        |  FROM supplier),
+        |d AS (SELECT * FROM (VALUES (-1),(0),(1)) t(o)),
+        |lc AS (SELECT c_custkey, x, y, CAST(floor(x / 0.5) AS BIGINT) + dx.o AS cx,
+        |              CAST(floor(y / 0.5) AS BIGINT) + dy.o AS cy
+        |       FROM cust CROSS JOIN d dx CROSS JOIN d dy),
+        |rc AS (SELECT s_suppkey, x AS rx, y AS ry, CAST(floor(x / 0.5) AS BIGINT) AS cx,
+        |              CAST(floor(y / 0.5) AS BIGINT) AS cy FROM supp)
+        |SELECT c_custkey, s_suppkey,
+        |  ${sqlFp("sqrt((x-rx)*(x-rx)+(y-ry)*(y-ry))", 6)} AS dist_fp6
+        |FROM lc JOIN rc USING (cx, cy)
+        |WHERE sqrt((x-rx)*(x-rx)+(y-ry)*(y-ry)) <= 0.5
         |ORDER BY c_custkey, s_suppkey""".stripMargin,
     // identical semantics to cg_dwithin_join: the rule rewrite must be
     // value-invisible, so the oracle is the same SQL
