@@ -330,26 +330,52 @@ object Dedup {
     * per round with localCheckpoint so plans stay bounded.
     * Output: (idCol, component) — component = min id in the
     * component; singletons map to themselves.
+    *
+    * Scale shape (optimization round 18): the iteration runs over
+    * EDGE-TOUCHED nodes only — a node with no incident edge is a
+    * fixpoint from round 0, so carrying the full node set through
+    * every per-round shuffle (the previous form) paid corpus-sized
+    * exchanges to propagate labels that could never change. Touched
+    * nodes are `distinct(src of the symmetric edge list)` (every
+    * endpoint appears as a src there); the untouched remainder
+    * re-attaches once at the end via a left join + coalesce — at a
+    * near-dup rate of a few %, per-round volume drops from |corpus|
+    * to |touched| ≈ 2·|pairs|. Convergence is detected by carrying
+    * the previous label THROUGH the per-round checkpoint (`_old`) and
+    * filtering the materialized frame — the previous form re-joined
+    * next-to-previous labels, a second full shuffle join per round
+    * that existed only to answer "did anything change".
+    *
+    * CONTRACT: every edge endpoint must be an id present in `nodes`
+    * (true of every caller — pairs are generated FROM the node set).
+    * A phantom endpoint would now participate in label propagation,
+    * where the previous form silently ignored it.
     */
   def connectedComponents(nodes: DataFrame, idCol: String,
                           edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20, strict: Boolean = true): DataFrame = {
-    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // id type follows the NODES side (as it did when labels seeded
+    // from `nodes`): an edge list with narrower endpoint columns must
+    // not narrow the output `component` column
+    val idType = nodes.schema(nodes.columns.indexOf(idCol)).dataType
+    val sym = edges.select(col(aCol).cast(idType).as("src"), col(bCol).cast(idType).as("dst"))
+      .union(edges.select(col(bCol).cast(idType).as("src"), col(aCol).cast(idType).as("dst")))
       .localCheckpoint()
-    var labels = nodes.select(col(idCol).as("node")).distinct()
+    var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
-    var converged = false
+    // an empty edge set is converged by construction (every node is a
+    // singleton); entering the loop would just burn one no-op round
+    var converged = labels.isEmpty
     var i = 0
     while (!converged && i < maxIter) {
       val nbrMin = sym.join(labels.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node")).agg(min("label").as("_nl"))
       val next = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"), least(col("label"), coalesce(col("_nl"), col("label"))).as("label"))
+        .select(col("node"), least(col("label"), coalesce(col("_nl"), col("label"))).as("label"),
+          col("label").as("_old"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "_old"), "node")
-        .filter(col("label") =!= col("_old")).isEmpty
-      labels = next
+      converged = next.filter(col("label") =!= col("_old")).isEmpty
+      labels = next.select("node", "label")
       i += 1
     }
     // exiting via maxIter without convergence would silently return
@@ -362,7 +388,10 @@ object Dedup {
       if (strict) throw new IllegalStateException(msg)
       else System.err.println(s"[graft] WARNING: $msg")
     }
-    labels.select(col("node").as(idCol), col("label").as("component"))
+    nodes.select(col(idCol).as("_cc_n")).distinct()
+      .join(labels, col("_cc_n") === col("node"), "left")
+      .select(col("_cc_n").as(idCol),
+        coalesce(col("label"), col("_cc_n")).as("component"))
   }
 
   /** Connected components via alternating large-star / small-star
@@ -694,19 +723,37 @@ object Dedup {
       .select(col(idCol).as("doc"), shingles(col(textCol), n).as("shs"))
       .select(col("doc"), explode(col("shs")).as("sh0"))
       .select(col("doc"), shingleKey(col("sh0")).as("s"))
-    val wDf = org.apache.spark.sql.expressions.Window.partitionBy("s")
+    // global df per key via hash AGGREGATE + shuffled-hash join-back,
+    // not a count window (optimization round 18): unlike
+    // [[ngramJaccardPairs]] — where the count window's sort is reused
+    // by the sort-merge self-join that follows on the same key — the
+    // next operation here keys by DOC, so the window's corpus-wide
+    // sort on `s` was paid and never reused. The aggregate
+    // partial-aggregates map-side (the join-back side is distinct
+    // grams, not occurrences), its exchange on `s` is the same
+    // exchange the window needed (AQE reuses it), and the
+    // shuffle_hash hint keeps the join-back sort-free. Same _df
+    // values, bit-identical downstream.
+    val dfTab = ex.groupBy("s").agg(count(lit(1)).as("_df"))
     // one checkpointed frame serves the record store AND the prefix
     // source; array_sort on (df, key) structs replicates the rank
     // window's rarest-first order exactly (same total order, no ties)
+    // ONE collect_list per doc (optimization round 18): the record
+    // store's key array is a projection of the (df, key)-sorted
+    // prefix-source array — collecting and sorting the keys a second
+    // time per doc doubled the aggregation buffers and the checkpoint
+    // payload for nothing. `set`'s element ORDER changes (df-major
+    // instead of key-major), which is invisible to its only consumer:
+    // size(array_intersect(sa, sb)) is order-independent.
     val docsAgg = ex
-      .withColumn("_df", count(lit(1)).over(wDf))
+      .join(dfTab.hint("shuffle_hash"), "s")
       .groupBy("doc")
       .agg(
         array_sort(collect_list(struct(col("_df"), col("s")))).as("_by_df"),
-        sort_array(collect_list("s")).as("set"),
         count(lit(1)).as("n"))
       .localCheckpoint()
-    val sets = docsAgg.select("doc", "set", "n")
+    val sets = docsAgg.select(col("doc"),
+      transform(col("_by_df"), e => e.getField("s")).as("set"), col("n"))
     val pref = docsAgg
       .select(col("doc"), col("n").as("_n"),
         explode(slice(col("_by_df"), lit(1),

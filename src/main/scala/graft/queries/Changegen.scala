@@ -93,7 +93,7 @@ object Changegen {
       val newSnap = o.filter(col("o_orderkey") % 13 =!= 5)
       SnapshotDiff.creates(oldSnap, newSnap, Seq("o_orderkey"))
         .select("o_orderkey", "o_custkey", "o_orderstatus")
-        .orderBy("o_orderkey")
+        
     }),
     // 13 — deletions: anti join reversed
     "cg_diff_delete" -> ((s, dir) => {
@@ -102,7 +102,7 @@ object Changegen {
       val newSnap = o.filter(col("o_orderkey") % 13 =!= 5)
       SnapshotDiff.deletes(oldSnap, newSnap, Seq("o_orderkey"))
         .select("o_orderkey", "o_custkey")
-        .orderBy("o_orderkey")
+        
     }),
     // 14 — modify: join + tag-signature inequality
     "cg_diff_modify" -> ((s, dir) => {
@@ -112,20 +112,20 @@ object Changegen {
         when(col("o_orderkey") % 17 === 0, lit("X-URGENT")).otherwise(col("o_orderpriority")))
       SnapshotDiff.modifies(o, newSnap, Seq("o_orderkey"), Seq("o_orderstatus", "o_orderpriority"))
         .select("o_orderkey", "o_orderpriority")
-        .orderBy("o_orderkey")
+        
     }),
     // 15 — sequential id assignment (negative direction, offset −1000)
     "cg_seq_ids" -> ((s, dir) => {
       SequentialIds.assign(
         t(s, dir, "customer").select("c_custkey"), "c_custkey", "new_id", -1000L, negative = true)
-        .orderBy("c_custkey")
+        
     }),
     // 16 — tags from columns with exclude list, exploded
     "cg_tags" -> ((s, dir) => {
       val p = t(s, dir, "part")
         .withColumn("tags", TagOps.tagsFromColumns(t(s, dir, "part"), Seq("p_brand", "p_type", "p_size"), Seq("p_size")))
         .select("p_partkey", "tags")
-      TagOps.explodeTags(p, "tags").orderBy("p_partkey", "tag_key")
+      TagOps.explodeTags(p, "tags")
     }),
     // 17 — hstore parse + column-precedence merge
     "cg_hstore" -> ((s, dir) => {
@@ -135,7 +135,7 @@ object Changegen {
       val colTags = map(lit("p_brand"), coalesce(col("p_brand").cast("string"), lit("")))
       val merged = TagOps.mergeTags(colTags, TagOps.hstoreToMap(col("hs")))
       TagOps.explodeTags(p.withColumn("tags", merged).select("p_partkey", "tags"), "tags")
-        .orderBy("p_partkey", "tag_key")
+        
     }),
     // 18 — way splitting into ≤N chunks sharing joiner nodes
     "cg_way_split" -> ((s, dir) => {
@@ -165,7 +165,7 @@ object Changegen {
       val sup = t(s, dir, "supplier").select(col("s_suppkey"), px(col("s_suppkey")).as("sx"), py(col("s_suppkey")).as("sy"))
       DWithinJoin.pointPoint(c, "c_custkey", "cx", "cy", sup, "s_suppkey", "sx", "sy", 1.5)
         .select(col("c_custkey"), col("s_suppkey"), fp(col("dist"), 6).as("dist_fp6"))
-        .orderBy("c_custkey", "s_suppkey")
+        
     }),
     // 21e — the SAME ST_DWithin join written NAIVELY as a declarative
     // θ-join on graft_dwithin: without GridDWithinJoinRule this plans
@@ -179,7 +179,7 @@ object Changegen {
       c.join(sup, expr("graft_dwithin(cx, cy, sx, sy, 1.5D)"))
         .select(col("c_custkey"), col("s_suppkey"),
           fp(graft.spatial.Geo.dist(col("cx"), col("cy"), col("sx"), col("sy")), 6).as("dist_fp6"))
-        .orderBy("c_custkey", "s_suppkey")
+        
     }),
     // 21g — the ADAPTIVE-SALTING path under oracle: a "city" skew
     // (every 3rd key collapses into a 2×2 box at (50,50)) drives
@@ -203,7 +203,7 @@ object Changegen {
       DWithinJoin.pointPoint(sup, "s_suppkey", "sx", "sy", c, "c_custkey", "cx", "cy", 0.5,
           occupancyTarget = 16, maxSubdiv = 8)
         .select(col("c_custkey"), col("s_suppkey"), fp(col("dist"), 6).as("dist_fp6"))
-        .orderBy("c_custkey", "s_suppkey")
+        
     }),
     // 21b — self-intersections among new features (generator.py handles
     // new-vs-new junctions the same as new-vs-existing): self distance
@@ -222,7 +222,7 @@ object Changegen {
           "other", "ox", "oy", 4.0, excludeEqual = true)
         .filter(col("c_custkey") < col("other"))
         .select(col("c_custkey"), col("other"), fp(col("dist"), 6).as("dist_fp6"))
-        .orderBy("c_custkey", "other")
+        
     }),
     // 21f — the --self junction-NODE table (the pipeline's
     // `_generate_intersection_db` with self=True, generator.py:99-158
@@ -265,7 +265,7 @@ object Changegen {
         .distinct()
         .groupBy("jx6", "jy6")
         .agg(count(lit(1)).as("n_feats"))
-        .orderBy("jx6", "jy6")
+        
     }),
     // 20b — relation for split ways (_generate_relation_for_ways,
     // generator.py:380-395): chunks of a split way tied together as
@@ -274,7 +274,7 @@ object Changegen {
       val chunks = WayOps.splitWay(ways(s, dir), "nds", nodeLimit = 4, segmentLen = 3)
         .select(col("way"), col("chunk_idx"), (col("way") * 100 + col("chunk_idx")).as("chunk_way_id"))
       WayOps.relationForSplitWays(chunks, "way", "chunk_idx", "chunk_way_id")
-        .orderBy("way", "member_pos")
+        
     }),
     // 21c — the reference's ACTUAL spatial join shape: st_dwithin
     // between a point set and LINESTRING geometries with the closest
@@ -299,7 +299,7 @@ object Changegen {
           lines, "line_id", "line", 1.0)
         .select(col("c_custkey"), col("line_id"),
           fp(col("dist"), 6).as("dist_fp6"), fp(col("cp_x"), 6).as("cpx_fp6"), fp(col("cp_y"), 6).as("cpy_fp6"))
-        .orderBy("c_custkey", "line_id")
+        
     }),
     // 21d — line-line st_dwithin (db.py:127-135 when both geometries
     // are linestrings): exact segment-pair distance via the native
@@ -328,7 +328,7 @@ object Changegen {
         .unionByName(l.filter(col("lid") === 0).select(lit(-1L).as("rid"), col("line")))
       DWithinJoin.lineLine(l, "lid", "line", r, "rid", "line", 3.0, excludeEqual = true)
         .select(col("lid"), col("rid"), fp(col("dist"), 6).as("dist_fp6"))
-        .orderBy("lid", "rid")
+        
     }),
     // 22 — ST_ClosestPoint: segment-wise projection over coord arrays
     "cg_closest_point" -> ((s, dir) => {
@@ -341,7 +341,7 @@ object Changegen {
           fp(col("cp.t"), 6).as("t_fp6"),
           fp(col("cp.x"), 6).as("x_fp6"),
           fp(col("cp.y"), 6).as("y_fp6"))
-        .orderBy("c_custkey")
+        
     }),
     // 23 — node dedup by fixed-point-rounded coordinates, keep min id
     "cg_node_dedup" -> ((s, dir) => {
@@ -352,14 +352,13 @@ object Changegen {
           fp(py(col("c_custkey") % 100), 6).as("ry"))
         .groupBy("rx", "ry")
         .agg(min("c_custkey").as("keep_id"), count(lit(1)).as("n_dups"))
-        .orderBy("rx", "ry")
-    }),
+}),
     // 24 — fractional-projection insertion index along a linestring
     "cg_point_insertion" -> ((s, dir) => {
       custPoints(s, dir)
         .join(broadcast(nationLines(s, dir)), "nk")
         .select(col("c_custkey"), Geo.insertionIndex(col("line"), col("cpx"), col("cpy")).as("ins_idx"))
-        .orderBy("c_custkey")
+        
     }),
     // 25 — order-preserving merge of a junction node into a way
     "cg_modify_way" -> ((s, dir) => {
@@ -376,14 +375,14 @@ object Changegen {
     // 26 — deletion expansion: ways → constituent nodes, no double-delete
     "cg_delete_expand" -> ((s, dir) => {
       WayOps.expandDeletes(ways(s, dir).filter(col("way") % 5 === 0), "way", "nds")
-        .orderBy("elem_type", "elem_id")
+        
     }),
     // 27 — max-id collision check per element type
     "cg_max_ids" -> ((s, dir) => {
       val n = t(s, dir, "customer").agg(max("c_custkey").cast("long").as("max_id")).withColumn("elem_type", lit("node"))
       val w = t(s, dir, "orders").agg(max("o_orderkey").cast("long").as("max_id")).withColumn("elem_type", lit("way"))
       val r = t(s, dir, "part").agg(max("p_partkey").cast("long").as("max_id")).withColumn("elem_type", lit("relation"))
-      n.unionByName(w).unionByName(r).select("elem_type", "max_id").orderBy("elem_type")
+      n.unionByName(w).unionByName(r).select("elem_type", "max_id")
     }),
     // 28 — EPSG:3857 → WGS84 reprojection as pure column math
     "cg_reproject" -> ((s, dir) => {
@@ -391,7 +390,7 @@ object Changegen {
       val my = (col("c_custkey") * 131 % 2000000 - 1000000).cast("double")
       t(s, dir, "customer")
         .select(col("c_custkey"), fp(Geo.mercToLon(mx), 6).as("lon_fp6"), fp(Geo.mercToLat(my), 6).as("lat_fp6"))
-        .orderBy("c_custkey")
+        
     }),
     // 28a — arbitrary-CRS reprojection (reference generator.py:69-78
     // builds a pyproj transformer from the layer's DECLARED EPSG,
@@ -415,7 +414,7 @@ object Changegen {
           fp(utm.getField("lat"), 6).as("lat_fp6"),
           fp(pass.getField("lon"), 6).as("lon_pass_fp6"),
           fp(pass.getField("lat"), 6).as("lat_pass_fp6"))
-        .orderBy("c_custkey")
+        
     }),
     // 28b — live-database ingestion (reference db.py:28-101): the
     // PostGIS input path driven END-TO-END through a real JDBC engine
@@ -449,7 +448,7 @@ object Changegen {
           fp(element_at(col("wkb_geometry"), 1).getField("y"), 6).as("y_fp6"),
           element_at(col("tags"), "name").as("name"),
           element_at(col("tags"), "ref").as("ref"))
-        .orderBy("id")
+        
     }),
     // 29 — OsmChange XML node serialization (sorted tags, exact 6-dp coords)
     "cg_osc_xml" -> ((s, dir) => {
@@ -619,7 +618,7 @@ object Changegen {
         .select(col("id"), col("version"),
           fp(col("lat"), 6).as("lat_u"), fp(col("lon"), 6).as("lon_u"),
           element_at(col("tags"), "name").as("name"))
-        .orderBy("id")
+        
     }),
     "cg_pipeline_counts" -> ((s, dir) => {
       val f = graft.ChangegenPipeline.build(s, dir, maxNodes = 7, idOffset = Some(1000000L))
@@ -633,7 +632,7 @@ object Changegen {
         .unionByName(cnt("modify_ways", f.modified))
         .unionByName(cnt("delete_elems", f.deleteSet))
         .select("section", "n")
-        .orderBy("section")
+        
     })
   )
 

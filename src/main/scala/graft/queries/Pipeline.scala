@@ -68,20 +68,20 @@ object Pipeline {
   val defs: Map[String, Q] = Map(
     // 31 — exact dedup by content hash, keep min id
     "dd_exact" -> ((s, dir) => {
-      Dedup.exact(t(s, dir, "documents"), "doc_id", "text").orderBy("content_hash")
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
     }),
     // 32 — MinHash+LSH near-dup candidate pairs (banded bucket join)
     "dd_minhash_pairs" -> ((s, dir) => {
       Dedup.lshCandidatePairs(t(s, dir, "documents"), "doc_id", "text",
         shingleSize = 3, numPerm = 8, rowsPerBand = 2)
-        .orderBy("doc_a", "doc_b")
+        
     }),
     // 33 — 32-bit SimHash signatures (native one-pass expr; the HOF
     // twin Dedup.simhash32 is bit-equality spec-tested against it)
     "dd_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), Dedup.simhash32Native(col("text")).as("simhash"))
-        .orderBy("doc_id")
+        
     }),
     // 32c — dedup CLUSTERS: connected components over the MinHash
     // candidate pair graph (component = min doc id; the survivor set
@@ -91,7 +91,7 @@ object Pipeline {
       val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text",
         shingleSize = 3, numPerm = 8, rowsPerBand = 2)
       Dedup.connectedComponents(docs, "doc_id", pairs, "doc_a", "doc_b")
-        .orderBy("doc_id")
+        
     }),
     // 32e — dedup-cluster RESOLUTION: per near-dup cluster keep the
     // best doc (longest, ties to smallest id) — the step that turns
@@ -102,7 +102,7 @@ object Pipeline {
       val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text",
         shingleSize = 3, numPerm = 8, rowsPerBand = 2)
       Dedup.keepBest(docs, "doc_id", "n_chars", pairs, "doc_a", "doc_b")
-        .orderBy("cluster")
+        
     }),
     // 32f — SOFT dedup (duplication-aware loss weighting): instead of
     // dropping near-dups, every doc carries weight 1/|near-dup
@@ -120,7 +120,7 @@ object Pipeline {
       comp.join(sz, "component")
         .select(col("doc_id"), col("component"), col("cluster_n"),
           fp(lit(1.0) / col("cluster_n").cast("double"), 6).as("weight_fp6"))
-        .orderBy("doc_id")
+        
     }),
     // 46l — DSIR importance resampling weights (Xie et al. 2023): the
     // domain-targeting selection pass — score every doc by how much
@@ -135,7 +135,7 @@ object Pipeline {
     "smp_dsir" -> ((s, dir) => {
       TextAnalysis.dsirWeightsDf(t(s, dir, "documents"), "doc_id", "text",
         col("lang") === "en")
-        .orderBy("doc_id")
+        
     }),
     // 31b — incremental snapshot dedup: today's batch anti-joined on
     // content hash against yesterday's corpus (distinct 16-byte hash
@@ -146,7 +146,7 @@ object Pipeline {
       val incoming = docs.filter(col("doc_id") % 3 === 0)
       Dedup.dedupAgainst(incoming, reference, "doc_id", "text")
         .select("doc_id", "source", "n_chars")
-        .orderBy("doc_id")
+        
     }),
     // 31d — the same incremental dedup behind the broadcast Bloom
     // pre-filter (no false negatives ⇒ bit-identical result, same
@@ -158,7 +158,7 @@ object Pipeline {
       val incoming = docs.filter(col("doc_id") % 3 === 0)
       Dedup.dedupAgainstBloom(incoming, reference, "doc_id", "text")
         .select("doc_id", "source", "n_chars")
-        .orderBy("doc_id")
+        
     }),
     // 31e — eval-set decontamination (GPT-3/PaLM n-gram overlap rule):
     // training docs sharing any 4-gram with the held-out eval slice
@@ -170,14 +170,14 @@ object Pipeline {
         docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
         docs.filter(col("doc_id") % 97 === 0), "text", n = 4)
         .select("doc_id", "source", "n_chars")
-        .orderBy("doc_id")
+        
     }),
     // 32b — MinHash Jaccard estimates over the LSH candidates (the
     // classic signature-agreement estimator)
     "dd_minhash_est" -> ((s, dir) => {
       Dedup.minhashEstPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleSize = 3, numPerm = 8, rowsPerBand = 2)
-        .orderBy("doc_a", "doc_b")
+        
     }),
     // 32m — b-bit minwise hashing (Li & König 2010): 2-bit truncated
     // signatures + the collision-corrected Jaccard estimate next to
@@ -187,13 +187,13 @@ object Pipeline {
     "dd_bbit_minhash" -> ((s, dir) => {
       Dedup.bbitMinhashEstPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleSize = 3, numPerm = 8, rowsPerBand = 2, bBits = 2)
-        .orderBy("doc_a", "doc_b")
+        
     }),
     // 33b — SimHash Hamming-neighbor pairs (pigeonhole band join)
     "dd_simhash_pairs" -> ((s, dir) => {
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
         maxHamming = 3)
-        .orderBy("doc_a", "doc_b")
+        
     }),
     // 33c — 64-bit SimHash signatures (native one-pass expr; HOF twin
     // bit-equality spec-tested). 64 bits are the corpus-scale shape:
@@ -201,14 +201,14 @@ object Pipeline {
     "dd_simhash64" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), Dedup.simhash64Native(col("text")).as("simhash"))
-        .orderBy("doc_id")
+        
     }),
     // 33d — 64-bit SimHash Hamming pairs (16-bit pigeonhole bands —
     // 65,536 buckets/band vs the 32-bit signature's 256)
     "dd_simhash64_pairs" -> ((s, dir) => {
       Dedup.simhashPairs64(t(s, dir, "documents"), "doc_id", "text",
         maxHamming = 3)
-        .orderBy("doc_a", "doc_b")
+        
     }),
     // 34b — the SAME set-similarity join via PREFIX FILTERING
     // (AllPairs/PPJoin): rarest-first prefixes generate candidates,
@@ -218,13 +218,13 @@ object Pipeline {
     "dd_prefix_join" -> ((s, dir) => {
       Dedup.prefixJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.5)
-        .orderBy("doc_a", "doc_b")
+        
     }),
     // 34 — n-gram Jaccard similarity pairs via shingle co-group
     "dd_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.05, maxShingleDf = 1000)
-        .orderBy("doc_a", "doc_b")
+        
     }),
     // 31f — cross-source duplicate matrix: for every (canonically
     // ordered) source pair, the number of exact-duplicate document
@@ -245,7 +245,7 @@ object Pipeline {
             .otherwise(col("text")))
         .select(col("source"), md5(col("aug")).as("h"))
       Dedup.crossSourceMatrix(d, "h", "source")
-        .orderBy("source_a", "source_b")
+        
     }),
     // 34b — asymmetric containment near-dup: C(A→B) = |A∩B|/|A| over
     // shingles catches a doc embedded in a longer one where Jaccard
@@ -261,7 +261,7 @@ object Pipeline {
             concat(col("text"), lit(" "), col("_base_text")))
             .otherwise(col("text")))
       Dedup.containmentPairs(aug, "doc_id", "aug", n = 3, threshold = 0.5, maxShingleDf = 1000)
-        .orderBy("doc_a", "doc_b")
+        
     }),
     // 32e — substring-level duplication sweep (Lee et al. 2022): every
     // positional token 8-gram counted corpus-wide; per doc, the
@@ -269,12 +269,11 @@ object Pipeline {
     // per-doc signal that drives span-level strip decisions at scale
     "dd_dup_ngrams" -> ((s, dir) => {
       Dedup.dupNgramStats(t(s, dir, "documents"), "doc_id", "text", n = 8)
-        .orderBy("doc_id")
-    }),
+}),
     // 35 — embedding cosine near-dup within label buckets
     "dd_embed_neardup" -> ((s, dir) => {
       Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", "label", 200000L)
-        .orderBy("id_a", "id_b")
+        
     }),
     // 35d — SemDeDup-style semantic dedup (embedding-cluster based):
     // IVF cells bound the candidate set (never all-pairs), cosine-
@@ -292,7 +291,7 @@ object Pipeline {
       Dedup.connectedComponents(e.select("vec_id"), "vec_id", pairs, "id_a", "id_b")
         .groupBy("component").agg(count(lit(1)).as("n_members"))
         .select(col("component").as("keep_id"), col("n_members"))
-        .orderBy("keep_id")
+        
     }),
     // 36 — brute-force cosine top-k against the min-id query vector
     "sim_topk" -> ((s, dir) => {
@@ -326,7 +325,7 @@ object Pipeline {
         .groupBy("qgrp", "grp").agg(sum("mx").as("maxsim_fp6"))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 5)
-        .orderBy("qgrp", "rnk")
+        
     }),
     // 37 — LSH-bucketed ANN (rows-only; recall spec-tested vs brute
     // force). Runs with the scale guards on: degenerate buckets capped,
@@ -335,7 +334,7 @@ object Pipeline {
       val e = t(s, dir, "embeddings")
       Similarity.annLsh(e, e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
         numPlanes = 8, dim = 64, k = 5, maxBucket = 1000L, nprobe = 2)
-        .orderBy("query_id", "cos_fp6")
+        
     }),
     // 37a — the SAME LSH ANN with guards off, fully ORACLE-CHECKED:
     // the hyperplanes are md5-derived, so DuckDB recomputes buckets,
@@ -344,7 +343,7 @@ object Pipeline {
       val e = t(s, dir, "embeddings")
       Similarity.annLsh(e, e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
         numPlanes = 8, dim = 64, k = 5)
-        .orderBy("query_id", "cos_fp6", "id")
+        
     }),
     // 37b — IVF ANN: inverted-list probe search (rows-only; the
     // probed-cells-exact contract is spec-tested like sim_ann_lsh)
@@ -353,7 +352,7 @@ object Pipeline {
       val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", 16)
       val assigned = Similarity.ivfAssign(e, "vec_id", "embedding", cents)
       Similarity.ivfSearch(assigned, e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", cents, nprobe = 2, k = 5)
-        .orderBy("query_id", "cos_fp6")
+        
     }),
     // 37b2 — the SERVING shape of 37b: the same IVF probe search over
     // the PERSISTED index (IvfIndex parquet layout: one directory per
@@ -372,7 +371,7 @@ object Pipeline {
         graft.similarity.IvfIndex.build(e, "vec_id", "embedding", kCells = 16, path)
       graft.similarity.IvfIndex.search(s, path,
         e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", nprobe = 2, k = 5)
-        .orderBy("query_id", "cos_fp6")
+        
     }),
     // 37d2 — the SERVING shape of 37d: IVF-PQ AT REST. The persisted
     // layout adds `codes/` (4-byte-scale PQ codes, partitioned by the
@@ -393,7 +392,7 @@ object Pipeline {
           dim = 64, m = 4, kCodes = 16, path = path)
       graft.similarity.IvfIndex.searchPq(s, path,
         e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", nprobe = 2, k = 5)
-        .orderBy("query_id", "approx_d2_fp6", "id")
+        
     }),
     // 37e2 — the SERVING shape of 37e: retrieve→rerank over the
     // PERSISTED IVF-PQ index. The ADC retrieval reads nprobe cell
@@ -415,18 +414,18 @@ object Pipeline {
       graft.similarity.IvfIndex.searchRerank(s, path,
         e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
         nprobe = 2, kCand = 20, k = 5)
-        .orderBy("query_id", "rk")
+        
     }),
     // 38 — stopword-scoring language ID (staged: tokens project once)
     "txt_langid" -> ((s, dir) => {
       TextAnalysis.langIdDf(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id")
+        
     }),
     // 38b — char-trigram (Cavnar–Trenkle-style) language ID (staged:
     // the gram array projects once — the inline form was 8× slower)
     "txt_langid_ngram" -> ((s, dir) => {
       TextAnalysis.langIdNgramDf(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id")
+        
     }),
     // 38l — classifier EVALUATION report (the eval harness every
     // pipeline classifier ships with): both language-ID
@@ -451,12 +450,12 @@ object Pipeline {
           fp(col("n_stop_ok").cast("double") / col("n_docs").cast("double"), 4).as("acc_stop_fp4"),
           fp(col("n_gram_ok").cast("double") / col("n_docs").cast("double"), 4).as("acc_gram_fp4"),
           fp(col("n_agree").cast("double") / col("n_docs").cast("double"), 4).as("agree_fp4"))
-        .orderBy("lang")
+        
     }),
     // 39 — quality scoring (length/punct/stopword ratios; staged tokens)
     "txt_quality" -> ((s, dir) => {
       TextAnalysis.qualityDf(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id")
+        
     }),
     // 40 — token counting (whitespace + BPE-ish regex pre-tokenizer)
     "txt_tokens" -> ((s, dir) => {
@@ -464,8 +463,7 @@ object Pipeline {
         .select(col("doc_id"),
           size(TextAnalysis.tokens(col("text"))).cast("long").as("n_ws_tokens"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_word_tokens"))
-        .orderBy("doc_id")
-    }),
+}),
     // 40b — vocab-table-driven BPE tokenization: the REAL tokenizer
     // walk (canonical greedy merge loop over a ranked merges table —
     // Sennrich et al. 2016 / the GPT-2 reference encoder), not the
@@ -483,13 +481,13 @@ object Pipeline {
         .select(col("doc_id"),
           size(col("bpe")).cast("long").as("n_bpe_tokens"),
           array_join(col("bpe"), " ").as("bpe_text"))
-        .orderBy("doc_id")
+        
     }),
     // 41 — polynomial rolling-hash document fingerprint
     "txt_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text"), 64).as("fp_hash"))
-        .orderBy("doc_id")
+        
     }),
     // 41i — winnowing fingerprints (Schleimer et al. 2003 / MOSS):
     // word-3-gram hash stream, sliding 4-window minimum with
@@ -503,7 +501,7 @@ object Pipeline {
         .select(col("doc_id"),
           explode(TextAnalysis.winnow(TextAnalysis.tokens(col("text")), 3, 4)).as("e"))
         .select(col("doc_id"), col("e.pos").as("pos"), col("e.fp").as("fp"))
-        .orderBy("doc_id", "pos")
+        
     }),
     // 34c — winnow-pair matching (the MOSS match step): docs sharing
     // >= 2 winnow fingerprints pair up. The self-join runs over the
@@ -521,7 +519,7 @@ object Pipeline {
             concat(col("text"), lit(" "), col("_base_text")))
             .otherwise(col("text")))
       Dedup.winnowPairs(aug, "doc_id", "aug", n = 3, w = 4, minShared = 2)
-        .orderBy("doc_a", "doc_b")
+        
     }),
     // 32i — dedup-recall EVAL harness (the emb_mrl_recall argument
     // applied to dedup: before a near-dup config ships against a
@@ -584,7 +582,7 @@ object Pipeline {
       graft.web.WarcWet.read(s, tmp, rangeBytes = 4096L)
         .select(substring(col("url"), 7, 30).cast("long").as("doc_id"),
           col("length").as("n_bytes"), md5(col("text")).as("h"))
-        .orderBy("doc_id")
+        
     }),
     // 48b — the JSONL corpus interchange loop END-TO-END (JSONL is
     // THE LLM-corpus wire format — Pile/RedPajama/Dolma all ship
@@ -606,7 +604,7 @@ object Pipeline {
         .select(col("doc_id"), col("lang"), col("source"),
           length(col("text")).cast("long").as("n_chars_rt"),
           md5(col("text")).as("h"))
-        .orderBy("doc_id")
+        
     }),
     // 48i — corrupt-record tolerant JSON ingest (the PERMISSIVE
     // schema-on-read discipline a crawl/vendor feed needs): every
@@ -632,7 +630,7 @@ object Pipeline {
         .groupBy("lang_parsed")
         .agg(count(lit(1)).as("n"), count(col("id")).as("n_ids"),
           sum(coalesce(col("id"), lit(0L))).as("sum_id"))
-        .orderBy("lang_parsed")
+        
     }),
     // 48d — partitioned-parquet write + partition-PRUNED read (the
     // other half of the 100 TB storage-layout discipline next to
@@ -651,7 +649,7 @@ object Pipeline {
       rd.select(tsMs(rd).as("ms"), fp(col("value"), 4).as("v4"))
         .groupBy(expr("ms DIV 86400000").as("day"))
         .agg(count(lit(1)).as("n"), sum("v4").as("sum_v4"))
-        .orderBy("day")
+        
     }),
     // 44h — SCHEMA-EVOLUTION read (the lakehouse reality that a
     // 100 TB table accumulates files from many writer versions):
@@ -675,7 +673,7 @@ object Pipeline {
           count(lit(1)).as("n"),
           sum(when(col("source").isNull, 1L).otherwise(0L)).as("n_legacy"),
           sum(coalesce(col("n_chars"), lit(0L))).as("sum_chars_v2"))
-        .orderBy("lang")
+        
     }),
     // 44g — DYNAMIC partition pruning (the join-driven half of the
     // pruning story next to src_partitioned_scan's static filter):
@@ -699,19 +697,19 @@ object Pipeline {
         .select(col("event_type"), tsMs(fact).as("ms"), fp(col("value"), 4).as("v4"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum("v4").as("sum_v4"))
-        .orderBy("event_type")
+        
     }),
     // 41b — text normalization (canonical form for dedup)
     "txt_normalize" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.normalize(col("text")).as("norm_text"))
-        .orderBy("doc_id")
+        
     }),
     // 41c — stopword removal
     "txt_stopword_remove" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.removeStopwords(col("text")).as("clean_text"))
-        .orderBy("doc_id")
+        
     }),
     // 39b — repetition ratio: 1 - distinct/total tokens (fp4), the
     // C4-style repetitiveness quality signal
@@ -738,7 +736,7 @@ object Pipeline {
           size(col("segs")).as("n_sent"),
           aggregate(col("segs"), lit(0L), (a, x) => a + length(x)).as("sum_len"),
           aggregate(col("segs"), lit(0), (a, x) => greatest(a, length(x))).as("max_len"))
-        .orderBy("doc_id")
+        
     }),
     "txt_repetition" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -747,7 +745,7 @@ object Pipeline {
           when(size(col("_toks")) === 0, lit(0L))
             .otherwise(fp(lit(1.0) - size(array_distinct(col("_toks"))).cast("double") / size(col("_toks")).cast("double"), 4))
             .as("repetition_fp4"))
-        .orderBy("doc_id")
+        
     }),
     // 39c — vocabulary-growth stats: per-doc type count and hapax
     // (once-only) fraction, the Zipf-tail quality signal that
@@ -771,7 +769,7 @@ object Pipeline {
         .withColumn("hapax_frac_fp4",
           when(col("n_types") === 0, lit(0L))
             .otherwise(fp(col("n_hapax").cast("double") / col("n_types").cast("double"), 4)))
-        .orderBy("doc_id")
+        
     }),
     // 39g — per-source χ² divergence from the corpus unigram
     // distribution (domain-shift profiling). χ², not KL: KL needs
@@ -781,7 +779,7 @@ object Pipeline {
     // folded in from one exact integer sum
     "txt_domain_div" -> ((s, dir) => {
       TextAnalysis.domainDivergenceDf(t(s, dir, "documents"), "source", "text")
-        .orderBy("source")
+        
     }),
     // 39e — Gopher-style quality-rule ensemble (Rae et al. §A1.1):
     // word-count bounds, mean-word-length bounds, symbol ratio,
@@ -790,7 +788,7 @@ object Pipeline {
     // Narrow, zero shuffle
     "txt_gopher" -> ((s, dir) => {
       TextAnalysis.gopherRulesDf(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id")
+        
     }),
     // 39d — corpus-trained char-trigram LM quality score (CCNet-style
     // perplexity filtering, engine-portable: per-position Laplace
@@ -800,7 +798,7 @@ object Pipeline {
     // aggs broadcast back; the corpus side never shuffles by gram
     "txt_charlm" -> ((s, dir) => {
       TextAnalysis.charLmScoreDf(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id")
+        
     }),
     // 41d — PII masking (emails + phone numbers; PII is synthesized
     // into the text so the patterns actually fire at every SF)
@@ -810,7 +808,7 @@ object Pipeline {
           lit(" contact user"), col("doc_id").cast("string"), lit("@example.com or 555-"),
           lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-4567 now")))
         .select(col("doc_id"), TextAnalysis.maskPii(col("aug")).as("masked"))
-        .orderBy("doc_id")
+        
     }),
     // 41e — consecutive-duplicate-token cleanup (stutter removal;
     // synthetic stutter appended so the filter provably fires)
@@ -818,7 +816,7 @@ object Pipeline {
       t(s, dir, "documents")
         .withColumn("aug", concat(col("text"), lit(" go go stop stop stop end")))
         .select(col("doc_id"), TextAnalysis.dedupConsecutiveTokens(col("aug")).as("clean_text"))
-        .orderBy("doc_id")
+        
     }),
     // 35b — int8 embedding quantization (the storage layout ANN
     // indexes ship at scale), exploded for verification
@@ -859,7 +857,7 @@ object Pipeline {
       dist.join(best, Seq("label", "dist"))
         .groupBy("label", "dist", "n").agg(min("vec_id").as("proto_id"))
         .select(col("label"), col("proto_id"), col("dist").as("min_dist"), col("n"))
-        .orderBy("label")
+        
     }),
     // 35f — embedding QA outlier gate (the vector-hygiene pass run
     // before an ANN build or a contrastive train: truncated/blown-up
@@ -885,7 +883,7 @@ object Pipeline {
           (col("sqn_c2") * 2 < col("q1") * 2 - (col("q3") - col("q1")) * 3 ||
            col("sqn_c2") * 2 > col("q3") * 2 + (col("q3") - col("q1")) * 3)
             .cast("long").as("is_outlier"))
-        .orderBy("vec_id")
+        
     }),
     // 35c — product quantization: 64-dim vectors → 4 subspaces × 16
     // codes (deterministic stride codebook, same seeding as IVF so the
@@ -896,7 +894,7 @@ object Pipeline {
       val e = t(s, dir, "embeddings")
       val cb = Similarity.pqCodebook(e, "vec_id", "embedding", dim = 64, m = 4, k = 16)
       Similarity.pqEncode(e, "vec_id", "embedding", cb)
-        .orderBy("id", "sub")
+        
     }),
     // 35k — PQ DISTORTION profile (the compression-quality report
     // that gates an ANN deployment: how much squared error does each
@@ -913,7 +911,7 @@ object Pipeline {
         .groupBy("sub")
         .agg(count(lit(1)).as("n"), sum("d2_fp6").cast("long").as("sum_d2_fp6"),
           max("d2_fp6").as("max_d2_fp6"))
-        .orderBy("sub")
+        
     }),
     // 35e — Matryoshka-truncation recall (Kusupati et al. 2022): per
     // truncation dim, brute cosine top-k over the first d components
@@ -924,7 +922,7 @@ object Pipeline {
       val e = t(s, dir, "embeddings")
       Similarity.mrlRecall(e, "vec_id", "embedding",
         e.filter(col("vec_id") % 50 === 0), dims = Seq(16, 32), fullDim = 64, k = 5)
-        .orderBy("dim", "query_id")
+        
     }),
     // 37c — PQ-ADC probe search (Jégou et al.): per-query LUT of
     // subvector-to-codebook distances, corpus rows cost one LUT probe
@@ -937,7 +935,7 @@ object Pipeline {
       val enc = Similarity.pqEncode(e, "vec_id", "embedding", cb)
       Similarity.pqSearch(enc, cb, e.filter(col("vec_id") % 50 === 0),
         "vec_id", "embedding", k = 5)
-        .orderBy("query_id", "approx_d2_fp6", "id")
+        
     }),
     // 37d — IVF-pruned PQ-ADC probe search (IVF-PQ): the IVF inverted
     // lists prune the corpus to nprobe cells per query before the ADC
@@ -952,15 +950,16 @@ object Pipeline {
     // fully oracle-checked
     "sim_ann_ivfpq" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", 16)
+      val nE = e.count() // ONE corpus count serves centroid + codebook strides
+      val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", 16, nE)
       val assigned = Similarity.ivfAssign(e, "vec_id", "embedding", cents)
-      val cb = Similarity.pqCodebook(e, "vec_id", "embedding", dim = 64, m = 4, k = 16)
+      val cb = Similarity.pqCodebook(e, "vec_id", "embedding", dim = 64, m = 4, k = 16, n = nE)
       val enc = Similarity.pqEncode(
         assigned.select(col("id").as("vec_id"), col("vec").as("embedding"), col("cell")),
         "vec_id", "embedding", cb, carry = Seq("cell"))
       Similarity.pqIvfSearch(enc, cb, assigned, cents,
         e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", nprobe = 2, k = 5)
-        .orderBy("query_id", "approx_d2_fp6", "id")
+        
     }),
     // 37e — retrieve→rerank (the production serving composition):
     // IVF-PQ retrieves 20 approximate candidates per query without
@@ -969,16 +968,17 @@ object Pipeline {
     // size, and the returned order is exact
     "sim_ann_rerank" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", 16)
+      val nE = e.count() // ONE corpus count serves centroid + codebook strides
+      val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", 16, nE)
       val assigned = Similarity.ivfAssign(e, "vec_id", "embedding", cents)
-      val cb = Similarity.pqCodebook(e, "vec_id", "embedding", dim = 64, m = 4, k = 16)
+      val cb = Similarity.pqCodebook(e, "vec_id", "embedding", dim = 64, m = 4, k = 16, n = nE)
       val enc = Similarity.pqEncode(
         assigned.select(col("id").as("vec_id"), col("vec").as("embedding"), col("cell")),
         "vec_id", "embedding", cb, carry = Seq("cell"))
       Similarity.pqIvfRerank(enc, cb, assigned, cents,
         e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", e,
         nprobe = 2, kCand = 20, k = 5)
-        .orderBy("query_id", "rk")
+        
     }),
     // 37g — mutual k-NN GRAPH construction (the batch input every
     // graph-based ANN index — HNSW/NSG — and SemDeDup-style cluster
@@ -1028,7 +1028,7 @@ object Pipeline {
         .filter(col("cos_fp6") >= 100000L)
         .select(expr("cos_fp6 DIV 10000").as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
-        .orderBy("bucket")
+        
     }),
     "sim_knn_graph" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -1052,7 +1052,7 @@ object Pipeline {
           Seq("id_a", "id_b"))
         .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"), col("cos_fp6"))
-        .orderBy("id_a", "id_b")
+        
     }),
     // 35l — HARD-NEGATIVE mining over the labeled embeddings (the
     // contrastive-training data op: per anchor, the most-similar
@@ -1092,7 +1092,7 @@ object Pipeline {
           (lit(P - 1) - pmod(col("pp"), lit(P))).as("pos_id"),
           (expr(s"pp DIV ${P}") - lit(1000000L)).as("cos_pos_fp6"),
           (expr(s"pp DIV ${P}") - expr(s"pn DIV ${P}")).as("margin_fp6"))
-        .orderBy("vec_id")
+        
     }),
     // 41f — TF-IDF term weights: explode tokens → (doc, term) tf
     // counts → document frequencies via groupBy(term) + broadcast
@@ -1118,8 +1118,7 @@ object Pipeline {
         .withColumn("tfidf_fp4",
           fp(col("tf").cast("double") * log(col("_n") / col("df").cast("double")), 4))
         .select("doc_id", "term", "tf", "df", "tfidf_fp4")
-        .orderBy("doc_id", "term")
-    }),
+}),
     // 41j — PMI-style collocation mining (the phrase-discovery pass a
     // tokenizer-vocabulary build runs over a corpus): score every
     // bigram by LIFT = P(w1,w2) / (P_left(w1)·P_right(w2)) =
@@ -1151,7 +1150,7 @@ object Pipeline {
         .select(col("w1"), col("w2"), col("n_xy"),
           fp((col("n_xy").cast("double") * col("n_tot").cast("double")) /
             (col("n_x").cast("double") * col("n_y").cast("double")), 4).as("lift_fp4"))
-        .orderBy("w1", "w2")
+        
     }),
     // 41k — HTML main-text extraction (the web-ingestion stage between
     // a raw crawl and the WET-style plain text everything downstream
@@ -1185,7 +1184,7 @@ object Pipeline {
           length(col("extracted")).cast("long").as("n_chars_text"),
           fp(lit(1.0) - length(col("extracted")).cast("double") /
             length(col("_h")).cast("double"), 4).as("boilerplate_ratio_fp4"))
-        .orderBy("doc_id")
+        
     }),
     // 41l — Flesch–Kincaid readability grade (the classic surface
     // readability signal quality dashboards carry next to the Gopher
@@ -1210,7 +1209,7 @@ object Pipeline {
             fp(lit(0.39) * (col("n_words").cast("double") / col("n_sentences").cast("double")) +
                lit(11.8) * (col("n_syllables").cast("double") / col("n_words").cast("double")) -
                lit(15.59), 4)).as("fk_grade_fp4"))
-        .orderBy("doc_id")
+        
     }),
     // 41m — BM25 ranked retrieval (Robertson–Spärck Jones, k1=1.2
     // b=0.75): the classic retrieval scorer run over the corpus's own
@@ -1254,7 +1253,7 @@ object Pipeline {
           fp(idf * tfNorm, 4).as("bm25_fp4"))
       Similarity.topKPerQuery(scored, 10, Seq(col("bm25_fp4").desc, col("id")))
         .select(col("query_id").as("term"), col("id").as("doc_id"), col("tf"), col("bm25_fp4"))
-        .orderBy(col("term"), col("bm25_fp4").desc, col("doc_id"))
+        
     }),
     // 41n — positional phrase search (the inverted-index lookup shape:
     // boolean AND + adjacency over positional postings). The query
@@ -1287,7 +1286,7 @@ object Pipeline {
       m1.join(m2, m1("doc_id") === m2("doc_id") && col("p2") === col("p1") + 1L)
         .groupBy(m1("doc_id").as("doc_id"), col("w1"), col("w2"))
         .agg(count(lit(1)).as("n_matches"), min("p1").as("first_pos"))
-        .orderBy("doc_id")
+        
     }),
     // 41p — BPE merge LEARNING (Sennrich et al. 2016 — the tokenizer
     // TRAINING pass; 41d/txt_bpe_tokens applies a merge table, this
@@ -1339,7 +1338,7 @@ object Pipeline {
             expr("replace(m_g, ' ', '')").as("merged"),
             col("m_cnt").as("cnt_w"), col("tot_syms"))
       row(1, t1, v1).unionByName(row(2, t2, v2)).unionByName(row(3, t3, v3))
-        .orderBy("step")
+        
     }),
     // 41o — RAKE keyword extraction (Rose et al. 2010 — the
     // phrase-level keyword signal tag/topic pipelines cut): candidate
@@ -1376,7 +1375,7 @@ object Pipeline {
         .join(broadcast(wscore), "w")
         .groupBy("doc_id", "phrase")
         .agg(max("plen").as("n_words"), sum("wscore").as("score_i"))
-        .orderBy(col("doc_id"), col("score_i").desc, col("phrase"))
+        
     }),
     // 43m — A/B experiment readout (the conversion-rate gate an event
     // corpus answers before any behavioral decision ships): exposure
@@ -1427,7 +1426,7 @@ object Pipeline {
       graft.sketch.Sketches.kmvDistinct(
         t(s, dir, "events").select("event_type", "user_id"),
         Seq("event_type"), "user_id", k = 64)
-        .orderBy("event_type")
+        
     }),
     // 43h — HyperLogLog distinct-count profile (Flajolet et al.): the
     // FIXED-WIDTH mergeable cousin of 43d — m=256 registers per group
@@ -1445,7 +1444,7 @@ object Pipeline {
         Seq("event_type"), "user_id", p = 8)
         .join(ex, "event_type")
         .select("event_type", "exact_nd", "v_zero", "reg_sum", "hll_est_fp2")
-        .orderBy("event_type")
+        
     }),
     // 32j — verifiable Bloom-filter state + OR-merge law: the third
     // mergeable-sketch family next to HLL (max-merge, 43t) and
@@ -1479,7 +1478,7 @@ object Pipeline {
         .select(col("source"), col("bits_set"), col("pos_sum"),
           fp(col("bits_set").cast("double") / 1024.0, 4).as("fill_fp4"),
           col("bits_set_merged"), col("pos_sum_merged"))
-        .orderBy("source")
+        
     }),
     // 43t — HLL partition-then-merge: the 100 TB sketch DISCIPLINE
     // made visible in one query — registers built per (type, DAY)
@@ -1508,7 +1507,7 @@ object Pipeline {
         .select(col("event_type"), col("n_days"), col("v_zero"), col("reg_sum"),
           col("hll_est_fp2").as("est_merged_fp2"),
           col("reg_sum_direct"), col("est_direct_fp2"))
-        .orderBy("event_type")
+        
     }),
     // 43e — count-min sketch frequency profile: deterministic d×w md5
     // sketch built with map-side combine (the shuffle carries ≤ d·w
@@ -1517,7 +1516,7 @@ object Pipeline {
     "ev_cms_freq" -> ((s, dir) => {
       graft.sketch.Sketches.cmsFreq(
         t(s, dir, "events").select("event_type"), "event_type", d = 4, w = 64)
-        .orderBy("event_type")
+        
     }),
     // 43f — exact per-group percentiles WITHOUT a per-group row sort:
     // the corpus collapses map-side to a (group, quantized-value)
@@ -1539,7 +1538,7 @@ object Pipeline {
           min(when(col("cum") >= expr("(n + 1) DIV 2"), col("v4"))).as("p50_c4"),
           min(when(col("cum") >= expr("(9 * n + 9) DIV 10"), col("v4"))).as("p90_c4"),
           min(when(col("cum") >= expr("(99 * n + 99) DIV 100"), col("v4"))).as("p99_c4"))
-        .orderBy("event_type")
+        
     }),
     // 43ah — INTERPOLATED percentiles (SQL-standard percentile_cont;
     // 43f's rank pick is percentile_disc): h = 1 + (n−1)p lands
@@ -1573,7 +1572,7 @@ object Pipeline {
       picked.select(col("event_type"), col("n_rows"),
           blend(50, col("lo50"), col("hi50")).as("p50_fp6"),
           blend(90, col("lo90"), col("hi90")).as("p90_fp6"))
-        .orderBy("event_type")
+        
     }),
     // 43ai — time-series GAP FILL (LOCF — last observation carried
     // forward over a dense day grid; the step every daily-metric
@@ -1603,7 +1602,7 @@ object Pipeline {
         .select(col("event_type"), col("day"),
           col("filled_v"),
           col("v").isNull.cast("int").as("is_gap"))
-        .orderBy("event_type", "day")
+        
     }),
     // 43y — INTER-ARRIVAL time profile (the traffic-model histogram
     // behind session-gap and rate-limit tuning): per-user event gaps
@@ -1624,7 +1623,7 @@ object Pipeline {
             .otherwise(expr("CAST(length(bin(gap)) AS INT) - 1")))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"), min("gap").as("min_gap"), max("gap").as("max_gap"))
-        .orderBy("bucket")
+        
     }),
     // 43z — ROLLING-window distinct actives (trailing 7-day WAU per
     // day + DAU + rolling stickiness — the engagement trendline; the
@@ -1651,7 +1650,7 @@ object Pipeline {
       dau.join(wau, "day")
         .select(col("day"), col("dau"), col("wau7"),
           fp(col("dau").cast("double") / col("wau7").cast("double"), 4).as("stickiness_fp4"))
-        .orderBy("day")
+        
     }),
     // 43x — GAPS-AND-ISLANDS (the consecutive-run pattern behind
     // uptime/freshness monitoring, coverage audits, and island-based
@@ -1675,7 +1674,7 @@ object Pipeline {
         max("len").as("max_island"))
       val gAgg = r.groupBy("event_type")
         .agg(max(coalesce(col("gap"), lit(0L))).as("max_gap"))
-      iAgg.join(gAgg, "event_type").orderBy("event_type")
+      iAgg.join(gAgg, "event_type")
     }),
     // 43w — KMV partition-then-merge: the FOURTH mergeable-sketch
     // law next to HLL max-merge (43t), Bloom OR-merge (32j), and the
@@ -1712,7 +1711,7 @@ object Pipeline {
           col("est_distinct_fp2"), col("n_kept_merged"),
           fp(when(col("n_kept_merged") < 64, col("n_kept_merged").cast("double"))
             .otherwise(lit(63.0) / col("_hkm")), 2).as("est_merged_fp2"))
-        .orderBy("event_type")
+        
     }),
     // 43v — exponentially time-decayed engagement score (the
     // recency-weighted user feature every ranking/mixing pipeline
@@ -1738,7 +1737,7 @@ object Pipeline {
             .as("c6"))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_events"), sum("c6").as("score_fp6"))
-        .orderBy("user_id")
+        
     }),
     // 43u — BITMAP-INDEX retention (the roaring-bitmap warehouse
     // discipline in exact integer arithmetic): each day's active-user
@@ -1765,7 +1764,7 @@ object Pipeline {
         .agg(sum(expr("CAST(bit_count(a.bm) AS BIGINT)")).as("n_active"),
           sum(coalesce(expr("CAST(bit_count(a.bm & b.bm) AS BIGINT)"), lit(0L)))
             .as("n_ret7"))
-        .orderBy("day")
+        
     }),
     // 43i — RFM user segmentation (recency / frequency / monetary —
     // the classic activity-profile cut, here the user-level profile
@@ -1804,7 +1803,7 @@ object Pipeline {
           score(col("f"), "_tf").as("f_score"),
           score(col("m_u"), "_tm").as("m_score"))
         .withColumn("rfm", col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
-        .orderBy("user_id")
+        
     }),
     // 43j — DAU/WAU stickiness (the engagement-density profile an
     // event corpus is cut by before cohort work): two distinct-user
@@ -1825,7 +1824,7 @@ object Pipeline {
       dau.join(broadcast(wau), "week_id")
         .select(col("week_id"), col("day_id"), col("dau"), col("wau"),
           fp(col("dau").cast("double") / col("wau").cast("double"), 4).as("stickiness_fp4"))
-        .orderBy("day_id")
+        
     }),
     // 43k — bot/abuse rate filtering (the traffic-hygiene gate an
     // event corpus passes before it trains anything): flag users whose
@@ -1856,7 +1855,7 @@ object Pipeline {
         .select(col("user_id"), col("peak_per_min"),
           col("n_events").cast("long").as("n_events"),
           (col("peak_per_min") >= 60).cast("long").as("is_bot"))
-        .orderBy("user_id")
+        
     }),
     // 43l — session co-visitation lift (the recommender/behavior-
     // mining building block: which event types co-occur in the same
@@ -1892,7 +1891,7 @@ object Pipeline {
         .select(col("type_a"), col("type_b"), col("n_ab"),
           fp((col("n_ab").cast("double") * col("s_tot").cast("double")) /
             (col("n_a").cast("double") * col("n_b").cast("double")), 4).as("lift_fp4"))
-        .orderBy("type_a", "type_b")
+        
     }),
     // 43o — time-to-convert profile (the latency half of ev_funnel:
     // not whether users convert but HOW FAST): per user, first view →
@@ -1995,7 +1994,7 @@ object Pipeline {
             (expr("150000000 DIV _nv") + coalesce(col("_in"), lit(0L))).cast("long").as("r"))
       }
       r.select(col("node").as("event_type"), col("r").as("rank_fp9"))
-        .orderBy("event_type")
+        
     }),
     // 43h — last-touch attribution: each purchase joined to the user's
     // latest STRICTLY-preceding view/click. Pure reuse of the as-of
@@ -2014,7 +2013,7 @@ object Pipeline {
         .select(col("purchase_id"), col("user_id"), col("pms"),
           col("asof_time").as("touch_ms"), col("asof_event_id").as("touch_event_id"),
           col("asof_touch_type").as("touch_type"))
-        .orderBy("purchase_id")
+        
     }),
     // 43aj — U-SHAPE (position-based) multi-touch attribution — the
     // 40/20/40 model next to 43i's last-touch: every view/click in
@@ -2046,7 +2045,7 @@ object Pipeline {
             .otherwise(expr("200000 DIV (k - 2)")))
         .groupBy("touch_type")
         .agg(count(lit(1)).as("n_touches"), sum("credit").as("credit_fp6"))
-        .orderBy("touch_type")
+        
     }),
     // 47 — the whole corpus-prep dataflow end-to-end in ONE query
     // (the LLM-pipeline twin of cg_pipeline_counts): eval holdout →
@@ -2099,7 +2098,7 @@ object Pipeline {
           struct(lit("4_repetition").as("stage"), col("n3").as("n_docs")),
           struct(lit("5_stopwords").as("stage"), col("n4").as("n_docs")))).as("s"))
         .select(col("s.stage").as("stage"), col("s.n_docs").as("n_docs"))
-        .orderBy("stage")
+        
     }),
     "pipe_dataset_card" -> ((s, dir) => {
       val base = t(s, dir, "documents")
@@ -2130,7 +2129,7 @@ object Pipeline {
           fp(col("dup_docs").cast("double") / col("n_docs").cast("double"), 4).as("dup_frac_fp4"),
           col("top_lang"), col("top_lang_n"), col("p50_chars"),
           fp(col("sum_chars").cast("double") / col("n_docs").cast("double"), 2).as("mean_chars_fp2"))
-        .orderBy("source")
+        
     }),
     "pipe_prep_counts" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -2159,7 +2158,7 @@ object Pipeline {
         .unionByName(selected.agg(coalesce(sum("n_tokens"), lit(0L)).as("n"))
           .withColumn("section", lit("s7_selected_tokens")))
         .select("section", "n")
-        .orderBy("section")
+        
     }),
     // 42 — gap-based sessionization (batch twin of the streaming op)
     "ev_sessionize" -> ((s, dir) => {
@@ -2171,8 +2170,7 @@ object Pipeline {
         .withColumn("session_idx", sum("new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .groupBy("user_id", "session_idx")
         .agg(count(lit(1)).as("n_events"), min("ms").as("start_ms"), max("ms").as("end_ms"), sum("v4").as("sum_v4"))
-        .orderBy("user_id", "session_idx")
-    }),
+}),
     // 43ae — interval CONCURRENCY (sweep line): per day, the peak
     // number of simultaneously-open sessions — the load-planning
     // number behind connection pools and rate limits. Sessions
@@ -2221,7 +2219,7 @@ object Pipeline {
             greatest(coalesce(col("peak_in_day"), lit(0L)), lit(0L))).as("peak_conc"),
           coalesce(col("carry"), lit(0L)).as("carry_in"),
           coalesce(col("n_starts"), lit(0L)).as("n_starts"))
-        .orderBy("day")
+        
     }),
     // 43 — tumbling-window aggregation (batch twin of the streaming op)
     "ev_window_agg" -> ((s, dir) => {
@@ -2229,7 +2227,7 @@ object Pipeline {
         .withColumn("win_start", col("ms") - pmod(col("ms"), lit(3600000L)))
         .groupBy("win_start", "event_type")
         .agg(count(lit(1)).as("n"), sum("v4").as("sum_v4"))
-        .orderBy("win_start", "event_type")
+        
     }),
     // 43aa — HOPPING (sliding) window agg, size 1h / hop 30min — the
     // overlapping-window twin of the tumbling agg above and the batch
@@ -2247,7 +2245,7 @@ object Pipeline {
         .filter(col("ms") < col("win_start") + lit(size))
         .groupBy("win_start", "event_type")
         .agg(count(lit(1)).as("n"), sum("v4").as("sum_v4"))
-        .orderBy("win_start", "event_type")
+        
     }),
     // 43ab — event-SEQUENCE pattern matching (MATCH_RECOGNIZE's
     // poor-man twin, and the per-user behavioral fingerprint): each
@@ -2269,7 +2267,7 @@ object Pipeline {
         .withColumn("n_vcp",
           expr("(length(path) - length(regexp_replace(path, 'vcp', ''))) DIV 3"))
         .withColumn("has_funnel", col("path").rlike("v[^p]*c[^p]*p").cast("int"))
-        .orderBy("user_id")
+        
     }),
     // 43ac — watermark LATENESS accounting (the batch counterfactual
     // of streaming's withWatermark drop rule): replay the log in
@@ -2283,8 +2281,7 @@ object Pipeline {
         .withColumn("win_start", col("ms") - pmod(col("ms"), lit(3600000L)))
         .groupBy("win_start")
         .agg(count(lit(1)).as("n"), sum(col("is_late").cast("long")).as("n_late"))
-        .orderBy("win_start")
-    }),
+}),
     // 43ad — seasonal-naive FORECAST backtest (the baseline every
     // volume forecast must beat, and the capacity-planning sanity
     // report): predict each (event_type, day) count by the count 7
@@ -2306,7 +2303,7 @@ object Pipeline {
         .agg(count(lit(1)).as("n_days"), sum("err").as("total_abs_err"))
         .withColumn("mae_fp4",
           expr("(total_abs_err * 20000 + n_days) DIV (2 * n_days)"))
-        .orderBy("event_type")
+        
     }),
     // 43g — daily-volume anomaly profile (ingest monitoring: which
     // source×day volumes spike/crater before they poison a mixture):
@@ -2321,7 +2318,7 @@ object Pipeline {
         .withColumn("day", expr(s"(ms - pmod(ms, $dayMs)) DIV $dayMs"))
         .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
       graft.operators.EventStats.dailyVolumeOutliers(daily, "event_type", "day", "n")
-        .orderBy("event_type", "day")
+        
     }),
     // 43b — ordered event funnel (view → click → purchase): stage k
     // requires an event strictly after the user's stage-(k-1) time.
@@ -2340,7 +2337,7 @@ object Pipeline {
       def cnt(df: DataFrame, stage: String) =
         df.agg(count(lit(1)).as("n_users")).withColumn("stage", lit(stage))
       cnt(s1, "1_view").unionByName(cnt(s2, "2_click")).unionByName(cnt(s3, "3_purchase"))
-        .select("stage", "n_users").orderBy("stage")
+        .select("stage", "n_users")
     }),
     // 43af — WINDOWED first-touch funnel (ev_funnel with a conversion
     // deadline — the product-analytics default): stage k counts only
@@ -2372,7 +2369,7 @@ object Pipeline {
         .unionByName(cnt(s2, "2_click", col("t2") - col("t1b")))
         .unionByName(cnt(s3, "3_purchase", col("t3") - col("t1c")))
         .select(col("stage"), col("n_users"), coalesce(col("sum_lag_ms"), lit(0L)).as("sum_lag_ms"))
-        .orderBy("stage")
+        
     }),
     // 43ag — GROWTH ACCOUNTING (new / retained / resurrected /
     // churned per DAY — the canonical user-base decomposition that
@@ -2413,7 +2410,7 @@ object Pipeline {
           coalesce(col("n_retained"), lit(0L)).as("n_retained"),
           coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
           coalesce(col("n_churned"), lit(0L)).as("n_churned"))
-        .orderBy("day")
+        
     }),
     // 43c — cohort retention: users grouped by first-activity week,
     // counted per week-offset they return in. Two key-shuffles (per
@@ -2427,7 +2424,7 @@ object Pipeline {
         .distinct()
         .groupBy("cohort_week", "week_offset")
         .agg(count(lit(1)).as("n_users"))
-        .orderBy("cohort_week", "week_offset")
+        
     }),
     // 44 — JSON property extraction (codegen'd path access). NO output
     // orderBy: this is the one query whose output is corpus-sized (a
@@ -2455,7 +2452,7 @@ object Pipeline {
         Multimodal.magic(col("payload")).as("fmt"),
         Multimodal.pngWidth(col("payload")).as("width"),
         Multimodal.pngHeight(col("payload")).as("height"))
-        .orderBy("doc_id")
+        
     }),
     // 45 — multimodal binary metadata, REAL codec: payloads are
     // synthesized per-row in all three containers (PNG / JPEG with a
@@ -2486,7 +2483,7 @@ object Pipeline {
         Multimodal.imageWidth(col("payload")).cast("long").as("width"),
         Multimodal.imageHeight(col("payload")).cast("long").as("height"),
         length(col("payload")).cast("long").as("byte_len"))
-        .orderBy("doc_id")
+        
     }),
     // 45c — audio metadata: REAL RIFF/WAVE canonical-header parse
     // (little-endian fields via reversed hex slices, all columnar/
@@ -2511,7 +2508,7 @@ object Pipeline {
         Multimodal.wavBitsPerSample(col("payload")).cast("long").as("bits"),
         Multimodal.wavDataBytes(col("payload")).as("data_bytes"),
         Multimodal.wavDurationMs(col("payload")).as("duration_ms"))
-        .orderBy("doc_id")
+        
     }),
     // 45g — PCM sample DECODE + loudness profile: the audio twin of
     // the raster ops — every int16 sample is decoded from the WAV
@@ -2545,7 +2542,7 @@ object Pipeline {
           col("st.sum_sq").as("sum_sq"))
         .withColumn("rms_fp2",
           fp(sqrt(col("sum_sq").cast("double") / col("n_samples").cast("double")), 2))
-        .orderBy("doc_id")
+        
     }),
     // 45k — PCM 2× decimation (the audio RESAMPLE twin of 45j's
     // image resize — the rate-halving pass an audio pipeline runs
@@ -2585,7 +2582,7 @@ object Pipeline {
           aggregate(col("_o"), lit(0L), (a, v) => a + v).as("sum_out"),
           array_min(col("_o")).as("min_out"),
           array_max(col("_o")).as("max_out"))
-        .orderBy("doc_id")
+        
     }),
     // 45h — frame-energy SEGMENTATION over decoded PCM (the
     // silence-trim / voice-activity shape of an audio training
@@ -2639,7 +2636,7 @@ object Pipeline {
         .agg(min("doc_id").as("rep_id"), count(lit(1)).as("group_size"))
       fps.join(groups, Seq("afp", "n_frames"))
         .select("doc_id", "n_frames", "afp", "rep_id", "group_size")
-        .orderBy("doc_id")
+        
     }),
     "mm_audio_seg" -> ((s, dir) => {
       import s.implicits._
@@ -2673,7 +2670,7 @@ object Pipeline {
           coalesce(array_max(col("ai")), lit(-1)).cast("long").as("last_active"),
           fp(size(col("ai")).cast("double") / col("n_frames").cast("double"), 4)
             .as("active_fp4"))
-        .orderBy("doc_id")
+        
     }),
     // 45d — video frame sampling (1 frame/sec) over the GVID raw
     // container: header parse + sampled-index explode + exact
@@ -2695,7 +2692,7 @@ object Pipeline {
         })
         .toDF("doc_id", "payload")
       Multimodal.frameSample(payloads, "doc_id", "payload")
-        .orderBy("doc_id", "frame_idx")
+        
     }),
     // 45f — video frame DECODE (closing 45d's declared stub): frames
     // arrive RLE-COMPRESSED in the GVRL container (per-frame offset
@@ -2754,7 +2751,7 @@ object Pipeline {
         })
         .toDF("doc_id", "payload")
       Multimodal.sceneCuts(payloads, "doc_id", "payload", rasterLen = 64, threshold = 64L)
-        .orderBy("doc_id", "frame_idx")
+        
     }),
     // 45e — image near-dup via perceptual hash: synthetic 8×8
     // grayscale rasters (deterministic stand-in for decoded
@@ -2776,7 +2773,7 @@ object Pipeline {
         .agg(min("doc_id").as("rep_id"), count(lit(1)).as("group_size"))
       hashed.join(groups, Seq("phash_hi", "phash_lo"))
         .select("doc_id", "phash_hi", "phash_lo", "rep_id", "group_size")
-        .orderBy("doc_id")
+        
     }),
     // 45o — perceptual-hash NEAR-dup pairs (the image twin of
     // dd_simhash64_pairs — multimodal dedup is bit-signature dedup
@@ -2810,7 +2807,7 @@ object Pipeline {
         .join(groups.select(col("rep").as("doc_a"), col("n").as("size_a")), "doc_a")
         .join(groups.select(col("rep").as("doc_b"), col("n").as("size_b")), "doc_b")
         .select("doc_a", "doc_b", "hamming", "size_a", "size_b")
-        .orderBy("doc_a", "doc_b")
+        
     }),
     // 45p — image DEDUP CLUSTERS (the end-to-end multimodal dedup:
     // 45o's pairs closed into groups): connected components over the
@@ -2838,7 +2835,7 @@ object Pipeline {
         .join(groups.select(col("rep").as("doc_id"), col("n")), "doc_id")
         .groupBy("component")
         .agg(count(lit(1)).as("n_sigs"), sum("n").as("n_images"))
-        .orderBy("component")
+        
     }),
     // 45m — per-CHANNEL pixel normalization constants (the
     // dataset-level mean/variance every vision pipeline computes once
@@ -2871,7 +2868,7 @@ object Pipeline {
           fp((col("n_px").cast(D38) * col("sumsq_px").cast(D38) -
               col("sum_px").cast(D38) * col("sum_px").cast(D38)).cast("double") /
              (col("n_px").cast("double") * col("n_px").cast("double")), 4).as("var_fp4"))
-        .orderBy("channel")
+        
     }),
     // 45j — image RESIZE (the decode→resize→featurize pipeline's
     // middle stage, named by the brief): integer box-filter 2×
@@ -2893,7 +2890,7 @@ object Pipeline {
         .select(col("doc_id"), posexplode(Multimodal.boxDownsample8(col("payload"))))
         .toDF("doc_id", "pos", "px")
         .select(col("doc_id"), col("pos").cast("long").as("pos"), col("px"))
-        .orderBy("doc_id", "pos")
+        
     }),
     // 32d — cross-document SEGMENT-level dedup (Lee et al. 2022
     // granularity): consecutive 8-token segments occurring in >= 2
@@ -2907,14 +2904,14 @@ object Pipeline {
             concat(lit("terms of service apply all rights reserved worldwide "), col("text")))
           .otherwise(col("text")))
       Dedup.segmentDedup(docs, "doc_id", "aug", k = 8, threshold = 2)
-        .orderBy("doc")
+        
     }),
     // 41g — token-window chunking (context-window prep): 16-token
     // windows advancing by 12 (4-token overlap), one row per chunk
     "txt_chunk" -> ((s, dir) => {
       graft.text.Chunker.chunk(t(s, dir, "documents"), "doc_id", "text",
         window = 16, stride = 12)
-        .orderBy("doc_id", "chunk_id")
+        
     }),
     // 46 — domain mixing: stratified hash-deterministic sampling with
     // per-source rates and unbiased 1/rate weights (no rand() — the
@@ -2925,8 +2922,7 @@ object Pipeline {
         t(s, dir, "documents").select("doc_id", "source"), "doc_id", "source",
         rates = Map("src0" -> 1.0, "src1" -> 1.0, "src2" -> 0.5, "src3" -> 0.5, "src4" -> 0.5),
         defaultRate = 0.25)
-        .orderBy("doc_id")
-    }),
+}),
     // 46k — WEIGHT-proportional sampling without replacement
     // (sequential Poisson / priority sampling, Ohlsson 1998;
     // Duffield–Lund–Thorup 2007): priority q = w/u, top-k by q —
@@ -2940,7 +2936,7 @@ object Pipeline {
         "doc_id", "n_chars", k = 100)
         .select(col("doc_id"), col("source"), col("n_chars"),
           fp(col("_prio"), 4).as("prio_fp4"))
-        .orderBy("doc_id")
+        
     }),
     // 46e — deterministic disjoint train/val/test split: md5-uniform
     // vs cumulative dyadic bounds, every row in exactly one split,
@@ -2949,7 +2945,7 @@ object Pipeline {
       graft.sample.Sampling.split(
         t(s, dir, "documents").select("doc_id", "source"), "doc_id",
         Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
-        .orderBy("doc_id")
+        
     }),
     // 46n — deterministic k-FOLD cross-validation assignment (the
     // eval-protocol twin of 46e's single split): fold = floor(u·5)
@@ -2959,7 +2955,7 @@ object Pipeline {
     "smp_kfold" -> ((s, dir) => {
       graft.sample.Sampling.kfold(
         t(s, dir, "documents").select("doc_id", "source"), "doc_id", k = 5)
-        .orderBy("doc_id")
+        
     }),
     // 46o — CURRICULUM staging (shortest-first curriculum learning —
     // the canonical length-ordered baseline): docs bucket into 3
@@ -2986,7 +2982,7 @@ object Pipeline {
         .groupBy("stage")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
           min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
-        .orderBy("stage")
+        
     }),
     // 46f — budget-bounded corpus selection: best docs (longest,
     // id tiebreak) kept while the running token total stays within
@@ -2997,7 +2993,7 @@ object Pipeline {
         .select(col("doc_id"), col("n_chars"),
           size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
       graft.sample.Sampling.budgetSelect(docs, "doc_id", "n_chars", "n_tokens", budget = 20000L)
-        .orderBy("doc_id")
+        
     }),
     // 46g — domain-MIXTURE selection: per-source budget-bounded pick
     // (mixture weight × total budget resolved to per-source token
@@ -3011,7 +3007,7 @@ object Pipeline {
           size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
       graft.sample.Sampling.mixBudgetSelect(docs, "doc_id", "n_chars", "n_tokens", "source",
         budgets = Map("src0" -> 8000L, "src1" -> 6000L, "src2" -> 4000L, "src3" -> 2000L))
-        .orderBy("doc_id")
+        
     }),
     // 46h — temperature-scaled source sampling (α=0.5, the mBERT/
     // XLM-R multilingual mixing rule): keep-rates ∝ √n_i/n_i toward a
@@ -3023,7 +3019,7 @@ object Pipeline {
       graft.sample.Sampling.temperatureSample(
         t(s, dir, "documents").select("doc_id", "source"), "doc_id", "source",
         targetTotal = 200L)
-        .orderBy("doc_id")
+        
     }),
     // 46c — exact-k-per-stratum deterministic reservoir: fixed sample
     // sizes (vs smp_sample's fixed rates), ranked on the md5-uniform
@@ -3031,7 +3027,7 @@ object Pipeline {
     "smp_reservoir" -> ((s, dir) => {
       graft.sample.Sampling.reservoirPerStratum(
         t(s, dir, "documents").select("doc_id", "source"), "doc_id", "source", k = 5)
-        .orderBy("source", "rank_in_stratum")
+        
     }),
     // 46b — sequence packing: next-fit documents into 256-token
     // training bins across 8 independent packing groups (one shuffle,
@@ -3042,7 +3038,7 @@ object Pipeline {
           size(graft.text.TextAnalysis.tokens(col("text"))).as("n_toks"))
       graft.sample.Sampling.packNextFit(s, docs, "doc_id", "n_toks",
         budget = 256L, numGroups = 8)
-        .orderBy("doc_id")
+        
     }),
     // 46p — LENGTH-BUCKET batching waste report (the seq-len
     // bucketing trick: batch docs padded to power-of-two caps; how
@@ -3061,7 +3057,7 @@ object Pipeline {
         .withColumn("padded_tokens", col("n_docs") * col("cap"))
         .withColumn("waste_fp4",
           expr("((padded_tokens - real_tokens) * 20000 + padded_tokens) DIV (2 * padded_tokens)"))
-        .orderBy("cap")
+        
     }),
     // 32f — content-defined chunking (rsync/LBFS window-hash cuts):
     // boundaries are a function of local content, so chunk-hash dedup
@@ -3070,7 +3066,7 @@ object Pipeline {
     "dd_cdc_chunks" -> ((s, dir) => {
       graft.text.Chunker.cdcChunk(t(s, dir, "documents"), "doc_id", "text",
         window = 8, divisor = 64)
-        .orderBy("doc_id", "chunk_id")
+        
     }),
     // 41h — URL canonicalization (Common-Crawl-style pre-dedup key):
     // synthetic URLs derived from doc_id exercise every rule — case,
@@ -3080,7 +3076,7 @@ object Pipeline {
       t(s, dir, "documents")
         .select(col("doc_id"), synthUrl(col("doc_id")).as("url"))
         .withColumn("norm_url", graft.text.UrlOps.normalizeUrl(col("url")))
-        .orderBy("doc_id")
+        
     }),
     // 31c — URL-level dedup on the canonical key: spelled-differently
     // duplicates collapse; keep min doc id + variant count (one
@@ -3090,7 +3086,7 @@ object Pipeline {
         .select(col("doc_id"), graft.text.UrlOps.normalizeUrl(synthUrl(col("doc_id"))).as("norm_url"))
         .groupBy("norm_url")
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_variants"))
-        .orderBy("norm_url")
+        
     }),
     // 46d — deterministic global shuffle into training shards: md5
     // bucket + rank by full md5 hex — rerun/retry/partitioning-stable
@@ -3098,7 +3094,7 @@ object Pipeline {
     "smp_shuffle" -> ((s, dir) => {
       graft.sample.Sampling.deterministicShuffle(
         t(s, dir, "documents").select("doc_id"), "doc_id", numShards = 8)
-        .orderBy("shard", "pos")
+        
     }),
     // 39c — token-entropy quality signal (Shannon over the per-doc
     // token histogram). Two partial-agg shuffles: (doc, token) counts,
@@ -3118,7 +3114,7 @@ object Pipeline {
         .select(col("doc_id"), col("n"),
           fp(log2(col("n").cast("double")) - col("s6").cast("double") / 1e6 / col("n").cast("double"), 4)
             .as("entropy_fp4"))
-        .orderBy("doc_id")
+        
     }),
     // 43q — per-type daily-volume least-squares trend (ingest drift:
     // is a source growing or decaying?). x = epoch day, y = daily
@@ -3146,7 +3142,7 @@ object Pipeline {
             .otherwise(fp((nD * col("_sxy") - col("_sx") * col("total").cast(D)).cast("double")
               / den.cast("double"), 6))
             .as("slope_fp6"))
-        .orderBy("event_type")
+        
     }),
     // 43r — top session path trigrams (the user-journey n-gram
     // profile funnel design starts from): consecutive in-session
@@ -3187,7 +3183,7 @@ object Pipeline {
         .select(col("dim"), col("n"), fp(mean, 6).as("mean_fp6"),
           fp(col("_ss12").cast("double") / 1e12 / col("n").cast("double") - mean * mean, 6)
             .as("var_fp6"))
-        .orderBy("dim")
+        
     }),
     // 35h — distributed power-iteration PCA: the top principal
     // component of the embedding corpus (the direction PCA-whitening
@@ -3206,11 +3202,24 @@ object Pipeline {
       val D = org.apache.spark.sql.types.DecimalType(38, 0)
       val q = t(s, dir, "embeddings")
         .select(transform(col("embedding"), x => fp(x.cast("double"), 6)).as("qv"))
-      val gram = q.select(posexplode(flatten(transform(col("qv"), x =>
-          transform(col("qv"), y => x * y)))).as(Seq("idx", "prod")))
-        .groupBy(expr("idx DIV 64").cast("int").as("i"),
-          pmod(col("idx"), lit(64)).cast("int").as("j"))
-        .agg(sum(col("prod").cast(D)).as("s"))
+      // UPPER-TRIANGLE Gram (optimization round 18): the matrix is
+      // symmetric and the q6 products are exact integers, so cell
+      // (j,i) is the SAME multiset of products as (i,j) — explode
+      // 64·65/2 = 2080 products per row instead of the full 4096 and
+      // mirror i<j cells after the aggregation. Bit-identical sums
+      // (integer multiplication commutes; decimal addition is exact),
+      // ~2× less Generate + HashAggregate volume on the dominant pass.
+      val tri = q.select(explode(flatten(transform(col("qv"), (x, i) =>
+          transform(slice(col("qv"), i + 1, lit(64)), (y, jo) =>
+            struct(i.cast("int").as("i"), (i + jo).cast("int").as("j"),
+              (x * y).as("p")))))).as("c"))
+        .groupBy(col("c.i").as("i"), col("c.j").as("j"))
+        .agg(sum(col("c.p").cast(D)).as("s"))
+      val gram = tri.select(explode(
+          when(col("i") === col("j"), array(struct(col("i"), col("j"), col("s"))))
+            .otherwise(array(struct(col("i"), col("j"), col("s")),
+              struct(col("j").as("i"), col("i").as("j"), col("s"))))).as("e"))
+        .select(col("e.i").as("i"), col("e.j").as("j"), col("e.s").as("s"))
       // m is checkpointed like cov: v0 derives from it, and each
       // iteration references its w frame TWICE (directly and through
       // the max-|w| normalizer) — un-pinned, the final plan doubles
@@ -3236,7 +3245,7 @@ object Pipeline {
             .otherwise(fp(col("w").cast("double") / col("mx").cast("double"), 6).cast(D))
             .as("vj"))
       }
-      v.select(col("j").as("dim"), col("vj").cast("long").as("pc1_fp6")).orderBy("dim")
+      v.select(col("j").as("dim"), col("vj").cast("long").as("pc1_fp6"))
     }),
     // 39d — Zipf rank-frequency fit over the corpus vocabulary: the
     // one-line health check of a text corpus (natural language sits
@@ -3269,7 +3278,7 @@ object Pipeline {
         .select(col("k"),
           col("covered"),
           expr("(covered * 2000000 + total) DIV (2 * total)").as("coverage_fp6"))
-        .orderBy("k")
+        
     }),
     "txt_zipf" -> ((s, dir) => {
       val D = org.apache.spark.sql.types.DecimalType(38, 0)
@@ -3314,7 +3323,7 @@ object Pipeline {
           min(when(col("cum") >= expr("(9 * n + 9) DIV 10"), col("v4"))).as("p90_c4"),
           min(when(col("cums") >= expr("(ns + 1) DIV 2"), col("v4"))).as("s50_c4"),
           min(when(col("cums") >= expr("(9 * ns + 9) DIV 10"), col("v4"))).as("s90_c4"))
-        .orderBy("event_type")
+        
     }),
     // 44c — bucketed-table co-located join (the 100 TB fact-join
     // layout: both sides pre-bucketed AND sorted on the join key, so
@@ -3353,7 +3362,7 @@ object Pipeline {
         .agg(count(lit(1)).as("n_items"),
           sum(fp(col("l_quantity"), 2)).cast("long").as("sum_qty_c"),
           sum(fp(col("l_extendedprice"), 2)).cast("long").as("sum_price_c"))
-        .orderBy("o_orderpriority")
+        
     }),
     // 44d — CDC changelog apply (the MERGE INTO / upsert shape every
     // incremental 100 TB snapshot pipeline needs): a deterministic
@@ -3398,7 +3407,7 @@ object Pipeline {
             .as("status"),
           when(col("op").isNull, col("total_c")).otherwise(col("new_total_c"))
             .as("total_c"))
-        .orderBy("key")
+        
     }),
     // 44f — Z-ORDER clustering stats (the Delta/Iceberg OPTIMIZE
     // ZORDER layout, made verifiable): every row's (x, y) dims
@@ -3439,7 +3448,7 @@ object Pipeline {
         .agg(count(lit(1)).as("n"),
           min("x").as("x_min"), max("x").as("x_max"),
           min("y").as("y_min"), max("y").as("y_max"))
-        .orderBy("layout", "bucket")
+        
     }),
     // 44i — small-file COMPACTION planner (the OPTIMIZE/maintenance
     // pass every long-lived 100 TB table needs): daily ingest
@@ -3471,7 +3480,7 @@ object Pipeline {
       small.select("grp", "bin", "bytes").unionByName(big.select("grp", "bin", "bytes"))
         .groupBy("grp", "bin")
         .agg(count(lit(1)).as("n_files"), sum("bytes").as("tot_bytes"))
-        .orderBy("grp", "bin")
+        
     }),
     // 44j — zone-map (min/max stats) PRUNING audit: how many files
     // does a shipdate-quarter predicate skip under two layouts of the
@@ -3501,7 +3510,7 @@ object Pipeline {
           sum(when(col("mx") < lo || col("mn") >= hi, 1L).otherwise(0L)).as("n_pruned"),
           sum(when(col("mx") >= lo && col("mn") < hi, col("n")).otherwise(0L)).as("rows_scanned"),
           sum("nm").as("rows_matched"))
-        .orderBy("layout")
+        
     }),
     // 48m — TTL / retention DELETE planner (the GDPR-expiry twin of
     // 48l's scan audit — deletes are priced differently: an all-
@@ -3531,7 +3540,7 @@ object Pipeline {
           sum(when(col("nexp") === 0, 1L).otherwise(0L)).as("n_keep"),
           sum("nexp").as("rows_deleted"),
           sum(when(col("nexp") > 0, col("n") - col("nexp")).otherwise(0L)).as("rows_rewritten"))
-        .orderBy("layout")
+        
     }),
     // 44h — INCREMENTAL VIEW MAINTENANCE: the law that makes 100 TB
     // aggregates maintainable — agg(apply(base, Δ)) must equal
@@ -3596,7 +3605,7 @@ object Pipeline {
             .as("tc"))
         .groupBy("status")
         .agg(count(lit(1)).as("n_direct"), sum("tc").as("sum_direct_c"))
-      maintained.join(direct, Seq("status"), "full_outer").orderBy("status")
+      maintained.join(direct, Seq("status"), "full_outer")
     }),
     // 44e — SCD type-2 history build from the same changelog as
     // src_cdc_apply: per key, every DISTINCT I/U change becomes a
@@ -3631,7 +3640,7 @@ object Pipeline {
             .as("status"),
           pmod(expr("packed DIV 16"), lit(34359738368L)).as("total_c"),
           col("nxt").isNull.cast("long").as("is_current"))
-      versions.orderBy("key", "ver")
+      versions
     }),
     // 38k — class-BALANCED downsampling over the labeled embeddings
     // (imbalance correction: every label keeps exactly k rows where
@@ -3655,7 +3664,7 @@ object Pipeline {
         .groupBy("label")
         .agg(count(lit(1)).as("n_kept"), sum("vec_id").as("id_sum"),
           fp(max("u"), 6).as("max_u_fp6"))
-        .orderBy("label")
+        
     }),
     // 35j — class-separation diagnostic over the labeled embeddings
     // (the Fisher/ANOVA health check of an embedding space: do the
@@ -3696,7 +3705,7 @@ object Pipeline {
           fp(col("wss").cast("double") / col("n").cast("double") / 64.0 / 1e12, 4)
             .as("msd_within_fp4"),
           col("bss").cast("long").as("bss_sq"))
-        .orderBy("label")
+        
     }),
     // 35i — k-means (Lloyd) over the embedding corpus: k=8 TRAINED
     // centroids (sim_ann_ivf's are sampled, not trained), 2
@@ -3764,7 +3773,7 @@ object Pipeline {
       }
       grid.select(col("cid"), col("dim"), col("n").as("n_assigned"),
           col("c").as("c_fp6"))
-        .orderBy("cid", "dim")
+        
     })
   )
 

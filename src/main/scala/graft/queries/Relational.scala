@@ -30,13 +30,12 @@ object Relational {
           sum(fp(col("l_extendedprice"), 2)).as("sum_base_price_c"),
           sum(fp(discPrice, 2)).as("sum_disc_price_c")
         )
-        .orderBy("l_returnflag", "l_linestatus")
-    }),
+}),
     "q2_filter_project" -> ((s, dir) => {
       t(s, dir, "part")
         .filter(col("p_size") >= 10 && col("p_type").like("%M%"))
         .select(col("p_partkey"), col("p_name"), fp(col("p_retailprice"), 2).as("p_retailprice_c"))
-        .orderBy("p_partkey")
+        
     }),
     "q3_join_agg" -> ((s, dir) => {
       val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
@@ -51,13 +50,13 @@ object Relational {
           count(lit(1)).as("n_items"),
           sum(fp(discPrice, 2)).as("revenue_c")
         )
-        .orderBy("c_custkey")
+        
     }),
     "q4_distinct" -> ((s, dir) => {
       t(s, dir, "orders")
         .select("o_orderstatus", "o_orderpriority")
         .distinct()
-        .orderBy("o_orderstatus", "o_orderpriority")
+        
     }),
     "q5_sort_limit" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -71,14 +70,14 @@ object Relational {
         .select(col("o_custkey"), col("o_orderkey"), fp(col("o_totalprice"), 2).as("o_totalprice_c"))
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 3)
-        .orderBy("o_custkey", "rk")
+        
     }),
     "q7_semijoin" -> ((s, dir) => {
       val l = t(s, dir, "lineitem").filter(col("l_quantity") >= 45)
       t(s, dir, "supplier")
         .join(l, col("s_suppkey") === col("l_suppkey"), "left_semi")
         .select("s_suppkey", "s_name")
-        .orderBy("s_suppkey")
+        
     }),
     // anti-join against the FILTERED orders subset — on this testdata
     // every customer has *some* order, so the unfiltered anti-join
@@ -90,25 +89,25 @@ object Relational {
       t(s, dir, "customer")
         .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
+        
     }),
     "q9_setop" -> ((s, dir) => {
       val active = t(s, dir, "orders").filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey"))
       val building = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("custkey"))
-      active.except(building).orderBy("custkey")
+      active.except(building)
     }),
     "q10_grouping_sets" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"), sum(fp(col("l_quantity"), 2)).as("sum_qty_c"))
-        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+        
     }),
     "q11_like_scan" -> ((s, dir) => {
       t(s, dir, "part")
         .filter(col("p_name").like("%e%"))
         .groupBy("p_brand")
         .agg(count(lit(1)).as("n"))
-        .orderBy("p_brand")
+        
     }),
     "q12_outer_join" -> ((s, dir) => {
       val o = t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"))
@@ -116,7 +115,7 @@ object Relational {
         .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
         .groupBy("c_custkey")
         .agg(count(col("o_orderkey")).as("n_orders"))
-        .orderBy("c_custkey")
+        
     }),
     "q13_stats" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -127,7 +126,7 @@ object Relational {
           sum(fp(col("l_quantity"), 2)).as("sum_qty_c"),
           count(lit(1)).as("n"))
         .withColumn("avg_qty_fp4", fp(col("sum_qty_c") / col("n"), 4))
-        .orderBy("l_returnflag")
+        
     }),
     "q14_lead_lag" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
@@ -151,7 +150,7 @@ object Relational {
           fp(col("l_extendedprice"), 2).as("price_c"))
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 3)
-        .orderBy("l_returnflag", "rn")
+        
     }),
     // 11f — moving aggregate over an ordered frame (ROWS BETWEEN 4
     // PRECEDING AND CURRENT ROW): per-supplier trailing window over
@@ -168,7 +167,7 @@ object Relational {
         .withColumn("win_n", count(lit(1)).over(w))
         .withColumn("mavg_fp2", fp(col("win_sum_c").cast("double") / col("win_n").cast("double") / 100.0, 2))
         .drop("qty_c", "l_shipdate")
-        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+        
     }),
     // 11g — backward as-of join (point-in-time enrichment): each order
     // picks the latest event at-or-before its date on a shared derived
@@ -208,7 +207,7 @@ object Relational {
       graft.operators.RangeJoin.intervalJoin(pts, "p", iv, "lo", "hi", bucketWidth = 3.0)
         .select(col("c_custkey"), col("s_suppkey"),
           fp(col("p"), 6).as("p_fp6"), fp(col("lo"), 6).as("lo_fp6"))
-        .orderBy("c_custkey", "s_suppkey")
+        
     }),
     // 11i — PIVOT (long→wide conditional aggregation): events per user
     // spread into one count column per event type. Spark's pivot with
@@ -223,7 +222,7 @@ object Relational {
         .pivot("event_type", types)
         .count()
         .select(col("user_id") +: types.map(tp => coalesce(col(tp), lit(0L)).as(s"n_$tp")): _*)
-        .orderBy("user_id")
+        
     }),
     // 11h — per-group Pearson correlation from exact integer moment
     // sums: both inputs quantize to cents first, the five moments
@@ -258,7 +257,7 @@ object Relational {
                 sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
                   (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 4))
             .as("corr_fp4"))
-        .orderBy("l_returnflag")
+        
     }),
     // 11i — latest-row-per-key (the QUALIFY row_number()=1 pattern:
     // CDC upsert compaction / changelog dedup — the most common
@@ -275,7 +274,7 @@ object Relational {
       e.withColumn("_rk", row_number().over(w))
         .filter(col("_rk") === 1)
         .drop("_rk")
-        .orderBy("user_id", "event_type")
+        
     }),
     // 11l — UNPIVOT (wide→long): the inverse of q19's PIVOT — melt
     // the three lineitem measure columns into (measure, value) rows
@@ -295,7 +294,7 @@ object Relational {
         .groupBy("measure")
         .agg(count(lit(1)).as("n"), sum("value_c").cast("long").as("sum_c"),
           min("value_c").as("min_c"), max("value_c").as("max_c"))
-        .orderBy("measure")
+        
     }),
     // 11m — correlated scalar subquery through the SQL FRONT-END:
     // orders whose total exceeds 1.5× their own customer's average
@@ -360,7 +359,7 @@ object Relational {
           fp(col("o_totalprice"), 2).as("cents"))
         .withColumn("sum30_c", sum("cents").over(w))
         .withColumn("n30", count(lit(1)).over(w))
-        .orderBy("o_custkey", "day", "o_orderkey")
+        
     }),
     // 11p — SALTED skew join: the fact side is deliberately skewed
     // (~80% of rows map to key 0 — the hot-partition shape a Zipf
@@ -396,7 +395,7 @@ object Relational {
       fact.join(dimSalted.hint("shuffle_hash"), Seq("k", "salt"))
         .groupBy("k", "dim_name")
         .agg(count(lit(1)).as("n"), sum("cents").as("sum_c"))
-        .orderBy("k")
+        
     }),
     // 11q — DISTRIBUTION window functions (the ranking family q6/q15
     // don't cover): per market segment, each customer's spend
@@ -422,7 +421,7 @@ object Relational {
           fp(cume_dist().over(w), 6).as("cume_fp6"),
           first(col("c_custkey")).over(wf).as("bottom_custkey"),
           last(col("c_custkey")).over(wf).as("top_custkey"))
-        .orderBy("c_mktsegment", "spend_c", "c_custkey")
+        
     }),
     // 11s — CUBE + GROUPING_ID (the all-subsets grouping q10's rollup
     // — prefix-hierarchy only — doesn't cover): every 2^k dimension
@@ -436,8 +435,7 @@ object Relational {
         .cube("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"), sum(fp(col("l_quantity"), 2)).as("sum_qty_c"),
           grouping_id().as("gid"))
-        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
-          col("l_linestatus").asc_nulls_first)
+        
     }),
     // 11r — BAG-semantics set operations (q9 is set-semantics EXCEPT;
     // multiplicities are a different operator): INTERSECT ALL keeps
@@ -459,7 +457,7 @@ object Relational {
         .select(coalesce(col("k"), lit(-1L)).as("k"),
           coalesce(col("n_both"), lit(0L)).as("n_both"),
           coalesce(col("n_only_a"), lit(0L)).as("n_only_a"))
-        .orderBy("k")
+        
     }),
     // 11t — FORWARD as-of join (q17's time-mirror): each order picks
     // the EARLIEST event at-or-after its date on the same key — the

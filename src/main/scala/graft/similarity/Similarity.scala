@@ -397,10 +397,18 @@ object Similarity {
     * m × k rows, a driver-sized table by construction.
     */
   def pqCodebook(data: DataFrame, idCol: String, vecCol: String,
-                 dim: Int, m: Int, k: Int): DataFrame = {
+                 dim: Int, m: Int, k: Int): DataFrame =
+    pqCodebook(data, idCol, vecCol, dim, m, k, data.count())
+
+  /** Overload for callers that already hold the corpus count — the
+    * [[ivfCentroids]] twin: an IVF-PQ build needs BOTH a centroid
+    * stride and a codebook stride, and recounting the corpus for each
+    * is a second full pass on a JDBC source (and a second driver
+    * action everywhere). */
+  def pqCodebook(data: DataFrame, idCol: String, vecCol: String,
+                 dim: Int, m: Int, k: Int, n: Long): DataFrame = {
     require(m >= 1 && dim % m == 0, s"m = $m must divide dim = $dim")
     val sub = dim / m
-    val n = data.count()
     val stride = math.max(1L, (n + k - 1) / k)
     // the window input is the ≤ k sampled rows, not the corpus — a
     // single-partition sort of a codebook-sized set
