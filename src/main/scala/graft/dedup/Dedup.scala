@@ -350,10 +350,24 @@ object Dedup {
     * (true of every caller — pairs are generated FROM the node set).
     * A phantom endpoint would now participate in label propagation,
     * where the previous form silently ignored it.
+    *
+    * DRIVER FAST PATH (optimization round 18): when the materialized
+    * edge list fits `maxDriverEdges` (probed with a LIMIT collect off
+    * the checkpoint — one cheap job, never a full-count pass) and the
+    * id type is integral, the transitive closure runs as an in-memory
+    * union-find and the component table re-attaches by one broadcast
+    * join — the same labels (min id per component, exactly) without
+    * O(diameter) rounds of shuffle jobs. Near-dup edge sets are small
+    * relative to their corpus by construction (they are the output of
+    * banded/celled candidate generation); corpora whose pair graph
+    * exceeds the cap fall back to the iterative path unchanged.
+    * `maxDriverEdges = 0` disables the fast path (the spec uses that
+    * to pin the iterative semantics).
     */
   def connectedComponents(nodes: DataFrame, idCol: String,
                           edges: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 20, strict: Boolean = true): DataFrame = {
+                          maxIter: Int = 20, strict: Boolean = true,
+                          maxDriverEdges: Long = 1L << 20): DataFrame = {
     // id type follows the NODES side (as it did when labels seeded
     // from `nodes`): an edge list with narrower endpoint columns must
     // not narrow the output `component` column
@@ -361,6 +375,49 @@ object Dedup {
     val sym = edges.select(col(aCol).cast(idType).as("src"), col(bCol).cast(idType).as("dst"))
       .union(edges.select(col(bCol).cast(idType).as("src"), col(aCol).cast(idType).as("dst")))
       .localCheckpoint()
+    val integral = idType == org.apache.spark.sql.types.LongType ||
+      idType == org.apache.spark.sql.types.IntegerType
+    if (maxDriverEdges > 0 && integral && maxDriverEdges <= (Int.MaxValue / 2 - 1)) {
+      val cap = (2 * maxDriverEdges + 1).toInt // sym carries each edge twice
+      val probe = sym.limit(cap).collect()
+      if (probe.length < cap) {
+        def asLong(r: org.apache.spark.sql.Row, i: Int): Long =
+          if (idType == org.apache.spark.sql.types.LongType) r.getLong(i) else r.getInt(i).toLong
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x0: Long): Long = {
+          var r = x0
+          while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+          var x = x0 // path compression
+          while (parent.getOrDefault(x, x) != r) { val nx = parent.get(x); parent.put(x, r); x = nx }
+          r
+        }
+        probe.foreach { e =>
+          val (ra, rb) = (find(asLong(e, 0)), find(asLong(e, 1)))
+          if (ra != rb) { // union by min keeps find() roots = running minima
+            if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+          }
+        }
+        // min-union above makes every root the component minimum
+        val lab = new java.util.HashMap[Long, Long]()
+        probe.foreach { e =>
+          val a = asLong(e, 0); lab.put(a, find(a)) // sym covers both endpoints as src
+        }
+        val spark = nodes.sparkSession
+        val labSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node", org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("label", org.apache.spark.sql.types.LongType, nullable = false)))
+        val labRows = new java.util.ArrayList[org.apache.spark.sql.Row](lab.size)
+        lab.forEach((k, v) => { labRows.add(org.apache.spark.sql.Row(k, v)); () })
+        val labDf = spark.createDataFrame(labRows, labSchema)
+          .select(col("node").cast(idType).as("node"), col("label").cast(idType).as("label"))
+        return nodes.select(col(idCol).as("_cc_n")).distinct()
+          .join(broadcast(labDf), col("_cc_n") === col("node"), "left")
+          .select(col("_cc_n").as(idCol),
+            coalesce(col("label"), col("_cc_n")).as("component"))
+      }
+      // over the cap: fall through to the iterative path (sym is
+      // checkpointed, so the probe cost is one bounded re-read)
+    }
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
     // an empty edge set is converged by construction (every node is a

@@ -181,6 +181,14 @@ object GraftFunctions {
       new ExpressionInfo(classOf[WinnowExpr].getName, "graft_winnow"),
       (children: Seq[Expression]) => WinnowExpr(children(0), children(1), children(2))))
     ext.injectFunction((
+      FunctionIdentifier("graft_gram_wsum"),
+      new ExpressionInfo(classOf[GramWsumExpr].getName, "graft_gram_wsum"),
+      (children: Seq[Expression]) => GramWsumExpr(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_gram_agg"),
+      new ExpressionInfo(classOf[GramAggExpr].getName, "graft_gram_agg"),
+      (children: Seq[Expression]) => GramAggExpr(children(0), children(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_wav_pcm16"),
       new ExpressionInfo(classOf[WavPcm16Expr].getName, "graft_wav_pcm16"),
       (children: Seq[Expression]) => WavPcm16Expr(children(0))))

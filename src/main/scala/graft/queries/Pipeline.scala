@@ -1971,30 +1971,36 @@ object Pipeline {
         .filter(col("_nxt").isNotNull)
         .groupBy(col("event_type").as("src"), col("_nxt").as("dst"))
         .agg(count(lit(1)).as("c"))
-      // pin the vocabulary-sized edge/node tables (txt_charlm idiom):
-      // without the checkpoint each power iteration re-derives them
-      // from the corpus — 14 parquet scans instead of 2
-      val p6 = edges
-        .join(edges.groupBy("src").agg(sum("c").as("ctot")), "src")
-        .withColumn("p6", expr("(1000000 * c) DIV ctot"))
-        .select("src", "dst", "p6")
-        .localCheckpoint()
-      val nodes = e0.select(col("event_type").as("node")).distinct().localCheckpoint()
-      val nvDf = broadcast(nodes.agg(count(lit(1)).as("_nv")))
-      var r = nodes.crossJoin(nvDf)
-        .select(col("node"), expr("1000000000 DIV _nv").cast("long").as("r"))
+      // The transition graph is EVENT-TYPE keyed — bounded by the
+      // type vocabulary, driver-sized at any corpus scale (like the
+      // collected IVF centroid / PQ codebook tables). ONE distributed
+      // pass builds the (src, dst, c) edge counts; the per-src
+      // normalization, node set, and the 3 fp9 power iterations run
+      // on the driver in the SAME staged integer arithmetic — p6 =
+      // ⌊1e6·c/ctot⌋, contribution ⌊85·⌊r·p6/1e6⌋/100⌋, teleport
+      // ⌊1.5e8/|V|⌋; Long division truncates identically to Spark's
+      // DIV on these non-negative values — so ranks are bit-identical
+      // to the former checkpoint + nested-join iteration plan, minus
+      // its per-iteration jobs (optimization round 18). A web-graph
+      // node count would swap back to the distributed keyed-join form.
+      val edgeRows = edges.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val nodeSet = e0.select(col("event_type")).distinct().collect().map(_.getString(0)).toSeq
+      val ctot = edgeRows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      val p6 = edgeRows.map { case (src, dst, c) => (src, dst, 1000000L * c / ctot(src)) }
+      val nv = nodeSet.size.toLong
+      var r = nodeSet.map(n => n -> 1000000000L / nv).toMap
       for (_ <- 1 to 3) {
-        val contrib = p6.join(r, p6("src") === r("node"))
-          .select(col("dst").as("node"),
-            expr("(85 * ((r * p6) DIV 1000000)) DIV 100").as("cr"))
-          .groupBy("node").agg(sum("cr").as("_in"))
-        r = nodes.crossJoin(nvDf)
-          .join(contrib, Seq("node"), "left")
-          .select(col("node"),
-            (expr("150000000 DIV _nv") + coalesce(col("_in"), lit(0L))).cast("long").as("r"))
+        val in = p6.groupBy(_._2).view.mapValues(_.map { case (src, _, p) =>
+          85L * (r(src) * p / 1000000L) / 100L
+        }.sum).toMap
+        r = nodeSet.map(n => n -> (150000000L / nv + in.getOrElse(n, 0L))).toMap
       }
-      r.select(col("node").as("event_type"), col("r").as("rank_fp9"))
-        
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("rank_fp9", org.apache.spark.sql.types.LongType, nullable = false)))
+      s.createDataFrame(
+        java.util.Arrays.asList(nodeSet.map(n => org.apache.spark.sql.Row(n, r(n))): _*),
+        outSchema)
     }),
     // 43h — last-touch attribution: each purchase joined to the user's
     // latest STRICTLY-preceding view/click. Pure reuse of the as-of
@@ -3199,53 +3205,60 @@ object Pipeline {
     // rational) with ONE correctly-rounded double divide per element,
     // fp6-requantized. Sign pinned by the all-ones start vector.
     "emb_pca_power" -> ((s, dir) => {
-      val D = org.apache.spark.sql.types.DecimalType(38, 0)
       val q = t(s, dir, "embeddings")
         .select(transform(col("embedding"), x => fp(x.cast("double"), 6)).as("qv"))
-      // UPPER-TRIANGLE Gram (optimization round 18): the matrix is
-      // symmetric and the q6 products are exact integers, so cell
-      // (j,i) is the SAME multiset of products as (i,j) — explode
-      // 64·65/2 = 2080 products per row instead of the full 4096 and
-      // mirror i<j cells after the aggregation. Bit-identical sums
-      // (integer multiplication commutes; decimal addition is exact),
-      // ~2× less Generate + HashAggregate volume on the dominant pass.
-      val tri = q.select(explode(flatten(transform(col("qv"), (x, i) =>
-          transform(slice(col("qv"), i + 1, lit(64)), (y, jo) =>
-            struct(i.cast("int").as("i"), (i + jo).cast("int").as("j"),
-              (x * y).as("p")))))).as("c"))
-        .groupBy(col("c.i").as("i"), col("c.j").as("j"))
-        .agg(sum(col("c.p").cast(D)).as("s"))
-      val gram = tri.select(explode(
-          when(col("i") === col("j"), array(struct(col("i"), col("j"), col("s"))))
-            .otherwise(array(struct(col("i"), col("j"), col("s")),
-              struct(col("j").as("i"), col("i").as("j"), col("s"))))).as("e"))
-        .select(col("e.i").as("i"), col("e.j").as("j"), col("e.s").as("s"))
-      // m is checkpointed like cov: v0 derives from it, and each
-      // iteration references its w frame TWICE (directly and through
-      // the max-|w| normalizer) — un-pinned, the final plan doubles
-      // per iteration and replays the corpus scan 2^iters times
-      val m = q.select(posexplode(col("qv")).as(Seq("dim", "q6")))
-        .groupBy("dim").agg(sum(col("q6").cast(D)).as("m"))
-        .localCheckpoint()
-      val n = broadcast(q.agg(count(lit(1)).cast(D).as("n")))
-      val cov = gram
-        .join(broadcast(m.select(col("dim").as("i"), col("m").as("mi"))), "i")
-        .join(broadcast(m.select(col("dim").as("j"), col("m").as("mj"))), "j")
-        .crossJoin(n)
-        .select(col("i"), col("j"), (col("n") * col("s") - col("mi") * col("mj")).as("c"))
-        .localCheckpoint()
-      var v = m.select(col("dim").as("j"), lit(1000000L).cast(D).as("vj"))
-      for (_ <- 1 to 4) {
-        val w = cov.join(broadcast(v), "j")
-          .groupBy("i").agg(sum(col("c") * col("vj")).as("w"))
-          .localCheckpoint() // 64 rows; consumed twice below
-        val mx = broadcast(w.agg(max(abs(col("w"))).as("mx")))
-        v = w.crossJoin(mx).select(col("i").as("j"),
-          when(col("mx") === 0, lit(1000000L).cast(D))
-            .otherwise(fp(col("w").cast("double") / col("mx").cast("double"), 6).cast(D))
-            .as("vj"))
-      }
-      v.select(col("j").as("dim"), col("vj").cast("long").as("pc1_fp6"))
+      // ONE corpus pass through the native exact Gram aggregate
+      // (optimization round 18), down from two explode passes + ~12
+      // tiny iteration jobs:
+      //  - graft_gram_agg folds each row's 64·65/2 = 2080 upper-
+      //    triangle products (the matrix is symmetric — cell (j,i) is
+      //    the SAME multiset of products as (i,j)), the per-dim sums
+      //    Mᵢ and the row count n in a tight primitive loop with
+      //    BigInteger overflow spill — exact at any corpus size, and
+      //    the same integers the previous posexplode(4096 products) →
+      //    DECIMAL(38,0) hash-aggregate produced (integer
+      //    multiplication commutes; the accumulation is exact), minus
+      //    the 4096-rows-per-vector Generate the aggregate had to eat.
+      //  - the 4 power iterations run on the DRIVER over the collected
+      //    4096-cell covariance (driver-sized like the collected IVF
+      //    centroid / PQ codebook tables) in exact BigInt arithmetic —
+      //    IDENTICAL numbers to the previous DECIMAL(38,0) dataframe
+      //    iterations (≤6.4·10³⁷ < 10³⁸ documented bound; same
+      //    double-divide + fp6 requantization per element, sign pinned
+      //    by the all-ones start) without their per-iteration
+      //    checkpoint/broadcast jobs. The distributed part is exactly
+      //    the one corpus-sized aggregation; everything after is a
+      //    64×64 problem. The DuckDB oracle is unchanged — it verifies
+      //    the VALUES, which no regrouping of exact sums can move.
+      val D2 = 64
+      val g = q.agg(call_function("graft_gram_agg", col("qv"), lit(D2)).as("g"))
+        .select(col("g.n").as("n"), col("g.m").as("m"), col("g.s").as("s"))
+        .head()
+      val nRows = g.getLong(0)
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("dim", org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("pc1_fp6", org.apache.spark.sql.types.LongType, nullable = false)))
+      val outRows =
+        if (nRows == 0) Seq.empty[org.apache.spark.sql.Row]
+        else {
+          val n = BigInt(nRows)
+          val m = g.getSeq[java.math.BigDecimal](1).map(b => BigInt(b.toBigInteger)).toArray
+          val sTri = g.getSeq[java.math.BigDecimal](2).map(b => BigInt(b.toBigInteger)).toArray
+          def sAt(i0: Int, j0: Int): BigInt = {
+            val (i, j) = (math.min(i0, j0), math.max(i0, j0))
+            sTri(i * D2 - i * (i - 1) / 2 + (j - i))
+          }
+          val cov = Array.tabulate(D2, D2)((i, j) => n * sAt(i, j) - m(i) * m(j))
+          var v = Array.fill(D2)(BigInt(1000000))
+          for (_ <- 1 to 4) {
+            val w = Array.tabulate(D2)(i => (0 until D2).map(j => cov(i)(j) * v(j)).sum)
+            val mx = w.map(_.abs).max
+            v = if (mx == 0) Array.fill(D2)(BigInt(1000000))
+              else w.map(wi => BigInt(math.floor(wi.toDouble / mx.toDouble * 1e6 + 0.5).toLong))
+          }
+          (0 until D2).map(i => org.apache.spark.sql.Row(i, v(i).toLong))
+        }
+      s.createDataFrame(java.util.Arrays.asList(outRows: _*), outSchema)
     }),
     // 39d — Zipf rank-frequency fit over the corpus vocabulary: the
     // one-line health check of a text corpus (natural language sits

@@ -334,22 +334,36 @@ object TextAnalysis {
       .select(col("doc_id"),
         substring(col("g"), 1, 2).as("ctx"),
         substring(col("g"), 3, 1).as("c"))
-    // the model is charset²-bounded — materialize it once
-    // (localCheckpoint) and derive ctx totals + alphabet size from it,
-    // so the corpus is scanned exactly twice (model build + scoring),
-    // not once per statistic; Catalyst does not reuse the un-pinned
-    // aggregation subplan across the three references
-    val model = tri.groupBy("ctx", "c").agg(count(lit(1)).as("cnt")).localCheckpoint()
-    val ctxTot = model.groupBy("ctx").agg(sum("cnt").as("tot"))
-    val vocab = model.agg(count_distinct(col("c")).as("v"))
-    tri
-      .join(broadcast(model), Seq("ctx", "c"))
-      .join(broadcast(ctxTot), Seq("ctx"))
-      .crossJoin(broadcast(vocab))
+    // ONE distributed pass trains the model (map-side partial agg →
+    // charset²-bounded table), which is COLLECTED (driver-sized, like
+    // the IVF centroid / PQ codebook tables) and folded into per-gram
+    // fp6 probabilities: p6(ctx·c) = ⌊(cnt+1)/(tot_ctx+v)·10⁶+0.5⌋ —
+    // the same IEEE double divide + fp quantization the former
+    // broadcast-join scoring computed per exploded row. Scoring is
+    // then a MAP-ONLY native fold per doc (graft_gram_wsum over the
+    // same graft_char_ngrams stream against the literal table):
+    // identical integers — each matched occurrence contributes the
+    // same p6, integer addition is exact — with no second explode, no
+    // joins, and no corpus-sized per-doc aggregation exchange
+    // (optimization round 18; previously 2 corpus passes + 3
+    // broadcast joins + a per-doc shuffle). Docs with zero matched
+    // grams (shorter than 3 normalized chars) drop exactly as the
+    // inner join dropped them.
+    val model = tri.groupBy("ctx", "c").agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val ctxTot = model.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val v = model.iterator.map(_._2).toSet.size
+    val entries: Seq[(String, Long)] = model.iterator.map { case (ctx, c, cnt) =>
+      (ctx + c,
+        math.floor((cnt + 1).toDouble / (ctxTot(ctx) + v).toDouble * 1e6 + 0.5).toLong)
+    }.toSeq
+    norm
       .select(col("doc_id"),
-        fp((col("cnt") + lit(1)).cast("double") / (col("tot") + col("v")).cast("double"), 6).as("p6"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tri"), sum("p6").as("sum_p_fp6"))
+        call_function("graft_gram_wsum",
+          call_function("graft_char_ngrams", col("t"), lit(3)),
+          typedLit(entries)).as("_r"))
+      .filter(col("_r.n") > 0)
+      .select(col("doc_id"), col("_r.n").as("n_tri"), col("_r.s").as("sum_p_fp6"))
   }
 
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
@@ -385,25 +399,35 @@ object TextAnalysis {
       .select(col("doc_id"), col("_is_t"),
         substring(col("g"), 1, 2).as("ctx"),
         substring(col("g"), 3, 1).as("c"))
-    val modelC = tri.groupBy("ctx", "c").agg(count(lit(1)).as("cnt_c")).localCheckpoint()
-    val modelT = tri.filter(col("_is_t"))
-      .groupBy("ctx", "c").agg(count(lit(1)).as("cnt_t")).localCheckpoint()
-    val ctxC = modelC.groupBy("ctx").agg(sum("cnt_c").as("tot_c"))
-    val ctxT = modelT.groupBy("ctx").agg(sum("cnt_t").as("tot_t"))
-    val vocab = modelC.agg(count_distinct(col("c")).as("v"))
-    tri
-      .join(broadcast(modelC), Seq("ctx", "c"))
-      .join(broadcast(ctxC), Seq("ctx"))
-      .join(broadcast(modelT), Seq("ctx", "c"), "left")
-      .join(broadcast(ctxT), Seq("ctx"), "left")
-      .crossJoin(broadcast(vocab))
+    // BOTH models in ONE distributed pass (the target model is a
+    // conditional count on the same (ctx, c) rollup — previously a
+    // second filtered aggregation pass), collected driver-side
+    // (charset²-bounded) and folded into per-gram fp6 DELTAS
+    // pt6 − pc6, with the Laplace count-zero case (a gram the target
+    // slice never saw: (0+1)/(tot_t+v)) computed exactly where the
+    // left-join + coalesce used to. Scoring is the same map-only
+    // native fold as charLmScoreDf — one corpus pass total instead of
+    // three, no joins, no per-doc shuffle (optimization round 18).
+    val model = tri.groupBy("ctx", "c")
+      .agg(count(lit(1)).as("cnt_c"),
+        sum(when(col("_is_t"), 1L).otherwise(0L)).as("cnt_t"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val ctxC = model.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val ctxT = model.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    val v = model.iterator.map(_._2).toSet.size
+    def fp6(num: Long, den: Long): Long =
+      math.floor(num.toDouble / den.toDouble * 1e6 + 0.5).toLong
+    val entries: Seq[(String, Long)] = model.iterator.map { case (ctx, c, cntC, cntT) =>
+      (ctx + c, fp6(cntT + 1, ctxT(ctx) + v) - fp6(cntC + 1, ctxC(ctx) + v))
+    }.toSeq
+    norm
       .select(col("doc_id"),
-        fp((coalesce(col("cnt_t"), lit(0L)) + lit(1)).cast("double") /
-          (coalesce(col("tot_t"), lit(0L)) + col("v")).cast("double"), 6).as("pt6"),
-        fp((col("cnt_c") + lit(1)).cast("double") /
-          (col("tot_c") + col("v")).cast("double"), 6).as("pc6"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tri"), sum(col("pt6") - col("pc6")).as("dsir_fp6"))
+        call_function("graft_gram_wsum",
+          call_function("graft_char_ngrams", col("t"), lit(3)),
+          typedLit(entries)).as("_r"))
+      .filter(col("_r.n") > 0)
+      .select(col("doc_id"), col("_r.n").as("n_tri"), col("_r.s").as("dsir_fp6"))
       .withColumn("keep_flag", (col("dsir_fp6") > 0).cast("long"))
   }
 

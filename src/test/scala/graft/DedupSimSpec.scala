@@ -752,14 +752,22 @@ class DedupSimSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(star.size == n && star.values.forall(_ == 1L), "chain must collapse to component 1")
     // identical labels to the min-label operator when that one is
-    // allowed enough rounds
-    val plain = Dedup.connectedComponents(nodes, "id", chain, "a", "b", maxIter = 250)
+    // allowed enough rounds (maxDriverEdges = 0 pins the ITERATIVE
+    // path — the default would satisfy this via driver union-find)
+    val plain = Dedup.connectedComponents(nodes, "id", chain, "a", "b", maxIter = 250,
+        maxDriverEdges = 0)
       .as[(Long, Long)].collect().toMap
     assert(star == plain)
+    // ... and to the round-18 driver union-find fast path (the default
+    // for small edge sets), which computes the exact closure directly
+    val fast = Dedup.connectedComponents(nodes, "id", chain, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(fast == plain)
     // min-label at 12 rounds CANNOT finish a diameter-199 chain: the
     // strict default must throw, never return silently-wrong labels
     val ex = intercept[IllegalStateException] {
-      Dedup.connectedComponents(nodes, "id", chain, "a", "b", maxIter = 12)
+      Dedup.connectedComponents(nodes, "id", chain, "a", "b", maxIter = 12,
+        maxDriverEdges = 0)
     }
     assert(ex.getMessage.contains("did not converge"))
     // isolated node: own component under star contraction

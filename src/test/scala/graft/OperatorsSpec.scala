@@ -224,4 +224,51 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(("a", 9L)) == 1L, "planted spike must flag")
     assert(got.filter(_._2 == 1L).keySet == Set(("a", 9L)), got.filter(_._2 == 1L).toString)
   }
+
+  test("graft_gram_agg equals a brute BigInt moment fold, spills past long range, handles empty/null/short rows") {
+    import org.apache.spark.sql.functions.{call_function, col, lit}
+    val dims = 3
+    // values chosen so the (2,2) product 3e18·... no — per-product must
+    // fit a long (ANSI multiply contract); OVERFLOW exercised on the
+    // ACCUMULATION instead: 3e9² = 9e18 < 2⁶³−1 ≈ 9.22e18 per product,
+    // and two of them (1.8e19) overflow a long cell → BigInteger spill
+    val rows: Seq[Seq[java.lang.Long]] = Seq(
+      Seq(1L, 2L, 3000000000L).map(java.lang.Long.valueOf),
+      Seq(4L, -5L, 3000000000L).map(java.lang.Long.valueOf),
+      Seq(7L, 8L).map(java.lang.Long.valueOf), // short row: only its own cells
+      null // null vector: skipped, not counted
+    )
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(Row(_)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("qv",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType), nullable = true))))
+    val g = df.agg(call_function("graft_gram_agg", col("qv"), lit(dims)).as("g"))
+      .select(col("g.n"), col("g.m"), col("g.s")).head()
+    // brute fold in BigInt
+    val data = rows.filter(_ != null).map(_.map(l => BigInt(l.longValue())))
+    val n = data.length.toLong
+    val m = Array.fill(dims)(BigInt(0))
+    val tri = Array.fill(dims * (dims + 1) / 2)(BigInt(0))
+    data.foreach { v =>
+      for (i <- v.indices) {
+        m(i) += v(i)
+        for (j <- i until v.length)
+          tri(i * dims - i * (i - 1) / 2 + (j - i)) += v(i) * v(j)
+      }
+    }
+    assert(g.getLong(0) == n)
+    val gm = g.getSeq[java.math.BigDecimal](1).map(b => BigInt(b.toBigInteger))
+    val gs = g.getSeq[java.math.BigDecimal](2).map(b => BigInt(b.toBigInteger))
+    assert(gm == m.toSeq, s"m: $gm vs ${m.toSeq}")
+    assert(gs == tri.toSeq, s"s: $gs vs ${tri.toSeq}")
+    // the (2,2) cell really needed the spill: 2·(3e9)² > Long.MaxValue
+    assert(tri(dims * (dims + 1) / 2 - 1) > BigInt(Long.MaxValue))
+    // empty input: n = 0, zero-filled sums (the query maps n=0 to an
+    // empty result frame)
+    val empty = df.filter(lit(false))
+      .agg(call_function("graft_gram_agg", col("qv"), lit(dims)).as("g"))
+      .select(col("g.n")).head()
+    assert(empty.getLong(0) == 0L)
+  }
 }
