@@ -931,11 +931,14 @@ object Pipeline {
     // m-way sum is integer-exact; fully oracle-checked
     "sim_ann_pq" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val cb = Similarity.pqCodebook(e, "vec_id", "embedding", dim = 64, m = 4, k = 16)
-      val enc = Similarity.pqEncode(e, "vec_id", "embedding", cb)
+      // collect the m×k codebook ONCE (driver-sized); encode and the
+      // ADC LUT used to re-collect it — one codebook job each
+      val cb = Similarity.collectCodebook(
+        Similarity.pqCodebook(e, "vec_id", "embedding", dim = 64, m = 4, k = 16))
+      val enc = Similarity.pqEncode(e, "vec_id", "embedding", cb, Nil)
       Similarity.pqSearch(enc, cb, e.filter(col("vec_id") % 50 === 0),
         "vec_id", "embedding", k = 5)
-        
+
     }),
     // 37d — IVF-pruned PQ-ADC probe search (IVF-PQ): the IVF inverted
     // lists prune the corpus to nprobe cells per query before the ADC
@@ -953,13 +956,15 @@ object Pipeline {
       val nE = e.count() // ONE corpus count serves centroid + codebook strides
       val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", 16, nE)
       val assigned = Similarity.ivfAssign(e, "vec_id", "embedding", cents)
-      val cb = Similarity.pqCodebook(e, "vec_id", "embedding", dim = 64, m = 4, k = 16, n = nE)
+      val cb = Similarity.collectCodebook( // collected ONCE for encode + LUT
+        Similarity.pqCodebook(e, "vec_id", "embedding", dim = 64, m = 4, k = 16, n = nE))
       val enc = Similarity.pqEncode(
         assigned.select(col("id").as("vec_id"), col("vec").as("embedding"), col("cell")),
         "vec_id", "embedding", cb, carry = Seq("cell"))
       Similarity.pqIvfSearch(enc, cb, assigned, cents,
-        e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", nprobe = 2, k = 5)
-        
+        e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", nprobe = 2, k = 5,
+        maxLutBroadcastBytes = 64L << 20)
+
     }),
     // 37e — retrieve→rerank (the production serving composition):
     // IVF-PQ retrieves 20 approximate candidates per query without
@@ -971,14 +976,15 @@ object Pipeline {
       val nE = e.count() // ONE corpus count serves centroid + codebook strides
       val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", 16, nE)
       val assigned = Similarity.ivfAssign(e, "vec_id", "embedding", cents)
-      val cb = Similarity.pqCodebook(e, "vec_id", "embedding", dim = 64, m = 4, k = 16, n = nE)
+      val cb = Similarity.collectCodebook( // collected ONCE for encode + LUT
+        Similarity.pqCodebook(e, "vec_id", "embedding", dim = 64, m = 4, k = 16, n = nE))
       val enc = Similarity.pqEncode(
         assigned.select(col("id").as("vec_id"), col("vec").as("embedding"), col("cell")),
         "vec_id", "embedding", cb, carry = Seq("cell"))
       Similarity.pqIvfRerank(enc, cb, assigned, cents,
         e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", e,
         nprobe = 2, kCand = 20, k = 5)
-        
+
     }),
     // 37g — mutual k-NN GRAPH construction (the batch input every
     // graph-based ANN index — HNSW/NSG — and SemDeDup-style cluster

@@ -494,9 +494,21 @@ object Similarity {
     * id join.
     */
   def pqEncode(data: DataFrame, idCol: String, vecCol: String,
-               codebook: DataFrame, carry: Seq[String] = Nil): DataFrame = {
-    val cb = codebook.select(col("sub"), col("code"), col("cvec")).collect()
+               codebook: DataFrame, carry: Seq[String] = Nil): DataFrame =
+    pqEncode(data, idCol, vecCol, collectCodebook(codebook), carry)
+
+  /** The driver-collected (sub, code, cvec) codebook rows — m×k,
+    * always driver-sized. Collect ONCE per query and share between
+    * [[pqEncode]] and the search LUT (each used to re-collect the
+    * codebook frame, re-running its sampling window per consumer). */
+  def collectCodebook(codebook: DataFrame): Array[(Int, Int, Seq[Float])] =
+    codebook.select(col("sub"), col("code"), col("cvec")).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
+
+  /** [[pqEncode]] over a pre-collected codebook. */
+  def pqEncode(data: DataFrame, idCol: String, vecCol: String,
+               codebookRows: Array[(Int, Int, Seq[Float])], carry: Seq[String]): DataFrame = {
+    val cb = codebookRows
       .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
     require(cb.nonEmpty, "pqEncode: empty codebook")
     val m = cb.size
@@ -592,8 +604,19 @@ object Similarity {
     */
   def pqSearch(encoded: DataFrame, codebook: DataFrame,
                queries: DataFrame, idCol: String, vecCol: String,
+               k: Int, maxLutBroadcastBytes: Long): DataFrame =
+    pqSearch(encoded, collectCodebook(codebook), queries, idCol, vecCol, k, maxLutBroadcastBytes)
+
+  def pqSearch(encoded: DataFrame, codebook: DataFrame,
+               queries: DataFrame, idCol: String, vecCol: String,
+               k: Int): DataFrame =
+    pqSearch(encoded, collectCodebook(codebook), queries, idCol, vecCol, k, 64L << 20)
+
+  /** [[pqSearch]] over a pre-collected codebook ([[collectCodebook]]). */
+  def pqSearch(encoded: DataFrame, codebookRows: Array[(Int, Int, Seq[Float])],
+               queries: DataFrame, idCol: String, vecCol: String,
                k: Int, maxLutBroadcastBytes: Long = 64L << 20): DataFrame = {
-    val (lutSide, _) = pqLut(codebook, queries, idCol, vecCol, maxLutBroadcastBytes)
+    val (lutSide, _) = pqLut(codebookRows, queries, idCol, vecCol, maxLutBroadcastBytes)
     val scored = encoded.select(col("id"), col("sub"), col("code"))
       .join(lutSide, Seq("sub", "code"))
       .filter(col("query_id") =!= col("id"))
@@ -613,11 +636,9 @@ object Similarity {
     * rows, never corpus-sized. Broadcast when the plan-stats estimate
     * fits `maxLutBroadcastBytes`; otherwise left as a shuffled side.
     */
-  private def pqLut(codebook: DataFrame, queries: DataFrame,
+  private def pqLut(cb: Array[(Int, Int, Seq[Float])], queries: DataFrame,
                     idCol: String, vecCol: String,
                     maxLutBroadcastBytes: Long): (DataFrame, Boolean) = {
-    val cb = codebook.select(col("sub"), col("code"), col("cvec")).collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
     require(cb.nonEmpty, "pqLut: empty codebook")
     val subLen = cb.head._3.length
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
@@ -693,7 +714,16 @@ object Similarity {
                   assigned: DataFrame, centroids: DataFrame,
                   queries: DataFrame, idCol: String, vecCol: String,
                   nprobe: Int, k: Int,
-                  maxLutBroadcastBytes: Long = 64L << 20): DataFrame = {
+                  maxLutBroadcastBytes: Long = 64L << 20): DataFrame =
+    pqIvfSearch(encoded, collectCodebook(codebook), assigned, centroids,
+      queries, idCol, vecCol, nprobe, k, maxLutBroadcastBytes)
+
+  /** [[pqIvfSearch]] over a pre-collected codebook. */
+  def pqIvfSearch(encoded: DataFrame, codebookRows: Array[(Int, Int, Seq[Float])],
+                  assigned: DataFrame, centroids: DataFrame,
+                  queries: DataFrame, idCol: String, vecCol: String,
+                  nprobe: Int, k: Int,
+                  maxLutBroadcastBytes: Long): DataFrame = {
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("_cos").desc, col("centroid_id"))
     val probes0 = queries
@@ -703,7 +733,7 @@ object Similarity {
       .withColumn("_rk", row_number().over(wq))
       .filter(col("_rk") <= nprobe)
       .select(col("query_id"), col("centroid_id").as("cell"))
-    val (lutSide, lutSmall) = pqLut(codebook, queries, idCol, vecCol, maxLutBroadcastBytes)
+    val (lutSide, lutSmall) = pqLut(codebookRows, queries, idCol, vecCol, maxLutBroadcastBytes)
     // the probe table is (queries × nprobe) rows — strictly smaller
     // than the LUT (queries × m·k), so it broadcasts whenever the LUT
     // does; above the threshold both degrade to shuffled joins
@@ -743,10 +773,18 @@ object Similarity {
   def pqIvfRerank(encoded: DataFrame, codebook: DataFrame,
                   assigned: DataFrame, centroids: DataFrame,
                   queries: DataFrame, idCol: String, vecCol: String,
+                  data: DataFrame, nprobe: Int, kCand: Int, k: Int): DataFrame =
+    pqIvfRerank(encoded, collectCodebook(codebook), assigned, centroids,
+      queries, idCol, vecCol, data, nprobe, kCand, k)
+
+  /** [[pqIvfRerank]] over a pre-collected codebook. */
+  def pqIvfRerank(encoded: DataFrame, codebookRows: Array[(Int, Int, Seq[Float])],
+                  assigned: DataFrame, centroids: DataFrame,
+                  queries: DataFrame, idCol: String, vecCol: String,
                   data: DataFrame, nprobe: Int, kCand: Int, k: Int): DataFrame = {
     require(kCand >= k, s"pqIvfRerank: kCand = $kCand must be >= k = $k")
-    val approx = pqIvfSearch(encoded, codebook, assigned, centroids,
-      queries, idCol, vecCol, nprobe, kCand)
+    val approx = pqIvfSearch(encoded, codebookRows, assigned, centroids,
+      queries, idCol, vecCol, nprobe, kCand, 64L << 20)
     rerankExact(approx,
       data.select(col(idCol).as("id"), col(vecCol).as("_dv")),
       queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv")), k)
