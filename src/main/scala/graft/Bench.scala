@@ -29,10 +29,13 @@ import org.apache.spark.sql.SparkSession
   * object that always fits the caller's output tail — at 97+ queries
   * even a 1-decimal per-query map outgrew the tail window and round
   * 7's bench went unparsed (`parsed: null`). The per-query map is
-  * printed on the line BEFORE it (rounded adaptively 3→2→1 decimals
-  * to `lineBudget`), so a tail capture that truncates the detail line
-  * still delivers an intact, parseable last line; full-precision raw
-  * runs go to `target/bench_detail.json`.
+  * printed on the lines BEFORE it: ONE adaptive line (3→2→1 decimals)
+  * when it fits `lineBudget`, otherwise a sequence of self-contained
+  * `{"metric":"queries_chunk",...}` JSON lines each within budget
+  * (round 18's single 1-decimal line hit ~5 KB at 233 queries and
+  * truncated mid-JSON in the caller's 2000-char tail — chunked, every
+  * surviving tail line parses on its own). Full-precision raw runs go
+  * to `target/bench_detail.json`.
   *
   * Failures are never silent: a crashing query records -1 in
   * "queries" and its exception (control-chars stripped — raw Spark
@@ -227,8 +230,33 @@ object Bench {
         else "," + "\"errors\":" + errors.map { case (k, m) => s"${jstr(k)}:${jstr(m.take(60))}" }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs$err,"n_runs":$nRuns,"sf":${jstr(sfDir)}}"""
     }
-    val out = (3 to 1 by -1).map(line).find(_.length <= lineBudget).getOrElse(line(1))
-    println(out)
+    (3 to 1 by -1).map(line).find(_.length <= lineBudget) match {
+      case Some(out) => println(out)
+      case None =>
+        // At 233 queries even the 1-decimal map outgrows the budget —
+        // round 18's caller captured only a 2000-char stdout tail, so
+        // the oversize line truncated mid-JSON and the per-query
+        // comparison silently degraded to totals-only. Split the map
+        // into SELF-CONTAINED JSON chunk lines, each within budget,
+        // printed newest-last right before the total line: every line
+        // that survives a tail capture parses on its own, and a caller
+        // that merges `queries` maps across lines reconstructs the
+        // full set. Errors (rare) get their own line first.
+        if (errors.nonEmpty)
+          println("{\"metric\":\"bench_errors\",\"errors\":" +
+            errors.map { case (k, m) => s"${jstr(k)}:${jstr(m.take(60))}" }.mkString("{", ",", "}") + "}")
+        val entries = mins.map { case (k, v) => s"${jstr(k)}:${fmt(v, 1)}" }.toVector
+        def wrap(chunk: Seq[String], i: Int, of: Int): String =
+          s"""{"metric":"queries_chunk","chunk":$i,"of":$of,"queries":${chunk.mkString("{", ",", "}")},"n_runs":$nRuns,"sf":${jstr(sfDir)}}"""
+        val overhead = wrap(Nil, 99, 99).length + 8
+        val chunks = entries.foldLeft(Vector(Vector.empty[String])) { (acc, e) =>
+          val cur = acc.last
+          if (cur.nonEmpty && cur.map(_.length + 1).sum + e.length + overhead > lineBudget)
+            acc :+ Vector(e)
+          else acc.init :+ (cur :+ e)
+        }
+        chunks.zipWithIndex.foreach { case (c, i) => println(wrap(c, i + 1, chunks.size)) }
+    }
     // the driver-facing line, printed LAST: total-only, no per-query
     // map — bounded length at ANY query count, so the tail window can
     // never lose it (errors surface as a count; details in the lines

@@ -172,6 +172,24 @@ object ChangegenPipeline {
   private def dbg(enabled: Boolean, msg: => String): Unit =
     if (enabled) println(s"[changegen:debug] $msg")
 
+  /** Lazy id-zone overflow guard: sequential ids assigned from
+    * `offset` must stay within `window` ids (ascending, or descending
+    * when `neg`) before they collide with the next zone. Checked per
+    * ROW as the ids flow — the round-18 eager `count()` guards each
+    * cost one extra driver job + a serialization barrier per build
+    * (cg_pipeline_counts regressed 3.6 → 4.8 s on them) — and still
+    * loud: index i ≥ window−1 ⟺ count ≥ window, exactly the old
+    * `require(count < window)`, failing the job before any XML or
+    * count leaves the overflowing frame. */
+  private def zoneGuard(id: org.apache.spark.sql.Column, offset: Long, window: Long,
+                        neg: Boolean, what: String): org.apache.spark.sql.Column = {
+    val bad = if (neg) id <= lit(offset - (window - 1)) else id >= lit(offset + (window - 1))
+    when(bad, raise_error(concat(
+      lit(s"$what: assigned node id "), id.cast("string"),
+      lit(s" overflows the fixed id zone ($window ids from $offset) — ids would collide with the next zone"))))
+      .otherwise(id)
+  }
+
   def run(args: Array[String], spark: SparkSession): Unit = {
     val (flagArgs, pos) = args.partition(_.startsWith("--"))
     val parsedFlags = flagArgs.map { f =>
@@ -613,8 +631,12 @@ object ChangegenPipeline {
             col("x"), col("y"))
     }
 
-    // nodes: one per vertex, sequential ids from the configured offset
-    val nodes = SequentialIds.assign(verts, "vkey", "node_id", nodeIdBase, negIds).persist()
+    // nodes: one per vertex, sequential ids from the configured offset.
+    // assign materializes its sorted frame internally (localCheckpoint)
+    // and counts every partition for the rank offsets, so the frame
+    // needs no second persist layer and the way-id base's vertex count
+    // is free — the former nodes.count() job is gone (round 19)
+    val (nodes, nVerts) = SequentialIds.assignCounted(verts, "vkey", "node_id", nodeIdBase, negIds)
     // microdegrees ROUND half-up (the reference renders "%.6f", which
     // rounds) — identical to truncation for the exact-millionth 4326
     // inputs, and correct for reprojected layers whose doubles carry
@@ -624,7 +646,6 @@ object ChangegenPipeline {
 
     // way ids: clear of the assigned node-id range AND the existing way
     // ids; 1000 chunks per feature keeps (feat, chunk) → id injective
-    val nVerts = nodes.count()
     val wayIdBase =
       if (negIds) nVerts + 1 // nodes occupy -1 .. -nVerts
       else math.max(maxExistingWay + 1, nodeIdBase + nVerts + 1)
@@ -687,14 +708,12 @@ object ChangegenPipeline {
           ipts.select("jx6", "jy6").distinct()
             .withColumn("jkey", struct(col("jx6"), col("jy6"))),
           "jkey", "node_id", selfNodeOffset, negIds)
-          .select(col("node_id"), (col("jx6") / 1e6).as("x"), (col("jy6") / 1e6).as("y"),
+          .select(zoneGuard(col("node_id"), selfNodeOffset, selfNodeWindow, negIds,
+              "--self junction nodes").as("node_id"),
+            (col("jx6") / 1e6).as("x"), (col("jy6") / 1e6).as("y"),
             col("jx6"), col("jy6"))
           .persist()
-        val nJn = jn.count()
-        require(nJn < selfNodeWindow,
-          s"--self produced $nJn junction nodes, overflowing the fixed self-junction id zone " +
-            s"($selfNodeWindow ids from $selfNodeOffset) — ids would collide with the point-create zone")
-        dbg(debug, s"stage 1b (--self): $nJn junction nodes at 6dp-distinct coordinates")
+        dbg(debug, s"stage 1b (--self): ${jn.count()} junction nodes at 6dp-distinct coordinates")
         // (a) vertex coincidence at 6dp: ANY feature's vertex at a
         // junction coordinate adopts the junction node id (the
         // reference's near-vertex rtree reuse, generator.py:429-440);
@@ -785,15 +804,17 @@ object ChangegenPipeline {
       existingNodes, "enode", "ex", "ey", 0.5)
     // one junction per existing node: deterministic min node_id
     val junctionAt = junctions.groupBy("enode").agg(min("node_id").as("jnode")).persist()
-    val existingWays = WayOps.wayNodeMap(existingEdges, "eway", "seq", "enode")
-    // splice each junction after its matched node (posexplode → merge)
-    val spliced = existingWays
-      .select(col("eway"), posexplode(col("nds")).as(Seq("pos", "enode")))
+    // splice each junction after its matched node. Junctions attach to
+    // the EDGE rows, then ONE way-keyed aggregation rebuilds the node
+    // lists (round 19: the former wayNodeMap → posexplode → re-agg
+    // shape paid two corpus-wide collect_list shuffles on the same key
+    // to derive what one pass computes; (seq, node) is unique per way
+    // — lineitem's PK / posexplode ordinals — so sorting the joined
+    // edge rows by (seq, enode) is exactly the old explode-pos order)
+    val modified = existingEdges
       .join(junctionAt, Seq("enode"), "left")
-      .select(col("eway"), col("pos"), col("enode"), col("jnode"))
-    val modified = spliced
       .groupBy("eway")
-      .agg(array_sort(collect_list(struct(col("pos"), col("enode"), col("jnode")))).as("pj"))
+      .agg(array_sort(collect_list(struct(col("seq"), col("enode"), col("jnode")))).as("pj"))
       .filter(exists(col("pj"), p => p.getField("jnode").isNotNull))
       .withColumn("new_nds", flatten(transform(col("pj"), p =>
         when(p.getField("jnode").isNotNull, array(p.getField("enode"), p.getField("jnode")))
@@ -804,8 +825,9 @@ object ChangegenPipeline {
 
     // 4. deletions: snapshot diff on orders → ways + constituent nodes
     val orders = Tables.load(spark, sfDir, "orders")
-    // persisted above: nodes/splitWays/junctionAt/modified/deleteSet are
-    // each consumed twice (XML write + summary counts) — no recompute
+    // pinned above: nodes (checkpointed in assign), splitWays/
+    // junctionAt/modified/deleteSet (persisted) are each consumed
+    // twice (XML write + summary counts) — no recompute
     val diffRemoved = SnapshotDiff.deletes(
       orders.select(col("o_orderkey")),
       orders.filter(col("o_orderkey") % 13 =!= 5).select(col("o_orderkey")),
@@ -821,15 +843,20 @@ object ChangegenPipeline {
           .select(col("osm_id").cast("long").as("o_orderkey")))
         .foldLeft(diffRemoved)((acc, d) => acc.unionByName(d))
         .distinct()
-    // deletions expand against the FULL extract's way map, not the
+    // deletions expand against the FULL extract's edge table, not the
     // --existing-restricted one (the reference's deletion pass is a
-    // separate loop, independent of --existing)
-    val deleteWayMap =
-      if (existingWkb.isEmpty) existingWays
-      else WayOps.wayNodeMap(existingEdges0, "eway", "seq", "enode")
-    val deleteSet = WayOps.expandDeletes(
-      deleteWayMap.join(removedWays, col("eway") === col("o_orderkey")).select(col("eway").as("way"), col("nds")),
-      "way", "nds").persist()
+    // separate loop, independent of --existing). Derived straight from
+    // the edge rows filtered to the removed ways (round 19): the
+    // former path aggregated the WHOLE extract into way→nds arrays and
+    // re-exploded them — two corpus-wide passes to compute the two
+    // DISTINCT sets a removed-way-filtered edge scan yields directly.
+    val delEdges = existingEdges0
+      .join(removedWays.select(col("o_orderkey").as("eway")), Seq("eway"), "left_semi")
+    val deleteSet = delEdges
+      .select(lit("node").as("elem_type"), col("enode").cast("long").as("elem_id")).distinct()
+      .unionByName(
+        delEdges.select(lit("way").as("elem_type"), col("eway").cast("long").as("elem_id")).distinct())
+      .persist()
     val deleteXml = deleteSet.select(
       when(col("elem_type") === "way",
         concat(lit("<way id=\""), col("elem_id"), lit("\" version=\"1\"/>")))
@@ -852,20 +879,24 @@ object ChangegenPipeline {
     // ids negated was the round-2 referential-integrity bug)
     def polyId(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       (if (negIds) -c - nVerts - 200000L else c).cast("long")
-    val (polyNodes, polyWays, polyRelations) = polyWkb match {
+    val (polyNodes0, polyWays, polyRelations) = polyWkb match {
       case None =>
         val pverts = Tables.load(spark, sfDir, "part").select(
           (col("p_partkey") % 20).as("pgroup"),
           col("p_partkey").as("pkey"),
           ((col("p_partkey") * 13 % 1000) / 10.0).as("x"),
           ((col("p_partkey") * 29 % 1000) / 10.0).as("y"))
-        val pn = SequentialIds.assign(pverts, "pkey", "node_id", polyNodeOffset, negIds).persist()
+        // no extra persist: assign checkpoints its frame internally
+        val pn = SequentialIds.assign(pverts, "pkey", "node_id", polyNodeOffset, negIds)
+        // persisted: grouped feeds outer rings, inner rings AND the
+        // relation frame — un-pinned it recomputed its exchange 4×
         val grouped = pn
           .groupBy("pgroup")
           .agg(array_sort(collect_list(struct(col("pkey"), col("node_id")))).as("_kv"))
           .withColumn("ring_nds", transform(col("_kv"), x => x.getField("node_id")))
           .withColumn("n", size(col("ring_nds")))
           .withColumn("n_outer", ceil(col("n").cast("double") * 2 / 3).cast("int"))
+          .persist()
         val outerRings = grouped.select(col("pgroup"), col("n"), col("n_outer"),
           expr("slice(ring_nds, 1, n_outer)").as("ring"), lit(0).as("ring_idx"))
         val innerRings = grouped.filter(col("n") - col("n_outer") >= 3)
@@ -915,23 +946,21 @@ object ChangegenPipeline {
             .drop("_ll")
         val ringW = org.apache.spark.sql.expressions.Window
           .partitionBy("pgroup", "part_idx", "ring_idx")
-        // persisted: SequentialIds.assign runs multiple jobs over its
-        // input (range sampling, partition-size count, final compute) —
-        // against a LIVE JDBC source each job would re-read the table,
-        // and a row changing between jobs would shift the assigned ids
+        // single consumer (the id assignment, which checkpoints its
+        // input's result internally — ONE read of a live JDBC source)
         val open = decoded
           .withColumn("_f", min(struct(col("pos"), col("x"), col("y"))).over(ringW))
           .withColumn("_maxp", max("pos").over(ringW))
           .filter(!(col("pos") === col("_maxp") && col("pos") =!= col("_f").getField("pos") &&
             col("x") === col("_f").getField("x") && col("y") === col("_f").getField("y")))
           .drop("_f", "_maxp")
-          .persist()
         // vertex → node id in (pgroup, pos) order — a STRUCT sort key,
-        // so no arithmetic bound on vertices-per-feature
+        // so no arithmetic bound on vertices-per-feature (assign
+        // checkpoints internally; no second persist layer)
         val pn = SequentialIds.assign(
             open.withColumn("okey", struct(col("pgroup"), col("pos"))),
             "okey", "node_id", polyNodeOffset, negIds)
-          .drop("okey").persist()
+          .drop("okey")
         val ringsDf = pn.groupBy("pgroup", "part_idx", "ring_idx")
           .agg(array_sort(collect_list(struct(col("pos"), col("node_id")))).as("_kv"))
           .withColumn("ring", transform(col("_kv"), x => x.getField("node_id")))
@@ -964,11 +993,11 @@ object ChangegenPipeline {
           .persist()
         (pn, pw, pr)
     }
-    val nPolyNodes = polyNodes.count()
-    require(nPolyNodes < polyNodeWindow,
-      s"polygon features produced $nPolyNodes ring nodes, overflowing the fixed polygon-node id zone " +
-        s"($polyNodeWindow ids from $polyNodeOffset) — ids would collide with the next zone")
-    dbg(debug, s"stage 4b (polygons): $nPolyNodes ring nodes")
+    // zone guard rides the id column (see [[zoneGuard]] — the eager
+    // count here was one extra job + materialization barrier per build)
+    val polyNodes = polyNodes0.withColumn("node_id",
+      zoneGuard(col("node_id"), polyNodeOffset, polyNodeWindow, negIds, "polygon ring nodes"))
+    dbg(debug, s"stage 4b (polygons): ${polyNodes.count()} ring nodes")
     // 4c. point features (reference generator.py:622-631, the
     // non-modify Point branch): one v1 <create> node per feature at
     // its reprojected coordinates, carrying the table-derived tags
@@ -993,10 +1022,10 @@ object ChangegenPipeline {
             .withColumn("_ll", graft.spatial.Geo.reproject(col("x"), col("y"), pointSrcEpsg))
             .withColumn("x", col("_ll.lon")).withColumn("y", col("_ll.lat"))
             .drop("_ll")
-        // persisted for the same live-JDBC re-read reason as the
-        // line/poly seams: SequentialIds runs multiple jobs
+        // assign materializes its frame internally (ONE read of a live
+        // JDBC source) — no second persist layer needed
         SequentialIds.assign(dec, "pgrp", "node_id", pointNodeOffset, negIds)
-          .select(col("node_id"), col("x"), col("y"), col("ptags")).persist()
+          .select(col("node_id"), col("x"), col("y"), col("ptags"))
     }
     val pointNodeXml = pointNodes.select(
       OsmChangeXml.nodeXml(col("node_id"), lit(1),
